@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4 refuses
+  * to read as a timestamp; we read it as raw nanos
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+  * exactly what DuckDB does on read, so oracle comparisons line up.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case other =>
+      spark.read.parquet(s"$dir/$other.parquet")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines: exact
+  * (canonicalized hash-groupBy), n-gram Jaccard near-dup, MinHash+LSH and
+  * SimHash near-dup. Everything is keyed/partitioned — no driver-side
+  * state — so the same plans run at 100 TB: the only shuffles are the
+  * groupBys on doc/bucket keys and the bucket-local self-joins.
+  */
+object Dedup {
+
+  /** Distinct word tokens of the document text. */
+  private def tokenSet = expr("array_distinct(split(text, ' '))")
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q23: exact dedup by canonicalized content (sorted distinct token
+    // set). One shuffle on the canonical key; groups >1 are duplicates.
+    QueryDef.sql("q23_exact_dedup_groups") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs
+        .withColumn("canon", array_join(array_sort(tokenSet), " "))
+        .groupBy(col("canon"))
+        .agg(
+          min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          sort_array(collect_list(col("doc_id"))).as("member_ids"))
+        .filter(col("n_copies") > 1)
+        .select("canonical_id", "n_copies", "member_ids")
+        .orderBy("canonical_id")
+    } {
+      """SELECT MIN(doc_id) AS canonical_id,
+        |       COUNT(*) AS n_copies,
+        |       LIST_SORT(LIST(doc_id)) AS member_ids
+        |FROM documents
+        |GROUP BY ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')
+        |HAVING COUNT(*) > 1
+        |ORDER BY canonical_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q24: exact n-gram (word-set) Jaccard near-dup pairs, blocked by
+    // (lang, length bucket) so the pair space stays bucket-local — the
+    // quadratic blow-up is bounded per block, and the join shuffles on
+    // the block key only.
+    QueryDef.sql("q24_jaccard_near_dup_pairs") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 50).cast("long").as("len_bucket"), tokenSet.as("toks"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
+        col("toks").as("toks_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("len_bucket"),
+        col("toks").as("toks_b"))
+      a.join(b, Seq("lang", "len_bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+        .filter(col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    } {
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+        |         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE) /
+        |  CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS DOUBLE) AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        | AND a.doc_id < b.doc_id
+        |WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE) /
+        |      CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS DOUBLE) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q25: MinHash + LSH near-dup (the 100 TB scale path): 3-word
+    // shingles → 32 min-hash signatures → 8 bands of 4 → bucket-join for
+    // candidates → exact Jaccard verification. Hash-specific, so no SQL
+    // oracle; DedupSpec asserts candidates ⊇ verified pairs and recall
+    // against q24's exhaustive answer.
+    QueryDef.noOracle("q25_minhash_lsh_dedup")(minhashDedup),
+
+    // ------------------------------------------------------------------
+    // q26: SimHash near-dup: 64-bit token-hash sign aggregate →
+    // fingerprint; 4×16-bit bands bucket candidates (pigeonhole: hamming
+    // ≤ 3 ⇒ at least one band identical); pairs kept at hamming ≤ 3.
+    QueryDef.noOracle("q26_simhash_dedup")(simhashDedup)
+  )
+
+  private val NumHashes = 32
+  private val NumBands = 8 // 4 rows per band
+
+  /** Deterministic affine re-hash family over one base xxhash64: reduce to
+    * [0, 2^31-1) first so the affine step never overflows int64 (Spark 4
+    * runs ANSI mode — wraparound would throw).
+    */
+  private def perm(i: Int) =
+    expr(s"pmod(pmod(h, 2147483647L) * ${2654435761L + i * 40503L}L + ${i * 97 + 1}L, 2147483647L)")
+
+  def minhashDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingles",
+        expr("array_distinct(transform(sequence(0, size(tokens)-3), i -> concat_ws(' ', slice(tokens, i+1, 3))))"))
+    val exploded = docs
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val sigs = exploded
+      .groupBy(col("doc_id"))
+      .agg(min(perm(0)).as("sig_0"),
+        (1 until NumHashes).map(i => min(perm(i)).as(s"sig_$i")): _*)
+    val bands = sigs
+      .select(col("doc_id"),
+        array((0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(((4 * b until 4 * b + 4).map(j => col(s"sig_$j")) :+ lit(b)): _*).as("bkey"))
+        }: _*).as("bands"))
+      .select(col("doc_id"), explode(col("bands")).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on the shingle sets
+    val sets = docs.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = toks
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
+        (1 until 64).map(j =>
+          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")): _*)
+    val fp = bitSums.select(col("doc_id"),
+      (0 until 64)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), expr(s"(simhash >> ${16 * b}) & 65535").as("bkey"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    bands.alias("x").join(bands.alias("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.QueryDef
+import graft.Det.{dsum, dsumSql}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column.
+  *
+  * Exact cross-engine comparability trick: embeddings are quantized to
+  * integers (floor(x·1e6) as int64) before any arithmetic. Dot products and
+  * squared norms are then exact integer sums (every partial sum < 2^53, so
+  * even double-typed accumulation is exact and order-free), and the final
+  * cosine is one identical double division on both engines — bit-equal, no
+  * rounding epsilon needed.
+  */
+object Similarity {
+
+  /** embedding (float array) → quantized integer-valued double array. */
+  private val quant = "transform(embedding, x -> floor(cast(x AS double) * 1000000.0))"
+  private val quantSql =
+    "list_transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000000.0))"
+
+  /** Exact dot product of two integer-valued double arrays. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 AS double), (acc, v) -> acc + v)")
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q27: brute-force cosine top-k (the correctness baseline): the first
+    // 5 vectors are the query set; each scans all candidates. The
+    // candidate side stays partitioned; queries are a broadcast (tiny).
+    QueryDef.sql("q27_cosine_topk") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), expr(quant).as("v"))
+        .withColumn("norm2", dot("v", "v"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm2").as("qn2"))
+      val pairs = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos_sim", dot("qv", "v") / (sqrt(col("qn2")) * sqrt(col("norm2"))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+        .orderBy("q_id", "rnk")
+    } {
+      s"""WITH e AS (
+         |  SELECT vec_id, $quantSql AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM e),
+         |pairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v) / (SQRT(q.norm2) * SQRT(c.norm2)) AS cos_sim
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         |SELECT q_id, rnk, neighbor_id, cos_sim FROM (
+         |  SELECT q_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q28: LSH-bucketed approximate nearest neighbors (the scale path):
+    // 4 deterministic pseudo-random hyperplanes → 4-bit bucket signature;
+    // candidates only join within a bucket. At 100 TB the bucket key is
+    // the shuffle key and each bucket's candidate set is small. Hash-
+    // specific — recall vs q27 is asserted in SimilaritySpec.
+    QueryDef.noOracle("q28_ann_lsh_topk")(annLsh),
+
+    // ------------------------------------------------------------------
+    // q29: embedding column statistics per label: count + exact-integer
+    // L2 norm extremes (deterministic), plus mean norm via exact decimal
+    // summation.
+    QueryDef.sql("q29_label_embedding_stats") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+        .select(col("label"), expr(quant).as("v"))
+        .withColumn("norm", sqrt(dot("v", "v")) / 1000000.0)
+      emb.groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          graft.Det.davg(col("norm")).as("avg_norm"))
+        .orderBy("label")
+    } {
+      s"""WITH e AS (
+         |  SELECT label,
+         |    SQRT(list_dot_product($quantSql, $quantSql)) / 1000000.0 AS norm
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vectors,
+         |  MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+         |  ${graft.Det.davgSql("norm")} AS avg_norm
+         |FROM e
+         |GROUP BY label
+         |ORDER BY label""".stripMargin
+    }
+  )
+
+  private val NumPlanes = 4
+
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
+    // Deterministic hyperplanes: weight w(p, i) derived from a splitmix-style
+    // integer mix of (plane, dim) — centered, fixed at plan time.
+    val planeBit: Int => Column = p =>
+      expr(
+        s"""CASE WHEN aggregate(
+           |  zip_with(v, sequence(0, 63), (x, i) ->
+           |    x * cast(pmod((($p * 64 + i) * 2654435761 + 1442695040888963407), 2001) - 1000 AS double)),
+           |  cast(0 AS double), (acc, w) -> acc + w) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin)
+    val bucketed = emb.withColumn("bucket", (0 until NumPlanes).map(planeBit).reduce(_ + _))
+    val withNorm2 = bucketed.withColumn("norm2", dot("v", "v"))
+    val q = withNorm2.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"), col("bucket"))
+    val pairs = withNorm2.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot("qv", "v") / (sqrt(col("qn2")) * sqrt(col("norm2"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+}

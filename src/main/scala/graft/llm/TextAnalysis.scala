@@ -1,0 +1,172 @@
+package graft.llm
+
+import graft.{Det, QueryDef, Tables}
+import graft.Det.{dsum, dsumSql}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators: corpus language stats, stopword-based
+  * language-ID heuristic, per-document quality scoring, token counting /
+  * frequency, and deterministic document fingerprinting. All expressed as
+  * per-row scalar expressions + keyed aggregation — fully distributed,
+  * no UDFs, whole-stage-codegen friendly.
+  */
+object TextAnalysis {
+
+  private val En = Seq("the", "a", "of", "and", "to", "in")
+  private val Es = Seq("el", "la", "de", "y", "en", "los")
+  private val De = Seq("der", "die", "das", "und", "ein", "zu")
+
+  private def hitsExpr(words: Seq[String]) = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split(text, ' '), t -> t IN ($list)))")
+  }
+
+  private def hitsSql(words: Seq[String]) = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ($list))) AS INT)"
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q30: corpus statistics per language tag.
+    QueryDef.sql("q30_language_stats") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          Det.davg(col("n_chars").cast("double")).as("avg_chars"),
+          Det.davg(size(split(col("text"), " ")).cast("double")).as("avg_tokens"))
+        .orderBy("lang")
+    } {
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT source) AS n_sources,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         |  ${Det.davgSql("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+         |  ${Det.davgSql("CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)")} AS avg_tokens
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q31: stopword-count language-ID heuristic (n-gram-style membership
+    // scoring with a fixed precedence tie-break).
+    QueryDef.sql("q31_langid_stopwords") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs
+        .withColumn("en_hits", hitsExpr(En).cast("int"))
+        .withColumn("es_hits", hitsExpr(Es).cast("int"))
+        .withColumn("de_hits", hitsExpr(De).cast("int"))
+        .withColumn("predicted_lang",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
+            .when(col("es_hits") >= col("de_hits"), "es")
+            .otherwise("de"))
+        .select("doc_id", "lang", "en_hits", "es_hits", "de_hits", "predicted_lang")
+        .orderBy("doc_id")
+    } {
+      s"""SELECT doc_id, lang,
+         |  ${hitsSql(En)} AS en_hits,
+         |  ${hitsSql(Es)} AS es_hits,
+         |  ${hitsSql(De)} AS de_hits,
+         |  CASE WHEN ${hitsSql(En)} >= ${hitsSql(Es)}
+         |        AND ${hitsSql(En)} >= ${hitsSql(De)} THEN 'en'
+         |       WHEN ${hitsSql(Es)} >= ${hitsSql(De)} THEN 'es'
+         |       ELSE 'de' END AS predicted_lang
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q32: per-document quality scoring: token counts, type-token ratio,
+    // mean token length, stopword ratio, composite score. Pure per-row
+    // double arithmetic from exact integers — engine-identical.
+    QueryDef.sql("q32_doc_quality") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))))
+        .withColumn("avg_token_len",
+          length(regexp_replace(col("text"), " ", "")).cast("double") /
+            col("n_tokens").cast("double"))
+        .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("stopword_ratio",
+          hitsExpr(En).cast("double") / col("n_tokens").cast("double"))
+        .withColumn("quality_score",
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.4 +
+            col("ttr") * 0.4 + col("stopword_ratio") * 0.2)
+        .select("doc_id", "lang", "n_tokens", "n_distinct", "avg_token_len", "ttr",
+          "stopword_ratio", "quality_score")
+        .orderBy("doc_id")
+    } {
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS n_distinct,
+         |    CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS n_letter_chars,
+         |    CAST(${hitsSql(En)} AS DOUBLE) AS en_hits
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens, n_distinct,
+         |  n_letter_chars / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+         |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |  en_hits / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4 +
+         |    (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4 +
+         |    (en_hits / CAST(n_tokens AS DOUBLE)) * 0.2 AS quality_score
+         |FROM t
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q33: global token frequency — explode + hash aggregate on the token
+    // (map-side partial agg keeps the shuffle small), top 50.
+    QueryDef.sql("q33_token_histogram") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(50)
+    } {
+      """SELECT token, COUNT(*) AS n_occurrences
+        |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 50""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q34: deterministic rolling-hash document fingerprint: position-
+    // weighted character sum (exact int64 arithmetic — order-free), plus
+    // how many documents share each fingerprint.
+    QueryDef.sql("q34_doc_fingerprint") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val fps = docs
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, length(text))")).as("i"))
+        .withColumn("term",
+          expr("cast(ascii(substring(text, i, 1)) AS bigint) * ((cast(i AS bigint) * 2654435761) % 1000003)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term")).as("fingerprint"))
+      fps
+        .withColumn("n_sharing",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))
+        .select("doc_id", "fingerprint", "n_sharing")
+        .orderBy("doc_id")
+    } {
+      """WITH fp AS (
+        |  SELECT doc_id, SUM(CAST(ORD(SUBSTRING(text, i, 1)) AS BIGINT) *
+        |                     ((CAST(i AS BIGINT) * 2654435761) % 1000003)) AS fingerprint
+        |  FROM (SELECT doc_id, text,
+        |          UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS i
+        |        FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint,
+        |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_sharing
+        |FROM fp
+        |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

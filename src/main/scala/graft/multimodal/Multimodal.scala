@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted inside a typed
+  * `mapPartitions` pass (one codec init per partition — the shape a real
+  * image/audio decoder needs). The container ships no codec libraries, so
+  * [[MediaCodec.decodeStub]] is a clearly-marked deterministic fake; the
+  * Spark-side plumbing — binary schema, typed Dataset encoders, partition
+  * batching — is real and oracle-verified.
+  */
+object Multimodal {
+
+  /** The binary envelope: what a real pipeline would carry per media blob. */
+  final case class MediaRecord(doc_id: Long, media_type: String, blob: Array[Byte])
+
+  /** Decoded (stubbed) features. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      header_checksum: Long)
+
+  object MediaCodec {
+    /** STUB: stands in for an image/audio/video decoder (none available in
+      * this container). Derives deterministic fake dimensions from the blob
+      * so the full pipeline stays verifiable end-to-end. A real deployment
+      * replaces only this function (and keeps the mapPartitions shape for
+      * per-partition codec initialization).
+      */
+    def decodeStub(r: MediaRecord): MediaFeatures = {
+      val n = r.blob.length
+      val checksum = r.blob.iterator.take(16).map(b => (b & 0xffL)).sum
+      MediaFeatures(r.doc_id, r.media_type, n,
+        width = 16 + n % 64,
+        height = 16 + (n * 7) % 64,
+        n_frames = 1 + n % 8,
+        header_checksum = checksum)
+    }
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q35: binary-column metadata: byte length and content digest of the
+    // payload column (md5 is engine-portable), typed with a media type.
+    QueryDef.sql("q35_binary_metadata") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          concat(lit("text/plain;lang="), col("lang")).as("media_type"),
+          octet_length(col("blob")).as("n_bytes"),
+          md5(col("blob")).as("content_md5"))
+        .orderBy("doc_id")
+    } {
+      """SELECT doc_id,
+        |  'text/plain;lang=' || lang AS media_type,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+        |  MD5(text) AS content_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q36: the full decode pipeline through a typed Dataset +
+    // mapPartitions (stubbed codec). The oracle replays the stub's
+    // integer arithmetic on the byte length — possible only because the
+    // stub is deterministic.
+    QueryDef.sql("q36_media_features")(mediaFeatures) {
+      """WITH m AS (
+        |  SELECT doc_id, 'text/plain;lang=' || lang AS media_type,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id, media_type,
+        |  n AS n_bytes,
+        |  16 + n % 64 AS width,
+        |  16 + (n * 7) % 64 AS height,
+        |  1 + n % 8 AS n_frames,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEAST(16, LENGTH(text))),
+        |                               i -> ORD(SUBSTRING(text, i, 1))))
+        |       AS BIGINT) AS header_checksum
+        |FROM m
+        |ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, d, "documents")
+    val records = docs
+      .select(
+        col("doc_id"),
+        concat(lit("text/plain;lang="), col("lang")).as("media_type"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaRecord]
+    records
+      .mapPartitions { it =>
+        // per-partition codec init would happen here
+        it.map(MediaCodec.decodeStub)
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.{Det, QueryDef, Tables}
+import graft.Det.{dsum, dsumSql}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/stream analytics over the `events` table — the batch twins of the
+  * streaming operators (SURVEY.md §7.1.2). Each query is the DuckDB-
+  * verifiable form; the same logic runs under Structured Streaming in
+  * `graft.streaming` with watermarks (ScalaTest-covered there).
+  *
+  * The kinesumer record envelope (`/root/reference/kinesumer.go:97-102`:
+  * stream / shard id / sequence number / arrival time / opaque payload) is
+  * reproduced as a derived view; the 5-shard layout mirrors the reference's
+  * integration fixture (`/root/reference/tests/init.sh:22-27`).
+  */
+object Events {
+
+  /** Number of synthetic shards — the reference test fixture's shard count. */
+  val NumShards = 5
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q16: the kinesumer envelope + per-shard checkpoint summary. Derives
+    // stream/shard_id/sequence_number and computes each shard's committed
+    // range — the batch analog of ListCheckPoints/UpdateCheckPoints
+    // (/root/reference/statestore.go:224-281).
+    QueryDef.sql("q16_shard_checkpoints") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      ev.select(
+          lit("events").as("stream"),
+          format_string("shardId-%012d", pmod(col("user_id"), lit(NumShards))).as("shard_id"),
+          col("event_id").as("sequence_number"),
+          col("ts"), col("value"))
+        .groupBy(col("stream"), col("shard_id"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          min(col("sequence_number")).as("first_seq"),
+          max(col("sequence_number")).as("checkpoint_seq"),
+          max(col("ts")).as("last_arrival"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("shard_id")
+    } {
+      s"""SELECT 'events' AS stream,
+         |  PRINTF('shardId-%012d', user_id % 5) AS shard_id,
+         |  COUNT(*) AS n_records,
+         |  MIN(event_id) AS first_seq,
+         |  MAX(event_id) AS checkpoint_seq,
+         |  MAX(ts) AS last_arrival,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY shard_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q17: tumbling 1-hour window aggregation by event type (streaming
+    // twin: groupBy(window($"ts", "1 hour")) with a watermark).
+    QueryDef.sql("q17_tumbling_hourly") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      ev.groupBy(
+          window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    } {
+      s"""SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+         |  COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q18: sliding window (1 hour, sliding by 30 minutes) — every event
+    // lands in two windows. Output keys are epoch seconds to keep the
+    // comparison integer-exact.
+    QueryDef.sql("q18_sliding_hourly") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      ev.groupBy(
+          unix_timestamp(window(col("ts"), "1 hour", "30 minutes").getField("start"))
+            .as("window_start_s"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("window_start_s")
+    } {
+      s"""SELECT (epoch_us(ts) // 1800000000) * 1800 - off AS window_start_s,
+         |  COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events CROSS JOIN (VALUES (0), (1800)) AS offs(off)
+         |GROUP BY 1
+         |ORDER BY window_start_s""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q19: session windows per user with a 30-minute gap (streaming twin:
+    // session_window + watermark). The oracle is the classic
+    // gaps-and-islands rewrite; a new session starts when the gap to the
+    // previous event is >= the session gap, matching Spark's merge rule
+    // (sessions merge iff next.ts < prev.ts + gap).
+    QueryDef.sql("q19_user_sessions") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    } {
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged)
+         |SELECT user_id,
+         |  MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM sessions
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q20: keep-first deduplication by (user_id, event_type) — the batch
+    // twin of streaming dropDuplicates: first event wins by (ts, event_id).
+    QueryDef.sql("q20_first_event_dedup") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    } {
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q21: as-of join (COMPOSITE per SURVEY §7.3): each event picks the
+    // latest order of the same customer at or before the event time,
+    // tie-broken by highest order key. Implemented as equi-join on the
+    // customer key + ranking window — both sides shuffle once on the key.
+    QueryDef.sql("q21_asof_latest_order") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val ord = Tables(s, d, "orders")
+      val joined = ev.join(ord,
+        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"), "left")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    } {
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC NULLS LAST,
+        |                                o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q22: range (interval) self-join — conversion funnel: purchases
+    // within one hour after a view by the same user. Equi-join on user_id
+    // plus a range predicate; counts per user.
+    QueryDef.sql("q22_view_purchase_funnel") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value").as("b_value"))
+      views.join(buys,
+          col("v_user") === col("b_user") &&
+            col("b_ts") > col("v_ts") &&
+            col("b_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_conversions"), dsum(col("b_value")).as("conv_value"))
+        .orderBy("user_id")
+    } {
+      s"""SELECT v.user_id AS user_id, COUNT(*) AS n_conversions,
+         |  ${dsumSql("b.value")} AS conv_value
+         |FROM (SELECT * FROM events WHERE event_type = 'view') v
+         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+         |  ON v.user_id = b.user_id
+         | AND b.ts > v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+         |GROUP BY 1
+         |ORDER BY user_id""".stripMargin
+    }
+  )
+}

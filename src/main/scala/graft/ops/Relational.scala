@@ -1,0 +1,419 @@
+package graft.ops
+
+import graft.{Det, QueryDef, Tables}
+import graft.Det.{dsum, dsumSql}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface (SURVEY.md §2.2): scans, projection and
+  * filtering, equi/semi/anti joins, hash aggregation, grouping sets, window
+  * functions, sort/top-k, set operations, scalar string/date/math/JSON
+  * functions. All pure DataFrame API — Catalyst handles pushdown, join
+  * strategy, partial aggregation; dimension tables are broadcast explicitly.
+  *
+  * The reference (daangn/kinesumer) ships none of these — records pass
+  * through opaque (`/root/reference/kinesumer.go:648-654`); this is the
+  * analytics layer the library exists to feed.
+  */
+object Relational {
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q01: full-scan hash aggregation with multiple measures (TPC-H Q1
+    // flavor). Map-side partial agg + 2-phase final agg; only the six
+    // referenced columns are read from parquet (column pruning).
+    QueryDef.sql("q01_pricing_summary") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      li.filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    } {
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${Det.davgSql("l_quantity")} AS avg_qty,
+         |  ${Det.davgSql("l_extendedprice")} AS avg_price,
+         |  ${Det.davgSql("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q02: projection + predicates (BETWEEN, IN, LIKE, null-safe equality,
+    // CASE). All predicates push to the parquet scan.
+    QueryDef.sql("q02_filter_project") { (s, d) =>
+      val p = Tables(s, d, "part")
+      p.filter(
+          col("p_size").between(10, 30) &&
+            col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5") &&
+            col("p_type").like("%A%"))
+        .select(
+          col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          when(col("p_retailprice") < 500, "low")
+            .when(col("p_retailprice") < 1500, "mid")
+            .otherwise("high").as("price_band"),
+          (col("p_brand") <=> "Brand#1").as("is_brand1"))
+        .orderBy("p_partkey")
+    } {
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |  CASE WHEN p_retailprice < 500 THEN 'low'
+        |       WHEN p_retailprice < 1500 THEN 'mid'
+        |       ELSE 'high' END AS price_band,
+        |  (p_brand IS NOT DISTINCT FROM 'Brand#1') AS is_brand1
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 30
+        |  AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')
+        |  AND p_type LIKE '%A%'
+        |ORDER BY p_partkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q03: 3-way join + agg + top-k (TPC-H Q3 flavor). customer is the
+    // small side and broadcast; orders⋈lineitem shuffles on the join key.
+    QueryDef.sql("q03_shipping_priority") { (s, d) =>
+      val cust = Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    } {
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q04: semi join (EXISTS). Spark plans a left-semi hash join — no
+    // row multiplication, no distinct needed.
+    QueryDef.sql("q04_order_priority_exists") { (s, d) =>
+      val ord = Tables(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val bigLines = Tables(s, d, "lineitem").filter(col("l_quantity") > 45)
+      ord.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    } {
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q05: anti join (NOT EXISTS): customers with no order in 1995.
+    QueryDef.sql("q05_customers_without_orders") { (s, d) =>
+      val cust = Tables(s, d, "customer")
+      val ord95 = Tables(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      cust.join(ord95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    } {
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  ${dsumSql("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |                    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q06: 5-way star join rolled up to nation (TPC-H Q5 flavor).
+    // nation/region broadcast (tiny dims); the fact-side joins shuffle.
+    QueryDef.sql("q06_nation_revenue") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val ord = Tables(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cust = Tables(s, d, "customer")
+      val nat = Tables(s, d, "nation")
+      val reg = Tables(s, d, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    } {
+      s"""SELECT r_name, n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY r_name, n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q07: per-group top-k via ranking window (row_number ≤ 3): the
+    // scalable top-k idiom — no global sort of the full aggregate.
+    QueryDef.sql("q07_top_parts_per_brand") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val p = Tables(s, d, "part")
+      val rev = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("p_brand", "rnk", "p_partkey", "revenue")
+        .orderBy("p_brand", "rnk")
+    } {
+      s"""SELECT p_brand, rnk, p_partkey, revenue FROM (
+         |  SELECT p_brand, p_partkey, revenue,
+         |    ROW_NUMBER() OVER (PARTITION BY p_brand
+         |                       ORDER BY revenue DESC, p_partkey) AS rnk
+         |  FROM (
+         |    SELECT p_brand, p_partkey,
+         |      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |    FROM lineitem JOIN part ON l_partkey = p_partkey
+         |    GROUP BY p_brand, p_partkey))
+         |WHERE rnk <= 3
+         |ORDER BY p_brand, rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q08: analytic windows — running sum (frame UNBOUNDED PRECEDING..
+    // CURRENT ROW), lag, lead over per-customer order history.
+    QueryDef.sql("q08_customer_order_history") { (s, d) =>
+      val ord = Tables(s, d, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(wRun).cast("double"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("order_idx", row_number().over(w))
+        .select("o_custkey", "order_idx", "o_orderkey", "o_orderdate", "o_totalprice",
+          "running_spend", "prev_price", "next_price")
+        .orderBy("o_custkey", "order_idx")
+    } {
+      """SELECT o_custkey,
+        |  ROW_NUMBER() OVER w AS order_idx,
+        |  o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS running_spend,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_idx""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q09: grouping sets (ROLLUP) with grouping indicators.
+    QueryDef.sql("q09_rollup_lineitem") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    } {
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         |  COUNT(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q10: set operations — INTERSECT / EXCEPT / UNION ALL over the
+    // nations reachable from customers vs suppliers.
+    QueryDef.sql("q10_nation_set_ops") { (s, d) =>
+      val nat = broadcast(Tables(s, d, "nation"))
+      val custNations = Tables(s, d, "customer")
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select("n_name").distinct()
+      val suppNations = Tables(s, d, "supplier")
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select("n_name").distinct()
+      custNations.intersect(suppNations).withColumn("tag", lit("both"))
+        .unionByName(custNations.except(suppNations).withColumn("tag", lit("cust_only")))
+        .unionByName(suppNations.except(custNations).withColumn("tag", lit("supp_only")))
+        .orderBy("tag", "n_name")
+    } {
+      """WITH cn AS (SELECT DISTINCT n_name FROM customer
+        |            JOIN nation ON c_nationkey = n_nationkey),
+        |     sn AS (SELECT DISTINCT n_name FROM supplier
+        |            JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, tag FROM (
+        |  SELECT n_name, 'both' AS tag FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+        |  UNION ALL
+        |  SELECT n_name, 'cust_only' AS tag FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+        |  UNION ALL
+        |  SELECT n_name, 'supp_only' AS tag FROM (SELECT * FROM sn EXCEPT SELECT * FROM cn))
+        |ORDER BY tag, n_name""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q11: exact distinct aggregation (COUNT DISTINCT expands to a
+    // two-phase plan; keyed on the group column — no driver-side state).
+    QueryDef.sql("q11_distinct_customers") { (s, d) =>
+      val ord = Tables(s, d, "orders")
+      ord.groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    } {
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) AS n_years,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q12: scalar string functions — split, element_at, lower, substring,
+    // regexp_extract, levenshtein, concat_ws.
+    QueryDef.sql("q12_string_functions") { (s, d) =>
+      val p = Tables(s, d, "part").filter(col("p_size") >= 45)
+      p.select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          size(split(col("p_name"), " ")).as("n_tokens"),
+          element_at(split(col("p_name"), " "), 1).as("first_token"),
+          substring(col("p_name"), 1, 10).as("prefix10"),
+          regexp_extract(col("p_type"), "^[A-Z]+", 0).as("type_head"),
+          levenshtein(col("p_brand"), lit("Brand#1")).as("brand_dist"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")
+    } {
+      """SELECT p_partkey,
+        |  LOWER(p_name) AS lname,
+        |  CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS n_tokens,
+        |  STRING_SPLIT(p_name, ' ')[1] AS first_token,
+        |  SUBSTRING(p_name, 1, 10) AS prefix10,
+        |  REGEXP_EXTRACT(p_type, '^[A-Z]+', 0) AS type_head,
+        |  CAST(LEVENSHTEIN(p_brand, 'Brand#1') AS INT) AS brand_dist,
+        |  CONCAT_WS('|', p_brand, p_type) AS brand_type
+        |FROM part
+        |WHERE p_size >= 45
+        |ORDER BY p_partkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q13: date/time functions — year/month extraction, date_trunc.
+    QueryDef.sql("q13_monthly_orders") { (s, d) =>
+      val ord = Tables(s, d, "orders")
+      ord.groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("y", "m")
+    } {
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+         |  DATE_TRUNC('month', o_orderdate) AS month_start,
+         |  COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY 1, 2, 3
+         |ORDER BY y, m""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q14: CASE + math functions (round, abs, sqrt) feeding aggregation.
+    QueryDef.sql("q14_quantity_bands") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      li.withColumn("qty_band",
+          when(col("l_quantity") <= 10, "small")
+            .when(col("l_quantity") <= 30, "medium")
+            .otherwise("large"))
+        .groupBy(col("qty_band"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(round(col("l_extendedprice") * col("l_discount"), 4)).as("sum_disc_amount"),
+          dsum(sqrt(abs(col("l_extendedprice")))).as("sum_sqrt_price"))
+        .orderBy("qty_band")
+    } {
+      s"""SELECT CASE WHEN l_quantity <= 10 THEN 'small'
+         |            WHEN l_quantity <= 30 THEN 'medium'
+         |            ELSE 'large' END AS qty_band,
+         |  COUNT(*) AS n_rows,
+         |  ${dsumSql("ROUND(l_extendedprice * l_discount, 4)")} AS sum_disc_amount,
+         |  ${dsumSql("SQRT(ABS(l_extendedprice))")} AS sum_sqrt_price
+         |FROM lineitem
+         |GROUP BY 1
+         |ORDER BY qty_band""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q15: JSON extraction from events.props (schema-on-read over the
+    // opaque payload — the kinesumer `Data []byte` analog).
+    QueryDef.sql("q15_json_props") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k_bucket", expr("k div 10"))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("k_bucket")
+    } {
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) // 10 AS k_bucket,
+         |  COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1
+         |ORDER BY k_bucket""".stripMargin
+    }
+  )
+}
