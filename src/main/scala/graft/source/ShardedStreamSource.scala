@@ -1,0 +1,205 @@
+package graft.source
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Spark DataSource V2 micro-batch source with kinesumer semantics over the
+  * local sharded stream log (SURVEY.md §7.1.3) — the one genuinely CUSTOM
+  * component; everything the reference hand-rolls as a consumer group
+  * collapses into the engine:
+  *
+  *   - shard discovery per trigger ≈ `listShards` + leader shard-cache sync
+  *     (`/root/reference/kinesumer.go:305-344`, `syncleader.go:15-29`)
+  *   - offset = map(stream → shard → sequence), checkpointed by the offset
+  *     WAL ≈ the DynamoDB checkpoint table (`statemodel.go:48-57`) — but
+  *     transactional per batch, so exactly-once source progress instead of
+  *     the reference's at-least-once manual/periodic commit
+  *   - start position `latest`/`trim_horizon` ≈ `GetShardIterator` modes
+  *     (`kinesumer.go:706-729`)
+  *   - per-shard `maxRecordsPerShardPerBatch` ≈ `scanLimit`
+  *     (`kinesumer.go:29`)
+  *   - one InputPartition per (stream, shard) per batch ≈ the per-shard
+  *     consume goroutine (`kinesumer.go:615-622`)
+  *   - closed shards drain to their last record and only then stop being
+  *     planned — fixing the reference's closed-shard tail loss
+  *     (SURVEY.md §2.3)
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.source.ShardedStreamProvider")
+  *     .option("path", root).option("streams", "events,clicks")
+  *     .option("startingPosition", "trim_horizon")
+  *     .option("maxRecordsPerShardPerBatch", 2000)
+  *     .load()
+  * }}}
+  */
+object ShardedStreamSource {
+  /** The kinesumer record envelope (`/root/reference/kinesumer.go:97-102`). */
+  val Schema: StructType = StructType(Seq(
+    StructField("stream", StringType, nullable = false),
+    StructField("shard_id", StringType, nullable = false),
+    StructField("sequence_number", StringType, nullable = false),
+    StructField("partition_key", StringType, nullable = true),
+    StructField("approx_arrival", TimestampType, nullable = true),
+    StructField("data", BinaryType, nullable = true)))
+}
+
+class ShardedStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sharded-stream"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardedStreamSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ShardedStreamTable()
+}
+
+class ShardedStreamTable extends Table with SupportsRead {
+  override def name(): String = "sharded-stream"
+  override def schema(): StructType = ShardedStreamSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ShardedStreamScan(options)
+    }
+}
+
+class ShardedStreamScan(options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = ShardedStreamSource.Schema
+  override def description(): String =
+    s"sharded-stream(path=${options.get("path")}, streams=${options.get("streams")})"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ShardedStreamMicroBatch(options)
+}
+
+/** Offset: last-read sequence per (stream, shard); -1 = nothing read. */
+case class ShardedStreamOffset(positions: Map[String, Map[String, Long]]) extends Offset {
+  override def json(): String = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.write(positions)
+  }
+}
+
+object ShardedStreamOffset {
+  def fromJson(s: String): ShardedStreamOffset = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    ShardedStreamOffset(
+      org.json4s.jackson.Serialization.read[Map[String, Map[String, Long]]](s))
+  }
+}
+
+class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val root: String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "option 'path' is required")
+    p
+  }
+  private val streams: Seq[String] = {
+    val s = options.get("streams")
+    require(s != null && s.nonEmpty, "option 'streams' is required")
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+  private val startLatest: Boolean =
+    options.getOrDefault("startingposition", "trim_horizon")
+      .equalsIgnoreCase("latest")
+  // parity with the reference's defaultScanLimit (kinesumer.go:29)
+  private val maxPerShard: Long =
+    options.getLong("maxrecordspershardperbatch", 2000L)
+
+  override def initialOffset(): Offset = ShardedStreamOffset(
+    streams.map { s =>
+      s -> ShardedStreamLog.listShards(root, s).map { case (sh, _) =>
+        sh -> (if (startLatest) ShardedStreamLog.maxSequence(root, s, sh) else -1L)
+      }.toMap
+    }.toMap)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startPos = start.asInstanceOf[ShardedStreamOffset].positions
+    ShardedStreamOffset(streams.map { s =>
+      val known = startPos.getOrElse(s, Map.empty[String, Long])
+      val discovered = ShardedStreamLog.listShards(root, s)
+      val next = discovered.map { case (sh, _) =>
+        // unknown (newly discovered) shards read from the beginning, so a
+        // reshard never loses records (unlike the reference — SURVEY §2.3)
+        val from = known.getOrElse(sh, -1L)
+        val maxSeq = ShardedStreamLog.maxSequence(root, s, sh)
+        sh -> math.max(from, math.min(maxSeq, from + maxPerShard))
+      }.toMap
+      // shards that vanished from disk keep their checkpoint entry
+      s -> (known ++ next)
+    }.toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startPos = start.asInstanceOf[ShardedStreamOffset].positions
+    val endPos = end.asInstanceOf[ShardedStreamOffset].positions
+    endPos.toSeq.sortBy(_._1).flatMap { case (s, shards) =>
+      shards.toSeq.sorted.flatMap { case (sh, endSeq) =>
+        val startSeq = startPos.getOrElse(s, Map.empty[String, Long]).getOrElse(sh, -1L)
+        if (endSeq > startSeq)
+          Some(ShardedStreamPartition(root, s, sh, startSeq, endSeq): InputPartition)
+        else None
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardedStreamReaderFactory
+
+  override def deserializeOffset(json: String): Offset = ShardedStreamOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = {} // offset WAL is the checkpoint store
+
+  override def stop(): Unit = {}
+}
+
+/** One (stream, shard, (after, until]) slice — the task unit, mirroring the
+  * reference's one-goroutine-per-shard consume loop.
+  */
+case class ShardedStreamPartition(
+    root: String,
+    stream: String,
+    shard: String,
+    afterSeq: Long,
+    untilSeq: Long) extends InputPartition
+
+class ShardedStreamReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardedStreamPartition]
+    new PartitionReader[InternalRow] {
+      private val it =
+        ShardedStreamLog.read(p.root, p.stream, p.shard, p.afterSeq, p.untilSeq)
+      private var current: ShardedStreamLog.LogRecord = _
+      override def next(): Boolean = {
+        if (it.hasNext) { current = it.next(); true } else false
+      }
+      override def get(): InternalRow = InternalRow(
+        UTF8String.fromString(p.stream),
+        UTF8String.fromString(p.shard),
+        UTF8String.fromString(current.sequenceNumber.toString),
+        UTF8String.fromString(current.partitionKey),
+        current.arrivalEpochMs * 1000L,
+        current.data)
+      override def close(): Unit = {}
+    }
+  }
+}

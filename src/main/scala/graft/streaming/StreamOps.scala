@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming operator library (SURVEY.md §2.2 streaming row): watermarked
+  * windows, streaming dedup, stream-static joins, and arbitrary stateful
+  * processing over either the sharded-stream envelope or decoded events.
+  * Batch twins of the window/dedup/session ops are oracle-verified in
+  * `graft.ops.Events`; the streaming forms are ScalaTest-covered
+  * (StreamOpsSpec, ShardedStreamSourceSpec).
+  *
+  * All operators group by explicit keys (shard, user, window) — state is
+  * partitioned and survives scale-out; nothing accumulates on the driver.
+  */
+object StreamOps {
+
+  /** Decode the envelope's opaque `data` payload (UTF-8 JSON) into typed
+    * columns — schema-on-read over the kinesumer `Data []byte` analog.
+    */
+  def decodeJson(envelope: DataFrame, payloadSchema: StructType): DataFrame =
+    envelope.withColumn("payload",
+        from_json(col("data").cast("string"), payloadSchema))
+      .select(col("stream"), col("shard_id"), col("sequence_number"),
+        col("approx_arrival"), col("payload.*"))
+
+  /** Tumbling-window counts/sums with a watermark for state eviction. */
+  def tumblingAgg(
+      events: DataFrame,
+      timeCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      valueCol: String): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDuration).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  /** Session windows per key with a gap; watermark bounds session state. */
+  def sessionAgg(
+      events: DataFrame,
+      timeCol: String,
+      keyCol: String,
+      gap: String,
+      watermarkDelay: String): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .groupBy(session_window(col(timeCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming deduplication by key within the watermark horizon. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      timeCol: String,
+      watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static join: enrich a stream against a (broadcastable)
+    * dimension table. The dimension is re-read per micro-batch by Spark,
+    * so slowly-changing dims stay fresh.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** Per-shard consumption progress (records seen, max sequence) via
+    * arbitrary stateful processing — the engine-side analog of the
+    * reference's in-memory checkpoint bookkeeping
+    * (`/root/reference/kinesumer.go:746-764`), as a queryable operator.
+    */
+  final case class ShardProgress(
+      stream: String, shard_id: String, n_records: Long, max_sequence: Long)
+
+  def shardProgress(envelope: DataFrame): Dataset[ShardProgress] = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    envelope
+      .select(col("stream"), col("shard_id"), col("sequence_number").cast("long").as("seq"))
+      .as[(String, String, Long)]
+      .groupByKey { case (stream, shard, _) => (stream, shard) }
+      .mapGroupsWithState[ShardProgress, ShardProgress](GroupStateTimeout.NoTimeout) {
+        case ((stream, shard), rows, state: GroupState[ShardProgress]) =>
+          val prev = state.getOption.getOrElse(ShardProgress(stream, shard, 0L, -1L))
+          var n = prev.n_records
+          var maxSeq = prev.max_sequence
+          rows.foreach { case (_, _, seq) =>
+            n += 1
+            if (seq > maxSeq) maxSeq = seq
+          }
+          val next = ShardProgress(stream, shard, n, maxSeq)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties the DuckDB oracle can't check (hash-family operators), run on
+  * the sf0.001 fixtures.
+  */
+class LlmSpec extends AnyFunSuite with SparkTestSession {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("minhash-LSH verified pairs are a subset of exhaustive Jaccard>=0.5 pairs") {
+    import spark.implicits._
+    val lsh = Dedup.minhashDedup(spark, d)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // exhaustive (no blocking, no LSH) ground truth on shingle sets
+    val docs = graft.Tables(spark, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("shingles",
+        expr("array_distinct(transform(sequence(0, size(tokens)-3), i -> concat_ws(' ', slice(tokens, i+1, 3))))"))
+      .select("doc_id", "shingles")
+    val truth = docs.alias("a").join(docs.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          size(array_union(col("a.shingles"), col("b.shingles"))).cast("double"))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(truth), s"false positives: ${lsh.diff(truth).take(5)}")
+    // LSH with 8 bands × 4 rows has high recall at J>=0.5 on this corpus
+    if (truth.nonEmpty) {
+      val recall = lsh.size.toDouble / truth.size
+      assert(recall >= 0.8, s"recall $recall too low (${lsh.size}/${truth.size})")
+    }
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    import spark.implicits._
+    val pairs = Dedup.simhashDedup(spark, d)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, h) => a < b && h >= 0 && h <= 3 })
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+  }
+
+  test("ANN results are valid cosines and ⊆ brute-force candidate universe") {
+    import spark.implicits._
+    val ann = Similarity.annLsh(spark, d)
+      .select($"q_id", $"neighbor_id", $"cos_sim").as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall { case (q, n, c) => q != n && c >= -1.0001 && c <= 1.0001 })
+    // per query, at most 10 neighbors, ranked descending
+    ann.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      val sims = rows.map(_._3)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft.source
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.source.ShardedStreamLog.LogRecord
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end semantics of the kinesumer-style source: discovery, start
+  * positions, incremental batches, checkpoint resume, per-batch caps,
+  * resharding with closed-shard drain (the reference's integration suite,
+  * `/root/reference/kinesumer_test.go:30-316`, re-expressed for Spark).
+  * Sink is parquet (supports checkpoint recovery, unlike the memory sink).
+  */
+class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  private def rec(seq: Long, pk: String = "pk", ms: Long = 1700000000000L) =
+    LogRecord(seq, pk, ms, s"payload-$seq".getBytes("UTF-8"))
+
+  private def freshDirs(): (String, String, String) =
+    (Files.createTempDirectory("sslog").toString,
+      Files.createTempDirectory("ssck").toString,
+      Files.createTempDirectory("ssout").toString)
+
+  private def runOnce(root: String, ck: String, out: String,
+      streams: String = "events", maxPerShard: Long = 2000L,
+      startLatest: Boolean = false): Unit = {
+    val q = spark.readStream
+      .format("graft.source.ShardedStreamProvider")
+      .option("path", root)
+      .option("streams", streams)
+      .option("startingPosition", if (startLatest) "latest" else "trim_horizon")
+      .option("maxRecordsPerShardPerBatch", maxPerShard)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  private def outRows(out: String): Seq[(String, String, Long)] = {
+    import spark.implicits._
+    val hasData = new java.io.File(out).listFiles() != null &&
+      new java.io.File(out).listFiles().exists(_.getName.endsWith(".parquet"))
+    if (!hasData) Seq.empty
+    else spark.read.parquet(out)
+      .select($"stream", $"shard_id", $"sequence_number".cast("long"))
+      .as[(String, String, Long)].collect().toSeq.sorted
+  }
+
+  test("reads all records across streams and shards from trim_horizon") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 4L).map(rec(_)))
+    ShardedStreamLog.append(root, "events", "shard-1", (0L to 2L).map(rec(_)))
+    ShardedStreamLog.append(root, "clicks", "shard-0", (10L to 11L).map(rec(_)))
+    runOnce(root, ck, out, streams = "events,clicks")
+    val rows = outRows(out)
+    assert(rows.size == 10)
+    assert(rows.count(_._1 == "events") == 8)
+    assert(rows.count(_._1 == "clicks") == 2)
+  }
+
+  test("startingPosition=latest skips the backlog, then picks up appends") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 99L).map(rec(_)))
+    runOnce(root, ck, out, startLatest = true)
+    assert(outRows(out).isEmpty, "latest start must skip existing records")
+    ShardedStreamLog.append(root, "events", "shard-0", (100L to 104L).map(rec(_)))
+    runOnce(root, ck, out) // same checkpoint → resumes after seq 99
+    assert(outRows(out).map(_._3) == (100L to 104L))
+  }
+
+  test("checkpoint resume is exactly-once across restarts") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 9L).map(rec(_)))
+    runOnce(root, ck, out)
+    assert(outRows(out).size == 10)
+    // restart with more data: only the new records appear (no replay)
+    ShardedStreamLog.append(root, "events", "shard-0", (10L to 14L).map(rec(_)))
+    runOnce(root, ck, out)
+    val rows = outRows(out)
+    assert(rows.size == 15, s"expected 15 distinct rows, got ${rows.size}")
+    assert(rows.map(_._3) == (0L to 14L))
+  }
+
+  test("per-shard admission cap splits the backlog into multiple batches") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 24L).map(rec(_)))
+    runOnce(root, ck, out, maxPerShard = 10L)
+    assert(outRows(out).map(_._3) == (0L to 24L))
+    // ≥3 committed batches (10+10+5): offset log has entries 0,1,2
+    val batches = new java.io.File(s"$ck/offsets").list()
+    assert(batches != null && batches.count(!_.startsWith(".")) >= 3,
+      s"expected ≥3 micro-batches, saw ${batches.mkString(",")}")
+  }
+
+  test("reshard: closed shard drains fully, new shards read from origin") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 4L).map(rec(_)))
+    runOnce(root, ck, out)
+    assert(outRows(out).size == 5)
+    // reshard: close shard-0 with an unread tail, open shard-1/shard-2
+    ShardedStreamLog.append(root, "events", "shard-0", (5L to 7L).map(rec(_)))
+    ShardedStreamLog.closeShard(root, "events", "shard-0")
+    ShardedStreamLog.append(root, "events", "shard-1", (0L to 1L).map(rec(_)))
+    ShardedStreamLog.append(root, "events", "shard-2", (0L to 2L).map(rec(_)))
+    runOnce(root, ck, out)
+    val rows = outRows(out)
+    // the closed shard's tail (5,6,7) must NOT be lost (reference bug §2.3)
+    assert(rows.filter(_._2 == "shard-0").map(_._3) == (0L to 7L))
+    assert(rows.filter(_._2 == "shard-1").map(_._3) == (0L to 1L))
+    assert(rows.filter(_._2 == "shard-2").map(_._3) == (0L to 2L))
+  }
+
+  test("envelope schema matches the kinesumer record contract") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(0)))
+    runOnce(root, ck, out)
+    val df = spark.read.parquet(out)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("stream", "shard_id", "sequence_number", "partition_key",
+        "approx_arrival", "data"))
+    val row = df.collect().head
+    assert(new String(row.getAs[Array[Byte]]("data"), "UTF-8") == "payload-0")
+    assert(row.getAs[java.sql.Timestamp]("approx_arrival").getTime == 1700000000000L)
+  }
+
+  test("closed shard rejects further appends") {
+    val (root, _, _) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(0)))
+    ShardedStreamLog.closeShard(root, "events", "shard-0")
+    intercept[IllegalArgumentException] {
+      ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(1)))
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ts(minutes: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:00")
+
+  private def runToSink(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("tumblingAgg matches its batch twin semantics") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Double)](spark)
+    input.addData((ts(5), 1.0), (ts(20), 2.0), (ts(65), 4.0), (ts(70), 8.0))
+    val out = StreamOps.tumblingAgg(
+      input.toDF().toDF("ts", "value"), "ts", "1 hour", "10 minutes", "value")
+    runToSink(out, "tumbling_sink", OutputMode.Complete)
+    val rows = spark.table("tumbling_sink")
+      .select($"window_start", $"n_events", $"sum_value")
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(rows.toSeq == Seq((ts(0), 2L, 3.0), (ts(60), 2L, 12.0)))
+  }
+
+  test("sessionAgg groups events within the gap into one session") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    // user 1: events at 0,10,25 min (one session: gaps < 15m), then 60 (new)
+    input.addData((ts(0), 1L), (ts(10), 1L), (ts(25), 1L), (ts(60), 1L))
+    // advance the watermark far enough to close all sessions
+    input.addData((ts(600), 99L))
+    val out = StreamOps.sessionAgg(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id", "15 minutes", "0 seconds")
+    runToSink(out, "session_sink", OutputMode.Append)
+    val rows = spark.table("session_sink")
+      .filter($"user_id" === 1L)
+      .select($"session_start", $"session_end", $"n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().sortBy(_._1.getTime)
+    assert(rows.toSeq ==
+      Seq((ts(0), ts(40), 3L), (ts(60), ts(75), 1L)))
+  }
+
+  test("dedupWithinWatermark drops repeated keys") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    input.addData((ts(0), 1L, "a"), (ts(1), 1L, "a"), (ts(2), 2L, "b"),
+      (ts(3), 1L, "a"))
+    val out = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "1 hour", Seq("user_id", "event_type"))
+    runToSink(out, "dedup_sink")
+    val rows = spark.table("dedup_sink").select($"user_id", $"event_type")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("enrich performs a broadcast stream-static join") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    input.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 7L))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("c_id", "tier")
+    val out = StreamOps.enrich(input.toDF().toDF("ts", "user_id"), dim,
+      "user_id", "c_id")
+    runToSink(out, "enrich_sink")
+    val rows = spark.table("enrich_sink").select($"user_id", $"tier")
+      .as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(rows == Seq((1L, Some("gold")), (2L, Some("silver")), (7L, None)))
+  }
+
+  test("shardProgress tracks per-shard counts and max sequence across batches") {
+    import spark.implicits._
+    val input = MemoryStream[(String, String, String)](spark)
+    val env = input.toDF().toDF("stream", "shard_id", "sequence_number")
+    val out = StreamOps.shardProgress(env).toDF()
+    spark.sql("DROP TABLE IF EXISTS progress_sink")
+    val q = out.writeStream.format("memory").queryName("progress_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(("events", "shard-0", "3"), ("events", "shard-0", "1"),
+        ("events", "shard-1", "7"))
+      q.processAllAvailable()
+      input.addData(("events", "shard-0", "9"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("progress_sink")
+      .groupBy($"stream", $"shard_id")
+      .agg(max($"n_records").as("n"), max($"max_sequence").as("m"))
+      .as[(String, String, Long, Long)].collect().toSeq.sorted
+    assert(last == Seq(("events", "shard-0", 3L, 9L), ("events", "shard-1", 1L, 7L)))
+  }
+}
