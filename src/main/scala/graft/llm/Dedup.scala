@@ -96,33 +96,35 @@ object Dedup {
   private val NumHashes = 32
   private val NumBands = 8 // 4 rows per band
 
-  /** Deterministic affine re-hash family over one base xxhash64: reduce to
-    * [0, 2^31-1) first so the affine step never overflows int64 (Spark 4
-    * runs ANSI mode — wraparound would throw).
-    */
-  private def perm(i: Int) =
-    expr(s"pmod(pmod(h, 2147483647L) * ${2654435761L + i * 40503L}L + ${i * 97 + 1}L, 2147483647L)")
-
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingles",
         expr("array_distinct(transform(sequence(0, size(tokens)-3), i -> concat_ws(' ', slice(tokens, i+1, 3))))"))
-    val exploded = docs
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
-    val sigs = exploded
-      .groupBy(col("doc_id"))
-      .agg(min(perm(0)).as("sig_0"),
-        (1 until NumHashes).map(i => min(perm(i)).as(s"sig_$i")): _*)
+    // All 32 signatures in ONE fold over the shingle hashes, so the hash
+    // array is referenced exactly once (CollapseProject would otherwise
+    // inline and recompute it per signature). The affine re-hash family
+    // reduces the base xxhash64 to [0, 2^31-1) first so nothing overflows
+    // int64 (Spark 4 runs ANSI mode — wraparound would throw).
+    val sigs = docs
+      .select(col("doc_id"), expr(
+        s"""aggregate(
+           |  transform(shingles, sh -> pmod(xxhash64(sh), 2147483647L)),
+           |  array_repeat(2147483647L, $NumHashes),
+           |  (acc, h) -> zip_with(acc, sequence(0, ${NumHashes - 1}), (m, i) ->
+           |    least(m, pmod(h * (2654435761L + i * 40503L) + i * 97L + 1L, 2147483647L))))"""
+          .stripMargin).as("sigs"))
+      // plan barrier: materialize signatures once before the 8-band fan-out
+      // (prevents projection collapse from re-expanding the fold per band)
+      .repartition(col("doc_id"))
     val bands = sigs
-      .select(col("doc_id"),
-        array((0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(((4 * b until 4 * b + 4).map(j => col(s"sig_$j")) :+ lit(b)): _*).as("bkey"))
-        }: _*).as("bands"))
-      .select(col("doc_id"), explode(col("bands")).as("bd"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}), b -> named_struct(
+           |  'band', b,
+           |  'bkey', xxhash64(element_at(sigs, b*4+1), element_at(sigs, b*4+2),
+           |                   element_at(sigs, b*4+3), element_at(sigs, b*4+4), b)))""".stripMargin))
+        .as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
     val cand = bands.alias("x")
       .join(bands.alias("y"), Seq("band", "bkey"))
@@ -143,19 +145,23 @@ object Dedup {
   }
 
   def simhashDedup(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables(s, d, "documents")
-      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = toks
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(expr("(h >> 0) & 1") === 1, 1).otherwise(-1)).as("b0"),
-        (1 until 64).map(j =>
-          sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")): _*)
-    val fp = bitSums.select(col("doc_id"),
-      (0 until 64)
-        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
+    // Fingerprint built per-row with a single higher-order fold over the
+    // token hashes — no explode, no 64-column aggregate, no shuffle until
+    // the band self-join.
+    val fp = Tables(s, d, "documents")
+      .select(col("doc_id"),
+        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("hs"))
+      .withColumn("bitsums", expr(
+        """aggregate(hs, array_repeat(0, 64), (acc, h) ->
+          |  zip_with(acc,
+          |    transform(sequence(0, 63), j -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END),
+          |    (a, b) -> a + b))""".stripMargin))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  zip_with(bitsums, sequence(0, 63), (b, j) -> IF(b > 0, shiftleft(1L, j), 0L)),
+          |  0L, (acc, v) -> acc + v)""".stripMargin).as("simhash"))
+      // plan barrier: materialize the fingerprint before the band fan-out
+      .repartition(col("doc_id"))
     val bands = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), expr(s"(simhash >> ${16 * b}) & 65535").as("bkey"))
