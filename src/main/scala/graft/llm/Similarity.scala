@@ -18,14 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embedding (float array) → quantized integer-valued double array. */
-  private val quant = "transform(embedding, x -> floor(cast(x AS double) * 1000000.0))"
+  /** embedding (float array) → quantized integer-valued double array.
+    * (Spark's floor returns BIGINT; cast back to double to match DuckDB.)
+    */
+  private val quant =
+    "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0) AS double))"
   private val quantSql =
     "list_transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000000.0))"
 
-  /** Exact dot product of two integer-valued double arrays. */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 AS double), (acc, v) -> acc + v)")
+  /** Exact dot product via the codegen'd native expression
+    * (graft.functions.DotProduct) — sequential fold, bit-identical to
+    * DuckDB's list_dot_product on these integer-valued arrays.
+    */
+  private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -33,6 +38,7 @@ object Similarity {
     // 5 vectors are the query set; each scans all candidates. The
     // candidate side stays partitioned; queries are a broadcast (tiny).
     QueryDef.sql("q27_cosine_topk") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), expr(quant).as("v"))
         .withColumn("norm2", dot("v", "v"))
@@ -76,6 +82,7 @@ object Similarity {
     // L2 norm extremes (deterministic), plus mean norm via exact decimal
     // summation.
     QueryDef.sql("q29_label_embedding_stats") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
         .select(col("label"), expr(quant).as("v"))
         .withColumn("norm", sqrt(dot("v", "v")) / 1000000.0)
@@ -103,6 +110,7 @@ object Similarity {
   private val NumPlanes = 4
 
   def annLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
     // Deterministic hyperplanes: weight w(p, i) derived from a splitmix-style
     // integer mix of (plane, dim) — centered, fixed at plan time.
