@@ -1,0 +1,105 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Configuration parity with the reference's `kinesumer.Config`
+  * (`/root/reference/kinesumer.go:120-170`), mapped to Spark:
+  *
+  *   - `app`       — consumer-group name; namespaces the checkpoint store
+  *                   (≈ the DynamoDB table keyed by app,
+  *                   `/root/reference/statemodel.go:17-57`)
+  *   - `logRoot`   — sharded-stream log root (the Kinesis data plane)
+  *   - `checkpointRoot` — offset store root (≈ the DynamoDB state store;
+  *                   here the Structured Streaming offset WAL)
+  *   - `scanLimit` — per-shard records per micro-batch
+  *                   (≈ `Config.ScanLimit`, default 2000)
+  *   - `scanIntervalMs` — trigger cadence (≈ `Config.ScanInterval`)
+  *   - `startFromLatest` — `LATEST` vs `TRIM_HORIZON` start
+  *                   (≈ `GetShardIterator` mode, `kinesumer.go:706-729`)
+  *
+  * NOT carried over (documented divergences, SURVEY.md §7.4):
+  * `ClientID`/aliveness/leader election — the Spark driver is the single
+  * planner, so there is no client-side group membership; `MarkRecord`/
+  * `Commit`/`CommitConfig` — the offset WAL commits transactionally per
+  * micro-batch, a strict upgrade from the reference's at-least-once
+  * periodic commit; `EFOMode` — push transport has no micro-batch analog.
+  */
+final case class ConsumerConfig(
+    app: String,
+    logRoot: String,
+    checkpointRoot: String,
+    scanLimit: Long = 2000L,
+    scanIntervalMs: Long = 100L,
+    startFromLatest: Boolean = false) {
+  require(app.nonEmpty, "app must be set") // ≈ kinesumer.go:189-193
+}
+
+/** The kinesumer client surface on Spark (SURVEY.md §3): `consume` is the
+  * record channel, `refresh` the runtime stream swap, `close` the shutdown.
+  */
+class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
+
+  @volatile private var active: Option[(StreamingQuery, Seq[String], BatchFn)] = None
+
+  type BatchFn = (DataFrame, Long) => Unit
+
+  /** Lazy streaming envelope of the given streams — the analog of the
+    * record channel returned by `Consume` (`kinesumer.go:346-370`); attach
+    * any sink/transformation.
+    */
+  def consume(streams: Seq[String]): DataFrame = {
+    require(streams.nonEmpty, "at least one stream")
+    spark.readStream
+      .format("graft.source.ShardedStreamProvider")
+      .option("path", cfg.logRoot)
+      .option("streams", streams.mkString(","))
+      .option("startingPosition", if (cfg.startFromLatest) "latest" else "trim_horizon")
+      .option("maxRecordsPerShardPerBatch", cfg.scanLimit)
+      .load()
+  }
+
+  /** Start consuming with a per-batch callback (≈ the application loop
+    * draining the record channel). Offsets are committed per batch under
+    * the app's checkpoint namespace — restart resumes after the last
+    * committed sequence (`AFTER_SEQUENCE_NUMBER` semantics,
+    * `kinesumer.go:716-718`) with no replay.
+    */
+  def start(streams: Seq[String])(onBatch: BatchFn): StreamingQuery = synchronized {
+    require(active.isEmpty, "consumer already started; use refresh() to change streams")
+    val q = consume(streams).writeStream
+      .queryName(s"${cfg.app}-consumer")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/${cfg.app}/main")
+      .trigger(Trigger.ProcessingTime(cfg.scanIntervalMs))
+      .foreachBatch { (df: DataFrame, batchId: Long) => onBatch(df, batchId) }
+      .start()
+    active = Some((q, streams, onBatch))
+    q
+  }
+
+  /** Swap the consumed stream set at runtime — `Refresh`
+    * (`kinesumer.go:817-831`): pause-the-world, swap, restart. The shared
+    * checkpoint namespace preserves per-stream offsets across the swap.
+    */
+  def refresh(streams: Seq[String]): StreamingQuery = synchronized {
+    val (q, _, onBatch) = active.getOrElse(
+      throw new IllegalStateException("consumer not started"))
+    q.stop()
+    q.awaitTermination()
+    active = None
+    start(streams)(onBatch)
+  }
+
+  /** Block until all currently-available records are processed (test aid —
+    * the reference's tests poll with timeouts instead).
+    */
+  def processAllAvailable(): Unit = active.foreach(_._1.processAllAvailable())
+
+  /** `Close` (`kinesumer.go:846-869`): stop the query; offsets are already
+    * durable, so shutdown needs no drain/sleep dance.
+    */
+  def close(): Unit = synchronized {
+    active.foreach { case (q, _, _) => q.stop(); q.awaitTermination() }
+    active = None
+  }
+}
