@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All operator modules, in presentation order. */
   def all: Seq[QueryDef] =
-    ops.Relational.queries ++ ops.Events.queries ++
+    ops.Relational.queries ++ ops.Events.queries ++ ops.Extended.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++ llm.TextAnalysis.queries ++
       multimodal.Multimodal.queries
 

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Det.{dsum, dsumSql}
+import org.apache.spark.sql.functions._
+
+/** Coverage beyond the core set: outer joins, CUBE grouping sets, HLL
+  * approximate distinct, and array aggregation/functions.
+  */
+object Extended {
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q37: full outer join of two sparse keyed aggregates — both null
+    // sides occur (high-balance customers exist in more nations than
+    // high-balance suppliers).
+    QueryDef.sql("q37_full_outer_nations") { (s, d) =>
+      val richCust = Tables(s, d, "customer").filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_rich_customers"))
+      val richSupp = Tables(s, d, "supplier").filter(col("s_acctbal") > 9900)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_rich_suppliers"))
+      richCust.join(richSupp, col("nk_c") === col("nk_s"), "full_outer")
+        .select(
+          coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+          coalesce(col("n_rich_suppliers"), lit(0L)).as("n_rich_suppliers"))
+        .orderBy("nationkey")
+    } {
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+        |           FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_rich_suppliers
+        |           FROM supplier WHERE s_acctbal > 9900 GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_rich_customers, 0) AS n_rich_customers,
+        |  COALESCE(n_rich_suppliers, 0) AS n_rich_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q38: CUBE over two dimensions with grouping indicators (all four
+    // grouping sets in one pass — Spark expands to a single shuffle).
+    QueryDef.sql("q38_cube_status") { (s, d) =>
+      val ord = Tables(s, d, "orders")
+      ord.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_s"),
+          grouping(col("o_orderpriority")).cast("int").as("g_p"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("g_s"), col("g_p"), col("o_orderstatus"), col("o_orderpriority"))
+    } {
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+         |  COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q39: HLL approximate distinct (approx_count_distinct). Sketch
+    // internals are engine-specific, so no SQL oracle — ExtendedSpec
+    // bounds the estimate against the exact count instead.
+    QueryDef.noOracle("q39_approx_distinct_parts") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
+    // q40: array aggregation + array functions: per-order item lists
+    // (sorted for determinism), membership and bounds over the array.
+    QueryDef.sql("q40_order_item_arrays") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      li.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sort_array(collect_list(col("l_partkey"))).as("part_keys"),
+          dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("n_items") >= 7)
+        .withColumn("max_part", array_max(col("part_keys")))
+        .withColumn("first_part", element_at(col("part_keys"), 1))
+        .orderBy("l_orderkey")
+    } {
+      s"""SELECT l_orderkey, COUNT(*) AS n_items,
+         |  LIST_SORT(LIST(l_partkey)) AS part_keys,
+         |  ${dsumSql("l_quantity")} AS total_qty,
+         |  LIST_MAX(LIST(l_partkey)) AS max_part,
+         |  LIST_SORT(LIST(l_partkey))[1] AS first_part
+         |FROM lineitem
+         |GROUP BY l_orderkey
+         |HAVING COUNT(*) >= 7
+         |ORDER BY l_orderkey""".stripMargin
+    }
+  )
+}

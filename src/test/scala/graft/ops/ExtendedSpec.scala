@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtendedSpec extends AnyFunSuite with SparkTestSession {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct is within 5% of exact counts") {
+    import spark.implicits._
+    val approx = SparkEntry_q39(d)
+    val exact = graft.Tables(spark, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    approx.foreach { case (flag, ap, as_) =>
+      val (ep, es) = exact(flag)
+      assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$flag parts: $ap vs $ep")
+      assert(math.abs(as_ - es).toDouble / es < 0.05, s"$flag supps: $as_ vs $es")
+    }
+  }
+
+  private def SparkEntry_q39(dir: String) = {
+    import spark.implicits._
+    graft.SparkEntry.queries("q39_approx_distinct_parts")(spark, dir)
+      .select($"l_returnflag", $"approx_parts", $"approx_supps")
+      .as[(String, Long, Long)].collect()
+  }
+}
