@@ -138,6 +138,34 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // q33b (q41): bigram frequency — word 2-grams built per-row with a
+    // positional transform, then explode + hash aggregate, top 30.
+    QueryDef.sql("q41_bigram_histogram") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs
+        .select(explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+            |  i -> concat(element_at(split(text, ' '), i), ' ',
+            |              element_at(split(text, ' '), i + 1)))""".stripMargin))
+          .as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("bigram"))
+        .limit(30)
+    } {
+      """SELECT bigram, COUNT(*) AS n_occurrences
+        |FROM (
+        |  SELECT UNNEST(LIST_TRANSFORM(
+        |    GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+        |    i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i + 1]))
+        |    AS bigram
+        |  FROM documents)
+        |GROUP BY bigram
+        |ORDER BY n_occurrences DESC, bigram
+        |LIMIT 30""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q34: deterministic rolling-hash document fingerprint: position-
     // weighted character sum (exact int64 arithmetic — order-free), plus
     // how many documents share each fingerprint.
