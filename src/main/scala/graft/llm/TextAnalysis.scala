@@ -143,10 +143,13 @@ object TextAnalysis {
     QueryDef.sql("q41_bigram_histogram") { (s, d) =>
       val docs = Tables(s, d, "documents")
       docs
+        .select(split(col("text"), " ").as("toks"))
+        // barrier: materialize the token array once (the bigram transform
+        // references it three times; CollapseProject would re-split per ref)
+        .repartition(col("toks"))
         .select(explode(expr(
-          """transform(sequence(1, size(split(text, ' ')) - 1),
-            |  i -> concat(element_at(split(text, ' '), i), ' ',
-            |              element_at(split(text, ' '), i + 1)))""".stripMargin))
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
           .as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n_occurrences"))
