@@ -47,34 +47,41 @@ object Dedup {
     // quadratic blow-up is bounded per block, and the join shuffles on
     // the block key only.
     QueryDef.sql("q24_jaccard_near_dup_pairs") { (s, d) =>
+      // |A∪B| = |A|+|B|−|A∩B| for the distinct token sets: only the
+      // intersection is computed per pair; set sizes come from each side.
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           (col("n_chars") / 50).cast("long").as("len_bucket"), tokenSet.as("toks"))
+        .withColumn("n_toks", size(col("toks")))
       val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
-        col("toks").as("toks_a"))
+        col("toks").as("toks_a"), col("n_toks").as("na"))
       val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("len_bucket"),
-        col("toks").as("toks_b"))
+        col("toks").as("toks_b"), col("n_toks").as("nb"))
       a.join(b, Seq("lang", "len_bucket"))
         .filter(col("doc_a") < col("doc_b"))
+        .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
         .withColumn("jaccard",
-          size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-            size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+          col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
         .filter(col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     } {
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
-        |         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE) /
-        |  CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS DOUBLE) AS jaccard
-        |FROM t a JOIN t b
-        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-        | AND a.doc_id < b.doc_id
-        |WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE) /
-        |      CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS DOUBLE) >= 0.6
+        |         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks,
+        |         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    LEN(LIST_INTERSECT(a.toks, b.toks)) AS i,
+        |    a.n_toks AS na, b.n_toks AS nb
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+        |FROM p
+        |WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
@@ -131,14 +138,16 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on the shingle sets
-    val sets = docs.select(col("doc_id"), col("shingles"))
+    // exact verification on the shingle sets (|A∪B| = |A|+|B|−|A∩B|)
+    val sets = docs.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
