@@ -72,9 +72,10 @@ object Similarity {
     // ------------------------------------------------------------------
     // q28: LSH-bucketed approximate nearest neighbors (the scale path):
     // 4 deterministic pseudo-random hyperplanes → 4-bit bucket signature;
-    // candidates only join within a bucket. At 100 TB the bucket key is
-    // the shuffle key and each bucket's candidate set is small. Hash-
-    // specific — recall vs q27 is asserted in SimilaritySpec.
+    // candidates join within the query's bucket plus its Hamming-1
+    // neighbors (multi-probe). At 100 TB the bucket key is the shuffle
+    // key and each bucket's candidate set is small. Hash-specific —
+    // recall vs the q27 brute force is asserted in LlmSpec.
     QueryDef.noOracle("q28_ann_lsh_topk")(annLsh),
 
     // ------------------------------------------------------------------
@@ -122,9 +123,14 @@ object Similarity {
            |  cast(0 AS double), (acc, w) -> acc + w) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin)
     val bucketed = emb.withColumn("bucket", (0 until NumPlanes).map(planeBit).reduce(_ + _))
     val withNorm2 = bucketed.withColumn("norm2", dot("v", "v"))
+    // multi-probe: each query also inspects the 4 Hamming-1 neighbor
+    // buckets (a borderline vector lands just across one hyperplane), so
+    // recall rises sharply while the probed fraction stays 5/16.
     val q = withNorm2.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm2").as("qn2"), col("bucket"))
+        col("norm2").as("qn2"), col("bucket").as("qb"))
+      .withColumn("bucket", explode(expr("array(qb, qb ^ 1, qb ^ 2, qb ^ 4, qb ^ 8)")))
+      .drop("qb")
     val pairs = withNorm2.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", dot("qv", "v") / (sqrt(col("qn2")) * sqrt(col("norm2"))))

@@ -68,6 +68,24 @@ object StreamOps {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Stream-stream interval join: left events matched to right events of
+    * the same key within `(0, window]` after the left event. Watermarks on
+    * both sides bound the join state; the range condition lets Spark evict
+    * buffered rows — the streaming form of the q22 funnel operator.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      leftKey: String, rightKey: String,
+      window: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) > col(leftTime) &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $window"))
+  }
+
   /** Per-shard consumption progress (records seen, max sequence) via
     * arbitrary stateful processing — the engine-side analog of the
     * reference's in-memory checkpoint bookkeeping

@@ -46,7 +46,7 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
   }
 
-  test("ANN results are valid cosines and ⊆ brute-force candidate universe") {
+  test("ANN results are valid cosines, ranked, with measurable recall vs brute force") {
     import spark.implicits._
     val ann = Similarity.annLsh(spark, d)
       .select($"q_id", $"neighbor_id", $"cos_sim").as[(Long, Long, Double)].collect()
@@ -58,5 +58,12 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       val sims = rows.map(_._3)
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
+    // recall@10 against the exact q27 top-10
+    val exact = graft.SparkEntry.queries("q27_cosine_topk")(spark, d)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = ann.map(r => (r._1, r._2)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"ANN multi-probe recall@10 = $recall%.2f (probing 5/16 of the space)")
+    assert(recall >= 0.3, s"recall $recall suspiciously low for multi-probe LSH")
   }
 }

@@ -80,6 +80,23 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq((1L, Some("gold")), (2L, Some("silver")), (7L, None)))
   }
 
+  test("intervalJoin matches stream-stream pairs within the window only") {
+    import spark.implicits._
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val buys = MemoryStream[(Timestamp, Long)](spark)
+    // user 1: view@0 → buy@30 (inside 1h) and buy@90 (outside)
+    // user 2: buy@10 with no prior view
+    views.addData((ts(0), 1L))
+    buys.addData((ts(30), 1L), (ts(90), 1L), (ts(10), 2L))
+    val out = StreamOps.intervalJoin(
+      views.toDF().toDF("v_ts", "v_user"), buys.toDF().toDF("b_ts", "b_user"),
+      "v_ts", "b_ts", "v_user", "b_user", "1 HOUR", "0 seconds")
+    runToSink(out, "ssj_sink")
+    val rows = spark.table("ssj_sink").select($"v_user", $"b_ts")
+      .as[(Long, Timestamp)].collect().toSeq
+    assert(rows == Seq((1L, ts(30))))
+  }
+
   test("shardProgress tracks per-shard counts and max sequence across batches") {
     import spark.implicits._
     val input = MemoryStream[(String, String, String)](spark)
