@@ -77,6 +77,30 @@ object Extended {
     },
 
     // ------------------------------------------------------------------
+    // q42: typed Aggregator UDAF (graft.functions.ExactMoments): exact
+    // decimal moments → deterministic mean/variance per event type.
+    QueryDef.sql("q42_typed_moments") { (s, d) =>
+      val moments = udaf(graft.functions.ExactMoments)
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(moments(col("value")).as("m"))
+        .select(col("event_type"), col("m.n").as("n"),
+          col("m.mean").as("mean_value"), col("m.variance").as("var_value"))
+        .orderBy("event_type")
+    } {
+      """WITH t AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  s / n AS mean_value,
+        |  ss / n - (s / n) * (s / n) AS var_value
+        |FROM t
+        |ORDER BY event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q40: array aggregation + array functions: per-order item lists
     // (sorted for determinism), membership and bounds over the array.
     QueryDef.sql("q40_order_item_arrays") { (s, d) =>
