@@ -156,18 +156,33 @@ object Events {
     // ------------------------------------------------------------------
     // q21: as-of join (COMPOSITE per SURVEY §7.3): each event picks the
     // latest order of the same customer at or before the event time,
-    // tie-broken by highest order key. Implemented as equi-join on the
-    // customer key + ranking window — both sides shuffle once on the key.
+    // tie-broken by highest order key. Scalable union+window form: tag
+    // both sides, sort once per user (orders before events at equal
+    // timestamps), and carry the last order forward with
+    // last(ignoreNulls) — no events×orders pair materialization, so a
+    // hot user costs one sort instead of a quadratic join.
     QueryDef.sql("q21_asof_latest_order") { (s, d) =>
       val ev = Tables(s, d, "events")
       val ord = Tables(s, d, "orders")
-      val joined = ev.join(ord,
-        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"), "left")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+      val tagged = ord.select(
+        col("o_custkey").as("u"), col("o_orderdate").as("t"), lit(0).as("kind"),
+        col("o_orderkey"), col("o_totalprice"),
+        lit(null).cast("bigint").as("event_id"))
+        .unionByName(ev.select(
+          col("user_id").as("u"), col("ts").as("t"), lit(1).as("kind"),
+          lit(null).cast("bigint").as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"),
+          col("event_id")))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("t"), col("kind"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("u").as("user_id"),
+          col("asof_orderkey").as("o_orderkey"),
+          col("asof_totalprice").as("o_totalprice"))
         .orderBy("event_id")
     } {
       """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
