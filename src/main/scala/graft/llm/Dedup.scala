@@ -100,8 +100,7 @@ object Dedup {
     QueryDef.noOracle("q26_simhash_dedup")(simhashDedup)
   )
 
-  private val NumHashes = 32
-  private val NumBands = 8 // 4 rows per band
+  private val NumBands = 8 // 4 rows of the 32 signatures per band
 
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
@@ -109,21 +108,14 @@ object Dedup {
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingles",
         expr("array_distinct(transform(sequence(0, size(tokens)-3), i -> concat_ws(' ', slice(tokens, i+1, 3))))"))
-    // All 32 signatures in ONE fold over the shingle hashes, so the hash
-    // array is referenced exactly once (CollapseProject would otherwise
-    // inline and recompute it per signature). The affine re-hash family
-    // reduces the base xxhash64 to [0, 2^31-1) first so nothing overflows
-    // int64 (Spark 4 runs ANSI mode — wraparound would throw).
+    // All 32 signatures in one pass via the native codegen'd kernel
+    // (graft.functions.MinHashSigs) over the shingle hashes.
+    graft.functions.MinHashSigs.register(s)
     val sigs = docs
-      .select(col("doc_id"), expr(
-        s"""aggregate(
-           |  transform(shingles, sh -> pmod(xxhash64(sh), 2147483647L)),
-           |  array_repeat(2147483647L, $NumHashes),
-           |  (acc, h) -> zip_with(acc, sequence(0, ${NumHashes - 1}), (m, i) ->
-           |    least(m, pmod(h * (2654435761L + i * 40503L) + i * 97L + 1L, 2147483647L))))"""
-          .stripMargin).as("sigs"))
+      .select(col("doc_id"),
+        expr("minhash_sigs(transform(shingles, sh -> xxhash64(sh)))").as("sigs"))
       // plan barrier: materialize signatures once before the 8-band fan-out
-      // (prevents projection collapse from re-expanding the fold per band)
+      // (prevents projection collapse from re-expanding the kernel per band)
       .repartition(col("doc_id"))
     val bands = sigs
       .select(col("doc_id"), explode(expr(
@@ -154,21 +146,14 @@ object Dedup {
   }
 
   def simhashDedup(s: SparkSession, d: String): DataFrame = {
-    // Fingerprint built per-row with a single higher-order fold over the
-    // token hashes — no explode, no 64-column aggregate, no shuffle until
+    // Fingerprint via the native codegen'd kernel (graft.functions.
+    // SimHash64) over per-row token hashes — no explode, no shuffle until
     // the band self-join.
+    graft.functions.SimHash64.register(s)
     val fp = Tables(s, d, "documents")
-      .select(col("doc_id"),
-        expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("hs"))
-      .withColumn("bitsums", expr(
-        """aggregate(hs, array_repeat(0, 64), (acc, h) ->
-          |  zip_with(acc,
-          |    transform(sequence(0, 63), j -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END),
-          |    (a, b) -> a + b))""".stripMargin))
       .select(col("doc_id"), expr(
-        """aggregate(
-          |  zip_with(bitsums, sequence(0, 63), (b, j) -> IF(b > 0, shiftleft(1L, j), 0L)),
-          |  0L, (acc, v) -> acc + v)""".stripMargin).as("simhash"))
+        "simhash64(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))")
+        .as("simhash"))
       // plan barrier: materialize the fingerprint before the band fan-out
       .repartition(col("doc_id"))
     val bands = fp.select(col("doc_id"), col("simhash"),

@@ -39,6 +39,42 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
       plan)
   }
 
+  test("minhash_sigs matches the higher-order fold formula exactly") {
+    import spark.implicits._
+    MinHashSigs.register(spark)
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("transform(split(text, ' '), t -> xxhash64(t)) AS hs")
+    val rows = df.selectExpr(
+      "minhash_sigs(hs) AS native",
+      """aggregate(
+        |  transform(hs, h -> pmod(h, 2147483647L)),
+        |  array_repeat(2147483647L, 32),
+        |  (acc, h) -> zip_with(acc, sequence(0, 31), (m, i) ->
+        |    least(m, pmod(h * (2654435761L + i * 40503L) + i * 97L + 1L, 2147483647L))))
+        |AS hof""".stripMargin)
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
+  test("simhash64 matches the higher-order fold exactly") {
+    import spark.implicits._
+    SimHash64.register(spark)
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t)) AS hs")
+    val rows = df.selectExpr(
+      "simhash64(hs) AS native",
+      """aggregate(
+        |  zip_with(
+        |    aggregate(hs, array_repeat(0, 64), (acc, h) ->
+        |      zip_with(acc,
+        |        transform(sequence(0, 63), j -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END),
+        |        (a, b) -> a + b)),
+        |    sequence(0, 63), (b, j) -> IF(b > 0, shiftleft(1L, j), 0L)),
+        |  0L, (acc, v) -> acc + v) AS hof""".stripMargin)
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("null inputs propagate null") {
     VectorFunctions.register(spark)
     val row = spark.sql("SELECT vec_dot(cast(null as array<double>), array(1.0d))")
