@@ -77,6 +77,33 @@ object Extended {
     },
 
     // ------------------------------------------------------------------
+    // q43: right outer join — every customer kept, orders optional;
+    // customers with no 2001 orders surface with zero counts.
+    QueryDef.sql("q43_right_outer_customers") { (s, d) =>
+      val ord01 = Tables(s, d, "orders").filter(
+        col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      val cust = Tables(s, d, "customer")
+      ord01.join(cust, col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_customers_no_order"))
+        .orderBy("c_mktsegment")
+    } {
+      """SELECT c_mktsegment,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  COUNT(DISTINCT c_custkey) AS n_customers,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_customers_no_order
+        |FROM (SELECT * FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') o
+        |RIGHT JOIN customer ON o.o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q42: typed Aggregator UDAF (graft.functions.ExactMoments): exact
     // decimal moments → deterministic mean/variance per event type.
     QueryDef.sql("q42_typed_moments") { (s, d) =>
