@@ -1,0 +1,52 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite with SparkTestSession {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("saltedJoin equals the plain join on skewed fixture data") {
+    import spark.implicits._
+    val li = graft.Tables(spark, d, "lineitem")
+    val ord = graft.Tables(spark, d, "orders")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Scale
+      .saltedJoin(li, ord, "l_orderkey", "o_orderkey", col("l_linenumber"), 4)
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val warehouse = Files.createTempDirectory("bucketed-wh").toString
+    val db = "bucketdemo"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$warehouse'")
+    try {
+      graft.Tables(spark, d, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.li_b")
+      graft.Tables(spark, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.ord_b")
+      val joined = spark.table(s"$db.li_b")
+        .join(spark.table(s"$db.ord_b"), col("l_orderkey") === col("o_orderkey"))
+      // co-located by bucket: plan must contain no shuffle exchange
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}
