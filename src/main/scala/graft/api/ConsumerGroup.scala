@@ -1,7 +1,11 @@
 package graft.api
 
+import java.util.concurrent.ConcurrentLinkedQueue
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import scala.jdk.CollectionConverters._
 
 /** Configuration parity with the reference's `kinesumer.Config`
   * (`/root/reference/kinesumer.go:120-170`), mapped to Spark:
@@ -44,6 +48,42 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
 
   type BatchFn = (DataFrame, Long) => Unit
 
+  // ≈ the reference's lossy 1-slot error channel (`kinesumer.go:833-844`,
+  // K2 in SURVEY §2) — except nothing is dropped: failures of this app's
+  // query are captured (listener + direct harvest, deduped by runId) and
+  // drained on demand.
+  private val errorQueue = new ConcurrentLinkedQueue[String]()
+  private val owned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+  private val reported =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+  private val listener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      e.exception.foreach { msg =>
+        if (owned.contains(e.runId) && reported.add(e.runId)) errorQueue.add(msg)
+      }
+  }
+  spark.streams.addListener(listener)
+
+  // covers the race where the query fails before/without the listener event
+  private def harvest(): Unit = active.foreach { case (q, _, _) =>
+    q.exception.foreach { e =>
+      if (reported.add(q.runId)) errorQueue.add(e.getMessage)
+    }
+  }
+
+  /** Drain captured query failures — `Errors()` parity, without the
+    * reference's drop-when-full behavior.
+    */
+  def errors(): Seq[String] = {
+    harvest()
+    val out = errorQueue.iterator().asScala.toSeq
+    errorQueue.clear()
+    out
+  }
+
   /** Lazy streaming envelope of the given streams — the analog of the
     * record channel returned by `Consume` (`kinesumer.go:346-370`); attach
     * any sink/transformation.
@@ -73,6 +113,7 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
       .trigger(Trigger.ProcessingTime(cfg.scanIntervalMs))
       .foreachBatch { (df: DataFrame, batchId: Long) => onBatch(df, batchId) }
       .start()
+    owned.add(q.runId)
     active = Some((q, streams, onBatch))
     q
   }
@@ -85,7 +126,7 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     val (q, _, onBatch) = active.getOrElse(
       throw new IllegalStateException("consumer not started"))
     q.stop()
-    q.awaitTermination()
+    awaitQuietly(q)
     active = None
     start(streams)(onBatch)
   }
@@ -99,7 +140,15 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     * durable, so shutdown needs no drain/sleep dance.
     */
   def close(): Unit = synchronized {
-    active.foreach { case (q, _, _) => q.stop(); q.awaitTermination() }
+    active.foreach { case (q, _, _) => q.stop(); awaitQuietly(q) }
+    harvest()
     active = None
+    spark.streams.removeListener(listener)
   }
+
+  // a failed query's exception is delivered through errors(), not rethrown
+  // from shutdown (≈ the reference's Close never throws, kinesumer.go:846-869)
+  private def awaitQuietly(q: StreamingQuery): Unit =
+    try q.awaitTermination()
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
 }

@@ -81,6 +81,25 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     cg.close()
   }
 
+  test("errors() surfaces query failures (Errors channel parity, lossless)") {
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(0), rec(1)))
+    val cg = new ConsumerGroup(spark,
+      ConsumerConfig(app = "app-err", logRoot = root, checkpointRoot = ck))
+    cg.start(Seq("events")) { (df, _) =>
+      df.count() // force evaluation
+      throw new RuntimeException("boom: application batch failure")
+    }
+    // the query may fail before or during this call; either way the
+    // listener captures the failure — errors() below is the real check
+    try cg.processAllAvailable() catch { case _: Exception => () }
+    var tries = 0
+    var errs = cg.errors()
+    while (errs.isEmpty && tries < 150) { Thread.sleep(100); errs = cg.errors(); tries += 1 }
+    assert(errs.exists(_.contains("boom")), s"captured: $errs")
+    cg.close()
+  }
+
   test("empty app name is rejected (config validation parity)") {
     intercept[IllegalArgumentException] {
       ConsumerConfig(app = "", logRoot = "/tmp", checkpointRoot = "/tmp")
