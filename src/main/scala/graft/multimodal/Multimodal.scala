@@ -17,6 +17,13 @@ object Multimodal {
   /** The binary envelope: what a real pipeline would carry per media blob. */
   final case class MediaRecord(doc_id: Long, media_type: String, blob: Array[Byte])
 
+  /** One sampled frame of a media blob (the 1→N decode shape). */
+  final case class Frame(
+      doc_id: Long,
+      frame_index: Int,
+      byte_offset: Int,
+      frame_checksum: Long)
+
   /** Decoded (stubbed) features. */
   final case class MediaFeatures(
       doc_id: Long,
@@ -42,6 +49,22 @@ object Multimodal {
         height = 16 + (n * 7) % 64,
         n_frames = 1 + n % 8,
         header_checksum = checksum)
+    }
+
+    /** STUB frame sampler (1 blob → N frames): evenly-spaced byte offsets
+      * stand in for video frame extraction; each "frame" carries a
+      * checksum of its 8-byte window. Deterministic, so oracle-verifiable.
+      */
+    def sampleFramesStub(r: MediaRecord): Seq[Frame] = {
+      val n = r.blob.length
+      val frames = 1 + n % 8
+      val stride = math.max(1, n / frames)
+      (0 until frames).map { i =>
+        val off = i * stride
+        val checksum = r.blob.iterator.slice(off, math.min(n, off + 8))
+          .map(b => (b & 0xffL)).sum
+        Frame(r.doc_id, i, off, checksum)
+      }
     }
   }
 
@@ -73,6 +96,32 @@ object Multimodal {
     // mapPartitions (stubbed codec). The oracle replays the stub's
     // integer arithmetic on the byte length — possible only because the
     // stub is deterministic.
+    // ------------------------------------------------------------------
+    // q44: 1→N frame sampling (the video-decode shape): typed flatMap via
+    // mapPartitions emits one row per sampled frame with evenly-spaced
+    // byte offsets and per-window checksums (stub sampler, real plumbing).
+    QueryDef.sql("q44_frame_samples")(frameSamples) {
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(LENGTH(text) AS INT) AS n,
+        |    1 + CAST(LENGTH(text) AS INT) % 8 AS frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, n,
+        |    GREATEST(1, n // frames) AS stride,
+        |    UNNEST(GENERATE_SERIES(0, frames - 1)) AS fi
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(fi AS INT) AS frame_index,
+        |  CAST(fi * stride AS INT) AS byte_offset,
+        |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+        |         GENERATE_SERIES(CAST(fi * stride AS INT) + 1,
+        |                         LEAST(n, CAST(fi * stride AS INT) + 8)),
+        |         j -> ORD(SUBSTRING(text, j, 1)))), 0) AS BIGINT) AS frame_checksum
+        |FROM f
+        |ORDER BY doc_id, frame_index""".stripMargin
+    },
+
     QueryDef.sql("q36_media_features")(mediaFeatures) {
       """WITH m AS (
         |  SELECT doc_id, 'text/plain;lang=' || lang AS media_type,
@@ -91,6 +140,19 @@ object Multimodal {
         |ORDER BY doc_id""".stripMargin
     }
   )
+
+  def frameSamples(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        concat(lit("text/plain;lang="), col("lang")).as("media_type"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(MediaCodec.sampleFramesStub))
+      .toDF()
+      .orderBy("doc_id", "frame_index")
+  }
 
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
