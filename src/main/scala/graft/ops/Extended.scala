@@ -77,6 +77,31 @@ object Extended {
     },
 
     // ------------------------------------------------------------------
+    // q45: explicit GROUPING SETS — two unrelated rollup dimensions in
+    // one pass (by status and by year), without the full cube.
+    QueryDef.sql("q45_grouping_sets") { (s, d) =>
+      Tables(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(s"""
+        |SELECT o_orderstatus, YEAR(o_orderdate) AS y,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+        |  CAST(GROUPING(YEAR(o_orderdate)) AS INT) AS g_y,
+        |  COUNT(*) AS n_orders,
+        |  ${dsumSql("o_totalprice")} AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (YEAR(o_orderdate)))
+        |ORDER BY g_s, g_y, o_orderstatus, y""".stripMargin)
+    } {
+      s"""SELECT o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+         |  CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) AS INT) AS g_y,
+         |  COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (EXTRACT(YEAR FROM o_orderdate)))
+         |ORDER BY g_s, g_y, o_orderstatus, y""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q43: right outer join — every customer kept, orders optional;
     // customers with no 2001 orders surface with zero counts.
     QueryDef.sql("q43_right_outer_customers") { (s, d) =>
