@@ -20,21 +20,19 @@ object Dedup {
     // q23: exact dedup by canonicalized content (sorted distinct token
     // set). One shuffle on the canonical key; groups >1 are duplicates.
     QueryDef.sql("q23_exact_dedup_groups") { (s, d) =>
-      val docs = Tables(s, d, "documents")
-      docs
-        .withColumn("canon", array_join(array_sort(tokenSet), " "))
-        .groupBy(col("canon"))
-        .agg(
-          min(col("doc_id")).as("canonical_id"),
-          count(lit(1)).as("n_copies"),
-          sort_array(collect_list(col("doc_id"))).as("member_ids"))
-        .filter(col("n_copies") > 1)
+      // member_ids is emitted as a comma-joined string (numeric sort first)
+      // so the driver's pandas/DuckDB compare can hash the cell; the
+      // array-typed grouping itself is covered by exactDedupGroups +
+      // DedupSpec.
+      exactDedupGroups(s, d)
+        .withColumn("member_ids",
+          array_join(transform(col("member_ids"), _.cast("string")), ","))
         .select("canonical_id", "n_copies", "member_ids")
         .orderBy("canonical_id")
     } {
       """SELECT MIN(doc_id) AS canonical_id,
         |       COUNT(*) AS n_copies,
-        |       LIST_SORT(LIST(doc_id)) AS member_ids
+        |       STRING_AGG(doc_id, ',' ORDER BY doc_id) AS member_ids
         |FROM documents
         |GROUP BY ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')
         |HAVING COUNT(*) > 1
@@ -99,6 +97,21 @@ object Dedup {
     // ≤ 3 ⇒ at least one band identical); pairs kept at hamming ≤ 3.
     QueryDef.noOracle("q26_simhash_dedup")(simhashDedup)
   )
+
+  /** Array-typed exact-dedup groups (canonicalized sorted-distinct token
+    * set → one shuffle on the canonical key). Kept array-typed for library
+    * users; q23 stringifies `member_ids` for the oracle harness.
+    */
+  def exactDedupGroups(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .withColumn("canon", array_join(array_sort(tokenSet), " "))
+      .groupBy(col("canon"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col("doc_id"))).as("member_ids"))
+      .filter(col("n_copies") > 1)
+      .select("canonical_id", "n_copies", "member_ids")
 
   private val NumBands = 8 // 4 rows of the 32 signatures per band
 

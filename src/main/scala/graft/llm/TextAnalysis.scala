@@ -173,14 +173,17 @@ object TextAnalysis {
     // weighted character sum (exact int64 arithmetic — order-free), plus
     // how many documents share each fingerprint.
     QueryDef.sql("q34_doc_fingerprint") { (s, d) =>
+      // Per-row higher-order fold: no explode (row count stays = doc
+      // count, not corpus characters) and no per-character shuffle — the
+      // only shuffle left is the window on `fingerprint`. Exact int64
+      // arithmetic, order-free, identical to the oracle's per-char sum.
       val docs = Tables(s, d, "documents")
       val fps = docs
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, length(text))")).as("i"))
-        .withColumn("term",
-          expr("cast(ascii(substring(text, i, 1)) AS bigint) * ((cast(i AS bigint) * 2654435761) % 1000003)"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("term")).as("fingerprint"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(1, length(text)), 0L,
+            |  (acc, i) -> acc + cast(ascii(substring(text, i, 1)) AS bigint) *
+            |              ((cast(i AS bigint) * 2654435761) % 1000003))""".stripMargin)
+          .as("fingerprint"))
       fps
         .withColumn("n_sharing",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))

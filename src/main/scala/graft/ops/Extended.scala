@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Det.{dsum, dsumSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Coverage beyond the core set: outer joins, CUBE grouping sets, HLL
@@ -156,26 +157,38 @@ object Extended {
     // q40: array aggregation + array functions: per-order item lists
     // (sorted for determinism), membership and bounds over the array.
     QueryDef.sql("q40_order_item_arrays") { (s, d) =>
-      val li = Tables(s, d, "lineitem")
-      li.groupBy(col("l_orderkey"))
-        .agg(
-          count(lit(1)).as("n_items"),
-          sort_array(collect_list(col("l_partkey"))).as("part_keys"),
-          dsum(col("l_quantity")).as("total_qty"))
-        .filter(col("n_items") >= 7)
-        .withColumn("max_part", array_max(col("part_keys")))
-        .withColumn("first_part", element_at(col("part_keys"), 1))
+      // The array column is emitted comma-joined (numeric sort preserved)
+      // so the driver's pandas/DuckDB compare can hash the cell; the
+      // array-typed form is orderItemArrays, covered by ExtendedSpec.
+      orderItemArrays(s, d)
+        .withColumn("part_keys",
+          array_join(transform(col("part_keys"), _.cast("string")), ","))
         .orderBy("l_orderkey")
     } {
       s"""SELECT l_orderkey, COUNT(*) AS n_items,
-         |  LIST_SORT(LIST(l_partkey)) AS part_keys,
+         |  STRING_AGG(l_partkey, ',' ORDER BY l_partkey) AS part_keys,
          |  ${dsumSql("l_quantity")} AS total_qty,
-         |  LIST_MAX(LIST(l_partkey)) AS max_part,
-         |  LIST_SORT(LIST(l_partkey))[1] AS first_part
+         |  MAX(l_partkey) AS max_part,
+         |  MIN(l_partkey) AS first_part
          |FROM lineitem
          |GROUP BY l_orderkey
          |HAVING COUNT(*) >= 7
          |ORDER BY l_orderkey""".stripMargin
     }
   )
+
+  /** Array-typed per-order item lists (sorted for determinism) with
+    * membership/bounds over the array. q40 stringifies `part_keys` for the
+    * oracle harness; this form is what library users get.
+    */
+  def orderItemArrays(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sort_array(collect_list(col("l_partkey"))).as("part_keys"),
+        dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("n_items") >= 7)
+      .withColumn("max_part", array_max(col("part_keys")))
+      .withColumn("first_part", element_at(col("part_keys"), 1))
 }

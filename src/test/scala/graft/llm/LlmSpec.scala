@@ -37,6 +37,22 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("array-typed exact-dedup groups are internally consistent") {
+    import spark.implicits._
+    val groups = Dedup.exactDedupGroups(spark, d)
+      .select($"canonical_id", $"n_copies", $"member_ids")
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(groups.nonEmpty)
+    groups.foreach { case (canon, n, members) =>
+      assert(members.length.toLong == n && n > 1)
+      assert(members == members.sorted)
+      assert(members.head == canon) // canonical = min doc_id, list sorted
+    }
+    // groups are disjoint: a doc belongs to at most one duplicate group
+    val all = groups.flatMap(_._3)
+    assert(all.distinct.length == all.length)
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     import spark.implicits._
     val pairs = Dedup.simhashDedup(spark, d)

@@ -22,6 +22,19 @@ class ExtendedSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("array-typed order item lists are sorted with consistent bounds") {
+    import spark.implicits._
+    val rows = Extended.orderItemArrays(spark, d)
+      .select($"l_orderkey", $"n_items", $"part_keys", $"max_part", $"first_part")
+      .as[(Long, Long, Seq[Long], Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, parts, maxPart, firstPart) =>
+      assert(parts.length.toLong == n && n >= 7)
+      assert(parts == parts.sorted)
+      assert(maxPart == parts.max && firstPart == parts.head)
+    }
+  }
+
   private def SparkEntry_q39(dir: String) = {
     import spark.implicits._
     graft.SparkEntry.queries("q39_approx_distinct_parts")(spark, dir)
