@@ -5,8 +5,6 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
-import scala.jdk.CollectionConverters._
-
 /** Configuration parity with the reference's `kinesumer.Config`
   * (`/root/reference/kinesumer.go:120-170`), mapped to Spark:
   *
@@ -79,9 +77,9 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     */
   def errors(): Seq[String] = {
     harvest()
-    val out = errorQueue.iterator().asScala.toSeq
-    errorQueue.clear()
-    out
+    // per-element drain: an error enqueued concurrently is either taken
+    // now or left intact for the next call — never discarded
+    Iterator.continually(errorQueue.poll()).takeWhile(_ != null).toSeq
   }
 
   /** Lazy streaming envelope of the given streams — the analog of the

@@ -130,6 +130,28 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getAs[java.sql.Timestamp]("approx_arrival").getTime == 1700000000000L)
   }
 
+  test("incremental log: a tail append costs O(new data), not O(history)") {
+    val (root, _, _) = freshDirs()
+    // ~2.4 MB backlog of 20k records
+    val payload = "x" * 64
+    ShardedStreamLog.append(root, "events", "shard-0",
+      (0L until 20000L).map(i =>
+        LogRecord(i, "pk", 1700000000000L, (payload + i).getBytes("UTF-8"))))
+    // warm: index the backlog once (full scan is expected here)
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 19999L)
+    assert(ShardedStreamLog.read(root, "events", "shard-0", 19989L, 19999L).size == 10)
+    val before = ShardedStreamLog.bytesScanned.get()
+    // small tail: maxSequence + read must parse only new bytes plus at most
+    // one checkpoint span (64 KiB), never the ~2.4 MB history
+    ShardedStreamLog.append(root, "events", "shard-0", (20000L to 20009L).map(rec(_)))
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 20009L)
+    val got = ShardedStreamLog.read(root, "events", "shard-0", 19999L, 20009L).toSeq
+    assert(got.map(_.sequenceNumber) == (20000L to 20009L))
+    val delta = ShardedStreamLog.bytesScanned.get() - before
+    assert(delta < 150000L,
+      s"re-scanned $delta bytes for a ~1 KB tail over a ~2.4 MB history")
+  }
+
   test("closed shard rejects further appends") {
     val (root, _, _) = freshDirs()
     ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(0)))
