@@ -55,8 +55,16 @@ object Dedup {
         col("toks").as("toks_a"), col("n_toks").as("na"))
       val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("len_bucket"),
         col("toks").as("toks_b"), col("n_toks").as("nb"))
+      // length-ratio prune implied by J >= 0.6: min >= 0.6*max (integer
+      // form 5*min >= 3*max) — provably answer-preserving. One combined
+      // filter, ordered cheap-to-expensive: Catalyst keeps this conjunct
+      // order in the join condition, so doc_a < doc_b and the ratio check
+      // cut pairs BEFORE the pushed-down array_intersect evaluates (a
+      // split .filter chain reorders to intersect-first: measured 1.6×
+      // slower at sf0.1).
       a.join(b, Seq("lang", "len_bucket"))
-        .filter(col("doc_a") < col("doc_b"))
+        .filter(col("doc_a") < col("doc_b") &&
+          col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
         .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
         .withColumn("jaccard",
           col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))

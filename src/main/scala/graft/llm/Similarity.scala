@@ -71,12 +71,13 @@ object Similarity {
 
     // ------------------------------------------------------------------
     // q28: LSH-bucketed approximate nearest neighbors (the scale path):
-    // 4 deterministic pseudo-random hyperplanes → 4-bit bucket signature;
-    // candidates join within the query's bucket plus its Hamming-1
-    // neighbors (multi-probe). At 100 TB the bucket key is the shuffle
-    // key and each bucket's candidate set is small. Hash-specific —
-    // recall vs the q27 brute force is asserted in LlmSpec.
-    QueryDef.noOracle("q28_ann_lsh_topk")(annLsh),
+    // p deterministic pseudo-random hyperplanes → p-bit bucket signature;
+    // candidates join within the query's bucket plus its p Hamming-1
+    // neighbors (multi-probe). The bucket key is the shuffle key; p grows
+    // with the candidate count (buckets ≈ N / 256), so per-bucket work
+    // stays constant as N scales. Hash-specific — recall vs the q27 brute
+    // force is asserted in LlmSpec.
+    QueryDef.noOracle("q28_ann_lsh_topk")((s, d) => annLsh(s, d)),
 
     // ------------------------------------------------------------------
     // q29: embedding column statistics per label: count + exact-integer
@@ -108,11 +109,30 @@ object Similarity {
     }
   )
 
-  private val NumPlanes = 4
+  /** Vectors per bucket the adaptive plane count aims for. */
+  private val TargetBucketSize = 256L
 
-  def annLsh(s: SparkSession, d: String): DataFrame = {
+  /** Plane count for n candidates: buckets ≈ n / [[TargetBucketSize]],
+    * i.e. p = max(4, ceil(log2(n/256))), capped at 30. Per-bucket work is
+    * then ~constant as n grows (the fix for a fixed 2^4 bucket space,
+    * where buckets — and the within-bucket scan — grow linearly with n).
+    */
+  def planesFor(n: Long): Int = {
+    val buckets = math.max(1L, n / TargetBucketSize)
+    math.min(30, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+  }
+
+  /** LSH-bucketed ANN top-10 for the first 5 vectors as queries.
+    *
+    * @param numPlanes hyperplane count (bucket space = 2^numPlanes). The
+    *   default 0 means adaptive: one column-pruned count() at plan time
+    *   sizes the bucket space to the candidate set (buckets ≈ N/256) —
+    *   pass an explicit value to skip that planning action.
+    */
+  def annLsh(s: SparkSession, d: String, numPlanes: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
+    val planes = if (numPlanes > 0) numPlanes else planesFor(emb.count())
     // Deterministic hyperplanes: weight w(p, i) derived from a splitmix-style
     // integer mix of (plane, dim) — centered, fixed at plan time.
     val planeBit: Int => Column = p =>
@@ -120,16 +140,19 @@ object Similarity {
         s"""CASE WHEN aggregate(
            |  zip_with(v, sequence(0, 63), (x, i) ->
            |    x * cast(pmod((($p * 64 + i) * 2654435761 + 1442695040888963407), 2001) - 1000 AS double)),
-           |  cast(0 AS double), (acc, w) -> acc + w) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin)
-    val bucketed = emb.withColumn("bucket", (0 until NumPlanes).map(planeBit).reduce(_ + _))
+           |  cast(0 AS double), (acc, w) -> acc + w) >= 0
+           |THEN cast(${1L << p} AS bigint) ELSE cast(0 AS bigint) END""".stripMargin)
+    val bucketed = emb.withColumn("bucket", (0 until planes).map(planeBit).reduce(_ + _))
     val withNorm2 = bucketed.withColumn("norm2", dot("v", "v"))
-    // multi-probe: each query also inspects the 4 Hamming-1 neighbor
-    // buckets (a borderline vector lands just across one hyperplane), so
-    // recall rises sharply while the probed fraction stays 5/16.
+    // multi-probe: each query also inspects its `planes` Hamming-1
+    // neighbor buckets (a borderline vector lands just across one
+    // hyperplane), so recall rises sharply while the probed fraction
+    // (planes+1)/2^planes shrinks as the bucket space grows.
     val q = withNorm2.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm2").as("qn2"), col("bucket").as("qb"))
-      .withColumn("bucket", explode(expr("array(qb, qb ^ 1, qb ^ 2, qb ^ 4, qb ^ 8)")))
+      .withColumn("bucket", explode(expr(
+        s"concat(array(qb), transform(sequence(0, ${planes - 1}), i -> qb ^ shiftleft(cast(1 AS bigint), i)))")))
       .drop("qb")
     val pairs = withNorm2.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

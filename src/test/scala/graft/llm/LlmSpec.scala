@@ -79,7 +79,7 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val approx = ann.map(r => (r._1, r._2)).toSet
     val recall = (approx & exact).size.toDouble / exact.size
-    info(f"ANN multi-probe recall@10 = $recall%.2f (probing 5/16 of the space)")
+    info(f"ANN multi-probe recall@10 = $recall%.2f")
     assert(recall >= 0.3, s"recall $recall suspiciously low for multi-probe LSH")
   }
 }
