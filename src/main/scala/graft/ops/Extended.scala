@@ -174,6 +174,111 @@ object Extended {
          |GROUP BY l_orderkey
          |HAVING COUNT(*) >= 7
          |ORDER BY l_orderkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q46: LEFT OUTER join with null-side aggregation: every order kept,
+    // returned-lineitem rollup optional. Right side is pre-aggregated to
+    // one row per order key before the join (shuffle on o_orderkey /
+    // l_orderkey), so the outer join never multiplies rows.
+    QueryDef.sql("q46_left_outer_returns") { (s, d) =>
+      val ret = Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_ret_items"), dsum(col("l_extendedprice")).as("ret_value"))
+      Tables(s, d, "orders")
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_no_returns"),
+          dsum(coalesce(col("ret_value"), lit(0.0))).as("total_ret_value"))
+        .orderBy("o_orderpriority")
+    } {
+      s"""WITH r AS (
+         |  SELECT l_orderkey, COUNT(*) AS n_ret_items,
+         |    ${dsumSql("l_extendedprice")} AS ret_value
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+         |SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_no_returns,
+         |  ${dsumSql("COALESCE(ret_value, 0.0)")} AS total_ret_value
+         |FROM orders LEFT JOIN r ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q47: map-typed functions — from_json(props) → MapType, then
+    // element_at / map_keys / map_values (folded per row) feeding a keyed
+    // aggregate. Per-row scalar work + one shuffle on event_type.
+    QueryDef.sql("q47_map_props") { (s, d) =>
+      Tables(s, d, "events")
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .withColumn("k_val", element_at(col("m"), "k"))
+        .withColumn("key_shape", array_join(array_sort(map_keys(col("m"))), ","))
+        .withColumn("val_total", expr("aggregate(map_values(m), 0, (acc, x) -> acc + x)"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k_val")).as("sum_k"),
+          min(col("k_val")).as("min_k"),
+          max(col("k_val")).as("max_k"),
+          countDistinct(col("k_val")).as("n_distinct_k"),
+          min(col("key_shape")).as("key_shape"),
+          sum(col("val_total")).as("sum_vals"))
+        .orderBy("event_type")
+    } {
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |    ARRAY_TO_STRING(LIST_SORT(json_keys(props::JSON)), ',') AS key_shape,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(json_keys(props::JSON),
+        |      key -> CAST(json_extract_string(props, '$.' || key) AS INT))) AS INT)
+        |      AS val_total
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(k_val) AS BIGINT) AS sum_k,
+        |  MIN(k_val) AS min_k, MAX(k_val) AS max_k,
+        |  COUNT(DISTINCT k_val) AS n_distinct_k,
+        |  MIN(key_shape) AS key_shape,
+        |  CAST(SUM(val_total) AS BIGINT) AS sum_vals
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q48: the ranking window family over real ties — rank/dense_rank on
+    // a banded price (ties within a band), ntile over a fully-ordered
+    // spec (tie order inside a band would otherwise be engine-specific).
+    QueryDef.sql("q48_rank_family") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Tables(s, d, "orders")
+        .withColumn("price_band", floor(col("o_totalprice") / 1000).cast("long"))
+      val wRank = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_band").desc)
+      val wTile = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_band").desc, col("o_orderkey"))
+      ord.select(
+          col("o_orderkey"), col("o_orderpriority"), col("price_band"),
+          rank().over(wRank).as("rnk"),
+          dense_rank().over(wRank).as("drnk"),
+          ntile(4).over(wTile).as("tile"))
+        .orderBy("o_orderkey")
+    } {
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band,
+        |  RANK() OVER wr AS rnk,
+        |  DENSE_RANK() OVER wr AS drnk,
+        |  NTILE(4) OVER wt AS tile
+        |FROM orders
+        |WINDOW
+        |  wr AS (PARTITION BY o_orderpriority
+        |         ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT) DESC),
+        |  wt AS (PARTITION BY o_orderpriority
+        |         ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT) DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
     }
   )
 
