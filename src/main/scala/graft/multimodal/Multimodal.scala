@@ -101,13 +101,16 @@ object Multimodal {
     // mapPartitions emits one row per sampled frame with evenly-spaced
     // byte offsets and per-window checksums (stub sampler, real plumbing).
     QueryDef.sql("q44_frame_samples")(frameSamples) {
+      // Byte-faithful oracle: lengths and checksums are over UTF-8 bytes
+      // (OCTET_LENGTH + hex-pair extraction), exactly like the Spark stub
+      // over the blob — no ASCII-only assumption.
       """WITH m AS (
-        |  SELECT doc_id, text,
-        |    CAST(LENGTH(text) AS INT) AS n,
-        |    1 + CAST(LENGTH(text) AS INT) % 8 AS frames
+        |  SELECT doc_id, HEX(ENCODE(text)) AS h,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n,
+        |    1 + CAST(OCTET_LENGTH(ENCODE(text)) AS INT) % 8 AS frames
         |  FROM documents),
         |f AS (
-        |  SELECT doc_id, text, n,
+        |  SELECT doc_id, h, n,
         |    GREATEST(1, n // frames) AS stride,
         |    UNNEST(GENERATE_SERIES(0, frames - 1)) AS fi
         |  FROM m)
@@ -117,24 +120,27 @@ object Multimodal {
         |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
         |         GENERATE_SERIES(CAST(fi * stride AS INT) + 1,
         |                         LEAST(n, CAST(fi * stride AS INT) + 8)),
-        |         j -> ORD(SUBSTRING(text, j, 1)))), 0) AS BIGINT) AS frame_checksum
+        |         j -> CAST(('0x' || SUBSTRING(h, 2 * j - 1, 2)) AS INT))), 0)
+        |       AS BIGINT) AS frame_checksum
         |FROM f
         |ORDER BY doc_id, frame_index""".stripMargin
     },
 
     QueryDef.sql("q36_media_features")(mediaFeatures) {
+      // Byte-faithful oracle (see q44): header checksum over the first 16
+      // UTF-8 bytes via hex-pair extraction, matching the stub's byte sum.
       """WITH m AS (
         |  SELECT doc_id, 'text/plain;lang=' || lang AS media_type,
         |    CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n,
-        |    text
+        |    HEX(ENCODE(text)) AS h
         |  FROM documents)
         |SELECT doc_id, media_type,
         |  n AS n_bytes,
         |  16 + n % 64 AS width,
         |  16 + (n * 7) % 64 AS height,
         |  1 + n % 8 AS n_frames,
-        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEAST(16, LENGTH(text))),
-        |                               i -> ORD(SUBSTRING(text, i, 1))))
+        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEAST(16, n)),
+        |                 i -> CAST(('0x' || SUBSTRING(h, 2 * i - 1, 2)) AS INT)))
         |       AS BIGINT) AS header_checksum
         |FROM m
         |ORDER BY doc_id""".stripMargin

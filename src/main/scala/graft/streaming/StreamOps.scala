@@ -38,6 +38,23 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
       .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
 
+  /** Sliding-window counts/sums: `windowDuration`-long windows advancing
+    * every `slideDuration` (an event lands in window/slide windows); the
+    * watermark bounds how long window state is kept — the streaming twin
+    * of the batch q18 operator.
+    */
+  def slidingAgg(
+      events: DataFrame,
+      timeCol: String,
+      windowDuration: String,
+      slideDuration: String,
+      watermarkDelay: String,
+      valueCol: String): DataFrame =
+    events.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDuration, slideDuration).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+
   /** Session windows per key with a gap; watermark bounds session state. */
   def sessionAgg(
       events: DataFrame,

@@ -35,6 +35,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.toSeq == Seq((ts(0), 2L, 3.0), (ts(60), 2L, 12.0)))
   }
 
+  test("slidingAgg assigns an event to every overlapping window") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Double)](spark)
+    // events at :05 and :35 — 1h windows sliding every 30m:
+    //   :05 → windows starting 23:30 and 00:00; :35 → 00:00 and 00:30
+    input.addData((ts(5), 1.0), (ts(35), 2.0))
+    val out = StreamOps.slidingAgg(
+      input.toDF().toDF("ts", "value"), "ts", "1 hour", "30 minutes",
+      "10 minutes", "value")
+    runToSink(out, "sliding_sink", OutputMode.Complete)
+    val rows = spark.table("sliding_sink")
+      .select($"window_start", $"n_events", $"sum_value")
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(rows.toSeq == Seq(
+      (Timestamp.valueOf("2023-12-31 23:30:00"), 1L, 1.0),
+      (ts(0), 2L, 3.0),
+      (ts(30), 1L, 2.0)))
+  }
+
   test("sessionAgg groups events within the gap into one session") {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, Long)](spark)
