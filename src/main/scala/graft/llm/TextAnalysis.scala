@@ -173,17 +173,14 @@ object TextAnalysis {
     // weighted character sum (exact int64 arithmetic — order-free), plus
     // how many documents share each fingerprint.
     QueryDef.sql("q34_doc_fingerprint") { (s, d) =>
-      // Per-row higher-order fold: no explode (row count stays = doc
-      // count, not corpus characters) and no per-character shuffle — the
-      // only shuffle left is the window on `fingerprint`. Exact int64
-      // arithmetic, order-free, identical to the oracle's per-char sum.
+      // Native codegen kernel (graft.functions.Fingerprint64): one tight
+      // per-row loop — no explode (row count stays = doc count, not
+      // corpus characters), no per-character shuffle, no per-row array
+      // allocation. The only shuffle left is the window on `fingerprint`.
+      graft.functions.Fingerprint64.register(s)
       val docs = Tables(s, d, "documents")
       val fps = docs
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(1, length(text)), 0L,
-            |  (acc, i) -> acc + cast(ascii(substring(text, i, 1)) AS bigint) *
-            |              ((cast(i AS bigint) * 2654435761) % 1000003))""".stripMargin)
-          .as("fingerprint"))
+        .select(col("doc_id"), expr("fingerprint64(text)").as("fingerprint"))
       fps
         .withColumn("n_sharing",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))

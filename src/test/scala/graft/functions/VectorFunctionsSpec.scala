@@ -75,6 +75,26 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
     rows.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("fingerprint64 matches the higher-order fold exactly, incl. non-ASCII") {
+    import spark.implicits._
+    Fingerprint64.register(spark)
+    val fixture = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text")
+    val extra = Seq("", "a", "héllo wörld", "日本語テキスト", "mixed éé 123").toDF("text")
+    val rows = fixture.union(extra).selectExpr(
+      "fingerprint64(text) AS native",
+      """aggregate(sequence(1, length(text)), 0L,
+        |  (acc, i) -> acc + cast(ascii(substring(text, i, 1)) AS bigint) *
+        |              ((cast(i AS bigint) * 2654435761) % 1000003)) AS hof""".stripMargin)
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+    // codegen marker: the projection stays inside whole-stage codegen
+    val plan = fixture.selectExpr("fingerprint64(text)")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("fingerprint64") && l.trim.startsWith("*")),
+      plan)
+  }
+
   test("null inputs propagate null") {
     VectorFunctions.register(spark)
     val row = spark.sql("SELECT vec_dot(cast(null as array<double>), array(1.0d))")

@@ -28,6 +28,34 @@ class FormatsSpec extends AnyFunSuite with SparkTestSession {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("rate source streams monotonically timestamped rows for replay tests") {
+    import spark.implicits._
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", 500).load()
+      .writeStream.format("memory").queryName("rate_sink").start()
+    try {
+      // wait until at least one batch with data lands
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rate_sink").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    val rows = spark.table("rate_sink")
+      .select($"timestamp", $"value").as[(java.sql.Timestamp, Long)].collect()
+    assert(rows.nonEmpty, "rate source produced no rows in 30s")
+    // values are the dense sequence 0..n-1; timestamps non-decreasing in value order
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.map(_._2).toSeq == (0L until rows.length).toSeq)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => !b._1.before(a._1); case _ => true
+    })
+  }
+
+  test("console sink accepts a batch write (smoke)") {
+    // console is a debugging sink; just prove the plumbing runs
+    val src = graft.Tables(spark, d, "region")
+    src.write.format("console").save()
+  }
+
   test("JSON lines round-trip preserves rows incl. nested JSON payloads") {
     val out = Files.createTempDirectory("fmt-json").toString
     val src = graft.Tables(spark, d, "events").limit(200)
