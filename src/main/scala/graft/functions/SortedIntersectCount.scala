@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native set-intersection-size kernel for the pair-verification hot path
+  * (Jaccard / MinHash exact verify): `|A ∩ B|` of two SORTED distinct
+  * string arrays by linear merge — O(|A|+|B|) binary string compares, zero
+  * allocation. The equivalent `size(array_intersect(a, b))` builds a hash
+  * set and materializes the intersection array per pair, which dominates
+  * blocked all-pairs joins (the per-pair inner loop of q24/q25).
+  *
+  * PRECONDITION: both inputs sorted ascending in Spark's binary string
+  * order (`array_sort` / `sort_array` produce exactly this; sorting is
+  * once per document, amortized over all pairs in its block). Elements
+  * need not be globally distinct — equal runs advance both sides by one
+  * match, which equals `array_intersect` semantics when each side is
+  * distinct (the dedup operators always intersect `array_distinct` sets).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count requires two array<string> arguments, got $l and $r")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Register `sorted_intersect_count` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+}

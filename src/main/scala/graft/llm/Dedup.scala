@@ -46,10 +46,15 @@ object Dedup {
     // the block key only.
     QueryDef.sql("q24_jaccard_near_dup_pairs") { (s, d) =>
       // |A∪B| = |A|+|B|−|A∩B| for the distinct token sets: only the
-      // intersection is computed per pair; set sizes come from each side.
+      // intersection SIZE is computed per pair, via the native merge
+      // kernel over per-doc pre-sorted arrays (sort once per document,
+      // amortized over every pair in its block; no per-pair hash set or
+      // intersection array like array_intersect builds).
+      graft.functions.SortedIntersectCount.register(s)
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          (col("n_chars") / 50).cast("long").as("len_bucket"), tokenSet.as("toks"))
+          (col("n_chars") / 50).cast("long").as("len_bucket"),
+          array_sort(tokenSet).as("toks"))
         .withColumn("n_toks", size(col("toks")))
       val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
         col("toks").as("toks_a"), col("n_toks").as("na"))
@@ -65,7 +70,7 @@ object Dedup {
       a.join(b, Seq("lang", "len_bucket"))
         .filter(col("doc_a") < col("doc_b") &&
           col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
-        .withColumn("i", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .withColumn("i", expr("sorted_intersect_count(toks_a, toks_b)"))
         .withColumn("jaccard",
           col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
         .filter(col("jaccard") >= 0.6)
@@ -151,14 +156,17 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on the shingle sets (|A∪B| = |A|+|B|−|A∩B|)
-    val sets = docs.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    // exact verification on the shingle sets (|A∪B| = |A|+|B|−|A∩B|),
+    // via the sorted-merge kernel: sort once per doc, count per pair
+    graft.functions.SortedIntersectCount.register(s)
+    val sets = docs.select(col("doc_id"), array_sort(col("shingles")).as("shingles"),
+      size(col("shingles")).as("n_sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
         col("n_sh").as("na")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
         col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("i", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= 0.5)

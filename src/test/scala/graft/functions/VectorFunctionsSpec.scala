@@ -95,6 +95,30 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
       plan)
   }
 
+  test("sorted_intersect_count matches size(array_intersect) on sorted distinct sets") {
+    import spark.implicits._
+    SortedIntersectCount.register(spark)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("array_sort(array_distinct(split(text, ' '))) AS toks", "lang")
+    val pairs = docs.alias("a").join(docs.alias("b"), Seq("lang"))
+      .selectExpr(
+        "sorted_intersect_count(a.toks, b.toks) AS native",
+        "size(array_intersect(a.toks, b.toks)) AS builtin")
+      .limit(20000)
+      .as[(Int, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (n, b) => assert(n == b) }
+    // edge cases incl. empty arrays and disjoint/identical sets
+    val edge = spark.sql(
+      """SELECT sorted_intersect_count(cast(array() AS array<string>), array('a')) AS e1,
+        |  sorted_intersect_count(array('a','b','c'), array('a','b','c')) AS e2,
+        |  sorted_intersect_count(array('a','b'), array('c','d')) AS e3,
+        |  sorted_intersect_count(cast(null AS array<string>), array('a')) AS e4
+        |""".stripMargin).collect().head
+    assert(edge.getInt(0) == 0 && edge.getInt(1) == 3 && edge.getInt(2) == 0)
+    assert(edge.isNullAt(3))
+  }
+
   test("null inputs propagate null") {
     VectorFunctions.register(spark)
     val row = spark.sql("SELECT vec_dot(cast(null as array<double>), array(1.0d))")
