@@ -79,9 +79,87 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Early-exit variant for thresholded pair verification: returns the exact
+  * `|A ∩ B|` if it is ≥ `minRequired`, else -1 — bailing out as soon as
+  * `matches + min(remaining_a, remaining_b) < minRequired`. For a Jaccard
+  * ≥ t filter, `minRequired = ceil(t/(1+t) · (|A|+|B|))`, so non-matching
+  * pairs (the overwhelming majority in blocked all-pairs joins) exit after
+  * a fraction of the merge; matching pairs pay the full merge and return
+  * the exact count, so any predicate of form `count ≥ minRequired` —
+  * e.g. the Jaccard threshold itself — is answer-identical.
+  */
+case class SortedIntersectCountMin(
+    first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count_min requires (array<string>, array<string>, int), got ($a, $b, $c)")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count_min"
+
+  override def nullSafeEval(a: Any, b: Any, m: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val need = m.asInstanceOf[Int]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      if (c + math.min(nx - i, ny - j) < need) return Int.box(-1)
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    if (c >= need) c else -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, m) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      val rem = ctx.freshName("rem")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $rem = ($nx - $i < $ny - $j) ? ($nx - $i) : ($ny - $j);
+         |  if ($c + $rem < $m) { $c = -1; break; }
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ($c >= $m) ? $c : -1;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object SortedIntersectCount {
-  /** Register `sorted_intersect_count` (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `sorted_intersect_count` and `sorted_intersect_count_min`
+    * (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count_min",
+      exprs => SortedIntersectCountMin(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 }

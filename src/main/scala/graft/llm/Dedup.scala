@@ -70,7 +70,10 @@ object Dedup {
       a.join(b, Seq("lang", "len_bucket"))
         .filter(col("doc_a") < col("doc_b") &&
           col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
-        .withColumn("i", expr("sorted_intersect_count(toks_a, toks_b)"))
+        // threshold form: J >= 0.6 ⟺ i >= 3(na+nb)/8, so the kernel may
+        // early-exit with -1 (filtered below) once the bound is unreachable
+        .withColumn("i",
+          expr("sorted_intersect_count_min(toks_a, toks_b, cast((3 * (na + nb) + 7) div 8 AS int))"))
         .withColumn("jaccard",
           col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
         .filter(col("jaccard") >= 0.6)
@@ -166,7 +169,9 @@ object Dedup {
         col("n_sh").as("na")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
         col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("i", expr("sorted_intersect_count(sh_a, sh_b)"))
+      // J >= 0.5 ⟺ i >= (na+nb)/3: early-exit threshold form
+      .withColumn("i",
+        expr("sorted_intersect_count_min(sh_a, sh_b, cast((na + nb + 2) div 3 AS int))"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= 0.5)

@@ -119,6 +119,28 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(edge.isNullAt(3))
   }
 
+  test("sorted_intersect_count_min returns exact counts above threshold, -1 below") {
+    import spark.implicits._
+    SortedIntersectCount.register(spark)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("array_sort(array_distinct(split(text, ' '))) AS toks", "lang")
+    val rows = docs.alias("a").join(docs.alias("b"), Seq("lang"))
+      .limit(20000)
+      .selectExpr(
+        "size(a.toks) AS na", "size(b.toks) AS nb",
+        "sorted_intersect_count(a.toks, b.toks) AS exact",
+        "sorted_intersect_count_min(a.toks, b.toks, cast((3 * (size(a.toks) + size(b.toks)) + 7) div 8 AS int)) AS bounded")
+      .as[(Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (na, nb, exact, bounded) =>
+      val need = (3 * (na + nb) + 7) / 8
+      if (exact >= need) assert(bounded == exact, s"na=$na nb=$nb")
+      else assert(bounded == -1, s"na=$na nb=$nb exact=$exact need=$need")
+    }
+    // both the survive and early-exit branches must occur in the fixture
+    assert(rows.exists(_._4 >= 0) && rows.exists(_._4 == -1))
+  }
+
   test("null inputs propagate null") {
     VectorFunctions.register(spark)
     val row = spark.sql("SELECT vec_dot(cast(null as array<double>), array(1.0d))")
