@@ -111,6 +111,63 @@ object StreamOps {
   final case class ShardProgress(
       stream: String, shard_id: String, n_records: Long, max_sequence: Long)
 
+  /** One closed session per (user, quiet period): arbitrary stateful
+    * processing via flatMapGroupsWithState with an event-time timeout —
+    * sessions close either when a later event crosses the gap (emitted
+    * inline) or when the watermark passes end+gap (emitted on timeout).
+    * Demonstrates the 0..N-emissions form that mapGroupsWithState (1
+    * output per group per batch) cannot express. State is one small
+    * record per active (user) key, partitioned by key.
+    */
+  final case class OpenSession(start: Long, end: Long, n: Long)
+  final case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  def closedSessions(
+      events: DataFrame, timeCol: String, keyCol: String,
+      gapMinutes: Int, watermarkDelay: String): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(keyCol).cast("long"), col(timeCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[OpenSession]) =>
+          def emit(s: OpenSession) = ClosedSession(user,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            ts.foreach { t =>
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += emit(s)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   def shardProgress(envelope: DataFrame): Dataset[ShardProgress] = {
     val spark = envelope.sparkSession
     import spark.implicits._

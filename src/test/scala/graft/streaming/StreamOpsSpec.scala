@@ -116,6 +116,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq((1L, ts(30))))
   }
 
+  test("closedSessions emits on gap-crossing and on event-time timeout") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamOps.closedSessions(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gapMinutes = 15, watermarkDelay = "0 seconds").toDF()
+    spark.sql("DROP TABLE IF EXISTS sessions_sink")
+    val q = out.writeStream.format("memory").queryName("sessions_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 0,10 (one session), then 60 → crosses the 15m gap
+      input.addData((ts(0), 1L), (ts(10), 1L))
+      q.processAllAvailable()
+      input.addData((ts(60), 1L))
+      q.processAllAvailable()
+      // advance the watermark far enough to time out the open session
+      input.addData((ts(600), 99L))
+      q.processAllAvailable()
+      input.addData((ts(1200), 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions_sink")
+      .filter($"user_id" === 1L)
+      .select($"session_start", $"session_end", $"n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().sortBy(_._1.getTime)
+    assert(rows.toSeq == Seq((ts(0), ts(10), 2L), (ts(60), ts(60), 1L)))
+  }
+
   test("shardProgress tracks per-shard counts and max sequence across batches") {
     import spark.implicits._
     val input = MemoryStream[(String, String, String)](spark)
