@@ -34,7 +34,7 @@ object Dedup {
         |       COUNT(*) AS n_copies,
         |       STRING_AGG(doc_id, ',' ORDER BY doc_id) AS member_ids
         |FROM documents
-        |GROUP BY ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')
+        |GROUP BY MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
         |HAVING COUNT(*) > 1
         |ORDER BY canonical_id""".stripMargin
     },
@@ -120,8 +120,12 @@ object Dedup {
     */
   def exactDedupGroups(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
-      .withColumn("canon", array_join(array_sort(tokenSet), " "))
-      .groupBy(col("canon"))
+      // group by the 128-bit digest of the canonical form, not the full
+      // canonicalized text: the shuffle then moves a 32-byte key per doc
+      // instead of the document body (at corpus scale the dominant cost).
+      // Both engines compute the same md5, so the oracle is unaffected.
+      .withColumn("canon_key", md5(array_join(array_sort(tokenSet), " ")))
+      .groupBy(col("canon_key"))
       .agg(
         min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"),
