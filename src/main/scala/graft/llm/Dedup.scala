@@ -43,7 +43,10 @@ object Dedup {
     // q24: exact n-gram (word-set) Jaccard near-dup pairs, blocked by
     // (lang, length bucket) so the pair space stays bucket-local — the
     // quadratic blow-up is bounded per block, and the join shuffles on
-    // the block key only.
+    // the block key only. ROLE AT SCALE: this is the ground-truth /
+    // sample-validation operator (within-block all-pairs is quadratic in
+    // block size); the production near-dup path at corpus scale is q25
+    // (MinHash+LSH, bucketed candidates), validated against this one.
     QueryDef.sql("q24_jaccard_near_dup_pairs") { (s, d) =>
       // |A∪B| = |A|+|B|−|A∩B| for the distinct token sets: only the
       // intersection SIZE is computed per pair, via the native merge
