@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("extensions class injects every kernel without error") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext) // must not throw; builders validated below
+  }
+
+  test("registerAll exposes every kernel to SQL with working semantics") {
+    GraftExtensions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  simhash64(array(0L)) AS sh,
+        |  fingerprint64('ab') AS fp,
+        |  size(minhash_sigs(array(42L))) AS n_sigs,
+        |  sorted_intersect_count(array('a','b'), array('b','c')) AS ic,
+        |  sorted_intersect_count_min(array('a','b'), array('b','c'), 2) AS icm
+        |""".stripMargin).collect().head
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getInt(3) == 32)
+    assert(row.getInt(4) == 1)
+    assert(row.getInt(5) == -1) // below threshold → sentinel
+    // fingerprint64('ab') = 97*(1*2654435761 % 1000003) + 98*(2*2654435761 % 1000003)
+    val w1 = (1L * 2654435761L) % 1000003L
+    val w2 = (2L * 2654435761L) % 1000003L
+    assert(row.getLong(2) == 97L * w1 + 98L * w2)
+  }
+}
