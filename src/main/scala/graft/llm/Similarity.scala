@@ -32,6 +32,12 @@ object Similarity {
     */
   private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
+  /** Cosine threshold above which two embeddings count as near-dups.
+    * (Defined before `queries`, whose oracle strings interpolate it at
+    * object-initialization time.)
+    */
+  final val NearDupThreshold = 0.45
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q27: brute-force cosine top-k (the correctness baseline): the first
@@ -80,6 +86,34 @@ object Similarity {
     QueryDef.noOracle("q28_ann_lsh_topk")((s, d) => annLsh(s, d)),
 
     // ------------------------------------------------------------------
+    // q49: embedding-cosine near-dup pairs, exact all-pairs ground truth.
+    // ROLE AT SCALE: validation operator (quadratic in candidate count);
+    // the production path is q50's multi-table LSH bucketing, whose
+    // recall is asserted against this one in LlmSpec. Quantized-integer
+    // dot products keep the oracle bit-exact.
+    QueryDef.sql("q49_embedding_near_dup") { (s, d) =>
+      embeddingNearDupExact(s, d)
+    } {
+      s"""WITH e AS (
+         |  SELECT vec_id, $quantSql AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM e)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  list_dot_product(a.v, b.v) / (SQRT(a.norm2) * SQRT(b.norm2)) AS cos_sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / (SQRT(a.norm2) * SQRT(b.norm2)) >= $NearDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q50: the scale path for q49 — L hyperplane tables of p bits each;
+    // a pair is a candidate iff it shares a bucket in ANY table (shuffle
+    // key = (table, bucket)), then exact cosine verification. Precision
+    // is exactly 1 vs q49 (same quantized cosine); recall is asserted in
+    // LlmSpec. Hash-specific, so no SQL oracle.
+    QueryDef.noOracle("q50_embedding_near_dup_lsh")((s, d) => embeddingNearDupLsh(s, d)),
+
+    // ------------------------------------------------------------------
     // q29: embedding column statistics per label: count + exact-integer
     // L2 norm extremes (deterministic), plus mean norm via exact decimal
     // summation.
@@ -108,6 +142,70 @@ object Similarity {
          |ORDER BY label""".stripMargin
     }
   )
+
+  /** Exact all-pairs cosine near-dup (q49's body — the ground truth). */
+  def embeddingNearDupExact(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), expr(quant).as("v"))
+      .withColumn("norm2", dot("v", "v"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm2").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm2").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", dot("va", "vb") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos_sim") >= NearDupThreshold)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** LSH-bucketed near-dup (q50's body — the scale path): `tables`
+    * hyperplane tables of `planesPerTable` bits; candidate pairs share a
+    * bucket in at least one table, then exact cosine verification. More
+    * tables → higher recall; more planes per table → smaller buckets
+    * (pair work per bucket ~ (N/2^p)² per table at uniform spread).
+    */
+  def embeddingNearDupLsh(
+      s: SparkSession, d: String,
+      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
+    val withNorm = emb.withColumn("norm2", dot("v", "v"))
+      // barrier: materialize v/norm2 once before the table fan-out
+      .repartition(col("vec_id"))
+    val buckets = withNorm.select(col("vec_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${tables - 1}), t -> named_struct(
+           |  'tbl', t,
+           |  'bucket', ${bucketExpr("t", planesPerTable)}))""".stripMargin)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = buckets.alias("x").join(buckets.alias("y"), Seq("tbl", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val sides = withNorm.select(col("vec_id"), col("v"), col("norm2"))
+    cand
+      .join(sides.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm2").as("na")), Seq("vec_a"))
+      .join(sides.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm2").as("nb")), Seq("vec_b"))
+      .withColumn("cos_sim", dot("va", "vb") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos_sim") >= NearDupThreshold)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** SQL fragment: p-bit hyperplane bucket of `v` for table expression
+    * `tbl` (plane index = tbl*p + j reuses the deterministic (plane, dim)
+    * weight mix of [[annLsh]]).
+    */
+  private def bucketExpr(tbl: String, p: Int): String =
+    (0 until p).map { j =>
+      s"""(CASE WHEN aggregate(
+         |  zip_with(v, sequence(0, 63), (x, i) ->
+         |    x * cast(pmod(((($tbl * $p + $j) * 64 + i) * 2654435761 + 1442695040888963407), 2001) - 1000 AS double)),
+         |  cast(0 AS double), (acc, w) -> acc + w) >= 0
+         |THEN cast(${1L << j} AS bigint) ELSE cast(0 AS bigint) END)""".stripMargin
+    }.mkString("(", " + ", ")")
 
   /** Vectors per bucket the adaptive plane count aims for. */
   private val TargetBucketSize = 256L

@@ -53,6 +53,20 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(all.distinct.length == all.length)
   }
 
+  test("embedding near-dup LSH: precision 1 vs exact truth, measurable recall") {
+    import spark.implicits._
+    val truth = Similarity.embeddingNearDupExact(spark, d)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupLsh(spark, d)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    // same exact cosine verify → every surviving candidate is a true pair
+    assert(lsh.subsetOf(truth), s"false positives: ${lsh.diff(truth).take(5)}")
+    val recall = lsh.size.toDouble / truth.size
+    info(f"embedding near-dup recall = $recall%.2f (${lsh.size}/${truth.size})")
+    assert(recall >= 0.4, s"recall $recall too low for 8 tables x 4 planes")
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     import spark.implicits._
     val pairs = Dedup.simhashDedup(spark, d)
