@@ -163,6 +163,9 @@ object Similarity {
     * bucket in at least one table, then exact cosine verification. More
     * tables → higher recall; more planes per table → smaller buckets
     * (pair work per bucket ~ (N/2^p)² per table at uniform spread).
+    * Plane dots run through the codegen'd `vec_dot` against
+    * driver-computed literal weight arrays (data-independent), not
+    * interpreted higher-order lambdas.
     */
   def embeddingNearDupLsh(
       s: SparkSession, d: String,
@@ -172,11 +175,14 @@ object Similarity {
     val withNorm = emb.withColumn("norm2", dot("v", "v"))
       // barrier: materialize v/norm2 once before the table fan-out
       .repartition(col("vec_id"))
-    val buckets = withNorm.select(col("vec_id"),
-      explode(expr(
-        s"""transform(sequence(0, ${tables - 1}), t -> named_struct(
-           |  'tbl', t,
-           |  'bucket', ${bucketExpr("t", planesPerTable)}))""".stripMargin)).as("tb"))
+    val tableBuckets = (0 until tables).map { t =>
+      val bucket = (0 until planesPerTable).map { j =>
+        when(planeDot(t * planesPerTable + j) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    val buckets = withPlaneWeights(withNorm, tables * planesPerTable)
+      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val cand = buckets.alias("x").join(buckets.alias("y"), Seq("tbl", "bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
@@ -194,18 +200,28 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** SQL fragment: p-bit hyperplane bucket of `v` for table expression
-    * `tbl` (plane index = tbl*p + j reuses the deterministic (plane, dim)
-    * weight mix of [[annLsh]]).
+  /** Deterministic hyperplane weights for plane `p`: a splitmix-style
+    * integer mix of (plane, dim), centered on 0 — identical to the
+    * formula the r1 SQL fold used, now computed driver-side so the
+    * per-row work is one codegen'd `vec_dot` per plane.
     */
-  private def bucketExpr(tbl: String, p: Int): String =
-    (0 until p).map { j =>
-      s"""(CASE WHEN aggregate(
-         |  zip_with(v, sequence(0, 63), (x, i) ->
-         |    x * cast(pmod(((($tbl * $p + $j) * 64 + i) * 2654435761 + 1442695040888963407), 2001) - 1000 AS double)),
-         |  cast(0 AS double), (acc, w) -> acc + w) >= 0
-         |THEN cast(${1L << j} AS bigint) ELSE cast(0 AS bigint) END)""".stripMargin
-    }.mkString("(", " + ", ")")
+  private def planeWeights(p: Int): Seq[Double] =
+    (0 until 64).map(i =>
+      (((p * 64L + i) * 2654435761L + 1442695040888963407L) % 2001L - 1000L).toDouble)
+
+  /** `vec_dot(v, <weights of plane p>)` column. All planes' weights ride
+    * in ONE array literal (`_pw`, attached by [[withPlaneWeights]]) and
+    * each plane takes its 64-slice — one Literal node total instead of
+    * 64 per plane, which keeps analysis/codegen time flat in the plane
+    * count (32 inline-literal arrays measured ~3s of cold plan+compile).
+    */
+  private def planeDot(p: Int): Column =
+    expr(s"vec_dot(v, slice(_pw, ${p * 64 + 1}, 64))")
+
+  /** Attach the flat plane-weight literal for planes [0, n). */
+  private def withPlaneWeights(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("_pw",
+      typedLit((0 until n).flatMap(planeWeights): IndexedSeq[Double]))
 
   /** Vectors per bucket the adaptive plane count aims for. */
   private val TargetBucketSize = 256L
@@ -231,16 +247,13 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
     val planes = if (numPlanes > 0) numPlanes else planesFor(emb.count())
-    // Deterministic hyperplanes: weight w(p, i) derived from a splitmix-style
-    // integer mix of (plane, dim) — centered, fixed at plan time.
+    // Deterministic hyperplanes ([[planeWeights]]): per-row work is one
+    // codegen'd vec_dot per plane against a literal weight array.
     val planeBit: Int => Column = p =>
-      expr(
-        s"""CASE WHEN aggregate(
-           |  zip_with(v, sequence(0, 63), (x, i) ->
-           |    x * cast(pmod((($p * 64 + i) * 2654435761 + 1442695040888963407), 2001) - 1000 AS double)),
-           |  cast(0 AS double), (acc, w) -> acc + w) >= 0
-           |THEN cast(${1L << p} AS bigint) ELSE cast(0 AS bigint) END""".stripMargin)
-    val bucketed = emb.withColumn("bucket", (0 until planes).map(planeBit).reduce(_ + _))
+      when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L))
+    val bucketed = withPlaneWeights(emb, planes)
+      .withColumn("bucket", (0 until planes).map(planeBit).reduce(_ + _))
+      .drop("_pw")
     val withNorm2 = bucketed.withColumn("norm2", dot("v", "v"))
     // multi-probe: each query also inspects its `planes` Hamming-1
     // neighbor buckets (a borderline vector lands just across one

@@ -24,6 +24,23 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(salted == plain)
   }
 
+  test("q24's join condition keeps the cheap-to-expensive conjunct order") {
+    // Regression guard: a split .filter chain once made Catalyst evaluate
+    // the pushed-down intersect kernel before doc_a < doc_b (1.6× slower
+    // at sf0.1). The cheap ordering + ratio conjuncts must precede the
+    // kernel call in the join condition.
+    val plan = graft.SparkEntry.queries("q24_jaccard_near_dup_pairs")(spark, d)
+      .queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("sorted_intersect_count_min"))
+    assert(joinLine.isDefined, s"kernel not pushed into the join condition:\n$plan")
+    val l = joinLine.get
+    val cheap = l.indexOf("doc_a")
+    val kernel = l.indexOf("sorted_intersect_count_min")
+    assert(cheap >= 0 && cheap < kernel,
+      s"doc_a < doc_b must precede the kernel in the join condition: $l")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = Files.createTempDirectory("bucketed-wh").toString
     val db = "bucketdemo"
