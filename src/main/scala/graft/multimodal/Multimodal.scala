@@ -24,6 +24,14 @@ object Multimodal {
       byte_offset: Int,
       frame_checksum: Long)
 
+  /** Metadata of a resized blob (the 1→1 transform shape). */
+  final case class ResizedMeta(
+      doc_id: Long,
+      media_type: String,
+      n_bytes_in: Int,
+      n_bytes_out: Int,
+      out_checksum: Long)
+
   /** Decoded (stubbed) features. */
   final case class MediaFeatures(
       doc_id: Long,
@@ -49,6 +57,18 @@ object Multimodal {
         height = 16 + (n * 7) % 64,
         n_frames = 1 + n % 8,
         header_checksum = checksum)
+    }
+
+    /** STUB resize (1 blob → 1 smaller blob): keeps every `factor`-th
+      * byte — stands in for an image/audio downsample. Deterministic, so
+      * the resized payload's length and checksum are oracle-verifiable.
+      * A real deployment swaps in the codec call; the typed-Dataset
+      * mapPartitions plumbing around it is the production shape.
+      */
+    def resizeStub(r: MediaRecord, factor: Int): MediaRecord = {
+      val out = Array.tabulate(
+        (r.blob.length + factor - 1) / factor)(i => r.blob(i * factor))
+      MediaRecord(r.doc_id, r.media_type + s";resized=1/$factor", out)
     }
 
     /** STUB frame sampler (1 blob → N frames): evenly-spaced byte offsets
@@ -126,6 +146,27 @@ object Multimodal {
         |ORDER BY doc_id, frame_index""".stripMargin
     },
 
+    // ------------------------------------------------------------------
+    // q51: 1→1 resize transform (the image/audio downsample shape):
+    // typed mapPartitions emits the resized blob's metadata; the stub
+    // keeps every 4th byte, so the oracle replays it with hex-pair
+    // extraction over the UTF-8 bytes.
+    QueryDef.sql("q51_media_resize")(mediaResize) {
+      """WITH m AS (
+        |  SELECT doc_id, 'text/plain;lang=' || lang || ';resized=1/4' AS media_type,
+        |    HEX(ENCODE(text)) AS h,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n
+        |  FROM documents)
+        |SELECT doc_id, media_type,
+        |  n AS n_bytes_in,
+        |  CAST((n + 3) // 4 AS INT) AS n_bytes_out,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, n, 4),
+        |    j -> CAST(('0x' || SUBSTRING(h, 2 * j - 1, 2)) AS INT))) AS BIGINT)
+        |    AS out_checksum
+        |FROM m
+        |ORDER BY doc_id""".stripMargin
+    },
+
     QueryDef.sql("q36_media_features")(mediaFeatures) {
       // Byte-faithful oracle (see q44): header checksum over the first 16
       // UTF-8 bytes via hex-pair extraction, matching the stub's byte sum.
@@ -158,6 +199,26 @@ object Multimodal {
       .mapPartitions(_.flatMap(MediaCodec.sampleFramesStub))
       .toDF()
       .orderBy("doc_id", "frame_index")
+  }
+
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        concat(lit("text/plain;lang="), col("lang")).as("media_type"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition codec init would happen here
+        it.map { r =>
+          val rz = MediaCodec.resizeStub(r, 4)
+          ResizedMeta(r.doc_id, rz.media_type, r.blob.length, rz.blob.length,
+            rz.blob.iterator.map(b => b & 0xffL).sum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
   }
 
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
