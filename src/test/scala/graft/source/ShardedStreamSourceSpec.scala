@@ -130,6 +130,22 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getAs[java.sql.Timestamp]("approx_arrival").getTime == 1700000000000L)
   }
 
+  test("source throughput: a 100k-record backlog drains above 10k records/s") {
+    val (root, ck, out) = freshDirs()
+    for (sh <- 0 until 4)
+      ShardedStreamLog.append(root, "events", s"shard-$sh",
+        (0L until 25000L).map(rec(_)))
+    val t0 = System.nanoTime()
+    runOnce(root, ck, out, maxPerShard = 5000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(outRows(out).size == 100000)
+    info(f"drained 100k records in $secs%.1f s (${100000 / secs}%.0f records/s)")
+    // the reference's shared-mode ceiling is 10k records/s per shard
+    // (BASELINE.md); the local-log source should clear that total easily
+    // even on the 4-thread test session
+    assert(100000 / secs > 10000, f"throughput ${100000 / secs}%.0f rec/s too low")
+  }
+
   test("incremental log: a tail append costs O(new data), not O(history)") {
     val (root, _, _) = freshDirs()
     // ~2.4 MB backlog of 20k records
