@@ -30,15 +30,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  /** Every native kernel the library ships, by SQL name. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n,
+        s"$name requires exactly $n argument(s), got ${es.length}")
+      build(es)
+    }
+
+  /** Every native kernel the library ships, by SQL name — the single
+    * source of truth; the per-module `register` helpers delegate here.
+    */
   val kernels: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (es => functions.DotProduct(es(0), es(1))),
-    "minhash_sigs" -> (es => functions.MinHashSigs(es.head)),
-    "simhash64" -> (es => functions.SimHash64(es.head)),
-    "fingerprint64" -> (es => functions.Fingerprint64(es.head)),
-    "sorted_intersect_count" -> (es => functions.SortedIntersectCount(es(0), es(1))),
-    "sorted_intersect_count_min" ->
-      (es => functions.SortedIntersectCountMin(es(0), es(1), es(2))))
+    "vec_dot" -> arity("vec_dot", 2)(es => functions.DotProduct(es(0), es(1))),
+    "minhash_sigs" -> arity("minhash_sigs", 1)(es => functions.MinHashSigs(es.head)),
+    "simhash64" -> arity("simhash64", 1)(es => functions.SimHash64(es.head)),
+    "fingerprint64" -> arity("fingerprint64", 1)(es => functions.Fingerprint64(es.head)),
+    "sorted_intersect_count" -> arity("sorted_intersect_count", 2)(
+      es => functions.SortedIntersectCount(es(0), es(1))),
+    "sorted_intersect_count_min" -> arity("sorted_intersect_count_min", 3)(
+      es => functions.SortedIntersectCountMin(es(0), es(1), es(2))))
 
   /** Register all kernels on an already-built session (ad-hoc twin of the
     * extensions path; idempotent).

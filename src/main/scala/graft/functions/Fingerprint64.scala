@@ -73,6 +73,5 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
 object Fingerprint64 {
   /** Register `fingerprint64` in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fingerprint64", exprs => Fingerprint64(exprs.head), "built-in")
+    graft.GraftExtensions.registerAll(spark)
 }

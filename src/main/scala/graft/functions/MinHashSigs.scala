@@ -76,6 +76,5 @@ object MinHashSigs {
 
   /** Register `minhash_sigs` in the session's function registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", exprs => MinHashSigs(exprs.head), "built-in")
+    graft.GraftExtensions.registerAll(spark)
 }

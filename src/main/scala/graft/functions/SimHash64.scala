@@ -76,6 +76,5 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object SimHash64 {
   /** Register `simhash64` in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    graft.GraftExtensions.registerAll(spark)
 }

@@ -153,13 +153,8 @@ case class SortedIntersectCountMin(
 
 object SortedIntersectCount {
   /** Register `sorted_intersect_count` and `sorted_intersect_count_min`
-    * (idempotent).
+    * (idempotent; delegates to the single kernel registry).
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count_min",
-      exprs => SortedIntersectCountMin(exprs(0), exprs(1), exprs(2)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.registerAll(spark)
 }

@@ -69,6 +69,5 @@ object VectorFunctions {
     * it is usable from `expr(...)` and `spark.sql(...)`.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    graft.GraftExtensions.registerAll(spark)
 }

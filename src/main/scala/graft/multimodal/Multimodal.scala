@@ -160,8 +160,8 @@ object Multimodal {
         |SELECT doc_id, media_type,
         |  n AS n_bytes_in,
         |  CAST((n + 3) // 4 AS INT) AS n_bytes_out,
-        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, n, 4),
-        |    j -> CAST(('0x' || SUBSTRING(h, 2 * j - 1, 2)) AS INT))) AS BIGINT)
+        |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, n, 4),
+        |    j -> CAST(('0x' || SUBSTRING(h, 2 * j - 1, 2)) AS INT))), 0) AS BIGINT)
         |    AS out_checksum
         |FROM m
         |ORDER BY doc_id""".stripMargin
@@ -180,8 +180,8 @@ object Multimodal {
         |  16 + n % 64 AS width,
         |  16 + (n * 7) % 64 AS height,
         |  1 + n % 8 AS n_frames,
-        |  CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEAST(16, n)),
-        |                 i -> CAST(('0x' || SUBSTRING(h, 2 * i - 1, 2)) AS INT)))
+        |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEAST(16, n)),
+        |                 i -> CAST(('0x' || SUBSTRING(h, 2 * i - 1, 2)) AS INT))), 0)
         |       AS BIGINT) AS header_checksum
         |FROM m
         |ORDER BY doc_id""".stripMargin

@@ -36,11 +36,20 @@ object ShardedStreamLog {
   private def recordsFile(root: String, stream: String, shard: String): Path =
     shardDir(root, stream, shard).resolve("records.tsv")
 
-  /** Append records to a shard (creating it on first use). Test/dev writer. */
+  /** Append records to a shard (creating it on first use). Test/dev writer.
+    * Enforces the per-shard sequence-monotonicity invariant that the
+    * incremental index's checkpoint seek and early-stop reads rely on.
+    */
   def append(root: String, stream: String, shard: String, records: Seq[LogRecord]): Unit = {
     val dir = shardDir(root, stream, shard)
     Files.createDirectories(dir)
     require(!Files.exists(dir.resolve("_CLOSED")), s"shard $stream/$shard is closed")
+    val seqs = records.map(_.sequenceNumber)
+    require(seqs.zip(seqs.drop(1)).forall { case (a, b) => a < b },
+      s"append to $stream/$shard must be strictly sequence-ascending")
+    val prevMax = maxSequence(root, stream, shard)
+    require(seqs.isEmpty || seqs.head > prevMax,
+      s"append to $stream/$shard must start after current max sequence $prevMax")
     val lines = records.map { r =>
       s"${r.sequenceNumber}\t${r.partitionKey}\t${r.arrivalEpochMs}\t" +
         Base64.getEncoder.encodeToString(r.data)
@@ -185,28 +194,41 @@ object ShardedStreamLog {
         p
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[LogRecord]
+      // snapshot the committed size: a line crossing it is a concurrent
+      // partial append — never parse it (a truncated base64 payload can
+      // decode "successfully" into corrupt data)
+      val size = Files.size(f)
       val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
       try {
         ch.position(startPos)
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
           java.nio.channels.Channels.newInputStream(ch),
           StandardCharsets.UTF_8), 1 << 16)
+        var pos = startPos
         var line = in.readLine()
         var done = false
         while (line != null && !done) {
-          if (line.nonEmpty) {
-            bytesScanned.addAndGet(line.getBytes(StandardCharsets.UTF_8).length + 1L)
-            val parts = line.split("\t", 4)
-            val seq = parts(0).toLong
-            if (seq > untilSeq) done = true
-            else if (seq > afterSeq)
-              out += LogRecord(seq, parts(1), parts(2).toLong,
-                Base64.getDecoder.decode(parts(3)))
+          val lineBytes = line.getBytes(StandardCharsets.UTF_8).length + 1L
+          if (pos + lineBytes > size) done = true
+          else {
+            if (line.nonEmpty) {
+              bytesScanned.addAndGet(lineBytes)
+              val parts = line.split("\t", 4)
+              val seq = parts(0).toLong
+              if (seq > untilSeq) done = true
+              else if (seq > afterSeq)
+                out += LogRecord(seq, parts(1), parts(2).toLong,
+                  Base64.getDecoder.decode(parts(3)))
+            }
+            pos += lineBytes
+            if (!done) line = in.readLine()
           }
-          if (!done) line = in.readLine()
         }
       } finally ch.close()
-      out.sortInPlaceBy(_.sequenceNumber).iterator
+      // records are in sequence order by construction: append() enforces
+      // per-shard monotonicity, which the checkpoint seek and the early
+      // stop above already rely on
+      out.iterator
     }
   }
 }

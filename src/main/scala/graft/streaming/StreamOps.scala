@@ -26,17 +26,17 @@ object StreamOps {
       .select(col("stream"), col("shard_id"), col("sequence_number"),
         col("approx_arrival"), col("payload.*"))
 
-  /** Tumbling-window counts/sums with a watermark for state eviction. */
+  /** Tumbling-window counts/sums with a watermark for state eviction —
+    * the slide == window special case of [[slidingAgg]].
+    */
   def tumblingAgg(
       events: DataFrame,
       timeCol: String,
       windowDuration: String,
       watermarkDelay: String,
       valueCol: String): DataFrame =
-    events.withWatermark(timeCol, watermarkDelay)
-      .groupBy(window(col(timeCol), windowDuration).as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+    slidingAgg(events, timeCol, windowDuration, windowDuration,
+      watermarkDelay, valueCol)
 
   /** Sliding-window counts/sums: `windowDuration`-long windows advancing
     * every `slideDuration` (an event lands in window/slide windows); the
@@ -112,14 +112,17 @@ object StreamOps {
       stream: String, shard_id: String, n_records: Long, max_sequence: Long)
 
   /** One closed session per (user, quiet period): arbitrary stateful
-    * processing via flatMapGroupsWithState with an event-time timeout —
-    * sessions close either when a later event crosses the gap (emitted
-    * inline) or when the watermark passes end+gap (emitted on timeout).
-    * Demonstrates the 0..N-emissions form that mapGroupsWithState (1
-    * output per group per batch) cannot express. State is one small
-    * record per active (user) key, partitioned by key.
+    * processing via flatMapGroupsWithState with an event-time timeout.
+    * State is the key's OPEN session intervals (plural — late events
+    * within the watermark may open an earlier, disjoint session, and an
+    * event can bridge two intervals into one); an interval only closes —
+    * and is emitted — once the watermark passes its end + gap, so late
+    * data merges into the correct session instead of whichever happens
+    * to be open. Demonstrates the 0..N-emissions form that
+    * mapGroupsWithState (1 output per group per batch) cannot express.
     */
   final case class OpenSession(start: Long, end: Long, n: Long)
+  final case class OpenSessions(sessions: Seq[OpenSession])
   final case class ClosedSession(
       user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
@@ -135,36 +138,30 @@ object StreamOps {
       .select(col(keyCol).cast("long"), col(timeCol))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (user, rows, state: GroupState[OpenSession]) =>
+        case (user, rows, state: GroupState[OpenSessions]) =>
           def emit(s: OpenSession) = ClosedSession(user,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(emit).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            val ts = rows.map(_._2.getTime).toSeq.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            ts.foreach { t =>
-              open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  closed += emit(s)
-                  open = Some(OpenSession(t, t, 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
+          val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val arrivals = rows.map(r => OpenSession(r._2.getTime, r._2.getTime, 1L)).toSeq
+          // coalesce all intervals (old + new) that are within gap of each
+          // other — an arrival may extend a session backwards or bridge two
+          val merged = (existing ++ arrivals).sortBy(_.start)
+            .foldLeft(List.empty[OpenSession]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start - h.end <= gapMs =>
+                  OpenSession(h.start, math.max(h.end, s.end), h.n + s.n) :: t
+                case _ => s :: acc
               }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
-          }
+            }.reverse
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(s => s.end + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(OpenSessions(open))
+            state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
+          } else state.remove()
+          closed.sortBy(_.start).iterator.map(emit)
       }
   }
 
