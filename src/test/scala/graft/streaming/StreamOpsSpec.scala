@@ -144,6 +144,64 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.toSeq == Seq((ts(0), ts(10), 2L), (ts(60), ts(60), 1L)))
   }
 
+  test("closedSessions: a late event opens its own earlier session, not the open one") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamOps.closedSessions(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gapMinutes = 15, watermarkDelay = "2 hours").toDF()
+    spark.sql("DROP TABLE IF EXISTS late_sessions_sink")
+    val q = out.writeStream.format("memory").queryName("late_sessions_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session opens at 2:00; a late event at 1:30 (within the 2h
+      // watermark) is 30m earlier — beyond the gap, so it must become
+      // its own session, not inflate the 2:00 one
+      input.addData((ts(120), 1L))
+      q.processAllAvailable()
+      input.addData((ts(90), 1L))
+      q.processAllAvailable()
+      // an event at 1:40 bridges nothing (1:30 +15m = 1:45 ≥ 1:40 → joins
+      // the 1:30 session; 2:00 − 1:40 = 20m > gap → stays separate)
+      input.addData((ts(100), 1L))
+      q.processAllAvailable()
+      // close everything
+      input.addData((ts(600), 99L)); q.processAllAvailable()
+      input.addData((ts(1200), 99L)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_sessions_sink")
+      .filter($"user_id" === 1L)
+      .select($"session_start", $"session_end", $"n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().sortBy(_._1.getTime)
+    assert(rows.toSeq == Seq((ts(90), ts(100), 2L), (ts(120), ts(120), 1L)))
+  }
+
+  test("closedSessions: an event bridges two open intervals into one session") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamOps.closedSessions(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gapMinutes = 15, watermarkDelay = "2 hours").toDF()
+    spark.sql("DROP TABLE IF EXISTS bridge_sessions_sink")
+    val q = out.writeStream.format("memory").queryName("bridge_sessions_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two disjoint intervals (1:00 and 1:25, 25m apart), then a late
+      // 1:12 event within gap of both — all three become ONE session
+      input.addData((ts(60), 1L), (ts(85), 1L))
+      q.processAllAvailable()
+      input.addData((ts(72), 1L))
+      q.processAllAvailable()
+      input.addData((ts(600), 99L)); q.processAllAvailable()
+      input.addData((ts(1200), 99L)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("bridge_sessions_sink")
+      .filter($"user_id" === 1L)
+      .select($"session_start", $"session_end", $"n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().sortBy(_._1.getTime)
+    assert(rows.toSeq == Seq((ts(60), ts(85), 3L)))
+  }
+
   test("shardProgress tracks per-shard counts and max sequence across batches") {
     import spark.implicits._
     val input = MemoryStream[(String, String, String)](spark)
