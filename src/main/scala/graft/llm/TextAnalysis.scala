@@ -21,6 +21,13 @@ object TextAnalysis {
     expr(s"size(filter(split(text, ' '), t -> t IN ($list)))")
   }
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, optionally
+    * space-prefixed letter/digit runs, punctuation runs. RE2-compatible
+    * (alternation + classes only) so both engines split identically.
+    */
+  private val BpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
   private def hitsSql(words: Seq[String]) = {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ($list))) AS INT)"
@@ -166,6 +173,34 @@ object TextAnalysis {
         |GROUP BY bigram
         |ORDER BY n_occurrences DESC, bigram
         |LIMIT 30""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q52: BPE-style regex token counting — the GPT-2 pre-tokenizer
+    // pattern family (contraction suffixes, space-prefixed letter runs,
+    // digit runs, punctuation runs), RE2-safe (no lookarounds) so Spark
+    // and DuckDB tokenize identically. Complements the whitespace
+    // tokenization used by q30–q33.
+    QueryDef.sql("q52_bpe_tokens") { (s, d) =>
+      val pat = BpePattern
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          regexp_extract_all(col("text"), lit(pat), lit(0)).as("toks"),
+          size(split(col("text"), " ")).as("n_ws_tokens"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_bpe_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct_bpe"),
+          col("n_ws_tokens"))
+        .orderBy("doc_id")
+    } {
+      val pat = BpePattern.replace("'", "''")
+      s"""SELECT doc_id, lang,
+         |  CAST(LEN(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe_tokens,
+         |  CAST(LEN(LIST_DISTINCT(regexp_extract_all(text, '$pat'))) AS INT)
+         |    AS n_distinct_bpe,
+         |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_ws_tokens
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
     },
 
     // ------------------------------------------------------------------
