@@ -114,6 +114,13 @@ object Similarity {
     QueryDef.noOracle("q50_embedding_near_dup_lsh")((s, d) => embeddingNearDupLsh(s, d)),
 
     // ------------------------------------------------------------------
+    // IVF approximate nearest neighbors (annIvf below) is exposed as
+    // library API rather than a bench query: its k-means centroid
+    // training is an index BUILD (several jobs over the corpus, done
+    // once and amortized over many queries), not per-query work, so
+    // timing it inside a single-query bench would misrepresent both.
+    // LlmSpec asserts recall@10 vs the q27 brute force.
+    // ------------------------------------------------------------------
     // q29: embedding column statistics per label: count + exact-integer
     // L2 norm extremes (deterministic), plus mean norm via exact decimal
     // summation.
@@ -222,6 +229,86 @@ object Similarity {
   private def withPlaneWeights(df: DataFrame, n: Int): DataFrame =
     df.withColumn("_pw",
       typedLit((0 until n).flatMap(planeWeights): IndexedSeq[Double]))
+
+  /** IVF ANN: k-centroid coarse quantizer + nprobe cluster probing.
+    *
+    * Build (the "index training" step, driver-coordinated like any ANN
+    * index build): centroids start as k evenly-spaced fixture vectors,
+    * then `lloydIters` assignment/mean rounds. Means are exact (long
+    * sums of the integer-quantized coordinates), so centroids — and
+    * therefore results — are bit-deterministic. Query: score the k
+    * centroids per query (k is small — a driver-side literal, like any
+    * broadcast model), take the `nprobe` best, scan only those clusters
+    * (cluster id is the shuffle key). At 100 TB: train on a sample,
+    * k ~ sqrt(N), per-cluster candidate lists stay ~N/k.
+    */
+  def annIvf(s: SparkSession, d: String, k: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 1): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    // cached across the training passes (standard iterative-ML shape;
+    // ~n×64 doubles, tiny next to the corpus it indexes)
+    val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
+      .persist()
+    val n = emb.count()
+    val stride = math.max(1L, n / k)
+    // init: k deterministically-spread vectors (vec_id stride — no global
+    // sort; any deterministic spread works as a k-means seed)
+    var centroids: Array[Seq[Double]] = emb
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0))
+    // all centroid coordinates + half-norms ride in two flat literals
+    // (one Literal node each — k×64 inline array literals measured ~4s of
+    // extra plan/codegen time); vecCol's dot takes the 64-slice per cid
+    def withModel(df: DataFrame, cs: Array[Seq[Double]]): DataFrame =
+      df.withColumn("_cw", typedLit(cs.flatten.toIndexedSeq))
+        .withColumn("_cn", typedLit(cs.map(c => c.map(x => x * x).sum / 2.0).toIndexedSeq))
+    // argmin ||v-c||² = argmax dot(v,c) − |c|²/2 over the centroid list
+    def scoreStructs(vecCol: String): Seq[Column] = (0 until k).map { i =>
+      struct((expr(s"vec_dot($vecCol, slice(_cw, ${i * 64 + 1}, 64))") -
+        expr(s"element_at(_cn, ${i + 1})")).as("score"), lit(i).as("cid"))
+    }
+    def assign(df: DataFrame, cs: Array[Seq[Double]]): DataFrame =
+      withModel(df, cs)
+        .withColumn("cid", greatest(scoreStructs("v"): _*).getField("cid"))
+        .drop("_cw", "_cn")
+    (1 to lloydIters).foreach { _ =>
+      // exact long-sum means per (cluster, dim): k×64 rows to the driver
+      val rows = assign(emb, centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("long")).cast("double") / count(lit(1))).as("m"))
+        .collect()
+      val means = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val byPos = rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+        cid -> (0 until 64).map(byPos)
+      }
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    val assigned = assign(emb, centroids).withColumn("norm2", dot("v", "v"))
+    // queries probe their nprobe best clusters
+    val probes = withModel(
+      assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm2").as("qn2")),
+      centroids)
+      .withColumn("scores", array(scoreStructs("qv"): _*))
+      .withColumn("probe", explode(expr(
+        s"slice(transform(array_sort($reverseByScore), p -> p.cid), 1, $nprobe)")))
+      .drop("scores", "_cw", "_cn")
+    val pairs = assigned.join(probes, col("cid") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot("qv", "v") / (sqrt(col("qn2")) * sqrt(col("norm2"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  // array_sort ascending by (−score, cid): highest-scoring centroids first
+  private val reverseByScore =
+    "transform(scores, p -> named_struct('negscore', -p.score, 'cid', p.cid))"
 
   /** Vectors per bucket the adaptive plane count aims for. */
   private val TargetBucketSize = 256L

@@ -53,6 +53,24 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(all.distinct.length == all.length)
   }
 
+  test("IVF ANN probes a cluster subset with measurable recall vs brute force") {
+    import spark.implicits._
+    val ivf = Similarity.annIvf(spark, d)
+      .select($"q_id", $"neighbor_id", $"cos_sim").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      val sims = rows.map(_._3)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    val exact = graft.SparkEntry.queries("q27_cosine_topk")(spark, d)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = ivf.map(r => (r._1, r._2)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f (probing 4/16 clusters)")
+    assert(recall >= 0.3, s"recall $recall suspiciously low for nprobe=4 of k=16")
+  }
+
   test("embedding near-dup LSH: precision 1 vs exact truth, measurable recall") {
     import spark.implicits._
     val truth = Similarity.embeddingNearDupExact(spark, d)
