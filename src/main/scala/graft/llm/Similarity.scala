@@ -245,19 +245,24 @@ object Similarity {
   def annIvf(s: SparkSession, d: String, k: Int = 16, nprobe: Int = 4,
       lloydIters: Int = 1): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
     // cached across the training passes (standard iterative-ML shape;
-    // ~n×64 doubles, tiny next to the corpus it indexes)
+    // ~n×64 doubles, tiny next to the corpus it indexes); released below
+    // once training's jobs have run — the final query re-reads the
+    // source once rather than pinning the cache for the session lifetime
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
       .persist()
     val n = emb.count()
     val stride = math.max(1L, n / k)
-    // init: k deterministically-spread vectors (vec_id stride — no global
-    // sort; any deterministic spread works as a k-means seed)
+    // init: up to k deterministically-spread vectors (vec_id stride — no
+    // global sort; any deterministic spread works as a k-means seed).
+    // The EFFECTIVE centroid count is what came back: sparse vec_ids or
+    // tiny tables may seed fewer than k.
     var centroids: Array[Seq[Double]] = emb
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0))
+    require(centroids.nonEmpty, "annIvf: embeddings table is empty")
+    val kEff = centroids.length
     // all centroid coordinates + half-norms ride in two flat literals
     // (one Literal node each — k×64 inline array literals measured ~4s of
     // extra plan/codegen time); vecCol's dot takes the 64-slice per cid
@@ -265,16 +270,18 @@ object Similarity {
       df.withColumn("_cw", typedLit(cs.flatten.toIndexedSeq))
         .withColumn("_cn", typedLit(cs.map(c => c.map(x => x * x).sum / 2.0).toIndexedSeq))
     // argmin ||v-c||² = argmax dot(v,c) − |c|²/2 over the centroid list
-    def scoreStructs(vecCol: String): Seq[Column] = (0 until k).map { i =>
+    def scoreStructs(vecCol: String): Seq[Column] = (0 until kEff).map { i =>
       struct((expr(s"vec_dot($vecCol, slice(_cw, ${i * 64 + 1}, 64))") -
         expr(s"element_at(_cn, ${i + 1})")).as("score"), lit(i).as("cid"))
     }
+    def best(cols: Seq[Column]): Column =
+      (if (cols.lengthIs > 1) greatest(cols: _*) else cols.head).getField("cid")
     def assign(df: DataFrame, cs: Array[Seq[Double]]): DataFrame =
       withModel(df, cs)
-        .withColumn("cid", greatest(scoreStructs("v"): _*).getField("cid"))
+        .withColumn("cid", best(scoreStructs("v")))
         .drop("_cw", "_cn")
     (1 to lloydIters).foreach { _ =>
-      // exact long-sum means per (cluster, dim): k×64 rows to the driver
+      // exact long-sum means per (cluster, dim): kEff×64 rows to the driver
       val rows = assign(emb, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
@@ -286,6 +293,7 @@ object Similarity {
       }
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
+    emb.unpersist()
     val assigned = assign(emb, centroids).withColumn("norm2", dot("v", "v"))
     // queries probe their nprobe best clusters
     val probes = withModel(
@@ -294,7 +302,7 @@ object Similarity {
       centroids)
       .withColumn("scores", array(scoreStructs("qv"): _*))
       .withColumn("probe", explode(expr(
-        s"slice(transform(array_sort($reverseByScore), p -> p.cid), 1, $nprobe)")))
+        s"slice(transform(array_sort($reverseByScore), p -> p.cid), 1, ${math.min(nprobe, kEff)})")))
       .drop("scores", "_cw", "_cn")
     val pairs = assigned.join(probes, col("cid") === col("probe"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -188,7 +188,12 @@ object Multimodal {
     }
   )
 
-  def frameSamples(s: SparkSession, d: String): DataFrame = {
+  /** The binary-envelope view of the fixture: one [[MediaRecord]] per
+    * document, the payload as an opaque blob (what a real pipeline gets
+    * from its object store). Single source for every multimodal query —
+    * its media_type/encoding choices are mirrored in all four oracles.
+    */
+  private def mediaRecords(s: SparkSession, d: String) = {
     import s.implicits._
     Tables(s, d, "documents")
       .select(
@@ -196,6 +201,11 @@ object Multimodal {
         concat(lit("text/plain;lang="), col("lang")).as("media_type"),
         encode(col("text"), "UTF-8").as("blob"))
       .as[MediaRecord]
+  }
+
+  def frameSamples(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaRecords(s, d)
       .mapPartitions(_.flatMap(MediaCodec.sampleFramesStub))
       .toDF()
       .orderBy("doc_id", "frame_index")
@@ -203,12 +213,7 @@ object Multimodal {
 
   def mediaResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables(s, d, "documents")
-      .select(
-        col("doc_id"),
-        concat(lit("text/plain;lang="), col("lang")).as("media_type"),
-        encode(col("text"), "UTF-8").as("blob"))
-      .as[MediaRecord]
+    mediaRecords(s, d)
       .mapPartitions { it =>
         // per-partition codec init would happen here
         it.map { r =>
@@ -223,14 +228,7 @@ object Multimodal {
 
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, d, "documents")
-    val records = docs
-      .select(
-        col("doc_id"),
-        concat(lit("text/plain;lang="), col("lang")).as("media_type"),
-        encode(col("text"), "UTF-8").as("blob"))
-      .as[MediaRecord]
-    records
+    mediaRecords(s, d)
       .mapPartitions { it =>
         // per-partition codec init would happen here
         it.map(MediaCodec.decodeStub)

@@ -47,7 +47,10 @@ object ShardedStreamLog {
     val seqs = records.map(_.sequenceNumber)
     require(seqs.zip(seqs.drop(1)).forall { case (a, b) => a < b },
       s"append to $stream/$shard must be strictly sequence-ascending")
-    val prevMax = maxSequence(root, stream, shard)
+    // O(1) invariant check: the last line of a monotone log holds its max
+    // (a full maxSequence/advance here would parse the whole history on a
+    // fresh writer JVM)
+    val prevMax = lastSequence(recordsFile(root, stream, shard))
     require(seqs.isEmpty || seqs.head > prevMax,
       s"append to $stream/$shard must start after current max sequence $prevMax")
     val lines = records.map { r =>
@@ -84,6 +87,35 @@ object ShardedStreamLog {
         .toSeq
       SortedMap(entries: _*)
     }
+  }
+
+  /** Sequence number of the file's last complete line (its max, since the
+    * log is monotone), or -1 for a missing/empty file — reads only the
+    * file tail.
+    */
+  private def lastSequence(f: Path): Long = {
+    if (!Files.exists(f)) return -1L
+    val size = Files.size(f)
+    if (size == 0) return -1L
+    val window = math.min(size, 64L * 1024)
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+    val tail = try {
+      ch.position(size - window)
+      val buf = java.nio.ByteBuffer.allocate(window.toInt)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
+    } finally ch.close()
+    // last complete (newline-terminated) line wins; append always writes
+    // a trailing \n, so only a concurrent partial append lacks one. The
+    // final split element is that partial tail (or "" after \n) — drop
+    // it; the first may be clipped by the window start — drop it too
+    // unless the window covers the whole file.
+    val lines = tail.split("\n", -1).dropRight(1)
+    val complete = if (window < size) lines.drop(1) else lines
+    complete.reverseIterator
+      .find(l => l.nonEmpty && l.indexOf('\t') > 0)
+      .map(l => l.substring(0, l.indexOf('\t')).toLong)
+      .getOrElse(-1L)
   }
 
   // -------------------------------------------------------------------
