@@ -15,7 +15,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     ops.Relational.queries ++ ops.Events.queries ++ ops.Extended.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++ llm.TextAnalysis.queries ++
-      multimodal.Multimodal.queries
+      llm.Pipeline.queries ++ multimodal.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7.2 end-to-end slice: purchase events joined to the
