@@ -5,18 +5,43 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Element-type dispatch shared by the two kernels below: both accept
+  * sorted `array<string>` (binary string order) or sorted `array<bigint>`
+  * (numeric order — the cheaper representation: token/shingle *hashes*
+  * merge with one long compare instead of a byte-wise string compare).
+  */
+private[functions] object SortedMerge {
+  def ok(l: DataType, r: DataType): Boolean = (l, r) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => true
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+    case _ => false
+  }
+  def isLong(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  /** Java source for `compare(a[i], b[j])` over the element type. */
+  def cmpSrc(long: Boolean, a: String, i: String, b: String, j: String): String =
+    if (long) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+    else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+  def cmp(long: Boolean, x: ArrayData, i: Int, y: ArrayData, j: Int): Int =
+    if (long) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+    else x.getUTF8String(i).compareTo(y.getUTF8String(j))
+}
 
 /** Native set-intersection-size kernel for the pair-verification hot path
   * (Jaccard / MinHash exact verify): `|A ∩ B|` of two SORTED distinct
-  * string arrays by linear merge — O(|A|+|B|) binary string compares, zero
-  * allocation. The equivalent `size(array_intersect(a, b))` builds a hash
-  * set and materializes the intersection array per pair, which dominates
-  * blocked all-pairs joins (the per-pair inner loop of q24/q25).
+  * arrays (string or bigint elements) by linear merge — O(|A|+|B|)
+  * compares, zero allocation. The equivalent `size(array_intersect(a, b))`
+  * builds a hash set and materializes the intersection array per pair,
+  * which dominates blocked all-pairs joins (the per-pair inner loop of
+  * q24/q25).
   *
-  * PRECONDITION: both inputs sorted ascending in Spark's binary string
-  * order (`array_sort` / `sort_array` produce exactly this; sorting is
+  * PRECONDITION: both inputs sorted ascending in the element type's order
+  * (`array_sort` / `sort_array` produce exactly this; sorting is
   * once per document, amortized over all pairs in its block). Elements
   * need not be globally distinct — equal runs advance both sides by one
   * match, which equals `array_intersect` semantics when each side is
@@ -26,15 +51,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) =>
-        TypeCheckResult.TypeCheckFailure(
-          s"sorted_intersect_count requires two array<string> arguments, got $l and $r")
-    }
+    if (SortedMerge.ok(left.dataType, right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count requires two array<string> or two array<bigint> arguments, " +
+        s"got ${left.dataType} and ${right.dataType}")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+
+  private lazy val longElems = SortedMerge.isLong(left.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -45,7 +69,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var c = 0
     while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp = SortedMerge.cmp(longElems, x, i, y, j)
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -66,7 +90,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $cmp = ${SortedMerge.cmpSrc(longElems, a, i, b, j)};
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}
@@ -94,14 +118,17 @@ case class SortedIntersectCountMin(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType) =>
+      case (a, b, IntegerType) if SortedMerge.ok(a, b) =>
         TypeCheckResult.TypeCheckSuccess
       case (a, b, c) =>
         TypeCheckResult.TypeCheckFailure(
-          s"sorted_intersect_count_min requires (array<string>, array<string>, int), got ($a, $b, $c)")
+          "sorted_intersect_count_min requires (array<string>, array<string>, int) " +
+            s"or (array<bigint>, array<bigint>, int), got ($a, $b, $c)")
     }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count_min"
+
+  private lazy val longElems = SortedMerge.isLong(first.dataType)
 
   override def nullSafeEval(a: Any, b: Any, m: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -114,7 +141,7 @@ case class SortedIntersectCountMin(
     var c = 0
     while (i < nx && j < ny) {
       if (c + math.min(nx - i, ny - j) < need) return Int.box(-1)
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp = SortedMerge.cmp(longElems, x, i, y, j)
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -138,7 +165,7 @@ case class SortedIntersectCountMin(
          |while ($i < $nx && $j < $ny) {
          |  int $rem = ($nx - $i < $ny - $j) ? ($nx - $i) : ($ny - $j);
          |  if ($c + $rem < $m) { $c = -1; break; }
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $cmp = ${SortedMerge.cmpSrc(longElems, a, i, b, j)};
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}

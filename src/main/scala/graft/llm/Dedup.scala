@@ -52,12 +52,18 @@ object Dedup {
       // intersection SIZE is computed per pair, via the native merge
       // kernel over per-doc pre-sorted arrays (sort once per document,
       // amortized over every pair in its block; no per-pair hash set or
-      // intersection array like array_intersect builds).
+      // intersection array like array_intersect builds). The merge runs
+      // over sorted xxhash64 TOKEN HASHES, not the token strings: one
+      // long compare per step instead of a byte-wise string compare, and
+      // the per-doc sort is a long sort. |∩| and |set| are unchanged
+      // unless two distinct tokens of a compared pair collide in 64 bits
+      // (P < 1e-12 per pair at these set sizes).
       graft.functions.SortedIntersectCount.register(s)
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           (col("n_chars") / 50).cast("long").as("len_bucket"),
-          array_sort(tokenSet).as("toks"))
+          sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+            .as("toks"))
         .withColumn("n_toks", size(col("toks")))
       val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
         col("toks").as("toks_a"), col("n_toks").as("na"))
@@ -127,7 +133,7 @@ object Dedup {
       // canonicalized text: the shuffle then moves a 32-byte key per doc
       // instead of the document body (at corpus scale the dominant cost).
       // Both engines compute the same md5, so the oracle is unaffected.
-      .withColumn("canon_key", md5(array_join(array_sort(tokenSet), " ")))
+      .withColumn("canon_key", md5(array_join(sort_array(tokenSet), " ")))
       .groupBy(col("canon_key"))
       .agg(
         min(col("doc_id")).as("canonical_id"),
@@ -139,17 +145,27 @@ object Dedup {
   private val NumBands = 8 // 4 rows of the 32 signatures per band
 
   def minhashDedup(s: SparkSession, d: String): DataFrame = {
+    // A shingle is identified by its 64-bit hash, computed by one seeded
+    // xxhash64 over the three token strings of its window (boundary-aware
+    // — no shingle STRING is ever built; the concat_ws alloc per position
+    // was the old hot spot), and the per-doc distinct+sort runs over
+    // longs. Jaccard over hashed shingles equals Jaccard over string
+    // shingles absent a 64-bit collision inside a compared pair
+    // (P < 1e-12 at these sizes). Single expression on purpose: a
+    // separate token-hash column would be inlined back into every
+    // reference by CollapseProject and recomputed per window.
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) >= 3)
-      .withColumn("shingles",
-        expr("array_distinct(transform(sequence(0, size(tokens)-3), i -> concat_ws(' ', slice(tokens, i+1, 3))))"))
+      .withColumn("shingles", expr(
+        """sort_array(array_distinct(transform(sequence(1, size(tokens) - 2),
+          |  i -> xxhash64(element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))))""".stripMargin))
+      .select("doc_id", "shingles")
     // All 32 signatures in one pass via the native codegen'd kernel
     // (graft.functions.MinHashSigs) over the shingle hashes.
     graft.functions.MinHashSigs.register(s)
     val sigs = docs
-      .select(col("doc_id"),
-        expr("minhash_sigs(transform(shingles, sh -> xxhash64(sh)))").as("sigs"))
+      .select(col("doc_id"), expr("minhash_sigs(shingles)").as("sigs"))
       // plan barrier: materialize signatures once before the 8-band fan-out
       // (prevents projection collapse from re-expanding the kernel per band)
       .repartition(col("doc_id"))
@@ -166,16 +182,25 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on the shingle sets (|A∪B| = |A|+|B|−|A∩B|),
-    // via the sorted-merge kernel: sort once per doc, count per pair
+    // exact verification on the shingle-hash sets (|A∪B| = |A|+|B|−|A∩B|),
+    // via the sorted-merge kernel (`shingles` is already sorted): sort
+    // once per doc, count per pair. LEG SHAPE on purpose: each candidate
+    // pair fans out to its two doc legs, the shingle table is joined ONCE
+    // (one scan + one shuffle keyed on doc_id), and the pair regroups via
+    // groupBy(doc_a, doc_b). The naive two-sided join costs two scans of
+    // the set table and (under AQE at small sizes) two broadcasts of the
+    // full array column — measured 3.8s → 0.7s at sf0.1.
     graft.functions.SortedIntersectCount.register(s)
-    val sets = docs.select(col("doc_id"), array_sort(col("shingles")).as("shingles"),
-      size(col("shingles")).as("n_sh"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-        col("n_sh").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-        col("n_sh").as("nb")), Seq("doc_b"))
+    val sets = docs.withColumn("n_sh", size(col("shingles")))
+    val legs = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    legs.join(sets, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(when(col("doc_id") === col("doc_a"), col("shingles"))).as("sh_a"),
+        max(when(col("doc_id") === col("doc_b"), col("shingles"))).as("sh_b"),
+        max(when(col("doc_id") === col("doc_a"), col("n_sh"))).as("na"),
+        max(when(col("doc_id") === col("doc_b"), col("n_sh"))).as("nb"))
       // J >= 0.5 ⟺ i >= (na+nb)/3: early-exit threshold form
       .withColumn("i",
         expr("sorted_intersect_count_min(sh_a, sh_b, cast((na + nb + 2) div 3 AS int))"))

@@ -195,6 +195,13 @@ object Similarity {
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+    // Two-sided join for the exact verify, NOT the leg shape used in
+    // Dedup.minhashDedup: here the candidate-pair set is typically much
+    // LARGER than the vector table (LSH buckets are coarse), so fanning
+    // each pair out to two array-carrying legs duplicates the embedding
+    // column per pair (measured 1.9s → 6.5s at sf0.1). Joining the pair
+    // list against the compact vector table — broadcast when small,
+    // shuffled on vec_id at scale — keeps the arrays in place.
     val sides = withNorm.select(col("vec_id"), col("v"), col("norm2"))
     cand
       .join(sides.select(col("vec_id").as("vec_a"), col("v").as("va"),
