@@ -15,18 +15,25 @@ import org.apache.spark.sql.functions.udf
   */
 object Udfs {
 
-  /** Shannon entropy (bits/char) of a string — a quality-scoring helper
-    * users commonly bring as custom code; genuinely awkward as built-ins
-    * (needs a per-row frequency map).
+  /** Shannon entropy (bits per character) of a string — a quality-scoring
+    * helper users commonly bring as custom code; genuinely awkward as
+    * built-ins (needs a per-row frequency map). Iterates Unicode CODE
+    * POINTS, so supplementary characters (emoji, rare CJK) count once
+    * rather than as two UTF-16 surrogate halves.
     */
   val charEntropy: UserDefinedFunction = udf { (s: String) =>
     if (s == null || s.isEmpty) 0.0
     else {
-      val counts = new scala.collection.mutable.HashMap[Char, Int]()
-      s.foreach(c => counts.update(c, counts.getOrElse(c, 0) + 1))
-      val n = s.length.toDouble
+      val counts = new scala.collection.mutable.HashMap[Int, Int]()
+      var n = 0
+      val it = s.codePoints().iterator()
+      while (it.hasNext) {
+        val cp = it.nextInt()
+        counts.update(cp, counts.getOrElse(cp, 0) + 1)
+        n += 1
+      }
       counts.values.foldLeft(0.0) { (acc, c) =>
-        val p = c / n
+        val p = c / n.toDouble
         acc - p * math.log(p) / math.log(2.0)
       }
     }

@@ -180,7 +180,11 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
     val withNorm = emb.withColumn("norm2", dot("v", "v"))
-      // barrier: materialize v/norm2 once before the table fan-out
+      // plan barrier / exchange reuse before the table fan-out: the
+      // repartition adds an Exchange that stops projection collapse from
+      // re-expanding v/norm2 per table; recomputation avoidance across
+      // the join sides relies on ReuseExchange matching the identical
+      // subplans (an Exchange does NOT cache like persist())
       .repartition(col("vec_id"))
     val tableBuckets = (0 until tables).map { t =>
       val bucket = (0 until planesPerTable).map { j =>

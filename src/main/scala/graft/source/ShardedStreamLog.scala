@@ -97,25 +97,36 @@ object ShardedStreamLog {
     if (!Files.exists(f)) return -1L
     val size = Files.size(f)
     if (size == 0) return -1L
-    val window = math.min(size, 64L * 1024)
-    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
-    val tail = try {
-      ch.position(size - window)
-      val buf = java.nio.ByteBuffer.allocate(window.toInt)
-      while (buf.hasRemaining && ch.read(buf) >= 0) {}
-      new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
-    } finally ch.close()
-    // last complete (newline-terminated) line wins; append always writes
-    // a trailing \n, so only a concurrent partial append lacks one. The
-    // final split element is that partial tail (or "" after \n) — drop
-    // it; the first may be clipped by the window start — drop it too
-    // unless the window covers the whole file.
-    val lines = tail.split("\n", -1).dropRight(1)
-    val complete = if (window < size) lines.drop(1) else lines
-    complete.reverseIterator
-      .find(l => l.nonEmpty && l.indexOf('\t') > 0)
-      .map(l => l.substring(0, l.indexOf('\t')).toLong)
-      .getOrElse(-1L)
+    // Grow the tail window until it holds a complete line (or covers the
+    // whole file): a single record line larger than the initial window —
+    // a base64 payload past ~48 KB — must not read as "no records"
+    // (returning -1 would let append's monotonicity guard pass silently).
+    var window = math.min(size, 64L * 1024)
+    while (true) {
+      val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+      val tail = try {
+        ch.position(size - window)
+        val buf = java.nio.ByteBuffer.allocate(window.toInt)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
+      } finally ch.close()
+      // last complete (newline-terminated) line wins; append always writes
+      // a trailing \n, so only a concurrent partial append lacks one. The
+      // final split element is that partial tail (or "" after \n) — drop
+      // it; the first may be clipped by the window start — drop it too
+      // unless the window covers the whole file.
+      val lines = tail.split("\n", -1).dropRight(1)
+      val complete = if (window < size) lines.drop(1) else lines
+      val found = complete.reverseIterator
+        .find(l => l.nonEmpty && l.indexOf('\t') > 0)
+        .map(l => l.substring(0, l.indexOf('\t')).toLong)
+      found match {
+        case Some(seq) => return seq
+        case None if window >= size => return -1L
+        case None => window = math.min(size, window * 2)
+      }
+    }
+    -1L // unreachable
   }
 
   // -------------------------------------------------------------------
@@ -133,12 +144,31 @@ object ShardedStreamLog {
     var scannedBytes: Long = 0L
     var maxSeq: Long = -1L
     var lastCkptBytes: Long = -IndexEveryBytes
+    // first bytes of the file when first scanned — identity signal to
+    // catch a file that was deleted and recreated at equal-or-larger size
+    // (size alone would keep the stale index and yield wrong reads)
+    var identity: Array[Byte] = null
     // (first sequence of the record starting at byte offset, byte offset)
     val checkpoints = new java.util.ArrayList[Array[Long]]()
     def reset(): Unit = {
       scannedBytes = 0L; maxSeq = -1L; lastCkptBytes = -IndexEveryBytes
+      identity = null
       checkpoints.clear()
     }
+  }
+
+  private val IdentityBytes = 64
+
+  /** First `min(IdentityBytes, size)` bytes of the file. */
+  private def headBytes(f: Path, size: Long): Array[Byte] = {
+    val n = math.min(size, IdentityBytes.toLong).toInt
+    if (n <= 0) return Array.emptyByteArray
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(n)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      java.util.Arrays.copyOf(buf.array(), buf.position())
+    } finally ch.close()
   }
 
   private val indexes =
@@ -158,7 +188,15 @@ object ShardedStreamLog {
     idx.synchronized {
       val size = if (Files.exists(f)) Files.size(f) else 0L
       if (size < idx.scannedBytes) idx.reset()
+      // same-or-larger size is not proof of the same file: a shard dir
+      // deleted and recreated within one JVM must not inherit the stale
+      // index — compare the head bytes captured at first scan
+      else if (idx.scannedBytes > 0 && idx.identity != null &&
+          !java.util.Arrays.equals(idx.identity,
+            headBytes(f, math.min(size, idx.identity.length.toLong))))
+        idx.reset()
       if (size > idx.scannedBytes) {
+        if (idx.scannedBytes == 0) idx.identity = headBytes(f, size)
         val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
         try {
           ch.position(idx.scannedBytes)

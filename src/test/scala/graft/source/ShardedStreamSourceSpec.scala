@@ -170,6 +170,38 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
       s"re-scanned $delta bytes for a ~1 KB tail over a ~2.4 MB history")
   }
 
+  test("append monotonicity guard sees past a record line larger than the tail window") {
+    val root = Files.createTempDirectory("sslog").toString
+    // one record whose base64 payload alone exceeds the 64 KiB tail
+    // window: lastSequence must grow the window rather than report an
+    // empty log, so a non-monotone append is still rejected
+    val big = LogRecord(10L, "pk", 1700000000000L, Array.fill(100 * 1024)('x'.toByte))
+    ShardedStreamLog.append(root, "events", "shard-0", Seq(big))
+    intercept[IllegalArgumentException] {
+      ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(5L)))
+    }
+    ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(11L)))
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 11L)
+  }
+
+  test("recreated shard file at same-or-larger size does not inherit the stale index") {
+    val root = Files.createTempDirectory("sslog").toString
+    ShardedStreamLog.append(root, "events", "shard-0", (100L to 104L).map(rec(_)))
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 104L)
+    // delete and recreate the shard with different, lower-sequence records
+    // and an equal-or-larger file — size alone cannot detect this
+    val dir = java.nio.file.Paths.get(root, "events", "shard-0")
+    dir.toFile.listFiles().foreach(_.delete())
+    Files.deleteIfExists(dir)
+    ShardedStreamLog.append(root, "events", "shard-0",
+      (1L to 9L).map(i => LogRecord(i, "pk", 1700000000000L,
+        Array.fill(64)('y'.toByte))))
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 9L)
+    val got = ShardedStreamLog.read(root, "events", "shard-0", -1L, Long.MaxValue)
+      .map(_.sequenceNumber).toSeq
+    assert(got == (1L to 9L))
+  }
+
   test("closed shard rejects further appends") {
     val (root, _, _) = freshDirs()
     ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(0)))
