@@ -45,4 +45,29 @@ object Det {
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
   def davgSql(expr: String): String = s"(${dsumSql(expr)} / COUNT(*))"
+
+  /** Cent-scaled exact long sum for doubles with ≤ `scale` decimal places
+    * and bounded magnitude: Σ round(x·10^scale) as int64, then one
+    * long→double cast (single IEEE rounding, identical on both engines —
+    * unlike wide decimal→double casts, which can double-round).
+    * ~3× cheaper than [[dsum]] (no 128-bit decimal accumulation).
+    *
+    * OVERFLOW CONTRACT (ANSI mode aborts rather than wraps): requires
+    * rows · |x|·10^scale < 2^63 ≈ 9.2e18 — e.g. 2-decimal prices ≤ 1e5
+    * sum safely past 6e9 rows (6e16). For products or wider scales that
+    * breach the bound, use [[dsum]].
+    */
+  def csum(c: Column, scale: Int = 2): Column = {
+    val f = math.pow(10, scale)
+    (sum(round(c * f).cast("long")).cast("double")) / f
+  }
+
+  /** DuckDB fragment equivalent to [[csum]]. DuckDB's SUM(BIGINT) widens
+    * to HUGEINT — cast back to BIGINT (exact under the contract) so the
+    * final int→double rounding matches Spark's long→double cast.
+    */
+  def csumSql(expr: String, scale: Int = 2): String = {
+    val f = s"1e$scale"
+    s"(CAST(CAST(SUM(CAST(ROUND(($expr) * $f) AS BIGINT)) AS BIGINT) AS DOUBLE) / $f)"
+  }
 }

@@ -14,6 +14,7 @@ object SparkEntry {
   /** All operator modules, in presentation order. */
   def all: Seq[QueryDef] =
     ops.Relational.queries ++ ops.Events.queries ++ ops.Extended.queries ++
+      ops.Stats.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++ llm.TextAnalysis.queries ++
       llm.Pipeline.queries ++ multimodal.Multimodal.queries
 

@@ -88,6 +88,117 @@ object Pipeline {
          |FROM c
          |GROUP BY 1, 2
          |ORDER BY lang, pack_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q59: deterministic STRATIFIED sampling — per-stratum rates (10% of
+    // English, 25% of everything else) from the same stable md5 bucket as
+    // q53: reproducible across runs/engines/cluster sizes, no rand().
+    // Output is the per-stratum sample audit. Pure per-row predicate +
+    // one keyed aggregation — the filter runs scan-side at any scale.
+    QueryDef.sql("q59_stratified_sample") { (s, d) =>
+      val bucket =
+        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100")
+      val rate = when(col("lang") === "en", 10).otherwise(25)
+      Tables(s, d, "documents")
+        .filter(bucket < rate)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    } {
+      """WITH b AS (
+        |  SELECT *, CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                 AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_sampled,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM b
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 25 END)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q60: term salience (tf over relative document frequency): token
+    // explode → (doc, term) counts → corpus df from the tf relation (one
+    // pass, no second tokenize) → score = tf/df, top-3 terms per doc.
+    // score is one exact IEEE division of two integers, so the doubles
+    // are bit-equal across engines (a log-based idf would hit libm
+    // rounding differences). df is corpus-wide on purpose — the per-doc
+    // output filter must not prune the df aggregation.
+    QueryDef.sql("q60_tfdf_top_terms") { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3 && col("doc_id") < 50)
+        .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+        .orderBy("doc_id", "rnk")
+    } {
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df USING (term)),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, score FROM r
+        |WHERE rnk <= 3 AND doc_id < 50
+        |ORDER BY doc_id, rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q61: context-length capping — normalize whitespace, truncate to 120
+    // characters at a word boundary (drop the trailing partial token).
+    // Pure per-row string expressions; identical regex semantics on both
+    // engines for these patterns.
+    QueryDef.sql("q61_truncate_normalize") { (s, d) =>
+      val norm = regexp_replace(trim(col("text")), " +", " ")
+      Tables(s, d, "documents")
+        .withColumn("norm", norm)
+        .withColumn("truncated",
+          when(length(col("norm")) <= 120, col("norm"))
+            .otherwise(regexp_replace(
+              substring(col("norm"), 1, 120), " [^ ]*$", "")))
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          length(col("norm")).as("len_before"),
+          length(col("truncated")).as("len_after"),
+          col("truncated"))
+        .orderBy("doc_id")
+    } {
+      """WITH n AS (
+        |  SELECT doc_id, REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g') AS norm
+        |  FROM documents WHERE doc_id < 100),
+        |t AS (
+        |  SELECT doc_id, norm,
+        |    CASE WHEN LENGTH(norm) <= 120 THEN norm
+        |         ELSE REGEXP_REPLACE(SUBSTRING(norm, 1, 120), ' [^ ]*$', '')
+        |    END AS truncated
+        |  FROM n)
+        |SELECT doc_id, LENGTH(norm) AS len_before,
+        |  LENGTH(truncated) AS len_after, truncated
+        |FROM t
+        |ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -173,12 +173,24 @@ object Similarity {
     * Plane dots run through the codegen'd `vec_dot` against
     * driver-computed literal weight arrays (data-independent), not
     * interpreted higher-order lambdas.
+    *
+    * `planesPerTable = 0` (the default) sizes the per-table bucket space
+    * adaptively to ~[[NearDupBucketTarget]] vectors per bucket (one
+    * column-pruned count at plan time), so within-bucket pair work stays
+    * bounded as the corpus grows — the same fix as [[planesFor]] for the
+    * single-table ANN path.
     */
   def embeddingNearDupLsh(
       s: SparkSession, d: String,
-      tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+      tables: Int = 8, planesPerTable: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
+    val planesPT =
+      if (planesPerTable > 0) planesPerTable
+      else {
+        val buckets = math.max(1L, emb.count() / NearDupBucketTarget)
+        math.min(24, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+      }
     val withNorm = emb.withColumn("norm2", dot("v", "v"))
       // plan barrier / exchange reuse before the table fan-out: the
       // repartition adds an Exchange that stops projection collapse from
@@ -187,12 +199,12 @@ object Similarity {
       // subplans (an Exchange does NOT cache like persist())
       .repartition(col("vec_id"))
     val tableBuckets = (0 until tables).map { t =>
-      val bucket = (0 until planesPerTable).map { j =>
-        when(planeDot(t * planesPerTable + j) >= 0, lit(1L << j)).otherwise(lit(0L))
+      val bucket = (0 until planesPT).map { j =>
+        when(planeDot(t * planesPT + j) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
-    val buckets = withPlaneWeights(withNorm, tables * planesPerTable)
+    val buckets = withPlaneWeights(withNorm, tables * planesPT)
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val cand = buckets.alias("x").join(buckets.alias("y"), Seq("tbl", "bucket"))
@@ -331,6 +343,12 @@ object Similarity {
 
   /** Vectors per bucket the adaptive plane count aims for. */
   private val TargetBucketSize = 256L
+
+  /** Per-table bucket-size target for the multi-table near-dup LSH
+    * (smaller than [[TargetBucketSize]]: every bucket in every table
+    * feeds a quadratic pair fan-out, so buckets must stay small).
+    */
+  private val NearDupBucketTarget = 32L
 
   /** Plane count for n candidates: buckets ≈ n / [[TargetBucketSize]],
     * i.e. p = max(4, ceil(log2(n/256))), capped at 30. Per-bucket work is

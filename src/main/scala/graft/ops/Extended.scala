@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, Tables}
+import graft.{Det, QueryDef, Tables}
 import graft.Det.{dsum, dsumSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,14 +50,14 @@ object Extended {
           grouping(col("o_orderstatus")).cast("int").as("g_s"),
           grouping(col("o_orderpriority")).cast("int").as("g_p"),
           count(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("sum_price"))
+          Det.csum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy(col("g_s"), col("g_p"), col("o_orderstatus"), col("o_orderpriority"))
     } {
       s"""SELECT o_orderstatus, o_orderpriority,
          |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
          |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
          |  COUNT(*) AS n_orders,
-         |  ${dsumSql("o_totalprice")} AS sum_price
+         |  ${Det.csumSql("o_totalprice", 2)} AS sum_price
          |FROM orders
          |GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin
@@ -87,7 +87,7 @@ object Extended {
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
         |  CAST(GROUPING(YEAR(o_orderdate)) AS INT) AS g_y,
         |  COUNT(*) AS n_orders,
-        |  ${dsumSql("o_totalprice")} AS sum_price
+        |  ${Det.csumSql("o_totalprice", 2)} AS sum_price
         |FROM orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (YEAR(o_orderdate)))
         |ORDER BY g_s, g_y, o_orderstatus, y""".stripMargin)
@@ -96,7 +96,7 @@ object Extended {
          |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
          |  CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) AS INT) AS g_y,
          |  COUNT(*) AS n_orders,
-         |  ${dsumSql("o_totalprice")} AS sum_price
+         |  ${Det.csumSql("o_totalprice", 2)} AS sum_price
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (EXTRACT(YEAR FROM o_orderdate)))
          |ORDER BY g_s, g_y, o_orderstatus, y""".stripMargin
@@ -167,7 +167,7 @@ object Extended {
     } {
       s"""SELECT l_orderkey, COUNT(*) AS n_items,
          |  STRING_AGG(l_partkey, ',' ORDER BY l_partkey) AS part_keys,
-         |  ${dsumSql("l_quantity")} AS total_qty,
+         |  ${Det.csumSql("l_quantity", 0)} AS total_qty,
          |  MAX(l_partkey) AS max_part,
          |  MIN(l_partkey) AS first_part
          |FROM lineitem
@@ -184,24 +184,24 @@ object Extended {
     QueryDef.sql("q46_left_outer_returns") { (s, d) =>
       val ret = Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
         .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_ret_items"), dsum(col("l_extendedprice")).as("ret_value"))
+        .agg(count(lit(1)).as("n_ret_items"), Det.csum(col("l_extendedprice"), 2).as("ret_value"))
       Tables(s, d, "orders")
         .join(ret, col("o_orderkey") === col("l_orderkey"), "left_outer")
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_orders"),
           sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_no_returns"),
-          dsum(coalesce(col("ret_value"), lit(0.0))).as("total_ret_value"))
+          Det.csum(coalesce(col("ret_value"), lit(0.0)), 2).as("total_ret_value"))
         .orderBy("o_orderpriority")
     } {
       s"""WITH r AS (
          |  SELECT l_orderkey, COUNT(*) AS n_ret_items,
-         |    ${dsumSql("l_extendedprice")} AS ret_value
+         |    ${Det.csumSql("l_extendedprice", 2)} AS ret_value
          |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey)
          |SELECT o_orderpriority, COUNT(*) AS n_orders,
          |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_no_returns,
-         |  ${dsumSql("COALESCE(ret_value, 0.0)")} AS total_ret_value
+         |  ${Det.csumSql("COALESCE(ret_value, 0.0)", 2)} AS total_ret_value
          |FROM orders LEFT JOIN r ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin
@@ -292,7 +292,7 @@ object Extended {
       .agg(
         count(lit(1)).as("n_items"),
         sort_array(collect_list(col("l_partkey"))).as("part_keys"),
-        dsum(col("l_quantity")).as("total_qty"))
+        Det.csum(col("l_quantity"), 0).as("total_qty"))
       .filter(col("n_items") >= 7)
       .withColumn("max_part", array_max(col("part_keys")))
       .withColumn("first_part", element_at(col("part_keys"), 1))

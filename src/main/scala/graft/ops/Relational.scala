@@ -24,28 +24,34 @@ object Relational {
     // referenced columns are read from parquet (column pruning).
     QueryDef.sql("q01_pricing_summary") { (s, d) =>
       val li = Tables(s, d, "lineitem")
+      // exact LONG sums (Det.csum) for the plain measures — quantity is a
+      // small integer, price/discount have 2 decimals, all far inside the
+      // int64 contract even at 100 TB row counts; the discounted products
+      // (4–6 decimal places, larger magnitude) keep the decimal
+      // accumulator. Values are identical (both paths sum the same exact
+      // quantities); the long path skips 128-bit decimal accumulation.
       li.filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.csum(col("l_quantity"), 0).as("sum_qty"),
+          Det.csum(col("l_extendedprice"), 2).as("sum_base_price"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
             .as("sum_charge"),
-          Det.davg(col("l_quantity")).as("avg_qty"),
-          Det.davg(col("l_extendedprice")).as("avg_price"),
-          Det.davg(col("l_discount")).as("avg_disc"),
+          (Det.csum(col("l_quantity"), 0) / count(lit(1))).as("avg_qty"),
+          (Det.csum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          (Det.csum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     } {
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${dsumSql("l_quantity")} AS sum_qty,
-         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${Det.csumSql("l_quantity", 0)} AS sum_qty,
+         |  ${Det.csumSql("l_extendedprice", 2)} AS sum_base_price,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
-         |  ${Det.davgSql("l_quantity")} AS avg_qty,
-         |  ${Det.davgSql("l_extendedprice")} AS avg_price,
-         |  ${Det.davgSql("l_discount")} AS avg_disc,
+         |  (${Det.csumSql("l_quantity", 0)} / COUNT(*)) AS avg_qty,
+         |  (${Det.csumSql("l_extendedprice", 2)} / COUNT(*)) AS avg_price,
+         |  (${Det.csumSql("l_discount", 2)} / COUNT(*)) AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
@@ -94,12 +100,12 @@ object Relational {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(Det.csum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     } {
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  ${Det.csumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -173,11 +179,11 @@ object Relational {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(Det.csum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     } {
       s"""SELECT r_name, n_name,
-         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  ${Det.csumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -197,7 +203,7 @@ object Relational {
       val p = Tables(s, d, "part")
       val rev = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_partkey"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(Det.csum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("revenue").desc, col("p_partkey"))
       rev.withColumn("rnk", row_number().over(w))
@@ -211,7 +217,7 @@ object Relational {
          |                       ORDER BY revenue DESC, p_partkey) AS rnk
          |  FROM (
          |    SELECT p_brand, p_partkey,
-         |      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |      ${Det.csumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
          |    FROM lineitem JOIN part ON l_partkey = p_partkey
          |    GROUP BY p_brand, p_partkey))
          |WHERE rnk <= 3
@@ -258,14 +264,14 @@ object Relational {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"),
           count(lit(1)).as("n_rows"),
-          dsum(col("l_quantity")).as("sum_qty"))
+          Det.csum(col("l_quantity"), 0).as("sum_qty"))
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
     } {
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
          |  COUNT(*) AS n_rows,
-         |  ${dsumSql("l_quantity")} AS sum_qty
+         |  ${Det.csumSql("l_quantity", 0)} AS sum_qty
          |FROM lineitem
          |GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
@@ -358,14 +364,14 @@ object Relational {
           year(col("o_orderdate")).as("y"),
           month(col("o_orderdate")).as("m"),
           date_trunc("month", col("o_orderdate")).as("month_start"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"), Det.csum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("y", "m")
     } {
       s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
          |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
          |  DATE_TRUNC('month', o_orderdate) AS month_start,
          |  COUNT(*) AS n_orders,
-         |  ${dsumSql("o_totalprice")} AS sum_price
+         |  ${Det.csumSql("o_totalprice", 2)} AS sum_price
          |FROM orders
          |GROUP BY 1, 2, 3
          |ORDER BY y, m""".stripMargin
@@ -382,7 +388,7 @@ object Relational {
         .groupBy(col("qty_band"))
         .agg(
           count(lit(1)).as("n_rows"),
-          dsum(round(col("l_extendedprice") * col("l_discount"), 4)).as("sum_disc_amount"),
+          Det.csum(round(col("l_extendedprice") * col("l_discount"), 4), 4).as("sum_disc_amount"),
           dsum(sqrt(abs(col("l_extendedprice")))).as("sum_sqrt_price"))
         .orderBy("qty_band")
     } {
@@ -390,7 +396,7 @@ object Relational {
          |            WHEN l_quantity <= 30 THEN 'medium'
          |            ELSE 'large' END AS qty_band,
          |  COUNT(*) AS n_rows,
-         |  ${dsumSql("ROUND(l_extendedprice * l_discount, 4)")} AS sum_disc_amount,
+         |  ${Det.csumSql("ROUND(l_extendedprice * l_discount, 4)", 4)} AS sum_disc_amount,
          |  ${dsumSql("SQRT(ABS(l_extendedprice))")} AS sum_sqrt_price
          |FROM lineitem
          |GROUP BY 1

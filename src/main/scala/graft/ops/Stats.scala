@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Reshaping and statistics operators: pivot/unpivot, exact percentiles,
+  * and correlation/regression computed from exact decimal sums.
+  *
+  * Oracle-exactness notes: percentile interpolation on these fixtures is
+  * exact in binary (integer-valued data, quarter fractions), and the
+  * correlation/regression family is DERIVED from order-free exact decimal
+  * sums (Det.dsum) with one identical IEEE double formula on both engines
+  * — the built-in corr/stddev/regr_* aggregates would accumulate doubles
+  * in engine-specific order and drift in the last bits.
+  */
+object Stats {
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q55: pivot — long-to-wide on order status. Spark's
+    // groupBy().pivot(values) with an explicit value list stays a single
+    // two-phase hash aggregation (no extra pass to discover values, which
+    // at 100 TB would be a full scan); counts are coalesced to 0 so empty
+    // cells match SQL's FILTER semantics.
+    QueryDef.sql("q55_pivot_order_counts") { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")
+    } {
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q56: unpivot — wide-to-long melt of two part measures. Per-row
+    // generator (no shuffle until the final sort); measure values share
+    // one double-typed value column.
+    QueryDef.sql("q56_unpivot_part_measures") { (s, d) =>
+      Tables(s, d, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retailprice"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")),
+          "measure", "value")
+        .orderBy("p_partkey", "measure")
+    } {
+      """SELECT p_partkey, measure, value FROM (
+        |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+        |  FROM part WHERE p_partkey <= 200
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+        |  FROM part WHERE p_partkey <= 200)
+        |ORDER BY p_partkey, measure""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q57: exact percentiles (R-7 linear interpolation) of the quantity
+    // distribution per return flag. Spark's percentile and DuckDB's
+    // quantile_cont share the definition h = (n−1)p; on integer-valued
+    // quantities with quarter fractions every interpolation term is exact
+    // in binary, so the doubles are bit-equal. Exact percentile sorts
+    // per group — the distributed shape holds because group count is
+    // small and per-group data shuffles to its own aggregation buffer;
+    // for corpus-scale distributions use approx_percentile instead.
+    QueryDef.sql("q57_quantity_percentiles") { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    } {
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(l_quantity, 0.25) AS q25,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS median,
+        |  QUANTILE_CONT(l_quantity, 0.75) AS q75,
+        |  MIN(l_quantity) AS qmin,
+        |  MAX(l_quantity) AS qmax,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q58: correlation + least-squares regression of extended price on
+    // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
+    // order-free exact decimals (one map-side-combined aggregation), and
+    // corr/slope/intercept are one identical double formula on both
+    // engines. Price enters in THOUSANDS: correlation is scale-invariant
+    // and the scaling keeps every sum's decimal→double cast exact (below
+    // 2^53 of mantissa — Σy² in raw currency units differed from the
+    // oracle by 2 ulp through the engines' different cast paths);
+    // slope/intercept are therefore in kilo-currency units, named so.
+    QueryDef.sql("q58_corr_regression") { (s, d) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice") / 1000.0
+      // exact long sums (Det.csum) for everything within the int64
+      // contract — quantity is a small integer, kilo-price has 5 decimals
+      // ≤ 100, their product ≤ 5e8·1e5-scaled; only Σy² (10 decimal
+      // places) genuinely needs the decimal accumulator
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.csum(x, 0).as("sx"),
+          Det.csum(y, 5).as("sy"),
+          Det.csum(x * y, 5).as("sxy"),
+          Det.csum(x * x, 0).as("sxx"),
+          Det.dsum(y * y).as("syy"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope_kprice"),
+          ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"))
+            .as("intercept_kprice"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))).as("stddev_qty"))
+        .orderBy("l_returnflag")
+    } {
+      s"""WITH sums AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${Det.csumSql("l_quantity", 0)} AS sx,
+         |    ${Det.csumSql("l_extendedprice / 1000.0", 5)} AS sy,
+         |    ${Det.csumSql("l_quantity * (l_extendedprice / 1000.0)", 5)} AS sxy,
+         |    ${Det.csumSql("l_quantity * l_quantity", 0)} AS sxx,
+         |    ${Det.dsumSql("(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+         |    AS corr_qty_price,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_kprice,
+         |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept_kprice,
+         |  SQRT((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
+         |FROM sums
+         |ORDER BY l_returnflag""".stripMargin
+    }
+  )
+}
