@@ -177,10 +177,18 @@ object Dedup {
            |                   element_at(sigs, b*4+3), element_at(sigs, b*4+4), b)))""".stripMargin))
         .as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    val cand = bands.alias("x")
-      .join(bands.alias("y"), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // candidate pairs via POSTINGS LISTS (one shuffle on the band key,
+    // bucket-local pair expansion over the sorted member list) rather
+    // than a band self-join, which scans and shuffles the band relation
+    // twice; the cross-band distinct is the only pair-stream shuffle
+    val cand = bands.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+          |  transform(slice(members, i + 2, size(members)), b ->
+          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     // exact verification on the shingle-hash sets (|A∪B| = |A|+|B|−|A∩B|),
     // via the sorted-merge kernel (`shingles` is already sorted): sort
@@ -227,10 +235,17 @@ object Dedup {
         struct(lit(b).as("band"), expr(s"(simhash >> ${16 * b}) & 65535").as("bkey"))
       }: _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    bands.alias("x").join(bands.alias("y"), Seq("band", "bkey"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("fp_a"), col("y.simhash").as("fp_b"))
+    // postings-list pair expansion (see minhashDedup): members sorted by
+    // (doc_id, simhash) struct order, so doc_a < doc_b by construction
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+          |  transform(slice(members, i + 2, size(members)), b ->
+          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           a.simhash AS fp_a, b.simhash AS fp_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.fp_a"), col("p.fp_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
       .filter(col("hamming") <= 3)

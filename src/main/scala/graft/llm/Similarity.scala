@@ -207,9 +207,19 @@ object Similarity {
     val buckets = withPlaneWeights(withNorm, tables * planesPT)
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = buckets.alias("x").join(buckets.alias("y"), Seq("tbl", "bucket"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    // candidate pairs via POSTINGS LISTS, not a bucket self-join: one
+    // shuffle groups each (table, bucket) to its member list, pairs
+    // expand bucket-locally (sorted so vec_a < vec_b without a filter),
+    // and only the cross-table distinct touches the pair stream. The
+    // self-join formulation scans/shuffles the bucket relation twice.
+    val cand = buckets.groupBy(col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+          |  transform(slice(members, i + 2, size(members)), b ->
+          |    struct(a AS vec_a, b AS vec_b))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
       .distinct()
     // Two-sided join for the exact verify, NOT the leg shape used in
     // Dedup.minhashDedup: here the candidate-pair set is typically much
