@@ -41,6 +41,57 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       s"doc_a < doc_b must precede the kernel in the join condition: $l")
   }
 
+  test("q55 pivot plans as one aggregation pass — no value-discovery scan") {
+    // pivot with an explicit value list must not add a distinct-values job
+    // or a second scan of orders: exactly one parquet scan in the plan.
+    val plan = graft.SparkEntry.queries("q55_pivot_order_counts")(spark, d)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 scan, got $scans:\n$plan")
+  }
+
+  test("q62 decontamination plans with no cross join and one documents scan") {
+    val plan = graft.SparkEntry.queries("q62_decontamination")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"doc×doc product leaked into the plan:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"inverted-index shape should scan documents once, got $scans:\n$plan")
+  }
+
+  test("LSH candidate stages plan postings lists, not band self-joins") {
+    // band/bucket → pairs must go through a single grouped expansion
+    // (Generate over the collected member list), never a self-join of the
+    // band relation. q26 carries its fingerprints through the postings
+    // list, so its whole plan is join-free; q25's only joins are the
+    // verify-stage leg joins (shingle sets), not band×band.
+    val q26 = graft.SparkEntry.queries("q26_simhash_dedup")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!q26.contains("Join"), s"q26 must be join-free:\n$q26")
+    assert(q26.contains("Generate explode"), s"q26 postings expansion missing:\n$q26")
+    val q25 = graft.SparkEntry.queries("q25_minhash_lsh_dedup")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(q25.contains("Generate explode"), s"q25 postings expansion missing:\n$q25")
+    // exactly the two verify leg-joins — a band self-join would add more
+    val joins = q25.linesIterator.count(l => l.contains("Join"))
+    assert(joins <= 2, s"q25 has $joins joins (band self-join leaked back?):\n$q25")
+  }
+
+  test("q59 stratified sampling filters in the scan stage, before any exchange") {
+    // the md5 sampling predicate is not parquet-pushable, but it must
+    // evaluate scan-side: the Filter sits below the first Exchange.
+    val plan = graft.SparkEntry.queries("q59_stratified_sample")(spark, d)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val firstFilter = lines.indexWhere(_.trim.stripPrefix("+- ").stripPrefix(": ").contains("Filter"))
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    assert(firstFilter >= 0 && firstExchange >= 0 && firstFilter > firstExchange,
+      // plans print top-down: scan-side Filter appears BELOW (after) the
+      // Exchange line in the text, i.e. at a larger index
+      s"sampling filter must be below the exchange (scan side):\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = Files.createTempDirectory("bucketed-wh").toString
     val db = "bucketdemo"
