@@ -280,6 +280,117 @@ object Pipeline {
         |SELECT train_doc, test_doc, n_common FROM p
         |WHERE n_common >= 5
         |ORDER BY train_doc, test_doc""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q63: TEMPERATURE-BASED corpus mixture scheduling (multilingual LM
+    // training mix): each language is sampled ∝ n^α (α = 0.5), i.e.
+    // low-resource languages are upsampled relative to their share. The
+    // schedule is built deterministically — doc k of a language runs at
+    // virtual time k / sqrt(n_lang); the global order is the merge of all
+    // languages' virtual times. Output audits the first 200 slots: how
+    // many slots each language got and when it first/last ran. sqrt and
+    // the division are single IEEE ops — bit-equal across engines.
+    // Fully distributed: one count per lang (broadcast back), one
+    // per-lang window, one global top-k.
+    QueryDef.sql("q63_mixture_schedule") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val nl = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      docs.join(broadcast(nl), Seq("lang"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("vt", col("rnk").cast("double") / sqrt(col("nl").cast("double")))
+        .orderBy(col("vt"), col("lang"), col("doc_id"))
+        .limit(200)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_slots"),
+          (count(lit(1)).cast("double") / 200).as("share"),
+          min(col("vt")).as("first_vt"),
+          max(col("vt")).as("last_vt"))
+        .orderBy("lang")
+    } {
+      """WITH n AS (
+        |  SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT d.doc_id, d.lang,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rnk,
+        |    n.nl
+        |  FROM documents d JOIN n USING (lang)),
+        |v AS (
+        |  SELECT doc_id, lang,
+        |    CAST(rnk AS DOUBLE) / SQRT(CAST(nl AS DOUBLE)) AS vt
+        |  FROM r),
+        |s AS (
+        |  SELECT * FROM v ORDER BY vt, lang, doc_id LIMIT 200)
+        |SELECT lang, COUNT(*) AS n_slots,
+        |  CAST(COUNT(*) AS DOUBLE) / 200 AS share,
+        |  MIN(vt) AS first_vt, MAX(vt) AS last_vt
+        |FROM s
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q64: quality-filter FUNNEL audit — the per-stage attrition report a
+    // pipeline publishes with every dataset build. Stages (cumulative):
+    // (1) language allowlist, (2) length window, (3) digit/garbage cap
+    // via a structural proxy, (4) mean-word-length sanity. One scan: each
+    // doc computes its per-stage booleans; counts unpivot to one row per
+    // stage with exact-rational retention.
+    QueryDef.sql("q64_quality_funnel") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("s1", col("lang").isin("en", "es", "de", "fr"))
+        .withColumn("s2", col("s1") && col("n_chars").between(100, 500))
+        .withColumn("s3", col("s2") && col("n_tok") >= 20)
+        .withColumn("s4", col("s3") &&
+          (col("n_chars").cast("double") / col("n_tok")).between(3.0, 12.0))
+      val agg = docs.agg(
+        count(lit(1)).as("n0"),
+        count(when(col("s1"), 1)).as("n1"),
+        count(when(col("s2"), 1)).as("n2"),
+        count(when(col("s3"), 1)).as("n3"),
+        count(when(col("s4"), 1)).as("n4"))
+      agg.select(explode(expr(
+        """array(
+          |  struct(1 AS stage, 'lang_allowlist'   AS name, n0 AS n_in, n1 AS n_out),
+          |  struct(2 AS stage, 'length_window'    AS name, n1 AS n_in, n2 AS n_out),
+          |  struct(3 AS stage, 'min_tokens'       AS name, n2 AS n_in, n3 AS n_out),
+          |  struct(4 AS stage, 'mean_word_length' AS name, n3 AS n_in, n4 AS n_out))""".stripMargin))
+        .as("st"))
+        .select(col("st.stage"), col("st.name"), col("st.n_in"), col("st.n_out"),
+          (col("st.n_out").cast("double") / col("st.n_in")).as("retention"))
+        .orderBy("stage")
+    } {
+      """WITH f AS (
+        |  SELECT
+        |    lang IN ('en', 'es', 'de', 'fr') AS s1,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+        |    n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT s1,
+        |    s1 AND n_chars BETWEEN 100 AND 500 AS s2,
+        |    s1 AND n_chars BETWEEN 100 AND 500 AND n_tok >= 20 AS s3,
+        |    s1 AND n_chars BETWEEN 100 AND 500 AND n_tok >= 20
+        |       AND (CAST(n_chars AS DOUBLE) / n_tok) BETWEEN 3.0 AND 12.0 AS s4
+        |  FROM f),
+        |c AS (
+        |  SELECT COUNT(*) AS n0,
+        |    COUNT(*) FILTER (WHERE s1) AS n1,
+        |    COUNT(*) FILTER (WHERE s2) AS n2,
+        |    COUNT(*) FILTER (WHERE s3) AS n3,
+        |    COUNT(*) FILTER (WHERE s4) AS n4
+        |  FROM g)
+        |SELECT stage, name, n_in, n_out,
+        |  CAST(n_out AS DOUBLE) / n_in AS retention
+        |FROM (
+        |  SELECT 1 AS stage, 'lang_allowlist' AS name, n0 AS n_in, n1 AS n_out FROM c
+        |  UNION ALL SELECT 2, 'length_window', n1, n2 FROM c
+        |  UNION ALL SELECT 3, 'min_tokens', n2, n3 FROM c
+        |  UNION ALL SELECT 4, 'mean_word_length', n3, n4 FROM c)
+        |ORDER BY stage""".stripMargin
     }
   )
 }
