@@ -103,6 +103,30 @@ object StreamOps {
         col(rightTime) <= col(leftTime) + expr(s"INTERVAL $window"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every left event is emitted;
+    * the right columns are null when no match arrived in the interval.
+    * Unlike the inner form, the null-extended row for an unmatched left
+    * event can only be emitted once the watermark has passed the whole
+    * interval in which a match could still arrive — so outer results
+    * trail the watermark by `window + watermarkDelay`, which is the
+    * documented Spark semantics, not a bug. Both watermarks and the range
+    * condition are REQUIRED for outer interval joins (Spark refuses the
+    * query otherwise — unbounded state).
+    */
+  def leftOuterIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      leftKey: String, rightKey: String,
+      window: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) > col(leftTime) &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $window"),
+      "left_outer")
+  }
+
   /** Per-shard consumption progress (records seen, max sequence) via
     * arbitrary stateful processing — the engine-side analog of the
     * reference's in-memory checkpoint bookkeeping

@@ -116,6 +116,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq((1L, ts(30))))
   }
 
+  test("leftOuterIntervalJoin emits unmatched lefts as nulls once the watermark passes") {
+    import spark.implicits._
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val buys = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamOps.leftOuterIntervalJoin(
+      views.toDF().toDF("v_ts", "v_user"), buys.toDF().toDF("b_ts", "b_user"),
+      "v_ts", "b_ts", "v_user", "b_user", "1 HOUR", "0 seconds")
+    spark.sql("DROP TABLE IF EXISTS lssj_sink")
+    val q = out.writeStream.format("memory").queryName("lssj_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: view@0 matched by buy@30; user 2: view@5, no buy ever
+      views.addData((ts(0), 1L), (ts(5), 2L))
+      buys.addData((ts(30), 1L))
+      q.processAllAvailable()
+      // the null-extended row for user 2 may only appear after the
+      // watermark (min over both sides) passes view-time + interval —
+      // push both sides far past it
+      views.addData((ts(600), 99L))
+      buys.addData((ts(600), 99L))
+      q.processAllAvailable()
+      views.addData((ts(1200), 99L))
+      buys.addData((ts(1200), 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("lssj_sink")
+      .filter($"v_user" < 99L)
+      .select($"v_user", $"b_ts")
+      .as[(Long, Option[Timestamp])].collect().toSeq.sortBy(_._1)
+    assert(rows == Seq((1L, Some(ts(30))), (2L, None)))
+  }
+
   test("closedSessions emits on gap-crossing and on event-time timeout") {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, Long)](spark)
