@@ -223,6 +223,37 @@ object Events {
          | AND b.ts > v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
          |GROUP BY 1
          |ORDER BY user_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q65: COHORT RETENTION — users grouped by first-activity week, then
+    // distinct active users per (cohort, week offset): the retention
+    // matrix behind every product-analytics dashboard. Two keyed
+    // aggregations (first-week per user, then exact distinct per cell);
+    // the per-user cohort joins back on user_id. Week truncation is
+    // ISO-Monday on both engines; the offset is integer day arithmetic.
+    QueryDef.sql("q65_cohort_retention") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("w")).as("cohort_week"))
+      ev.join(cohort, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    } {
+      """WITH e AS (
+        |  SELECT user_id, DATE_TRUNC('week', ts) AS w FROM events),
+        |c AS (
+        |  SELECT user_id, MIN(w) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week,
+        |  CAST(DATE_DIFF('day', cohort_week, w) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin
     }
   )
 }
