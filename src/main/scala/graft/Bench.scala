@@ -26,6 +26,9 @@ object Bench {
       try { fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
     }
+    // minimal JVM/codegen/session warmup even without a warmup dataset,
+    // so the first timed query never absorbs session-init cost
+    else spark.range(1000).selectExpr("sum(id)").collect()
     var errors = Map.empty[String, String]
     val results = names.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -36,7 +39,9 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch {
             case e: Throwable =>
-              errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              // strip quotes, backslashes and ALL control chars: any of
+              // them inside the bare-concatenated JSON string breaks it
+              errors += name -> e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
               false
           }
         // failed queries record -1, not their elapsed time: a failure must

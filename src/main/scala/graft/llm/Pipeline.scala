@@ -15,6 +15,21 @@ object Pipeline {
   /** Tokens per packed context window (q54). */
   final val ContextTokens = 512
 
+  /** Stable 0–99 bucket from the first 8 md5 hex digits of doc_id — the
+    * content-independent, engine-reproducible hash behind the q53 split
+    * and its reusers (q59 stratified sampling, q62 decontamination).
+    */
+  private val idBucket =
+    expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100")
+
+  /** 80/10/10 train/val/test assignment from [[idBucket]]. */
+  private val splitCol =
+    when(idBucket < 80, "train").when(idBucket < 90, "val").otherwise("test")
+
+  /** DuckDB fragment equivalent to [[idBucket]]. */
+  private val IdBucketSql =
+    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q53: deterministic train/val/test split (80/10/10) by a stable
@@ -23,11 +38,8 @@ object Pipeline {
     // sizes (never use rand(): resampling on retry poisons eval sets).
     // Output is the per-split/lang audit a pipeline gates on.
     QueryDef.sql("q53_hash_split") { (s, d) =>
-      val bucket =
-        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100")
       Tables(s, d, "documents")
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .withColumn("split", splitCol)
         .groupBy(col("split"), col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -36,9 +48,8 @@ object Pipeline {
           max(col("doc_id")).as("max_doc"))
         .orderBy("split", "lang")
     } {
-      """WITH b AS (
-        |  SELECT *, CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |                 AS BIGINT) % 100 AS bucket
+      s"""WITH b AS (
+        |  SELECT *, $IdBucketSql AS bucket
         |  FROM documents)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
@@ -97,11 +108,9 @@ object Pipeline {
     // Output is the per-stratum sample audit. Pure per-row predicate +
     // one keyed aggregation — the filter runs scan-side at any scale.
     QueryDef.sql("q59_stratified_sample") { (s, d) =>
-      val bucket =
-        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100")
       val rate = when(col("lang") === "en", 10).otherwise(25)
       Tables(s, d, "documents")
-        .filter(bucket < rate)
+        .filter(idBucket < rate)
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_sampled"),
@@ -110,9 +119,8 @@ object Pipeline {
           max(col("doc_id")).as("max_doc"))
         .orderBy("lang")
     } {
-      """WITH b AS (
-        |  SELECT *, CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |                 AS BIGINT) % 100 AS bucket
+      s"""WITH b AS (
+        |  SELECT *, $IdBucketSql AS bucket
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_sampled,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -214,8 +222,6 @@ object Pipeline {
     // frequent-shingle guard; at corpus scale the df cap is what bounds
     // the inverted index's worst key).
     QueryDef.sql("q62_decontamination") { (s, d) =>
-      val bucket =
-        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100")
       // one tokenize+explode pass, one shuffle on the shingle key (as a
       // 64-bit hash — the string itself never shuffles; a collision
       // merges two unrelated postings lists, P < 1e-9 corpus-wide), then
@@ -224,8 +230,7 @@ object Pipeline {
       // formulation (legs ⋈ df ⋈ legs) recomputes the exploded legs four
       // times — measured 2.0s → 0.6s at sf0.1.
       val legs = Tables(s, d, "documents")
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .withColumn("split", splitCol)
         .filter(col("split").isin("train", "test"))
         .withColumn("tokens", split(col("text"), " "))
         .filter(size(col("tokens")) >= 3)
@@ -249,10 +254,8 @@ object Pipeline {
         .filter(col("n_common") >= 5)
         .orderBy("train_doc", "test_doc")
     } {
-      """WITH b AS (
-        |  SELECT doc_id, text,
-        |    CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |         AS BIGINT) % 100 AS bucket
+      s"""WITH b AS (
+        |  SELECT doc_id, text, $IdBucketSql AS bucket
         |  FROM documents),
         |sp AS (
         |  SELECT doc_id, text,

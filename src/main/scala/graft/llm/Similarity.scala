@@ -187,10 +187,7 @@ object Similarity {
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
     val planesPT =
       if (planesPerTable > 0) planesPerTable
-      else {
-        val buckets = math.max(1L, emb.count() / NearDupBucketTarget)
-        math.min(24, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
-      }
+      else planesFor(emb.count(), NearDupBucketTarget, cap = 24)
     val withNorm = emb.withColumn("norm2", dot("v", "v"))
       // plan barrier / exchange reuse before the table fan-out: the
       // repartition adds an Exchange that stops projection collapse from
@@ -365,9 +362,12 @@ object Similarity {
     * then ~constant as n grows (the fix for a fixed 2^4 bucket space,
     * where buckets — and the within-bucket scan — grow linearly with n).
     */
-  def planesFor(n: Long): Int = {
-    val buckets = math.max(1L, n / TargetBucketSize)
-    math.min(30, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+  def planesFor(n: Long): Int = planesFor(n, TargetBucketSize, cap = 30)
+
+  /** Plane count targeting ~`target` members per bucket, in [4, `cap`]. */
+  private def planesFor(n: Long, target: Long, cap: Int): Int = {
+    val buckets = math.max(1L, n / target)
+    math.min(cap, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
   }
 
   /** LSH-bucketed ANN top-10 for the first 5 vectors as queries.

@@ -113,17 +113,18 @@ object Stats {
     QueryDef.sql("q58_corr_regression") { (s, d) =>
       val x = col("l_quantity")
       val y = col("l_extendedprice") / 1000.0
-      // exact long sums (Det.csum) for everything within the int64
-      // contract — quantity is a small integer, kilo-price has 5 decimals
-      // ≤ 100, their product ≤ 5e8·1e5-scaled; only Σy² (10 decimal
-      // places) genuinely needs the decimal accumulator
+      // exact long sums (Det.csum) where the int64 contract holds at the
+      // design row counts — quantity is a small integer, kilo-price has
+      // 5 decimals ≤ 100; Σxy (per-row up to 5e8 once 1e5-scaled, ~1e8 on
+      // average) would overflow int64 within ~1e11 rows per group, so it
+      // takes the decimal accumulator like Σy²
       Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).cast("double").as("n"),
           Det.csum(x, 0).as("sx"),
           Det.csum(y, 5).as("sy"),
-          Det.csum(x * y, 5).as("sxy"),
+          Det.dsum(x * y).as("sxy"),
           Det.csum(x * x, 0).as("sxx"),
           Det.dsum(y * y).as("syy"))
         .select(col("l_returnflag"),
@@ -144,7 +145,7 @@ object Stats {
          |    CAST(COUNT(*) AS DOUBLE) AS n,
          |    ${Det.csumSql("l_quantity", 0)} AS sx,
          |    ${Det.csumSql("l_extendedprice / 1000.0", 5)} AS sy,
-         |    ${Det.csumSql("l_quantity * (l_extendedprice / 1000.0)", 5)} AS sxy,
+         |    ${Det.dsumSql("l_quantity * (l_extendedprice / 1000.0)")} AS sxy,
          |    ${Det.csumSql("l_quantity * l_quantity", 0)} AS sxx,
          |    ${Det.dsumSql("(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)")} AS syy
          |  FROM lineitem GROUP BY l_returnflag)

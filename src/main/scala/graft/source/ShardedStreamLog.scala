@@ -101,7 +101,11 @@ object ShardedStreamLog {
     // whole file): a single record line larger than the initial window —
     // a base64 payload past ~48 KB — must not read as "no records"
     // (returning -1 would let append's monotonicity guard pass silently).
-    var window = math.min(size, 64L * 1024)
+    // The window is capped below Int.MaxValue: ByteBuffer.allocate takes
+    // an int, so a > 2 GiB file with no parseable line in its tail must
+    // give up rather than request a negative-sized buffer.
+    val maxWindow = math.min(size, (Int.MaxValue - 8).toLong)
+    var window = math.min(maxWindow, 64L * 1024)
     while (true) {
       val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
       val tail = try {
@@ -122,8 +126,8 @@ object ShardedStreamLog {
         .map(l => l.substring(0, l.indexOf('\t')).toLong)
       found match {
         case Some(seq) => return seq
-        case None if window >= size => return -1L
-        case None => window = math.min(size, window * 2)
+        case None if window >= maxWindow => return -1L
+        case None => window = math.min(maxWindow, window * 2)
       }
     }
     -1L // unreachable

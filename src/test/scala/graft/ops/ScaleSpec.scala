@@ -84,7 +84,9 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     val plan = graft.SparkEntry.queries("q59_stratified_sample")(spark, d)
       .queryExecution.executedPlan.toString
     val lines = plan.linesIterator.toVector
-    val firstFilter = lines.indexWhere(_.trim.stripPrefix("+- ").stripPrefix(": ").contains("Filter"))
+    // match the Filter OPERATOR only — the scan line itself mentions
+    // "PushedFilters"/"DataFilters", which would make the check vacuous
+    val firstFilter = lines.indexWhere(l => l.contains("Filter") && !l.contains("Scan"))
     val firstExchange = lines.indexWhere(_.contains("Exchange"))
     assert(firstFilter >= 0 && firstExchange >= 0 && firstFilter > firstExchange,
       // plans print top-down: scan-side Filter appears BELOW (after) the
