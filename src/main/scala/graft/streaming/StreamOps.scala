@@ -127,6 +127,67 @@ object StreamOps {
       "left_outer")
   }
 
+  /** Per-band LSH bucket membership for streaming near-dup detection. */
+  final case class BucketMembers(ids: Seq[Long])
+
+  /** STREAMING near-duplicate candidate detection across micro-batches:
+    * each arriving document computes its MinHash signatures (the same
+    * codegen kernel as the batch `Dedup.minhashDedup`), fans out to 8
+    * LSH band keys, and every band bucket keeps its member list as
+    * keyed state — an arriving document emits a candidate pair with
+    * every earlier document that ever shared one of its buckets, in the
+    * batch it arrives. This is what neither the batch operator (no
+    * cross-batch memory) nor `dropDuplicatesWithinWatermark` (exact
+    * keys only) can express.
+    *
+    * Emitted pairs are CANDIDATES (verify exactly downstream against a
+    * document store) and may repeat when two documents share several
+    * bands — consumers dedupe or route through streaming dedup. Bucket
+    * state is capped at `maxBucketMembers` per band key (oldest evicted
+    * first): at corpus scale an uncapped hot bucket — boilerplate
+    * documents — would otherwise grow state without bound.
+    */
+  def streamingNearDupCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxBucketMembers: Int = 64): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.MinHashSigs.register(spark)
+    val bands = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("sigs", expr(
+        """minhash_sigs(sort_array(array_distinct(transform(sequence(1, size(tokens) - 2),
+          |  i -> xxhash64(element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 7), b -> named_struct(
+          |  'band', b,
+          |  'bkey', xxhash64(element_at(sigs, b*4+1), element_at(sigs, b*4+2),
+          |                   element_at(sigs, b*4+3), element_at(sigs, b*4+4), b)))""".stripMargin))
+        .as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+      .as[(Long, Int, Long)]
+    bands.groupByKey { case (_, band, bkey) => (band, bkey) }
+      .flatMapGroupsWithState[BucketMembers, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BucketMembers]) =>
+          val existing = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val arriving = rows.map(_._1).toSeq.distinct
+            .filterNot(existing.contains).sorted
+          val known = scala.collection.mutable.ArrayBuffer(existing: _*)
+          val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+          arriving.foreach { n =>
+            known.foreach { e =>
+              if (e != n) out += (if (e < n) (e, n) else (n, e))
+            }
+            known += n
+          }
+          state.update(BucketMembers(known.toSeq.takeRight(maxBucketMembers)))
+          out.iterator
+      }
+  }
+
   /** Per-shard consumption progress (records seen, max sequence) via
     * arbitrary stateful processing — the engine-side analog of the
     * reference's in-memory checkpoint bookkeeping

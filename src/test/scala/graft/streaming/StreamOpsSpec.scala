@@ -148,6 +148,29 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq((1L, Some(ts(30))), (2L, None)))
   }
 
+  test("streamingNearDupCandidates pairs a document with near-dups from earlier batches") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val input = MemoryStream[(Long, String)](spark)
+    val out = StreamOps.streamingNearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text").toDF("a", "b")
+    spark.sql("DROP TABLE IF EXISTS snd_sink")
+    val q = out.writeStream.format("memory").queryName("snd_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: doc 1 and an unrelated doc 3
+      input.addData((1L, base), (3L, (100 to 140).map(i => s"other$i").mkString(" ")))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("snd_sink").count()
+      assert(afterBatch1 == 0, s"no near-dups yet, got $afterBatch1 pairs")
+      // batch 2: doc 2 is identical to doc 1 (same bands in every bucket)
+      input.addData((2L, base))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("snd_sink").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the cross-batch pair, got $pairs")
+  }
+
   test("closedSessions emits on gap-crossing and on event-time timeout") {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, Long)](spark)
