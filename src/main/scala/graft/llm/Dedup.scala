@@ -4,6 +4,45 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Shared LSH building blocks, used by the batch dedup operators here,
+  * the decontamination join (`Pipeline` q62) and the streaming candidate
+  * detector (`streaming.StreamOps`).
+  */
+private[graft] object Lsh {
+
+  /** SQL for the distinct 64-bit 3-gram shingle hashes of a `tokens`
+    * (array<string>) column: one seeded xxhash64 over the three token
+    * strings of each window — boundary-aware, no shingle STRING is ever
+    * built. `sorted` additionally sorts ascending (the sorted-merge
+    * kernel's input contract); leave it false where order is irrelevant
+    * (e.g. the array is exploded immediately).
+    */
+  def shingleHashesSql(sorted: Boolean): String = {
+    val distinct =
+      """array_distinct(transform(sequence(1, size(tokens) - 2),
+        |  i -> xxhash64(element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))""".stripMargin
+    if (sorted) s"sort_array($distinct)" else distinct
+  }
+
+  /** Candidate pairs via POSTINGS LISTS, not a bucket self-join: one
+    * shuffle groups each bucket key to its member list, pairs expand
+    * bucket-locally over the sorted list (so `aName < bName` by
+    * construction, no post-filter), and only the cross-bucket `distinct`
+    * downstream touches the pair stream. The self-join formulation scans
+    * and shuffles the bucket relation twice.
+    */
+  def bucketPairs(buckets: DataFrame, keys: Seq[String], idCol: String,
+      aName: String, bName: String): DataFrame =
+    buckets.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(members, (a, i) ->
+           |  transform(slice(members, i + 2, size(members)), b ->
+           |    struct(a AS $aName, b AS $bName))))""".stripMargin)).as("p"))
+      .select(col(s"p.$aName"), col(s"p.$bName"))
+}
+
 /** Document deduplication operators for training-data pipelines: exact
   * (canonicalized hash-groupBy), n-gram Jaccard near-dup, MinHash+LSH and
   * SimHash near-dup. Everything is keyed/partitioned — no driver-side
@@ -157,9 +196,7 @@ object Dedup {
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) >= 3)
-      .withColumn("shingles", expr(
-        """sort_array(array_distinct(transform(sequence(1, size(tokens) - 2),
-          |  i -> xxhash64(element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2)))))""".stripMargin))
+      .withColumn("shingles", expr(Lsh.shingleHashesSql(sorted = true)))
       .select("doc_id", "shingles")
     // All 32 signatures in one pass via the native codegen'd kernel
     // (graft.functions.MinHashSigs) over the shingle hashes.
@@ -177,18 +214,10 @@ object Dedup {
            |                   element_at(sigs, b*4+3), element_at(sigs, b*4+4), b)))""".stripMargin))
         .as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    // candidate pairs via POSTINGS LISTS (one shuffle on the band key,
-    // bucket-local pair expansion over the sorted member list) rather
-    // than a band self-join, which scans and shuffles the band relation
-    // twice; the cross-band distinct is the only pair-stream shuffle
-    val cand = bands.groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(expr(
-        """flatten(transform(members, (a, i) ->
-          |  transform(slice(members, i + 2, size(members)), b ->
-          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // candidate pairs via postings lists (Lsh.bucketPairs — one shuffle
+    // on the band key, bucket-local pair expansion); the cross-band
+    // distinct is the only pair-stream shuffle
+    val cand = Lsh.bucketPairs(bands, Seq("band", "bkey"), "doc_id", "doc_a", "doc_b")
       .distinct()
     // exact verification on the shingle-hash sets (|A∪B| = |A|+|B|−|A∩B|),
     // via the sorted-merge kernel (`shingles` is already sorted): sort

@@ -234,10 +234,8 @@ object Pipeline {
         .filter(col("split").isin("train", "test"))
         .withColumn("tokens", split(col("text"), " "))
         .filter(size(col("tokens")) >= 3)
-        .select(col("doc_id"), col("split"), explode(expr(
-          """array_distinct(transform(sequence(1, size(tokens) - 2),
-            |  i -> xxhash64(element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))""".stripMargin))
-          .as("sh_key"))
+        .select(col("doc_id"), col("split"),
+          explode(expr(Lsh.shingleHashesSql(sorted = false))).as("sh_key"))
       val postings = legs.groupBy(col("sh_key"))
         .agg(
           collect_list(when(col("split") === "train", col("doc_id"))).as("tr"),
@@ -363,7 +361,11 @@ object Pipeline {
           |  struct(4 AS stage, 'mean_word_length' AS name, n3 AS n_in, n4 AS n_out))""".stripMargin))
         .as("st"))
         .select(col("st.stage"), col("st.name"), col("st.n_in"), col("st.n_out"),
-          (col("st.n_out").cast("double") / col("st.n_in")).as("retention"))
+          // NULL (not NaN) on an empty stage: Spark's double 0/0 is NaN
+          // where DuckDB's is NULL — align on SQL semantics explicitly
+          when(col("st.n_in") === 0, lit(null).cast("double"))
+            .otherwise(col("st.n_out").cast("double") / col("st.n_in"))
+            .as("retention"))
         .orderBy("stage")
     } {
       """WITH f AS (
@@ -387,7 +389,8 @@ object Pipeline {
         |    COUNT(*) FILTER (WHERE s4) AS n4
         |  FROM g)
         |SELECT stage, name, n_in, n_out,
-        |  CAST(n_out AS DOUBLE) / n_in AS retention
+        |  CASE WHEN n_in = 0 THEN NULL
+        |       ELSE CAST(n_out AS DOUBLE) / n_in END AS retention
         |FROM (
         |  SELECT 1 AS stage, 'lang_allowlist' AS name, n0 AS n_in, n1 AS n_out FROM c
         |  UNION ALL SELECT 2, 'length_window', n1, n2 FROM c

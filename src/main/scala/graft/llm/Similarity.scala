@@ -204,19 +204,10 @@ object Similarity {
     val buckets = withPlaneWeights(withNorm, tables * planesPT)
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // candidate pairs via POSTINGS LISTS, not a bucket self-join: one
-    // shuffle groups each (table, bucket) to its member list, pairs
-    // expand bucket-locally (sorted so vec_a < vec_b without a filter),
-    // and only the cross-table distinct touches the pair stream. The
-    // self-join formulation scans/shuffles the bucket relation twice.
-    val cand = buckets.groupBy(col("tbl"), col("bucket"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(expr(
-        """flatten(transform(members, (a, i) ->
-          |  transform(slice(members, i + 2, size(members)), b ->
-          |    struct(a AS vec_a, b AS vec_b))))""".stripMargin)).as("p"))
-      .select(col("p.vec_a"), col("p.vec_b"))
+    // candidate pairs via postings lists (Lsh.bucketPairs — one shuffle
+    // per (table, bucket) key, bucket-local pair expansion); only the
+    // cross-table distinct touches the pair stream
+    val cand = Lsh.bucketPairs(buckets, Seq("tbl", "bucket"), "vec_id", "vec_a", "vec_b")
       .distinct()
     // Two-sided join for the exact verify, NOT the leg shape used in
     // Dedup.minhashDedup: here the candidate-pair set is typically much

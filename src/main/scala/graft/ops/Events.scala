@@ -228,16 +228,19 @@ object Events {
     // ------------------------------------------------------------------
     // q65: COHORT RETENTION — users grouped by first-activity week, then
     // distinct active users per (cohort, week offset): the retention
-    // matrix behind every product-analytics dashboard. Two keyed
-    // aggregations (first-week per user, then exact distinct per cell);
-    // the per-user cohort joins back on user_id. Week truncation is
-    // ISO-Monday on both engines; the offset is integer day arithmetic.
+    // matrix behind every product-analytics dashboard. The per-user
+    // cohort comes from one user-partitioned window MIN — a single
+    // events scan and one shuffle on user_id (the aggregate-then-join
+    // form scans events twice: partial aggregation below the exchange
+    // makes the two subplans differ, so ReuseExchange cannot merge
+    // them); the distinct count per cell is the second keyed agg. Week
+    // truncation is ISO-Monday on both engines; the offset is integer
+    // day arithmetic.
     QueryDef.sql("q65_cohort_retention") { (s, d) =>
-      val ev = Tables(s, d, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables(s, d, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
-      val cohort = ev.groupBy(col("user_id"))
-        .agg(min(col("w")).as("cohort_week"))
-      ev.join(cohort, Seq("user_id"))
+        .withColumn("cohort_week", min(col("w")).over(byUser))
         .withColumn("week_offset",
           (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
         .groupBy(col("cohort_week"), col("week_offset"))

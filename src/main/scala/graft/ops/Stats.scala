@@ -127,17 +127,27 @@ object Stats {
           Det.dsum(x * y).as("sxy"),
           Det.csum(x * x, 0).as("sxx"),
           Det.dsum(y * y).as("syy"))
-        .select(col("l_returnflag"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope_kprice"),
-          ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"))
-            .as("intercept_kprice"),
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
-            (col("n") * (col("n") - 1))).as("stddev_qty"))
+        .select({
+          // degenerate groups (zero variance, or n = 1) yield NULL, not
+          // NaN: DuckDB's double x/0 is already NULL, Spark's is NaN —
+          // the guards align Spark on the SQL semantics
+          val cov = col("n") * col("sxy") - col("sx") * col("sy")
+          val varx = col("n") * col("sxx") - col("sx") * col("sx")
+          val vary = col("n") * col("syy") - col("sy") * col("sy")
+          val slope = cov / varx
+          Seq(
+            col("l_returnflag"),
+            when(varx * vary === 0, lit(null).cast("double"))
+              .otherwise(cov / sqrt(varx * vary)).as("corr_qty_price"),
+            when(varx === 0, lit(null).cast("double"))
+              .otherwise(slope).as("slope_kprice"),
+            when(varx === 0, lit(null).cast("double"))
+              .otherwise((col("sy") - slope * col("sx")) / col("n"))
+              .as("intercept_kprice"),
+            when(col("n") <= 1, lit(null).cast("double"))
+              .otherwise(sqrt(varx / (col("n") * (col("n") - 1))))
+              .as("stddev_qty"))
+        }: _*)
         .orderBy("l_returnflag")
     } {
       s"""WITH sums AS (

@@ -145,11 +145,18 @@ object StreamOps {
     * bands — consumers dedupe or route through streaming dedup. Bucket
     * state is capped at `maxBucketMembers` per band key (oldest evicted
     * first): at corpus scale an uncapped hot bucket — boilerplate
-    * documents — would otherwise grow state without bound.
+    * documents — would otherwise grow state without bound. The NUMBER of
+    * band keys still grows with corpus vocabulary, so long-running
+    * streams should set `stateTtl` (e.g. "7 days"): buckets idle past
+    * the TTL are evicted wholesale via a processing-time timeout,
+    * trading recall against far-apart duplicates for bounded state —
+    * the standard sliding-window posture for streaming dedup. None
+    * keeps state forever (exact cross-batch behavior, bounded corpora).
     */
   def streamingNearDupCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      maxBucketMembers: Int = 64): Dataset[(Long, Long)] = {
+      maxBucketMembers: Int = 64,
+      stateTtl: Option[String] = None): Dataset[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.MinHashSigs.register(spark)
@@ -157,9 +164,8 @@ object StreamOps {
       .select(col(idCol).cast("long").as("doc_id"),
         split(col(textCol), " ").as("tokens"))
       .filter(size(col("tokens")) >= 3)
-      .withColumn("sigs", expr(
-        """minhash_sigs(sort_array(array_distinct(transform(sequence(1, size(tokens) - 2),
-          |  i -> xxhash64(element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))))""".stripMargin))
+      .withColumn("sigs",
+        expr(s"minhash_sigs(${graft.llm.Lsh.shingleHashesSql(sorted = true)})"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, 7), b -> named_struct(
           |  'band', b,
@@ -168,23 +174,33 @@ object StreamOps {
         .as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
       .as[(Long, Int, Long)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bands.groupByKey { case (_, band, bkey) => (band, bkey) }
       .flatMapGroupsWithState[BucketMembers, (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state: GroupState[BucketMembers]) =>
-          val existing = state.getOption.map(_.ids).getOrElse(Seq.empty)
-          val arriving = rows.map(_._1).toSeq.distinct
-            .filterNot(existing.contains).sorted
-          val known = scala.collection.mutable.ArrayBuffer(existing: _*)
-          val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
-          arriving.foreach { n =>
-            known.foreach { e =>
-              if (e != n) out += (if (e < n) (e, n) else (n, e))
+          if (state.hasTimedOut) {
+            // bucket idle past the TTL: evict wholesale
+            state.remove()
+            Iterator.empty
+          } else {
+            val existing = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val arriving = rows.map(_._1).toSeq.distinct
+              .filterNot(existing.contains).sorted
+            val known = scala.collection.mutable.ArrayBuffer(existing: _*)
+            val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+            arriving.foreach { n =>
+              known.foreach { e =>
+                if (e != n) out += (if (e < n) (e, n) else (n, e))
+              }
+              known += n
             }
-            known += n
+            state.update(BucketMembers(known.toSeq.takeRight(maxBucketMembers)))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(BucketMembers(known.toSeq.takeRight(maxBucketMembers)))
-          out.iterator
       }
   }
 
