@@ -52,10 +52,17 @@ object Det {
     * unlike wide decimal→double casts, which can double-round).
     * ~3× cheaper than [[dsum]] (no 128-bit decimal accumulation).
     *
-    * OVERFLOW CONTRACT (ANSI mode aborts rather than wraps): requires
-    * rows · |x|·10^scale < 2^63 ≈ 9.2e18 — e.g. 2-decimal prices ≤ 1e5
-    * sum safely past 6e9 rows (6e16). For products or wider scales that
-    * breach the bound, use [[dsum]].
+    * OVERFLOW CONTRACT (ANSI mode aborts rather than wraps): the bound
+    * binds PER AGGREGATION GROUP — partial sums per partition are always
+    * small; it is the merged per-group total that must satisfy
+    * max_rows_per_group · max|x|·10^scale < 2^63 ≈ 9.2e18, with real
+    * headroom (≥ 3×) at the 100 TB design point (lineitem ~6e11 rows,
+    * orders ~1.5e11). Safe: quantities/discounts at any grouping;
+    * 2-decimal prices when no single group exceeds ~1e10 rows (per-order
+    * / per-part / per-month / ≥5-way splits of a table). NOT safe —
+    * use [[dsum]]: scale-4 products over large groups (revenue by
+    * nation), any measure in a CUBE/ROLLUP global cell over a full
+    * table, price sums in ≤3-way splits of lineitem.
     */
   def csum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)

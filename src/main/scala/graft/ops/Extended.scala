@@ -50,14 +50,14 @@ object Extended {
           grouping(col("o_orderstatus")).cast("int").as("g_s"),
           grouping(col("o_orderpriority")).cast("int").as("g_p"),
           count(lit(1)).as("n_orders"),
-          Det.csum(col("o_totalprice"), 2).as("sum_price"))
+          dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("g_s"), col("g_p"), col("o_orderstatus"), col("o_orderpriority"))
     } {
       s"""SELECT o_orderstatus, o_orderpriority,
          |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
          |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
          |  COUNT(*) AS n_orders,
-         |  ${Det.csumSql("o_totalprice", 2)} AS sum_price
+         |  ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders
          |GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin

@@ -179,11 +179,11 @@ object Relational {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(Det.csum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     } {
       s"""SELECT r_name, n_name,
-         |  ${Det.csumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -388,7 +388,7 @@ object Relational {
         .groupBy(col("qty_band"))
         .agg(
           count(lit(1)).as("n_rows"),
-          Det.csum(round(col("l_extendedprice") * col("l_discount"), 4), 4).as("sum_disc_amount"),
+          dsum(round(col("l_extendedprice") * col("l_discount"), 4)).as("sum_disc_amount"),
           dsum(sqrt(abs(col("l_extendedprice")))).as("sum_sqrt_price"))
         .orderBy("qty_band")
     } {
@@ -396,7 +396,7 @@ object Relational {
          |            WHEN l_quantity <= 30 THEN 'medium'
          |            ELSE 'large' END AS qty_band,
          |  COUNT(*) AS n_rows,
-         |  ${Det.csumSql("ROUND(l_extendedprice * l_discount, 4)", 4)} AS sum_disc_amount,
+         |  ${dsumSql("ROUND(l_extendedprice * l_discount, 4)")} AS sum_disc_amount,
          |  ${dsumSql("SQRT(ABS(l_extendedprice))")} AS sum_sqrt_price
          |FROM lineitem
          |GROUP BY 1
