@@ -134,6 +134,36 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     */
   def processAllAvailable(): Unit = active.foreach(_._1.processAllAvailable())
 
+  /** Consumer lag per (stream, shard): the SEQUENCE DISTANCE between the
+    * log's newest record and the last COMMITTED batch's end offset — the
+    * monitoring metric the reference left as an open TODO
+    * (`/root/reference/kinesumer.go:128`; Kinesis exposes the analogous
+    * MillisBehindLatest). Reads the running query's committed end offset
+    * (the offset-WAL JSON surfaced through `lastProgress`) and the log's
+    * incremental max-sequence index — O(new bytes), driver-side only.
+    * With dense sequences the distance equals the record backlog; shards
+    * never read yet report maxSeq − (−1). Committed-but-empty logs and a
+    * not-yet-started consumer report 0 / an empty map respectively.
+    */
+  def lag(): Map[(String, String), Long] = active match {
+    case None => Map.empty
+    case Some((q, streams, _)) =>
+      val progress = Option(q.lastProgress)
+      val committed: Map[String, Map[String, Long]] = progress
+        .flatMap(p => p.sources.headOption)
+        .flatMap(s => Option(s.endOffset))
+        .map(graft.source.ShardedStreamOffset.fromJson(_).positions)
+        .getOrElse(Map.empty)
+      (for {
+        stream <- streams
+        (shard, _) <- graft.source.ShardedStreamLog.listShards(cfg.logRoot, stream)
+      } yield {
+        val maxSeq = graft.source.ShardedStreamLog.maxSequence(cfg.logRoot, stream, shard)
+        val done = committed.getOrElse(stream, Map.empty).getOrElse(shard, -1L)
+        (stream, shard) -> math.max(0L, maxSeq - done)
+      }).toMap
+  }
+
   /** `Close` (`kinesumer.go:846-869`): stop the query; offsets are already
     * durable, so shutdown needs no drain/sleep dance.
     */

@@ -100,6 +100,29 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     cg.close()
   }
 
+  test("lag() reports backlog before processing and zero after drain") {
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 9L).map(rec))
+    ShardedStreamLog.append(root, "events", "shard-1", (0L to 4L).map(rec))
+    val cg = new ConsumerGroup(spark,
+      ConsumerConfig(app = "lagapp", logRoot = root, checkpointRoot = ck))
+    assert(cg.lag().isEmpty, "no lag map before start")
+    try {
+      cg.start(Seq("events")) { (df, _) => df.count(); () }
+      cg.processAllAvailable()
+      val drained = cg.lag()
+      assert(drained == Map(("events", "shard-0") -> 0L, ("events", "shard-1") -> 0L),
+        s"drained consumer must report zero lag: $drained")
+      // new records arrive but no trigger has committed them yet… the
+      // sequence distance surfaces immediately via the incremental index
+      ShardedStreamLog.append(root, "events", "shard-0", (10L to 14L).map(rec))
+      val behind = cg.lag()(("events", "shard-0"))
+      assert(behind == 5L, s"expected 5 records behind, got $behind")
+      cg.processAllAvailable()
+      assert(cg.lag()(("events", "shard-0")) == 0L)
+    } finally cg.close()
+  }
+
   test("empty app name is rejected (config validation parity)") {
     intercept[IllegalArgumentException] {
       ConsumerConfig(app = "", logRoot = "/tmp", checkpointRoot = "/tmp")
