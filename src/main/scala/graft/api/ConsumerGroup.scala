@@ -144,6 +144,13 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     * With dense sequences the distance equals the record backlog; shards
     * never read yet report maxSeq − (−1). Committed-but-empty logs and a
     * not-yet-started consumer report 0 / an empty map respectively.
+    *
+    * `lastProgress` is null until the running query's FIRST trigger
+    * completes — in particular right after `start()`/`refresh()` on an
+    * existing checkpoint — so the committed end offset falls back to the
+    * offset WAL on disk (latest batch present in the commit log); without
+    * the fallback a freshly restarted, fully caught-up consumer would
+    * report the entire log as backlog.
     */
   def lag(): Map[(String, String), Long] = active match {
     case None => Map.empty
@@ -152,6 +159,7 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
       val committed: Map[String, Map[String, Long]] = progress
         .flatMap(p => p.sources.headOption)
         .flatMap(s => Option(s.endOffset))
+        .orElse(walCommittedOffsetJson())
         .map(graft.source.ShardedStreamOffset.fromJson(_).positions)
         .getOrElse(Map.empty)
       (for {
@@ -163,6 +171,29 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
         (stream, shard) -> math.max(0L, maxSeq - done)
       }).toMap
   }
+
+  /** End-offset JSON of the latest batch in the commit log — the durable
+    * committed progress used by [[lag]] before the first trigger of a
+    * (re)started query populates `lastProgress`. Offset-log file layout
+    * (Spark's OffsetSeqLog): version line, metadata line, then one offset
+    * JSON per source ("-" for a source with no offset); this query has
+    * exactly one source.
+    */
+  private def walCommittedOffsetJson(): Option[String] =
+    try {
+      val ckpt = new java.io.File(s"${cfg.checkpointRoot}/${cfg.app}/main")
+      val committedIds = Option(new java.io.File(ckpt, "commits").list())
+        .toSeq.flatten
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+      committedIds.sorted.lastOption.flatMap { id =>
+        val f = new java.io.File(ckpt, s"offsets/$id").toPath
+        if (!java.nio.file.Files.isRegularFile(f)) None
+        else new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n", -1).drop(2)
+          .find(l => l.nonEmpty && l != "-")
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** `Close` (`kinesumer.go:846-869`): stop the query; offsets are already
     * durable, so shutdown needs no drain/sleep dance.

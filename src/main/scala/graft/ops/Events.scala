@@ -240,6 +240,10 @@ object Events {
       val byUser = Window.partitionBy(col("user_id"))
       Tables(s, d, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        // NULL users are dropped, matching the oracle's JOIN USING
+        // (and the previous aggregate-then-join form): the window
+        // partition would otherwise keep them and emit n_users=0 cells
+        .filter(col("user_id").isNotNull)
         .withColumn("cohort_week", min(col("w")).over(byUser))
         .withColumn("week_offset",
           (datediff(col("w"), col("cohort_week")) / 7).cast("long"))

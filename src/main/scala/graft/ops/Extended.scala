@@ -87,7 +87,7 @@ object Extended {
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
         |  CAST(GROUPING(YEAR(o_orderdate)) AS INT) AS g_y,
         |  COUNT(*) AS n_orders,
-        |  ${Det.csumSql("o_totalprice", 2)} AS sum_price
+        |  ${dsumSql("o_totalprice")} AS sum_price
         |FROM orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (YEAR(o_orderdate)))
         |ORDER BY g_s, g_y, o_orderstatus, y""".stripMargin)
@@ -96,7 +96,7 @@ object Extended {
          |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
          |  CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) AS INT) AS g_y,
          |  COUNT(*) AS n_orders,
-         |  ${Det.csumSql("o_totalprice", 2)} AS sum_price
+         |  ${dsumSql("o_totalprice")} AS sum_price
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (EXTRACT(YEAR FROM o_orderdate)))
          |ORDER BY g_s, g_y, o_orderstatus, y""".stripMargin

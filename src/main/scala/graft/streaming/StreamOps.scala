@@ -164,8 +164,10 @@ object StreamOps {
       .select(col(idCol).cast("long").as("doc_id"),
         split(col(textCol), " ").as("tokens"))
       .filter(size(col("tokens")) >= 3)
+      // sorted = false: minhash_sigs is a pure min-fold (order-free), and
+      // unlike the batch operator nothing downstream needs sorted shingles
       .withColumn("sigs",
-        expr(s"minhash_sigs(${graft.llm.Lsh.shingleHashesSql(sorted = true)})"))
+        expr(s"minhash_sigs(${graft.llm.Lsh.shingleHashesSql(sorted = false)})"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, 7), b -> named_struct(
           |  'band', b,

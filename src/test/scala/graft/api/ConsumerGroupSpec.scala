@@ -104,8 +104,12 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     val (root, ck) = newEnv()
     ShardedStreamLog.append(root, "events", "shard-0", (0L to 9L).map(rec))
     ShardedStreamLog.append(root, "events", "shard-1", (0L to 4L).map(rec))
+    // a wide trigger interval keeps the background query from racing the
+    // append→lag() window below (with the default 100 ms cadence a trigger
+    // could commit the new records before lag() reads lastProgress)
     val cg = new ConsumerGroup(spark,
-      ConsumerConfig(app = "lagapp", logRoot = root, checkpointRoot = ck))
+      ConsumerConfig(app = "lagapp", logRoot = root, checkpointRoot = ck,
+        scanIntervalMs = 2000L))
     assert(cg.lag().isEmpty, "no lag map before start")
     try {
       cg.start(Seq("events")) { (df, _) => df.count(); () }
