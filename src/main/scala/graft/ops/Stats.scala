@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Oracle-exactness notes: percentile interpolation on these fixtures is
   * exact in binary (integer-valued data, quarter fractions), and the
-  * correlation/regression family is DERIVED from order-free exact decimal
-  * sums (Det.dsum) with one identical IEEE double formula on both engines
-  * — the built-in corr/stddev/regr_* aggregates would accumulate doubles
+  * correlation/regression family is DERIVED from order-free exact sums
+  * (Det.csum within its per-group int64 contract, Det.dsum decimals
+  * elsewhere) with one identical IEEE double formula on both engines —
+  * the built-in corr/stddev/regr_* aggregates would accumulate doubles
   * in engine-specific order and drift in the last bits.
   */
 object Stats {
