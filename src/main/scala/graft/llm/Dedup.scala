@@ -54,6 +54,71 @@ object Dedup {
   /** Distinct word tokens of the document text. */
   private def tokenSet = expr("array_distinct(split(text, ' '))")
 
+  /** DuckDB twin of [[jaccardPairs]] (interpolated into the q24 and q66
+    * oracles — defined above `queries`, which reads it eagerly).
+    */
+  private val JaccardPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+      |         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks,
+      |         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    LEN(LIST_INTERSECT(a.toks, b.toks)) AS i,
+      |    a.n_toks AS na, b.n_toks AS nb
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      |   AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+      |FROM p
+      |WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.6""".stripMargin
+
+  /** Blocked exact Jaccard ≥ 0.6 near-dup pairs (q24's body, reused by
+    * q66's cluster builder): |A∪B| = |A|+|B|−|A∩B| for the distinct
+    * token sets; only the intersection SIZE is computed per pair, via
+    * the native merge kernel over per-doc pre-sorted arrays (sort once
+    * per document, amortized over every pair in its block; no per-pair
+    * hash set or intersection array like array_intersect builds). The
+    * merge runs over sorted xxhash64 TOKEN HASHES, not the token
+    * strings: one long compare per step instead of a byte-wise string
+    * compare, and the per-doc sort is a long sort. |∩| and |set| are
+    * unchanged unless two distinct tokens of a compared pair collide in
+    * 64 bits (P < 1e-12 per pair at these set sizes).
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(s)
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 50).cast("long").as("len_bucket"),
+        sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+          .as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
+      col("toks").as("toks_a"), col("n_toks").as("na"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("len_bucket"),
+      col("toks").as("toks_b"), col("n_toks").as("nb"))
+    // length-ratio prune implied by J >= 0.6: min >= 0.6*max (integer
+    // form 5*min >= 3*max) — provably answer-preserving. One combined
+    // filter, ordered cheap-to-expensive: Catalyst keeps this conjunct
+    // order in the join condition, so doc_a < doc_b and the ratio check
+    // cut pairs BEFORE the pushed-down intersect kernel evaluates (a
+    // split .filter chain reorders to intersect-first: measured 1.6×
+    // slower at sf0.1).
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+      // threshold form: J >= 0.6 ⟺ i >= 3(na+nb)/8, so the kernel may
+      // early-exit with -1 (filtered below) once the bound is unreachable
+      .withColumn("i",
+        expr("sorted_intersect_count_min(toks_a, toks_b, cast((3 * (na + nb) + 7) div 8 AS int))"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q23: exact dedup by canonicalized content (sorted distinct token
@@ -87,64 +152,10 @@ object Dedup {
     // block size); the production near-dup path at corpus scale is q25
     // (MinHash+LSH, bucketed candidates), validated against this one.
     QueryDef.sql("q24_jaccard_near_dup_pairs") { (s, d) =>
-      // |A∪B| = |A|+|B|−|A∩B| for the distinct token sets: only the
-      // intersection SIZE is computed per pair, via the native merge
-      // kernel over per-doc pre-sorted arrays (sort once per document,
-      // amortized over every pair in its block; no per-pair hash set or
-      // intersection array like array_intersect builds). The merge runs
-      // over sorted xxhash64 TOKEN HASHES, not the token strings: one
-      // long compare per step instead of a byte-wise string compare, and
-      // the per-doc sort is a long sort. |∩| and |set| are unchanged
-      // unless two distinct tokens of a compared pair collide in 64 bits
-      // (P < 1e-12 per pair at these set sizes).
-      graft.functions.SortedIntersectCount.register(s)
-      val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          (col("n_chars") / 50).cast("long").as("len_bucket"),
-          sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
-            .as("toks"))
-        .withColumn("n_toks", size(col("toks")))
-      val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"),
-        col("toks").as("toks_a"), col("n_toks").as("na"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("len_bucket"),
-        col("toks").as("toks_b"), col("n_toks").as("nb"))
-      // length-ratio prune implied by J >= 0.6: min >= 0.6*max (integer
-      // form 5*min >= 3*max) — provably answer-preserving. One combined
-      // filter, ordered cheap-to-expensive: Catalyst keeps this conjunct
-      // order in the join condition, so doc_a < doc_b and the ratio check
-      // cut pairs BEFORE the pushed-down array_intersect evaluates (a
-      // split .filter chain reorders to intersect-first: measured 1.6×
-      // slower at sf0.1).
-      a.join(b, Seq("lang", "len_bucket"))
-        .filter(col("doc_a") < col("doc_b") &&
-          col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
-        // threshold form: J >= 0.6 ⟺ i >= 3(na+nb)/8, so the kernel may
-        // early-exit with -1 (filtered below) once the bound is unreachable
-        .withColumn("i",
-          expr("sorted_intersect_count_min(toks_a, toks_b, cast((3 * (na + nb) + 7) div 8 AS int))"))
-        .withColumn("jaccard",
-          col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
-        .filter(col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      jaccardPairs(s, d).orderBy("doc_a", "doc_b")
     } {
-      """WITH t AS (
-        |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
-        |         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks,
-        |         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_toks
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    LEN(LIST_INTERSECT(a.toks, b.toks)) AS i,
-        |    a.n_toks AS na, b.n_toks AS nb
-        |  FROM t a JOIN t b
-        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-        |   AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
-        |FROM p
-        |WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.6
-        |ORDER BY doc_a, doc_b""".stripMargin
+      s"""$JaccardPairsSql
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     // ------------------------------------------------------------------
@@ -159,8 +170,140 @@ object Dedup {
     // q26: SimHash near-dup: 64-bit token-hash sign aggregate →
     // fingerprint; 4×16-bit bands bucket candidates (pigeonhole: hamming
     // ≤ 3 ⇒ at least one band identical); pairs kept at hamming ≤ 3.
-    QueryDef.noOracle("q26_simhash_dedup")(simhashDedup)
+    QueryDef.noOracle("q26_simhash_dedup")(simhashDedup),
+
+    // ------------------------------------------------------------------
+    // q66: near-dup pairs → DEDUP CLUSTERS via connected components
+    // (min-label propagation). Pairwise similarity is not transitive —
+    // A~B and B~C does not give A~C — so the keep-one-per-group decision
+    // needs the transitive closure of the pair graph, which every real
+    // dedup pipeline computes and plain SQL group-by cannot express.
+    // cluster_id = the component's minimum doc id (its canonical doc).
+    // Oracle: recursive CTE over the same pair SQL.
+    QueryDef.sql("q66_dedup_clusters") { (s, d) =>
+      val cc = connectedComponents(jaccardPairs(s, d), "doc_a", "doc_b")
+      cc.groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          array_join(transform(sort_array(collect_list(col("id"))), _.cast("string")), ",")
+            .as("member_ids"))
+        .orderBy("cluster_id")
+    } {
+      s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |      UNION SELECT doc_b, doc_a FROM pr),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |lab AS (
+         |  SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT cluster_id, COUNT(*) AS n_members,
+         |  STRING_AGG(id, ',' ORDER BY id) AS member_ids
+         |FROM lab
+         |GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin
+    }
   )
+
+  /** Connected components of an undirected edge list by iterative
+    * MIN-LABEL PROPAGATION: every node starts labeled with its own id;
+    * each round, a node takes the minimum label among itself and its
+    * neighbors; at convergence the label is the component's minimum id.
+    * Returns (id, cluster_id) for every node incident to an edge.
+    *
+    * Scale shape: each round is two joins + one keyed aggregation
+    * (shuffles on node id) — the neighbor step plus a POINTER-JUMPING
+    * step (label := label of label), so convergence takes
+    * O(log diameter) rounds, not O(diameter). Every round ends in an
+    * EAGER localCheckpoint: without the lineage cut the labels plan
+    * nests itself (labels feeds both join sides), the logical tree
+    * doubles per round, and analysis OOMs around round ~15 even though
+    * the data is tiny — caching shortcuts execution, not plan size.
+    * The labels-sum convergence test is exact: labels only ever
+    * decrease, so an unchanged sum means an unchanged labeling.
+    */
+  /** Edge-count threshold below which [[connectedComponents]] collapses
+    * to a single-pass driver union-find: a near-dup pair graph is tiny
+    * relative to its corpus (pairs ≈ duplicates only), and 10M edges ≈
+    * 160 MB collected — milliseconds of union-find versus several
+    * distributed rounds of joins. Graphs above the threshold take the
+    * distributed min-label loop.
+    */
+  val SmallGraphEdges: Long = 10L * 1000 * 1000
+
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 20,
+      smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
+    // materialize the edge list once BEFORE mirroring it: the union
+    // references e twice, and without the cut the upstream pair
+    // computation (expensive for near-dup graphs) would run per branch
+    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    if (e.count() <= smallGraphEdges) return unionFind(e)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      .persist()
+    try {
+      var labels = und.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      var prevSum = labelSum(labels)
+      var converged = prevSum.isEmpty // no edges → no nodes → nothing to do
+      var i = 0
+      while (!converged && i < maxIters) {
+        val neigh = und.join(labels, und("u") === labels("id"))
+          .groupBy(col("v").as("nid")).agg(min(col("label")).as("nl"))
+        val stepped = labels.join(neigh, labels("id") === neigh("nid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        // pointer jumping: follow my label's label — halves path lengths
+        val byId = stepped.select(col("id").as("pid"), col("label").as("plabel"))
+        val next = stepped.join(byId, stepped("label") === byId("pid"), "left")
+          .select(stepped("id"),
+            least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
+          .localCheckpoint(true)
+        val nextSum = labelSum(next)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        i += 1
+      }
+      labels.select(col("id"), col("label").as("cluster_id"))
+    } finally und.unpersist()
+  }
+
+  /** Driver union-find with path compression + union-by-min over a
+    * collected edge list (the small-graph branch of
+    * [[connectedComponents]]): one pass, exact, the component root is
+    * its minimum id — identical labeling to the distributed loop.
+    */
+  private def unionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    val nodes = scala.collection.mutable.LongMap.empty[Boolean]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    e.as[(Long, Long)].toLocalIterator().forEachRemaining { case (u, v) =>
+      nodes(u) = true
+      nodes(v) = true
+      val ru = find(u)
+      val rv = find(v)
+      // union by min: the smaller root stays the root
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    nodes.keysIterator.map(x => (x, find(x))).toSeq.toDF("id", "cluster_id")
+  }
 
   /** Array-typed exact-dedup groups (canonicalized sorted-distinct token
     * set → one shuffle on the canonical key). Kept array-typed for library

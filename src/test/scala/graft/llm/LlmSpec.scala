@@ -37,6 +37,33 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("connectedComponents merges transitive chains and keeps components apart") {
+    import spark.implicits._
+    // component {1,2,3} via a chain (1-2, 2-3: NOT a direct 1-3 pair —
+    // the transitivity near-dup similarity itself lacks), component
+    // {10,11}, and 2-hop chain {20,21,22,23}
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a", "b")
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    // small-graph branch (driver union-find — the default here)
+    val uf = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(uf == expected)
+    // distributed min-label loop, forced by a zero small-graph threshold
+    // — must produce the identical labeling
+    val dist = Dedup.connectedComponents(edges, "a", "b", smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
+    // empty edge list → empty labeling on both paths, no crash
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", smallGraphEdges = -1L).count() == 0)
+  }
+
   test("array-typed exact-dedup groups are internally consistent") {
     import spark.implicits._
     val groups = Dedup.exactDedupGroups(spark, d)
