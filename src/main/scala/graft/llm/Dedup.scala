@@ -235,25 +235,42 @@ object Dedup {
 
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20,
+      maxIters: Int = 64,
       smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     // materialize the edge list once BEFORE mirroring it: the union
     // references e twice, and without the cut the upstream pair
     // computation (expensive for near-dup graphs) would run per branch
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .localCheckpoint(true)
-    if (e.count() <= smallGraphEdges) return unionFind(e)
+    if (e.count() <= smallGraphEdges) {
+      val r = unionFind(e)
+      releaseCheckpoint(e)
+      return r
+    }
     val und = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .persist()
     try {
       var labels = und.select(col("u").as("id")).distinct()
         .withColumn("label", col("id")).localCheckpoint(true)
+      // the initial-labels job above materialized (and cached) und, so the
+      // raw edge checkpoint is no longer referenced — free it now rather
+      // than pinning it for the whole loop
+      releaseCheckpoint(e)
       def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
         Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
       var prevSum = labelSum(labels)
       var converged = prevSum.isEmpty // no edges → no nodes → nothing to do
       var i = 0
-      while (!converged && i < maxIters) {
+      while (!converged) {
+        // Convergence, not the iteration cap, ends the loop: returning an
+        // unconverged labeling would be silently wrong dedup clusters.
+        // Pointer jumping doubles propagation reach each round, so 64
+        // rounds cover any diameter up to 2^64 — hitting the cap means a
+        // logic bug (e.g. labels stopped decreasing without the sum
+        // stabilizing), and that must be an error, not a result.
+        if (i >= maxIters)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge after $maxIters rounds")
         val neigh = und.join(labels, und("u") === labels("id"))
           .groupBy(col("v").as("nid")).agg(min(col("label")).as("nl"))
         val stepped = labels.join(neigh, labels("id") === neigh("nid"), "left")
@@ -266,6 +283,9 @@ object Dedup {
             least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
           .localCheckpoint(true)
         val nextSum = labelSum(next)
+        // the new checkpoint is materialized; the previous round's copy is
+        // dead — release it so the loop holds one labels copy, not O(rounds)
+        releaseCheckpoint(labels)
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum
@@ -274,6 +294,18 @@ object Dedup {
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally und.unpersist()
   }
+
+  /** Frees the executor storage behind an eager `localCheckpoint`:
+    * `Dataset.localCheckpoint` persists an internal RDD that
+    * `Dataset.unpersist` does not see (it only consults the plan cache),
+    * so iterative callers must unpersist the `LogicalRDD`'s backing RDD
+    * directly or every round's checkpoint stays pinned until session end.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Driver union-find with path compression + union-by-min over a
     * collected edge list (the small-graph branch of

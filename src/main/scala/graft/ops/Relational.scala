@@ -24,33 +24,34 @@ object Relational {
     // referenced columns are read from parquet (column pruning).
     QueryDef.sql("q01_pricing_summary") { (s, d) =>
       val li = Tables(s, d, "lineitem")
-      // exact LONG sums (Det.csum) for the plain measures — quantity is a
-      // small integer, price/discount have 2 decimals, all far inside the
-      // int64 contract even at 100 TB row counts; the discounted products
-      // (4–6 decimal places, larger magnitude) keep the decimal
-      // accumulator. Values are identical (both paths sum the same exact
-      // quantities); the long path skips 128-bit decimal accumulation.
+      // exact LONG sums (Det.csum) only where the int64 contract's ≥3×
+      // headroom holds at the 100 TB design point: quantity (scale 0,
+      // ≤50/row) and discount (scale 2, ≤0.10/row) stay far inside it
+      // even for ~3e11-row returnflag/linestatus groups. Price does NOT —
+      // cents(l_extendedprice) ≈ 1e7/row puts a 3e11-row group at ~3e18,
+      // under 3× from 2^63 — so price sums keep the decimal accumulator
+      // (dsum), like the discounted products.
       li.filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           Det.csum(col("l_quantity"), 0).as("sum_qty"),
-          Det.csum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
             .as("sum_charge"),
           (Det.csum(col("l_quantity"), 0) / count(lit(1))).as("avg_qty"),
-          (Det.csum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
           (Det.csum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     } {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Det.csumSql("l_quantity", 0)} AS sum_qty,
-         |  ${Det.csumSql("l_extendedprice", 2)} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
          |  (${Det.csumSql("l_quantity", 0)} / COUNT(*)) AS avg_qty,
-         |  (${Det.csumSql("l_extendedprice", 2)} / COUNT(*)) AS avg_price,
+         |  (${dsumSql("l_extendedprice")} / COUNT(*)) AS avg_price,
          |  (${Det.csumSql("l_discount", 2)} / COUNT(*)) AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem

@@ -152,11 +152,18 @@ object ShardedStreamLog {
     // catch a file that was deleted and recreated at equal-or-larger size
     // (size alone would keep the stale index and yield wrong reads)
     var identity: Array[Byte] = null
+    // filesystem identity (inode-like fileKey) captured at first scan:
+    // head bytes alone miss the typical recreate scenario — a producer
+    // replaying the same initial records into a new file — so a changed
+    // fileKey also invalidates the index. null where the filesystem
+    // doesn't expose one (then head bytes remain the only signal).
+    var fileKey: AnyRef = null
     // (first sequence of the record starting at byte offset, byte offset)
     val checkpoints = new java.util.ArrayList[Array[Long]]()
     def reset(): Unit = {
       scannedBytes = 0L; maxSeq = -1L; lastCkptBytes = -IndexEveryBytes
       identity = null
+      fileKey = null
       checkpoints.clear()
     }
   }
@@ -175,6 +182,16 @@ object ShardedStreamLog {
     } finally ch.close()
   }
 
+  /** Inode-like identity of the file, or null where the filesystem has
+    * none (creation time is NOT used: on Linux, Java reports mtime where
+    * birth time is unavailable, and appends move mtime — that would reset
+    * the index every trigger and silently degrade it to O(history)).
+    */
+  private def fileKeyOf(f: Path): AnyRef =
+    try Files.readAttributes(
+      f, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    catch { case _: java.io.IOException => null }
+
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[String, ShardIndex]()
 
@@ -191,16 +208,24 @@ object ShardedStreamLog {
       f.toAbsolutePath.toString, _ => new ShardIndex)
     idx.synchronized {
       val size = if (Files.exists(f)) Files.size(f) else 0L
+      val key = if (size > 0) fileKeyOf(f) else null
       if (size < idx.scannedBytes) idx.reset()
       // same-or-larger size is not proof of the same file: a shard dir
       // deleted and recreated within one JVM must not inherit the stale
-      // index — compare the head bytes captured at first scan
-      else if (idx.scannedBytes > 0 && idx.identity != null &&
-          !java.util.Arrays.equals(idx.identity,
-            headBytes(f, math.min(size, idx.identity.length.toLong))))
+      // index — a changed inode fileKey catches recreation even when the
+      // producer replays byte-identical initial records; the head-bytes
+      // comparison remains as the fallback where fileKey is null
+      else if (idx.scannedBytes > 0 &&
+          ((idx.fileKey != null && key != null && idx.fileKey != key) ||
+           (idx.identity != null &&
+            !java.util.Arrays.equals(idx.identity,
+              headBytes(f, math.min(size, idx.identity.length.toLong))))))
         idx.reset()
       if (size > idx.scannedBytes) {
-        if (idx.scannedBytes == 0) idx.identity = headBytes(f, size)
+        if (idx.scannedBytes == 0) {
+          idx.identity = headBytes(f, size)
+          idx.fileKey = key
+        }
         val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
         try {
           ch.position(idx.scannedBytes)
