@@ -58,7 +58,16 @@ object Bench {
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the line as a file artifact: the driver keeps only a
+    // log TAIL, which has truncated past benches (r3 lost the total and
+    // 11 per-query entries) — the file survives regardless of log size
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")), line + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH_SELF.json: $e") }
     spark.stop()
   }
 }

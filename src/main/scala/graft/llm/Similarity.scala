@@ -87,10 +87,13 @@ object Similarity {
 
     // ------------------------------------------------------------------
     // q49: embedding-cosine near-dup pairs, exact all-pairs ground truth.
-    // ROLE AT SCALE: validation operator (quadratic in candidate count);
-    // the production path is q50's multi-table LSH bucketing, whose
-    // recall is asserted against this one in LlmSpec. Quantized-integer
-    // dot products keep the oracle bit-exact.
+    // ROLE AT SCALE: validation operator (quadratic in candidate count),
+    // and the role is ENFORCED — embeddingNearDupExact refuses inputs
+    // beyond MaxExactNearDupVectors (≈5e9 pairs); embeddingNearDupSampled
+    // is the any-scale ground-truth slice. The production path is q50's
+    // multi-table LSH bucketing, whose recall is asserted against this
+    // one in LlmSpec. Quantized-integer dot products keep the oracle
+    // bit-exact.
     QueryDef.sql("q49_embedding_near_dup") { (s, d) =>
       embeddingNearDupExact(s, d)
     } {
@@ -150,10 +153,63 @@ object Similarity {
     }
   )
 
-  /** Exact all-pairs cosine near-dup (q49's body — the ground truth). */
-  def embeddingNearDupExact(s: SparkSession, d: String): DataFrame = {
+  /** Input cap for [[embeddingNearDupExact]]: its all-pairs join scores
+    * n(n−1)/2 64-dim dot products, so the cap bounds the validator at
+    * ~5e9 pairs — minutes of cluster work, the most a ground-truth check
+    * should ever cost. Unlike q24's token-Jaccard twin there is NO
+    * answer-preserving blocking key to lean on: cosine is norm-invariant
+    * (norm bands don't bound it) and any hyperplane side can split a
+    * θ≈0 pair (plane blocking loses true pairs), so the contract is
+    * enforced as a refusal + a deterministic sample, not a prune.
+    */
+  final val MaxExactNearDupVectors: Long = 100L * 1000
+
+  /** Exact all-pairs cosine near-dup (q49's body — the ground truth).
+    * ROLE AT SCALE: validation only, and the contract is enforced —
+    * inputs beyond `maxVectors` are refused (use [[embeddingNearDupLsh]]
+    * for production or [[embeddingNearDupSampled]] to ground-truth a
+    * deterministic slice of an arbitrarily large corpus).
+    */
+  def embeddingNearDupExact(
+      s: SparkSession, d: String,
+      maxVectors: Long = MaxExactNearDupVectors): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings")
+    val n = emb.select(col("vec_id")).count() // column-pruned plan-time count
+    require(n <= maxVectors,
+      s"embeddingNearDupExact is a validation operator: $n vectors exceed " +
+        s"the $maxVectors cap (~${n * (n - 1) / 2} exact pairs). Use " +
+        "embeddingNearDupLsh (q50) in production, or " +
+        "embeddingNearDupSampled for a bounded ground-truth slice.")
+    exactPairs(emb)
+  }
+
+  /** Bounded ground truth for corpora beyond the exact cap: keeps a
+    * deterministic md5-bucket sample of ~`targetVectors` vec_ids (the
+    * same content-independent hash family as the q53 split) and runs the
+    * exact all-pairs scoring WITHIN the sample. Every returned pair is
+    * exact; LSH recall measured on the slice is an unbiased estimate
+    * because bucket membership is independent of vector content.
+    */
+  def embeddingNearDupSampled(
+      s: SparkSession, d: String,
+      targetVectors: Long = MaxExactNearDupVectors): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+    val n = emb.select(col("vec_id")).count()
+    if (n <= targetVectors) return exactPairs(emb)
+    val keepBuckets = math.max(1L, targetVectors * 1000000L / n)
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(vec_id AS string)), 1, 8), 16, 10) AS bigint) % 1000000")
+    exactPairs(emb.filter(bucket < keepBuckets))
+  }
+
+  /** The shared all-pairs kernel: quantize, score every a<b pair, keep
+    * cosine ≥ [[NearDupThreshold]]. Quadratic by definition — callers
+    * bound the input (guard or sample) before reaching it.
+    */
+  private def exactPairs(raw: DataFrame): DataFrame = {
+    val emb = raw
       .select(col("vec_id"), expr(quant).as("v"))
       .withColumn("norm2", dot("v", "v"))
     val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm2").as("na"))

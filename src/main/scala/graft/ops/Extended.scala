@@ -252,6 +252,16 @@ object Extended {
     // q48: the ranking window family over real ties — rank/dense_rank on
     // a banded price (ties within a band), ntile over a fully-ordered
     // spec (tie order inside a band would otherwise be engine-specific).
+    //
+    // SCALE CONTRACT: rank-family windows sort each partition in ONE
+    // task, so the partition key must be high-cardinality relative to the
+    // data (like q54's (lang, shard) packing key). o_orderpriority's 5
+    // values are the tie-semantics DEMO; ranking a 100 TB table demands
+    // either a finer key (e.g. priority × date bucket, when per-bucket
+    // ranks are acceptable) or a two-pass global shape: range-partition
+    // on the order column, rank within ranges, then add per-range row
+    // counts as offsets — the orderBy().limit() family below already
+    // relies on Spark's range partitioner the same way.
     QueryDef.sql("q48_rank_family") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val ord = Tables(s, d, "orders")

@@ -31,4 +31,44 @@ object Scale {
         salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Write `df` as a bucketed (and per-bucket sorted) table: rows are
+    * hash-partitioned into `buckets` files per partition on `keys`, which
+    * lets every later equi-join or aggregation on those keys skip its
+    * shuffle exchange entirely (see [[bucketedJoin]]). This is THE tool
+    * for the repeated-large-dim-join workload a 100 TB warehouse lives
+    * on: pay one shuffle at write time, join exchange-free forever after.
+    *
+    * Bucket counts should match between join sides (Spark can coalesce
+    * compatible multiples, but equal counts avoid the planner caveats);
+    * size them so a bucket's data fits one task (~128–512 MB each).
+    */
+  def bucketedWrite(
+      df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
+    require(keys.nonEmpty && buckets > 0)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join of two bucketed tables on their bucket keys. When both
+    * sides were written by [[bucketedWrite]] with the same keys and
+    * bucket count, the plan is a SortMergeJoin with NO
+    * `Exchange hashpartitioning` on either side (spec-asserted in
+    * ScaleSpec) — the co-location bought at write time replaces the
+    * runtime shuffle, and the per-bucket sort order feeds the merge.
+    */
+  def bucketedJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String,
+      leftKeys: Seq[String], rightKeys: Seq[String]): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (lk, rk) => l(lk) === r(rk) }
+      .reduce(_ && _)
+    l.join(r, cond)
+  }
 }

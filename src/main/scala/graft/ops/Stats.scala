@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** q67's sketch accuracy: rank error ≤ n / accuracy. 10000 bounds the
+    * error at 0.01% of each group's rows for a fixed (~KB-scale) sketch —
+    * the same buffer whether the group holds 6e3 or 3e11 rows. (Defined
+    * before `queries`: its SQL strings interpolate it at object init.)
+    */
+  final val ApproxPercentileAccuracy = 10000
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q55: pivot — long-to-wide on order status. Spark's
@@ -99,6 +106,26 @@ object Stats {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q67: the corpus-scale twin of q57 — approx_percentile. Exact
+    // percentile buffers and sorts EVERY group value in one aggregation
+    // buffer, which is fine for small groups and impossible for a 100 TB
+    // distribution; approx_percentile is a bounded-size Greenwald–Khanna
+    // sketch: one pass, map-side mergeable partials, rank error ≤ n/acc
+    // regardless of n. Sketch internals are engine-specific (no DuckDB
+    // oracle); StatsSpec asserts every output sits inside the exact
+    // rank-error band from q57's percentile.
+    QueryDef.noOracle("q67_quantity_percentiles_approx") { (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"approx_percentile(l_quantity, 0.25, $ApproxPercentileAccuracy)").as("q25"),
+          expr(s"approx_percentile(l_quantity, 0.5, $ApproxPercentileAccuracy)").as("median"),
+          expr(s"approx_percentile(l_quantity, 0.75, $ApproxPercentileAccuracy)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     },
 
     // ------------------------------------------------------------------

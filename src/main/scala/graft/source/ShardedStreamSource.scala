@@ -137,12 +137,24 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
     ShardedStreamOffset(streams.map { s =>
       val known = startPos.getOrElse(s, Map.empty[String, Long])
       val discovered = ShardedStreamLog.listShards(root, s)
+      // head-probe shards in PARALLEL: each probe is independent I/O (an
+      // incremental tail scan of one shard file), and a sequential loop
+      // would make trigger planning linear in shard count — fine at 5
+      // shards, a driver stall at 10k. The probe pool bounds driver
+      // thread use; ShardedStreamLog's per-file index is lock-striped
+      // (ConcurrentHashMap + per-index synchronized), so concurrent
+      // probes of distinct shards never serialize on each other.
+      val maxSeqs = {
+        import scala.collection.parallel.CollectionConverters._
+        discovered.par.map { case (sh, _) =>
+          sh -> ShardedStreamLog.maxSequence(root, s, sh)
+        }.toMap.seq
+      }
       val next = discovered.map { case (sh, _) =>
         // unknown (newly discovered) shards read from the beginning, so a
         // reshard never loses records (unlike the reference — SURVEY §2.3)
         val from = known.getOrElse(sh, -1L)
-        val maxSeq = ShardedStreamLog.maxSequence(root, s, sh)
-        sh -> math.max(from, math.min(maxSeq, from + maxPerShard))
+        sh -> math.max(from, math.min(maxSeqs(sh), from + maxPerShard))
       }.toMap
       // shards that vanished from disk keep their checkpoint entry
       s -> (known ++ next)

@@ -127,6 +127,32 @@ object StreamOps {
       "left_outer")
   }
 
+  /** FULL OUTER stream-stream interval join — completes the outer-join
+    * family: matched pairs emit immediately (inner semantics); an
+    * unmatched event on EITHER side emits null-extended once the
+    * watermark has passed every instant at which its partner could
+    * still arrive. The state bound is identical to the one-sided outer
+    * forms — both watermarks plus the range condition are mandatory —
+    * and so is the trailing emission (outer rows follow the watermark by
+    * `window + watermarkDelay`). Symmetric interval: a right event
+    * within ±`window` of the left matches, because in full-outer use
+    * (reconciliation of two event feeds) neither side is privileged as
+    * "first".
+    */
+  def fullOuterIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      leftKey: String, rightKey: String,
+      window: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $window") &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $window"),
+      "full_outer")
+  }
+
   /** Per-band LSH bucket membership for streaming near-dup detection. */
   final case class BucketMembers(ids: Seq[Long])
 

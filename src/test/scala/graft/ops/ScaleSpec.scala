@@ -94,23 +94,44 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       s"sampling filter must be below the exchange (scan side):\n$plan")
   }
 
+  test("q49's exact validator refuses inputs beyond its cap") {
+    // the quadratic all-pairs ground truth must enforce its validation
+    // role in code, not in a comment: past the cap it throws instead of
+    // detonating into n²/2 dot products
+    val ex = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.embeddingNearDupExact(spark, d, maxVectors = 5)
+    }
+    assert(ex.getMessage.contains("validation operator"))
+  }
+
+  test("sampled near-dup validator is an exact subset of the full ground truth") {
+    val sim = graft.llm.Similarity
+    val full = sim.embeddingNearDupExact(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // force the sampling path (target < fixture's 500 vectors); the md5
+    // bucket keep-set is deterministic, so this is a stable regression
+    val sampled = sim.embeddingNearDupSampled(spark, d, targetVectors = 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sampled.nonEmpty, "deterministic half-sample lost every pair")
+    assert(sampled.forall(full.contains),
+      "sampled validator produced a pair absent from the exact ground truth")
+    assert(sampled.length < full.size,
+      "sampling did not reduce the pair set — the guard path was not exercised")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = Files.createTempDirectory("bucketed-wh").toString
     val db = "bucketdemo"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$warehouse'")
     try {
-      graft.Tables(spark, d, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .write.mode("overwrite")
-        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"$db.li_b")
-      graft.Tables(spark, d, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .write.mode("overwrite")
-        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"$db.ord_b")
-      val joined = spark.table(s"$db.li_b")
-        .join(spark.table(s"$db.ord_b"), col("l_orderkey") === col("o_orderkey"))
+      Scale.bucketedWrite(
+        graft.Tables(spark, d, "lineitem").select("l_orderkey", "l_quantity"),
+        s"$db.li_b", 4, "l_orderkey")
+      Scale.bucketedWrite(
+        graft.Tables(spark, d, "orders").select("o_orderkey", "o_totalprice"),
+        s"$db.ord_b", 4, "o_orderkey")
+      val joined = Scale.bucketedJoin(spark,
+        s"$db.li_b", s"$db.ord_b", Seq("l_orderkey"), Seq("o_orderkey"))
       // co-located by bucket: plan must contain no shuffle exchange
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"), plan)
@@ -118,5 +139,37 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     } finally {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
+  }
+
+  test("AQE skew-join splits a hot key's partition at runtime") {
+    // The automatic counterpart to saltedJoin: when one join key carries
+    // most of the rows, AQE's skew handling splits the oversized shuffle
+    // partition into advisory-sized chunks at runtime (the replicated
+    // other side is re-read per chunk). Thresholds are lowered here so
+    // the fixture-scale skew trips the same code path a 100 TB hot key
+    // would. Conf changes live in a child session; the shared one is
+    // untouched.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    // 90% of the left side lands on key 1 — one shuffle partition holds
+    // ~180k rows while its peers hold ~20
+    val left = s.range(0, 200000)
+      .select(when($"id" % 10 =!= 0, lit(1L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+    val right = s.range(0, 200000).select($"id".as("rk"), ($"id" * 2).as("rv"))
+    val joined = left.join(right, $"k" === $"rk")
+    // execute THIS Dataset's query (count() would plan a separate one and
+    // leave joined's adaptive plan unfinalized)
+    assert(joined.collect().length === 200000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the join as skew-handled:\n$plan")
   }
 }

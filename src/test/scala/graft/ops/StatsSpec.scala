@@ -8,22 +8,35 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
 
   private val d = "/root/testdata/sf0.001"
 
-  test("approx_percentile (the corpus-scale path) stays within accuracy bounds of exact") {
-    // q57 uses exact percentile (per-group sort) for the oracle; at
-    // corpus scale the operator of choice is approx_percentile, which is
-    // a fixed-size sketch with one pass and no per-group sort. Assert the
-    // sketch lands within the quantity domain's resolution of exact.
+  test("q67 approx percentiles sit inside the exact rank-error band") {
+    // q67 (the registered corpus-scale twin of q57) guarantees rank error
+    // ≤ n/accuracy. Assert each sketch output lies between the EXACT
+    // percentiles at p ± 2/accuracy — the sketch's own contract, checked
+    // against q57's ground-truth operator (the q39 HLL treatment).
     import spark.implicits._
+    val eps = 2.0 / Stats.ApproxPercentileAccuracy
     val li = graft.Tables(spark, d, "lineitem")
-    val both = li.groupBy($"l_returnflag")
+    val bands = li.groupBy($"l_returnflag")
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("exact"),
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx"))
-      .as[(String, Double, Double)].collect()
-    assert(both.nonEmpty)
-    both.foreach { case (flag, exact, approx) =>
-      assert(math.abs(exact - approx) <= 1.0,
-        s"group $flag: approx $approx drifted from exact $exact")
+        expr(s"percentile(l_quantity, ${0.25 - eps})").as("lo25"),
+        expr(s"percentile(l_quantity, ${0.25 + eps})").as("hi25"),
+        expr(s"percentile(l_quantity, ${0.50 - eps})").as("lo50"),
+        expr(s"percentile(l_quantity, ${0.50 + eps})").as("hi50"),
+        expr(s"percentile(l_quantity, ${0.75 - eps})").as("lo75"),
+        expr(s"percentile(l_quantity, ${0.75 + eps})").as("hi75"))
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val approx = graft.SparkEntry
+      .queries("q67_quantity_percentiles_approx")(spark, d)
+      .select($"l_returnflag",
+        $"q25".cast("double"), $"median".cast("double"), $"q75".cast("double"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, a25, a50, a75) =>
+      val (_, lo25, hi25, lo50, hi50, lo75, hi75) = bands(flag)
+      assert(a25 >= lo25 && a25 <= hi25, s"group $flag q25 $a25 outside [$lo25,$hi25]")
+      assert(a50 >= lo50 && a50 <= hi50, s"group $flag median $a50 outside [$lo50,$hi50]")
+      assert(a75 >= lo75 && a75 <= hi75, s"group $flag q75 $a75 outside [$lo75,$hi75]")
     }
   }
 

@@ -148,6 +148,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq((1L, Some(ts(30))), (2L, None)))
   }
 
+  test("fullOuterIntervalJoin emits both sides' unmatched rows as nulls") {
+    import spark.implicits._
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val buys = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamOps.fullOuterIntervalJoin(
+      views.toDF().toDF("v_ts", "v_user"), buys.toDF().toDF("b_ts", "b_user"),
+      "v_ts", "b_ts", "v_user", "b_user", "1 HOUR", "0 seconds")
+    spark.sql("DROP TABLE IF EXISTS fssj_sink")
+    val q = out.writeStream.format("memory").queryName("fssj_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: view@0 matched by buy@30 (inner row, emitted eagerly)
+      // user 2: view@5 with no buy ever  → null-extended LEFT row
+      // user 3: buy@10 with no view ever → null-extended RIGHT row
+      views.addData((ts(0), 1L), (ts(5), 2L))
+      buys.addData((ts(30), 1L), (ts(10), 3L))
+      q.processAllAvailable()
+      // outer rows trail the watermark by window + delay — push both
+      // sides far past every candidate interval
+      views.addData((ts(600), 99L))
+      buys.addData((ts(600), 99L))
+      q.processAllAvailable()
+      views.addData((ts(1200), 99L))
+      buys.addData((ts(1200), 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fssj_sink")
+      .filter(coalesce($"v_user", $"b_user") < 99L)
+      .select($"v_user", $"b_user", $"b_ts")
+      .as[(Option[Long], Option[Long], Option[Timestamp])]
+      .collect().toSeq.sortBy(r => r._1.orElse(r._2))
+    assert(rows == Seq(
+      (Some(1L), Some(1L), Some(ts(30))),
+      (Some(2L), None, None),
+      (None, Some(3L), Some(ts(10)))))
+  }
+
   test("streamingNearDupCandidates pairs a document with near-dups from earlier batches") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
