@@ -204,6 +204,59 @@ object Dedup {
          |FROM lab
          |GROUP BY cluster_id
          |ORDER BY cluster_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q68: CANONICAL DOC SELECTION — the decision q66's clusters exist
+    // for: within each near-dup cluster keep ONE representative (longest
+    // document, doc_id as the tie-break) and name what gets dropped.
+    // This closes the dedup pipeline end-to-end: pairs (q24) → clusters
+    // (q66) → per-cluster keep/drop (here). The keep rule is a window
+    // row_number over the cluster — cluster partitions are near-dup
+    // groups (a handful of docs), so the single-task-per-partition
+    // window shape that q48 documents as a scale hazard is safe here by
+    // construction. Oracle: the q66 recursive CTE joined back to
+    // documents with the same window.
+    QueryDef.sql("q68_canonical_docs") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cc = connectedComponents(jaccardPairs(s, d), "doc_a", "doc_b")
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("id"))
+      cc.join(docs, cc("id") === docs("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max(when(col("rn") === 1, col("id"))).as("keep_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("keep_chars"),
+          (count(lit(1)) - 1).as("n_dropped"),
+          array_join(transform(sort_array(collect_list(when(col("rn") > 1, col("id")))),
+            _.cast("string")), ",").as("dropped_ids"))
+        .orderBy("cluster_id")
+    } {
+      s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pr
+         |      UNION SELECT doc_b, doc_a FROM pr),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |lab AS (
+         |  SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |rk AS (
+         |  SELECT l.cluster_id, l.id, doc.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY doc.n_chars DESC, l.id) AS rn
+         |  FROM lab l JOIN documents doc ON l.id = doc.doc_id)
+         |SELECT cluster_id,
+         |  MAX(CASE WHEN rn = 1 THEN id END) AS keep_id,
+         |  MAX(CASE WHEN rn = 1 THEN n_chars END) AS keep_chars,
+         |  COUNT(*) - 1 AS n_dropped,
+         |  STRING_AGG(CASE WHEN rn > 1 THEN id END, ',' ORDER BY id) AS dropped_ids
+         |FROM rk
+         |GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin
     }
   )
 

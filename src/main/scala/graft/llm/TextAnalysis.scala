@@ -233,6 +233,63 @@ object TextAnalysis {
         |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_sharing
         |FROM fp
         |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q69: REPETITION QUALITY METRICS (the Gopher-rule family): per-doc
+    // word-repetition signals — total words, distinct words, the most
+    // frequent word's count — rolled up per language with threshold
+    // flags ("most frequent word ≥ 20% of the doc", "repeated words ≥
+    // 30% of the doc"). All arithmetic stays in INTEGERS (flags compare
+    // cross-multiplied counts, never fractions), so the oracle is exact
+    // with no float epsilon. Shape: one tokenize+explode pass →
+    // (doc, token) count → per-doc rollup → per-lang agg; each stage is
+    // a keyed partial aggregation, the corpus is scanned once, and rows
+    // shrink at every step — the same posture as q33's histogram.
+    QueryDef.sql("q69_repetition_metrics") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val tok = docs
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = tok.groupBy(col("doc_id"), col("lang"))
+        .agg(
+          sum(col("cnt")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top_cnt"))
+      perDoc.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("top_cnt") * 5 >= col("n_words"), 1L).otherwise(0L))
+            .as("n_top_heavy"),
+          sum(when((col("n_words") - col("n_distinct")) * 10 >= col("n_words") * 3, 1L)
+            .otherwise(0L)).as("n_dup_heavy"),
+          sum(col("n_words")).as("total_words"),
+          max(col("top_cnt")).as("max_top_cnt"))
+        .orderBy("lang")
+    } {
+      """WITH t AS (
+        |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, tok, COUNT(*) AS cnt
+        |  FROM t GROUP BY doc_id, lang, tok),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct,
+        |    MAX(cnt) AS top_cnt
+        |  FROM c GROUP BY doc_id, lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN top_cnt * 5 >= n_words THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_top_heavy,
+        |  CAST(SUM(CASE WHEN (n_words - n_distinct) * 10 >= n_words * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_heavy,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  MAX(top_cnt) AS max_top_cnt
+        |FROM m
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
     }
   )
 }
