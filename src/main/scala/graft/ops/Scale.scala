@@ -52,6 +52,55 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** Global row numbering at scale — the two-pass shape q48's scale
+    * contract calls for, as a real operator: a total order over the
+    * whole dataset without the single-task global window
+    * (`Window.orderBy` with no partition key collapses everything into
+    * ONE task — the plan shows `Exchange SinglePartition`).
+    *
+    * Pass 1 range-repartitions on the order columns, so partitions hold
+    * disjoint key ranges and ordering within+across partitions composes;
+    * a cheap count per partition (≤ `spark.sql.shuffle.partitions` rows
+    * to the driver) yields each partition's global offset. Pass 2 ranks
+    * within each partition (one task per partition, all parallel) and
+    * adds the broadcast offset. Equals the single-partition
+    * `row_number()` over the same order — spec-asserted — at the cost of
+    * one materialization of the ranged dataset (executor-local storage,
+    * like a checkpointed staging table; at 100 TB, trade it against a
+    * straggler task sorting the whole table). `order` must be a TOTAL
+    * order (include a tie-break column) or ranks within a tie group are
+    * partition-placement-dependent.
+    */
+  def globalRowNumber(
+      df: DataFrame, rankName: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(order.nonEmpty)
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Freeze the range shuffle ONCE: RangePartitioner's sample seed
+    // derives from the RDD id, so re-executing this lineage in a second
+    // job can pick DIFFERENT boundaries — pass-1 counts would then
+    // misalign with pass-2 partitions (observed as overlapping ranks).
+    // The eager localCheckpoint pins partition membership; the count
+    // pass and the rank pass read the same frozen partitions, and a
+    // lost block fails loudly instead of silently recomputing new
+    // boundaries.
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).map { p =>
+      (p, (0 until p).map(counts.getOrElse(_, 0L)).sum)
+    }
+    import spark.implicits._
+    val offsetDf = offsets.toDF("__pid", "__base")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged.join(broadcast(offsetDf), "__pid")
+      .withColumn(rankName, row_number().over(w).cast("long") + col("__base"))
+      .drop("__pid", "__base")
+  }
+
   /** Equi-join of two bucketed tables on their bucket keys. When both
     * sides were written by [[bucketedWrite]] with the same keys and
     * bucket count, the plan is a SortMergeJoin with NO

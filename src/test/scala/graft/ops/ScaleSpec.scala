@@ -141,6 +141,23 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("globalRowNumber matches the global window, without its SinglePartition exchange") {
+    import spark.implicits._
+    val ord = graft.Tables(spark, d, "orders")
+    // ground truth: the single-task global window (fine at fixture scale,
+    // the straggler shape globalRowNumber exists to avoid at 100 TB)
+    val expected = ord.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"o_totalprice".desc, $"o_orderkey")).cast("long"))
+      .select($"o_orderkey", $"rk").as[(Long, Long)].collect().toMap
+    val got = Scale.globalRowNumber(ord, "rk", $"o_totalprice".desc, $"o_orderkey")
+    val gotMap = got.select($"o_orderkey", $"rk").as[(Long, Long)].collect().toMap
+    assert(gotMap == expected)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"two-pass ranking must not collapse to one task:\n$plan")
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime") {
     // The automatic counterpart to saltedJoin: when one join key carries
     // most of the rows, AQE's skew handling splits the oversized shuffle
