@@ -75,6 +75,24 @@ object Dedup {
       |FROM p
       |WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.6""".stripMargin
 
+  /** DuckDB twin of [[connectedComponents]] over the q24 pair graph: the
+    * recursive transitive closure labeling each node with its
+    * component's minimum id. Interpolated into the q66 AND q68 oracles
+    * after a `WITH RECURSIVE pr AS (...)` head — one definition, so the
+    * two oracles can never disagree about what a cluster is. Yields
+    * `lab(id, cluster_id)`.
+    */
+  private val ClosureLabelsSql =
+    """e AS (SELECT doc_a AS u, doc_b AS v FROM pr
+      |      UNION SELECT doc_b, doc_a FROM pr),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+      |lab AS (
+      |  SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id
+      |  FROM reach GROUP BY u)""".stripMargin
+
   /** Blocked exact Jaccard ≥ 0.6 near-dup pairs (q24's body, reused by
     * q66's cluster builder): |A∪B| = |A|+|B|−|A∩B| for the distinct
     * token sets; only the intersection SIZE is computed per pair, via
@@ -190,15 +208,7 @@ object Dedup {
         .orderBy("cluster_id")
     } {
       s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM pr
-         |      UNION SELECT doc_b, doc_a FROM pr),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM e
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
-         |lab AS (
-         |  SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id
-         |  FROM reach GROUP BY u)
+         |$ClosureLabelsSql
          |SELECT cluster_id, COUNT(*) AS n_members,
          |  STRING_AGG(id, ',' ORDER BY id) AS member_ids
          |FROM lab
@@ -235,15 +245,7 @@ object Dedup {
         .orderBy("cluster_id")
     } {
       s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM pr
-         |      UNION SELECT doc_b, doc_a FROM pr),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM e
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
-         |lab AS (
-         |  SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id
-         |  FROM reach GROUP BY u),
+         |$ClosureLabelsSql,
          |rk AS (
          |  SELECT l.cluster_id, l.id, doc.n_chars,
          |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
@@ -348,17 +350,8 @@ object Dedup {
     } finally und.unpersist()
   }
 
-  /** Frees the executor storage behind an eager `localCheckpoint`:
-    * `Dataset.localCheckpoint` persists an internal RDD that
-    * `Dataset.unpersist` does not see (it only consults the plan cache),
-    * so iterative callers must unpersist the `LogicalRDD`'s backing RDD
-    * directly or every round's checkpoint stays pinned until session end.
-    */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.Checkpoints.release(df)
 
   /** Driver union-find with path compression + union-by-min over a
     * collected edge list (the small-graph branch of

@@ -176,10 +176,12 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings")
     val n = emb.select(col("vec_id")).count() // column-pruned plan-time count
+    // pair estimate in BigInt: n*(n-1)/2 overflows Long past n ≈ 4.3e9 —
+    // exactly the corpus sizes this message is written for
     require(n <= maxVectors,
       s"embeddingNearDupExact is a validation operator: $n vectors exceed " +
-        s"the $maxVectors cap (~${n * (n - 1) / 2} exact pairs). Use " +
-        "embeddingNearDupLsh (q50) in production, or " +
+        s"the $maxVectors cap (~${BigInt(n) * (n - 1) / 2} exact pairs). " +
+        "Use embeddingNearDupLsh (q50) in production, or " +
         "embeddingNearDupSampled for a bounded ground-truth slice.")
     exactPairs(emb)
   }
@@ -198,10 +200,24 @@ object Similarity {
     val emb = Tables(s, d, "embeddings")
     val n = emb.select(col("vec_id")).count()
     if (n <= targetVectors) return exactPairs(emb)
-    val keepBuckets = math.max(1L, targetVectors * 1000000L / n)
+    // full 32-bit bucket space (the first 8 md5 hex digits verbatim): a
+    // coarse space with a floor of 1 bucket would silently keep n/space
+    // vectors — unbounded in n, the detonation this function prevents.
+    // 2^32 buckets keep the floor harmless up to n ≈ targetVectors·2^32;
+    // the post-sample count check below makes the bound unconditional.
+    val space = 4294967296.0 // 2^32
+    val keepBuckets = math.max(1L, (targetVectors.toDouble / n * space).toLong)
     val bucket = expr(
-      "cast(conv(substring(md5(cast(vec_id AS string)), 1, 8), 16, 10) AS bigint) % 1000000")
-    exactPairs(emb.filter(bucket < keepBuckets))
+      "cast(conv(substring(md5(cast(vec_id AS string)), 1, 8), 16, 10) AS bigint)")
+    val sample = emb.filter(bucket < keepBuckets)
+    val kept = sample.select(col("vec_id")).count()
+    // binomial concentration: P(kept > 2·target) is astronomically small
+    // for any real target, so tripping this means the hash sliced badly
+    // (or the caller passed a degenerate target) — refuse, don't detonate
+    require(kept <= 2 * targetVectors,
+      s"embeddingNearDupSampled kept $kept vectors for target " +
+        s"$targetVectors — refusing the quadratic pass on an oversized sample")
+    exactPairs(sample)
   }
 
   /** The shared all-pairs kernel: quantize, score every a<b pair, keep

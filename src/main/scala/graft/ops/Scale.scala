@@ -70,6 +70,12 @@ object Scale {
     * straggler task sorting the whole table). `order` must be a TOTAL
     * order (include a tie-break column) or ranks within a tie group are
     * partition-placement-dependent.
+    *
+    * Storage contract: the checkpoint stays pinned in executor storage
+    * until released — after consuming the result (write/collect), call
+    * `graft.Checkpoints.release(result)` to free it (the checkpointed
+    * leaf rides inside the returned frame's plan). Skipping the release
+    * leaks one materialized copy per call until session end.
     */
   def globalRowNumber(
       df: DataFrame, rankName: String, order: Column*): DataFrame = {

@@ -160,10 +160,17 @@ object ShardedStreamLog {
     var fileKey: AnyRef = null
     // (first sequence of the record starting at byte offset, byte offset)
     val checkpoints = new java.util.ArrayList[Array[Long]]()
+    // byte offset + sequence of the LAST record parsed — the identity
+    // spot-probe target: matching here means the file agrees with the
+    // index at the scan frontier, not merely at the head
+    var lastRecOff: Long = -1L
+    var lastRecSeq: Long = -1L
     def reset(): Unit = {
       scannedBytes = 0L; maxSeq = -1L; lastCkptBytes = -IndexEveryBytes
       identity = null
       fileKey = null
+      lastRecOff = -1L
+      lastRecSeq = -1L
       checkpoints.clear()
     }
   }
@@ -192,6 +199,56 @@ object ShardedStreamLog {
       f, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
     catch { case _: java.io.IOException => null }
 
+  /** Parse the sequence number of the record starting at byte `off`, or
+    * -1 if there is none — an O(1) spot-probe used to re-verify a file's
+    * logical identity without rescanning it.
+    */
+  private def seqAt(f: Path, off: Long): Long = {
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+    try {
+      ch.position(off)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8), 256)
+      val line = in.readLine()
+      if (line == null) -1L
+      else {
+        val tab = line.indexOf('\t')
+        if (tab > 0)
+          try line.substring(0, tab).toLong
+          catch { case _: NumberFormatException => -1L }
+        else -1L
+      }
+    } finally ch.close()
+  }
+
+  /** Whether `f` is (still) the log this index was built from.
+    *
+    * Head bytes must match in every case (a recreated file with a
+    * different prefix is certainly a different log). Beyond that, a
+    * matching inode fileKey confirms identity — but a CHANGED fileKey is
+    * NOT proof of a different log: crash-safe producers append by
+    * write-temp-then-atomic-rename, which moves the inode on every
+    * batch, and resetting on each of those would silently degrade them
+    * to O(history) rescans per trigger. On fileKey mismatch the logical
+    * identity is verified instead: the record at the SCAN FRONTIER (the
+    * last record the index parsed) must still start with the sequence
+    * captured there — one O(1) read at a known offset, and since the
+    * probe sits at the frontier, a recreated file that diverges anywhere
+    * before it would have to reproduce that exact (offset, sequence)
+    * coincidence under monotone sequences to slip through. Files with no
+    * parsed record yet reset — that rescan is trivially cheap.
+    */
+  private def sameLogicalFile(
+      f: Path, idx: ShardIndex, size: Long, key: AnyRef): Boolean = {
+    val headOk = idx.identity == null ||
+      java.util.Arrays.equals(idx.identity,
+        headBytes(f, math.min(size, idx.identity.length.toLong)))
+    if (!headOk) false
+    else if (idx.fileKey == null || key == null) true // no inode signal: head bytes decide
+    else if (idx.fileKey == key) true
+    else idx.lastRecOff >= 0 && seqAt(f, idx.lastRecOff) == idx.lastRecSeq
+  }
+
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[String, ShardIndex]()
 
@@ -212,15 +269,13 @@ object ShardedStreamLog {
       if (size < idx.scannedBytes) idx.reset()
       // same-or-larger size is not proof of the same file: a shard dir
       // deleted and recreated within one JVM must not inherit the stale
-      // index — a changed inode fileKey catches recreation even when the
-      // producer replays byte-identical initial records; the head-bytes
-      // comparison remains as the fallback where fileKey is null
-      else if (idx.scannedBytes > 0 &&
-          ((idx.fileKey != null && key != null && idx.fileKey != key) ||
-           (idx.identity != null &&
-            !java.util.Arrays.equals(idx.identity,
-              headBytes(f, math.min(size, idx.identity.length.toLong))))))
+      // index — see sameLogicalFile for the identity protocol (head
+      // bytes, inode fileKey, checkpoint spot-probe)
+      else if (idx.scannedBytes > 0 && !sameLogicalFile(f, idx, size, key))
         idx.reset()
+      // identity confirmed with a moved inode (atomic-rename producer):
+      // adopt the new fileKey so the next trigger compares against it
+      else if (idx.scannedBytes > 0 && key != null) idx.fileKey = key
       if (size > idx.scannedBytes) {
         if (idx.scannedBytes == 0) {
           idx.identity = headBytes(f, size)
@@ -246,6 +301,8 @@ object ShardedStreamLog {
                 if (tab > 0) {
                   val seq = line.substring(0, tab).toLong
                   if (seq > idx.maxSeq) idx.maxSeq = seq
+                  idx.lastRecOff = pos
+                  idx.lastRecSeq = seq
                   if (pos - idx.lastCkptBytes >= IndexEveryBytes) {
                     idx.checkpoints.add(Array(seq, pos))
                     idx.lastCkptBytes = pos

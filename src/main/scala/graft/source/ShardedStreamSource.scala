@@ -119,11 +119,27 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
   private val maxPerShard: Long =
     options.getLong("maxrecordspershardperbatch", 2000L)
 
+  /** Head-probe a stream's shards in PARALLEL (driver-side, I/O-bound):
+    * each probe is an independent incremental tail scan of one shard
+    * file, and a sequential loop would make offset planning linear in
+    * shard count — fine at 5 shards, a driver stall at 10k (worst on the
+    * very first probe, which scans each file's full history once).
+    * ShardedStreamLog's per-file index is lock-striped (ConcurrentHashMap
+    * + per-index synchronized), so concurrent probes of distinct shards
+    * never serialize on each other.
+    */
+  private def probeHeads(stream: String, shards: Iterable[String]): Map[String, Long] = {
+    import scala.collection.parallel.CollectionConverters._
+    shards.par.map { sh =>
+      sh -> ShardedStreamLog.maxSequence(root, stream, sh)
+    }.toMap.seq
+  }
+
   override def initialOffset(): Offset = ShardedStreamOffset(
     streams.map { s =>
-      s -> ShardedStreamLog.listShards(root, s).map { case (sh, _) =>
-        sh -> (if (startLatest) ShardedStreamLog.maxSequence(root, s, sh) else -1L)
-      }.toMap
+      val shards = ShardedStreamLog.listShards(root, s).map(_._1)
+      s -> (if (startLatest) probeHeads(s, shards)
+            else shards.map(_ -> -1L).toMap)
     }.toMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -137,19 +153,7 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
     ShardedStreamOffset(streams.map { s =>
       val known = startPos.getOrElse(s, Map.empty[String, Long])
       val discovered = ShardedStreamLog.listShards(root, s)
-      // head-probe shards in PARALLEL: each probe is independent I/O (an
-      // incremental tail scan of one shard file), and a sequential loop
-      // would make trigger planning linear in shard count — fine at 5
-      // shards, a driver stall at 10k. The probe pool bounds driver
-      // thread use; ShardedStreamLog's per-file index is lock-striped
-      // (ConcurrentHashMap + per-index synchronized), so concurrent
-      // probes of distinct shards never serialize on each other.
-      val maxSeqs = {
-        import scala.collection.parallel.CollectionConverters._
-        discovered.par.map { case (sh, _) =>
-          sh -> ShardedStreamLog.maxSequence(root, s, sh)
-        }.toMap.seq
-      }
+      val maxSeqs = probeHeads(s, discovered.map(_._1))
       val next = discovered.map { case (sh, _) =>
         // unknown (newly discovered) shards read from the beginning, so a
         // reshard never loses records (unlike the reference — SURVEY §2.3)
