@@ -202,6 +202,59 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(got == (1L to 9L))
   }
 
+  test("atomic-rename append (new inode, same log) keeps the incremental index") {
+    // crash-safe producers append by write-temp-then-rename, which moves
+    // the inode every batch; the identity protocol must spot-probe the
+    // scan frontier and KEEP the index, not reset into an O(history)
+    // rescan per trigger
+    val root = Files.createTempDirectory("sslog").toString
+    val payload = "x" * 64
+    ShardedStreamLog.append(root, "events", "shard-0",
+      (0L until 20000L).map(i =>
+        LogRecord(i, "pk", 1700000000000L, (payload + i).getBytes("UTF-8"))))
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 19999L)
+    val before = ShardedStreamLog.bytesScanned.get()
+    // rename-producer append: copy to temp, append there, atomic replace
+    val f = java.nio.file.Paths.get(root, "events", "shard-0", "records.tsv")
+    val tmp = f.resolveSibling("records.tsv.tmp")
+    Files.copy(f, tmp)
+    ShardedStreamLog.append(root, "events", "shard-0", (20000L to 20009L).map(rec(_)))
+    val appended = Files.readAllBytes(f)
+    Files.write(tmp, java.util.Arrays.copyOfRange(appended, (Files.size(tmp)).toInt,
+      appended.length), java.nio.file.StandardOpenOption.APPEND)
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 20009L)
+    val delta = ShardedStreamLog.bytesScanned.get() - before
+    assert(delta < 150000L,
+      s"inode change on an unchanged log re-scanned $delta bytes (index was reset)")
+  }
+
+  test("recreated file with identical sequences but shifted offsets resets the index") {
+    // the frontier spot-probe must catch a recreate whose head bytes AND
+    // sequence set match but whose record boundaries moved (different
+    // payload sizes): the (offset → sequence) map the index stores is
+    // invalid for such a file
+    val root = Files.createTempDirectory("sslog").toString
+    ShardedStreamLog.append(root, "events", "shard-0",
+      (0L to 9L).map(i => LogRecord(i, "pk", 1700000000000L,
+        Array.fill(64)('a'.toByte))))
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 9L)
+    val dir = java.nio.file.Paths.get(root, "events", "shard-0")
+    dir.toFile.listFiles().foreach(_.delete())
+    Files.deleteIfExists(dir)
+    // same head record (seq 0, same payload) so head bytes match; later
+    // records grow, shifting every boundary after the first
+    ShardedStreamLog.append(root, "events", "shard-0",
+      LogRecord(0L, "pk", 1700000000000L, Array.fill(64)('a'.toByte)) +:
+        (1L to 9L).map(i => LogRecord(i, "pk", 1700000000000L,
+          Array.fill(200)('b'.toByte))))
+    assert(ShardedStreamLog.maxSequence(root, "events", "shard-0") == 9L)
+    val got = ShardedStreamLog.read(root, "events", "shard-0", -1L, Long.MaxValue)
+    assert(got.map(_.data.length).toSet == Set(64, 200),
+      "reads served from a stale index after an offset-shifting recreate")
+  }
+
   test("closed shard rejects further appends") {
     val (root, _, _) = freshDirs()
     ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(0)))
