@@ -259,6 +259,43 @@ object Dedup {
          |FROM rk
          |GROUP BY cluster_id
          |ORDER BY cluster_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q70: CROSS-SOURCE DUPLICATE LEAKAGE — for every pair of corpus
+    // sources, how many document pairs share identical canonical content
+    // (q23's digest). This is the governance view of exact dedup: a
+    // benchmark or scraped page appearing under several sources inflates
+    // the mixture weights q63 computes and leaks eval data across
+    // supposedly independent slices. Shape: one scan computes the
+    // 32-byte digest, then a self-equi-join ON THE DIGEST (narrow
+    // 3-column relation, identical subplans on both sides → exchange
+    // reuse; dup groups are tiny, so join fan-out stays ~linear); never
+    // a doc×doc product.
+    QueryDef.sql("q70_cross_source_leakage") { (s, d) =>
+      val keyed = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(array_join(sort_array(tokenSet), " ")).as("canon_key"))
+      val a = keyed.select(col("canon_key"),
+        col("source").as("source_a"), col("doc_id").as("doc_a"))
+      val b = keyed.select(col("canon_key"),
+        col("source").as("source_b"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("canon_key"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    } {
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+        |      AS canon_key
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS n_dup_pairs
+        |FROM k a JOIN k b ON a.canon_key = b.canon_key AND a.source < b.source
+        |GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin
     }
   )
 
