@@ -268,18 +268,18 @@ object Dedup {
     // benchmark or scraped page appearing under several sources inflates
     // the mixture weights q63 computes and leaks eval data across
     // supposedly independent slices. Shape: one scan computes the
-    // 32-byte digest, then a self-equi-join ON THE DIGEST (narrow
-    // 3-column relation, identical subplans on both sides → exchange
-    // reuse; dup groups are tiny, so join fan-out stays ~linear); never
-    // a doc×doc product.
+    // 32-byte digest, an explicit repartition on the digest makes the
+    // keyed relation ONE exchange that the self-join's both sides reuse
+    // (without it each side re-scans documents and re-computes the md5),
+    // and the join is co-partitioned — no further shuffle. Dup groups
+    // are tiny, so join fan-out stays ~linear; never a doc×doc product.
     QueryDef.sql("q70_cross_source_leakage") { (s, d) =>
       val keyed = Tables(s, d, "documents")
-        .select(col("doc_id"), col("source"),
+        .select(col("source"),
           md5(array_join(sort_array(tokenSet), " ")).as("canon_key"))
-      val a = keyed.select(col("canon_key"),
-        col("source").as("source_a"), col("doc_id").as("doc_a"))
-      val b = keyed.select(col("canon_key"),
-        col("source").as("source_b"), col("doc_id").as("doc_b"))
+        .repartition(col("canon_key"))
+      val a = keyed.select(col("canon_key"), col("source").as("source_a"))
+      val b = keyed.select(col("canon_key"), col("source").as("source_b"))
       a.join(b, Seq("canon_key"))
         .filter(col("source_a") < col("source_b"))
         .groupBy(col("source_a"), col("source_b"))

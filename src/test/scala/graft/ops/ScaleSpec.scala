@@ -158,6 +158,20 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       s"two-pass ranking must not collapse to one task:\n$plan")
   }
 
+  test("q70 self-join reuses the digest exchange when too big to broadcast") {
+    // at corpus scale neither side broadcasts: the self-join must become
+    // a co-partitioned SMJ whose second side REUSES the repartition
+    // exchange (one documents scan + one md5 pass), not a second scan
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val df = graft.SparkEntry.queries("q70_cross_source_leakage")(s, d)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"digest exchange not reused — both join sides re-scan documents:\n$plan")
+  }
+
   test("AQE skew-join splits a hot key's partition at runtime") {
     // The automatic counterpart to saltedJoin: when one join key carries
     // most of the rows, AQE's skew handling splits the oversized shuffle
