@@ -325,6 +325,12 @@ object Dedup {
     */
   val SmallGraphEdges: Long = 10L * 1000 * 1000
 
+  /** Storage contract (distributed branch only): the returned frame
+    * rides on the final round's localCheckpoint — after consuming it,
+    * call `graft.Checkpoints.release(result)` to free that last copy
+    * (intermediate rounds are released inside the loop; the small-graph
+    * union-find branch holds no checkpoint).
+    */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 64,
@@ -336,7 +342,7 @@ object Dedup {
       .localCheckpoint(true)
     if (e.count() <= smallGraphEdges) {
       val r = unionFind(e)
-      releaseCheckpoint(e)
+      graft.Checkpoints.release(e)
       return r
     }
     val und = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
@@ -347,7 +353,7 @@ object Dedup {
       // the initial-labels job above materialized (and cached) und, so the
       // raw edge checkpoint is no longer referenced — free it now rather
       // than pinning it for the whole loop
-      releaseCheckpoint(e)
+      graft.Checkpoints.release(e)
       def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
         Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
       var prevSum = labelSum(labels)
@@ -377,7 +383,7 @@ object Dedup {
         val nextSum = labelSum(next)
         // the new checkpoint is materialized; the previous round's copy is
         // dead — release it so the loop holds one labels copy, not O(rounds)
-        releaseCheckpoint(labels)
+        graft.Checkpoints.release(labels)
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum
@@ -386,9 +392,6 @@ object Dedup {
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally und.unpersist()
   }
-
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    graft.Checkpoints.release(df)
 
   /** Driver union-find with path compression + union-by-min over a
     * collected edge list (the small-graph branch of

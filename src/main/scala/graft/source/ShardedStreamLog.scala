@@ -152,12 +152,6 @@ object ShardedStreamLog {
     // catch a file that was deleted and recreated at equal-or-larger size
     // (size alone would keep the stale index and yield wrong reads)
     var identity: Array[Byte] = null
-    // filesystem identity (inode-like fileKey) captured at first scan:
-    // head bytes alone miss the typical recreate scenario — a producer
-    // replaying the same initial records into a new file — so a changed
-    // fileKey also invalidates the index. null where the filesystem
-    // doesn't expose one (then head bytes remain the only signal).
-    var fileKey: AnyRef = null
     // (first sequence of the record starting at byte offset, byte offset)
     val checkpoints = new java.util.ArrayList[Array[Long]]()
     // byte offset + sequence of the LAST record parsed — the identity
@@ -168,7 +162,6 @@ object ShardedStreamLog {
     def reset(): Unit = {
       scannedBytes = 0L; maxSeq = -1L; lastCkptBytes = -IndexEveryBytes
       identity = null
-      fileKey = null
       lastRecOff = -1L
       lastRecSeq = -1L
       checkpoints.clear()
@@ -177,76 +170,70 @@ object ShardedStreamLog {
 
   private val IdentityBytes = 64
 
-  /** First `min(IdentityBytes, size)` bytes of the file. */
+  /** First `min(IdentityBytes, size)` bytes of the file; empty when the
+    * file vanished under a concurrent delete (→ identity mismatch →
+    * reset next trigger, instead of killing the streaming query).
+    */
   private def headBytes(f: Path, size: Long): Array[Byte] = {
     val n = math.min(size, IdentityBytes.toLong).toInt
     if (n <= 0) return Array.emptyByteArray
-    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
     try {
-      val buf = java.nio.ByteBuffer.allocate(n)
-      while (buf.hasRemaining && ch.read(buf) >= 0) {}
-      java.util.Arrays.copyOf(buf.array(), buf.position())
-    } finally ch.close()
+      val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(n)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        java.util.Arrays.copyOf(buf.array(), buf.position())
+      } finally ch.close()
+    } catch { case _: java.nio.file.NoSuchFileException => Array.emptyByteArray }
   }
-
-  /** Inode-like identity of the file, or null where the filesystem has
-    * none (creation time is NOT used: on Linux, Java reports mtime where
-    * birth time is unavailable, and appends move mtime — that would reset
-    * the index every trigger and silently degrade it to O(history)).
-    */
-  private def fileKeyOf(f: Path): AnyRef =
-    try Files.readAttributes(
-      f, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-    catch { case _: java.io.IOException => null }
 
   /** Parse the sequence number of the record starting at byte `off`, or
-    * -1 if there is none — an O(1) spot-probe used to re-verify a file's
-    * logical identity without rescanning it.
+    * -1 if there is none (including a concurrent-delete race) — an O(1)
+    * spot-probe used to re-verify a file's logical identity without
+    * rescanning it.
     */
-  private def seqAt(f: Path, off: Long): Long = {
-    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+  private def seqAt(f: Path, off: Long): Long =
     try {
-      ch.position(off)
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8), 256)
-      val line = in.readLine()
-      if (line == null) -1L
-      else {
-        val tab = line.indexOf('\t')
-        if (tab > 0)
-          try line.substring(0, tab).toLong
-          catch { case _: NumberFormatException => -1L }
-        else -1L
-      }
-    } finally ch.close()
-  }
+      val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+      try {
+        ch.position(off)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8), 256)
+        val line = in.readLine()
+        if (line == null) -1L
+        else {
+          val tab = line.indexOf('\t')
+          if (tab > 0)
+            try line.substring(0, tab).toLong
+            catch { case _: NumberFormatException => -1L }
+          else -1L
+        }
+      } finally ch.close()
+    } catch { case _: java.nio.file.NoSuchFileException => -1L }
 
-  /** Whether `f` is (still) the log this index was built from.
+  /** Whether `f` is (still) the log this index was built from: the head
+    * bytes captured at first scan must be unchanged AND the record at
+    * the SCAN FRONTIER (the last record the index parsed) must still
+    * start with the sequence captured there — one ~256-byte read at a
+    * known offset per trigger. A recreated file that diverges anywhere
+    * before the frontier shifts its record boundaries, so it would have
+    * to reproduce that exact (offset, sequence) coincidence under
+    * monotone sequences to slip through.
     *
-    * Head bytes must match in every case (a recreated file with a
-    * different prefix is certainly a different log). Beyond that, a
-    * matching inode fileKey confirms identity — but a CHANGED fileKey is
-    * NOT proof of a different log: crash-safe producers append by
-    * write-temp-then-atomic-rename, which moves the inode on every
-    * batch, and resetting on each of those would silently degrade them
-    * to O(history) rescans per trigger. On fileKey mismatch the logical
-    * identity is verified instead: the record at the SCAN FRONTIER (the
-    * last record the index parsed) must still start with the sequence
-    * captured there — one O(1) read at a known offset, and since the
-    * probe sits at the frontier, a recreated file that diverges anywhere
-    * before it would have to reproduce that exact (offset, sequence)
-    * coincidence under monotone sequences to slip through. Files with no
-    * parsed record yet reset — that rescan is trivially cheap.
+    * Deliberately CONTENT-ONLY — no filesystem identity signals:
+    * creation time is unusable (on Linux, Java reports mtime where birth
+    * time is missing, and appends move mtime), and the inode fileKey is
+    * both too weak (ext4 hands a recreated file the lowest free inode,
+    * often the just-deleted one — equal inode proves nothing) and too
+    * strong (crash-safe producers append by write-temp-then-atomic-
+    * rename, moving the inode on every batch — a reset per append would
+    * silently degrade them to O(history) rescans per trigger).
     */
-  private def sameLogicalFile(
-      f: Path, idx: ShardIndex, size: Long, key: AnyRef): Boolean = {
+  private def sameLogicalFile(f: Path, idx: ShardIndex, size: Long): Boolean = {
     val headOk = idx.identity == null ||
       java.util.Arrays.equals(idx.identity,
         headBytes(f, math.min(size, idx.identity.length.toLong)))
-    if (!headOk) false
-    else if (idx.fileKey == null || key == null) true // no inode signal: head bytes decide
-    else if (idx.fileKey == key) true
-    else idx.lastRecOff >= 0 && seqAt(f, idx.lastRecOff) == idx.lastRecSeq
+    headOk && idx.lastRecOff >= 0 && seqAt(f, idx.lastRecOff) == idx.lastRecSeq
   }
 
   private val indexes =
@@ -265,23 +252,21 @@ object ShardedStreamLog {
       f.toAbsolutePath.toString, _ => new ShardIndex)
     idx.synchronized {
       val size = if (Files.exists(f)) Files.size(f) else 0L
-      val key = if (size > 0) fileKeyOf(f) else null
       if (size < idx.scannedBytes) idx.reset()
       // same-or-larger size is not proof of the same file: a shard dir
       // deleted and recreated within one JVM must not inherit the stale
       // index — see sameLogicalFile for the identity protocol (head
-      // bytes, inode fileKey, checkpoint spot-probe)
-      else if (idx.scannedBytes > 0 && !sameLogicalFile(f, idx, size, key))
+      // bytes + scan-frontier spot-probe)
+      else if (idx.scannedBytes > 0 && !sameLogicalFile(f, idx, size))
         idx.reset()
-      // identity confirmed with a moved inode (atomic-rename producer):
-      // adopt the new fileKey so the next trigger compares against it
-      else if (idx.scannedBytes > 0 && key != null) idx.fileKey = key
       if (size > idx.scannedBytes) {
-        if (idx.scannedBytes == 0) {
-          idx.identity = headBytes(f, size)
-          idx.fileKey = key
-        }
-        val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+        if (idx.scannedBytes == 0) idx.identity = headBytes(f, size)
+        // a shard deleted between the size snapshot and this open (a
+        // non-atomic recreate in flight) resets instead of killing the
+        // streaming query; the next trigger sees the new file — POSIX
+        // keeps an already-open fd readable, so only the open can race
+        val ch = try java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+        catch { case _: java.nio.file.NoSuchFileException => idx.reset(); return idx }
         try {
           ch.position(idx.scannedBytes)
           val in = new java.io.BufferedReader(new java.io.InputStreamReader(
