@@ -52,6 +52,32 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** Hive-style partitioned layout write — the directory-level
+    * counterpart to [[bucketedWrite]]: rows land under
+    * `path/col=value/...` directories, so any later filter on the
+    * partition columns prunes whole directories at PLAN time (the scan's
+    * `PartitionFilters` — spec-asserted), before a single byte is read.
+    * This is how a 100 TB corpus makes `lang = 'en'` or a date-range
+    * predicate cost only the slice it selects.
+    *
+    * `sortCols` additionally sorts within each written file, tightening
+    * parquet min/max row-group statistics so non-partition predicates
+    * skip row groups too. Partition columns should be LOW-cardinality
+    * (bounded directory count); high-cardinality keys belong in
+    * [[bucketedWrite]] buckets instead.
+    */
+  def layoutWrite(
+      df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(partitionCols.nonEmpty)
+    val arranged =
+      if (sortCols.isEmpty) df
+      else df.repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    arranged.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Global row numbering at scale — the two-pass shape q48's scale
     * contract calls for, as a real operator: a total order over the
     * whole dataset without the single-task global window

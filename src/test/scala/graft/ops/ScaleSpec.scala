@@ -158,6 +158,26 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       s"two-pass ranking must not collapse to one task:\n$plan")
   }
 
+  test("layoutWrite partitions prune at plan time before any bytes are read") {
+    val out = Files.createTempDirectory("layout").toString + "/orders"
+    Scale.layoutWrite(
+      graft.Tables(spark, d, "orders"),
+      out, partitionCols = Seq("o_orderpriority"), sortCols = Seq("o_orderdate"))
+    val pruned = spark.read.parquet(out)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    // the partition predicate must appear as a PartitionFilter on the
+    // scan (directory pruning), not as a post-scan data Filter
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("Scan parquet")).get
+    assert(scanLine.contains("PartitionFilters") &&
+      scanLine.substring(scanLine.indexOf("PartitionFilters"))
+        .takeWhile(_ != ']').contains("1-URGENT"),
+      s"partition predicate did not reach PartitionFilters:\n$scanLine")
+    val expected = graft.Tables(spark, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(pruned.count() === expected)
+  }
+
   test("q70 self-join reuses the digest exchange when too big to broadcast") {
     // at corpus scale neither side broadcasts: the self-join must become
     // a co-partitioned SMJ whose second side REUSES the repartition
