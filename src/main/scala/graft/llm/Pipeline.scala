@@ -397,6 +397,86 @@ object Pipeline {
         |  UNION ALL SELECT 3, 'min_tokens', n2, n3 FROM c
         |  UNION ALL SELECT 4, 'mean_word_length', n3, n4 FROM c)
         |ORDER BY stage""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q71: the WHOLE training pipeline composed end-to-end and audited
+    // in one query — normalize → repetition-quality gate (q69's integer
+    // rule) → exact-dedup canonical selection (q23's digest, min-doc_id
+    // among quality survivors) → train split (q53's bucket) → context
+    // packing (q54's running-sum windows over the kept docs). Shape at
+    // scale: ONE documents scan, one window over canon_key, one running
+    // window per lang, one final aggregation — no per-stage re-scan (the
+    // per-doc stage flags ride one row). The canonical-selection window
+    // orders (pass_q DESC, doc_id) so rn=1 is the min-id QUALITY doc of
+    // each digest group without filtering first; non-kept docs
+    // contribute 0 to the packing running sum, so pack ids equal q54's
+    // over exactly the kept subset.
+    QueryDef.sql("q71_pipeline_funnel") { (s, d) =>
+      val base = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("tokens"))
+        .withColumn("n_tok", size(col("tokens")))
+        .withColumn("n_distinct", size(array_distinct(col("tokens"))))
+        .withColumn("pass_q", col("n_tok") >= 20 &&
+          (col("n_tok") - col("n_distinct")) * 10 < col("n_tok") * 3)
+        .withColumn("canon_key",
+          md5(array_join(sort_array(array_distinct(col("tokens"))), " ")))
+      val wCanon = Window.partitionBy(col("canon_key"))
+        .orderBy(col("pass_q").desc, col("doc_id"))
+      val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("is_canon", col("pass_q") && row_number().over(wCanon) === 1)
+        .withColumn("keep", col("is_canon") && idBucket < 80)
+        .withColumn("kept_tok", when(col("keep"), col("n_tok")).otherwise(lit(0)))
+        .withColumn("cum", sum(col("kept_tok")).over(wPack))
+        .withColumn("pack_key", when(col("keep"), concat_ws("|", col("lang"),
+          floor((col("cum") - col("n_tok")) / ContextTokens).cast("long").cast("string"))))
+        .agg(
+          count(lit(1)).as("n_raw"),
+          sum(col("n_tok")).cast("long").as("tok_raw"),
+          sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_train"),
+          sum(col("kept_tok")).cast("long").as("tok_train"),
+          countDistinct(col("pack_key")).as("n_windows"))
+    } {
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tokens
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    LEN(tokens) AS n_tok,
+         |    LEN(LIST_DISTINCT(tokens)) AS n_distinct,
+         |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(tokens)), ' ')) AS canon_key
+         |  FROM b),
+         |f AS (
+         |  SELECT *, (n_tok >= 20 AND (n_tok - n_distinct) * 10 < n_tok * 3) AS pass_q
+         |  FROM m),
+         |cn AS (
+         |  SELECT *, (pass_q AND ROW_NUMBER() OVER (
+         |      PARTITION BY canon_key ORDER BY pass_q DESC, doc_id) = 1) AS is_canon
+         |  FROM f),
+         |kp AS (
+         |  SELECT *, (is_canon AND $IdBucketSql < 80) AS keep FROM cn),
+         |ck AS (
+         |  SELECT *, CASE WHEN keep THEN n_tok ELSE 0 END AS kept_tok FROM kp),
+         |cm AS (
+         |  SELECT *, SUM(kept_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |                                ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM ck)
+         |SELECT COUNT(*) AS n_raw,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_raw,
+         |  CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(SUM(kept_tok) AS BIGINT) AS tok_train,
+         |  COUNT(DISTINCT CASE WHEN keep THEN lang || '|' ||
+         |    CAST(CAST(FLOOR((cum - n_tok) / $ContextTokens) AS BIGINT) AS VARCHAR)
+         |  END) AS n_windows
+         |FROM cm""".stripMargin
     }
   )
 }
