@@ -24,4 +24,13 @@ object Tables {
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }
+
+  /** The `spark.sql(...)` surface: register every corpus table as a temp
+    * view (with the same timestamp handling as [[apply]]), so literal
+    * ANSI SQL runs against the engine — the views are lazy relations,
+    * and every Catalyst benefit (pushdown, pruning, whole-stage codegen)
+    * applies to SQL text exactly as to the DataFrame API.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }
