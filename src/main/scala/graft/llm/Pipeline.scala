@@ -415,7 +415,9 @@ object Pipeline {
     QueryDef.sql("q71_pipeline_funnel") { (s, d) =>
       val base = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          split(regexp_replace(trim(col("text")), "\\s+", " "), " ").as("tokens"))
+          // explicit class, not \s+: Java's \s includes vertical tab,
+          // RE2's (DuckDB) does not — the class means the same in both
+          split(regexp_replace(trim(col("text")), "[ \\t\\n\\r]+", " "), " ").as("tokens"))
         .withColumn("n_tok", size(col("tokens")))
         .withColumn("n_distinct", size(array_distinct(col("tokens"))))
         .withColumn("pass_q", col("n_tok") >= 20 &&
@@ -431,7 +433,10 @@ object Pipeline {
         .withColumn("keep", col("is_canon") && idBucket < 80)
         .withColumn("kept_tok", when(col("keep"), col("n_tok")).otherwise(lit(0)))
         .withColumn("cum", sum(col("kept_tok")).over(wPack))
-        .withColumn("pack_key", when(col("keep"), concat_ws("|", col("lang"),
+        // concat (not concat_ws): NULL lang must propagate to a NULL key
+        // exactly like the oracle's `||`, or a null-lang kept doc counts
+        // as a window on one engine only
+        .withColumn("pack_key", when(col("keep"), concat(col("lang"), lit("|"),
           floor((col("cum") - col("n_tok")) / ContextTokens).cast("long").cast("string"))))
         .agg(
           count(lit(1)).as("n_raw"),
@@ -444,7 +449,7 @@ object Pipeline {
     } {
       s"""WITH b AS (
          |  SELECT doc_id, lang,
-         |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'), ' ') AS tokens
+         |    STRING_SPLIT(REGEXP_REPLACE(TRIM(text), '[ \\t\\n\\r]+', ' ', 'g'), ' ') AS tokens
          |  FROM documents),
          |m AS (
          |  SELECT doc_id, lang,

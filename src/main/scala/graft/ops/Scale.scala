@@ -65,15 +65,22 @@ object Scale {
     * skip row groups too. Partition columns should be LOW-cardinality
     * (bounded directory count); high-cardinality keys belong in
     * [[bucketedWrite]] buckets instead.
+    *
+    * The pre-write shuffle is a RANGE repartition on
+    * (partitionCols ++ sortCols): it clusters rows by directory (no
+    * tasks×values small-file explosion) while a HOT partition value
+    * still spreads across many tasks via the sort-column ranges — a
+    * plain hash repartition on the partition columns would funnel the
+    * dominant value (think `lang = 'en'` over most of a corpus) into
+    * one straggler task. With no `sortCols` the hot value IS one task
+    * per value — pass a spread column as `sortCols` for skewed layouts.
     */
   def layoutWrite(
       df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(partitionCols.nonEmpty)
-    val arranged =
-      if (sortCols.isEmpty) df
-      else df.repartition(partitionCols.map(col): _*)
-        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    val keys = (partitionCols ++ sortCols).map(col)
+    val arranged = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
     arranged.write.mode("overwrite")
       .partitionBy(partitionCols: _*).parquet(path)
   }
