@@ -158,6 +158,29 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       s"two-pass ranking must not collapse to one task:\n$plan")
   }
 
+  test("parquet aggregate pushdown answers COUNT/MIN/MAX from footer statistics") {
+    // at 100 TB a bare COUNT(*)/MIN/MAX over parquet should read row-group
+    // metadata, not data pages — spark.sql.parquet.aggregatePushdown pushes
+    // the aggregate into the scan (visible as PushedAggregation)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // pushdown lives in the V2 parquet source; the default V1 list
+    // routes parquet around it
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    val agg = s.read.parquet(s"$d/orders.parquet")
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") && plan.contains("COUNT(*)"),
+      s"aggregate not pushed into the parquet scan:\n$plan")
+    val r = agg.head
+    val expected = graft.Tables(spark, d, "orders")
+      .agg(count(lit(1)), min(col("o_totalprice")), max(col("o_totalprice"))).head
+    assert(r.getLong(0) === expected.getLong(0))
+    assert(r.getDouble(1) === expected.getDouble(1))
+    assert(r.getDouble(2) === expected.getDouble(2))
+  }
+
   test("layoutWrite partitions prune at plan time before any bytes are read") {
     val out = Files.createTempDirectory("layout").toString + "/orders"
     Scale.layoutWrite(
