@@ -124,6 +124,59 @@ object Similarity {
     // timing it inside a single-query bench would misrepresent both.
     // LlmSpec asserts recall@10 vs the q27 brute force.
     // ------------------------------------------------------------------
+    // q72: INT8 QUANTIZATION AUDIT — the storage side of similarity at
+    // scale: per-vector symmetric int8 quantization (scale = max |x|,
+    // code = floor(x·127/scale + 0.5)) shrinks an embedding store 4×,
+    // and this audit bounds what that costs: the max reconstruction
+    // error, and the code range (must stay within ±127). All arithmetic
+    // is a deterministic IEEE chain over the integer-quantized embedding
+    // domain (same floor-based rounding formula on both engines —
+    // built-in round() differs on ties: Spark half-up, DuckDB
+    // half-even), so the audit carries a DuckDB oracle. Per-row lambda
+    // work only; one keyed aggregation.
+    QueryDef.sql("q72_int8_quant_audit") { (s, d) =>
+      val emb = Tables(s, d, "embeddings").select(col("label"), expr(quant).as("v"))
+      emb
+        // zero vectors: greatest(scale, 1) keeps the division defined
+        // (codes and errors all 0) — Spark would yield NaN, DuckDB NULL
+        .withColumn("scale",
+          greatest(array_max(expr("transform(v, x -> abs(x))")), lit(1.0)))
+        .withColumn("q", expr("transform(v, x -> floor(x * 127 / scale + 0.5))"))
+        .withColumn("row_err", expr(
+          "array_max(transform(v, x -> abs(x - floor(x * 127 / scale + 0.5) * scale / 127)))"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          max(col("row_err")).as("max_abs_err"),
+          max(array_max(col("q"))).cast("long").as("max_q"),
+          min(array_min(col("q"))).cast("long").as("min_q"))
+        .orderBy("label")
+    } {
+      s"""WITH e AS (
+         |  SELECT label, $quantSql AS v FROM embeddings),
+         |sc AS (
+         |  SELECT label, v,
+         |    GREATEST(LIST_AGGREGATE(LIST_TRANSFORM(v, x -> ABS(x)), 'max'), 1.0) AS scale
+         |  FROM e),
+         |m AS (
+         |  SELECT label,
+         |    LIST_AGGREGATE(LIST_TRANSFORM(v,
+         |      x -> ABS(x - FLOOR(x * 127 / scale + 0.5) * scale / 127)), 'max') AS row_err,
+         |    LIST_AGGREGATE(LIST_TRANSFORM(v,
+         |      x -> FLOOR(x * 127 / scale + 0.5)), 'max') AS row_qmax,
+         |    LIST_AGGREGATE(LIST_TRANSFORM(v,
+         |      x -> FLOOR(x * 127 / scale + 0.5)), 'min') AS row_qmin
+         |  FROM sc)
+         |SELECT label, COUNT(*) AS n_vectors,
+         |  MAX(row_err) AS max_abs_err,
+         |  CAST(MAX(row_qmax) AS BIGINT) AS max_q,
+         |  CAST(MIN(row_qmin) AS BIGINT) AS min_q
+         |FROM m
+         |GROUP BY label
+         |ORDER BY label""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q29: embedding column statistics per label: count + exact-integer
     // L2 norm extremes (deterministic), plus mean norm via exact decimal
     // summation.

@@ -156,6 +156,15 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       s"two-pass ranking must not collapse to one task:\n$plan")
+    // the documented storage contract: releasing through the returned
+    // frame frees the checkpointed boundary snapshot
+    val ckptIds = got.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    assert(ckptIds.nonEmpty && ckptIds.forall(spark.sparkContext.getPersistentRDDs.contains))
+    graft.Checkpoints.release(got)
+    assert(ckptIds.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
+      "Checkpoints.release(result) left the ranged checkpoint pinned")
   }
 
   test("parquet aggregate pushdown answers COUNT/MIN/MAX from footer statistics") {
