@@ -23,6 +23,14 @@ object Stats {
     */
   final val ApproxPercentileAccuracy = 10000
 
+  /** Columns q73 profiles — the single source of truth for BOTH the
+    * Spark aggregation list and the generated oracle SQL. (Defined
+    * before `queries`, which interpolates it at object init.)
+    */
+  private val ProfiledOrderCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q55: pivot — long-to-wide on order status. Spark's
@@ -126,6 +134,46 @@ object Stats {
           expr(s"approx_percentile(l_quantity, 0.75, $ApproxPercentileAccuracy)").as("q75"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // ------------------------------------------------------------------
+    // q73: COLUMN PROFILE — per-column null count + exact distinct count
+    // over orders, the data-quality scorecard a pipeline runs on every
+    // ingested table. ONE aggregation pass: Spark plans the multi-column
+    // COUNT(DISTINCT) via Expand (×columns row multiplication with
+    // partial aggregation — the standard exact shape; the sketch path
+    // for wider tables is approx_count_distinct, q39). The Spark aggs
+    // and the oracle SQL are generated from the same column list, so
+    // they cannot drift.
+    QueryDef.sql("q73_column_profile") { (s, d) =>
+      val aggs = ProfiledOrderCols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"))
+      } :+ count(lit(1)).as("n_rows")
+      val one = Tables(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+      one.selectExpr("n_rows",
+          s"stack(${ProfiledOrderCols.length}, " +
+            ProfiledOrderCols.map(c => s"'$c', null_$c, dist_$c").mkString(", ") +
+            ") AS (column_name, n_null, n_distinct)")
+        .select("column_name", "n_rows", "n_null", "n_distinct")
+        .orderBy("column_name")
+    } {
+      val per = ProfiledOrderCols.map { c =>
+        s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS null_$c, " +
+          s"COUNT(DISTINCT $c) AS dist_$c"
+      }.mkString(",\n|    ")
+      val rows = ProfiledOrderCols.map { c =>
+        s"SELECT '$c' AS column_name, n_rows, CAST(null_$c AS BIGINT) AS n_null, " +
+          s"dist_$c AS n_distinct FROM a"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH a AS (
+         |  SELECT COUNT(*) AS n_rows,
+         |    $per
+         |  FROM orders)
+         |SELECT column_name, n_rows, n_null, n_distinct FROM (
+         |  $rows)
+         |ORDER BY column_name""".stripMargin
     },
 
     // ------------------------------------------------------------------
