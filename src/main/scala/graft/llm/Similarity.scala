@@ -32,6 +32,15 @@ object Similarity {
     */
   private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
+  /** q72's int8 code formula — ONE definition interpolated into every
+    * Spark lambda and oracle LIST_TRANSFORM (the text is valid in both
+    * dialects), so the code/error audits and the oracle can never audit
+    * two different quantizers. Tie-free by construction: floor(x + 0.5)
+    * rounds identically on both engines, where built-in round() splits
+    * (Spark half-up, DuckDB half-even).
+    */
+  private val QuantCode = "floor(x * 127 / scale + 0.5)"
+
   /** Cosine threshold above which two embeddings count as near-dups.
     * (Defined before `queries`, whose oracle strings interpolate it at
     * object-initialization time.)
@@ -141,9 +150,9 @@ object Similarity {
         // (codes and errors all 0) — Spark would yield NaN, DuckDB NULL
         .withColumn("scale",
           greatest(array_max(expr("transform(v, x -> abs(x))")), lit(1.0)))
-        .withColumn("q", expr("transform(v, x -> floor(x * 127 / scale + 0.5))"))
+        .withColumn("q", expr(s"transform(v, x -> $QuantCode)"))
         .withColumn("row_err", expr(
-          "array_max(transform(v, x -> abs(x - floor(x * 127 / scale + 0.5) * scale / 127)))"))
+          s"array_max(transform(v, x -> abs(x - $QuantCode * scale / 127)))"))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n_vectors"),
@@ -161,11 +170,11 @@ object Similarity {
          |m AS (
          |  SELECT label,
          |    LIST_AGGREGATE(LIST_TRANSFORM(v,
-         |      x -> ABS(x - FLOOR(x * 127 / scale + 0.5) * scale / 127)), 'max') AS row_err,
+         |      x -> ABS(x - $QuantCode * scale / 127)), 'max') AS row_err,
          |    LIST_AGGREGATE(LIST_TRANSFORM(v,
-         |      x -> FLOOR(x * 127 / scale + 0.5)), 'max') AS row_qmax,
+         |      x -> $QuantCode), 'max') AS row_qmax,
          |    LIST_AGGREGATE(LIST_TRANSFORM(v,
-         |      x -> FLOOR(x * 127 / scale + 0.5)), 'min') AS row_qmin
+         |      x -> $QuantCode), 'min') AS row_qmin
          |  FROM sc)
          |SELECT label, COUNT(*) AS n_vectors,
          |  MAX(row_err) AS max_abs_err,
