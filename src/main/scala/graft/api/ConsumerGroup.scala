@@ -101,7 +101,13 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     * draining the record channel). Offsets are committed per batch under
     * the app's checkpoint namespace — restart resumes after the last
     * committed sequence (`AFTER_SEQUENCE_NUMBER` semantics,
-    * `kinesumer.go:716-718`) with no replay.
+    * `kinesumer.go:716-718`). SOURCE progress is exactly-once; the
+    * callback is AT-LEAST-ONCE across crashes: a batch whose side
+    * effects ran but whose commit was not yet recorded re-runs on
+    * restart with the SAME batchId — `onBatch` must be idempotent per
+    * batchId (the standard foreachBatch contract; still a strict
+    * upgrade over the reference's periodic-commit replay window, which
+    * re-delivers with no dedup handle at all).
     */
   def start(streams: Seq[String])(onBatch: BatchFn): StreamingQuery = synchronized {
     require(active.isEmpty, "consumer already started; use refresh() to change streams")
@@ -162,14 +168,17 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
         .orElse(walCommittedOffsetJson())
         .map(graft.source.ShardedStreamOffset.fromJson(_).positions)
         .getOrElse(Map.empty)
-      (for {
-        stream <- streams
-        (shard, _) <- graft.source.ShardedStreamLog.listShards(cfg.logRoot, stream)
-      } yield {
-        val maxSeq = graft.source.ShardedStreamLog.maxSequence(cfg.logRoot, stream, shard)
-        val done = committed.getOrElse(stream, Map.empty).getOrElse(shard, -1L)
-        (stream, shard) -> math.max(0L, maxSeq - done)
-      }).toMap
+      streams.flatMap { stream =>
+        val shards = graft.source.ShardedStreamLog.listShards(cfg.logRoot, stream).keys
+        // parallel head-probe (shared with the source's offset planning):
+        // a sequential per-shard loop would make this monitoring call
+        // linear in shard count
+        val maxSeqs = graft.source.ShardedStreamLog.maxSequences(cfg.logRoot, stream, shards)
+        maxSeqs.map { case (shard, maxSeq) =>
+          val done = committed.getOrElse(stream, Map.empty).getOrElse(shard, -1L)
+          (stream, shard) -> math.max(0L, maxSeq - done)
+        }
+      }.toMap
   }
 
   /** End-offset JSON of the latest batch in the commit log — the durable
@@ -181,17 +190,29 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     */
   private def walCommittedOffsetJson(): Option[String] =
     try {
-      val ckpt = new java.io.File(s"${cfg.checkpointRoot}/${cfg.app}/main")
-      val committedIds = Option(new java.io.File(ckpt, "commits").list())
-        .toSeq.flatten
-        .flatMap(n => scala.util.Try(n.toLong).toOption)
-      committedIds.sorted.lastOption.flatMap { id =>
-        val f = new java.io.File(ckpt, s"offsets/$id").toPath
-        if (!java.nio.file.Files.isRegularFile(f)) None
-        else new String(java.nio.file.Files.readAllBytes(f),
-            java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n", -1).drop(2)
-          .find(l => l.nonEmpty && l != "-")
+      // Hadoop FS, not java.io.File: Spark accepts URI-style checkpoint
+      // locations (file:/, hdfs://, s3a://), and a local-path-only read
+      // here would silently miss the WAL and report the whole log as
+      // backlog after every restart
+      val base = new org.apache.hadoop.fs.Path(s"${cfg.checkpointRoot}/${cfg.app}/main")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val commits = new org.apache.hadoop.fs.Path(base, "commits")
+      if (!fs.exists(commits)) None
+      else {
+        val committedIds = fs.listStatus(commits).toSeq
+          .map(_.getPath.getName)
+          .flatMap(n => scala.util.Try(n.toLong).toOption)
+        committedIds.sorted.lastOption.flatMap { id =>
+          val f = new org.apache.hadoop.fs.Path(base, s"offsets/$id")
+          if (!fs.isFile(f)) None
+          else {
+            val in = fs.open(f)
+            val txt =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            txt.split("\n", -1).drop(2).find(l => l.nonEmpty && l != "-")
+          }
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

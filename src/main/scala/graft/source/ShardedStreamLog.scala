@@ -314,6 +314,20 @@ object ShardedStreamLog {
     if (!Files.exists(f)) -1L else advance(f).maxSeq
   }
 
+  /** Head-probe MANY shards in parallel (driver-side, I/O-bound): each
+    * probe is an independent incremental tail scan, and the per-file
+    * index is lock-striped (ConcurrentHashMap + per-index synchronized),
+    * so distinct shards never serialize on each other. A sequential loop
+    * makes the caller linear in shard count — fine at 5 shards, a stall
+    * at 10k — so every many-shard caller (trigger planning, lag) goes
+    * through here.
+    */
+  def maxSequences(
+      root: String, stream: String, shards: Iterable[String]): Map[String, Long] = {
+    import scala.collection.parallel.CollectionConverters._
+    shards.par.map(sh => sh -> maxSequence(root, stream, sh)).toMap.seq
+  }
+
   /** Read records with sequence in (afterSeq, untilSeq], ordered by seq.
     * Seeks to the last index checkpoint ≤ afterSeq and stops at the first
     * record past untilSeq (sequences are monotone in the file), so a batch

@@ -119,21 +119,12 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
   private val maxPerShard: Long =
     options.getLong("maxrecordspershardperbatch", 2000L)
 
-  /** Head-probe a stream's shards in PARALLEL (driver-side, I/O-bound):
-    * each probe is an independent incremental tail scan of one shard
-    * file, and a sequential loop would make offset planning linear in
-    * shard count — fine at 5 shards, a driver stall at 10k (worst on the
-    * very first probe, which scans each file's full history once).
-    * ShardedStreamLog's per-file index is lock-striped (ConcurrentHashMap
-    * + per-index synchronized), so concurrent probes of distinct shards
-    * never serialize on each other.
+  /** Parallel head-probe of a stream's shards — see
+    * [[ShardedStreamLog.maxSequences]] (shared with `ConsumerGroup.lag`):
+    * offset planning stays flat in shard count.
     */
-  private def probeHeads(stream: String, shards: Iterable[String]): Map[String, Long] = {
-    import scala.collection.parallel.CollectionConverters._
-    shards.par.map { sh =>
-      sh -> ShardedStreamLog.maxSequence(root, stream, sh)
-    }.toMap.seq
-  }
+  private def probeHeads(stream: String, shards: Iterable[String]): Map[String, Long] =
+    ShardedStreamLog.maxSequences(root, stream, shards)
 
   override def initialOffset(): Offset = ShardedStreamOffset(
     streams.map { s =>

@@ -24,7 +24,7 @@ object StreamOps {
     envelope.withColumn("payload",
         from_json(col("data").cast("string"), payloadSchema))
       .select(col("stream"), col("shard_id"), col("sequence_number"),
-        col("approx_arrival"), col("payload.*"))
+        col("partition_key"), col("approx_arrival"), col("payload.*"))
 
   /** Tumbling-window counts/sums with a watermark for state eviction —
     * the slide == window special case of [[slidingAgg]].
@@ -94,13 +94,34 @@ object StreamOps {
       left: DataFrame, right: DataFrame,
       leftTime: String, rightTime: String,
       leftKey: String, rightKey: String,
-      window: String, watermarkDelay: String): DataFrame = {
-    val l = left.withWatermark(leftTime, watermarkDelay)
-    val r = right.withWatermark(rightTime, watermarkDelay)
+      window: String, watermarkDelay: String): DataFrame =
+    intervalJoinImpl(left, right, leftTime, rightTime, leftKey, rightKey,
+      window, watermarkDelay, "inner", symmetric = false)
+
+  /** Shared scaffold of the interval-join family: one condition builder
+    * so a boundary fix cannot diverge across the three join types. Both
+    * sides get UNIQUE DATASET ALIASES and the condition uses qualified
+    * names: the natural funnel use is a SELF-join of one decoded stream
+    * filtered two ways, where both unqualified col(name) AND
+    * dataset-qualified refs are ambiguous on every shared column (the
+    * filters don't re-alias the attributes).
+    */
+  private def intervalJoinImpl(
+      left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      leftKey: String, rightKey: String,
+      window: String, watermarkDelay: String,
+      joinType: String, symmetric: Boolean): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay).as("__ijl")
+    val r = right.withWatermark(rightTime, watermarkDelay).as("__ijr")
+    val (lt, rt) = (col(s"__ijl.$leftTime"), col(s"__ijr.$rightTime"))
+    val lower =
+      if (symmetric) rt >= lt - expr(s"INTERVAL $window")
+      else rt > lt
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTime) > col(leftTime) &&
-        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $window"))
+      col(s"__ijl.$leftKey") === col(s"__ijr.$rightKey") && lower &&
+        rt <= lt + expr(s"INTERVAL $window"),
+      joinType)
   }
 
   /** LEFT OUTER stream-stream interval join: every left event is emitted;
@@ -117,15 +138,9 @@ object StreamOps {
       left: DataFrame, right: DataFrame,
       leftTime: String, rightTime: String,
       leftKey: String, rightKey: String,
-      window: String, watermarkDelay: String): DataFrame = {
-    val l = left.withWatermark(leftTime, watermarkDelay)
-    val r = right.withWatermark(rightTime, watermarkDelay)
-    l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTime) > col(leftTime) &&
-        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $window"),
-      "left_outer")
-  }
+      window: String, watermarkDelay: String): DataFrame =
+    intervalJoinImpl(left, right, leftTime, rightTime, leftKey, rightKey,
+      window, watermarkDelay, "left_outer", symmetric = false)
 
   /** FULL OUTER stream-stream interval join — completes the outer-join
     * family: matched pairs emit immediately (inner semantics); an
@@ -143,15 +158,9 @@ object StreamOps {
       left: DataFrame, right: DataFrame,
       leftTime: String, rightTime: String,
       leftKey: String, rightKey: String,
-      window: String, watermarkDelay: String): DataFrame = {
-    val l = left.withWatermark(leftTime, watermarkDelay)
-    val r = right.withWatermark(rightTime, watermarkDelay)
-    l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $window") &&
-        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $window"),
-      "full_outer")
-  }
+      window: String, watermarkDelay: String): DataFrame =
+    intervalJoinImpl(left, right, leftTime, rightTime, leftKey, rightKey,
+      window, watermarkDelay, "full_outer", symmetric = true)
 
   /** Per-band LSH bucket membership for streaming near-dup detection. */
   final case class BucketMembers(ids: Seq[Long])
@@ -187,7 +196,10 @@ object StreamOps {
     import spark.implicits._
     graft.functions.MinHashSigs.register(spark)
     val bands = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      // null/malformed ids would kill the Long encoder (or the ANSI
+      // cast) downstream — drop them instead of dying on a poison record
+      .filter(expr(s"try_cast($idCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($idCol AS bigint)").as("doc_id"),
         split(col(textCol), " ").as("tokens"))
       .filter(size(col("tokens")) >= 3)
       // sorted = false: minhash_sigs is a pure min-fold (order-free), and
@@ -264,7 +276,12 @@ object StreamOps {
     val gapMs = gapMinutes * 60L * 1000L
     events
       .withWatermark(timeCol, watermarkDelay)
-      .select(col(keyCol).cast("long"), col(timeCol))
+      // a null key would kill the primitive-Long tuple encoder — and a
+      // malformed string key would kill the ANSI cast — taking the whole
+      // query down on one poison record; try_cast + filter drops both
+      // (the batch twin groups nulls silently)
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSessions, ClosedSession](
@@ -276,10 +293,15 @@ object StreamOps {
           val arrivals = rows.map(r => OpenSession(r._2.getTime, r._2.getTime, 1L)).toSeq
           // coalesce all intervals (old + new) that are within gap of each
           // other — an arrival may extend a session backwards or bridge two
+          // STRICT merge (< gap, not <=): session_window and the q19
+          // batch twin both start a NEW session at exactly gap distance
+          // ([start, end+gap) is half-open). Strictness also makes the
+          // close rule airtight: once wm >= end+gap, any on-time event
+          // (ts >= wm) can no longer merge into the emitted session.
           val merged = (existing ++ arrivals).sortBy(_.start)
             .foldLeft(List.empty[OpenSession]) { (acc, s) =>
               acc match {
-                case h :: t if s.start - h.end <= gapMs =>
+                case h :: t if s.start - h.end < gapMs =>
                   OpenSession(h.start, math.max(h.end, s.end), h.n + s.n) :: t
                 case _ => s :: acc
               }

@@ -148,6 +148,22 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq((1L, Some(ts(30))), (2L, None)))
   }
 
+  test("intervalJoin self-joins one stream without renaming its columns") {
+    // the natural funnel shape: ONE decoded stream filtered two ways,
+    // keys and time columns sharing names on both sides — the join
+    // condition must use dataset-qualified refs or every shared column
+    // is ambiguous at analysis time
+    import spark.implicits._
+    val ev = MemoryStream[(Timestamp, Long, String)](spark)
+    val df = ev.toDF().toDF("ts", "user_id", "kind")
+    val out = StreamOps.intervalJoin(
+      df.filter($"kind" === "view"), df.filter($"kind" === "buy"),
+      "ts", "ts", "user_id", "user_id", "1 HOUR", "0 seconds")
+    ev.addData((ts(0), 1L, "view"), (ts(30), 1L, "buy"), (ts(10), 2L, "buy"))
+    runToSink(out, "selfj_sink")
+    assert(spark.table("selfj_sink").count() == 1)
+  }
+
   test("fullOuterIntervalJoin emits both sides' unmatched rows as nulls") {
     import spark.implicits._
     val views = MemoryStream[(Timestamp, Long)](spark)
