@@ -61,8 +61,10 @@ object Det {
     * 2-decimal prices when no single group exceeds ~1e10 rows (per-order
     * / per-part / per-month / ≥5-way splits of a table). NOT safe —
     * use [[dsum]]: scale-4 products over large groups (revenue by
-    * nation), any measure in a CUBE/ROLLUP global cell over a full
-    * table, price sums in ≤3-way splits of lineitem.
+    * nation), PRICE-SCALE measures in a CUBE/ROLLUP global cell over a
+    * full table (small-integer measures like quantity stay safe even in
+    * the global cell: 6e11 rows × 50 ≈ 3e13 — see q09), and price sums
+    * in ≤3-way splits of lineitem.
     */
   def csum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)

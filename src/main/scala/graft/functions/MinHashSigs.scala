@@ -22,6 +22,12 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(
       s"minhash_sigs requires array<bigint>, got $t")
   }
+
+  // guard executed/emitted only for containsNull=true inputs (internal
+  // callers build non-null arrays and pay nothing): unchecked getLong
+  // turns a null slot into an NPE or a phantom 0L shingle hash that
+  // silently corrupts signatures
+  private lazy val mayNull = SortedMerge.mayHaveNull(child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
 
@@ -30,6 +36,7 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
     val sigs = Array.fill(NumHashes)(M)
     var i = 0
     while (i < hs.numElements()) {
+      if (mayNull) SortedMerge.checkNull(hs, i, prettyName)
       val hp = ((hs.getLong(i) % M) + M) % M
       var k = 0
       while (k < NumHashes) {
@@ -53,6 +60,7 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
          |long[] $sigs = new long[$NumHashes];
          |java.util.Arrays.fill($sigs, ${M}L);
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  ${SortedMerge.checkNullSrc(mayNull, a, i, prettyName)}
          |  long $hp = (($a.getLong($i) % ${M}L) + ${M}L) % ${M}L;
          |  for (int $k = 0; $k < $NumHashes; $k++) {
          |    long $v = ($hp * (${A0}L + ${AStep}L * $k) + (${BStep}L * $k + 1L)) % ${M}L;

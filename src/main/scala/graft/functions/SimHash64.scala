@@ -21,6 +21,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(
       s"simhash64 requires array<bigint>, got $t")
   }
+
+  // guard executed/emitted only for containsNull=true inputs — same
+  // rationale as minhash_sigs (NPE or phantom 0L hash otherwise)
+  private lazy val mayNull = SortedMerge.mayHaveNull(child.dataType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -29,6 +33,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < hs.numElements()) {
+      if (mayNull) SortedMerge.checkNull(hs, i, prettyName)
       val h = hs.getLong(i)
       var j = 0
       while (j < 64) {
@@ -56,6 +61,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"""
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  ${SortedMerge.checkNullSrc(mayNull, a, i, prettyName)}
          |  long $h = $a.getLong($i);
          |  for (int $j = 0; $j < 64; $j++) {
          |    $counts[$j] += (((${h} >>> $j) & 1L) == 1L) ? 1 : -1;

@@ -19,6 +19,23 @@ private[functions] object SortedMerge {
     case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
     case _ => false
   }
+  def mayHaveNull(t: DataType): Boolean = t match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+  /** Runtime guard for nullable-ELEMENT arrays — executed/emitted only
+    * when the input TYPE admits null elements (every internal operator
+    * builds containsNull=false arrays and pays nothing): the kernels
+    * read with unchecked getUTF8String/getLong, so a null slot would NPE
+    * interpreted or read garbage under codegen — a silently wrong count.
+    * A loud error beats both.
+    */
+  def checkNull(x: ArrayData, i: Int, fn: String): Unit =
+    if (x.isNullAt(i))
+      throw new IllegalArgumentException(s"$fn: null array element at index $i")
+  def checkNullSrc(mayNull: Boolean, a: String, i: String, fn: String): String =
+    if (!mayNull) ""
+    else s"""if ($a.isNullAt($i)) throw new IllegalArgumentException("$fn: null array element");"""
   def isLong(t: DataType): Boolean = t match {
     case ArrayType(LongType, _) => true
     case _ => false
@@ -59,6 +76,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 
   private lazy val longElems = SortedMerge.isLong(left.dataType)
+  private lazy val mayNullL = SortedMerge.mayHaveNull(left.dataType)
+  private lazy val mayNullR = SortedMerge.mayHaveNull(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -69,6 +88,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var c = 0
     while (i < nx && j < ny) {
+      if (mayNullL) SortedMerge.checkNull(x, i, prettyName)
+      if (mayNullR) SortedMerge.checkNull(y, j, prettyName)
       val cmp = SortedMerge.cmp(longElems, x, i, y, j)
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -90,6 +111,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
+         |  ${SortedMerge.checkNullSrc(mayNullL, a, i, prettyName)}
+         |  ${SortedMerge.checkNullSrc(mayNullR, b, j, prettyName)}
          |  int $cmp = ${SortedMerge.cmpSrc(longElems, a, i, b, j)};
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
@@ -129,6 +152,8 @@ case class SortedIntersectCountMin(
   override def prettyName: String = "sorted_intersect_count_min"
 
   private lazy val longElems = SortedMerge.isLong(first.dataType)
+  private lazy val mayNullL = SortedMerge.mayHaveNull(first.dataType)
+  private lazy val mayNullR = SortedMerge.mayHaveNull(second.dataType)
 
   override def nullSafeEval(a: Any, b: Any, m: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -141,6 +166,8 @@ case class SortedIntersectCountMin(
     var c = 0
     while (i < nx && j < ny) {
       if (c + math.min(nx - i, ny - j) < need) return Int.box(-1)
+      if (mayNullL) SortedMerge.checkNull(x, i, prettyName)
+      if (mayNullR) SortedMerge.checkNull(y, j, prettyName)
       val cmp = SortedMerge.cmp(longElems, x, i, y, j)
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
@@ -165,6 +192,8 @@ case class SortedIntersectCountMin(
          |while ($i < $nx && $j < $ny) {
          |  int $rem = ($nx - $i < $ny - $j) ? ($nx - $i) : ($ny - $j);
          |  if ($c + $rem < $m) { $c = -1; break; }
+         |  ${SortedMerge.checkNullSrc(mayNullL, a, i, prettyName)}
+         |  ${SortedMerge.checkNullSrc(mayNullR, b, j, prettyName)}
          |  int $cmp = ${SortedMerge.cmpSrc(longElems, a, i, b, j)};
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }

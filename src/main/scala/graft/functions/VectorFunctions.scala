@@ -31,10 +31,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // Length mismatch is an ERROR, not a truncation: a corrupt embedding
+  // must not silently score as a plausible lower similarity (DuckDB's
+  // list_dot_product raises on unequal dimensions — silent divergence
+  // from the oracle is exactly what this kernel exists to prevent).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: vector dimensions must be equal, got $n and ${y.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -50,7 +57,12 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: vector dimensions must be equal, got " + $n +
+         |    " and " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);

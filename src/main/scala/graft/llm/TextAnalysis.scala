@@ -151,6 +151,11 @@ object TextAnalysis {
       val docs = Tables(s, d, "documents")
       docs
         .select(split(col("text"), " ").as("toks"))
+        // single-token docs contribute zero bigrams, but in Spark
+        // sequence(1, 0) is the DESCENDING [1, 0] (not empty like
+        // DuckDB's GENERATE_SERIES) and element_at(toks, 2) then throws
+        // under ANSI — filter them out before the transform
+        .filter(size(col("toks")) >= 2)
         // barrier: materialize the token array once (the bigram transform
         // references it three times; CollapseProject would re-split per ref)
         .repartition(col("toks"))

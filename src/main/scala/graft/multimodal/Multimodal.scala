@@ -93,12 +93,13 @@ object Multimodal {
     // q35: binary-column metadata: byte length and content digest of the
     // payload column (md5 is engine-portable), typed with a media type.
     QueryDef.sql("q35_binary_metadata") { (s, d) =>
-      val docs = Tables(s, d, "documents")
-      docs
-        .withColumn("blob", encode(col("text"), "UTF-8"))
+      // derives from mediaRecords (the documented single source of the
+      // binary envelope) so a media_type/encoding change cannot leave
+      // q35 silently on an old format while q36/q44/q51 move
+      mediaRecords(s, d)
         .select(
           col("doc_id"),
-          concat(lit("text/plain;lang="), col("lang")).as("media_type"),
+          col("media_type"),
           octet_length(col("blob")).as("n_bytes"),
           md5(col("blob")).as("content_md5"))
         .orderBy("doc_id")

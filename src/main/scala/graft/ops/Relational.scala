@@ -420,7 +420,10 @@ object Relational {
          |  ${dsumSql("value")} AS sum_value
          |FROM events
          |GROUP BY 1
-         |ORDER BY k_bucket""".stripMargin
+         |ORDER BY k_bucket NULLS FIRST""".stripMargin
+      // NULLS FIRST matches Spark's ascending default; DuckDB defaults
+      // NULLS LAST, so a payload lacking '$.k' (schema-on-read expects
+      // heterogeneity) would otherwise order its NULL group differently
     }
   )
 }
