@@ -15,8 +15,11 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
+  // no stripMargin here: every call site already strips, and a second
+  // pass would corrupt any oracle line whose SQL legitimately begins
+  // with '|' (e.g. a wrapped '||' string concat)
   def sql(name: String)(run: (SparkSession, String) => DataFrame)(oracle: String): QueryDef =
-    QueryDef(name, run, Some(oracle.stripMargin.trim))
+    QueryDef(name, run, Some(oracle.trim))
 
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, None)

@@ -318,18 +318,32 @@ object Dedup {
     */
   /** Edge-count threshold below which [[connectedComponents]] collapses
     * to a single-pass driver union-find: a near-dup pair graph is tiny
-    * relative to its corpus (pairs ≈ duplicates only), and 10M edges ≈
-    * 160 MB collected — milliseconds of union-find versus several
-    * distributed rounds of joins. Graphs above the threshold take the
-    * distributed min-label loop.
+    * relative to its corpus (pairs ≈ duplicates only) — milliseconds of
+    * union-find versus several distributed rounds of joins. Sized for
+    * JVM OBJECT overhead, not raw longs: the driver holds the parent
+    * LongMap plus boxed (id, root) tuples for the result rows, ~100+
+    * bytes per node — 2M edges ≈ up to ~3M nodes ≈ a few hundred MB,
+    * comfortably inside the driver heap (a 10M-edge cut, 160 MB as raw
+    * longs, measured multi-GB boxed). Graphs above the threshold take
+    * the distributed min-label loop.
     */
-  val SmallGraphEdges: Long = 10L * 1000 * 1000
+  val SmallGraphEdges: Long = 2L * 1000 * 1000
+
+  /** The final labels checkpoint of the previous distributed run —
+    * released on the NEXT call, so repeated q66/q68 executions in one
+    * session pin at most ONE labels copy instead of one per run (the
+    * generic query harness consumes results lazily and cannot call
+    * release itself).
+    */
+  private var lastCcLabels: Option[DataFrame] = None
 
   /** Storage contract (distributed branch only): the returned frame
-    * rides on the final round's localCheckpoint — after consuming it,
-    * call `graft.Checkpoints.release(result)` to free that last copy
-    * (intermediate rounds are released inside the loop; the small-graph
-    * union-find branch holds no checkpoint).
+    * rides on the final round's localCheckpoint. It stays valid until
+    * the NEXT `connectedComponents` call in this JVM (which releases it —
+    * a severed checkpoint fails loudly, never silently recomputes), or
+    * until the caller frees it early via `graft.Checkpoints.release`.
+    * Intermediate rounds are released inside the loop; the small-graph
+    * union-find branch holds no checkpoint.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -338,6 +352,11 @@ object Dedup {
     // materialize the edge list once BEFORE mirroring it: the union
     // references e twice, and without the cut the upstream pair
     // computation (expensive for near-dup graphs) would run per branch
+    // free the previous run's pinned labels (see lastCcLabels)
+    synchronized {
+      lastCcLabels.foreach(graft.Checkpoints.release)
+      lastCcLabels = None
+    }
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .localCheckpoint(true)
     if (e.count() <= smallGraphEdges) {
@@ -389,6 +408,7 @@ object Dedup {
         prevSum = nextSum
         i += 1
       }
+      synchronized { lastCcLabels = Some(labels) }
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally und.unpersist()
   }

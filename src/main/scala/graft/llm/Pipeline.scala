@@ -177,10 +177,13 @@ object Pipeline {
     // ------------------------------------------------------------------
     // q61: context-length capping — normalize whitespace, truncate to 120
     // characters at a word boundary (drop the trailing partial token).
-    // Pure per-row string expressions; identical regex semantics on both
-    // engines for these patterns.
+    // Normalization collapses the explicit [ \t\n\r]+ class (same meaning
+    // in Java and RE2 — see q71) so no newline survives into the
+    // truncation step, where Java's $ matches BEFORE a final line
+    // terminator but RE2's matches only end-of-text: with a surviving
+    // trailing '\n' the word-boundary strip would differ per engine.
     QueryDef.sql("q61_truncate_normalize") { (s, d) =>
-      val norm = regexp_replace(trim(col("text")), " +", " ")
+      val norm = regexp_replace(trim(col("text")), "[ \\t\\n\\r]+", " ")
       Tables(s, d, "documents")
         .withColumn("norm", norm)
         .withColumn("truncated",
@@ -195,7 +198,7 @@ object Pipeline {
         .orderBy("doc_id")
     } {
       """WITH n AS (
-        |  SELECT doc_id, REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g') AS norm
+        |  SELECT doc_id, REGEXP_REPLACE(TRIM(text), '[ \t\n\r]+', ' ', 'g') AS norm
         |  FROM documents WHERE doc_id < 100),
         |t AS (
         |  SELECT doc_id, norm,

@@ -402,8 +402,12 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     // cached across the training passes (standard iterative-ML shape;
     // ~n×64 doubles, tiny next to the corpus it indexes); released below
-    // once training's jobs have run — the final query re-reads the
-    // source once rather than pinning the cache for the session lifetime
+    // once training's jobs have run. The final query then re-reads and
+    // re-assigns the source TWICE (once per join side — the probe-side
+    // filter blocks exchange reuse): the deliberate trade is two passes
+    // over the corpus per query batch instead of pinning the cache for
+    // the session lifetime. Callers amortizing many query batches should
+    // persist assign(emb, centroids) themselves and release it when done.
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
       .persist()
     val n = emb.count()
@@ -416,6 +420,12 @@ object Similarity {
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0))
+    // sparse/non-contiguous ids can make the stride filter match NOTHING
+    // on a non-empty table (e.g. all-odd ids with an even stride) — fall
+    // back to the first k by id rather than failing
+    if (centroids.isEmpty)
+      centroids = emb.orderBy("vec_id").limit(k)
+        .select("v").collect().map(_.getSeq[Double](0))
     require(centroids.nonEmpty, "annIvf: embeddings table is empty")
     val kEff = centroids.length
     // all centroid coordinates + half-norms ride in two flat literals

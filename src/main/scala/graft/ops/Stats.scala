@@ -206,14 +206,18 @@ object Stats {
         .select({
           // degenerate groups (zero variance, or n = 1) yield NULL, not
           // NaN: DuckDB's double x/0 is already NULL, Spark's is NaN —
-          // the guards align Spark on the SQL semantics
+          // the guards align Spark on the SQL semantics. The corr guard
+          // is <= 0, not === 0: syy sums y² ROUNDED at 6 decimals while
+          // sy is exact, so a uniform-y group can make vary slightly
+          // NEGATIVE — sqrt of that is NaN on Spark and an Out-of-Range
+          // ERROR on DuckDB; both sides guard on the same condition
           val cov = col("n") * col("sxy") - col("sx") * col("sy")
           val varx = col("n") * col("sxx") - col("sx") * col("sx")
           val vary = col("n") * col("syy") - col("sy") * col("sy")
           val slope = cov / varx
           Seq(
             col("l_returnflag"),
-            when(varx * vary === 0, lit(null).cast("double"))
+            when(varx * vary <= 0, lit(null).cast("double"))
               .otherwise(cov / sqrt(varx * vary)).as("corr_qty_price"),
             when(varx === 0, lit(null).cast("double"))
               .otherwise(slope).as("slope_kprice"),
@@ -236,8 +240,10 @@ object Stats {
          |    ${Det.dsumSql("(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)")} AS syy
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag,
-         |  (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
-         |    AS corr_qty_price,
+         |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN NULL
+         |       ELSE (n * sxy - sx * sy)
+         |            / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+         |  END AS corr_qty_price,
          |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_kprice,
          |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept_kprice,
          |  SQRT((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
