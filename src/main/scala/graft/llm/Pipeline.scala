@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,20 +16,75 @@ object Pipeline {
   /** Tokens per packed context window (q54). */
   final val ContextTokens = 512
 
-  /** Stable 0–99 bucket from the first 8 md5 hex digits of doc_id — the
-    * content-independent, engine-reproducible hash behind the q53 split
-    * and its reusers (q59 stratified sampling, q62 decontamination).
+  /** Shard-band count for the production packing path (q74). 8 on the
+    * test fixtures; at corpus scale size it so each (lang, shard) band's
+    * token mass fits one task's sort budget (shards ≈ corpus_tokens /
+    * (langs × tokens_per_task)). (Defined before `queries`: oracle SQL
+    * interpolates it at object init.)
     */
-  private val idBucket =
-    expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100")
+  final val PackShards = 8
+
+  /** Stable non-negative 32-bit hash of doc_id (first 8 md5 hex digits) —
+    * the content-independent, engine-reproducible value every
+    * deterministic bucketing here derives from.
+    */
+  private val idHash =
+    expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)")
+
+  /** Stable 0–99 bucket from [[idHash]] — behind the q53 split and its
+    * reusers (q59 stratified sampling, q62 decontamination).
+    */
+  private val idBucket = idHash % 100
 
   /** 80/10/10 train/val/test assignment from [[idBucket]]. */
   private val splitCol =
     when(idBucket < 80, "train").when(idBucket < 90, "val").otherwise("test")
 
+  /** DuckDB fragment equivalent to [[idHash]]. */
+  private val IdHashSql =
+    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
   /** DuckDB fragment equivalent to [[idBucket]]. */
-  private val IdBucketSql =
-    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+  private val IdBucketSql = s"$IdHashSql % 100"
+
+  /** SHARDED context packing — the production-scale form of q54's
+    * running-sum bucketing. q54 partitions its window by `lang` alone
+    * (~5 values): correct, and REQUIRED when the contract is one global
+    * doc_id order per language, but each language's running sum then
+    * serializes into a single task — a scale-killer at corpus size. Here
+    * documents are first banded into `shards` deterministic hash buckets
+    * of doc_id ([[idHash]], so the banding is engine-reproducible and
+    * stable across runs/cluster sizes), and the running sum partitions by
+    * (lang, shard): per-partition work shrinks by the shard count, and no
+    * language outgrows a task. Within each band the packing contract is
+    * exactly q54's (docs in doc_id order, a doc belongs to the window its
+    * first token lands in); pack identity is namespaced by the shard —
+    * (lang, pack_shard, pack_id) is the pack key, so bands never collide.
+    *
+    * Returns one row per pack: (lang, pack_shard, pack_id, n_docs,
+    * n_tokens, first_doc, last_doc). `shards = 1` degenerates to the
+    * sequential q54 semantics (PackingSpec pins both that equality and
+    * the banded plan's window partitioning).
+    */
+  def packedContexts(docs: DataFrame, shards: Int,
+      contextTokens: Int = ContextTokens): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    val w = Window.partitionBy(col("lang"), col("pack_shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("pack_shard", (idHash % shards).cast("int"))
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tok")) / contextTokens).cast("long"))
+      .groupBy(col("lang"), col("pack_shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -66,8 +122,10 @@ object Pipeline {
     // in (lang, doc_id) order and chunked into fixed token windows; a doc
     // belongs to the window its first token lands in (running-sum
     // bucketing, the streaming-concat packing used for LM pretraining).
-    // One sort per lang partition; at corpus scale the partition key
-    // would be (lang, shard) so no partition outgrows a task.
+    // One sort per lang partition — the GLOBAL-order form, kept for the
+    // contract "one doc_id sequence per language"; the production-scale
+    // path is q74's (lang, shard)-banded [[packedContexts]], where no
+    // partition outgrows a task.
     QueryDef.sql("q54_context_packing") { (s, d) =>
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -99,6 +157,39 @@ object Pipeline {
          |FROM c
          |GROUP BY 1, 2
          |ORDER BY lang, pack_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q74: SHARDED context packing — q54's production-scale twin via
+    // [[packedContexts]]: documents band into PackShards deterministic
+    // md5 buckets of doc_id first, and the running-sum window partitions
+    // by (lang, pack_shard) — per-band sequential packing, pack identity
+    // namespaced by the band, no single-task-per-language sort at corpus
+    // scale. The banding hash is engine-reproducible, so the full DuckDB
+    // oracle applies (and PackingSpec additionally pins band-vs-
+    // sequential equality and the window's partition keys in the plan).
+    QueryDef.sql("q74_context_packing_sharded") { (s, d) =>
+      packedContexts(Tables(s, d, "documents"), PackShards)
+        .orderBy("lang", "pack_shard", "pack_id")
+    } {
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    CAST($IdHashSql % $PackShards AS INT) AS pack_shard,
+         |    CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, pack_shard, doc_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT lang, pack_shard,
+         |  CAST(FLOOR((cum - n_tok) / $ContextTokens) AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c
+         |GROUP BY 1, 2, 3
+         |ORDER BY lang, pack_shard, pack_id""".stripMargin
     },
 
     // ------------------------------------------------------------------
@@ -414,7 +505,12 @@ object Pipeline {
     // orders (pass_q DESC, doc_id) so rn=1 is the min-id QUALITY doc of
     // each digest group without filtering first; non-kept docs
     // contribute 0 to the packing running sum, so pack ids equal q54's
-    // over exactly the kept subset.
+    // over exactly the kept subset. The packing stage here deliberately
+    // keeps q54's SEQUENTIAL per-lang window rather than q74's banded
+    // [[packedContexts]]: this query's contract is an equality audit
+    // against q54's global-order pack ids (n_windows must count exactly
+    // those packs), and banding would renumber them; a production run of
+    // the same funnel swaps in packedContexts for the final stage.
     QueryDef.sql("q71_pipeline_funnel") { (s, d) =>
       val base = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
