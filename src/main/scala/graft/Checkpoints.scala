@@ -2,23 +2,51 @@ package graft
 
 import org.apache.spark.sql.Dataset
 
-/** Release tooling for eager `Dataset.localCheckpoint` storage.
+/** Creation + release tooling for eager `Dataset.localCheckpoint` storage.
   *
   * `localCheckpoint` persists an internal RDD that `Dataset.unpersist`
   * does not see (unpersist consults the plan cache only), so iterative
   * algorithms and checkpoint-returning operators would otherwise pin
   * every checkpoint in executor storage until session end.
+  *
+  * Ownership contract: [[release]] frees ONLY checkpoints created through
+  * [[checkpoint]]. A plan can legitimately embed OTHER persisted
+  * `LogicalRDD` leaves (a caller's cached `createDataFrame` source, a
+  * checkpoint the caller manages itself) — unpersisting every reachable
+  * leaf would silently sever storage this library does not own, so
+  * graft-created checkpoint RDD ids are tracked and everything else is
+  * left untouched.
   */
 object Checkpoints {
 
-  /** Frees the executor storage behind every eager localCheckpoint
-    * reachable from `df`'s plan (its `LogicalRDD` leaves). Call once the
-    * data has been consumed — any later action on a plan referencing the
-    * checkpoint would fail or recompute from nothing.
+  /** RDD ids of checkpoints this library created and has not yet freed. */
+  private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Eager `localCheckpoint` whose backing RDD is registered as
+    * graft-owned — the only checkpoints [[release]] will free. All graft
+    * operators (CC rounds, globalRowNumber's frozen ranges) checkpoint
+    * through here.
+    */
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
+    val ck = ds.localCheckpoint(true)
+    ck.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => owned.add(r.rdd.id)
+      case _ => ()
+    }
+    ck
+  }
+
+  /** Frees the executor storage behind every graft-owned eager
+    * checkpoint reachable from `df`'s plan (its `LogicalRDD` leaves);
+    * non-owned persisted leaves are deliberately not touched. Call once
+    * the data has been consumed — any later action on a plan referencing
+    * the checkpoint would fail or recompute from nothing. Idempotent:
+    * releasing an already-released frame is a no-op.
     */
   def release(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case r: org.apache.spark.sql.execution.LogicalRDD if owned.remove(r.rdd.id) =>
+        r.rdd.unpersist(false)
       case _ => ()
     }
 }
