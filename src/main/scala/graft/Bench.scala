@@ -58,8 +58,11 @@ object Bench {
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // per-query values are the MINIMUM over `reps` timed runs; recording
+    // reps makes round-over-round comparisons self-describing (a min-of-5
+    // artifact is not comparable to a single-shot one under host load)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     println(line)
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and

@@ -357,8 +357,8 @@ object Dedup {
       lastCcLabels.foreach(graft.Checkpoints.release)
       lastCcLabels = None
     }
-    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .localCheckpoint(true)
+    val e = graft.Checkpoints.checkpoint(
+      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
     if (e.count() <= smallGraphEdges) {
       val r = unionFind(e)
       graft.Checkpoints.release(e)
@@ -367,8 +367,9 @@ object Dedup {
     val und = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .persist()
     try {
-      var labels = und.select(col("u").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(true)
+      var labels = graft.Checkpoints.checkpoint(
+        und.select(col("u").as("id")).distinct()
+          .withColumn("label", col("id")))
       // the initial-labels job above materialized (and cached) und, so the
       // raw edge checkpoint is no longer referenced — free it now rather
       // than pinning it for the whole loop
@@ -395,10 +396,10 @@ object Dedup {
             least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         // pointer jumping: follow my label's label — halves path lengths
         val byId = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-        val next = stepped.join(byId, stepped("label") === byId("pid"), "left")
-          .select(stepped("id"),
-            least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
-          .localCheckpoint(true)
+        val next = graft.Checkpoints.checkpoint(
+          stepped.join(byId, stepped("label") === byId("pid"), "left")
+            .select(stepped("id"),
+              least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label")))
         val nextSum = labelSum(next)
         // the new checkpoint is materialized; the previous round's copy is
         // dead — release it so the loop holds one labels copy, not O(rounds)

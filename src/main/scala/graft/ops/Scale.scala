@@ -124,9 +124,9 @@ object Scale {
     // pass and the rank pass read the same frozen partitions, and a
     // lost block fails loudly instead of silently recomputing new
     // boundaries.
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = graft.Checkpoints.checkpoint(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn("__pid", spark_partition_id()))
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts).map { p =>
