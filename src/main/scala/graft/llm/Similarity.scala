@@ -126,12 +126,17 @@ object Similarity {
     QueryDef.noOracle("q50_embedding_near_dup_lsh")((s, d) => embeddingNearDupLsh(s, d)),
 
     // ------------------------------------------------------------------
-    // IVF approximate nearest neighbors (annIvf below) is exposed as
-    // library API rather than a bench query: its k-means centroid
-    // training is an index BUILD (several jobs over the corpus, done
-    // once and amortized over many queries), not per-query work, so
-    // timing it inside a single-query bench would misrepresent both.
-    // LlmSpec asserts recall@10 vs the q27 brute force.
+    // q75: IVF approximate nearest neighbors — the other classic ANN
+    // index family next to q28's LSH: a k-means coarse quantizer routes
+    // each query to its nprobe best clusters, so the scan touches
+    // ~nprobe/k of the corpus. The registered query runs build + query
+    // end-to-end; in production the centroid training is an index BUILD
+    // amortized over many query batches — ivfBuild/ivfQuery expose that
+    // split, and LlmSpec exercises it (one build, many prebuilt-model
+    // queries) and asserts recall@10 vs the q27 brute force at sf0.01.
+    // Centroid internals are engine-specific — no SQL oracle.
+    QueryDef.noOracle("q75_ann_ivf_topk")((s, d) => annIvf(s, d)),
+
     // ------------------------------------------------------------------
     // q72: INT8 QUANTIZATION AUDIT — the storage side of similarity at
     // scale: per-vector symmetric int8 quantization (scale = max |x|,
@@ -385,20 +390,28 @@ object Similarity {
     df.withColumn("_pw",
       typedLit((0 until n).flatMap(planeWeights): IndexedSeq[Double]))
 
-  /** IVF ANN: k-centroid coarse quantizer + nprobe cluster probing.
-    *
-    * Build (the "index training" step, driver-coordinated like any ANN
-    * index build): centroids start as k evenly-spaced fixture vectors,
-    * then `lloydIters` assignment/mean rounds. Means are exact (long
-    * sums of the integer-quantized coordinates), so centroids — and
-    * therefore results — are bit-deterministic. Query: score the k
-    * centroids per query (k is small — a driver-side literal, like any
-    * broadcast model), take the `nprobe` best, scan only those clusters
-    * (cluster id is the shuffle key). At 100 TB: train on a sample,
-    * k ~ sqrt(N), per-cluster candidate lists stay ~N/k.
+  /** IVF ANN: k-centroid coarse quantizer + nprobe cluster probing,
+    * composed from the two halves of a real IVF deployment:
+    * [[ivfBuild]] (the index-training step, run once and amortized over
+    * every query batch) and [[ivfQuery]] (the per-batch probe). q75
+    * registers this composition; LlmSpec exercises the amortized shape —
+    * one build, prebuilt centroids passed to the query step.
     */
   def annIvf(s: SparkSession, d: String, k: Int = 16, nprobe: Int = 4,
-      lloydIters: Int = 1): DataFrame = {
+      lloydIters: Int = 1): DataFrame =
+    ivfQuery(s, d, ivfBuild(s, d, k, lloydIters), nprobe)
+
+  /** IVF index BUILD (the training step, driver-coordinated like any
+    * ANN index build): centroids start as k evenly-spaced fixture
+    * vectors, then `lloydIters` assignment/mean rounds. Means are exact
+    * (long sums of the integer-quantized coordinates), so centroids —
+    * and therefore results — are bit-deterministic. The returned model
+    * is k×64 doubles: a driver-side literal, like any broadcast model.
+    * At 100 TB: train on a sample, k ~ sqrt(N), per-cluster candidate
+    * lists stay ~N/k.
+    */
+  def ivfBuild(s: SparkSession, d: String, k: Int = 16,
+      lloydIters: Int = 1): Array[Seq[Double]] = {
     graft.functions.VectorFunctions.register(s)
     // cached across the training passes (standard iterative-ML shape;
     // ~n×64 doubles, tiny next to the corpus it indexes); released below
@@ -426,25 +439,7 @@ object Similarity {
     if (centroids.isEmpty)
       centroids = emb.orderBy("vec_id").limit(k)
         .select("v").collect().map(_.getSeq[Double](0))
-    require(centroids.nonEmpty, "annIvf: embeddings table is empty")
-    val kEff = centroids.length
-    // all centroid coordinates + half-norms ride in two flat literals
-    // (one Literal node each — k×64 inline array literals measured ~4s of
-    // extra plan/codegen time); vecCol's dot takes the 64-slice per cid
-    def withModel(df: DataFrame, cs: Array[Seq[Double]]): DataFrame =
-      df.withColumn("_cw", typedLit(cs.flatten.toIndexedSeq))
-        .withColumn("_cn", typedLit(cs.map(c => c.map(x => x * x).sum / 2.0).toIndexedSeq))
-    // argmin ||v-c||² = argmax dot(v,c) − |c|²/2 over the centroid list
-    def scoreStructs(vecCol: String): Seq[Column] = (0 until kEff).map { i =>
-      struct((expr(s"vec_dot($vecCol, slice(_cw, ${i * 64 + 1}, 64))") -
-        expr(s"element_at(_cn, ${i + 1})")).as("score"), lit(i).as("cid"))
-    }
-    def best(cols: Seq[Column]): Column =
-      (if (cols.lengthIs > 1) greatest(cols: _*) else cols.head).getField("cid")
-    def assign(df: DataFrame, cs: Array[Seq[Double]]): DataFrame =
-      withModel(df, cs)
-        .withColumn("cid", best(scoreStructs("v")))
-        .drop("_cw", "_cn")
+    require(centroids.nonEmpty, "ivfBuild: embeddings table is empty")
     (1 to lloydIters).foreach { _ =>
       // exact long-sum means per (cluster, dim): kEff×64 rows to the driver
       val rows = assign(emb, centroids)
@@ -459,13 +454,50 @@ object Similarity {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
     emb.unpersist()
+    centroids
+  }
+
+  // all centroid coordinates + half-norms ride in two flat literals
+  // (one Literal node each — k×64 inline array literals measured ~4s of
+  // extra plan/codegen time); vecCol's dot takes the 64-slice per cid
+  private def withModel(df: DataFrame, cs: Array[Seq[Double]]): DataFrame =
+    df.withColumn("_cw", typedLit(cs.flatten.toIndexedSeq))
+      .withColumn("_cn", typedLit(cs.map(c => c.map(x => x * x).sum / 2.0).toIndexedSeq))
+
+  // argmin ||v-c||² = argmax dot(v,c) − |c|²/2 over the centroid list
+  private def scoreStructs(vecCol: String, kEff: Int): Seq[Column] =
+    (0 until kEff).map { i =>
+      struct((expr(s"vec_dot($vecCol, slice(_cw, ${i * 64 + 1}, 64))") -
+        expr(s"element_at(_cn, ${i + 1})")).as("score"), lit(i).as("cid"))
+    }
+
+  private def bestCid(cols: Seq[Column]): Column =
+    (if (cols.lengthIs > 1) greatest(cols: _*) else cols.head).getField("cid")
+
+  /** Nearest-centroid assignment of `df`'s `v` column. */
+  private def assign(df: DataFrame, cs: Array[Seq[Double]]): DataFrame =
+    withModel(df, cs)
+      .withColumn("cid", bestCid(scoreStructs("v", cs.length)))
+      .drop("_cw", "_cn")
+
+  /** IVF QUERY step against a prebuilt centroid model: score the kEff
+    * centroids per query, take the `nprobe` best, scan only those
+    * clusters (cluster id is the shuffle key). Per-batch work only —
+    * callers issuing many batches reuse one [[ivfBuild]] model.
+    */
+  def ivfQuery(s: SparkSession, d: String, centroids: Array[Seq[Double]],
+      nprobe: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    require(centroids.nonEmpty, "ivfQuery: empty centroid model")
+    val kEff = centroids.length
+    val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
     val assigned = assign(emb, centroids).withColumn("norm2", dot("v", "v"))
     // queries probe their nprobe best clusters
     val probes = withModel(
       assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm2").as("qn2")),
       centroids)
-      .withColumn("scores", array(scoreStructs("qv"): _*))
+      .withColumn("scores", array(scoreStructs("qv", kEff): _*))
       .withColumn("probe", explode(expr(
         s"slice(transform(array_sort($reverseByScore), p -> p.cid), 1, ${math.min(nprobe, kEff)})")))
       .drop("scores", "_cw", "_cn")

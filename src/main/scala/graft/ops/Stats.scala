@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Reshaping and statistics operators: pivot/unpivot, exact percentiles,
@@ -30,6 +31,47 @@ object Stats {
   private val ProfiledOrderCols = Seq(
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority")
+
+  /** Column profile of any table: per-column null count and distinct
+    * count, plus the row total, in ONE aggregation pass — the
+    * data-quality scorecard a pipeline runs on every ingested table
+    * (q73 is this API applied to `orders`).
+    *
+    * Exact mode plans the multi-column COUNT(DISTINCT) via Expand
+    * (×columns row multiplication with partial aggregation — the
+    * standard exact shape). For wide tables at corpus scale that
+    * multiplication is the dominant cost, so `approxDistinct = true`
+    * swaps in approx_count_distinct: one HLL sketch per column in the
+    * same single pass, no Expand, ~2% relative error.
+    *
+    * Aliases are positional (`null_0`, `dist_0`), never derived from the
+    * column names, so names that are not valid identifiers (dots,
+    * spaces) cannot corrupt the generated aggregation list; the output
+    * reports the original name as data.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val dist =
+        if (approxDistinct) approx_count_distinct(col(c))
+        else countDistinct(col(c))
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$i"),
+        dist.as(s"dist_$i"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // single-quote escape: the column NAME re-enters the plan as a
+    // string literal inside stack()
+    def lit1(c: String) = "'" + c.replace("'", "\\'") + "'"
+    one.selectExpr("n_rows",
+        s"stack(${cols.length}, " +
+          cols.zipWithIndex.map { case (c, i) => s"${lit1(c)}, null_$i, dist_$i" }
+            .mkString(", ") +
+          ") AS (column_name, n_null, n_distinct)")
+      .select("column_name", "n_rows", "n_null", "n_distinct")
+      .orderBy("column_name")
+  }
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -137,27 +179,12 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
-    // q73: COLUMN PROFILE — per-column null count + exact distinct count
-    // over orders, the data-quality scorecard a pipeline runs on every
-    // ingested table. ONE aggregation pass: Spark plans the multi-column
-    // COUNT(DISTINCT) via Expand (×columns row multiplication with
-    // partial aggregation — the standard exact shape; the sketch path
-    // for wider tables is approx_count_distinct, q39). The Spark aggs
-    // and the oracle SQL are generated from the same column list, so
-    // they cannot drift.
+    // q73: COLUMN PROFILE — [[profile]] applied to orders (exact mode;
+    // the approx HLL mode for wide tables is spec-covered in
+    // ProfileSpec). The Spark aggregation list and the oracle SQL are
+    // generated from the same column list, so they cannot drift.
     QueryDef.sql("q73_column_profile") { (s, d) =>
-      val aggs = ProfiledOrderCols.flatMap { c =>
-        Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-          countDistinct(col(c)).as(s"dist_$c"))
-      } :+ count(lit(1)).as("n_rows")
-      val one = Tables(s, d, "orders").agg(aggs.head, aggs.tail: _*)
-      one.selectExpr("n_rows",
-          s"stack(${ProfiledOrderCols.length}, " +
-            ProfiledOrderCols.map(c => s"'$c', null_$c, dist_$c").mkString(", ") +
-            ") AS (column_name, n_null, n_distinct)")
-        .select("column_name", "n_rows", "n_null", "n_distinct")
-        .orderBy("column_name")
+      profile(Tables(s, d, "orders"), ProfiledOrderCols)
     } {
       val per = ProfiledOrderCols.map { c =>
         s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS null_$c, " +

@@ -98,6 +98,35 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.3, s"recall $recall suspiciously low for nprobe=4 of k=16")
   }
 
+  test("IVF at sf0.01: one index build amortizes over query batches, recall@10 holds") {
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    // the amortized deployment shape: train ONCE (the expensive index
+    // build — several jobs over the corpus), then issue query batches
+    // against the prebuilt driver-side model
+    val model = Similarity.ivfBuild(spark, d01)
+    val exact = graft.SparkEntry.queries("q27_cosine_topk")(spark, d01)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfQuery(spark, d01, model, nprobe = nprobe)
+        .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4)
+    val r6 = recallAt(6)
+    info(f"sf0.01 IVF recall@10: nprobe=4 → $r4%.2f, nprobe=6 → $r6%.2f")
+    // measured 0.54 / 0.74; thresholds leave headroom for fixture drift
+    assert(r4 >= 0.45, s"recall@10 $r4 below floor at default nprobe=4")
+    assert(r6 >= 0.6, s"recall@10 $r6 below floor at nprobe=6")
+    assert(r6 >= r4, "probing more clusters must not lose neighbors")
+    // the registered q75 is exactly this build+query composition
+    val q75 = graft.SparkEntry.queries("q75_ann_ivf_topk")(spark, d01)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val composed = Similarity.ivfQuery(spark, d01, model)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(q75 == composed, "q75 must equal ivfQuery over a fresh ivfBuild model")
+  }
+
   test("embedding near-dup LSH: precision 1 vs exact truth, measurable recall") {
     import spark.implicits._
     val truth = Similarity.embeddingNearDupExact(spark, d)

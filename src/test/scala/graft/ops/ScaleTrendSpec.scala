@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.{SparkTestSession, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-trend tripwire: the heavy hash/graph operators must grow
+  * SUB-QUADRATICALLY in their input size across the fixture scale
+  * factors. A blocked/bucketed plan grows ~linearly in rows; an
+  * accidental all-pairs regression (the q49-class bug) grows with the
+  * SQUARE of the row count and blows through the generous allowance
+  * asserted here. This is a tripwire, not a benchmark — constants are
+  * deliberately loose so host noise can't trip it, and only the
+  * sf0.01 → sf0.1 transition is asserted (the two smaller fixtures are
+  * the same size, so there is no trend to read between them).
+  */
+class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
+
+  private val small = "/root/testdata/sf0.01"
+  private val large = "/root/testdata/sf0.1"
+
+  /** Full plan execution (noop sink), like Bench — count() would let
+    * Catalyst prune final sorts/projections.
+    */
+  private def run(name: String, d: String): Unit =
+    graft.SparkEntry.queries(name)(spark, d)
+      .write.format("noop").mode("overwrite").save()
+
+  /** min-of-2 timing after the caller's warmup. */
+  private def time(name: String, d: String): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      run(name, d)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Asserts t(large) against the sub-quadratic allowance:
+    * `slack × rowRatio × t(small)`, with an absolute floor absorbing
+    * fixed job overhead. A quadratic plan costs rowRatio² × t(small) —
+    * rowRatio is 10 for documents, so quadratic ≈ 100× vs the ≤ 40×
+    * allowed.
+    */
+  private def assertTrend(query: String, table: String): Unit = {
+    val rowsSmall = Tables(spark, small, table).count().toDouble
+    val rowsLarge = Tables(spark, large, table).count().toDouble
+    val ratio = rowsLarge / rowsSmall
+    assert(ratio >= 4.0, s"fixture premise: $table must grow between SFs, got $ratio")
+    run(query, small) // warmup: codegen + JIT hot before any timing
+    val tSmall = time(query, small)
+    val tLarge = time(query, large)
+    val allowed = math.max(5.0, 4.0 * ratio * tSmall)
+    info(f"$query: $tSmall%.2fs @ ${rowsSmall.toLong} rows → " +
+      f"$tLarge%.2fs @ ${rowsLarge.toLong} rows (allowed ${allowed}%.1fs)")
+    assert(tLarge <= allowed,
+      f"$query grew ${tLarge / tSmall}%.1f× on a $ratio%.0f× input — " +
+        "super-linear beyond the sub-quadratic allowance; look for an " +
+        "unblocked pair fan-out or a lost pushdown")
+  }
+
+  test("q24 jaccard near-dup pairs scales sub-quadratically in documents") {
+    assertTrend("q24_jaccard_near_dup_pairs", "documents")
+  }
+
+  test("q50 embedding near-dup LSH scales sub-quadratically in embeddings") {
+    assertTrend("q50_embedding_near_dup_lsh", "embeddings")
+  }
+
+  test("q66 dedup clusters scales sub-quadratically in documents") {
+    assertTrend("q66_dedup_clusters", "documents")
+  }
+}
