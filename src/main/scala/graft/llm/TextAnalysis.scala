@@ -295,6 +295,74 @@ object TextAnalysis {
         |FROM m
         |GROUP BY lang
         |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q76: INTER-document duplicate n-gram coverage (the C4/RefinedWeb
+    // boilerplate signal — complements q69, which is INTRA-doc only):
+    // per doc, the fraction of its DISTINCT 5-gram shingles that also
+    // appear in at least one other document; rolled up per language with
+    // a "≥50% duplicated" flag (integer cross-multiplied, no float
+    // epsilon). Shape: tokenize once → per-row distinct shingles →
+    // explode → df per shingle (shrinking keyed agg — never a pair
+    // join, unlike q24/q62: corpus-hot shingles cost one skewed agg key
+    // handled by partial aggregation + AQE, not a quadratic fan-out) →
+    // join df back on the shingle key → per-doc, per-lang rollups.
+    // Every stage after the explode shrinks; the corpus is scanned once.
+    QueryDef.sql("q76_dup_ngram_coverage") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val toks = docs
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        // barrier: materialize the token array once (the shingle
+        // transform references it per element; CollapseProject would
+        // otherwise inline a re-split per reference — see q41)
+        .repartition(col("doc_id"))
+      val sh = toks.select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(
+          """transform(sequence(1, size(toks) - 4),
+            |  i -> array_join(slice(toks, i, 5), ' '))""".stripMargin)))
+          .as("sh"))
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val perDoc = sh.join(dfreq, Seq("sh"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_sh"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_sh"))
+      perDoc.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("total_shingles"),
+          sum(col("n_dup_sh")).as("dup_shingles"),
+          Det.davg(col("n_dup_sh").cast("double") / col("n_sh").cast("double"))
+            .as("avg_dup_coverage"),
+          sum(when(col("n_dup_sh") * 2 >= col("n_sh"), 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy("lang")
+    } {
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+         |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 5),
+         |shng AS (
+         |  SELECT DISTINCT doc_id, lang,
+         |    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 4),
+         |      i -> ARRAY_TO_STRING(toks[i:i+4], ' '))) AS sh
+         |  FROM w),
+         |dfreq AS (SELECT sh, COUNT(*) AS df FROM shng GROUP BY sh),
+         |perdoc AS (
+         |  SELECT s.doc_id, s.lang, COUNT(*) AS n_sh,
+         |    SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS n_dup_sh
+         |  FROM shng s JOIN dfreq USING (sh) GROUP BY s.doc_id, s.lang)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+         |  CAST(SUM(n_dup_sh) AS BIGINT) AS dup_shingles,
+         |  ${Det.davgSql("CAST(n_dup_sh AS DOUBLE) / CAST(n_sh AS DOUBLE)")}
+         |    AS avg_dup_coverage,
+         |  CAST(SUM(CASE WHEN n_dup_sh * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged
+         |FROM perdoc
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
     }
   )
 }
