@@ -140,6 +140,40 @@ object Scale {
       .drop("__pid", "__base")
   }
 
+  /** Key-skew profiler — the diagnostic that picks between a plain join,
+    * AQE's skew splitting, and [[saltedJoin]]: exact per-key counts, the
+    * global key statistics, and the top-k heavy hitters, each with its
+    * share of all rows and its multiple of the average key's size.
+    *
+    * Shape: one shrinking partial aggregation on the key, a single-row
+    * global rollup joined back by broadcast, and a distributed partial
+    * top-k (`TakeOrderedAndProject` — each partition keeps its own top k,
+    * the driver merges k-sized heaps; no global sort, no single-task
+    * window). The only window function runs over the ≤ k selected rows.
+    * Safe at any key cardinality: the full per-key count relation is
+    * never collected or globally sorted.
+    *
+    * All derived ratios are single IEEE divisions of exact integers, so
+    * the output is engine-reproducible (the q77 oracle hashes it).
+    */
+  def skewProfile(df: DataFrame, key: String, k: Int): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col(key)).limit(k)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col(key))))
+      .withColumn("share", col("cnt").cast("double") / col("total_rows"))
+      .withColumn("skew_vs_avg",
+        col("cnt").cast("double") * col("n_keys") / col("total_rows"))
+      .select(col(key), col("cnt"), col("rnk"), col("share"),
+        col("skew_vs_avg"), col("n_keys"), col("total_rows"))
+  }
+
   /** Equi-join of two bucketed tables on their bucket keys. When both
     * sides were written by [[bucketedWrite]] with the same keys and
     * bucket count, the plan is a SortMergeJoin with NO

@@ -204,6 +204,34 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q77: KEY-SKEW PROFILE — [[graft.ops.Scale.skewProfile]] on
+    // lineitem's supplier key: exact per-key counts, global key stats,
+    // top-20 heavy hitters with row share and multiple-of-average. The
+    // operational answer to "does this join need saltedJoin/AQE?",
+    // verifiable because every ratio is one IEEE division of exact ints.
+    QueryDef.sql("q77_key_skew_profile") { (s, d) =>
+      Scale.skewProfile(Tables(s, d, "lineitem"), "l_suppkey", 20)
+        .orderBy("rnk")
+    } {
+      """WITH c AS (
+        |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+        |t AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows, COUNT(*) AS n_keys
+        |  FROM c),
+        |r AS (
+        |  SELECT l_suppkey, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey) AS rnk
+        |  FROM c)
+        |SELECT r.l_suppkey, CAST(r.cnt AS BIGINT) AS cnt, CAST(r.rnk AS INT) AS rnk,
+        |  CAST(r.cnt AS DOUBLE) / t.total_rows AS share,
+        |  CAST(r.cnt AS DOUBLE) * t.n_keys / t.total_rows AS skew_vs_avg,
+        |  t.n_keys, t.total_rows
+        |FROM r, t
+        |WHERE r.rnk <= 20
+        |ORDER BY rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q58: correlation + least-squares regression of extended price on
     // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
     // order-free exact decimals (one map-side-combined aggregation), and

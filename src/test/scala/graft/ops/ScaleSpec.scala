@@ -255,4 +255,28 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("skew=true"),
       s"AQE did not mark the join as skew-handled:\n$plan")
   }
+
+  test("skewProfile finds the hot key with exact share, without a global sort") {
+    import spark.implicits._
+    // key 0 carries 1000 rows; keys 1..10 carry 10 each → 1100 rows,
+    // 11 keys, avg 100 rows/key
+    val df = spark.range(0, 1000).select(lit(0L).as("k"))
+      .union(spark.range(0, 100).select(($"id" % 10 + 1).as("k")))
+    val prof = Scale.skewProfile(df.toDF(), "k", 3)
+    val rows = prof.orderBy("rnk")
+      .as[(Long, Long, Int, Double, Double, Long, Long)].collect()
+    assert(rows.length === 3)
+    val (hotKey, hotCnt, rnk1, share, skew, nKeys, total) = rows.head
+    assert(hotKey === 0L && hotCnt === 1000L && rnk1 === 1)
+    assert(nKeys === 11L && total === 1100L)
+    assert(share === 1000.0 / 1100.0)
+    assert(skew === 1000.0 * 11.0 / 1100.0) // 10× the average key
+    // ties among the 10-row keys break by key value
+    assert(rows(1)._1 === 1L && rows(2)._1 === 2L)
+    // scale posture: the top-k must be a distributed partial top-k, not
+    // a global sort or a single-task window over the full key relation
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected partial top-k (TakeOrderedAndProject):\n$plan")
+  }
 }
