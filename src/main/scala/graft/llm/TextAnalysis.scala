@@ -363,6 +363,47 @@ object TextAnalysis {
          |FROM perdoc
          |GROUP BY lang
          |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q78: VOCABULARY COVERAGE CURVE — tokenizer-vocab induction's core
+    // question: how much of the corpus does the top-k vocabulary cover?
+    // Frequency-ranked tokens with global rank and cumulative share.
+    // The running sum over the global frequency order uses
+    // Scale.globalOrderedCumsum (two-pass frozen range shuffle) — at a
+    // real corpus scale the vocab relation is 10^7–10^8 rows, where the
+    // naive global window is one straggler task sorting the whole
+    // vocabulary. cum_share is one IEEE division of exact int64 sums.
+    // (The two-pass op pins a vocab-sized checkpoint per run; library
+    // callers release it via Checkpoints.release(result) — the driver's
+    // short-lived Verify/Bench sessions don't bother.)
+    QueryDef.sql("q78_vocab_coverage") { (s, d) =>
+      val counts = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val curve = graft.ops.Scale.globalOrderedCumsum(
+        counts, "cnt", "cum_cnt", "rnk", col("cnt").desc, col("token"))
+      curve.crossJoin(broadcast(total))
+        .withColumn("cum_share", col("cum_cnt").cast("double") / col("total"))
+        .select("token", "rnk", "cnt", "cum_cnt", "cum_share")
+        .orderBy("rnk")
+    } {
+      """WITH c AS (
+        |  SELECT token, COUNT(*) AS cnt
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        |r AS (
+        |  SELECT token, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk,
+        |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+        |  FROM c)
+        |SELECT token, rnk, cnt, cum_cnt,
+        |  CAST(cum_cnt AS DOUBLE) / t.total AS cum_share
+        |FROM r, t
+        |ORDER BY rnk""".stripMargin
     }
   )
 }

@@ -112,32 +112,72 @@ object Scale {
     */
   def globalRowNumber(
       df: DataFrame, rankName: String, order: Column*): DataFrame = {
+    // row_number over a total order IS the running count of an all-ones
+    // column — delegate to the generalized prefix aggregation
+    val one = "__grn_one"
+    globalOrderedCumsum(df.withColumn(one, lit(1L)), one, one + "_cum",
+      rankName, order: _*)
+      .drop(one, one + "_cum")
+  }
+
+  /** Global ordered prefix sum (+ rank) at scale: for each row, the
+    * running total of `valueCol` over the TOTAL order given by `order`,
+    * without the single-task global window (`Window.orderBy` with no
+    * partition key = `Exchange SinglePartition` = one task sorts the
+    * world). This is the coverage-curve / quantile-boundary / CDF shape:
+    * "how many tokens does the top-k vocabulary cover" (q78), "which
+    * prefix of the corpus reaches N tokens".
+    *
+    * Two passes over one frozen range shuffle: pass 1
+    * range-repartitions on `order` (disjoint key ranges per partition)
+    * and aggregates each partition's value sum + row count (≤
+    * `spark.sql.shuffle.partitions` rows to the driver); pass 2 runs
+    * the running sum + row_number within each partition in parallel and
+    * adds the broadcast prefix offsets. Equals the single-partition
+    * window — spec-asserted.
+    *
+    * Freeze rationale: RangePartitioner's sample seed derives from the
+    * RDD id, so re-executing the lineage in a second job can pick
+    * DIFFERENT boundaries — pass-1 offsets would then misalign with
+    * pass-2 partitions (observed as overlapping ranks). The eager
+    * localCheckpoint pins partition membership; both passes read the
+    * same frozen partitions, and a lost block fails loudly instead of
+    * silently recomputing new boundaries.
+    *
+    * Contracts: `valueCol` must be EXACT-typed (integral/decimal — a
+    * double's running sum is order-of-addition-dependent and not
+    * engine-reproducible); sums are accumulated as int64 (the int64
+    * overflow bound binds the GLOBAL total here, not per group). `order`
+    * must be a total order (include a tie-break column). Storage: as
+    * with [[globalRowNumber]], call `graft.Checkpoints.release(result)`
+    * after consuming the result, or the frozen snapshot stays pinned.
+    */
+  def globalOrderedCumsum(
+      df: DataFrame, valueCol: String, cumName: String, rankName: String,
+      order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(order.nonEmpty)
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Freeze the range shuffle ONCE: RangePartitioner's sample seed
-    // derives from the RDD id, so re-executing this lineage in a second
-    // job can pick DIFFERENT boundaries — pass-1 counts would then
-    // misalign with pass-2 partitions (observed as overlapping ranks).
-    // The eager localCheckpoint pins partition membership; the count
-    // pass and the rank pass read the same frozen partitions, and a
-    // lost block fails loudly instead of silently recomputing new
-    // boundaries.
     val ranged = graft.Checkpoints.checkpoint(
       df.repartitionByRange(parts, order: _*)
         .withColumn("__pid", spark_partition_id()))
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val partAgg = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val offsets = (0 until parts).map { p =>
-      (p, (0 until p).map(counts.getOrElse(_, 0L)).sum)
+      val prior = (0 until p).map(partAgg.getOrElse(_, (0L, 0L)))
+      (p, prior.map(_._1).sum, prior.map(_._2).sum)
     }
     import spark.implicits._
-    val offsetDf = offsets.toDF("__pid", "__base")
+    val offsetDf = offsets.toDF("__pid", "__sbase", "__nbase")
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offsetDf), "__pid")
-      .withColumn(rankName, row_number().over(w).cast("long") + col("__base"))
-      .drop("__pid", "__base")
+      .withColumn(cumName,
+        sum(col(valueCol).cast("long")).over(w) + col("__sbase"))
+      .withColumn(rankName, row_number().over(w).cast("long") + col("__nbase"))
+      .drop("__pid", "__sbase", "__nbase")
   }
 
   /** Key-skew profiler — the diagnostic that picks between a plain join,

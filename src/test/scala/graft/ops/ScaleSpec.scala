@@ -167,6 +167,30 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       "Checkpoints.release(result) left the ranged checkpoint pinned")
   }
 
+  test("globalOrderedCumsum matches the single-window prefix sum, in parallel") {
+    import spark.implicits._
+    // value = id % 7 gives heavy ties; (value desc, id) restores the
+    // required total order
+    val df = spark.range(0, 10000).select($"id", ($"id" % 7).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"v".desc, $"id")
+      .rowsBetween(Long.MinValue, 0)
+    val expected = df
+      .withColumn("cum", sum($"v").over(w))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v".desc, $"id")).cast("long"))
+      .select($"id", $"cum", $"rk").as[(Long, Long, Long)].collect().toSet
+    val got = Scale.globalOrderedCumsum(df.toDF(), "v", "cum", "rk",
+      $"v".desc, $"id")
+    val gotSet = got.select($"id", $"cum", $"rk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotSet == expected)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"two-pass prefix sum must not collapse to one task:\n$plan")
+    graft.Checkpoints.release(got)
+  }
+
   test("parquet aggregate pushdown answers COUNT/MIN/MAX from footer statistics") {
     // at 100 TB a bare COUNT(*)/MIN/MAX over parquet should read row-group
     // metadata, not data pages — spark.sql.parquet.aggregatePushdown pushes
