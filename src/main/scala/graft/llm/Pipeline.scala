@@ -44,6 +44,18 @@ object Pipeline {
   private val IdHashSql =
     "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 
+  /** The q64/q79 quality-funnel stage list (cumulative, over documents
+    * with a derived `n_tok`): shared between both queries and
+    * FunnelSpec so the audited rules cannot drift between the count and
+    * token-mass views.
+    */
+  private[llm] val QualityStages: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "lang_allowlist" -> col("lang").isin("en", "es", "de", "fr"),
+    "length_window" -> col("n_chars").between(100, 500),
+    "min_tokens" -> (col("n_tok") >= 20),
+    "mean_word_length" ->
+      (col("n_chars").cast("double") / col("n_tok")).between(3.0, 12.0))
+
   /** DuckDB fragment equivalent to [[idBucket]]. */
   private val IdBucketSql = s"$IdHashSql % 100"
 
@@ -428,39 +440,15 @@ object Pipeline {
 
     // ------------------------------------------------------------------
     // q64: quality-filter FUNNEL audit — the per-stage attrition report a
-    // pipeline publishes with every dataset build. Stages (cumulative):
-    // (1) language allowlist, (2) length window, (3) digit/garbage cap
-    // via a structural proxy, (4) mean-word-length sanity. One scan: each
-    // doc computes its per-stage booleans; counts unpivot to one row per
-    // stage with exact-rational retention.
+    // pipeline publishes with every dataset build, expressed through the
+    // [[Funnel]] library API (ordered cumulative stages, ONE scan, one
+    // single-row aggregate exchange). Stages: (1) language allowlist,
+    // (2) length window, (3) digit/garbage cap via a structural proxy,
+    // (4) mean-word-length sanity.
     QueryDef.sql("q64_quality_funnel") { (s, d) =>
       val docs = Tables(s, d, "documents")
         .withColumn("n_tok", size(split(col("text"), " ")))
-        .withColumn("s1", col("lang").isin("en", "es", "de", "fr"))
-        .withColumn("s2", col("s1") && col("n_chars").between(100, 500))
-        .withColumn("s3", col("s2") && col("n_tok") >= 20)
-        .withColumn("s4", col("s3") &&
-          (col("n_chars").cast("double") / col("n_tok")).between(3.0, 12.0))
-      val agg = docs.agg(
-        count(lit(1)).as("n0"),
-        count(when(col("s1"), 1)).as("n1"),
-        count(when(col("s2"), 1)).as("n2"),
-        count(when(col("s3"), 1)).as("n3"),
-        count(when(col("s4"), 1)).as("n4"))
-      agg.select(explode(expr(
-        """array(
-          |  struct(1 AS stage, 'lang_allowlist'   AS name, n0 AS n_in, n1 AS n_out),
-          |  struct(2 AS stage, 'length_window'    AS name, n1 AS n_in, n2 AS n_out),
-          |  struct(3 AS stage, 'min_tokens'       AS name, n2 AS n_in, n3 AS n_out),
-          |  struct(4 AS stage, 'mean_word_length' AS name, n3 AS n_in, n4 AS n_out))""".stripMargin))
-        .as("st"))
-        .select(col("st.stage"), col("st.name"), col("st.n_in"), col("st.n_out"),
-          // NULL (not NaN) on an empty stage: Spark's double 0/0 is NaN
-          // where DuckDB's is NULL — align on SQL semantics explicitly
-          when(col("st.n_in") === 0, lit(null).cast("double"))
-            .otherwise(col("st.n_out").cast("double") / col("st.n_in"))
-            .as("retention"))
-        .orderBy("stage")
+      Funnel.audit(docs, QualityStages)
     } {
       """WITH f AS (
         |  SELECT
@@ -490,6 +478,54 @@ object Pipeline {
         |  UNION ALL SELECT 2, 'length_window', n1, n2 FROM c
         |  UNION ALL SELECT 3, 'min_tokens', n2, n3 FROM c
         |  UNION ALL SELECT 4, 'mean_word_length', n3, n4 FROM c)
+        |ORDER BY stage""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q79: the same funnel audited in TOKEN MASS — what a dataset build
+    // actually budgets by. Funnel.audit's massCol threads an exact int64
+    // token sum through every stage alongside the doc counts; still one
+    // scan, one single-row aggregate.
+    QueryDef.sql("q79_funnel_token_mass") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+      Funnel.audit(docs, QualityStages, massCol = Some(col("n_tok")))
+    } {
+      """WITH f AS (
+        |  SELECT
+        |    lang IN ('en', 'es', 'de', 'fr') AS s1,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+        |    n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT s1, n_tok,
+        |    s1 AND n_chars BETWEEN 100 AND 500 AS s2,
+        |    s1 AND n_chars BETWEEN 100 AND 500 AND n_tok >= 20 AS s3,
+        |    s1 AND n_chars BETWEEN 100 AND 500 AND n_tok >= 20
+        |       AND (CAST(n_chars AS DOUBLE) / n_tok) BETWEEN 3.0 AND 12.0 AS s4
+        |  FROM f),
+        |c AS (
+        |  SELECT COUNT(*) AS n0,
+        |    COUNT(*) FILTER (WHERE s1) AS n1,
+        |    COUNT(*) FILTER (WHERE s2) AS n2,
+        |    COUNT(*) FILTER (WHERE s3) AS n3,
+        |    COUNT(*) FILTER (WHERE s4) AS n4,
+        |    CAST(SUM(n_tok) AS BIGINT) AS m0,
+        |    CAST(COALESCE(SUM(n_tok) FILTER (WHERE s1), 0) AS BIGINT) AS m1,
+        |    CAST(COALESCE(SUM(n_tok) FILTER (WHERE s2), 0) AS BIGINT) AS m2,
+        |    CAST(COALESCE(SUM(n_tok) FILTER (WHERE s3), 0) AS BIGINT) AS m3,
+        |    CAST(COALESCE(SUM(n_tok) FILTER (WHERE s4), 0) AS BIGINT) AS m4
+        |  FROM g)
+        |SELECT stage, name, n_in, n_out,
+        |  CASE WHEN n_in = 0 THEN NULL
+        |       ELSE CAST(n_out AS DOUBLE) / n_in END AS retention,
+        |  m_in, m_out
+        |FROM (
+        |  SELECT 1 AS stage, 'lang_allowlist' AS name, n0 AS n_in, n1 AS n_out,
+        |         m0 AS m_in, m1 AS m_out FROM c
+        |  UNION ALL SELECT 2, 'length_window', n1, n2, m1, m2 FROM c
+        |  UNION ALL SELECT 3, 'min_tokens', n2, n3, m2, m3 FROM c
+        |  UNION ALL SELECT 4, 'mean_word_length', n3, n4, m3, m4 FROM c)
         |ORDER BY stage""".stripMargin
     },
 
