@@ -217,6 +217,66 @@ object Similarity {
          |FROM e
          |GROUP BY label
          |ORDER BY label""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q80: LABEL-CENTROID SIMILARITY — the embedding-space audit that
+    // flags label confusion/noise before training: pairwise cosine
+    // between per-label centroids. The count denominators cancel out of
+    // cosine, so centroids stay EXACT per-dimension int64 sums of
+    // 1e3-quantized components (coarser than q27's 1e6 on purpose: with
+    // scale s and per-label count c, dot-product partials reach
+    // (c·s)²·dims, which must stay under 2^53 for the double fold to be
+    // exact and order-free — s=1e3 gives c ≈ 9e6·√(1/dims) headroom,
+    // ~1.2e6 vectors/label at 64 dims; beyond that, rescale the sums
+    // before the dot). Shape: one posexplode → shrinking (label, dim)
+    // partial agg → labels×dims rows → per-label arrays → a labels²
+    // broadcast pair join. Nothing large ever shuffles twice.
+    QueryDef.sql("q80_label_centroid_sim") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val q3 = "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS double))"
+      val emb = Tables(s, d, "embeddings").select(col("label"), expr(q3).as("v"))
+      val sums = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "qv")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("qv").cast("long")).as("s"))
+      val cent = sums.groupBy(col("label"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, s))), x -> cast(x.s AS double))")
+          .as("cv"))
+      val cnt = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val withN = cent.join(cnt, "label")
+      val a = withN.select(col("label").as("label_a"), col("cv").as("cv_a"),
+        col("n").as("n_a"))
+      val b = withN.select(col("label").as("label_b"), col("cv").as("cv_b"),
+        col("n").as("n_b"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          (dot("cv_a", "cv_b") /
+            (sqrt(dot("cv_a", "cv_a")) * sqrt(dot("cv_b", "cv_b"))))
+            .as("cos_sim"),
+          col("n_a"), col("n_b"))
+        .orderBy("label_a", "label_b")
+    } {
+      """WITH q AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS v
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT label, UNNEST(v) AS qv, generate_subscripts(v, 1) AS pos FROM q),
+        |s AS (
+        |  SELECT label, pos, CAST(SUM(qv) AS DOUBLE) AS sv FROM e GROUP BY label, pos),
+        |cent AS (
+        |  SELECT label, LIST(sv ORDER BY pos) AS cv FROM s GROUP BY label),
+        |c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  list_dot_product(a.cv, b.cv) /
+        |    (SQRT(list_dot_product(a.cv, a.cv)) * SQRT(list_dot_product(b.cv, b.cv)))
+        |    AS cos_sim,
+        |  ca.n AS n_a, cb.n AS n_b
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |JOIN c ca ON ca.label = a.label JOIN c cb ON cb.label = b.label
+        |ORDER BY label_a, label_b""".stripMargin
     }
   )
 
