@@ -439,6 +439,59 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q81: MIXTURE MATERIALIZATION — the step after q63's schedule: build
+    // the actual mixed corpus. Per-language targets follow the same
+    // temperature law (target_l ∝ √n_l, normalized to a 300-doc budget);
+    // each language is then thinned by a DETERMINISTIC hash-rate
+    // selection (keep iff md5-hash(doc_id) mod 1e6 < floor(rate·1e6)) —
+    // the rate-based cap real pipelines use, because it is one scan-side
+    // predicate: no per-language sort, no window, no straggler task for
+    // the dominant language (the q54-class hazard this op is designed
+    // around). Realized counts land within sampling noise of the target
+    // (audited in the output); the normalizer Σ√n is decimal-rounded
+    // (dsum) so both engines divide by the same exact total.
+    QueryDef.sql("q81_mixture_materialize") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val nl = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      val tot = nl.agg(graft.Det.dsum(sqrt(col("nl").cast("double"))).as("tot"))
+      val r = nl.crossJoin(broadcast(tot))
+        .withColumn("target",
+          lit(300.0) * sqrt(col("nl").cast("double")) / col("tot"))
+        .withColumn("thr",
+          floor(least(lit(1.0), col("target") / col("nl")) * 1000000.0)
+            .cast("long"))
+      docs.join(broadcast(r), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          first(col("nl")).as("n_docs"),
+          first(col("target")).as("target"),
+          first(col("thr")).as("thr"),
+          count(when(idHash % 1000000 < col("thr"), 1)).as("n_kept"))
+        .withColumn("realized_rate",
+          col("n_kept").cast("double") / col("n_docs"))
+        .orderBy("lang")
+    } {
+      s"""WITH n AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+         |s AS (
+         |  SELECT ${graft.Det.dsumSql("SQRT(CAST(nl AS DOUBLE))")} AS tot FROM n),
+         |r AS (
+         |  SELECT n.lang, n.nl,
+         |    300.0 * SQRT(CAST(n.nl AS DOUBLE)) / s.tot AS target,
+         |    CAST(FLOOR(LEAST(1.0, (300.0 * SQRT(CAST(n.nl AS DOUBLE)) / s.tot)
+         |      / n.nl) * 1000000.0) AS BIGINT) AS thr
+         |  FROM n, s),
+         |k AS (
+         |  SELECT d.lang,
+         |    COUNT(*) FILTER (WHERE ($IdHashSql % 1000000) < r.thr) AS n_kept
+         |  FROM documents d JOIN r USING (lang) GROUP BY d.lang)
+         |SELECT r.lang, CAST(r.nl AS BIGINT) AS n_docs, r.target, r.thr,
+         |  CAST(k.n_kept AS BIGINT) AS n_kept,
+         |  CAST(k.n_kept AS DOUBLE) / r.nl AS realized_rate
+         |FROM r JOIN k USING (lang)
+         |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q64: quality-filter FUNNEL audit — the per-stage attrition report a
     // pipeline publishes with every dataset build, expressed through the
     // [[Funnel]] library API (ordered cumulative stages, ONE scan, one
