@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Det, QueryDef, Tables}
 import graft.Det.{dsum, dsumSql}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators: corpus language stats, stopword-based
@@ -32,6 +33,29 @@ object TextAnalysis {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ($list))) AS INT)"
   }
+
+  /** Ordered redaction: apply `(pattern, replacement)` rules
+    * left-to-right. Patterns must stay RE2-compatible (no lookarounds,
+    * no backreferences) so the same rule set runs identically on Spark
+    * (Java regex), the DuckDB oracle, and any RE2-based scrubber a
+    * serving stack uses. Pure per-row codegen'd expressions — the scrub
+    * distributes with the scan, no shuffle.
+    */
+  def redact(c: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Standard PII scrub rules (RE2-safe), in application order: emails
+    * first (their local parts can contain digits/dots that the later
+    * rules would mangle), then IPv4 (dotted quads would half-match the
+    * phone rule), then phone-shaped digit runs. Covered by
+    * RedactionSpec; extend per deployment.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>")
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -404,6 +428,38 @@ object TextAnalysis {
         |  CAST(cum_cnt AS DOUBLE) / t.total AS cum_share
         |FROM r, t
         |ORDER BY rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q82: REDACTION AUDIT — the [[redact]] scrub applied to the events
+    // payload column (digit runs → a placeholder; the fixture carries no
+    // synthetic emails/phones, so the audited rule is the numeric one —
+    // [[PiiRules]] run under RedactionSpec), with the per-type report a
+    // scrub job publishes: events touched, chars before/after. Per-row
+    // codegen'd regex + one keyed agg; distributes with the scan.
+    QueryDef.sql("q82_redaction_audit") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .withColumn("scrubbed", redact(col("props"), Seq("[0-9]+" -> "<NUM>")))
+      ev.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("scrubbed") =!= col("props"), 1)).as("n_changed"),
+          sum(length(col("props")).cast("long")).as("chars_before"),
+          sum(length(col("scrubbed")).cast("long")).as("chars_after"))
+        .orderBy("event_type")
+    } {
+      """WITH r AS (
+        |  SELECT event_type, props,
+        |    REGEXP_REPLACE(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(*) FILTER (WHERE scrubbed <> props) AS BIGINT) AS n_changed,
+        |  CAST(SUM(LENGTH(props)) AS BIGINT) AS chars_before,
+        |  CAST(SUM(LENGTH(scrubbed)) AS BIGINT) AS chars_after
+        |FROM r
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
     }
   )
 }
