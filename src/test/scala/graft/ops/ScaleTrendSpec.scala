@@ -67,4 +67,11 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
   test("q66 dedup clusters scales sub-quadratically in documents") {
     assertTrend("q66_dedup_clusters", "documents")
   }
+
+  test("q76 dup-ngram coverage scales sub-quadratically in documents") {
+    // the round-6 shingle-df op: explode + join-back on the shingle key
+    // — a lost distinct or an accidental shingle×shingle join would show
+    // up here as super-linear growth
+    assertTrend("q76_dup_ngram_coverage", "documents")
+  }
 }
