@@ -492,6 +492,48 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q83: EXPORT SHARD MANIFEST — the last pipeline step before
+    // training: assign every document a contiguous, balanced shard from
+    // its global position (shard = ⌊(rank−1)·S / total⌋ over the
+    // (lang, doc_id) total order) and publish the manifest a trainer
+    // consumes: per-shard doc counts, token mass, and rank ranges.
+    // Contiguity keeps each shard a sequential read of the sorted
+    // layout; balance falls out of the rank arithmetic (counts differ by
+    // ≤ 1). The global rank comes from Scale.globalRowNumber — the
+    // two-pass frozen-range-shuffle primitive — NOT a single-task global
+    // window, so the manifest itself is 100 TB-shaped. Integer division
+    // keeps both engines exact.
+    QueryDef.sql("q83_export_shard_manifest") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val total = docs.agg(count(lit(1)).as("total"))
+      val ranked = graft.ops.Scale.globalRowNumber(
+        docs, "rnk", col("lang").asc, col("doc_id").asc)
+      ranked.crossJoin(broadcast(total))
+        .withColumn("shard", expr("((rnk - 1) * 8) div total"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens"),
+          min(col("rnk")).as("min_rank"),
+          max(col("rnk")).as("max_rank"))
+        .orderBy("shard")
+    } {
+      """WITH r AS (
+        |  SELECT doc_id, lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS total
+        |  FROM documents)
+        |SELECT ((rnk - 1) * 8) // total AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |  MIN(rnk) AS min_rank, MAX(rnk) AS max_rank
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY shard""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q64: quality-filter FUNNEL audit — the per-stage attrition report a
     // pipeline publishes with every dataset build, expressed through the
     // [[Funnel]] library API (ordered cumulative stages, ONE scan, one

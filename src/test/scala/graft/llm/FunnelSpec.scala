@@ -44,6 +44,38 @@ class FunnelSpec extends AnyFunSuite with SparkTestSession {
     assert(scans === 1, s"funnel must scan its input once, got $scans:\n$plan")
   }
 
+  test("per-batch streaming audits sum to the batch audit of the union") {
+    // Funnel on a stream: audit each micro-batch in foreachBatch and add
+    // the reports — counts and mass are sums, so the accumulated funnel
+    // equals one audit over all the data. (retention is re-derived from
+    // the summed counts, not averaged.)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val stages = Seq("pos" -> ($"v" > 0), "small" -> ($"v" < 10))
+    val input = MemoryStream[Int](spark)
+    val acc = scala.collection.mutable.Map.empty[(Int, String), (Long, Long)]
+    val q = input.toDF().withColumnRenamed("value", "v")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Funnel.audit(batch, stages)
+          .as[(Int, String, Long, Long, Option[Double])]
+          .collect().foreach { case (st, nm, nIn, nOut, _) =>
+            val (a, b) = acc.getOrElse((st, nm), (0L, 0L))
+            acc((st, nm)) = (a + nIn, b + nOut)
+          }
+      }.start()
+    try {
+      input.addData(-3, 1, 5)
+      q.processAllAvailable()
+      input.addData(7, 12, 20, 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = Funnel.audit(Seq(-3, 1, 5, 7, 12, 20, 2).toDF("v"), stages)
+      .as[(Int, String, Long, Long, Option[Double])]
+      .collect().map { case (st, nm, nIn, nOut, _) => (st, nm) -> (nIn, nOut) }
+      .toMap
+    assert(acc.toMap === expected)
+  }
+
   test("stage names survive quoting (apostrophes)") {
     import spark.implicits._
     val df = Seq(1).toDF("v")
