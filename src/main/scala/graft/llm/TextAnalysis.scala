@@ -328,11 +328,14 @@ object TextAnalysis {
     // appear in at least one other document; rolled up per language with
     // a "≥50% duplicated" flag (integer cross-multiplied, no float
     // epsilon). Shape: tokenize once → per-row distinct shingles →
-    // explode → df per shingle (shrinking keyed agg — never a pair
-    // join, unlike q24/q62: corpus-hot shingles cost one skewed agg key
-    // handled by partial aggregation + AQE, not a quadratic fan-out) →
-    // join df back on the shingle key → per-doc, per-lang rollups.
-    // Every stage after the explode shrinks; the corpus is scanned once.
+    // explode → df per shingle as a WINDOW count over the shingle key
+    // (not an agg + join-back: that shape plans the explode subtree
+    // twice — two corpus scans — where the window shares one; partition
+    // sizes equal each shingle's df, which is docs-sharing-bounded, and
+    // never a pair join: a corpus-hot shingle costs one skewed window
+    // key, not a quadratic fan-out) → per-doc, per-lang rollups. Every
+    // stage after the explode shrinks; the corpus is scanned ONCE
+    // (plan-asserted in NewQueryPlanSpec).
     QueryDef.sql("q76_dup_ngram_coverage") { (s, d) =>
       val docs = Tables(s, d, "documents")
       val toks = docs
@@ -347,8 +350,10 @@ object TextAnalysis {
           """transform(sequence(1, size(toks) - 4),
             |  i -> array_join(slice(toks, i, 5), ' '))""".stripMargin)))
           .as("sh"))
-      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val perDoc = sh.join(dfreq, Seq("sh"))
+      val withDf = sh.withColumn("df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      val perDoc = withDf
         .groupBy(col("doc_id"), col("lang"))
         .agg(
           count(lit(1)).as("n_sh"),

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit for the round-6 query surface (q76–q83): the shapes
+  * that make them 100 TB-safe are pinned here so a regression shows up
+  * as a failing test, not a slow cluster.
+  */
+class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("q76 scans documents once and never pair-joins shingles") {
+    val p = plan("q76_dup_ngram_coverage")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"q76's shingle-df must be a shared window, not an agg+join-back " +
+        s"that re-derives the corpus per consumer (got $scans scans):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"q76 must never pair-join shingles:\n$p")
+  }
+
+  test("q80's label pair join broadcasts (labels², never vectors²)") {
+    val p = plan("q80_label_centroid_sim")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"label-pair join should broadcast the tiny centroid relation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q80 must broadcast, not cartesian:\n$p")
+  }
+
+  test("q81 joins only over broadcast (no shuffle join for the rate table)") {
+    val p = plan("q81_mixture_materialize")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 5-row language rate relation must broadcast:\n$p")
+  }
+
+  test("q83's global rank avoids the single-task window") {
+    // the single-ROW total aggregate legitimately plans an Exchange
+    // SinglePartition; the hazard is a WINDOW with an empty partition
+    // spec — assert every window partitions by the two-pass __pid key
+    val df = graft.SparkEntry.queries("q83_export_shard_manifest")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("__pid"),
+        s"a q83 window does not partition by the two-pass key:\n$w")
+    }
+    graft.Checkpoints.release(df)
+  }
+}
