@@ -98,6 +98,30 @@ object Pipeline {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Sliding token-window CHUNKING — each document becomes overlapping
+    * fixed-size token windows (starts 0, stride, 2·stride, …; window i
+    * covers tokens [i·stride, i·stride + chunkTokens)), the standard
+    * retrieval/embedding preprocessing step. Chunk count is exact integer
+    * arithmetic — 1 + ⌈max(0, n_tok − chunkTokens) / stride⌉ — so every
+    * token is covered and only the last chunk may run short. Pure per-row
+    * explode (fan-out ≈ n_tok/stride): no shuffle, no window, no state —
+    * the shape survives any corpus size unchanged. `stride = chunkTokens`
+    * degenerates to a disjoint partition of the token stream.
+    */
+  def chunked(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1 (got $chunkTokens)")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens] (got $stride)")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"1L + (greatest(0L, n_tok - $chunkTokens) + ${stride - 1}) div $stride"))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("chunk_toks",
+        expr(s"slice(toks, chunk_idx * $stride + 1, $chunkTokens)"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q53: deterministic train/val/test split (80/10/10) by a stable
@@ -531,6 +555,42 @@ object Pipeline {
         |FROM r
         |GROUP BY 1
         |ORDER BY shard""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q84: DOCUMENT CHUNKING — overlapping token windows (32 tokens,
+    // stride 24) via the [[chunked]] library API: the preprocessing step
+    // every retrieval/embedding pipeline runs before vectorizing. Output
+    // is one row per chunk with its exact token count and an md5 content
+    // digest (the chunk identity downstream stages key on). The plan is a
+    // single scan + per-row generator — fan-out bounded by n_tok/stride,
+    // no shuffle before the final presentation sort.
+    QueryDef.sql("q84_doc_chunking") { (s, d) =>
+      chunked(Tables(s, d, "documents"), chunkTokens = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk_toks")).cast("long").as("chunk_tokens"),
+          md5(array_join(col("chunk_toks"), " ")).as("chunk_digest"))
+        .orderBy("doc_id", "chunk_idx")
+    } {
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    1 + (GREATEST(0, n_tok - 32) + 23) // 24 AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(LEN(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS BIGINT)
+        |    AS chunk_tokens,
+        |  MD5(ARRAY_TO_STRING(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32), ' '))
+        |    AS chunk_digest
+        |FROM e
+        |ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
     // ------------------------------------------------------------------
