@@ -49,7 +49,30 @@ object GraftExtensions {
     "sorted_intersect_count" -> arity("sorted_intersect_count", 2)(
       es => functions.SortedIntersectCount(es(0), es(1))),
     "sorted_intersect_count_min" -> arity("sorted_intersect_count_min", 3)(
-      es => functions.SortedIntersectCountMin(es(0), es(1), es(2))))
+      es => functions.SortedIntersectCountMin(es(0), es(1), es(2))),
+    // Spark's OWN runtime-filter kernels (the pair Catalyst's
+    // InjectRuntimeFilter plans with), surfaced by name so library code
+    // can build explicit semi-join pruning filters (Scale.bloomPrune)
+    // where the optimizer's automatic injection doesn't reach. Both are
+    // codegen expressions; nothing here is reimplemented.
+    "bloom_filter_agg" -> { es =>
+      require(es.length >= 1 && es.length <= 3,
+        s"bloom_filter_agg takes 1-3 arguments, got ${es.length}")
+      es match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n, b)
+      }
+    },
+    "might_contain" -> arity("might_contain", 2)(es =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
 
   /** Register all kernels on an already-built session (ad-hoc twin of the
     * extensions path; idempotent).

@@ -232,6 +232,39 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q85: BLOOM-PRUNED FACT JOIN — Scale.bloomPrune drops lineitem rows
+    // that cannot match the selected part subset (one Brand in 25)
+    // before the join, using Spark's own runtime-filter kernels
+    // (bloom_filter_agg / might_contain) as an explicit library step.
+    // Because Bloom filters have no false negatives, the pruned join is
+    // row-identical to the plain join — the oracle below IS the plain
+    // join, which is the whole correctness story. At 100 TB the pruning
+    // predicate cuts the fact side's shuffle write by the dimension's
+    // selectivity; BloomPruneSpec pins the filter below the exchange.
+    QueryDef.sql("q85_bloom_pruned_join") { (s, d) =>
+      val parts = Tables(s, d, "part").filter(col("p_brand") === "Brand#23")
+      val pruned = Scale.bloomPrune(
+        Tables(s, d, "lineitem"), "l_partkey", parts, "p_partkey",
+        expectedItems = 4096, fpp = 0.01)
+      pruned.join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Det.csum(col("l_quantity"), 0).as("sum_qty"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("p_type")
+    } {
+      s"""SELECT p_type, COUNT(*) AS n_items,
+         |  ${Det.csumSql("l_quantity", 0)} AS sum_qty,
+         |  ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#23'
+         |GROUP BY p_type
+         |ORDER BY p_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q58: correlation + least-squares regression of extended price on
     // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
     // order-free exact decimals (one map-side-combined aggregation), and
