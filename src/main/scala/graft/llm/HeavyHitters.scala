@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Two-pass exact heavy hitters — the corpus-scale form of "which items
+  * occur more often than N/k": a per-partition Misra–Gries sketch pass
+  * finds a small CANDIDATE superset without shuffling the item universe,
+  * then an exact recount restricted to the candidates produces the final
+  * answer.
+  *
+  * Why two passes beat one exact groupBy at 100 TB: a full `groupBy(item)`
+  * shuffles every distinct item (for text n-grams, a key space comparable
+  * to the corpus itself). The sketch pass streams each partition once in
+  * O(counters) memory and emits ≤ `counters` candidates per partition;
+  * only the candidate-matching rows (a broadcast semi-join keeps this
+  * scan-side) ever reach a shuffle.
+  *
+  * Correctness: Misra–Gries undercounts any item by at most
+  * n_p/(counters+1) within a partition, so an item with GLOBAL frequency
+  * > N/counters must exceed its local threshold in at least one partition
+  * (pigeonhole) and therefore survives that partition's sketch. The
+  * candidate union is thus a superset of every true heavy hitter for ANY
+  * partitioning — the candidate set itself varies with layout, but the
+  * exact-recount output never does (HeavyHittersSpec pins both).
+  */
+object HeavyHitters {
+
+  /** Pass 1: per-partition Misra–Gries candidates (≤ `counters` per
+    * partition). Decrement-all is amortized O(1)/item: each sweep removes
+    * `counters` units that matching increments previously added.
+    */
+  def candidates(items: DataFrame, itemCol: String, counters: Int): DataFrame = {
+    require(counters >= 1, s"counters must be >= 1 (got $counters)")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col(itemCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Long]()
+        while (it.hasNext) {
+          val x = it.next()
+          val cur = counts.get(x)
+          if (cur != 0L || counts.containsKey(x)) counts.put(x, cur + 1L)
+          else if (counts.size < counters) counts.put(x, 1L)
+          else {
+            val entries = counts.entrySet().iterator()
+            while (entries.hasNext) {
+              val e = entries.next()
+              if (e.getValue == 1L) entries.remove()
+              else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        counts.keySet().iterator().asScala
+      }
+      .toDF(itemCol)
+      .distinct()
+  }
+
+  /** Exact heavy hitters: every item with frequency strictly greater than
+    * N/k, with its exact count and share. Two scans of `items` (sketch +
+    * recount; under a shared shuffle barrier Spark reuses one exchange),
+    * but the only aggregation shuffle is over candidate-matching rows.
+    * The integer cross-multiplication `freq · k > N` keeps the threshold
+    * exact on both engines. Candidate volume is bounded by
+    * k × input partitions — size `k` to the heavy-hitter contract, not
+    * as a top-k knob.
+    */
+  def exactOverThreshold(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val cand = candidates(items, itemCol, k)
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items
+      .join(broadcast(cand), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * k > col("n_total"))
+      .withColumn("share", col("freq").cast("double") / col("n_total"))
+      .select(col(itemCol), col("freq"), col("n_total"), col("share"))
+  }
+}

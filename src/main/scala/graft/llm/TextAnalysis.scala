@@ -205,6 +205,44 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // q86: trigram HEAVY HITTERS via the two-pass sketch-then-recount
+    // pattern ([[HeavyHitters]]): per-partition Misra–Gries candidates
+    // (no shuffle of the n-gram universe — for trigrams a key space
+    // comparable to the corpus), then an exact recount restricted to the
+    // candidate superset. Output is EXACT — every trigram with frequency
+    // strictly above N/20000 — so it oracle-hashes even though the
+    // intermediate sketch is partitioning-dependent.
+    QueryDef.sql("q86_trigram_heavy_hitters") { (s, d) =>
+      val tris = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        // barrier: materialize the token array once (see q41/q76) — and
+        // the shared exchange is what the recount pass reuses
+        .repartition(col("doc_id"))
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> array_join(slice(toks, i, 3), ' '))""".stripMargin))
+          .as("trigram"))
+      HeavyHitters.exactOverThreshold(tris, "trigram", k = 20000)
+        .orderBy(col("freq").desc, col("trigram"))
+    } {
+      """WITH w AS (
+        |  SELECT STRING_SPLIT(text, ' ') AS toks FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+        |    i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS trigram
+        |  FROM w),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tri)
+        |SELECT trigram, COUNT(*) AS freq, tot.n_total,
+        |  CAST(COUNT(*) AS DOUBLE) / tot.n_total AS share
+        |FROM tri, tot
+        |GROUP BY trigram, tot.n_total
+        |HAVING COUNT(*) * 20000 > tot.n_total
+        |ORDER BY freq DESC, trigram""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q52: BPE-style regex token counting — the GPT-2 pre-tokenizer
     // pattern family (contraction suffixes, space-prefixed letter runs,
     // digit runs, punctuation runs), RE2-safe (no lookarounds) so Spark
