@@ -261,6 +261,58 @@ object Events {
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q87: per-type Z-SCORE OUTLIER audit — the ingest-time anomaly gate
+    // a pipeline runs on every numeric measure: exact per-type moments
+    // (count / decimal-summed Σv, Σv² — order-free, engine-identical),
+    // one shared double formula for mean/std, then a second pass flags
+    // rows with |v − mean| > 3σ. Two scans, but the stats relation is
+    // one row per event type and joins back by BROADCAST — the flagging
+    // predicate runs scan-side, no row-level shuffle. Sample std (n−1)
+    // keeps the formula the textbook one.
+    QueryDef.sql("q87_zscore_outliers") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sv"),
+          dsum(col("value") * col("value")).as("svv"))
+        .withColumn("mean_value", col("sv") / col("n_events"))
+        .withColumn("std_value",
+          sqrt((col("svv") - col("sv") * col("sv") / col("n_events")) /
+            (col("n_events") - 1)))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          first(col("n_events")).as("n_events"),
+          first(col("mean_value")).as("mean_value"),
+          first(col("std_value")).as("std_value"),
+          sum(when(abs(col("value") - col("mean_value")) >
+            col("std_value") * 3.0, 1L).otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_share",
+          col("n_outliers").cast("double") / col("n_events"))
+        .orderBy("event_type")
+    } {
+      s"""WITH st AS (
+         |  SELECT event_type, COUNT(*) AS n_events,
+         |    ${dsumSql("value")} AS sv,
+         |    ${dsumSql("value * value")} AS svv
+         |  FROM events GROUP BY event_type),
+         |m AS (
+         |  SELECT event_type, n_events, sv / n_events AS mean_value,
+         |    SQRT((svv - sv * sv / n_events) / (n_events - 1)) AS std_value
+         |  FROM st)
+         |SELECT e.event_type, m.n_events, m.mean_value, m.std_value,
+         |  CAST(SUM(CASE WHEN ABS(e.value - m.mean_value) >
+         |    m.std_value * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(SUM(CASE WHEN ABS(e.value - m.mean_value) >
+         |    m.std_value * 3.0 THEN 1 ELSE 0 END) AS DOUBLE) / m.n_events
+         |    AS outlier_share
+         |FROM events e JOIN m USING (event_type)
+         |GROUP BY e.event_type, m.n_events, m.mean_value, m.std_value
+         |ORDER BY e.event_type""".stripMargin
     }
   )
 }
