@@ -558,6 +558,45 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q88: EXACT-SUBSTRING CONTAMINATION — the strict complement of
+    // q62's shingle decontamination: given a small probe set (here a
+    // deterministic 1-in-97 sample of documents, each contributing one
+    // 40-char mid-document span), count which corpus documents contain
+    // each probe verbatim. The probe relation BROADCASTS (an eval set is
+    // thousands of strings, never corpus-sized) and the containment
+    // predicate runs scan-side per (doc, probe) — cost n_docs × n_probes
+    // substring searches with no shuffle of the corpus. For probe sets
+    // large enough that the product bites, build an Aho–Corasick automaton
+    // per partition instead; at eval-set sizes the predicate form wins by
+    // staying inside codegen.
+    QueryDef.sql("q88_exact_substring_contamination") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val probes = docs
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_doc_id"),
+          expr("substring(text, 21, 40)").as("probe"))
+        .filter(length(col("probe")) === 40)
+      docs.join(broadcast(probes), contains(col("text"), col("probe")))
+        .groupBy(col("probe_doc_id"))
+        .agg(
+          count(lit(1)).as("n_hits"),
+          sum(when(col("doc_id") =!= col("probe_doc_id"), 1L).otherwise(0L))
+            .as("n_foreign_hits"))
+        .orderBy("probe_doc_id")
+    } {
+      """WITH p AS (
+        |  SELECT doc_id AS probe_doc_id, SUBSTRING(text, 21, 40) AS probe
+        |  FROM documents
+        |  WHERE doc_id % 97 = 0 AND LENGTH(SUBSTRING(text, 21, 40)) = 40)
+        |SELECT p.probe_doc_id, COUNT(*) AS n_hits,
+        |  CAST(SUM(CASE WHEN d.doc_id <> p.probe_doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_foreign_hits
+        |FROM documents d JOIN p ON CONTAINS(d.text, p.probe)
+        |GROUP BY p.probe_doc_id
+        |ORDER BY probe_doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q84: DOCUMENT CHUNKING — overlapping token windows (32 tokens,
     // stride 24) via the [[chunked]] library API: the preprocessing step
     // every retrieval/embedding pipeline runs before vectorizing. Output
