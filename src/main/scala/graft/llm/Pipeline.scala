@@ -122,6 +122,23 @@ object Pipeline {
         expr(s"slice(toks, chunk_idx * $stride + 1, $chunkTokens)"))
   }
 
+  /** Deterministic EXACT-SIZE global sample: order by a stable md5-derived
+    * hash of the id (ties broken by the id itself — a total order) and
+    * take the first n. Unlike `df.sample` (fraction-based, size varies)
+    * or `rand()` ranking (non-reproducible), this returns EXACTLY n rows,
+    * the same n rows on every run, engine, and cluster size — what an
+    * eval-set or human-review draw needs. Plans as TakeOrderedAndProject:
+    * each partition keeps its own n-heap and the driver merges heaps —
+    * no global sort, no single-task stage, safe at any corpus size
+    * (n itself must stay driver-sized, which a sample is by definition).
+    */
+  def deterministicSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val h = expr(
+      s"cast(conv(substring(md5(cast($idCol AS string)), 1, 8), 16, 10) AS bigint)")
+    df.withColumn("sample_rank", h).orderBy(col("sample_rank"), col(idCol)).limit(n)
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q53: deterministic train/val/test split (80/10/10) by a stable
@@ -555,6 +572,23 @@ object Pipeline {
         |FROM r
         |GROUP BY 1
         |ORDER BY shard""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q89: DETERMINISTIC GLOBAL SAMPLE — exactly 200 documents drawn by
+    // the [[deterministicSample]] hash order: reproducible across runs/
+    // engines/cluster sizes (eval-set and human-review draws must never
+    // resample on retry — same rationale as q53's hash split). The plan
+    // is a distributed TakeOrderedAndProject, not a global sort.
+    QueryDef.sql("q89_deterministic_sample") { (s, d) =>
+      deterministicSample(Tables(s, d, "documents"), "doc_id", 200)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("sample_rank"))
+    } {
+      s"""SELECT doc_id, lang, source, n_chars, $IdHashSql AS sample_rank
+         |FROM documents
+         |ORDER BY sample_rank, doc_id
+         |LIMIT 200""".stripMargin
     },
 
     // ------------------------------------------------------------------
