@@ -592,6 +592,37 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q90: ORDERED SEQUENCE ASSEMBLY — build one training example per
+    // user from their event history in strict (ts, event_id) order: the
+    // dialog/SFT-example construction step (turns → one ordered text).
+    // One shuffle on the group key; the ordered concat is
+    // array_sort(collect_list(struct(...))) — sorting INSIDE each group's
+    // aggregation buffer, never a global or per-partition sort, so the
+    // shape holds wherever per-group history fits an example (which a
+    // training example must anyway). The (ts, event_id) composite makes
+    // the order total — equal timestamps cannot flip the output.
+    QueryDef.sql("q90_event_sequence_assembly") { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          array_join(expr(
+            """transform(
+              |  array_sort(collect_list(struct(ts, event_id, event_type))),
+              |  x -> x.event_type)""".stripMargin), " ").as("event_seq"))
+        .orderBy("user_id")
+    } {
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  STRING_AGG(event_type, ' ' ORDER BY ts, event_id) AS event_seq
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q88: EXACT-SUBSTRING CONTAMINATION — the strict complement of
     // q62's shingle decontamination: given a small probe set (here a
     // deterministic 1-in-97 sample of documents, each contributing one
