@@ -52,4 +52,41 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     }
     graft.Checkpoints.release(df)
   }
+
+  test("q86's recount never shuffle-joins the trigram universe") {
+    val p = plan("q86_trigram_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate restriction must be a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the heavy-hitter plan:\n$p")
+  }
+
+  test("q87's stats relation joins back by broadcast") {
+    val p = plan("q87_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the one-row-per-type stats relation must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join:\n$p")
+  }
+
+  test("q88's probe containment is a broadcast loop join, not a cartesian") {
+    val p = plan("q88_exact_substring_contamination")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probes must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never a cartesian:\n$p")
+  }
+
+  test("q89 samples via TakeOrderedAndProject, never a global sort") {
+    val p = plan("q89_deterministic_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as a distributed top-n:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort defeats the sample's shape:\n$p")
+  }
+
+  test("q90 shuffles once on the group key") {
+    val p = plan("q90_event_sequence_assembly")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1,
+      s"expected exactly one hash exchange (the user_id groupBy), got $hashEx:\n$p")
+  }
 }
