@@ -592,6 +592,101 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q93: CURRICULUM STAGING — order the corpus easy→hard by a
+    // deterministic difficulty proxy (type-token ratio: exact-integer
+    // n_distinct/n_tok, engine-identical) and cut it into 4 balanced
+    // stages from the GLOBAL rank. The rank comes from
+    // Scale.globalRowNumber (two-pass frozen range shuffle), never a
+    // single-task global window, and the stage id is pure integer
+    // arithmetic on (rank, total) — the same 100 TB-shaped rank→band
+    // pattern as q83's shard manifest, keyed by a model-training
+    // curriculum instead of a storage layout.
+    QueryDef.sql("q93_curriculum_stages") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))))
+        .withColumn("ttr",
+          col("n_distinct").cast("double") / col("n_tok").cast("double"))
+        .select("doc_id", "lang", "ttr")
+      val total = docs.agg(count(lit(1)).as("total"))
+      val ranked = graft.ops.Scale.globalRowNumber(
+        docs, "rnk", col("ttr").asc, col("doc_id").asc)
+      ranked.crossJoin(broadcast(total))
+        .withColumn("stage", expr("((rnk - 1) * 4) div total"))
+        .groupBy(col("stage"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("ttr")).as("min_ttr"),
+          max(col("ttr")).as("max_ttr"),
+          graft.Det.davg(col("ttr")).as("avg_ttr"))
+        .orderBy("stage", "lang")
+    } {
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) /
+         |      CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS ttr
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, ttr,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY ttr, doc_id) AS BIGINT) AS rnk,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS total
+         |  FROM q)
+         |SELECT ((rnk - 1) * 4) // total AS stage, lang, COUNT(*) AS n_docs,
+         |  MIN(ttr) AS min_ttr, MAX(ttr) AS max_ttr,
+         |  ${graft.Det.davgSql("ttr")} AS avg_ttr
+         |FROM r
+         |GROUP BY 1, 2
+         |ORDER BY stage, lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q91: MIXTURE DRIFT MONITOR — the dataset-governance check that the
+    // source mixture is stable across a deterministic split of the
+    // corpus (here the two md5-hash halves; in production, yesterday's
+    // build vs today's): per-source counts in each half, their shares,
+    // and the per-source KL contribution p·ln(p/q). Everything derives
+    // from exact integer counts through one shared IEEE formula, so the
+    // doubles hash-match. One aggregation over (source), no joins — the
+    // half split is a scan-side predicate pair.
+    QueryDef.sql("q91_mixture_drift") { (s, d) =>
+      val half = (idHash % 2).as("half")
+      val bySource = Tables(s, d, "documents")
+        .select(col("source"), half)
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      val totals = bySource.agg(
+        sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+      bySource.crossJoin(broadcast(totals))
+        .withColumn("p_a", col("n_a").cast("double") / col("tot_a"))
+        .withColumn("p_b", col("n_b").cast("double") / col("tot_b"))
+        .withColumn("kl_contrib",
+          when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+            .otherwise(col("p_a") * log(col("p_a") / col("p_b"))))
+        .select("source", "n_a", "n_b", "p_a", "p_b", "kl_contrib")
+        .orderBy("source")
+    } {
+      s"""WITH h AS (
+         |  SELECT source,
+         |    CAST(SUM(CASE WHEN $IdHashSql % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN $IdHashSql % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+         |    CAST(SUM(n_b) AS BIGINT) AS tot_b FROM h)
+         |SELECT source, n_a, n_b,
+         |  CAST(n_a AS DOUBLE) / tot_a AS p_a,
+         |  CAST(n_b AS DOUBLE) / tot_b AS p_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |    ELSE (CAST(n_a AS DOUBLE) / tot_a) *
+         |      LN((CAST(n_a AS DOUBLE) / tot_a) / (CAST(n_b AS DOUBLE) / tot_b))
+         |  END AS kl_contrib
+         |FROM h, t
+         |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q90: ORDERED SEQUENCE ASSEMBLY — build one training example per
     // user from their event history in strict (ts, event_id) order: the
     // dialog/SFT-example construction step (turns → one ordered text).

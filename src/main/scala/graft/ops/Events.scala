@@ -313,6 +313,50 @@ object Events {
          |FROM events e JOIN m USING (event_type)
          |GROUP BY e.event_type, m.n_events, m.mean_value, m.std_value
          |ORDER BY e.event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q92: BURST DETECTION / rate-limit audit — flag (user, day) windows
+    // whose event count exceeds 2× the corpus-wide average window, and
+    // report the users that have at least one such window. The threshold
+    // is the exact integer cross-multiplication c·n_windows > 2·n_events
+    // (no float division), the global stats are ONE extra row broadcast
+    // back, and the per-window aggregation is the only data-sized
+    // shuffle — the shape an abuse/ingest-anomaly audit needs at any
+    // event volume.
+    QueryDef.sql("q92_burst_windows") { (s, d) =>
+      val w = Tables(s, d, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val t = w.agg(
+        count(lit(1)).as("n_windows"), sum(col("c")).as("n_events"))
+      w.crossJoin(broadcast(t))
+        .withColumn("is_burst",
+          col("c") * col("n_windows") > col("n_events") * 2)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("c")).as("total_events"),
+          max(col("c")).as("max_day_events"),
+          sum(when(col("is_burst"), 1L).otherwise(0L)).as("n_burst_days"))
+        .filter(col("n_burst_days") > 0)
+        .orderBy("user_id")
+    } {
+      """WITH w AS (
+        |  SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT COUNT(*) AS n_windows, CAST(SUM(c) AS BIGINT) AS n_events
+        |  FROM w)
+        |SELECT user_id, COUNT(*) AS n_days,
+        |  CAST(SUM(c) AS BIGINT) AS total_events,
+        |  CAST(MAX(c) AS BIGINT) AS max_day_events,
+        |  CAST(SUM(CASE WHEN c * n_windows > 2 * n_events THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_burst_days
+        |FROM w, t
+        |GROUP BY user_id
+        |HAVING n_burst_days > 0
+        |ORDER BY user_id""".stripMargin
     }
   )
 }
