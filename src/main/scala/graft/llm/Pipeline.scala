@@ -592,6 +592,65 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q94: SPLIT N-GRAM NOVELTY — the generalization complement of q62's
+    // decontamination: how much of the val split's distinct-trigram mass
+    // is UNSEEN in train (per language)? Novel-share near 0 means val is
+    // memorizable from train; near 1 means the split carries new
+    // material. Both sides dedup to (lang, trigram) before one
+    // co-partitioned anti join on the shingle key (the q62 shape — the
+    // corpus itself is never pair-joined), and the val-side exchange is
+    // shared between the unseen count and the denominator.
+    QueryDef.sql("q94_split_ngram_novelty") { (s, d) =>
+      val tri = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        // barrier: materialize the token array once (see q41/q76)
+        .repartition(col("doc_id"))
+        .withColumn("bucket", idBucket)
+        .select(col("lang"), col("bucket"), explode(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> array_join(slice(toks, i, 3), ' '))""".stripMargin))
+          .as("trigram"))
+      val train = tri.filter(col("bucket") < 80)
+        .select("lang", "trigram").distinct()
+      val valSide = tri.filter(col("bucket").between(80, 89))
+        .select("lang", "trigram").distinct()
+      val nVal = valSide.groupBy(col("lang")).agg(count(lit(1)).as("n_val"))
+      val unseen = valSide.join(train, Seq("lang", "trigram"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_unseen"))
+      nVal.join(unseen, Seq("lang"), "left_outer")
+        .withColumn("n_unseen", coalesce(col("n_unseen"), lit(0L)))
+        .withColumn("novel_share",
+          col("n_unseen").cast("double") / col("n_val"))
+        .orderBy("lang")
+    } {
+      s"""WITH w AS (
+         |  SELECT lang, STRING_SPLIT(text, ' ') AS toks,
+         |    $IdBucketSql AS bucket
+         |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+         |tr AS (
+         |  SELECT DISTINCT lang, trigram FROM (
+         |    SELECT lang, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+         |      i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS trigram
+         |    FROM w WHERE bucket < 80)),
+         |vl AS (
+         |  SELECT DISTINCT lang, trigram FROM (
+         |    SELECT lang, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+         |      i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS trigram
+         |    FROM w WHERE bucket BETWEEN 80 AND 89)),
+         |n AS (SELECT lang, COUNT(*) AS n_val FROM vl GROUP BY lang),
+         |u AS (
+         |  SELECT vl.lang, COUNT(*) AS n_unseen
+         |  FROM vl LEFT JOIN tr ON vl.lang = tr.lang AND vl.trigram = tr.trigram
+         |  WHERE tr.trigram IS NULL
+         |  GROUP BY vl.lang)
+         |SELECT n.lang, n.n_val, CAST(COALESCE(u.n_unseen, 0) AS BIGINT) AS n_unseen,
+         |  CAST(COALESCE(u.n_unseen, 0) AS DOUBLE) / n.n_val AS novel_share
+         |FROM n LEFT JOIN u ON n.lang = u.lang
+         |ORDER BY n.lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q93: CURRICULUM STAGING — order the corpus easy→hard by a
     // deterministic difficulty proxy (type-token ratio: exact-integer
     // n_distinct/n_tok, engine-identical) and cut it into 4 balanced

@@ -316,6 +316,59 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of q92's burst audit: per (key, tumbling window),
+    * emit ONE alert the moment the window's event count reaches
+    * `threshold` — the online rate-limit/abuse signal, fired mid-window
+    * (a windowed aggregation would only report after the watermark
+    * closes the window; an alert that arrives when the burst is over is
+    * not an alert). State per group is two longs + a flag; the `alerted`
+    * latch makes the alert exactly-once per window across batches, and
+    * EventTimeTimeout reaps the state once the watermark passes the
+    * window end — bounded by the number of OPEN (key, window) pairs, as
+    * any keyed streaming state must be.
+    */
+  final case class BurstState(count: Long, alerted: Boolean)
+  final case class BurstAlert(
+      user_id: Long, window_start: java.sql.Timestamp, n_events: Long)
+
+  def burstAlerts(events: DataFrame, timeCol: String, keyCol: String,
+      windowMinutes: Int, threshold: Long,
+      watermarkDelay: String): Dataset[BurstAlert] = {
+    require(windowMinutes >= 1 && threshold >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = windowMinutes * 60L * 1000L
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      // poison-key hygiene: same try_cast rationale as closedSessions
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey { case (user, t) =>
+        (user, t.getTime - Math.floorMod(t.getTime, windowMs))
+      }
+      .flatMapGroupsWithState[BurstState, BurstAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, winStart), rows, state: GroupState[BurstState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(BurstState(0L, alerted = false))
+            val n = prev.count + rows.size
+            val fire = !prev.alerted && n >= threshold
+            state.update(BurstState(n, prev.alerted || fire))
+            // reap once the watermark passes the window end; the timeout
+            // must stay strictly ahead of the current watermark or the
+            // update throws (a window that closed while we held state)
+            state.setTimeoutTimestamp(math.max(
+              winStart + windowMs, state.getCurrentWatermarkMs() + 1))
+            if (fire)
+              Iterator.single(
+                BurstAlert(user, new java.sql.Timestamp(winStart), n))
+            else Iterator.empty
+          }
+      }
+  }
+
   def shardProgress(envelope: DataFrame): Dataset[ShardProgress] = {
     val spark = envelope.sparkSession
     import spark.implicits._

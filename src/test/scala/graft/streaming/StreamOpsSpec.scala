@@ -331,4 +331,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       .as[(String, String, Long, Long)].collect().toSeq.sorted
     assert(last == Seq(("events", "shard-0", 3L, 9L), ("events", "shard-1", 1L, 7L)))
   }
+
+  test("burstAlerts fires once per (key, window) the moment the threshold is hit") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamOps.burstAlerts(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      windowMinutes = 60, threshold = 3, watermarkDelay = "0 seconds").toDF()
+    spark.sql("DROP TABLE IF EXISTS burst_sink")
+    val q = out.writeStream.format("memory").queryName("burst_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events — below threshold, no alert yet
+      input.addData((ts(0), 1L), (ts(10), 1L))
+      q.processAllAvailable()
+      // third event in the SAME window, a batch later → alert fires NOW
+      // (cross-batch count), with the count at crossing
+      input.addData((ts(20), 1L), (ts(20), 2L))
+      q.processAllAvailable()
+      // further events in the alerted window must NOT re-fire (latch)
+      input.addData((ts(25), 1L), (ts(30), 1L))
+      q.processAllAvailable()
+      // a new window bursts independently (3 events at once)
+      input.addData((ts(70), 1L), (ts(75), 1L), (ts(80), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("burst_sink")
+      .as[(Long, Timestamp, Long)].collect().toSeq.sortBy(_._2.getTime)
+    assert(rows == Seq((1L, ts(0), 3L), (1L, ts(60), 3L)),
+      s"got $rows")
+  }
 }
