@@ -296,6 +296,61 @@ object Dedup {
         |FROM k a JOIN k b ON a.canon_key = b.canon_key AND a.source < b.source
         |GROUP BY source_a, source_b
         |ORDER BY source_a, source_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q96: INCREMENTAL DEDUP AUDIT — the daily-ingest form of exact
+    // dedup: treat the md5-hash half 0 of the corpus as the existing
+    // snapshot and half 1 as today's increment, and report per language
+    // how much of the increment is already in the base (same q23
+    // canonical digest) vs genuinely new distinct content. All joins
+    // move the 32-byte digest, never document bodies; in production the
+    // increment side is small relative to base, and both the semi and
+    // anti join share one exchange pair on the digest key.
+    QueryDef.sql("q96_incremental_dedup_audit") { (s, d) =>
+      val half = expr(
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 2")
+      val dd = Tables(s, d, "documents")
+        .select(col("lang"),
+          md5(array_join(sort_array(tokenSet), " ")).as("canon_key"),
+          half.as("half"))
+      val base = dd.filter(col("half") === 0).select("canon_key").distinct()
+      val inc = dd.filter(col("half") === 1).select("lang", "canon_key")
+      val nInc = inc.groupBy(col("lang")).agg(count(lit(1)).as("n_inc"))
+      val hit = inc.join(base, Seq("canon_key"), "left_semi")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_dup_vs_base"))
+      val fresh = inc.join(base, Seq("canon_key"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("canon_key")).as("n_new_distinct"))
+      nInc
+        .join(hit, Seq("lang"), "left_outer")
+        .join(fresh, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_inc"),
+          coalesce(col("n_dup_vs_base"), lit(0L)).as("n_dup_vs_base"),
+          coalesce(col("n_new_distinct"), lit(0L)).as("n_new_distinct"))
+        .orderBy("lang")
+    } {
+      """WITH dd AS (
+        |  SELECT lang,
+        |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+        |      AS canon_key,
+        |    CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+        |      AS half
+        |  FROM documents),
+        |b AS (SELECT DISTINCT canon_key FROM dd WHERE half = 0),
+        |i AS (SELECT lang, canon_key FROM dd WHERE half = 1),
+        |n AS (SELECT lang, COUNT(*) AS n_inc FROM i GROUP BY lang),
+        |h AS (
+        |  SELECT lang, COUNT(*) AS n_dup_vs_base FROM i
+        |  WHERE canon_key IN (SELECT canon_key FROM b) GROUP BY lang),
+        |f AS (
+        |  SELECT lang, COUNT(DISTINCT canon_key) AS n_new_distinct FROM i
+        |  WHERE canon_key NOT IN (SELECT canon_key FROM b) GROUP BY lang)
+        |SELECT n.lang, n.n_inc,
+        |  CAST(COALESCE(h.n_dup_vs_base, 0) AS BIGINT) AS n_dup_vs_base,
+        |  CAST(COALESCE(f.n_new_distinct, 0) AS BIGINT) AS n_new_distinct
+        |FROM n LEFT JOIN h ON n.lang = h.lang LEFT JOIN f ON n.lang = f.lang
+        |ORDER BY n.lang""".stripMargin
     }
   )
 

@@ -357,6 +357,59 @@ object Events {
         |GROUP BY user_id
         |HAVING n_burst_days > 0
         |ORDER BY user_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q95: CONVERSION LATENCY — for every purchase, the time since the
+    // user's most recent STRICTLY-PRIOR view (the as-of pattern of q21
+    // expressed as one ignore-nulls running window over the per-user
+    // event sequence, frame capped at 1 PRECEDING so a same-timestamp
+    // view never matches its own purchase), then exact R-7 percentiles
+    // of the latency distribution. The window partitions by user_id
+    // (high-cardinality key — parallel at any event volume); latencies
+    // are exact integer seconds so the percentile interpolation is
+    // binary-exact on both engines (q57's argument).
+    QueryDef.sql("q95_conversion_latency") { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lat = Tables(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("prior_view_ts",
+          last(when(col("event_type") === "view", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("prior_view_ts").isNotNull)
+        .withColumn("latency_s",
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prior_view_ts")))
+            .cast("long"))
+      lat.agg(
+        count(lit(1)).as("n_conversions"),
+        min(col("latency_s")).as("min_s"),
+        expr("percentile(latency_s, 0.25)").as("p25_s"),
+        expr("percentile(latency_s, 0.5)").as("median_s"),
+        expr("percentile(latency_s, 0.75)").as("p75_s"),
+        max(col("latency_s")).as("max_s"))
+    } {
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior_view_ts
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |lat AS (
+        |  SELECT CAST(DATE_DIFF('second', prior_view_ts, ts) AS BIGINT)
+        |    AS latency_s
+        |  FROM e
+        |  WHERE event_type = 'purchase' AND prior_view_ts IS NOT NULL)
+        |SELECT COUNT(*) AS n_conversions,
+        |  MIN(latency_s) AS min_s,
+        |  QUANTILE_CONT(latency_s, 0.25) AS p25_s,
+        |  QUANTILE_CONT(latency_s, 0.5) AS median_s,
+        |  QUANTILE_CONT(latency_s, 0.75) AS p75_s,
+        |  MAX(latency_s) AS max_s
+        |FROM lat""".stripMargin
     }
   )
 }
