@@ -89,4 +89,37 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(hashEx === 1,
       s"expected exactly one hash exchange (the user_id groupBy), got $hashEx:\n$p")
   }
+
+  test("q91/q92's single-row stats relations broadcast, never shuffle-join") {
+    Seq("q91_mixture_drift", "q92_burst_windows").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: the global-stats relation must broadcast:\n$p")
+    }
+  }
+
+  test("q93's global rank windows partition by the two-pass key") {
+    val df = graft.SparkEntry.queries("q93_curriculum_stages")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("__pid"),
+      s"a q93 window does not partition by the two-pass key:\n$w"))
+    graft.Checkpoints.release(df)
+  }
+
+  test("q94 never pair-joins documents (anti join on the shingle key only)") {
+    val p = plan("q94_split_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q94 must join on the (lang, trigram) key, never a product:\n$p")
+  }
+
+  test("q95's as-of window partitions by the high-cardinality user key") {
+    val p = plan("q95_conversion_latency")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("user_id"),
+      s"the latency window must partition by user_id:\n$w"))
+  }
 }
