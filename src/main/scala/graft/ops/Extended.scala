@@ -289,6 +289,69 @@ object Extended {
         |  wt AS (PARTITION BY o_orderpriority
         |         ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT) DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q97: SALTED JOIN answer preservation — Scale.saltedJoin splits each
+    // hot key's rows over 8 salt buckets (left side salted by a row-level
+    // hash, right side replicated ×8 with matching salts) so one skewed
+    // key's shuffle partition becomes 8 parallel tasks. The query proves
+    // the rewrite is ANSWER-PRESERVING: the oracle is the PLAIN join —
+    // same aggregate, no salt anywhere. Use when AQE's skew handling
+    // can't kick in (e.g. a skewed BROADCAST-ineligible dimension or
+    // pre-AQE materialization points); q77's skew profile is the
+    // decision input.
+    QueryDef.sql("q97_salted_join") { (s, d) =>
+      val joined = graft.ops.Scale.saltedJoin(
+        Tables(s, d, "events"), Tables(s, d, "customer"),
+        "user_id", "c_custkey", col("event_id"), saltFactor = 8)
+      joined.groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("total_value"))
+        .orderBy("c_mktsegment")
+    } {
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+         |  ${Det.dsumSql("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q98: DISTRIBUTION RANKS — the rest of the rank family over the
+    // q48 fixture: percent_rank and cume_dist on the tie-aware ordering
+    // (both are exact-integer ratios → bit-identical doubles), plus
+    // nth_value over the tie-broken total order (same running frame on
+    // both engines). Same high-cardinality partition key as q48.
+    QueryDef.sql("q98_rank_distributions") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Tables(s, d, "orders")
+        .withColumn("price_band", floor(col("o_totalprice") / 1000).cast("long"))
+      val wRank = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_band").desc)
+      val wTotal = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_band").desc, col("o_orderkey"))
+      ord.select(
+          col("o_orderkey"), col("o_orderpriority"), col("price_band"),
+          percent_rank().over(wRank).as("pct_rank"),
+          cume_dist().over(wRank).as("cume"),
+          nth_value(col("price_band"), 2).over(wTotal).as("second_band"))
+        .orderBy("o_orderkey")
+    } {
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band,
+        |  PERCENT_RANK() OVER wr AS pct_rank,
+        |  CUME_DIST() OVER wr AS cume,
+        |  NTH_VALUE(CAST(FLOOR(o_totalprice / 1000) AS BIGINT), 2) OVER wt
+        |    AS second_band
+        |FROM orders
+        |WINDOW
+        |  wr AS (PARTITION BY o_orderpriority
+        |         ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT) DESC),
+        |  wt AS (PARTITION BY o_orderpriority
+        |         ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT) DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
     }
   )
 
