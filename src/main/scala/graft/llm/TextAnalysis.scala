@@ -243,6 +243,44 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // q100: SOURCE CONCENTRATION — how much of the corpus the top-5
+    // sources own, with cumulative share: the C4-style provenance audit
+    // that catches a crawl dominated by a handful of domains before the
+    // mixture weights (q63/q81) bake the skew in. Reuses Scale.skewProfile
+    // (distributed partial top-k — never a global sort) on a second key;
+    // the cumulative sum runs over the ≤ 5 selected rows only.
+    QueryDef.sql("q100_source_concentration") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.ops.Scale.skewProfile(Tables(s, d, "documents"), "source", 5)
+        .withColumn("cum_share",
+          sum(col("share")).over(
+            Window.orderBy(col("rnk"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("source", "cnt", "rnk", "share", "cum_share", "n_keys",
+          "total_rows")
+        .orderBy("rnk")
+    } {
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows, COUNT(*) AS n_keys
+        |  FROM c),
+        |r AS (
+        |  SELECT source, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, source) AS rnk
+        |  FROM c)
+        |SELECT r.source, CAST(r.cnt AS BIGINT) AS cnt, CAST(r.rnk AS INT) AS rnk,
+        |  CAST(r.cnt AS DOUBLE) / t.total_rows AS share,
+        |  SUM(CAST(r.cnt AS DOUBLE) / t.total_rows)
+        |    OVER (ORDER BY r.rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_share,
+        |  t.n_keys, t.total_rows
+        |FROM r, t
+        |WHERE r.rnk <= 5
+        |ORDER BY rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q52: BPE-style regex token counting — the GPT-2 pre-tokenizer
     // pattern family (contraction suffixes, space-prefixed letter runs,
     // digit runs, punctuation runs), RE2-safe (no lookarounds) so Spark

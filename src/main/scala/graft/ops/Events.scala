@@ -410,6 +410,41 @@ object Events {
         |  QUANTILE_CONT(latency_s, 0.75) AS p75_s,
         |  MAX(latency_s) AS max_s
         |FROM lat""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q99: DAU / WAU STICKINESS — exact daily and weekly active users
+    // (calendar weeks — both engines truncate to Monday) joined on the
+    // day's week: the engagement ratio every analytics deployment
+    // publishes. Two exact-distinct aggregations (each one shuffle on
+    // its key) and a broadcast-sized join on ~weeks rows; stickiness is
+    // one integer division. At corpus scale swap countDistinct for the
+    // q39 HLL sketch if exactness isn't contractual.
+    QueryDef.sql("q99_dau_wau_stickiness") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("week", date_trunc("week", col("ts")))
+      val dau = ev.groupBy(col("day"), col("week"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ev.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(broadcast(wau), Seq("week"))
+        .withColumn("stickiness", col("dau").cast("double") / col("wau"))
+        .select("day", "week", "dau", "wau", "stickiness")
+        .orderBy("day")
+    } {
+      """WITH e AS (
+        |  SELECT DATE_TRUNC('day', ts) AS day, DATE_TRUNC('week', ts) AS week,
+        |    user_id
+        |  FROM events),
+        |d AS (
+        |  SELECT day, week, COUNT(DISTINCT user_id) AS dau
+        |  FROM e GROUP BY day, week),
+        |w AS (SELECT week, COUNT(DISTINCT user_id) AS wau FROM e GROUP BY week)
+        |SELECT d.day, d.week, d.dau, w.wau,
+        |  CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+        |FROM d JOIN w ON d.week = w.week
+        |ORDER BY d.day""".stripMargin
     }
   )
 }
