@@ -66,4 +66,39 @@ class FormatsSpec extends AnyFunSuite with SparkTestSession {
     val b = back.orderBy("event_id").select("event_id", "event_type", "props").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("ORC round-trip preserves rows, values, and column pruning") {
+    val out = Files.createTempDirectory("fmt-orc").toString
+    val src = graft.Tables(spark, d, "customer")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == src.count())
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      src.orderBy("c_custkey").collect().toSeq)
+    // pruning reaches the ORC scan exactly as it does for parquet
+    val pruned = back.select("c_custkey", "c_mktsegment")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<c_custkey:"),
+      s"projection must prune at the ORC scan:\n$pruned")
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns, fills missing with null") {
+    val out = Files.createTempDirectory("fmt-evolve").toString
+    // day-1 files carry (id, a); day-2 adds column b — the standard
+    // additive-evolution shape of a long-lived ingest directory
+    spark.range(0, 5).select(col("id"), lit("old").as("a"))
+      .write.parquet(s"$out/d=1")
+    spark.range(5, 8).select(col("id"), lit("new").as("a"), lit(7L).as("b"))
+      .write.parquet(s"$out/d=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("id", "a", "b", "d"))
+    assert(merged.count() == 8)
+    // rows from day-1 read b as null, never a default or a crash
+    assert(merged.filter(col("d") === 1 && col("b").isNull).count() == 5)
+    assert(merged.filter(col("d") === 2 && col("b") === 7L).count() == 3)
+    // without mergeSchema, the first-listed footer wins silently — the
+    // spec pins that the EXPLICIT option is what buys the unioned view
+    val unmergedCols = spark.read.parquet(out).columns.toSet
+    assert(unmergedCols.subsetOf(Set("id", "a", "b", "d")))
+  }
 }
