@@ -74,4 +74,17 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // up here as super-linear growth
     assertTrend("q76_dup_ngram_coverage", "documents")
   }
+
+  test("q86 heavy hitters scales sub-quadratically in documents") {
+    // sketch pass + candidate-restricted recount: a broken candidate
+    // bound (e.g. the semi-join degrading to the full universe twice)
+    // shows up as super-linear growth
+    assertTrend("q86_trigram_heavy_hitters", "documents")
+  }
+
+  test("q94 split n-gram novelty scales sub-quadratically in documents") {
+    // distinct + anti join on the (lang, trigram) key; an accidental
+    // trigram×trigram product would trip this immediately
+    assertTrend("q94_split_ngram_novelty", "documents")
+  }
 }
