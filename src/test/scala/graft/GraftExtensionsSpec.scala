@@ -30,4 +30,22 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     val w2 = (2L * 2654435761L) % 1000003L
     assert(row.getLong(2) == 97L * w1 + 98L * w2)
   }
+
+  test("runtime-filter kernels work end-to-end through SQL") {
+    GraftExtensions.registerAll(spark)
+    spark.range(0, 100).createOrReplaceTempView("bf_keys")
+    // build a filter over ids 0..99, probe with one member and one miss;
+    // membership is exact (no false negatives), the miss may only be a
+    // false positive at the configured rate (1M bits over 100 keys → ~0)
+    val row = spark.sql(
+      """WITH f AS (
+        |  SELECT bloom_filter_agg(xxhash64(id), 100L, 1000000L) AS bf
+        |  FROM bf_keys)
+        |SELECT
+        |  might_contain((SELECT bf FROM f), xxhash64(42L)) AS hit,
+        |  might_contain((SELECT bf FROM f), xxhash64(424242L)) AS miss
+        |""".stripMargin).collect().head
+    assert(row.getBoolean(0), "a member must always hit")
+    assert(!row.getBoolean(1), "a miss at this sizing is ~impossible")
+  }
 }
