@@ -445,6 +445,43 @@ object Events {
         |  CAST(d.dau AS DOUBLE) / w.wau AS stickiness
         |FROM d JOIN w ON d.week = w.week
         |ORDER BY d.day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q101: ARGMAX — the window-free per-group champion: the top-value
+    // user per event type via max_by/arg_max, the single-pass aggregate
+    // that replaces "rank()=1" when only the winner is needed (one
+    // shuffle, no per-group sort, constant state per group). Ties are
+    // broken DETERMINISTICALLY by folding the tie-break key into an
+    // exact integer ordinal: ord = total_cents·10⁷ + user_id (max_by on
+    // a bare double total would pick an arbitrary user on equal totals —
+    // the classic nondeterminism leak). Ordinal contract: fits int64
+    // while total_cents < 9.2e11 per (type, user) and user_id < 10⁷;
+    // for wider ids, widen to decimal.
+    QueryDef.sql("q101_argmax_top_user") { (s, d) =>
+      val u = Tables(s, d, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      u.groupBy(col("event_type"))
+        .agg(
+          max_by(col("user_id"),
+            col("total_cents") * 10000000L + col("user_id")).as("top_user"),
+          max(col("total_cents")).as("top_cents"),
+          count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    } {
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  ARG_MAX(user_id, total_cents * 10000000 + user_id) AS top_user,
+        |  MAX(total_cents) AS top_cents,
+        |  COUNT(*) AS n_users
+        |FROM u
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
     }
   )
 }
