@@ -34,6 +34,24 @@ object QueryDef {
   * back to double. Ties in the double→decimal rounding cannot occur at scale
   * 6 (no binary double lands exactly on an odd multiple of 5e-7).
   */
+/** The single md5-derived 32-bit id-hash recipe every deterministic
+  * bucketing in the library derives from (train/val/test split, strata,
+  * corpus halves, sampling order). One definition on each engine side —
+  * the q53 split, q89 sample, q91/q96 halves MUST all hash identically,
+  * and a recipe change in one copy would silently de-synchronize them.
+  */
+object Ids {
+  /** Stable non-negative 32-bit hash of an id column (first 8 md5 hex
+    * digits), content-independent and engine-reproducible.
+    */
+  def hash(idCol: String): Column = expr(
+    s"cast(conv(substring(md5(cast($idCol AS string)), 1, 8), 16, 10) AS bigint)")
+
+  /** DuckDB fragment equivalent to [[hash]]. */
+  def hashSql(idCol: String): String =
+    s"CAST(('0x' || SUBSTRING(MD5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT)"
+}
+
 object Det {
   private val D = DecimalType(18, 6)
 

@@ -308,8 +308,7 @@ object Dedup {
     // increment side is small relative to base, and both the semi and
     // anti join share one exchange pair on the digest key.
     QueryDef.sql("q96_incremental_dedup_audit") { (s, d) =>
-      val half = expr(
-        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 2")
+      val half = graft.Ids.hash("doc_id") % 2
       val dd = Tables(s, d, "documents")
         .select(col("lang"),
           md5(array_join(sort_array(tokenSet), " ")).as("canon_key"),
@@ -330,12 +329,11 @@ object Dedup {
           coalesce(col("n_new_distinct"), lit(0L)).as("n_new_distinct"))
         .orderBy("lang")
     } {
-      """WITH dd AS (
+      s"""WITH dd AS (
         |  SELECT lang,
         |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
         |      AS canon_key,
-        |    CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
-        |      AS half
+        |    ${graft.Ids.hashSql("doc_id")} % 2 AS half
         |  FROM documents),
         |b AS (SELECT DISTINCT canon_key FROM dd WHERE half = 0),
         |i AS (SELECT lang, canon_key FROM dd WHERE half = 1),

@@ -15,8 +15,9 @@ import scala.jdk.CollectionConverters._
   * shuffles every distinct item (for text n-grams, a key space comparable
   * to the corpus itself). The sketch pass streams each partition once in
   * O(counters) memory and emits ≤ `counters` candidates per partition;
-  * only the candidate-matching rows (a broadcast semi-join keeps this
-  * scan-side) ever reach a shuffle.
+  * only the candidate-matching rows ever reach an aggregation shuffle
+  * (the restriction broadcasts while the k × partitions candidate bound
+  * is broadcast-sized, and falls back to a keyed semi join above it).
   *
   * Correctness: Misra–Gries undercounts any item by at most
   * n_p/(counters+1) within a partition, so an item with GLOBAL frequency
@@ -68,12 +69,25 @@ object HeavyHitters {
     * k × input partitions — size `k` to the heavy-hitter contract, not
     * as a top-k knob.
     */
+  /** Candidate-row ceiling for forcing the semi-join's build side to
+    * broadcast. The candidate bound is k × input partitions: at q86's
+    * k=20000 over a 32k-partition corpus that is 6.4e8 rows — past
+    * Spark's hard broadcast limits (512M rows / 8 GB). Above this
+    * ceiling the restriction falls back to a plain (shuffle) semi join
+    * on the item key: same answer, still candidate-restricted, no
+    * broadcast detonation.
+    */
+  final val MaxBroadcastCandidates = 5000000L
+
   def exactOverThreshold(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val cand = candidates(items, itemCol, k)
+    val candBound = k.toLong * items.rdd.getNumPartitions
+    val candRel =
+      if (candBound <= MaxBroadcastCandidates) broadcast(cand) else cand
     val total = items.agg(count(lit(1)).as("n_total"))
     items
-      .join(broadcast(cand), Seq(itemCol), "left_semi")
+      .join(candRel, Seq(itemCol), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))

@@ -24,12 +24,11 @@ object Pipeline {
     */
   final val PackShards = 8
 
-  /** Stable non-negative 32-bit hash of doc_id (first 8 md5 hex digits) —
-    * the content-independent, engine-reproducible value every
-    * deterministic bucketing here derives from.
+  /** Stable non-negative 32-bit hash of doc_id — the shared
+    * [[graft.Ids]] recipe every deterministic bucketing here derives
+    * from.
     */
-  private val idHash =
-    expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)")
+  private val idHash = graft.Ids.hash("doc_id")
 
   /** Stable 0–99 bucket from [[idHash]] — behind the q53 split and its
     * reusers (q59 stratified sampling, q62 decontamination).
@@ -41,8 +40,7 @@ object Pipeline {
     when(idBucket < 80, "train").when(idBucket < 90, "val").otherwise("test")
 
   /** DuckDB fragment equivalent to [[idHash]]. */
-  private val IdHashSql =
-    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+  private val IdHashSql = graft.Ids.hashSql("doc_id")
 
   /** The q64/q79 quality-funnel stage list (cumulative, over documents
     * with a derived `n_tok`): shared between both queries and
@@ -134,9 +132,8 @@ object Pipeline {
     */
   def deterministicSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1 (got $n)")
-    val h = expr(
-      s"cast(conv(substring(md5(cast($idCol AS string)), 1, 8), 16, 10) AS bigint)")
-    df.withColumn("sample_rank", h).orderBy(col("sample_rank"), col(idCol)).limit(n)
+    df.withColumn("sample_rank", graft.Ids.hash(idCol))
+      .orderBy(col("sample_rank"), col(idCol)).limit(n)
   }
 
   val queries: Seq[QueryDef] = Seq(

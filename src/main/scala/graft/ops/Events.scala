@@ -361,10 +361,13 @@ object Events {
 
     // ------------------------------------------------------------------
     // q95: CONVERSION LATENCY — for every purchase, the time since the
-    // user's most recent STRICTLY-PRIOR view (the as-of pattern of q21
-    // expressed as one ignore-nulls running window over the per-user
-    // event sequence, frame capped at 1 PRECEDING so a same-timestamp
-    // view never matches its own purchase), then exact R-7 percentiles
+    // user's most recent preceding view in the (ts, event_id) TOTAL
+    // ORDER (the as-of pattern of q21 expressed as one ignore-nulls
+    // running window; the 1-PRECEDING frame cap excludes the purchase
+    // row itself, and a view sharing the purchase's exact timestamp
+    // with a lower event_id counts as prior with latency 0 — at-or-
+    // before semantics, not strict temporal priority), then exact R-7
+    // percentiles
     // of the latency distribution. The window partitions by user_id
     // (high-cardinality key — parallel at any event volume); latencies
     // are exact integer seconds so the percentile interpolation is

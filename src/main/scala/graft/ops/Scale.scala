@@ -230,17 +230,34 @@ object Scale {
     * relation; the filter build itself is a distributed aggregate, and
     * the resulting literal ships to executors with the plan exactly like
     * a broadcast var). An empty build side short-circuits to an
-    * always-false predicate — the semantically exact answer.
+    * always-false predicate — the semantically exact answer. The
+    * session's runtime-filter size ceilings are raised to the requested
+    * sizing before the build: Spark's aggregate otherwise silently
+    * clamps items/bits to the conf defaults (4M / 67.1M), which at
+    * large builds would degrade the realized fpp toward 1 with no error.
     */
   def bloomPrune(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be > 0 (got $expectedItems)")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
-    graft.GraftExtensions.registerAll(big.sparkSession)
+    val spark = big.sparkSession
+    graft.GraftExtensions.registerAll(spark)
     // optimal sizing: bits = -n·ln(p) / ln(2)²  (standard Bloom formula)
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate SILENTLY Math.min-clamps both parameters to
+    // the runtime-filter conf ceilings (defaults: 4M items / 67.1M
+    // bits). A clamped build would keep the requested-fpp docstring
+    // promise a lie — ~0.67 bits/key at 100M keys means fpp→1 and the
+    // prune stops pruning with no error anywhere. The caller asked for
+    // this sizing explicitly, so raise the session ceilings to match
+    // instead of letting the aggregate degrade behind our back.
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+      .foreach { case (k, needed) =>
+        if (spark.conf.get(k).toLong < needed) spark.conf.set(k, needed)
+      }
     val bf = small
       .select(call_function("bloom_filter_agg",
         xxhash64(col(smallKey)), lit(expectedItems), lit(numBits)).as("bf"))

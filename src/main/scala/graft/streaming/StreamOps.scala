@@ -317,11 +317,15 @@ object StreamOps {
   }
 
   /** Streaming twin of q92's burst audit: per (key, tumbling window),
-    * emit ONE alert the moment the window's event count reaches
-    * `threshold` — the online rate-limit/abuse signal, fired mid-window
-    * (a windowed aggregation would only report after the watermark
-    * closes the window; an alert that arrives when the burst is over is
-    * not an alert). State per group is two longs + a flag; the `alerted`
+    * emit ONE alert in the first micro-batch where the window's event
+    * count reaches `threshold` — the online rate-limit/abuse signal,
+    * fired mid-window (a windowed aggregation would only report after
+    * the watermark closes the window; an alert that arrives when the
+    * burst is over is not an alert). The reported `n_events` is the
+    * count as of the END of the crossing batch — if one batch delivers
+    * several events it exceeds the threshold by the overshoot (batch
+    * boundaries, not the threshold, decide the reported count; spec-
+    * pinned). State per group is two longs + a flag; the `alerted`
     * latch makes the alert exactly-once per window across batches, and
     * EventTimeTimeout reaps the state once the watermark passes the
     * window end — bounded by the number of OPEN (key, window) pairs, as

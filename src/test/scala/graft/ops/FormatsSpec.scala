@@ -96,9 +96,11 @@ class FormatsSpec extends AnyFunSuite with SparkTestSession {
     // rows from day-1 read b as null, never a default or a crash
     assert(merged.filter(col("d") === 1 && col("b").isNull).count() == 5)
     assert(merged.filter(col("d") === 2 && col("b") === 7L).count() == 3)
-    // without mergeSchema, the first-listed footer wins silently — the
-    // spec pins that the EXPLICIT option is what buys the unioned view
+    // without mergeSchema, the first footer in path order (d=1, which
+    // has no b) wins silently — the spec pins that the EXPLICIT option
+    // is what buys the unioned view
     val unmergedCols = spark.read.parquet(out).columns.toSet
-    assert(unmergedCols.subsetOf(Set("id", "a", "b", "d")))
+    assert(!unmergedCols.contains("b"),
+      s"default read must NOT see day-2's added column, got $unmergedCols")
   }
 }

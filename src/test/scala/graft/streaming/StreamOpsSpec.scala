@@ -355,10 +355,18 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       // a new window bursts independently (3 events at once)
       input.addData((ts(70), 1L), (ts(75), 1L), (ts(80), 1L))
       q.processAllAvailable()
+      // overshoot contract: one batch carries the count from 1 past the
+      // threshold to 5 — n_events reports the END-OF-BATCH count (5),
+      // not the count at crossing (batch boundaries decide the number)
+      input.addData((ts(130), 7L))
+      q.processAllAvailable()
+      input.addData((ts(135), 7L), (ts(140), 7L), (ts(145), 7L), (ts(150), 7L))
+      q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("burst_sink")
-      .as[(Long, Timestamp, Long)].collect().toSeq.sortBy(_._2.getTime)
-    assert(rows == Seq((1L, ts(0), 3L), (1L, ts(60), 3L)),
+      .as[(Long, Timestamp, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2.getTime))
+    assert(rows == Seq((1L, ts(0), 3L), (1L, ts(60), 3L), (7L, ts(120), 5L)),
       s"got $rows")
   }
 }
