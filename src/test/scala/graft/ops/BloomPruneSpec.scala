@@ -66,4 +66,23 @@ class BloomPruneSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException](
       Scale.bloomPrune(lineitem, "l_partkey", parts, "p_partkey", 10, 1.5))
   }
+
+  test("a build larger than the conf ceilings raises them instead of silently clamping") {
+    // Spark's BloomFilterAggregate Math.min-clamps items/bits to the
+    // runtime-filter confs (4M/67.1M defaults) with no error — a 100M-key
+    // build would realize fpp≈1 while the caller believes 1%. bloomPrune
+    // must lift the ceilings to the requested sizing first.
+    val items = 8000000L // > 4M default
+    val bits = math.ceil(
+      -items * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    val pruned =
+      Scale.bloomPrune(lineitem, "l_partkey", parts, "p_partkey", items)
+    assert(pruned.count() > 0) // build executed
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .toLong >= items)
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .toLong >= bits)
+  }
 }
