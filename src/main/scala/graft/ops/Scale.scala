@@ -180,6 +180,56 @@ object Scale {
       .drop("__pid", "__sbase", "__nbase")
   }
 
+  /** EXACT global quantiles at any scale — the scale-correct answer to
+    * the caveat on q57's per-group exact percentiles: Spark's exact
+    * `percentile` buffers and sorts EVERY value of a group inside one
+    * aggregation buffer, which cannot hold a corpus-scale distribution.
+    * Here the R-7 order statistics come from the [[globalRowNumber]]
+    * two-pass frozen range shuffle instead: rank every row by value
+    * (distributed range sort — no single task ever sees more than its
+    * partition), then pick the ≤ 2·|fractions| rows whose global rank
+    * hits an interpolation endpoint (a broadcast join with the tiny
+    * fraction relation — the rank filter runs scan-side) and fold them
+    * into x_lo + (x_hi − x_lo)·frac, the same R-7 formula `percentile`
+    * and DuckDB's QUANTILE_CONT share.
+    *
+    * Exactness: h = (n−1)p + 1 is a product of an exact integer and an
+    * exact binary fraction — for the p = k/2^m fractions used in
+    * practice every term (h, w, the interpolation) is exact in binary,
+    * so results hash-match engines on integer-valued data (q57's
+    * argument). Storage: the ranked relation is a frozen snapshot —
+    * call `graft.Checkpoints.release(result)` after consuming, as with
+    * [[globalRowNumber]].
+    */
+  def exactQuantiles(
+      df: DataFrame, valueCol: String, fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p >= 0 && p <= 1),
+      s"fractions must be within [0, 1] (got $fractions)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = globalRowNumber(
+      df.select(col(valueCol).cast("double").as("__v")), "__rnk",
+      col("__v").asc)
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val fr = fractions.toDF("p")
+      .crossJoin(broadcast(total))
+      .withColumn("__h", (col("__n") - 1) * col("p") + 1)
+      .withColumn("__lo", floor(col("__h")).cast("long"))
+      .withColumn("__hi", ceil(col("__h")).cast("long"))
+      .withColumn("__w", col("__h") - col("__lo"))
+    ranked
+      .join(broadcast(fr),
+        col("__rnk") === col("__lo") || col("__rnk") === col("__hi"))
+      .groupBy(col("p"), col("__w"))
+      .agg(
+        min(when(col("__rnk") === col("__lo"), col("__v"))).as("__vlo"),
+        min(when(col("__rnk") === col("__hi"), col("__v"))).as("__vhi"))
+      .withColumn("quantile",
+        col("__vlo") + (col("__vhi") - col("__vlo")) * col("__w"))
+      .select(col("p"), col("quantile"))
+      .orderBy("p")
+  }
+
   /** Key-skew profiler — the diagnostic that picks between a plain join,
     * AQE's skew splitting, and [[saltedJoin]]: exact per-key counts, the
     * global key statistics, and the top-k heavy hitters, each with its

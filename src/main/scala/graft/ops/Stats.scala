@@ -133,7 +133,8 @@ object Stats {
     // in binary, so the doubles are bit-equal. Exact percentile sorts
     // per group — the distributed shape holds because group count is
     // small and per-group data shuffles to its own aggregation buffer;
-    // for corpus-scale distributions use approx_percentile instead.
+    // for corpus-scale distributions use approx_percentile (q67) or the
+    // exact two-pass Scale.exactQuantiles (q102).
     QueryDef.sql("q57_quantity_percentiles") { (s, d) =>
       Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -262,6 +263,30 @@ object Stats {
          |WHERE p_brand = 'Brand#23'
          |GROUP BY p_type
          |ORDER BY p_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q102: GLOBAL exact quantiles at scale — Scale.exactQuantiles over
+    // the full lineitem quantity distribution: R-7 order statistics
+    // from the two-pass global rank (distributed range sort) instead of
+    // q57's single-buffer `percentile`, which is exact but cannot hold
+    // a corpus-scale distribution in one aggregation buffer. Quarter
+    // fractions keep every interpolation term exact in binary, so the
+    // result hash-matches DuckDB's QUANTILE_CONT.
+    QueryDef.sql("q102_global_quantiles_scalable") { (s, d) =>
+      Scale.exactQuantiles(
+        Tables(s, d, "lineitem"), "l_quantity", Seq(0.25, 0.5, 0.75))
+    } {
+      """SELECT * FROM (
+        |  SELECT CAST(0.25 AS DOUBLE) AS p,
+        |    QUANTILE_CONT(l_quantity, 0.25) AS quantile FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(0.5 AS DOUBLE), QUANTILE_CONT(l_quantity, 0.5)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(0.75 AS DOUBLE), QUANTILE_CONT(l_quantity, 0.75)
+        |  FROM lineitem)
+        |ORDER BY p""".stripMargin
     },
 
     // ------------------------------------------------------------------

@@ -303,4 +303,43 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected partial top-k (TakeOrderedAndProject):\n$plan")
   }
+
+  test("exactQuantiles equals the single-buffer percentile, without it") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val li = graft.Tables(spark, d, "lineitem")
+    val fractions = Seq(0.25, 0.5, 0.75)
+    val got = Scale.exactQuantiles(li, "l_quantity", fractions)
+    val rows = got.as[(Double, Double)].collect().toMap
+    val exact = li.selectExpr(
+      fractions.map(p => s"percentile(l_quantity, $p)"): _*).head
+    fractions.zipWithIndex.foreach { case (p, i) =>
+      assert(rows(p) === exact.getDouble(i),
+        s"p=$p: two-pass ${rows(p)} != buffered ${exact.getDouble(i)}")
+    }
+    // the point of the operator: every window partitions by the
+    // two-pass key — never the SinglePartition global window that a
+    // corpus-scale distribution cannot run
+    val plan = got.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("__pid"),
+      s"a window does not partition by the two-pass key:\n$w"))
+    graft.Checkpoints.release(got)
+  }
+
+  test("exactQuantiles handles even/odd counts and duplicate values") {
+    import spark.implicits._
+    // odd n with duplicates: [1,1,2,3,5] → median 2, q25 1, q75 3
+    val odd = Seq(1.0, 1.0, 2.0, 3.0, 5.0).toDF("v")
+    val oddQ = Scale.exactQuantiles(odd, "v", Seq(0.25, 0.5, 0.75))
+      .as[(Double, Double)].collect().toMap
+    assert(oddQ(0.5) === 2.0 && oddQ(0.25) === 1.0 && oddQ(0.75) === 3.0)
+    // even n: [1,2,3,4] → median 2.5 (interpolated), q25 1.75
+    val even = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val evenQ = Scale.exactQuantiles(even, "v", Seq(0.25, 0.5))
+      .as[(Double, Double)].collect().toMap
+    assert(evenQ(0.5) === 2.5 && evenQ(0.25) === 1.75)
+  }
 }
