@@ -194,6 +194,43 @@ object Similarity {
     // q29: embedding column statistics per label: count + exact-integer
     // L2 norm extremes (deterministic), plus mean norm via exact decimal
     // summation.
+    // ------------------------------------------------------------------
+    // q103: EMBEDDING HYGIENE gate — the validation every embedding
+    // ingest runs before similarity work: per label, how many vectors
+    // are all-zero (cosine-undefined: they silently score 0 against
+    // everything), carry NaN elements (which poison any distance), or
+    // deviate from the expected dimensionality. All counters are exact
+    // integers (no float accumulation), so the gate hash-matches the
+    // oracle; one scan, one keyed aggregation.
+    QueryDef.sql("q103_embedding_hygiene") { (s, d) =>
+      Tables(s, d, "embeddings")
+        .withColumn("n_zero", expr("size(filter(embedding, x -> x = 0F))"))
+        .withColumn("has_nan", expr("exists(embedding, x -> isnan(x))"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("n_zero") === size(col("embedding")), 1L)
+            .otherwise(0L)).as("n_zero_vecs"),
+          sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan_vecs"),
+          sum(col("n_zero").cast("long")).as("n_zero_elems"),
+          min(size(col("embedding"))).as("min_dim"),
+          max(size(col("embedding"))).as("max_dim"))
+        .orderBy("label")
+    } {
+      """SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN LEN(LIST_FILTER(embedding, x -> x = 0))
+        |    = LEN(embedding) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+        |  CAST(SUM(CASE WHEN LEN(LIST_FILTER(embedding, x -> ISNAN(x))) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vecs,
+        |  CAST(SUM(LEN(LIST_FILTER(embedding, x -> x = 0))) AS BIGINT)
+        |    AS n_zero_elems,
+        |  CAST(MIN(LEN(embedding)) AS INT) AS min_dim,
+        |  CAST(MAX(LEN(embedding)) AS INT) AS max_dim
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin
+    },
+
     QueryDef.sql("q29_label_embedding_stats") { (s, d) =>
       graft.functions.VectorFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
