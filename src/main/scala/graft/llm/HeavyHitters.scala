@@ -69,22 +69,26 @@ object HeavyHitters {
     * k × input partitions — size `k` to the heavy-hitter contract, not
     * as a top-k knob.
     */
-  /** Candidate-row ceiling for forcing the semi-join's build side to
-    * broadcast. The candidate bound is k × input partitions: at q86's
-    * k=20000 over a 32k-partition corpus that is 6.4e8 rows — past
-    * Spark's hard broadcast limits (512M rows / 8 GB). Above this
+  /** Default candidate-row ceiling for forcing the semi-join's build
+    * side to broadcast. The candidate bound is k × input partitions: at
+    * q86's k=20000 over a 32k-partition corpus that is 6.4e8 rows —
+    * past Spark's hard broadcast limits (512M rows / 8 GB). Above the
     * ceiling the restriction falls back to a plain (shuffle) semi join
     * on the item key: same answer, still candidate-restricted, no
-    * broadcast detonation.
+    * broadcast detonation. 1M rows of ~100-byte n-gram keys is ~100 MB
+    * of explicit broadcast (which ignores autoBroadcastJoinThreshold) —
+    * the bound is row-denominated, so lower it for wide keys or small
+    * drivers.
     */
-  final val MaxBroadcastCandidates = 5000000L
+  final val DefaultMaxBroadcastCandidates = 1000000L
 
-  def exactOverThreshold(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+  def exactOverThreshold(items: DataFrame, itemCol: String, k: Int,
+      maxBroadcastCandidates: Long = DefaultMaxBroadcastCandidates): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val cand = candidates(items, itemCol, k)
     val candBound = k.toLong * items.rdd.getNumPartitions
     val candRel =
-      if (candBound <= MaxBroadcastCandidates) broadcast(cand) else cand
+      if (candBound <= maxBroadcastCandidates) broadcast(cand) else cand
     val total = items.agg(count(lit(1)).as("n_total"))
     items
       .join(candRel, Seq(itemCol), "left_semi")

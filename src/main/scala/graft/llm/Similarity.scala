@@ -191,10 +191,6 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
-    // q29: embedding column statistics per label: count + exact-integer
-    // L2 norm extremes (deterministic), plus mean norm via exact decimal
-    // summation.
-    // ------------------------------------------------------------------
     // q103: EMBEDDING HYGIENE gate — the validation every embedding
     // ingest runs before similarity work: per label, how many vectors
     // are all-zero (cosine-undefined: they silently score 0 against
@@ -231,6 +227,10 @@ object Similarity {
         |ORDER BY label""".stripMargin
     },
 
+    // ------------------------------------------------------------------
+    // q29: embedding column statistics per label: count + exact-integer
+    // L2 norm extremes (deterministic), plus mean norm via exact decimal
+    // summation.
     QueryDef.sql("q29_label_embedding_stats") { (s, d) =>
       graft.functions.VectorFunctions.register(s)
       val emb = Tables(s, d, "embeddings")

@@ -4,6 +4,7 @@ import graft.{Det, QueryDef, Tables}
 import graft.Det.{dsum, dsumSql}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event/stream analytics over the `events` table — the batch twins of the
   * streaming operators (SURVEY.md §7.1.2). Each query is the DuckDB-
@@ -456,19 +457,23 @@ object Events {
     // that replaces "rank()=1" when only the winner is needed (one
     // shuffle, no per-group sort, constant state per group). Ties are
     // broken DETERMINISTICALLY by folding the tie-break key into an
-    // exact integer ordinal: ord = total_cents·10⁷ + user_id (max_by on
-    // a bare double total would pick an arbitrary user on equal totals —
-    // the classic nondeterminism leak). Ordinal contract: fits int64
-    // while total_cents < 9.2e11 per (type, user) and user_id < 10⁷;
-    // for wider ids, widen to decimal.
+    // exact WIDE-integer ordinal: ord = total_cents·10¹⁹ + user_id in
+    // decimal(38,0) / HUGEINT (max_by on a bare double total would pick
+    // an arbitrary user on equal totals — the classic nondeterminism
+    // leak). The 10¹⁹ multiplier exceeds any int64 user_id, so the id
+    // can never pollute the value ordering, and 38 digits hold every
+    // (total_cents ≤ int64 max) input — no overflow contract to police
+    // (a narrower int64 ordinal would silently corrupt the argmax once
+    // user_id ≥ the multiplier: Spark wraps, DuckDB errors).
     QueryDef.sql("q101_argmax_top_user") { (s, d) =>
       val u = Tables(s, d, "events")
         .groupBy(col("event_type"), col("user_id"))
         .agg(sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      val ord = col("total_cents").cast(DecimalType(38, 0)) *
+        BigDecimal("10000000000000000000") + col("user_id")
       u.groupBy(col("event_type"))
         .agg(
-          max_by(col("user_id"),
-            col("total_cents") * 10000000L + col("user_id")).as("top_user"),
+          max_by(col("user_id"), ord).as("top_user"),
           max(col("total_cents")).as("top_cents"),
           count(lit(1)).as("n_users"))
         .orderBy("event_type")
@@ -479,7 +484,9 @@ object Events {
         |      AS total_cents
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type,
-        |  ARG_MAX(user_id, total_cents * 10000000 + user_id) AS top_user,
+        |  ARG_MAX(user_id,
+        |    CAST(total_cents AS HUGEINT) * 10000000000000000000 + user_id)
+        |    AS top_user,
         |  MAX(total_cents) AS top_cents,
         |  COUNT(*) AS n_users
         |FROM u

@@ -197,7 +197,10 @@ object Scale {
     * exact binary fraction — for the p = k/2^m fractions used in
     * practice every term (h, w, the interpolation) is exact in binary,
     * so results hash-match engines on integer-valued data (q57's
-    * argument). Storage: the ranked relation is a frozen snapshot —
+    * argument). NULL semantics match `percentile`/QUANTILE_CONT: null
+    * values are excluded before ranking, and an all-null (or empty)
+    * input yields one NULL-quantile row per fraction rather than zero
+    * rows. Storage: the ranked relation is a frozen snapshot —
     * call `graft.Checkpoints.release(result)` after consuming, as with
     * [[globalRowNumber]].
     */
@@ -208,7 +211,8 @@ object Scale {
     val spark = df.sparkSession
     import spark.implicits._
     val ranked = globalRowNumber(
-      df.select(col(valueCol).cast("double").as("__v")), "__rnk",
+      df.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull), "__rnk",
       col("__v").asc)
     val total = ranked.agg(count(lit(1)).as("__n"))
     val fr = fractions.toDF("p")
@@ -217,13 +221,17 @@ object Scale {
       .withColumn("__lo", floor(col("__h")).cast("long"))
       .withColumn("__hi", ceil(col("__h")).cast("long"))
       .withColumn("__w", col("__h") - col("__lo"))
-    ranked
+    val picked = ranked
       .join(broadcast(fr),
         col("__rnk") === col("__lo") || col("__rnk") === col("__hi"))
       .groupBy(col("p"), col("__w"))
       .agg(
         min(when(col("__rnk") === col("__lo"), col("__v"))).as("__vlo"),
         min(when(col("__rnk") === col("__hi"), col("__v"))).as("__vhi"))
+    // left join from the fraction relation: an empty/all-null input
+    // still yields one row per fraction, with a NULL quantile
+    fr.select(col("p"), col("__w"))
+      .join(picked, Seq("p", "__w"), "left_outer")
       .withColumn("quantile",
         col("__vlo") + (col("__vhi") - col("__vlo")) * col("__w"))
       .select(col("p"), col("quantile"))
@@ -282,9 +290,10 @@ object Scale {
     * a broadcast var). An empty build side short-circuits to an
     * always-false predicate — the semantically exact answer. The
     * session's runtime-filter size ceilings are raised to the requested
-    * sizing before the build: Spark's aggregate otherwise silently
-    * clamps items/bits to the conf defaults (4M / 67.1M), which at
-    * large builds would degrade the realized fpp toward 1 with no error.
+    * sizing for the duration of the build and restored afterwards:
+    * Spark's aggregate otherwise silently clamps items/bits to the conf
+    * defaults (4M / 67.1M), which at large builds would degrade the
+    * realized fpp toward 1 with no error.
     */
   def bloomPrune(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
@@ -301,17 +310,25 @@ object Scale {
     // bits). A clamped build would keep the requested-fpp docstring
     // promise a lie — ~0.67 bits/key at 100M keys means fpp→1 and the
     // prune stops pruning with no error anywhere. The caller asked for
-    // this sizing explicitly, so raise the session ceilings to match
-    // instead of letting the aggregate degrade behind our back.
-    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-      .foreach { case (k, needed) =>
-        if (spark.conf.get(k).toLong < needed) spark.conf.set(k, needed)
-      }
-    val bf = small
-      .select(call_function("bloom_filter_agg",
-        xxhash64(col(smallKey)), lit(expectedItems), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    // this sizing explicitly, so raise the session ceilings for the
+    // duration of the (eager) build, then RESTORE them: the ceilings
+    // also bound Catalyst's auto-injected runtime filters, and leaving
+    // them escalated would let an unrelated later join build a
+    // multi-hundred-MB filter the defaults exist to prevent.
+    val ceilings = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = ceilings.map { case (k, _) => k -> spark.conf.get(k) }
+    val bf =
+      try {
+        ceilings.foreach { case (k, needed) =>
+          if (spark.conf.get(k).toLong < needed) spark.conf.set(k, needed)
+        }
+        small
+          .select(call_function("bloom_filter_agg",
+            xxhash64(col(smallKey)), lit(expectedItems), lit(numBits)).as("bf"))
+          .head.getAs[Array[Byte]](0)
+      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
     if (bf == null) big.filter(lit(false))
     else big.filter(
       call_function("might_contain", lit(bf), xxhash64(col(bigKey))))

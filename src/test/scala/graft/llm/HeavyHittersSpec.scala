@@ -69,4 +69,27 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException](
       HeavyHitters.candidates(tokens, "token", 0))
   }
+
+  test("above the broadcast ceiling, the fallback semi join gives the same answer") {
+    val k = 20
+    val expected = bruteForce(k)
+    // ceiling 0 forces the non-broadcast path
+    val got = HeavyHitters
+      .exactOverThreshold(tokens, "token", k, maxBroadcastCandidates = 0L)
+    val gotKeyed = got.select("token", "freq")
+    assert(gotKeyed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(gotKeyed).isEmpty,
+      "fallback path diverged from the exact answer")
+    // the ceiling removes the FORCED broadcast hint — the optimizer may
+    // still choose to broadcast a genuinely small relation (as here, on
+    // fixture data), but at scale its size estimate makes that choice,
+    // not our hint; assert on the hint, not the planner's pick
+    // (the one-row total relation keeps its hint in both shapes)
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints(got) === 1,
+      "above the ceiling only the total relation may carry a hint")
+    assert(hints(HeavyHitters.exactOverThreshold(tokens, "token", k)) === 2,
+      "below the ceiling both the candidates and the total broadcast")
+  }
 }

@@ -67,22 +67,35 @@ class BloomPruneSpec extends AnyFunSuite with SparkTestSession {
       Scale.bloomPrune(lineitem, "l_partkey", parts, "p_partkey", 10, 1.5))
   }
 
-  test("a build larger than the conf ceilings raises them instead of silently clamping") {
+  test("an oversized build is not silently clamped, and the ceilings are restored") {
     // Spark's BloomFilterAggregate Math.min-clamps items/bits to the
     // runtime-filter confs (4M/67.1M defaults) with no error — a 100M-key
     // build would realize fpp≈1 while the caller believes 1%. bloomPrune
-    // must lift the ceilings to the requested sizing first.
-    val items = 8000000L // > 4M default
+    // must lift the ceilings for the build, and must NOT leave them
+    // escalated (they also bound Catalyst's auto-injected filters).
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val before = keys.map(spark.conf.get(_))
+    val items = 8000000L // > 4M default; optimal bits 76.7M > 67.1M default
     val bits = math.ceil(
       -items * math.log(0.01) / (math.log(2) * math.log(2))).toLong
     val pruned =
       Scale.bloomPrune(lineitem, "l_partkey", parts, "p_partkey", items)
     assert(pruned.count() > 0) // build executed
-    assert(spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
-      .toLong >= items)
-    assert(spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-      .toLong >= bits)
+    // the filter ships as a binary literal in the predicate — its size
+    // proves the build ran UNclamped (clamped would be ≤ 67.1M bits)
+    val litBytes = pruned.queryExecution.analyzed
+      .expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType ==
+              org.apache.spark.sql.types.BinaryType && l.value != null =>
+          l.value.asInstanceOf[Array[Byte]].length
+      }).max
+    assert(litBytes.toLong >= bits / 8,
+      s"filter literal is $litBytes bytes — smaller than the requested " +
+        s"${bits / 8}; the build was clamped")
+    assert(keys.map(spark.conf.get(_)) == before,
+      "bloomPrune must restore the session ceilings after the build")
   }
 }

@@ -342,4 +342,19 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       .as[(Double, Double)].collect().toMap
     assert(evenQ(0.5) === 2.5 && evenQ(0.25) === 1.75)
   }
+
+  test("exactQuantiles matches percentile's NULL semantics") {
+    import spark.implicits._
+    // nulls are excluded before ranking (percentile/QUANTILE_CONT agree)
+    val withNulls = Seq[java.lang.Double](null, 10.0, 20.0, 30.0).toDF("v")
+    val q = Scale.exactQuantiles(withNulls, "v", Seq(0.5))
+      .as[(Double, Double)].collect().toMap
+    assert(q(0.5) === 20.0, "null must not participate in the ranking")
+    // empty / all-null input: one row per fraction, NULL quantile —
+    // never zero rows
+    val allNull = Seq[java.lang.Double](null, null).toDF("v")
+    val rows = Scale.exactQuantiles(allNull, "v", Seq(0.25, 0.75)).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.isNullAt(1)), "all-null input must yield NULL quantiles")
+  }
 }
