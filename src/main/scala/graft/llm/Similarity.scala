@@ -512,12 +512,10 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     // cached across the training passes (standard iterative-ML shape;
     // ~n×64 doubles, tiny next to the corpus it indexes); released below
-    // once training's jobs have run. The final query then re-reads and
-    // re-assigns the source TWICE (once per join side — the probe-side
-    // filter blocks exchange reuse): the deliberate trade is two passes
-    // over the corpus per query batch instead of pinning the cache for
-    // the session lifetime. Callers amortizing many query batches should
-    // persist assign(emb, centroids) themselves and release it when done.
+    // once training's jobs have run. A query via the un-cached ivfQuery
+    // then re-reads and re-assigns the source TWICE (once per join side —
+    // the probe-side filter blocks exchange reuse); batch streams amortize
+    // that through ivfOpen's persisted-assignment handle instead.
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
       .persist()
     val n = emb.count()
@@ -580,15 +578,58 @@ object Similarity {
   /** IVF QUERY step against a prebuilt centroid model: score the kEff
     * centroids per query, take the `nprobe` best, scan only those
     * clusters (cluster id is the shuffle key). Per-batch work only —
-    * callers issuing many batches reuse one [[ivfBuild]] model.
+    * callers issuing many batches reuse one [[ivfBuild]] model; callers
+    * issuing MANY batches against one corpus snapshot should use
+    * [[ivfOpen]], whose persisted assignment removes the two per-batch
+    * corpus scans this un-cached path pays (one per join side — the
+    * probe-side filter blocks exchange reuse).
     */
   def ivfQuery(s: SparkSession, d: String, centroids: Array[Seq[Double]],
       nprobe: Int = 4): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     require(centroids.nonEmpty, "ivfQuery: empty centroid model")
-    val kEff = centroids.length
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
     val assigned = assign(emb, centroids).withColumn("norm2", dot("v", "v"))
+    ivfQueryFrom(assigned, centroids, nprobe)
+  }
+
+  /** Build + persist the corpus assignment as a first-class handle: the
+    * amortized half of an IVF deployment. The assignment (vec_id, v, cid,
+    * norm2 — the corpus re-expressed, tiny per row) is cached ONCE; every
+    * [[IvfIndex.query]] batch reads it from cache, so the parquet source
+    * is scanned exactly once per index lifetime, not twice per batch.
+    * Release with [[IvfIndex.close]] when the batch stream ends — the
+    * cache pin is explicit and bounded, never session-lifetime by accident.
+    */
+  def ivfOpen(s: SparkSession, d: String, k: Int = 16,
+      lloydIters: Int = 1): IvfIndex = {
+    val cs = ivfBuild(s, d, k, lloydIters)
+    val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
+    val assigned = assign(emb, cs).withColumn("norm2", dot("v", "v")).persist()
+    new IvfIndex(cs, assigned)
+  }
+
+  /** Handle returned by [[ivfOpen]]: centroid model + persisted corpus
+    * assignment, with an explicit release.
+    */
+  final class IvfIndex private[Similarity] (
+      val centroids: Array[Seq[Double]],
+      private val assigned: DataFrame) extends AutoCloseable {
+    /** One probe batch — same contract/output as [[ivfQuery]], zero
+      * source scans once the cache is materialized.
+      */
+    def query(nprobe: Int = 4): DataFrame =
+      ivfQueryFrom(assigned, centroids, nprobe)
+    override def close(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** The shared probe plan over an existing (vec_id, v, cid, norm2)
+    * assignment relation.
+    */
+  private def ivfQueryFrom(assigned: DataFrame, centroids: Array[Seq[Double]],
+      nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfQuery: empty centroid model")
+    val kEff = centroids.length
     // queries probe their nprobe best clusters
     val probes = withModel(
       assigned.filter(col("vec_id") < 5)

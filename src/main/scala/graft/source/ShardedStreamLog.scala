@@ -328,6 +328,57 @@ object ShardedStreamLog {
     shards.par.map(sh => sh -> maxSequence(root, stream, sh)).toMap.seq
   }
 
+  /** The `afterSeq` whose `(afterSeq, ∞)` read yields exactly the records
+    * with `arrivalEpochMs >= tsMs` — the AT_TIMESTAMP iterator analog
+    * (`/root/reference/kinesumer.go:706-729` resolves the same family of
+    * start positions against GetShardIterator). Arrival times are taken as
+    * non-decreasing per shard (the Kinesis approximate-arrival contract);
+    * position is resolved ONCE at query start, after which progress is
+    * purely sequence-based, so this single O(shard history) streaming pass
+    * never recurs per trigger. Returns -1 when the first record already
+    * qualifies (or the shard is empty), and the shard's max sequence when
+    * none does (start at head).
+    */
+  def seqBeforeTimestamp(root: String, stream: String, shard: String, tsMs: Long): Long = {
+    val f = recordsFile(root, stream, shard)
+    if (!Files.exists(f)) return -1L
+    val size = Files.size(f)
+    val ch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+    try {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        java.nio.channels.Channels.newInputStream(ch),
+        StandardCharsets.UTF_8), 1 << 16)
+      var pos = 0L
+      var prevSeq = -1L
+      var line = in.readLine()
+      while (line != null) {
+        val lineBytes = line.getBytes(StandardCharsets.UTF_8).length + 1L
+        // a line crossing the size snapshot is a concurrent partial append
+        if (pos + lineBytes > size) return prevSeq
+        if (line.nonEmpty) {
+          val parts = line.split("\t", 4)
+          if (parts.length >= 3) {
+            val seq = parts(0).toLong
+            if (parts(2).toLong >= tsMs) return prevSeq
+            prevSeq = seq
+          }
+        }
+        pos += lineBytes
+        line = in.readLine()
+      }
+      prevSeq
+    } finally ch.close()
+  }
+
+  /** [[seqBeforeTimestamp]] over many shards in parallel — same flat-in-
+    * shard-count posture as [[maxSequences]].
+    */
+  def seqsBeforeTimestamp(root: String, stream: String,
+      shards: Iterable[String], tsMs: Long): Map[String, Long] = {
+    import scala.collection.parallel.CollectionConverters._
+    shards.par.map(sh => sh -> seqBeforeTimestamp(root, stream, sh, tsMs)).toMap.seq
+  }
+
   /** Read records with sequence in (afterSeq, untilSeq], ordered by seq.
     * Seeks to the last index checkpoint ≤ afterSeq and stops at the first
     * record past untilSeq (sequences are monotone in the file), so a batch

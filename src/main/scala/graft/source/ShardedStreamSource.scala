@@ -23,8 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     WAL ≈ the DynamoDB checkpoint table (`statemodel.go:48-57`) — but
   *     transactional per batch, so exactly-once source progress instead of
   *     the reference's at-least-once manual/periodic commit
-  *   - start position `latest`/`trim_horizon` ≈ `GetShardIterator` modes
-  *     (`kinesumer.go:706-729`)
+  *   - start positions `latest` / `trim_horizon` /
+  *     `at_sequence:{"stream":{"shard":lastReadSeq}}` /
+  *     `at_timestamp:<epochMs|ISO-8601>` ≈ the GetShardIterator modes
+  *     LATEST / TRIM_HORIZON / AFTER_SEQUENCE_NUMBER / AT_TIMESTAMP
+  *     (`kinesumer.go:706-729`) — positional restarts without a Spark
+  *     checkpoint dir; once a checkpoint exists it wins (exactly-once
+  *     resume, no overlap with the positional start)
   *   - per-shard `maxRecordsPerShardPerBatch` ≈ `scanLimit`
   *     (`kinesumer.go:29`)
   *   - one InputPartition per (stream, shard) per batch ≈ the per-shard
@@ -99,6 +104,46 @@ object ShardedStreamOffset {
   }
 }
 
+/** Parsed `startingPosition` option — the GetShardIterator mode family the
+  * reference resolves at `/root/reference/kinesumer.go:706-729`. Applies
+  * only when the query has no checkpoint yet (Spark calls `initialOffset`
+  * exactly once per checkpoint lifetime), so a positional start can never
+  * overlap a checkpoint resume.
+  */
+private[source] sealed trait StartPosition
+private[source] object StartPosition {
+  case object TrimHorizon extends StartPosition
+  case object Latest extends StartPosition
+  /** Resume AFTER the given last-read sequence per (stream, shard) —
+    * AFTER_SEQUENCE_NUMBER. Shards absent from the map start at
+    * trim_horizon (a reshard between checkpoint export and restart must
+    * not skip a new shard's records).
+    */
+  final case class AtSequence(after: Map[String, Map[String, Long]]) extends StartPosition
+  /** First record with `approx_arrival >= epochMs` — AT_TIMESTAMP. */
+  final case class AtTimestamp(epochMs: Long) extends StartPosition
+
+  def parse(raw: String): StartPosition = {
+    val v = raw.trim
+    val lower = v.toLowerCase(java.util.Locale.ROOT)
+    if (lower == "trim_horizon") TrimHorizon
+    else if (lower == "latest") Latest
+    else if (lower.startsWith("at_sequence:")) {
+      implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+      AtSequence(org.json4s.jackson.Serialization
+        .read[Map[String, Map[String, Long]]](v.substring("at_sequence:".length)))
+    } else if (lower.startsWith("at_timestamp:")) {
+      val ts = v.substring("at_timestamp:".length).trim
+      val ms =
+        if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
+        else java.time.Instant.parse(ts).toEpochMilli
+      AtTimestamp(ms)
+    } else throw new IllegalArgumentException(
+      s"startingPosition '$raw' is not one of: latest, trim_horizon, " +
+        "at_sequence:{\"stream\":{\"shard\":seq}}, at_timestamp:<epochMs|ISO-8601>")
+  }
+}
+
 class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl {
 
@@ -112,9 +157,8 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
     require(s != null && s.nonEmpty, "option 'streams' is required")
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
-  private val startLatest: Boolean =
-    options.getOrDefault("startingposition", "trim_horizon")
-      .equalsIgnoreCase("latest")
+  private val startPosition: StartPosition =
+    StartPosition.parse(options.getOrDefault("startingposition", "trim_horizon"))
   // parity with the reference's defaultScanLimit (kinesumer.go:29)
   private val maxPerShard: Long =
     options.getLong("maxrecordspershardperbatch", 2000L)
@@ -129,8 +173,15 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
   override def initialOffset(): Offset = ShardedStreamOffset(
     streams.map { s =>
       val shards = ShardedStreamLog.listShards(root, s).map(_._1)
-      s -> (if (startLatest) probeHeads(s, shards)
-            else shards.map(_ -> -1L).toMap)
+      s -> (startPosition match {
+        case StartPosition.TrimHorizon => shards.map(_ -> -1L).toMap
+        case StartPosition.Latest => probeHeads(s, shards)
+        case StartPosition.AtSequence(after) =>
+          val m = after.getOrElse(s, Map.empty[String, Long])
+          shards.map(sh => sh -> m.getOrElse(sh, -1L)).toMap
+        case StartPosition.AtTimestamp(ms) =>
+          ShardedStreamLog.seqsBeforeTimestamp(root, s, shards.toSeq, ms)
+      })
     }.toMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

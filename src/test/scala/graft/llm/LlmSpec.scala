@@ -127,6 +127,36 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(q75 == composed, "q75 must equal ivfQuery over a fresh ivfBuild model")
   }
 
+  test("IvfIndex handle: zero source scans per query batch after the cache fills") {
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    val idx = Similarity.ivfOpen(spark, d01, k = 16)
+    try {
+      // first batch materializes the persisted assignment (one corpus scan)
+      val batch1 = idx.query(nprobe = 4)
+      val rows1 = batch1.select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      assert(rows1.nonEmpty)
+      // every subsequent batch plans entirely over the in-memory relation:
+      // no source relation on either join side (the un-cached ivfQuery pays
+      // two corpus scans). InMemoryRelation is a logical LEAF — its cached
+      // build plan is not a child — so any LogicalRelation collected here
+      // is a genuine per-batch scan.
+      val batch2 = idx.query(nprobe = 6)
+      val opt = batch2.queryExecution.optimizedPlan
+      val cached = opt.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+      val sources = opt.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+      assert(cached.nonEmpty, s"query batch must read the persisted assignment:\n$opt")
+      assert(sources.isEmpty, s"a post-build batch re-scanned the source corpus:\n$opt")
+      // the handle answers identically to the per-batch path over the
+      // same centroid model
+      val direct = Similarity.ivfQuery(spark, d01, idx.centroids, nprobe = 4)
+        .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      assert(rows1 == direct, "cached and un-cached IVF paths must agree")
+    } finally idx.close()
+  }
+
   test("embedding near-dup LSH: precision 1 vs exact truth, measurable recall") {
     import spark.implicits._
     val truth = Similarity.embeddingNearDupExact(spark, d)

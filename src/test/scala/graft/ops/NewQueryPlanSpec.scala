@@ -115,6 +115,25 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"q94 must join on the (lang, trigram) key, never a product:\n$p")
   }
 
+  test("q21's as-of is one per-user window over a union — no join, no single-task stage") {
+    // r6 watch item: q21 measured 0.62→1.05 s r5→r6 with no code change;
+    // isolated re-bench (SPARK_GRAFT_ONLY=q21..., 5 reps, sf0.1) gives
+    // 0.56 s — the slowdown was suite-level plan/JIT noise, not the plan.
+    // Pin the scale-correct shape so a real regression fails here:
+    val p = plan("q21_asof_latest_order")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the as-of must stay a union+window, never an events×orders pair join:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("u#"),
+      s"the as-of window must partition by the user key, got:\n$w"))
+    val windowOps = p.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix("*(").
+      dropWhile(_.isDigit).stripPrefix(") ").startsWith("Window"))
+    assert(windowOps == 1, s"expected exactly one Window sort, got $windowOps:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no stage of the as-of may collapse to one task:\n$p")
+  }
+
   test("q95's as-of window partitions by the high-cardinality user key") {
     val p = plan("q95_conversion_latency")
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList

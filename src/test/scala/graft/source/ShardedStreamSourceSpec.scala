@@ -25,12 +25,12 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
 
   private def runOnce(root: String, ck: String, out: String,
       streams: String = "events", maxPerShard: Long = 2000L,
-      startLatest: Boolean = false): Unit = {
+      startPos: String = "trim_horizon"): Unit = {
     val q = spark.readStream
       .format("graft.source.ShardedStreamProvider")
       .option("path", root)
       .option("streams", streams)
-      .option("startingPosition", if (startLatest) "latest" else "trim_horizon")
+      .option("startingPosition", startPos)
       .option("maxRecordsPerShardPerBatch", maxPerShard)
       .load()
       .writeStream
@@ -68,7 +68,7 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
   test("startingPosition=latest skips the backlog, then picks up appends") {
     val (root, ck, out) = freshDirs()
     ShardedStreamLog.append(root, "events", "shard-0", (0L to 99L).map(rec(_)))
-    runOnce(root, ck, out, startLatest = true)
+    runOnce(root, ck, out, startPos = "latest")
     assert(outRows(out).isEmpty, "latest start must skip existing records")
     ShardedStreamLog.append(root, "events", "shard-0", (100L to 104L).map(rec(_)))
     runOnce(root, ck, out) // same checkpoint → resumes after seq 99
@@ -115,6 +115,74 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.filter(_._2 == "shard-0").map(_._3) == (0L to 7L))
     assert(rows.filter(_._2 == "shard-1").map(_._3) == (0L to 1L))
     assert(rows.filter(_._2 == "shard-2").map(_._3) == (0L to 2L))
+  }
+
+  test("startingPosition=at_sequence resumes after the given per-shard sequences") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 9L).map(rec(_)))
+    ShardedStreamLog.append(root, "events", "shard-1", (0L to 4L).map(rec(_)))
+    // AFTER_SEQUENCE_NUMBER parity (kinesumer.go:716-720): shard-0 resumes
+    // after seq 6; shard-1 is absent from the map → trim_horizon, so a
+    // reshard between checkpoint export and restart loses nothing
+    runOnce(root, ck, out, startPos = """at_sequence:{"events":{"shard-0":6}}""")
+    val rows = outRows(out)
+    assert(rows.filter(_._2 == "shard-0").map(_._3) == (7L to 9L))
+    assert(rows.filter(_._2 == "shard-1").map(_._3) == (0L to 4L))
+  }
+
+  test("startingPosition=at_sequence start is overlap-free with checkpoint resume") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 9L).map(rec(_)))
+    runOnce(root, ck, out, startPos = """at_sequence:{"events":{"shard-0":4}}""")
+    assert(outRows(out).map(_._3) == (5L to 9L))
+    // restart with the SAME checkpoint and a stale positional option: the
+    // checkpoint must win (no replay of 5..9), new records appear once
+    ShardedStreamLog.append(root, "events", "shard-0", (10L to 12L).map(rec(_)))
+    runOnce(root, ck, out, startPos = """at_sequence:{"events":{"shard-0":4}}""")
+    assert(outRows(out).map(_._3) == (5L to 12L))
+  }
+
+  test("startingPosition=at_timestamp starts at the first record at-or-after the timestamp") {
+    val (root, ck, out) = freshDirs()
+    val t0 = 1700000000000L
+    // arrival times non-decreasing per shard (Kinesis contract)
+    ShardedStreamLog.append(root, "events", "shard-0",
+      (0L to 9L).map(i => rec(i, ms = t0 + i * 1000)))
+    ShardedStreamLog.append(root, "events", "shard-1",
+      (0L to 3L).map(i => rec(i, ms = t0 + i * 10000)))
+    runOnce(root, ck, out, startPos = s"at_timestamp:${t0 + 5000}")
+    val rows = outRows(out)
+    assert(rows.filter(_._2 == "shard-0").map(_._3) == (5L to 9L))
+    assert(rows.filter(_._2 == "shard-1").map(_._3) == (1L to 3L))
+  }
+
+  test("startingPosition=at_timestamp accepts ISO-8601 and handles all-past/all-future shards") {
+    val (root, ck, out) = freshDirs()
+    val t0 = java.time.Instant.parse("2023-11-14T22:13:20Z").toEpochMilli
+    assert(t0 == 1700000000000L) // the spec's fixed arrival time
+    ShardedStreamLog.append(root, "events", "all-past",
+      (0L to 4L).map(i => rec(i, ms = t0 - 10000 + i)))
+    ShardedStreamLog.append(root, "events", "all-future",
+      (0L to 4L).map(i => rec(i, ms = t0 + 10000 + i)))
+    runOnce(root, ck, out, startPos = "at_timestamp:2023-11-14T22:13:20Z")
+    val rows = outRows(out)
+    // every record of the all-past shard predates the timestamp → none;
+    // the all-future shard starts from its origin
+    assert(rows.filter(_._2 == "all-past").isEmpty)
+    assert(rows.filter(_._2 == "all-future").map(_._3) == (0L to 4L))
+  }
+
+  test("invalid startingPosition fails fast with the supported-mode list") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(0)))
+    val e = intercept[Exception] {
+      runOnce(root, ck, out, startPos = "earliest")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("startingPosition")),
+      s"expected a startingPosition parse error, got: $e")
   }
 
   test("envelope schema matches the kinesumer record contract") {
@@ -253,6 +321,43 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
     val got = ShardedStreamLog.read(root, "events", "shard-0", -1L, Long.MaxValue)
     assert(got.map(_.data.length).toSet == Set(64, 200),
       "reads served from a stale index after an offset-shifting recreate")
+  }
+
+  test("trigger planning stays sub-second at 5k shards") {
+    // latestOffset lists shards and head-probes each per trigger; the probe
+    // is an O(1) incremental size check once warm and runs in parallel
+    // (ShardedStreamLog.maxSequences), so planning must stay flat in shard
+    // count — measured here at 5k shards, ~1000× the reference's test
+    // topology
+    val (root, _, _) = freshDirs()
+    for (i <- 0 until 5000)
+      ShardedStreamLog.append(root, "events", f"shard-$i%04d", Seq(rec(0), rec(1)))
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", root, "streams", "events"))
+    val mb = new ShardedStreamMicroBatch(opts)
+    val limit = mb.getDefaultReadLimit
+    val start = mb.initialOffset()
+    // warm trigger: first probe indexes every shard once (O(history), paid once)
+    val warm = mb.latestOffset(start, limit)
+    // steady-state trigger: list + probe + plan with nothing new appended
+    val t0 = System.nanoTime()
+    val end = mb.latestOffset(warm, limit)
+    val parts = mb.planInputPartitions(warm, end)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(parts.isEmpty, "no new data → no partitions planned")
+    info(f"steady-state trigger planning over 5000 shards: $secs%.3f s")
+    assert(secs < 1.0, f"trigger planning took $secs%.2f s at 5k shards")
+    // a trigger with fresh data on every shard must also plan sub-second
+    // once the per-shard tail is indexed incrementally
+    for (i <- 0 until 5000)
+      ShardedStreamLog.append(root, "events", f"shard-$i%04d", Seq(rec(2)))
+    val t1 = System.nanoTime()
+    val end2 = mb.latestOffset(end, limit)
+    val parts2 = mb.planInputPartitions(end, end2)
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    assert(parts2.length == 5000, s"expected 5000 planned slices, got ${parts2.length}")
+    info(f"hot trigger planning (1 new record x 5000 shards): $secs2%.3f s")
+    assert(secs2 < 1.0, f"hot trigger planning took $secs2%.2f s at 5k shards")
   }
 
   test("closed shard rejects further appends") {
