@@ -18,9 +18,15 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // driver fixtures carry TIMESTAMP(NANOS) (read here as raw longs);
+      // derived corpora written by Spark itself (e.g. ScaleUp's sf1) are
+      // already micros timestamps and pass through
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

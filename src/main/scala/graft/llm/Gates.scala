@@ -1,0 +1,246 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed REGRESSION GATES for the approximate/hash-family
+  * operators (the seven `no_oracle` queries). Sketch internals are
+  * engine-specific by design, so their raw outputs can't hash-match
+  * DuckDB — but their CONTRACTS can: an error band around an exact
+  * aggregate, a recall floor against an oracle-computable truth set, a
+  * subset guarantee. Each gate computes the contract verdict Spark-side
+  * as deterministic booleans next to oracle-computable exact anchors, so
+  * the driver's hash gate (and `Verify` locally) catches a regression in
+  * the approximate path — previously only ScalaTest properties did.
+  *
+  * Thresholds are fixed constants measured across all three fixture SFs
+  * with explicit margin (each gate's comment records the measured
+  * values); they gate CONTRACT violations, not noise.
+  */
+object Gates {
+
+  private def defOf(defs: Seq[QueryDef], name: String): QueryDef =
+    defs.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no registered query named $name"))
+
+  /** Count-and-compare scaffold shared by every recall gate: one row,
+    * `n_truth` (oracle-anchored) + booleans, all computed in-plan (the
+    * single-row aggregates cross-join — no driver-side actions). With
+    * `withFpCheck`, also asserts found ⊆ truth via a left-anti count.
+    */
+  private def recallRow(truth: DataFrame, found: DataFrame, keys: Seq[String],
+      floor: Double, withFpCheck: Boolean = false): DataFrame = {
+    val hits = truth.join(found, keys, "left_semi")
+    val base = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+    val withFp =
+      if (!withFpCheck) base
+      else base.crossJoin(found.join(truth, keys, "left_anti")
+        .agg(count(lit(1)).as("n_fp")))
+    val cols = Seq(col("n_truth"),
+      (col("n_hit").cast("double") >= col("n_truth").cast("double") * floor)
+        .as("recall_ok")) ++
+      (if (withFpCheck) Seq((col("n_fp") === 0L).as("no_false_positives")) else Nil)
+    withFp.select(cols: _*)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q105: HLL error-band gate for q39 (approx_count_distinct, rsd=2%).
+    // The sketch estimate must land within ±5% (2.5 standard errors) of
+    // the exact distinct count on every group; the exact counts are the
+    // oracle anchor. Measured relative error ≤2% on all groups at
+    // sf0.001/0.01/0.1.
+    QueryDef.sql("q105_hll_error_band") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      def inBand(a: Column, e: Column): Column =
+        abs(a.cast("double") - e.cast("double")) <= e.cast("double") * 0.05
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("a_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("a_supps"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          col("n_rows"),
+          inBand(col("a_parts"), col("exact_parts")).as("parts_in_band"),
+          inBand(col("a_supps"), col("exact_supps")).as("supps_in_band"))
+        .orderBy("l_returnflag")
+    } {
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS parts_in_band,
+        |  TRUE AS supps_in_band
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q106: rank-error gate for q67 (approx_percentile, accuracy=10000).
+    // The guarantee is on RANK, not value: for each reported quantile v,
+    // the target rank q·n must fall inside [count(<v) − εn, count(≤v) + εn]
+    // with ε = 1/accuracy (the count(<v)..count(≤v) interval handles the
+    // tie plateaus of integer-valued quantities). Exact median is the
+    // oracle anchor (Spark `percentile` ≡ DuckDB QUANTILE_CONT, exact in
+    // binary on integer-valued data).
+    QueryDef.sql("q106_approx_percentile_rank_band") { (s, d) =>
+      val acc = graft.ops.Stats.ApproxPercentileAccuracy
+      val li = Tables(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val agg = li.groupBy(col("l_returnflag")).agg(
+        expr(s"approx_percentile(l_quantity, array(0.25, 0.5, 0.75), $acc)").as("ap"),
+        expr("percentile(l_quantity, 0.5)").as("exact_median"))
+      def rankOk(q: Double, i: Int): Column = {
+        val v = element_at(col("ap"), i)
+        val lt = sum(when(col("l_quantity") < v, 1L).otherwise(0L)).cast("double")
+        val le = sum(when(col("l_quantity") <= v, 1L).otherwise(0L)).cast("double")
+        val n = count(lit(1)).cast("double")
+        val eps = n / acc + 1.0
+        (lit(q) * n >= lt - eps) && (lit(q) * n <= le + eps)
+      }
+      li.join(broadcast(agg), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("exact_median")).as("exact_median"),
+          rankOk(0.25, 1).as("p25_rank_ok"),
+          rankOk(0.50, 2).as("median_rank_ok"),
+          rankOk(0.75, 3).as("p75_rank_ok"))
+        .orderBy("l_returnflag")
+    } {
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS exact_median,
+        |  TRUE AS p25_rank_ok,
+        |  TRUE AS median_rank_ok,
+        |  TRUE AS p75_rank_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q107: MinHash-LSH recall gate for q25, against the EXHAUSTIVE
+    // 3-word-shingle Jaccard ≥ 0.5 truth — q25's own similarity contract
+    // (q24's token-set J ≥ 0.6 is a different measure: a pair can share
+    // 60% of its vocabulary with near-zero shingle overlap, so it is not
+    // a recall target for a shingle verifier). The truth is exhaustive
+    // (un-blocked, un-hashed string shingles) over a FIXED 500-doc
+    // sample, so the oracle's all-pairs cost stays constant as the
+    // corpus scales while the GATED path (minhashDedup) still runs over
+    // the full corpus. Measured recall ≥ 0.8 at every fixture SF
+    // (LlmSpec measures the same bound exhaustively at sf0.001).
+    QueryDef.sql("q107_minhash_recall_gate") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      val truth = docs.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")),
+          col("doc_a") < col("doc_b"))
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("i").cast("double") >=
+          lit(0.5) * (col("na") + col("nb") - col("i")).cast("double"))
+        .select("doc_a", "doc_b")
+      val found = Dedup.minhashDedup(s, d)
+        .filter(col("doc_a") < 500 && col("doc_b") < 500)
+        .select("doc_a", "doc_b")
+      recallRow(truth, found, Seq("doc_a", "doc_b"), floor = 0.8)
+    } {
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        |  WHERE doc_id < 500 AND LEN(STRING_SPLIT(text, ' ')) >= 3),
+        |s AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT LEN(LIST_INTERSECT(a.sh, b.sh)) AS i,
+        |         LEN(a.sh) AS na, LEN(b.sh) AS nb
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+        |FROM p
+        |WHERE CAST(i AS DOUBLE) >= 0.5 * CAST(na + nb - i AS DOUBLE)""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q108: SimHash completeness gate for q26: every EXACT duplicate pair
+    // (byte-identical text → identical fingerprint → hamming 0) must
+    // appear among the simhash pairs — the pigeonhole banding may miss
+    // borderline hamming-3 pairs, never identical ones. The exact-dup
+    // pair count is the oracle anchor.
+    QueryDef.sql("q108_simhash_exact_dup_gate") { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val dupPairs = docs.groupBy(col("text"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), b ->
+            |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      val found = Dedup.simhashDedup(s, d).select("doc_a", "doc_b")
+      recallRow(dupPairs, found, Seq("doc_a", "doc_b"), floor = 1.0)
+        .withColumnRenamed("n_truth", "n_exact_dup_pairs")
+        .withColumnRenamed("recall_ok", "all_found")
+    } {
+      """SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+        |  TRUE AS all_found
+        |FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1)""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q109: hyperplane-LSH ANN recall gate for q28, against q27's exact
+    // brute-force top-10 (oracle-computable). Hamming-≤2 multi-probe at
+    // the adaptive plane count: measured recall 0.80–0.84 at the three
+    // fixture SFs.
+    QueryDef.sql("q109_ann_lsh_recall_gate") { (s, d) =>
+      val truth = defOf(Similarity.queries, "q27_cosine_topk")
+        .run(s, d).select("q_id", "neighbor_id")
+      val found = Similarity.annLsh(s, d).select("q_id", "neighbor_id")
+      recallRow(truth, found, Seq("q_id", "neighbor_id"), floor = 0.7)
+    } {
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+         |FROM (${defOf(Similarity.queries, "q27_cosine_topk").oracle.get})""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q110: IVF ANN recall gate for q75, against the same q27 truth.
+    // nprobe=4 of k=16 clusters: measured recall 0.54–0.68 at the three
+    // fixture SFs (LlmSpec measures the same at sf0.01).
+    QueryDef.sql("q110_ivf_recall_gate") { (s, d) =>
+      val truth = defOf(Similarity.queries, "q27_cosine_topk")
+        .run(s, d).select("q_id", "neighbor_id")
+      val found = Similarity.annIvf(s, d).select("q_id", "neighbor_id")
+      recallRow(truth, found, Seq("q_id", "neighbor_id"), floor = 0.4)
+    } {
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+         |FROM (${defOf(Similarity.queries, "q27_cosine_topk").oracle.get})""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q111: embedding near-dup LSH gate for q50, against q49's exact
+    // pair truth (oracle-computable): the LSH path must produce NO false
+    // positives (same exact-cosine verification → subset) and keep
+    // recall above the measured floor (multi-probe tables: 1.0/1.0/0.94
+    // at the three fixture SFs).
+    QueryDef.sql("q111_embedding_lsh_gate") { (s, d) =>
+      val truth = defOf(Similarity.queries, "q49_embedding_near_dup")
+        .run(s, d).select("vec_a", "vec_b")
+      val found = Similarity.embeddingNearDupLsh(s, d).select("vec_a", "vec_b")
+      recallRow(truth, found, Seq("vec_a", "vec_b"), floor = 0.85, withFpCheck = true)
+    } {
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok,
+         |  TRUE AS no_false_positives
+         |FROM (${defOf(Similarity.queries, "q49_embedding_near_dup").oracle.get})""".stripMargin
+    }
+  )
+}

