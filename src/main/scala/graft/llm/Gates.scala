@@ -199,9 +199,9 @@ object Gates {
 
     // ------------------------------------------------------------------
     // q109: hyperplane-LSH ANN recall gate for q28, against q27's exact
-    // brute-force top-10 (oracle-computable). Hamming-≤2 multi-probe at
-    // the adaptive plane count: measured recall 0.80–0.84 at the three
-    // fixture SFs.
+    // brute-force top-10 (oracle-computable). Multi-table + Hamming-≤2
+    // query probes at the adaptive plane count: measured recall 1.0 at
+    // the three fixture SFs and 0.92 at the derived sf1.0.
     QueryDef.sql("q109_ann_lsh_recall_gate") { (s, d) =>
       val truth = defOf(Similarity.queries, "q27_cosine_topk")
         .run(s, d).select("q_id", "neighbor_id")
@@ -230,8 +230,9 @@ object Gates {
     // q111: embedding near-dup LSH gate for q50, against q49's exact
     // pair truth (oracle-computable): the LSH path must produce NO false
     // positives (same exact-cosine verification → subset) and keep
-    // recall above the measured floor (multi-probe tables: 1.0/1.0/0.94
-    // at the three fixture SFs).
+    // recall above the measured floor (recall-adaptive table count:
+    // 0.86/0.93/0.94 at the fixture SFs, 0.93 at the derived sf1.0 —
+    // flat in corpus size by construction, see Similarity.tablesFor).
     QueryDef.sql("q111_embedding_lsh_gate") { (s, d) =>
       val truth = defOf(Similarity.queries, "q49_embedding_near_dup")
         .run(s, d).select("vec_a", "vec_b")

@@ -410,20 +410,27 @@ object Similarity {
     * driver-computed literal weight arrays (data-independent), not
     * interpreted higher-order lambdas.
     *
-    * `planesPerTable = 0` (the default) sizes the per-table bucket space
-    * adaptively to ~[[NearDupBucketTarget]] vectors per bucket (one
-    * column-pruned count at plan time), so within-bucket pair work stays
-    * bounded as the corpus grows — the same fix as [[planesFor]] for the
-    * single-table ANN path.
+    * BOTH knobs adapt by default (explicit values skip the planning
+    * count): `planesPerTable = 0` sizes the per-table bucket space to
+    * ~[[NearDupBucketTarget]] vectors per bucket, bounding within-bucket
+    * pair work as the corpus grows; `tables = 0` then sizes the table
+    * count so the WORST-CASE pair at the [[NearDupThreshold]] angle
+    * still collides with ≥ 90% probability ([[tablesFor]]). Per-table
+    * collision decays geometrically with the plane count, so a FIXED
+    * table count silently loses recall as the corpus scales (measured
+    * 0.94 at sf0.1 → 0.56 at sf1.0 with 8 tables); the adaptive count
+    * keeps recall flat for a table-count cost that grows only
+    * logarithmically-in-N per vector.
     */
   def embeddingNearDupLsh(
       s: SparkSession, d: String,
-      tables: Int = 8, planesPerTable: Int = 0): DataFrame = {
+      tables: Int = 0, planesPerTable: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
     val planesPT =
       if (planesPerTable > 0) planesPerTable
       else planesFor(emb.count(), NearDupBucketTarget, cap = 24)
+    val nTables = if (tables > 0) tables else tablesFor(planesPT)
     val withNorm = emb.withColumn("norm2", dot("v", "v"))
       // plan barrier / exchange reuse before the table fan-out: the
       // repartition adds an Exchange that stops projection collapse from
@@ -431,13 +438,13 @@ object Similarity {
       // the join sides relies on ReuseExchange matching the identical
       // subplans (an Exchange does NOT cache like persist())
       .repartition(col("vec_id"))
-    val tableBuckets = (0 until tables).map { t =>
+    val tableBuckets = (0 until nTables).map { t =>
       val bucket = (0 until planesPT).map { j =>
         when(planeDot(t * planesPT + j) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
-    val buckets = withPlaneWeights(withNorm, tables * planesPT)
+    val buckets = withPlaneWeights(withNorm, nTables * planesPT)
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // MULTI-PROBE candidate pairs (the same Hamming-1 probing annLsh
@@ -691,42 +698,75 @@ object Similarity {
     */
   def planesFor(n: Long): Int = planesFor(n, TargetBucketSize, cap = 30)
 
+  /** Table count holding worst-case near-dup recall ≈ 0.9 as the plane
+    * count grows with the corpus: the pair AT the [[NearDupThreshold]]
+    * angle θ0 has per-plane sign agreement r = 1 − θ0/π; with Hamming-1
+    * probing its per-table collision is p1 = r^p + p·r^(p−1)(1−r) —
+    * decaying geometrically in p — and the chance of missing every one
+    * of T independent tables must stay ≤ 10%: T = ln(0.1)/ln(1−p1),
+    * clamped to [4, 32]. A FIXED table count loses recall silently at
+    * scale (measured 0.94 → 0.56 going sf0.1 → sf1.0 with 8 tables);
+    * this trades a log-growing table count for flat recall. The 32 cap
+    * is the honesty bound: past it (≈ 10^8 vectors at the default
+    * bucket target) hyperplane LSH at wide thresholds is the wrong
+    * index — use the IVF path, whose recall held unchanged at sf1.
+    */
+  private def tablesFor(planes: Int): Int = {
+    val r = 1.0 - math.acos(NearDupThreshold) / math.Pi
+    val p1 = math.pow(r, planes) +
+      planes * math.pow(r, planes - 1) * (1 - r)
+    val t = math.ceil(math.log(0.1) / math.log1p(-p1)).toInt
+    math.min(32, math.max(4, t))
+  }
+
   /** Plane count targeting ~`target` members per bucket, in [4, `cap`]. */
   private def planesFor(n: Long, target: Long, cap: Int): Int = {
     val buckets = math.max(1L, n / target)
     math.min(cap, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
   }
 
-  /** LSH-bucketed ANN top-10 for the first 5 vectors as queries.
+  /** LSH-bucketed ANN top-10 for the first 5 vectors as queries:
+    * `tables` independent hyperplane tables, each with query-side
+    * Hamming-≤2 multi-probing.
     *
-    * @param numPlanes hyperplane count (bucket space = 2^numPlanes). The
-    *   default 0 means adaptive: one column-pruned count() at plan time
-    *   sizes the bucket space to the candidate set (buckets ≈ N/256) —
-    *   pass an explicit value to skip that planning action.
+    * Top-k truth at these fixtures sits at wide angles (the 10th
+    * neighbor is ~50–60° away), where per-table collision decays
+    * geometrically with the adaptive plane count — a single table's
+    * recall fell 0.82 → ~0.5 going sf0.1 → sf1.0. Independent tables
+    * compose recall as 1 − (1−p)^T while costing only T× the bucket
+    * relation; probing stays QUERY-side (1 + p + p(p−1)/2 bucket keys
+    * per query per table — trivial for a query batch).
+    *
+    * @param numPlanes hyperplane count per table (bucket space =
+    *   2^numPlanes). The default 0 means adaptive: one column-pruned
+    *   count() at plan time sizes the bucket space to the candidate set
+    *   (buckets ≈ N/256) — pass an explicit value to skip that planning
+    *   action.
     */
-  def annLsh(s: SparkSession, d: String, numPlanes: Int = 0): DataFrame = {
+  def annLsh(s: SparkSession, d: String, numPlanes: Int = 0,
+      tables: Int = 4): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
     val planes = if (numPlanes > 0) numPlanes else planesFor(emb.count())
     // Deterministic hyperplanes ([[planeWeights]]): per-row work is one
-    // codegen'd vec_dot per plane against a literal weight array.
-    val planeBit: Int => Column = p =>
-      when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L))
-    val bucketed = withPlaneWeights(emb, planes)
-      .withColumn("bucket", (0 until planes).map(planeBit).reduce(_ + _))
-      .drop("_pw")
-    val withNorm2 = bucketed.withColumn("norm2", dot("v", "v"))
-    // multi-probe: each query also inspects its Hamming-1 AND Hamming-2
-    // neighbor buckets (a borderline vector lands just across one or two
-    // hyperplanes — at top-k angles the tail neighbors sit ~50-60° away,
-    // where single-bucket collision is a coin flip per plane). Probing is
-    // QUERY-side only, so the fan-out is (1 + p + p(p-1)/2) bucket keys
-    // per query — trivial for a query batch, while the probed fraction
-    // of the bucket space still shrinks as the corpus (and so the plane
-    // count) grows. Measured recall@10 vs exact: 0.32 → 0.82 at sf0.1.
-    val q = withNorm2.filter(col("vec_id") < 5)
+    // codegen'd vec_dot per plane against a literal weight array. Plan
+    // barrier before the table fan-out (see embeddingNearDupLsh).
+    val withNorm = emb.withColumn("norm2", dot("v", "v"))
+      .repartition(col("vec_id"))
+    val tableBuckets = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { j =>
+        when(planeDot(t * planes + j) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    val bucketed = withPlaneWeights(withNorm, tables * planes)
+      .select(col("vec_id"), col("v"), col("norm2"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm2"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm2").as("qn2"), col("bucket").as("qb"))
+        col("norm2").as("qn2"), col("tbl"), col("bucket").as("qb"))
       .withColumn("bucket", explode(expr(
         s"""concat(
            |  array(qb),
@@ -737,8 +777,12 @@ object Similarity {
            |      j -> qb ^ shiftleft(cast(1 AS bigint), i)
            |              ^ shiftleft(cast(1 AS bigint), j)))))""".stripMargin)))
       .drop("qb")
-    val pairs = withNorm2.join(q, Seq("bucket"))
+    // a candidate can meet a query in several tables — dedup the
+    // (query, candidate) pair before scoring (the pair's vectors are
+    // identical on every copy, so which row survives is immaterial)
+    val pairs = bucketed.join(q, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("cos_sim", dot("qv", "v") / (sqrt(col("qn2")) * sqrt(col("norm2"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     pairs.withColumn("rnk", row_number().over(w))
