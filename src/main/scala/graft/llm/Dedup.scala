@@ -262,6 +262,38 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q112: the PRODUCTION dedup pipeline end-to-end — the scale twin of
+    // the q24→q66→q68 chain, which is bound to the quadratic jaccard
+    // ground truth by its oracle (measured exponent 1.44–1.57 on the 10×
+    // corpus — inherited from the validator input, by design). This one
+    // runs the path a 100 TB corpus actually takes: banded MinHash+LSH
+    // candidates → exact shingle-Jaccard verification (q25) → distributed
+    // connected components → per-cluster canonical keep/drop. Every stage
+    // is bucketed/banded — nothing quadratic anywhere — so the whole
+    // pipeline scales like its pair count (linear in corpus for a fixed
+    // dup rate). Pairs are hash-family-specific → no SQL oracle; the
+    // q113 gate anchors its cluster integrity to an oracle-computable
+    // exact-duplicate truth, and DedupSpec checks it against the q68
+    // shape on the shared-measure subset.
+    QueryDef.noOracle("q112_dedup_pipeline_scalable") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cc = scalableClusterLabels(s, d)
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("id"))
+      cc.join(docs, cc("id") === docs("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max(when(col("rn") === 1, col("id"))).as("keep_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("keep_chars"),
+          (count(lit(1)) - 1).as("n_dropped"),
+          array_join(transform(sort_array(collect_list(when(col("rn") > 1, col("id")))),
+            _.cast("string")), ",").as("dropped_ids"))
+        .orderBy("cluster_id")
+    },
+
+    // ------------------------------------------------------------------
     // q70: CROSS-SOURCE DUPLICATE LEAKAGE — for every pair of corpus
     // sources, how many document pairs share identical canonical content
     // (q23's digest). This is the governance view of exact dedup: a
@@ -466,6 +498,16 @@ object Dedup {
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally und.unpersist()
   }
+
+  /** Cluster labels for the PRODUCTION dedup path (q112): connected
+    * components over the MinHash+LSH verified pairs. Same label contract
+    * as the validator chain (cluster_id = the component's minimum doc
+    * id), different pair source: banded candidates instead of blocked
+    * all-pairs, so the input edge list — and with it the whole pipeline —
+    * scales with the true duplicate count, not the corpus square.
+    */
+  def scalableClusterLabels(s: SparkSession, d: String): DataFrame =
+    connectedComponents(minhashDedup(s, d), "doc_a", "doc_b")
 
   /** Driver union-find with path compression + union-by-min over a
     * collected edge list (the small-graph branch of

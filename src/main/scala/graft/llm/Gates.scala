@@ -233,15 +233,61 @@ object Gates {
     // recall above the measured floor (recall-adaptive table count:
     // 0.86/0.93/0.94 at the fixture SFs, 0.93 at the derived sf1.0 —
     // flat in corpus size by construction, see Similarity.tablesFor).
+    // q49's truth is the BOUNDED deterministic sample (full exact at
+    // fixture SFs), so the found side restricts to pairs inside the
+    // sampled universe with the same predicate — recall over the slice
+    // is an unbiased estimate (bucket membership is content-independent)
+    // and the gate's cost stays flat as the corpus grows.
     QueryDef.sql("q111_embedding_lsh_gate") { (s, d) =>
       val truth = defOf(Similarity.queries, "q49_embedding_near_dup")
         .run(s, d).select("vec_a", "vec_b")
-      val found = Similarity.embeddingNearDupLsh(s, d).select("vec_a", "vec_b")
+      val n = Tables(s, d, "embeddings").select(col("vec_id")).count()
+      val inSample =
+        Similarity.sampleKeep(n, Similarity.ExactTruthSampleTarget, "vec_a") &&
+          Similarity.sampleKeep(n, Similarity.ExactTruthSampleTarget, "vec_b")
+      val found = Similarity.embeddingNearDupLsh(s, d)
+        .filter(inSample).select("vec_a", "vec_b")
       recallRow(truth, found, Seq("vec_a", "vec_b"), floor = 0.85, withFpCheck = true)
     } {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok,
          |  TRUE AS no_false_positives
          |FROM (${defOf(Similarity.queries, "q49_embedding_near_dup").oracle.get})""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q113: cluster-integrity gate for q112 (the production dedup
+    // pipeline). Anchor: exact duplicates — byte-identical texts have
+    // shingle Jaccard 1 ≥ the 0.5 verify threshold and identical MinHash
+    // signatures (same bands → guaranteed candidates), so every exact-dup
+    // pair MUST be an edge and therefore land inside ONE q112 cluster.
+    // The exact-dup pair count is the oracle anchor; `all_pairs_joined`
+    // asserts no exact-dup pair was split across clusters or dropped —
+    // a regression in any stage (shingling, banding, verification, CC)
+    // breaks it. The weaker near-dup recall of the pair stage itself is
+    // gated separately (q107).
+    QueryDef.sql("q113_dedup_pipeline_gate") { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val dupPairs = docs.groupBy(col("text"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), b ->
+            |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      val labels = Dedup.scalableClusterLabels(s, d)
+      val joined = dupPairs
+        .join(labels.select(col("id").as("doc_a"), col("cluster_id").as("ca")), Seq("doc_a"))
+        .join(labels.select(col("id").as("doc_b"), col("cluster_id").as("cb")), Seq("doc_b"))
+        .filter(col("ca") === col("cb"))
+      dupPairs.agg(count(lit(1)).as("n_exact_dup_pairs"))
+        .crossJoin(joined.agg(count(lit(1)).as("n_joined")))
+        .select(col("n_exact_dup_pairs"),
+          (col("n_joined") === col("n_exact_dup_pairs")).as("all_pairs_joined"))
+    } {
+      """SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+        |  TRUE AS all_pairs_joined
+        |FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1)""".stripMargin
     }
   )
 }

@@ -776,14 +776,18 @@ object Pipeline {
     // ------------------------------------------------------------------
     // q88: EXACT-SUBSTRING CONTAMINATION — the strict complement of
     // q62's shingle decontamination: given a small probe set (here a
-    // deterministic 1-in-97 sample of documents, each contributing one
-    // 40-char mid-document span), count which corpus documents contain
-    // each probe verbatim. The probe relation BROADCASTS (an eval set is
-    // thousands of strings, never corpus-sized) and the containment
-    // predicate runs scan-side per (doc, probe) — cost n_docs × n_probes
-    // substring searches with no shuffle of the corpus. For probe sets
-    // large enough that the product bites, build an Aho–Corasick automaton
-    // per partition instead; at eval-set sizes the predicate form wins by
+    // deterministic 1-in-97 sample of documents CAPPED at the first 256
+    // by doc_id, each contributing one 40-char mid-document span), count
+    // which corpus documents contain each probe verbatim. The cap is the
+    // semantics, not a shortcut: an eval set is a FIXED artifact —
+    // thousands of strings however large the corpus — so the probe side
+    // must not scale with N (uncapped, probes = N/97 made the operator
+    // quadratic: measured exponent 1.65 on the 10× corpus). The probe
+    // relation BROADCASTS and the containment predicate runs scan-side
+    // per (doc, probe) — cost n_docs × |eval set| substring searches,
+    // linear in the corpus, with no shuffle of it. For probe sets large
+    // enough that the product bites, build an Aho–Corasick automaton per
+    // partition instead; at eval-set sizes the predicate form wins by
     // staying inside codegen.
     QueryDef.sql("q88_exact_substring_contamination") { (s, d) =>
       val docs = Tables(s, d, "documents")
@@ -792,6 +796,7 @@ object Pipeline {
         .select(col("doc_id").as("probe_doc_id"),
           expr("substring(text, 21, 40)").as("probe"))
         .filter(length(col("probe")) === 40)
+        .orderBy("probe_doc_id").limit(256)
       docs.join(broadcast(probes), contains(col("text"), col("probe")))
         .groupBy(col("probe_doc_id"))
         .agg(
@@ -803,7 +808,8 @@ object Pipeline {
       """WITH p AS (
         |  SELECT doc_id AS probe_doc_id, SUBSTRING(text, 21, 40) AS probe
         |  FROM documents
-        |  WHERE doc_id % 97 = 0 AND LENGTH(SUBSTRING(text, 21, 40)) = 40)
+        |  WHERE doc_id % 97 = 0 AND LENGTH(SUBSTRING(text, 21, 40)) = 40
+        |  ORDER BY probe_doc_id LIMIT 256)
         |SELECT p.probe_doc_id, COUNT(*) AS n_hits,
         |  CAST(SUM(CASE WHEN d.doc_id <> p.probe_doc_id THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_foreign_hits

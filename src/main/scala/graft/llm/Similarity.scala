@@ -7,6 +7,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** One tile of Similarity's blocked all-pairs kernel: vectors sorted by
+  * id, ids/norms as parallel arrays and the vectors FLATTENED into one
+  * primitive double array — the Dataset encoder deserializes these with
+  * bulk `toDoubleArray` copies, never boxing an element. Top-level (not
+  * nested private) so the generated encoder projections can access it.
+  */
+private[llm] case class VecBlock(
+    bid: Int, ids: Array[Long], norms: Array[Double], vs: Array[Double])
+
 /** Similarity search over the embedding column.
   *
   * Exact cross-engine comparability trick: embeddings are quantized to
@@ -46,6 +55,13 @@ object Similarity {
     * object-initialization time.)
     */
   final val NearDupThreshold = 0.45
+
+  /** Sample size for the REGISTERED q49 truth: full exact at every
+    * fixture SF (they stop at 10k vectors), a fixed-size slice beyond —
+    * ~2e8 exact pairs worst case, seconds of work at any corpus size.
+    * (Also defined before `queries` — q49's oracle interpolates it.)
+    */
+  final val ExactTruthSampleTarget: Long = 20000
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
@@ -95,19 +111,31 @@ object Similarity {
     QueryDef.noOracle("q28_ann_lsh_topk")((s, d) => annLsh(s, d)),
 
     // ------------------------------------------------------------------
-    // q49: embedding-cosine near-dup pairs, exact all-pairs ground truth.
-    // ROLE AT SCALE: validation operator (quadratic in candidate count),
-    // and the role is ENFORCED — embeddingNearDupExact refuses inputs
-    // beyond MaxExactNearDupVectors (≈5e9 pairs); embeddingNearDupSampled
-    // is the any-scale ground-truth slice. The production path is q50's
-    // multi-table LSH bucketing, whose recall is asserted against this
-    // one in LlmSpec. Quantized-integer dot products keep the oracle
-    // bit-exact.
+    // q49: embedding-cosine near-dup pairs — exact all-pairs ground
+    // truth over a BOUNDED deterministic sample. ROLE AT SCALE:
+    // validation operator; all-pairs is quadratic by definition, so the
+    // registered query is [[embeddingNearDupSampled]] at
+    // [[ExactTruthSampleTarget]] vectors — the FULL exact answer at
+    // every fixture SF (n ≤ target there), and a fixed-size md5-bucket
+    // slice beyond, so the validator's cost is FLAT in corpus size
+    // (uncapped, the full all-pairs was 80 s and exponent 1.86 on the
+    // 10× derived corpus, and past MaxExactNearDupVectors it would
+    // refuse outright — a validator that detonates or refuses at scale
+    // validates nothing). The sample predicate is the library-wide md5
+    // id-hash recipe, replicated verbatim in the oracle SQL (the
+    // keep-threshold derives from COUNT(*) identically on both
+    // engines). The production path is q50's multi-table LSH bucketing,
+    // gated against this truth in q111/LlmSpec. Quantized-integer dot
+    // products keep the oracle bit-exact.
     QueryDef.sql("q49_embedding_near_dup") { (s, d) =>
-      embeddingNearDupExact(s, d)
+      embeddingNearDupSampled(s, d, ExactTruthSampleTarget)
     } {
-      s"""WITH e AS (
-         |  SELECT vec_id, $quantSql AS v FROM embeddings),
+      s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |kept AS (
+         |  SELECT vec_id, embedding FROM embeddings, cnt
+         |  WHERE ${sampleKeepSql("vec_id", ExactTruthSampleTarget)}),
+         |e AS (
+         |  SELECT vec_id, $quantSql AS v FROM kept),
          |n AS (
          |  SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM e)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -357,6 +385,29 @@ object Similarity {
     * exact; LSH recall measured on the slice is an unbiased estimate
     * because bucket membership is independent of vector content.
     */
+  /** The deterministic keep-predicate behind [[embeddingNearDupSampled]]
+    * — the library-wide md5 id-hash recipe (graft.Ids) over the full
+    * 32-bit bucket space: a coarse space with a floor of 1 bucket would
+    * silently keep n/space vectors — unbounded in n, the detonation the
+    * sample exists to prevent. 2^32 buckets keep the floor harmless up
+    * to n ≈ target·2^32. Callers pass the corpus count `n`; the gate
+    * (q113's sibling q111) reuses the same predicate to restrict the
+    * found side to the sampled universe.
+    */
+  def sampleKeep(n: Long, target: Long, idCol: String = "vec_id"): Column = {
+    val space = 4294967296.0 // 2^32
+    val keepBuckets = math.max(1L, (target.toDouble / n * space).toLong)
+    graft.Ids.hash(idCol) < lit(keepBuckets)
+  }
+
+  /** DuckDB fragment equivalent to [[sampleKeep]], with the corpus count
+    * read from a `cnt(n)` relation in scope (same truncation semantics:
+    * FLOOR + BIGINT cast ≡ Scala's toLong on these positive values).
+    */
+  def sampleKeepSql(idCol: String, target: Long): String =
+    s"${graft.Ids.hashSql(idCol)} < GREATEST(1, " +
+      s"CAST(FLOOR($target.0 / n * 4294967296.0) AS BIGINT))"
+
   def embeddingNearDupSampled(
       s: SparkSession, d: String,
       targetVectors: Long = MaxExactNearDupVectors): DataFrame = {
@@ -364,16 +415,7 @@ object Similarity {
     val emb = Tables(s, d, "embeddings")
     val n = emb.select(col("vec_id")).count()
     if (n <= targetVectors) return exactPairs(emb)
-    // full 32-bit bucket space (the first 8 md5 hex digits verbatim): a
-    // coarse space with a floor of 1 bucket would silently keep n/space
-    // vectors — unbounded in n, the detonation this function prevents.
-    // 2^32 buckets keep the floor harmless up to n ≈ targetVectors·2^32;
-    // the post-sample count check below makes the bound unconditional.
-    val space = 4294967296.0 // 2^32
-    val keepBuckets = math.max(1L, (targetVectors.toDouble / n * space).toLong)
-    val bucket = expr(
-      "cast(conv(substring(md5(cast(vec_id AS string)), 1, 8), 16, 10) AS bigint)")
-    val sample = emb.filter(bucket < keepBuckets)
+    val sample = emb.filter(sampleKeep(n, targetVectors))
     val kept = sample.select(col("vec_id")).count()
     // binomial concentration: P(kept > 2·target) is astronomically small
     // for any real target, so tripping this means the hash sliced badly
@@ -387,17 +429,75 @@ object Similarity {
   /** The shared all-pairs kernel: quantize, score every a<b pair, keep
     * cosine ≥ [[NearDupThreshold]]. Quadratic by definition — callers
     * bound the input (guard or sample) before reaching it.
+    *
+    * SHAPE: dense blocked matrix product (GEMM tiling), not a join. The
+    * relational forms of this operator leave Spark evaluating the pair
+    * predicate one row at a time — BroadcastNestedLoopJoin runs its
+    * condition without whole-stage codegen, so every candidate pair pays
+    * interpreted-eval and boxing overhead (measured ≈ 3.7 core-µs/pair;
+    * 2e8 pairs took 25–42 s however the join was hinted, and an
+    * unhinted filtered input degraded to CartesianProduct at 116 s).
+    * Here vectors are tiled into ~[[ExactBlockTarget]]-row blocks, block
+    * pairs meet via a broadcast self-join (the only join left — B² tiny
+    * rows), and a typed flatMap runs the triple loop over primitive
+    * arrays: 64 fused multiply-adds per pair at JIT speed, ~100× the
+    * per-pair cost of the interpreted join (measured 2e8 pairs ≈ 1 s).
+    * This is the one operator class where imperative per-partition code
+    * is the right Spark idiom — a dense numeric kernel Catalyst has no
+    * operator for (SURVEY §7.3's "mapPartitions as a last resort").
+    * Summation order per pair matches `vec_dot`'s sequential fold, so
+    * results stay bit-identical to the DuckDB oracle.
     */
+  private val ExactBlockTarget = 2048
+
   private def exactPairs(raw: DataFrame): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
     val emb = raw
       .select(col("vec_id"), expr(quant).as("v"))
       .withColumn("norm2", dot("v", "v"))
-    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm2").as("na"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm2").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", dot("va", "vb") / (sqrt(col("na")) * sqrt(col("nb"))))
-      .filter(col("cos_sim") >= NearDupThreshold)
-      .select("vec_a", "vec_b", "cos_sim")
+    val n = emb.count()
+    if (n == 0) return s.emptyDataset[(Long, Long, Double)]
+      .toDF("vec_a", "vec_b", "cos_sim")
+    val nBlocks = (((n + ExactBlockTarget - 1) / ExactBlockTarget) min 4096).toInt
+    val blocks = emb
+      .groupBy(pmod(graft.Ids.hash("vec_id"), lit(nBlocks)).cast("int").as("bid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("norm2"), col("v")))).as("arr"))
+      .select(col("bid"),
+        expr("transform(arr, x -> x.vec_id)").as("ids"),
+        expr("transform(arr, x -> x.norm2)").as("norms"),
+        expr("flatten(transform(arr, x -> x.v))").as("vs"))
+      .as[VecBlock]
+    val tiles = blocks.alias("L")
+      .joinWith(broadcast(blocks.alias("R")), col("L.bid") <= col("R.bid"), "inner")
+    val thr = NearDupThreshold
+    tiles.flatMap { case (x, y) =>
+      val same = x.bid == y.bid
+      val dim = if (x.ids.length == 0) 1 else x.vs.length / x.ids.length
+      val sx = x.norms.map(math.sqrt)
+      val sy = y.norms.map(math.sqrt)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < x.ids.length) {
+        var j = if (same) i + 1 else 0
+        val xo = i * dim
+        while (j < y.ids.length) {
+          var dot = 0.0
+          val yo = j * dim
+          var k = 0
+          while (k < dim) { dot += x.vs(xo + k) * y.vs(yo + k); k += 1 }
+          val cos = dot / (sx(i) * sy(j))
+          if (cos >= thr) {
+            val (a, b) = if (x.ids(i) < y.ids(j)) (x.ids(i), y.ids(j))
+              else (y.ids(j), x.ids(i))
+            out += ((a, b, cos))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
   }
 
@@ -445,42 +545,64 @@ object Similarity {
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
     val buckets = withPlaneWeights(withNorm, nTables * planesPT)
-      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // MULTI-PROBE candidate pairs (the same Hamming-1 probing annLsh
-    // uses for its query side, applied to the symmetric pair join): each
-    // vector is HOME in its own bucket and PROBES its planesPT Hamming-1
-    // neighbors, so a pair differing across one hyperplane still meets.
-    // At the near-dup threshold's wide angles (cos 0.45 → ~63°, per-plane
+      .select(col("vec_id"), col("v"), col("norm2"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm2"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // MULTI-PROBE + INLINE VERIFICATION in one join. Coverage: a pair is
+    // a candidate iff some table puts it in the same bucket (home–home)
+    // or one Hamming-1 flip apart — the same Hamming-1 probing annLsh
+    // uses for its query side, applied to the symmetric pair join. At
+    // the near-dup threshold's wide angles (cos 0.45 → ~63°, per-plane
     // agreement ~0.66) single-bucket collision is r^p ≈ 8% per table and
     // no table count fixes it; Hamming-1 probing lifts it to
     // r^p + p·r^(p-1)(1-r) ≈ 31% per table (measured recall 0.42 → 0.95
-    // at sf0.1, 8×6-plane tables). One shuffle join on the (tbl, bucket)
-    // key; probe fan-out is (p+1)× the bucket relation — linear in N.
-    val probes = buckets.select(col("vec_id"), col("tbl"),
-      explode(expr(s"""concat(array(bucket), transform(sequence(0, ${planesPT - 1}),
-        i -> bucket ^ shiftleft(cast(1 AS bigint), i)))""")).as("bucket"))
-    val cand = buckets.alias("h").join(probes.alias("p"),
-        col("h.tbl") === col("p.tbl") && col("h.bucket") === col("p.bucket") &&
-          col("h.vec_id") < col("p.vec_id"))
-      .select(col("h.vec_id").as("vec_a"), col("p.vec_id").as("vec_b"))
-      .distinct()
-    // Two-sided join for the exact verify, NOT the leg shape used in
-    // Dedup.minhashDedup: here the candidate-pair set is typically much
-    // LARGER than the vector table (LSH buckets are coarse), so fanning
-    // each pair out to two array-carrying legs duplicates the embedding
-    // column per pair (measured 1.9s → 6.5s at sf0.1). Joining the pair
-    // list against the compact vector table — broadcast when small,
-    // shuffled on vec_id at scale — keeps the arrays in place.
-    val sides = withNorm.select(col("vec_id"), col("v"), col("norm2"))
-    cand
-      .join(sides.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("norm2").as("na")), Seq("vec_a"))
-      .join(sides.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("norm2").as("nb")), Seq("vec_b"))
-      .withColumn("cos_sim", dot("va", "vb") / (sqrt(col("na")) * sqrt(col("nb"))))
+    // at sf0.1, 8×6-plane tables).
+    //
+    // Two shape decisions carry the 10×-corpus measurement (this op was
+    // 75 s at the derived sf1.0 — within 6% of brute force — in the
+    // materialize-candidates form: a ~5e8-row candidate relation,
+    // distinct over it, then two vec_id-keyed joins to re-fetch vectors):
+    //   1. UPWARD-ONLY probes: a probe flips only bucket bits that are 0,
+    //      so of a pair differing in exactly bit j, exactly ONE side (the
+    //      one with 0 at j) probes the other's home bucket — every
+    //      Hamming-1 pair meets exactly once per table with HALF the
+    //      probe fan-out of flip-everything (1 + p/2 rows per vector
+    //      expected vs p + 1), and with no a<b self-pairing predicate
+    //      needed on the flip meets at all.
+    //   2. The probe rows CARRY (v, norm2), and the exact cosine runs as
+    //      the join's post-condition — candidate pairs live and die
+    //      inside the sort-merge join's codegen loop, never materialized,
+    //      never distinct'd, never re-joined. Only verified pairs (≈ the
+    //      true near-dup count) leave the join; the cross-table distinct
+    //      that remains runs over that small verified set. The extra
+    //      array payload on the probe side (~(1 + p/2)× the vector
+    //      table per table) is far cheaper than shuffling the candidate
+    //      pair stream it replaces.
+    val probes = buckets.select(col("vec_id"), col("v"), col("norm2"), col("tbl"),
+      explode(expr(
+        s"""concat(array(named_struct('bucket', bucket, 'home', true)),
+           |  filter(transform(sequence(0, ${planesPT - 1}),
+           |    i -> named_struct('bucket', bucket ^ shiftleft(cast(1 AS bigint), i),
+           |                      'home', false)),
+           |    pb -> pb.bucket > bucket))""".stripMargin)).as("pb"))
+      .select(col("vec_id"), col("v"), col("norm2"), col("tbl"),
+        col("pb.bucket").as("bucket"), col("pb.home").as("home"))
+    val cos = expr("vec_dot(hv, pv) / (sqrt(hn) * sqrt(pn))")
+    buckets.select(col("vec_id").as("h_id"), col("v").as("hv"),
+        col("norm2").as("hn"), col("tbl"), col("bucket"))
+      .join(probes.select(col("vec_id").as("p_id"), col("v").as("pv"),
+          col("norm2").as("pn"), col("tbl"), col("bucket"), col("home")),
+        Seq("tbl", "bucket"))
+      // home–home meets dedup via h<p; flip meets are already unique per
+      // table (only the 0-bit side probes up) and never self-pair
+      .filter((!col("home") || col("h_id") < col("p_id")) && col("h_id") =!= col("p_id"))
+      .withColumn("cos_sim", cos)
       .filter(col("cos_sim") >= NearDupThreshold)
-      .select("vec_a", "vec_b", "cos_sim")
+      .select(least(col("h_id"), col("p_id")).as("vec_a"),
+        greatest(col("h_id"), col("p_id")).as("vec_b"), col("cos_sim"))
+      // cross-table dedup only — cos_sim is bit-deterministic per pair
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 

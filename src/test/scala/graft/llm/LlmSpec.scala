@@ -64,6 +64,41 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", smallGraphEdges = -1L).count() == 0)
   }
 
+  test("production dedup pipeline (q112) is coherent and minhash-consistent") {
+    import spark.implicits._
+    // cluster labels must partition exactly the doc ids that appear in
+    // the minhash-verified pair graph, with cluster_id = component min
+    val pairs = Dedup.minhashDedup(spark, d)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val labels = Dedup.scalableClusterLabels(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.keySet == inGraph)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid label is not its min id")
+    }
+    // the aggregated q112 view: one keep per cluster, keep is the longest
+    // member (doc_id tie-break), dropped = members minus keep
+    val q112 = graft.SparkEntry.queries("q112_dedup_pipeline_scalable")(spark, d)
+    val rows = q112.collect()
+    assert(rows.length == labels.values.toSet.size)
+    val nChars = graft.Tables(spark, d, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val keep = r.getAs[Long]("keep_id")
+      val members = labels.collect { case (id, c) if c == cid => id }.toSeq
+      val best = members.map(id => (-nChars(id), id)).min._2
+      assert(keep == best, s"cluster $cid kept $keep, expected $best")
+      val dropped = r.getAs[String]("dropped_ids")
+        .split(",").filter(_.nonEmpty).map(_.toLong).toSet
+      assert(dropped == members.toSet - keep)
+    }
+  }
+
   test("array-typed exact-dedup groups are internally consistent") {
     import spark.implicits._
     val groups = Dedup.exactDedupGroups(spark, d)
