@@ -50,6 +50,30 @@ object Ids {
   /** DuckDB fragment equivalent to [[hash]]. */
   def hashSql(idCol: String): String =
     s"CAST(('0x' || SUBSTRING(MD5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** Deterministic fixed-SIZE sample predicate: keep ids whose [[hash]]
+    * falls under ~`target/n` of the full 32-bit bucket space. The
+    * validators built on quadratic ground truth (exact all-pairs
+    * near-dup, blocked Jaccard) bound their input with this so their
+    * cost stays FLAT as the corpus grows — a validator that detonates at
+    * scale validates nothing. The coarse 2^32 space keeps the 1-bucket
+    * floor harmless up to n ≈ target·2^32; membership is
+    * content-independent, so truth metrics measured on the slice are
+    * unbiased estimates.
+    */
+  def sampleKeep(idCol: String, n: Long, target: Long): Column = {
+    val space = 4294967296.0 // 2^32
+    val keepBuckets = math.max(1L, (target.toDouble / n * space).toLong)
+    hash(idCol) < lit(keepBuckets)
+  }
+
+  /** DuckDB fragment equivalent to [[sampleKeep]], with the corpus count
+    * read from a `cnt(n)` relation in scope (FLOOR + BIGINT cast ≡
+    * Scala's toLong on these positive values).
+    */
+  def sampleKeepSql(idCol: String, target: Long): String =
+    s"${hashSql(idCol)} < GREATEST(1, " +
+      s"CAST(FLOOR($target.0 / n * 4294967296.0) AS BIGINT))"
 }
 
 object Det {

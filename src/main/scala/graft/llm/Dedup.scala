@@ -57,12 +57,26 @@ object Dedup {
   /** DuckDB twin of [[jaccardPairs]] (interpolated into the q24 and q66
     * oracles — defined above `queries`, which reads it eagerly).
     */
+  /** Sample size for the q24 ground-truth chain: full exact at every
+    * fixture SF (they stop at 5000 documents), a fixed-size md5 slice
+    * beyond — same recipe and rationale as Similarity's q49 truth
+    * (graft.Ids.sampleKeep): blocked all-pairs is quadratic in block
+    * size, so the uncapped validator went super-linear on the 10×
+    * derived corpus (exponent 1.57, and its q66/q68 consumers inherited
+    * 1.44–1.55) — largely because replica text defeats the lang block
+    * (rotated alphabets land in one 'other'-language block). The
+    * production path is q25/q112; this chain is the bounded validator.
+    */
+  final val JaccardTruthSampleTarget: Long = 5000
+
   private val JaccardPairsSql =
-    """WITH t AS (
+    s"""WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+      |t AS (
       |  SELECT doc_id, lang, n_chars // 50 AS len_bucket,
       |         LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks,
       |         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_toks
-      |  FROM documents),
+      |  FROM documents, cnt
+      |  WHERE ${graft.Ids.sampleKeepSql("doc_id", JaccardTruthSampleTarget)}),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    LEN(LIST_INTERSECT(a.toks, b.toks)) AS i,
@@ -107,7 +121,13 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(s)
-    val docs = Tables(s, d, "documents")
+    // bounded validator: fixed-size deterministic sample beyond the
+    // fixture sizes (see JaccardTruthSampleTarget) — the count is a
+    // column-pruned plan-time action, the predicate mirrors the oracle's
+    val all = Tables(s, d, "documents")
+    val n = all.select(col("doc_id")).count()
+    val docs = all
+      .filter(graft.Ids.sampleKeep("doc_id", n, JaccardTruthSampleTarget))
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("len_bucket"),
         sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))

@@ -775,24 +775,27 @@ object Pipeline {
 
     // ------------------------------------------------------------------
     // q88: EXACT-SUBSTRING CONTAMINATION — the strict complement of
-    // q62's shingle decontamination: given a small probe set (here a
-    // deterministic 1-in-97 sample of documents CAPPED at the first 256
-    // by doc_id, each contributing one 40-char mid-document span), count
-    // which corpus documents contain each probe verbatim. The cap is the
-    // semantics, not a shortcut: an eval set is a FIXED artifact —
-    // thousands of strings however large the corpus — so the probe side
-    // must not scale with N (uncapped, probes = N/97 made the operator
-    // quadratic: measured exponent 1.65 on the 10× corpus). The probe
-    // relation BROADCASTS and the containment predicate runs scan-side
-    // per (doc, probe) — cost n_docs × |eval set| substring searches,
-    // linear in the corpus, with no shuffle of it. For probe sets large
-    // enough that the product bites, build an Aho–Corasick automaton per
-    // partition instead; at eval-set sizes the predicate form wins by
-    // staying inside codegen.
+    // q62's shingle decontamination: given a small probe set (a
+    // deterministic ~256-document md5 sample, each contributing one
+    // 40-char mid-document span), count which corpus documents contain
+    // each probe verbatim. The fixed-size probe set is the semantics,
+    // not a shortcut: an eval set is a FIXED artifact — thousands of
+    // strings however large the corpus — so the probe side must not
+    // scale with N (as a 1-in-97 corpus fraction the operator was
+    // quadratic: measured exponent 1.65 on the 10× corpus; the md5
+    // sample keeps the probe count flat at EVERY sf, where a plain
+    // LIMIT cap binds only past the corpus size it was tuned at). The
+    // probe relation BROADCASTS and the containment predicate runs
+    // scan-side per (doc, probe) — cost n_docs × |eval set| substring
+    // searches, linear in the corpus, with no shuffle of it. For probe
+    // sets large enough that the product bites, build an Aho–Corasick
+    // automaton per partition instead; at eval-set sizes the predicate
+    // form wins by staying inside codegen.
     QueryDef.sql("q88_exact_substring_contamination") { (s, d) =>
       val docs = Tables(s, d, "documents")
+      val n = docs.select(col("doc_id")).count()
       val probes = docs
-        .filter(col("doc_id") % 97 === 0)
+        .filter(graft.Ids.sampleKeep("doc_id", n, 1024))
         .select(col("doc_id").as("probe_doc_id"),
           expr("substring(text, 21, 40)").as("probe"))
         .filter(length(col("probe")) === 40)
@@ -805,10 +808,12 @@ object Pipeline {
             .as("n_foreign_hits"))
         .orderBy("probe_doc_id")
     } {
-      """WITH p AS (
+      s"""WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        |p AS (
         |  SELECT doc_id AS probe_doc_id, SUBSTRING(text, 21, 40) AS probe
-        |  FROM documents
-        |  WHERE doc_id % 97 = 0 AND LENGTH(SUBSTRING(text, 21, 40)) = 40
+        |  FROM documents, cnt
+        |  WHERE ${graft.Ids.sampleKeepSql("doc_id", 1024)}
+        |    AND LENGTH(SUBSTRING(text, 21, 40)) = 40
         |  ORDER BY probe_doc_id LIMIT 256)
         |SELECT p.probe_doc_id, COUNT(*) AS n_hits,
         |  CAST(SUM(CASE WHEN d.doc_id <> p.probe_doc_id THEN 1 ELSE 0 END)

@@ -386,27 +386,19 @@ object Similarity {
     * because bucket membership is independent of vector content.
     */
   /** The deterministic keep-predicate behind [[embeddingNearDupSampled]]
-    * — the library-wide md5 id-hash recipe (graft.Ids) over the full
-    * 32-bit bucket space: a coarse space with a floor of 1 bucket would
-    * silently keep n/space vectors — unbounded in n, the detonation the
-    * sample exists to prevent. 2^32 buckets keep the floor harmless up
-    * to n ≈ target·2^32. Callers pass the corpus count `n`; the gate
-    * (q113's sibling q111) reuses the same predicate to restrict the
-    * found side to the sampled universe.
+    * — graft.Ids.sampleKeep over vec_id (the library-wide fixed-size
+    * sample recipe shared with the q24 jaccard truth). Callers pass the
+    * corpus count `n`; the gate (q111) reuses the same predicate to
+    * restrict the found side to the sampled universe.
     */
-  def sampleKeep(n: Long, target: Long, idCol: String = "vec_id"): Column = {
-    val space = 4294967296.0 // 2^32
-    val keepBuckets = math.max(1L, (target.toDouble / n * space).toLong)
-    graft.Ids.hash(idCol) < lit(keepBuckets)
-  }
+  def sampleKeep(n: Long, target: Long, idCol: String = "vec_id"): Column =
+    graft.Ids.sampleKeep(idCol, n, target)
 
-  /** DuckDB fragment equivalent to [[sampleKeep]], with the corpus count
-    * read from a `cnt(n)` relation in scope (same truncation semantics:
-    * FLOOR + BIGINT cast ≡ Scala's toLong on these positive values).
+  /** DuckDB fragment equivalent to [[sampleKeep]] (see
+    * graft.Ids.sampleKeepSql — expects a `cnt(n)` relation in scope).
     */
   def sampleKeepSql(idCol: String, target: Long): String =
-    s"${graft.Ids.hashSql(idCol)} < GREATEST(1, " +
-      s"CAST(FLOOR($target.0 / n * 4294967296.0) AS BIGINT))"
+    graft.Ids.sampleKeepSql(idCol, target)
 
   def embeddingNearDupSampled(
       s: SparkSession, d: String,
