@@ -99,4 +99,16 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // O(probes), so growth tracks the corpus scan, never a pair product
     assertTrend("q88_exact_substring_contamination", "documents")
   }
+
+  test("q112 production dedup pipeline scales sub-quadratically in documents") {
+    // the full scale path: banded candidates → verified pairs → CC →
+    // keep/drop; any stage regressing to a pair product trips this
+    assertTrend("q112_dedup_pipeline_scalable", "documents")
+  }
+
+  test("q49 sampled exact truth scales sub-quadratically in embeddings") {
+    // the blocked GEMM kernel over the bounded sample: its cost is
+    // pairs-in-sample + one corpus scan, so growth must track the scan
+    assertTrend("q49_embedding_near_dup", "embeddings")
+  }
 }
