@@ -1038,6 +1038,61 @@ object Pipeline {
          |    CAST(CAST(FLOOR((cum - n_tok) / $ContextTokens) AS BIGINT) AS VARCHAR)
          |  END) AS n_windows
          |FROM cm""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q115: TOKEN-BUDGET DATA SELECTION — "take the highest-quality
+    // documents until the token budget is spent", the quality-ranked
+    // curation step between scoring (q32) and mixture materialization
+    // (q81). Budget here: half the corpus's tokens (integer floor-div —
+    // exact on both engines). The prefix over the global
+    // (quality DESC, doc_id) order uses Scale.globalOrderedCumsum — the
+    // two-pass frozen range shuffle — because the naive global window is
+    // one task sorting the corpus; a doc whose tokens would cross the
+    // budget line is excluded (strict prefix, cum <= budget on exact
+    // int64 sums). The ranking score is TextAnalysis.qualityScore, the
+    // SAME expression q32 audits, so selection cannot drift from the
+    // scoring operator. Reported per language: docs/tokens admitted and
+    // the admitted quality floor. (The cumsum op pins a corpus-sized
+    // frozen snapshot per run; library callers release it via
+    // Checkpoints.release — q78's posture.)
+    QueryDef.sql("q115_token_budget_selection") { (s, d) =>
+      val scored = Tables(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("quality_score", TextAnalysis.qualityScore)
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+      val total = scored.agg(sum(col("n_tokens")).as("total_tokens"))
+      graft.ops.Scale.globalOrderedCumsum(
+          scored, "n_tokens", "cum_tokens", "rnk",
+          col("quality_score").desc, col("doc_id"))
+        .crossJoin(broadcast(total))
+        .filter(col("cum_tokens") <= expr("total_tokens DIV 2"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs_selected"),
+          sum(col("n_tokens")).as("tokens_selected"),
+          min(col("quality_score")).as("min_quality_selected"))
+        .orderBy("lang")
+    } {
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${graft.llm.TextAnalysis.qualityScoreSql} AS quality_score
+         |  FROM documents),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM sc),
+         |r AS (
+         |  SELECT doc_id, lang, n_tokens, quality_score,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sc)
+         |SELECT lang,
+         |  COUNT(*) AS n_docs_selected,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+         |  MIN(quality_score) AS min_quality_selected
+         |FROM r, t
+         |WHERE cum_tokens <= t.budget
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
     }
   )
 }

@@ -342,6 +342,80 @@ object Similarity {
         |FROM cent a JOIN cent b ON a.label < b.label
         |JOIN c ca ON ca.label = a.label JOIN c cb ON cb.label = b.label
         |ORDER BY label_a, label_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q116: NEAREST-CENTROID CLASSIFICATION — the domain-tagging /
+    // label-audit curation op: fit per-label centroids on a
+    // deterministic half of the corpus (even vec_ids), assign every
+    // held-out vector to its nearest centroid by cosine, report the
+    // confusion matrix. Exactness follows q80's scheme: 1e3-quantized
+    // components, centroids as exact per-dimension int64 sums (the
+    // count denominator cancels out of cosine), so dot products are
+    // exact integer-valued doubles and the only IEEE ops are one sqrt
+    // and one divide — bit-identical on both engines. Shape at scale:
+    // one posexplode → shrinking (label, dim) partial agg for the
+    // centroids (tiny: labels × dims), the centroid set collected into
+    // ONE broadcast row, then a map-side argmax fold per held-out
+    // vector — no per-vector shuffle anywhere; the only exchange after
+    // the centroid build is the labels²-key confusion agg. The argmax
+    // fold is order-independent (strictly-greater or tie-and-smaller-
+    // label wins), so collect_list's nondeterministic order is
+    // immaterial.
+    QueryDef.sql("q116_centroid_classifier") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val q3 = "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS double))"
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), expr(q3).as("v"))
+      val sums = emb.filter(col("vec_id") % 2 === 0)
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "qv")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("qv").cast("long")).as("s"))
+      val cent = sums.groupBy(col("label"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, s))), x -> cast(x.s AS double))")
+          .as("cv"))
+        .withColumn("nrm", sqrt(expr("vec_dot(cv, cv)")))
+      val cents = cent.agg(collect_list(
+        expr("named_struct('l', label, 'cv', cv, 'nrm', nrm)")).as("cents"))
+      emb.filter(col("vec_id") % 2 === 1)
+        .crossJoin(broadcast(cents))
+        .withColumn("best", expr(
+          """aggregate(cents,
+            |  named_struct('s', cast(-1e308 AS double), 'l', cast(-1 AS int)),
+            |  (acc, c) -> CASE
+            |    WHEN vec_dot(v, c.cv) / c.nrm > acc.s
+            |      OR (vec_dot(v, c.cv) / c.nrm = acc.s AND c.l < acc.l)
+            |    THEN named_struct('s', vec_dot(v, c.cv) / c.nrm, 'l', c.l)
+            |    ELSE acc END)""".stripMargin))
+        .groupBy(col("label").as("label_actual"), col("best.l").as("label_pred"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("label_actual", "label_pred")
+    } {
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS v
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT label, UNNEST(v) AS qv, generate_subscripts(v, 1) AS pos
+        |  FROM q WHERE vec_id % 2 = 0),
+        |s AS (
+        |  SELECT label, pos, CAST(SUM(qv) AS DOUBLE) AS sv FROM e GROUP BY label, pos),
+        |cent AS (SELECT label, LIST(sv ORDER BY pos) AS cv FROM s GROUP BY label),
+        |cn AS (SELECT label, cv, SQRT(list_dot_product(cv, cv)) AS nrm FROM cent),
+        |scored AS (
+        |  SELECT t.vec_id, t.label AS label_actual, c.label AS label_pred,
+        |    list_dot_product(t.v, c.cv) / c.nrm AS score
+        |  FROM q t CROSS JOIN cn c WHERE t.vec_id % 2 = 1),
+        |best AS (
+        |  SELECT vec_id, label_actual, label_pred,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, label_pred) AS rn
+        |  FROM scored)
+        |SELECT label_actual, label_pred, COUNT(*) AS n_vecs
+        |FROM best WHERE rn = 1
+        |GROUP BY label_actual, label_pred
+        |ORDER BY label_actual, label_pred""".stripMargin
     }
   )
 

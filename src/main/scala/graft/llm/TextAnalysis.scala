@@ -34,6 +34,27 @@ object TextAnalysis {
     s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ($list))) AS INT)"
   }
 
+  /** The q32 composite quality score as one self-contained per-row
+    * expression over `text` — shared with q115's budgeted selection so
+    * the selection's ranking score cannot drift from the audited q32
+    * definition. Identical IEEE operations in the same association as
+    * q32's column-by-column form, so the two produce bit-equal doubles.
+    */
+  private[llm] def qualityScore: Column = {
+    val nTok = size(split(col("text"), " ")).cast("double")
+    val nDis = size(array_distinct(split(col("text"), " "))).cast("double")
+    least(lit(1.0), nTok / 50.0) * 0.4 + (nDis / nTok) * 0.4 +
+      (hitsExpr(En).cast("double") / nTok) * 0.2
+  }
+
+  /** DuckDB fragment equivalent to [[qualityScore]]. */
+  private[llm] def qualityScoreSql: String =
+    "(LEAST(1.0, CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 50.0) * 0.4 + " +
+      "(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) / " +
+      "CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.4 + " +
+      s"(CAST(${hitsSql(En)} AS DOUBLE) / " +
+      "CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.2)"
+
   /** Ordered redaction: apply `(pattern, replacement)` rules
     * left-to-right. Patterns must stay RE2-compatible (no lookarounds,
     * no backreferences) so the same rule set runs identically on Spark
@@ -541,6 +562,185 @@ object TextAnalysis {
         |FROM r
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q114: BIGRAM-LM SURPRISAL SCORE — the CCNet/Gopher-style "fit a
+    // cheap n-gram LM on the corpus, filter documents the model finds
+    // surprising" quality gate. The usual formulation averages
+    // -log P(w2|w1); transcendentals are not bit-reproducible across
+    // engines, so the score here is the mean INVERSE conditional
+    // probability under add-1/2 smoothing — the same ordering for
+    // filtering purposes, but every step (int + exact-half sums, one
+    // IEEE division) is engine-exact and therefore oracle-hashable.
+    //   inv_p(w1 w2) = (c(w1) + V/2) / (c(w1,w2) + 1/2)
+    // Shape at scale: three linear scans (unigram counts, bigram counts,
+    // probe), two keyed shuffle joins on token/bigram (the model
+    // relations have unique keys; a hot stopword bigram on the probe
+    // side is AQE-skew-join territory, not a plan change), the vocab
+    // size as a broadcast scalar, then per-doc and per-lang keyed aggs.
+    // No driver materialization, no all-pairs. Docs with < 2 tokens
+    // contribute no bigrams and are excluded (both engines). Per-doc
+    // decimal(18,6) sums bound |inv_p|·bigrams/doc < 1e12 — holds while
+    // c(w1) + V/2 times tokens-per-doc stays under 1e12; revisit the
+    // scale if a single w1 approaches 1e9 occurrences.
+    QueryDef.sql("q114_bigram_lm_surprisal") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pairs = docs
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        // barrier: materialize the token array once (the bigram transform
+        // references it three times; CollapseProject would re-split per
+        // ref) — same posture as q41/q86
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> named_struct('w1', element_at(toks, i),
+            |                    'w2', element_at(toks, i + 1)))""".stripMargin))
+          .as("bg"))
+        .select(col("doc_id"), col("lang"), col("bg.w1"), col("bg.w2"))
+      val uni = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val perDoc = pairs
+        .join(big, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("token", "w1"), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("inv_p",
+          (col("cu").cast("double") + lit(0.5) * col("v").cast("double")) /
+            (col("cb").cast("double") + lit(0.5)))
+        // csum (scale-6 round + exact int64 sum), NOT dsum: the decimal
+        // cast's rounding of an already-rounded double can double-round
+        // differently across engines; round() of a bit-identical double
+        // is one shared IEEE rounding. Overflow bound (per csum's
+        // contract): per-doc Σ|inv_p|·1e6 ≲ bigrams/doc · (c_max+V/2)·1e6
+        // — bounded by doc length, not corpus size; the lang-level mean
+        // binds docs/lang · surprisal · 1e6 < 2^63, revisit past ~1e6
+        // mean-surprisal · 1e9 docs per language.
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((Det.csum(col("inv_p"), 6) / count(lit(1))).as("doc_surprisal"))
+      // freeze the scored relation (1 row/doc): both consumers below —
+      // the per-lang means and the flagging probe — read the frozen
+      // partitions, so the expensive LM-scoring subtree (3 scans + 2
+      // model joins) runs ONCE, not once per consumer. Library callers
+      // release via Checkpoints.release (q78's posture). The alternative
+      // single-pass shape (a lang-partitioned full-frame window) is the
+      // 5-partition scale-killer this library bans.
+      val perDocF = graft.Checkpoints.checkpoint(perDoc)
+      val perLang = perDocF.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (Det.csum(col("doc_surprisal"), 6) / count(lit(1))).as("mean_surprisal"))
+      perDocF.join(broadcast(perLang), Seq("lang"))
+        .groupBy(col("lang"), col("n_docs"), col("mean_surprisal"))
+        .agg(count(when(col("doc_surprisal") > col("mean_surprisal") * 1.5, 1))
+          .as("n_flagged"))
+        .select("lang", "n_docs", "mean_surprisal", "n_flagged")
+        .orderBy("lang")
+    } {
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+         |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+         |pairs AS (
+         |  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, lang, toks,
+         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+         |        FROM tk)),
+         |uni AS (
+         |  SELECT token, COUNT(*) AS cu
+         |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+         |  GROUP BY token),
+         |v AS (SELECT COUNT(*) AS v FROM uni),
+         |big AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+         |perdoc AS (
+         |  SELECT p.doc_id, p.lang,
+         |    (${Det.csumSql("(CAST(u.cu AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)) / " +
+           "(CAST(b.cb AS DOUBLE) + 0.5)", 6)} / COUNT(*)) AS doc_surprisal
+         |  FROM pairs p
+         |  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+         |  JOIN uni u ON p.w1 = u.token
+         |  CROSS JOIN v
+         |  GROUP BY p.doc_id, p.lang),
+         |perlang AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    (${Det.csumSql("doc_surprisal", 6)} / COUNT(*)) AS mean_surprisal
+         |  FROM perdoc GROUP BY lang)
+         |SELECT l.lang, l.n_docs, l.mean_surprisal,
+         |  CAST(COUNT(*) FILTER (WHERE p.doc_surprisal > l.mean_surprisal * 1.5)
+         |    AS BIGINT) AS n_flagged
+         |FROM perdoc p JOIN perlang l ON p.lang = l.lang
+         |GROUP BY l.lang, l.n_docs, l.mean_surprisal
+         |ORDER BY l.lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q117: PER-SOURCE N-GRAM DIVERSITY — the corpus-diversity audit
+    // (self-repetition / templated-content signal per source): token
+    // type–token ratio and distinct-trigram share. A source whose
+    // trigram diversity collapses relative to its unigram TTR is
+    // boilerplate/templated (the C4/Gopher "repetitious source" smell at
+    // source granularity — the per-doc twin is q69). Exactness: counts
+    // are integers; the two ratios are one IEEE division each of exact
+    // int64s. Shape at scale: each branch is explode → shrinking
+    // (source, gram) partial agg → per-source totals (distinct counts
+    // computed as the second level of the same agg — never a global
+    // distinct), joined on the tiny source key. The trigram branch
+    // repartitions on doc_id first — the materialization barrier that
+    // stops CollapseProject re-evaluating split() per element_at
+    // reference (q41/q86/q114's posture).
+    QueryDef.sql("q117_source_ngram_diversity") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      val uni = docs
+        .select(col("source"), explode(col("toks")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct_tokens"))
+      val tri = docs
+        .filter(size(col("toks")) >= 3)
+        .repartition(col("doc_id"))
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+            |                 element_at(toks, i + 2)))""".stripMargin)).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_trigrams"),
+          count(lit(1)).as("n_distinct_trigrams"))
+      uni.join(tri, "source")
+        .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+          (col("n_distinct_tokens").cast("double") /
+            col("n_tokens").cast("double")).as("token_ttr"),
+          col("n_trigrams"), col("n_distinct_trigrams"),
+          (col("n_distinct_trigrams").cast("double") /
+            col("n_trigrams").cast("double")).as("trigram_diversity"))
+        .orderBy("source")
+    } {
+      """WITH tk AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT source, COUNT(*) AS n_tokens,
+        |    COUNT(DISTINCT t) AS n_distinct_tokens
+        |  FROM (SELECT source, UNNEST(toks) AS t FROM tk)
+        |  GROUP BY source),
+        |tri AS (
+        |  SELECT source, COUNT(*) AS n_trigrams,
+        |    COUNT(DISTINCT g) AS n_distinct_trigrams
+        |  FROM (
+        |    SELECT source, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+        |    FROM (SELECT source, toks,
+        |            UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i
+        |          FROM tk WHERE LEN(toks) >= 3))
+        |  GROUP BY source)
+        |SELECT u.source, u.n_tokens, u.n_distinct_tokens,
+        |  CAST(u.n_distinct_tokens AS DOUBLE) / CAST(u.n_tokens AS DOUBLE)
+        |    AS token_ttr,
+        |  t.n_trigrams, t.n_distinct_trigrams,
+        |  CAST(t.n_distinct_trigrams AS DOUBLE) / CAST(t.n_trigrams AS DOUBLE)
+        |    AS trigram_diversity
+        |FROM uni u JOIN tri t ON u.source = t.source
+        |ORDER BY u.source""".stripMargin
     }
   )
 }

@@ -141,4 +141,49 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     windows.foreach(w => assert(w.contains("user_id"),
       s"the latency window must partition by user_id:\n$w"))
   }
+
+  test("q114 scores the corpus once; only the vocab scalar broadcast-loops") {
+    val df = graft.SparkEntry.queries("q114_bigram_lm_surprisal")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the bigram/unigram model joins must stay keyed, never cartesian:\n$p")
+    // the final plan reads the FROZEN per-doc relation — the LM-scoring
+    // subtree (which holds the one legitimate BroadcastNestedLoopJoin,
+    // the 1-row vocab scalar) must not be re-planned per consumer
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the scoring subtree leaked past the checkpoint (re-scored per consumer):\n$p")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q116 classifies map-side: the only join is the 1-row centroid broadcast") {
+    val p = plan("q116_centroid_classifier")
+    assert(!p.contains("CartesianProduct"),
+      s"the centroid set must broadcast, never cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join may touch the held-out vectors — the argmax is a " +
+        s"per-row fold over the broadcast centroid array:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"q116 must never shuffle per vector (labels²-key confusion agg only):\n$p")
+  }
+
+  test("q117's trigram branch materializes tokens behind the doc_id barrier") {
+    val p = plan("q117_source_ngram_diversity")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the trigram transform must read frozen token arrays (q41/q86's " +
+        s"anti-CollapseProject barrier):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the per-source join is tiny and must broadcast:\n$p")
+  }
+
+  test("q115's budget prefix never plans a single-task stage") {
+    val df = graft.SparkEntry.queries("q115_token_budget_selection")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("__pid"),
+        s"the budget running sum must partition by the two-pass key:\n$w")
+    }
+    graft.Checkpoints.release(df)
+  }
 }
