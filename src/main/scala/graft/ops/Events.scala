@@ -492,6 +492,50 @@ object Events {
         |FROM u
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q118: USER-JOURNEY TRANSITION MATRIX — the first-order Markov
+    // view of event flows: consecutive (from → to) event-type pairs per
+    // user, with the row-normalized transition probability. One keyed
+    // window (partition by user_id — the high-cardinality key, never a
+    // global sort) produces the successor; the matrix itself is a
+    // types²-key agg and the row totals broadcast back onto it. The
+    // probability is one IEEE division of two exact int64 counts —
+    // engine-exact. Ordering ties on ts break by event_id on both
+    // engines (the q21/q90 posture).
+    QueryDef.sql("q118_event_transitions") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val tot = t.groupBy(col("from_type"))
+        .agg(sum(col("n_transitions")).as("n_from"))
+      t.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_transitions"),
+          (col("n_transitions").cast("double") / col("n_from").cast("double"))
+            .as("p_transition"))
+        .orderBy("from_type", "to_type")
+    } {
+      """WITH s AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, to_type, COUNT(*) AS n_transitions
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+        |  FROM t GROUP BY from_type)
+        |SELECT t.from_type, t.to_type, t.n_transitions,
+        |  CAST(t.n_transitions AS DOUBLE) / CAST(tot.n_from AS DOUBLE)
+        |    AS p_transition
+        |FROM t JOIN tot ON t.from_type = tot.from_type
+        |ORDER BY t.from_type, t.to_type""".stripMargin
     }
   )
 }

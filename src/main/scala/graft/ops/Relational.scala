@@ -424,6 +424,39 @@ object Relational {
       // NULLS FIRST matches Spark's ascending default; DuckDB defaults
       // NULLS LAST, so a payload lacking '$.k' (schema-on-read expects
       // heterogeneity) would otherwise order its NULL group differently
-    }
+    },
+
+    // ------------------------------------------------------------------
+    // q119: CORRELATED SCALAR SUBQUERY (TPC-H Q17 shape) — revenue from
+    // below-half-average-quantity line items per brand. Registered
+    // through the literal-SQL surface (Tables.registerViews + one
+    // dialect-shared string run VERBATIM on both engines), because the
+    // interesting operator here is Catalyst's decorrelation: the
+    // correlated `AVG(l2.l_quantity) WHERE l2.l_partkey = l.l_partkey`
+    // rewrites to a per-part aggregate joined back on l_partkey — one
+    // extra keyed shuffle of the (partkey, avg) relation, never a
+    // per-row re-scan. Determinism: quantities are integer-valued
+    // doubles, so the per-part AVG is an exact sum over a small group
+    // divided once; revenue uses the decimal-summed double (Det.dsum's
+    // SQL form, valid in both dialects).
+    QueryDef.sql("q119_small_qty_revenue") { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(SmallQtyRevenueSql)
+    } { SmallQtyRevenueSql }
   )
+
+  /** q119's dialect-shared text: everything here parses and evaluates
+    * identically on Spark SQL and DuckDB — the correlated subquery, the
+    * decimal-sum cast chain, and the explicit ORDER BY.
+    */
+  private def SmallQtyRevenueSql: String =
+    """SELECT p.p_brand,
+      |  COUNT(*) AS n_small_qty_items,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_quantity < 0.5 * (
+      |  SELECT AVG(l2.l_quantity) FROM lineitem l2
+      |  WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
 }

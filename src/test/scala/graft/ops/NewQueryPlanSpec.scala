@@ -175,6 +175,25 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"the per-source join is tiny and must broadcast:\n$p")
   }
 
+  test("q118's successor window partitions by the high-cardinality user key") {
+    val p = plan("q118_event_transitions")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("user_id"),
+      s"the lead() window must partition by user_id, never SinglePartition:\n$w"))
+    assert(!p.contains("CartesianProduct"),
+      s"the row-total join is tiny and must broadcast:\n$p")
+  }
+
+  test("q119's correlated subquery decorrelates to one keyed aggregate join") {
+    val p = plan("q119_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the correlated AVG must rewrite to an equi-join on l_partkey, " +
+        s"never a nested-loop re-scan per row:\n$p")
+    assert(p.contains("partial_avg") || p.contains("avg("),
+      s"expected the decorrelated per-part aggregate in the plan:\n$p")
+  }
+
   test("q115's budget prefix never plans a single-task stage") {
     val df = graft.SparkEntry.queries("q115_token_budget_selection")(spark, d)
     val p = df.queryExecution.executedPlan.toString

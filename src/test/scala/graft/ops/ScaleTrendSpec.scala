@@ -111,4 +111,18 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // pairs-in-sample + one corpus scan, so growth must track the scan
     assertTrend("q49_embedding_near_dup", "embeddings")
   }
+
+  test("q114 bigram-LM surprisal scales sub-quadratically in documents") {
+    // unigram/bigram model relations have unique keys, so the probe
+    // joins are linear in corpus bigrams; a lost group-by (duplicate
+    // model keys fanning out the probe) would grow as a pair product
+    assertTrend("q114_bigram_lm_surprisal", "documents")
+  }
+
+  test("q117 n-gram diversity scales sub-quadratically in documents") {
+    // two-level (source, gram) aggs: growth must track the trigram
+    // explode; a degraded plan (global distinct, or the barrier lost
+    // and split() re-evaluated per element_at) shows up here
+    assertTrend("q117_source_ngram_diversity", "documents")
+  }
 }
