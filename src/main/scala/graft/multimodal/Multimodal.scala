@@ -32,6 +32,14 @@ object Multimodal {
       n_bytes_out: Int,
       out_checksum: Long)
 
+  /** Decoded audio container metadata (the real-codec audio shape). */
+  final case class AudioMeta(
+      doc_id: Long,
+      media_type: String,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long)
+
   /** Decoded (stubbed) features. */
   final case class MediaFeatures(
       doc_id: Long,
@@ -241,6 +249,29 @@ object Multimodal {
         |  1 AS n_frames
         |FROM documents
         |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q120: REAL audio-container decode, oracle-verified — q104's twin
+    // for the audio stub. A WAV (RIFF) container is synthesized per
+    // document with sample rate / channel count / frame count derived
+    // from the payload length (written by javax.sound.sampled's REAL
+    // WAVE writer), then the metadata is recovered by AudioSystem's real
+    // RIFF header parse. Those three fields exist only inside the
+    // container bytes, so the oracle (predicting them from n_chars
+    // independently) passes only if the audio codec path genuinely
+    // parses the header. Same per-partition mapPartitions shape a
+    // native audio codec (ffmpeg/libsndfile) would ride.
+    QueryDef.sql("q120_audio_decode")(audioDecode) {
+      """SELECT doc_id,
+        |  'audio/wav' AS media_type,
+        |  8000 + (CAST(OCTET_LENGTH(ENCODE(text)) AS INT) % 8) * 1000
+        |    AS sample_rate,
+        |  1 + CAST(OCTET_LENGTH(ENCODE(text)) AS INT) % 2 AS channels,
+        |  CAST(100 + (CAST(OCTET_LENGTH(ENCODE(text)) AS INT) * 3) % 900
+        |    AS BIGINT) AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
     }
   )
 
@@ -319,6 +350,45 @@ object Multimodal {
       .toDF()
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         col("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  /** q120's body: synthesize a WAV container per document (PCM silence
+    * under a real RIFF header written by the JDK's WAVE writer), then
+    * recover rate/channels/frames with the REAL AudioSystem parse. See
+    * the QueryDef comment for why this proves the decode.
+    */
+  def audioDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import javax.sound.sampled._
+    mediaRecords(s, d)
+      .mapPartitions { it =>
+        // encode stage: the AudioSystem provider registry is JVM-static
+        // (the per-partition "codec init" analog)
+        it.map { r =>
+          val n = r.blob.length
+          val rate = 8000 + (n % 8) * 1000
+          val channels = 1 + n % 2
+          val frames = 100 + (n * 3) % 900
+          val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+          val pcm = new Array[Byte](frames * 2 * channels)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(r.doc_id, "audio/wav", bos.toByteArray)
+        }
+      }
+      .mapPartitions { it =>
+        it.map { r =>
+          val aff = AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(r.blob))
+          val f = aff.getFormat
+          AudioMeta(r.doc_id, r.media_type, f.getSampleRate.toInt,
+            f.getChannels, aff.getFrameLength.toLong)
+        }
+      }
+      .toDF()
       .orderBy("doc_id")
   }
 }
