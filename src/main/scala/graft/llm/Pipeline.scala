@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.{QueryDef, Tables}
+import graft.{Ids, QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1093,6 +1093,57 @@ object Pipeline {
          |WHERE cum_tokens <= t.budget
          |GROUP BY lang
          |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q121: WEIGHTED PRIORITY SAMPLE — Duffield–Lund–Thorup priority
+    // sampling (JACM '07): the standard one-pass weighted sample whose
+    // per-item estimate max(w_i, tau) sums to an unbiased estimate of
+    // the TOTAL corpus weight. Weights here are n_chars (token-mass
+    // proxy); the uniform draw is the deterministic 32-bit id hash
+    // ((h+1)/2^32, same [[graft.Ids]] recipe as q53/q89 — reproducible,
+    // never rand()), so priority w/u collapses to w/(h+1) with the 2^32
+    // scale restored only in tau. Engine-exact WITHOUT decimals: both
+    // operands of the one division are integers below 2^53 (exactly
+    // representable), so the IEEE quotient is bit-identical on both
+    // engines; no floating SUM ever happens. Plan shape: the top-(k+1)
+    // is a distributed TakeOrderedAndProject (per-partition heaps, no
+    // global sort); the single-partition window and tau fold run on the
+    // O(k) survivor relation, driver-sized by definition.
+    QueryDef.sql("q121_priority_sample") { (s, d) =>
+      val k = 100
+      val pr = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+        .withColumn("prio",
+          col("w").cast("double") /
+            (graft.Ids.hash("doc_id") + lit(1L)).cast("double"))
+      val top = pr.orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
+      val rw = Window.orderBy(col("prio").desc, col("doc_id"))
+      val ranked = top.withColumn("rn", row_number().over(rw))
+      // tau = the (k+1)th-largest priority, the DLT estimator threshold;
+      // null (→ keep raw weights) when the corpus itself is <= k docs
+      val tau = ranked.agg(min(when(col("rn") === k + 1, col("prio"))).as("tau"))
+      ranked.filter(col("rn") <= k)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("w"), col("prio"),
+          greatest(col("w").cast("double"),
+            coalesce(col("tau") * lit(4294967296.0), lit(0.0))).as("w_est"))
+        .orderBy("doc_id")
+    } {
+      s"""WITH pr AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    CAST(n_chars AS DOUBLE) / CAST((${Ids.hashSql("doc_id")} + 1) AS DOUBLE)
+         |      AS prio
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn
+         |  FROM pr),
+         |t AS (SELECT MIN(CASE WHEN rn = 101 THEN prio END) AS tau FROM r)
+         |SELECT doc_id, w, prio,
+         |  GREATEST(CAST(w AS DOUBLE), COALESCE(tau * 4294967296.0, 0.0)) AS w_est
+         |FROM r, t
+         |WHERE rn <= 100
+         |ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Det, QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reshaping and statistics operators: pivot/unpivot, exact percentiles,
@@ -362,6 +363,76 @@ object Stats {
          |  SQRT((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
          |FROM sums
          |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q122: PER-SOURCE LENGTH-DISTRIBUTION DRIFT — the two-sample
+    // Kolmogorov–Smirnov statistic between each source's document-length
+    // distribution and the REST of the corpus, on width-50 char buckets:
+    // D = max over bucket boundaries of |CDF_source − CDF_rest|. A
+    // templated or truncated feed shows up as a large D long before eye-
+    // balling histograms does — the distribution-drift twin of q91's KL
+    // mixture monitor (which compares CATEGORY shares; this compares a
+    // numeric distribution's shape). Scale: one shrinking (source,
+    // bucket) count agg is the only corpus-sized pass; the global bucket
+    // relation, the dense source × bucket grid (KS must evaluate the gap
+    // where a source has NO mass, so missing cells are zero-filled), the
+    // cumulative windows and the max all run on O(sources × buckets)
+    // rows. Engine-exact: every CDF value is ONE division of exact
+    // integers (< 2^53), the gap is elementwise IEEE subtract/abs, and
+    // MAX is order-free — no floating-point accumulation anywhere.
+    QueryDef.sql("q122_length_drift_ks") { (s, d) =>
+      // the ONE corpus-sized pass, frozen (q78's posture) so the four
+      // consumers below derive from the O(sources × buckets) relation
+      // instead of four re-scans of the corpus
+      val sb = graft.Checkpoints.checkpoint(
+        Tables(s, d, "documents")
+          .select(col("source"), expr("n_chars DIV 50").as("bucket"))
+          .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("n_sb")))
+      val gb = sb.groupBy(col("bucket")).agg(sum(col("n_sb")).as("n_b"))
+      val sources = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+      val total = sources.agg(sum(col("n_s")).as("n_tot"))
+      val grid = sources.crossJoin(broadcast(gb))
+        .join(sb, Seq("source", "bucket"), "left_outer")
+        .withColumn("n_sb", coalesce(col("n_sb"), lit(0L)))
+      val cw = Window.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_s", sum(col("n_sb")).over(cw))
+        .withColumn("cum_b", sum(col("n_b")).over(cw))
+        .crossJoin(broadcast(total))
+        .withColumn("n_r", col("n_tot") - col("n_s"))
+        .withColumn("gap", abs(
+          col("cum_s").cast("double") / col("n_s").cast("double") -
+            (col("cum_b") - col("cum_s")).cast("double") / col("n_r").cast("double")))
+        .groupBy(col("source"), col("n_s"), col("n_r"))
+        .agg(max(col("gap")).as("ks_d"))
+        .orderBy("source")
+    } {
+      """WITH sb AS (
+        |  SELECT source, n_chars // 50 AS bucket, COUNT(*) AS n_sb
+        |  FROM documents GROUP BY 1, 2),
+        |gb AS (SELECT bucket, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM sb GROUP BY 1),
+        |src AS (SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM src),
+        |grid AS (
+        |  SELECT src.source, src.n_s, gb.bucket, gb.n_b,
+        |    COALESCE(sb.n_sb, 0) AS n_sb
+        |  FROM src CROSS JOIN gb
+        |  LEFT JOIN sb ON sb.source = src.source AND sb.bucket = gb.bucket),
+        |c AS (
+        |  SELECT source, n_s, bucket,
+        |    CAST(SUM(n_sb) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s,
+        |    CAST(SUM(n_b) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+        |  FROM grid)
+        |SELECT source, n_s, n_tot - n_s AS n_r,
+        |  MAX(ABS(CAST(cum_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+        |    - CAST(cum_b - cum_s AS DOUBLE) / CAST(n_tot - n_s AS DOUBLE))) AS ks_d
+        |FROM c, tot
+        |GROUP BY source, n_s, n_tot
+        |ORDER BY source""".stripMargin
     }
   )
 }

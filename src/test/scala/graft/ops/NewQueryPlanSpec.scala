@@ -205,4 +205,32 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     }
     graft.Checkpoints.release(df)
   }
+
+  test("q121's top-(k+1) is a TakeOrdered heap merge, not a global sort") {
+    val p = plan("q121_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the corpus-sized top-k must plan per-partition heaps:\n$p")
+    // the only windows/sorts allowed are on the O(k) survivor relation,
+    // which sits ABOVE the TakeOrderedAndProject — the corpus side must
+    // never see an Exchange SinglePartition before the take
+    val beforeTake = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!beforeTake.contains("Exchange SinglePartition"),
+      s"the corpus side of q121 must not gather to one task:\n$p")
+  }
+
+  test("q122 scans documents once; all joins on the bucket grid broadcast") {
+    val df = graft.SparkEntry.queries("q122_length_drift_ks")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // the single corpus scan runs inside the eager checkpoint of the
+    // (source, bucket) agg; the final plan must see ONLY the frozen
+    // O(sources x buckets) relation — any parquet scan here means a
+    // consumer re-derived the corpus
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"q122's grid/cum relations must derive from the one frozen " +
+        s"(source, bucket) agg, not re-scan the corpus (got $scans scans):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the O(sources x buckets) grid joins must broadcast:\n$p")
+    graft.Checkpoints.release(df)
+  }
 }
