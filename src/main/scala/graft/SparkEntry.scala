@@ -16,7 +16,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Events.queries ++ ops.Extended.queries ++
       ops.Stats.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++ llm.TextAnalysis.queries ++
-      llm.Pipeline.queries ++ multimodal.Multimodal.queries ++ llm.Gates.queries
+      llm.Pipeline.queries ++ multimodal.Multimodal.queries ++ llm.Gates.queries ++
+      llm.Search.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY §7.2 end-to-end slice: purchase events joined to the

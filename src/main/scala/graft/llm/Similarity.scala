@@ -416,6 +416,74 @@ object Similarity {
         |FROM best WHERE rn = 1
         |GROUP BY label_actual, label_pred
         |ORDER BY label_actual, label_pred""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q124: CONTRASTIVE PAIR MINING — the embedding-training curation
+    // op: for each anchor, the k hardest NEGATIVES (most-similar vectors
+    // with a DIFFERENT label — the pairs a contrastive loss learns most
+    // from) and the k hardest POSITIVES (least-similar vectors sharing
+    // the anchor's label). Registered form scans the candidate side
+    // exactly against a small broadcast anchor set — the validation
+    // semantics, same posture as q27; production mining over an
+    // every-doc anchor set routes candidate generation through the
+    // ANN paths (q75 IVF / q28 LSH) and re-scores exactly, gated
+    // against this truth. The low-cardinality per-anchor window is
+    // safe because the rank≤k filter plans a PARTIAL WindowGroupLimit
+    // ahead of the exchange (pinned in NewQueryPlanSpec): each map
+    // task forwards at most k candidates per anchor, so the per-anchor
+    // sort sees ≤ k·map_tasks rows, never the corpus.
+    QueryDef.sql("q124_contrastive_mining") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val k = 5
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), expr(quant).as("v"))
+        .withColumn("norm2", dot("v", "v"))
+      val anchors = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("v").as("av"), col("norm2").as("an2"))
+      val pairs = emb.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+        .withColumn("cos_sim",
+          dot("av", "v") / (sqrt(col("an2")) * sqrt(col("norm2"))))
+        .select(col("a_id"), col("a_label"), col("label"),
+          col("vec_id").as("cand_id"), col("cos_sim"))
+      def topK(df: DataFrame, kind: String, asc: Boolean): DataFrame = {
+        val ord =
+          if (asc) Seq(col("cos_sim").asc, col("cand_id").asc)
+          else Seq(col("cos_sim").desc, col("cand_id").asc)
+        val w = Window.partitionBy(col("a_id")).orderBy(ord: _*)
+        df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+          .select(col("a_id"), lit(kind).as("kind"), col("rnk"),
+            col("cand_id"), col("cos_sim"))
+      }
+      topK(pairs.filter(col("label") =!= col("a_label")), "hard_negative", asc = false)
+        .unionByName(
+          topK(pairs.filter(col("label") === col("a_label")), "hard_positive", asc = true))
+        .orderBy("a_id", "kind", "rnk")
+    } {
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $quantSql AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, v, list_dot_product(v, v) AS norm2 FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, a.label AS a_label,
+         |    c.label AS label, c.vec_id AS cand_id,
+         |    list_dot_product(a.v, c.v) / (SQRT(a.norm2) * SQRT(c.norm2)) AS cos_sim
+         |  FROM n a JOIN n c ON a.vec_id < 8 AND c.vec_id <> a.vec_id),
+         |negs AS (
+         |  SELECT a_id, 'hard_negative' AS kind, cand_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id
+         |                       ORDER BY cos_sim DESC, cand_id) AS rnk
+         |  FROM pairs WHERE label <> a_label),
+         |poss AS (
+         |  SELECT a_id, 'hard_positive' AS kind, cand_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY a_id
+         |                       ORDER BY cos_sim ASC, cand_id) AS rnk
+         |  FROM pairs WHERE label = a_label)
+         |SELECT a_id, kind, rnk, cand_id, cos_sim FROM (
+         |  SELECT * FROM negs WHERE rnk <= 5
+         |  UNION ALL SELECT * FROM poss WHERE rnk <= 5)
+         |ORDER BY a_id, kind, rnk""".stripMargin
     }
   )
 

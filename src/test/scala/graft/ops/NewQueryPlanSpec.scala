@@ -233,4 +233,26 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"the O(sources x buckets) grid joins must broadcast:\n$p")
     graft.Checkpoints.release(df)
   }
+
+  test("q123 joins postings only over broadcast; top-k limits before the exchange") {
+    val p = plan("q123_bm25_topk")
+    assert(!p.contains("SortMergeJoin"),
+      s"df/query-set/corpus-stats relations must broadcast:\n$p")
+    // the low-cardinality q_id window is admissible ONLY because the
+    // rank filter plans a partial WindowGroupLimit on the map side —
+    // each task forwards ≤ k rows per query, so the per-query partition
+    // sorts ≤ k·tasks rows, never the scored candidate relation
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"q123's top-k must prune per-partition before the q_id exchange:\n$p")
+  }
+
+  test("q124's anchor scan broadcasts; per-anchor top-k limits before the exchange") {
+    val p = plan("q124_contrastive_mining")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the anchor set must broadcast against the candidate scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q124 must never shuffle-join or cross-join the corpus:\n$p")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"q124's per-anchor top-k must prune map-side:\n$p")
+  }
 }
