@@ -433,6 +433,183 @@ object Stats {
         |FROM c, tot
         |GROUP BY source, n_s, n_tot
         |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q125: KMV (k-minimum-values) DISTINCT-SET SKETCH with mergeable
+    // union/intersection estimates — the "audience overlap between
+    // segments without an exact distinct-join" operator (Beyer et al.,
+    // SIGMOD'07 / the theta-sketch family's bottom-k core). Per segment
+    // the sketch is the k smallest values of the library's md5 id-hash;
+    // distinct ≈ (k−1)·2³²/h_k. A pair's union sketch is the k smallest
+    // of the merged sketches, and — because h ∈ KMV(A∪B) ∧ h ∈ A implies
+    // h ∈ KMV(A) (A's k-th-smallest threshold is ≥ the union's) — the
+    // Jaccard numerator needs only k-sized sketch joins, never the
+    // underlying sets: |A∩B| ≈ (|{h ∈ KMV(A∪B): h ∈ KMV(A) ∧ h ∈
+    // KMV(B)}| / |KMV(A∪B)|) · est(A∪B). Sets below k report exactly.
+    //
+    // UNLIKE an HLL, every step is deterministic given the hash — the k-th
+    // order statistic, integer counts, one IEEE division — so the
+    // ESTIMATES THEMSELVES hash-match the oracle (q105's gate-boolean
+    // indirection is unnecessary); the in-band booleans just document the
+    // accuracy contract (k=256 → rse ≈ 1/√(k−2) ≈ 6%; bands are 3σ-ish
+    // fixed constants measured across the fixture SFs). Exact anchors
+    // count the hashed universe the sketch sees (2³² space: collisions
+    // are ≪1 per segment below ~10⁵ ids; at larger universes widen the
+    // hash, not the band).
+    //
+    // Shape at 100 TB: one distinct-agg on (segment, h) — the only
+    // corpus-scale shuffle — then per-segment bottom-k via the map-side
+    // partial WindowGroupLimit; every relation after that is O(k·
+    // segments²) and broadcast. The exact-intersection anchor is a
+    // hash-keyed equi-join of the distinct relation with itself (output
+    // bounded by segments² per h) — the thing the sketch exists to
+    // avoid, priced here as the validation anchor.
+    QueryDef.sql("q125_kmv_set_sketch") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      // element = active user-DAY (user_id:date): segments then overlap
+      // partially (Jaccard ≈ 0.2 on the fixtures) instead of sharing one
+      // user universe, so the intersection estimate is non-trivial
+      val elem = "concat(cast(user_id AS string), ':', cast(to_date(ts) AS string))"
+      val segs = ev.select(col("event_type"), graft.Ids.hash(elem).as("h")).distinct()
+      val exact = segs.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+      val wk = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val sk = segs.withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= KmvK)
+        .select(col("event_type"), col("h"))
+      val skStats = sk.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"))
+      val pairs = exact
+        .select(col("event_type").as("seg_a"), col("n_exact").as("n_exact_a"))
+        .crossJoin(broadcast(exact
+          .select(col("event_type").as("seg_b"), col("n_exact").as("n_exact_b"))))
+        .filter(col("seg_a") < col("seg_b"))
+      val uh = pairs.select("seg_a", "seg_b")
+        .join(sk, col("event_type") === col("seg_a") || col("event_type") === col("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("h")).distinct()
+      val wu = Window.partitionBy(col("seg_a"), col("seg_b")).orderBy(col("h"))
+      val usk = uh.withColumn("rnk", row_number().over(wu)).filter(col("rnk") <= KmvK)
+        .select("seg_a", "seg_b", "h")
+      val um = usk
+        .join(sk.select(col("event_type").as("seg_a"), col("h"), lit(1).as("in_a")),
+          Seq("seg_a", "h"), "left")
+        .join(sk.select(col("event_type").as("seg_b"), col("h"), lit(1).as("in_b")),
+          Seq("seg_b", "h"), "left")
+        .groupBy(col("seg_a"), col("seg_b"))
+        .agg(count(lit(1)).as("n_usk"), max(col("h")).as("hk_u"),
+          count(when(col("in_a").isNotNull && col("in_b").isNotNull, 1)).as("n_both"))
+      val inter = segs.select(col("event_type").as("seg_a"), col("h"))
+        .join(segs.select(col("event_type").as("seg_b"), col("h")), Seq("h"))
+        .filter(col("seg_a") < col("seg_b"))
+        .groupBy(col("seg_a"), col("seg_b")).agg(count(lit(1)).as("n_inter_nn"))
+      pairs
+        .join(broadcast(skStats.select(col("event_type").as("seg_a"),
+          col("n_sk").as("n_sk_a"), col("hk").as("hk_a"))), Seq("seg_a"))
+        .join(broadcast(skStats.select(col("event_type").as("seg_b"),
+          col("n_sk").as("n_sk_b"), col("hk").as("hk_b"))), Seq("seg_b"))
+        .join(broadcast(um), Seq("seg_a", "seg_b"))
+        .join(broadcast(inter), Seq("seg_a", "seg_b"), "left")
+        .withColumn("n_exact_inter", coalesce(col("n_inter_nn"), lit(0L)))
+        .withColumn("n_exact_union",
+          col("n_exact_a") + col("n_exact_b") - col("n_exact_inter"))
+        .withColumn("est_a", expr(kmvEst("n_sk_a", "hk_a")))
+        .withColumn("est_b", expr(kmvEst("n_sk_b", "hk_b")))
+        .withColumn("est_union", expr(kmvEst("n_usk", "hk_u")))
+        .withColumn("est_inter", expr(
+          "(CAST(n_both AS DOUBLE) / CAST(n_usk AS DOUBLE)) * est_union"))
+        .select(col("seg_a"), col("seg_b"),
+          col("n_exact_a"), col("n_exact_b"), col("n_exact_inter"), col("n_exact_union"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+          expr(kmvBand("est_a", "n_exact_a", "0.25")).as("a_in_band"),
+          expr(kmvBand("est_b", "n_exact_b", "0.25")).as("b_in_band"),
+          expr(kmvBand("est_union", "n_exact_union", "0.25")).as("union_in_band"),
+          expr(kmvBand("est_inter", "n_exact_inter", "0.40")).as("inter_in_band"))
+        .orderBy("seg_a", "seg_b")
+    } {
+      s"""WITH segs AS (
+         |  SELECT DISTINCT event_type, ${graft.Ids.hashSql(
+        "CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)")} AS h
+         |  FROM events),
+         |ex AS (SELECT event_type, COUNT(*) AS n_exact FROM segs GROUP BY event_type),
+         |sk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+         |    FROM segs) WHERE rnk <= ${Stats.KmvK}),
+         |skst AS (
+         |  SELECT event_type, COUNT(*) AS n_sk, MAX(h) AS hk FROM sk
+         |  GROUP BY event_type),
+         |pairs AS (
+         |  SELECT a.event_type AS seg_a, a.n_exact AS n_exact_a,
+         |         b.event_type AS seg_b, b.n_exact AS n_exact_b
+         |  FROM ex a JOIN ex b ON a.event_type < b.event_type),
+         |uh AS (
+         |  SELECT DISTINCT p.seg_a, p.seg_b, s.h
+         |  FROM pairs p JOIN sk s
+         |    ON s.event_type = p.seg_a OR s.event_type = p.seg_b),
+         |usk AS (
+         |  SELECT seg_a, seg_b, h FROM (
+         |    SELECT seg_a, seg_b, h,
+         |      ROW_NUMBER() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rnk
+         |    FROM uh) WHERE rnk <= ${Stats.KmvK}),
+         |um AS (
+         |  SELECT u.seg_a, u.seg_b, COUNT(*) AS n_usk, MAX(u.h) AS hk_u,
+         |    COUNT(*) FILTER (WHERE a.h IS NOT NULL AND b.h IS NOT NULL) AS n_both
+         |  FROM usk u
+         |  LEFT JOIN sk a ON a.event_type = u.seg_a AND a.h = u.h
+         |  LEFT JOIN sk b ON b.event_type = u.seg_b AND b.h = u.h
+         |  GROUP BY u.seg_a, u.seg_b),
+         |inter AS (
+         |  SELECT a.event_type AS seg_a, b.event_type AS seg_b, COUNT(*) AS n_inter
+         |  FROM segs a JOIN segs b ON a.h = b.h AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT p.seg_a, p.seg_b, p.n_exact_a, p.n_exact_b,
+         |    COALESCE(i.n_inter, 0) AS n_exact_inter,
+         |    p.n_exact_a + p.n_exact_b - COALESCE(i.n_inter, 0) AS n_exact_union,
+         |    ${Stats.kmvEst("sa.n_sk", "sa.hk")} AS est_a,
+         |    ${Stats.kmvEst("sb.n_sk", "sb.hk")} AS est_b,
+         |    ${Stats.kmvEst("um.n_usk", "um.hk_u")} AS est_union,
+         |    um.n_both, um.n_usk
+         |  FROM pairs p
+         |  JOIN skst sa ON sa.event_type = p.seg_a
+         |  JOIN skst sb ON sb.event_type = p.seg_b
+         |  JOIN um ON um.seg_a = p.seg_a AND um.seg_b = p.seg_b
+         |  LEFT JOIN inter i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b),
+         |est2 AS (
+         |  SELECT *,
+         |    (CAST(n_both AS DOUBLE) / CAST(n_usk AS DOUBLE)) * est_union AS est_inter
+         |  FROM est)
+         |SELECT seg_a, seg_b,
+         |  CAST(n_exact_a AS BIGINT) AS n_exact_a,
+         |  CAST(n_exact_b AS BIGINT) AS n_exact_b,
+         |  CAST(n_exact_inter AS BIGINT) AS n_exact_inter,
+         |  CAST(n_exact_union AS BIGINT) AS n_exact_union,
+         |  est_a, est_b, est_union, est_inter,
+         |  ${Stats.kmvBand("est_a", "n_exact_a", "0.25")} AS a_in_band,
+         |  ${Stats.kmvBand("est_b", "n_exact_b", "0.25")} AS b_in_band,
+         |  ${Stats.kmvBand("est_union", "n_exact_union", "0.25")} AS union_in_band,
+         |  ${Stats.kmvBand("est_inter", "n_exact_inter", "0.40")} AS inter_in_band
+         |FROM est2
+         |ORDER BY seg_a, seg_b""".stripMargin
     }
   )
+
+  /** q125's sketch size. 256 keeps the estimation path (n > k) exercised
+    * at the sf0.01 correctness gate (~1.6k user-days/segment) while the
+    * sf0.001 fixture (~160/segment) exercises the exact small-set path;
+    * rse ≈ 1/√(k−2) ≈ 6%.
+    */
+  final val KmvK = 256
+
+  /** KMV distinct estimate — ONE dialect-shared fragment: exact count
+    * below k, else (k−1)·2³² over the k-th smallest hash (exact-integer
+    * operands, one correctly-rounded IEEE division).
+    */
+  def kmvEst(n: String, hk: String): String =
+    s"CASE WHEN $n < $KmvK THEN CAST($n AS DOUBLE) " +
+      s"ELSE (${KmvK - 1}.0 * 4294967296.0) / CAST($hk AS DOUBLE) END"
+
+  /** Accuracy-contract boolean, dialect-shared. */
+  def kmvBand(est: String, exact: String, tol: String): String =
+    s"ABS(($est) - CAST($exact AS DOUBLE)) <= CAST($exact AS DOUBLE) * $tol"
 }

@@ -255,4 +255,14 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
       s"q124's per-anchor top-k must prune map-side:\n$p")
   }
+
+  test("q125's bottom-k sketches limit map-side; sketch-sized joins broadcast") {
+    val p = plan("q125_kmv_set_sketch")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"per-segment bottom-k must prune per-partition before the exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(k·segments²) sketch relations must broadcast onto pairs:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q125 must never cartesian:\n$p")
+  }
 }
