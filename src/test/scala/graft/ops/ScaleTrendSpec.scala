@@ -125,4 +125,26 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // and split() re-evaluated per element_at) shows up here
     assertTrend("q117_source_ngram_diversity", "documents")
   }
+
+  test("q123 BM25 retrieval scales sub-quadratically in documents") {
+    // postings are the query-vocabulary slice of one corpus scan and
+    // the final rank limits map-side; a lost vocabulary filter (full
+    // token shuffle) or a lost WindowGroupLimit (full candidate sort
+    // into 4 query partitions) shows up here
+    assertTrend("q123_bm25_topk", "documents")
+  }
+
+  test("q124 contrastive mining scales sub-quadratically in embeddings") {
+    // one candidate scan against a fixed broadcast anchor set: growth
+    // must be linear in vectors; an anchor set accidentally scaling
+    // with the corpus would grow as the pair product
+    assertTrend("q124_contrastive_mining", "embeddings")
+  }
+
+  test("q125 KMV set sketch scales sub-quadratically in events") {
+    // the only corpus-scale stage is the (segment, hash) distinct agg
+    // and the exact-anchor hash join (bounded by segments² per hash);
+    // everything downstream is O(k·segments²) broadcast
+    assertTrend("q125_kmv_set_sketch", "events")
+  }
 }
