@@ -129,18 +129,28 @@ object Gates {
     // (q24's token-set J ≥ 0.6 is a different measure: a pair can share
     // 60% of its vocabulary with near-zero shingle overlap, so it is not
     // a recall target for a shingle verifier). The truth is exhaustive
-    // (un-blocked, un-hashed string shingles) over a FIXED 500-doc
-    // sample, so the oracle's all-pairs cost stays constant as the
-    // corpus scales while the GATED path (minhashDedup) still runs over
-    // the full corpus. Measured recall ≥ 0.8 at every fixture SF
-    // (LlmSpec measures the same bound exhaustively at sf0.001).
+    // (un-blocked) over a FIXED 500-doc sample, so the oracle's
+    // all-pairs cost stays constant as the corpus scales while the
+    // GATED path (minhashDedup) still runs over the full corpus.
+    // Shingles are md5-hashed to 60-bit ints on BOTH engines before the
+    // pairwise intersects — engine-identical (md5), and integer-array
+    // intersection is several times cheaper than ~20-char-string
+    // intersection across the 125k truth pairs (this was the most
+    // expensive registered query before the change). Collisions would
+    // need two shingles of one PAIR to share 60 bits: P ≈ 300²·125k/2⁶¹
+    // ≈ 5e-9 — not a truth hazard. Measured recall ≥ 0.8 at every
+    // fixture SF (LlmSpec measures the same bound exhaustively at
+    // sf0.001).
     QueryDef.sql("q107_minhash_recall_gate") { (s, d) =>
       val docs = Tables(s, d, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
-        .withColumn("sh", array_distinct(expr(
-          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        .withColumn("sh", expr(
+          """transform(
+            |  array_distinct(transform(sequence(0, size(toks) - 3),
+            |    i -> concat_ws(' ', slice(toks, i + 1, 3)))),
+            |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10) AS bigint))""".stripMargin))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       val truth = docs.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na"))
         .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")),
@@ -159,8 +169,10 @@ object Gates {
         |  WHERE doc_id < 500 AND LEN(STRING_SPLIT(text, ' ')) >= 3),
         |s AS (
         |  SELECT doc_id,
-        |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
-        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+        |    LIST_TRANSFORM(
+        |      LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])),
+        |      x -> CAST(('0x' || SUBSTRING(MD5(x), 1, 15)) AS BIGINT)) AS sh
         |  FROM t),
         |p AS (
         |  SELECT LEN(LIST_INTERSECT(a.sh, b.sh)) AS i,
