@@ -103,4 +103,40 @@ class FormatsSpec extends AnyFunSuite with SparkTestSession {
     assert(!unmergedCols.contains("b"),
       s"default read must NOT see day-2's added column, got $unmergedCols")
   }
+
+  test("binaryFile source reads raw media files as (path, content) for multimodal ingest") {
+    // the raw-media on-ramp: a directory of opaque payload files becomes
+    // a (path, modificationTime, length, content) DataFrame that joins
+    // to metadata and feeds the multimodal decode pipeline
+    // (Multimodal.decodeImageMeta) without any custom reader code
+    val dir = Files.createTempDirectory("fmt-bin")
+    val payloads = Map("a.bin" -> "GIF89a-ish".getBytes("UTF-8"),
+      "b.bin" -> Array.tabulate(256)(_.toByte))
+    payloads.foreach { case (n, b) => Files.write(dir.resolve(n), b) }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.toString)
+    assert(df.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val got = df.select(
+        expr("reverse(split(path, '/'))[0]").as("name"),
+        col("length"), col("content"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("content")).toMap
+    assert(got.keySet == payloads.keySet)
+    payloads.foreach { case (n, b) =>
+      assert(java.util.Arrays.equals(got(n), b), s"$n content must round-trip byte-exact")
+    }
+  }
+
+  test("text source reads line-per-row corpora (the raw-documents on-ramp)") {
+    val dir = Files.createTempDirectory("fmt-text")
+    Files.write(dir.resolve("docs.txt"),
+      "first line\nsecond line\nthird".getBytes("UTF-8"))
+    val lines = spark.read.text(dir.toString)
+    assert(lines.columns.toSeq == Seq("value"))
+    assert(lines.count() == 3)
+    // wholetext mode: one row per FILE — the document-per-file corpus shape
+    val whole = spark.read.option("wholetext", "true").text(dir.toString)
+    assert(whole.count() == 1)
+    assert(whole.head().getString(0).startsWith("first line\n"))
+  }
 }
