@@ -401,6 +401,104 @@ object Dedup {
         |  CAST(COALESCE(f.n_new_distinct, 0) AS BIGINT) AS n_new_distinct
         |FROM n LEFT JOIN h ON n.lang = h.lang LEFT JOIN f ON n.lang = f.lang
         |ORDER BY n.lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q126: CROSS-DOC REPEATED-SPAN FINDER — the ExactSubstr operator of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better" (ACL'22): find maximal runs of ≥ MinSpanTokens consecutive
+    // shared tokens between document pairs (the memorization-prone spans
+    // their suffix-array pipeline removes). Re-expressed relationally
+    // instead of via a suffix array: 5-token rolling shingles (md5-hashed
+    // to 60-bit ints on BOTH engines — q107's trick), a frequent-shingle
+    // guard (df ≤ 16 docs, q62's posture: boilerplate shingles are
+    // governance findings, not pair evidence), postings-list pair
+    // expansion (simhashDedup's shape — one shuffle on the shingle key,
+    // no self-join), then the classic gaps-and-islands run detection on
+    // each (doc_a, doc_b, diagonal): consecutive positions on one
+    // diagonal ARE a shared token run (pos − row_number() is
+    // run-constant). Output: per pair, the span count, longest span, and
+    // total span token mass.
+    //
+    // Shape at 100 TB: shingling is linear in tokens; the only
+    // corpus-scale shuffle keys on the 60-bit shingle hash; per-key
+    // postings are bounded by the df guard, so pair fan-out is bounded
+    // by true repeated structure; the diagonal windows partition on
+    // (doc_a, doc_b, diag) — unbounded-cardinality keys. All-integer
+    // arithmetic end-to-end → oracle hash-matches.
+    QueryDef.sql("q126_repeated_spans") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        // barrier: materialize toks once before the 5-reference transform
+        // (q114's posture)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 4),
+            |  i -> named_struct('pos', i,
+            |    'g', cast(conv(substring(md5(
+            |           concat_ws(' ', slice(toks, i, 5))), 1, 15), 16, 10) AS bigint)))"""
+            .stripMargin)).as("sh"))
+        .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.g").as("g"))
+      val rare = sh.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") <= 16).select("g")
+      val pairs = sh.join(rare, Seq("g"))
+        .groupBy(col("g"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("m"))
+        .filter(size(col("m")) > 1)
+        .select(explode(expr(
+          """filter(
+            |  flatten(transform(m, (a, i) ->
+            |    transform(slice(m, i + 2, size(m)), b ->
+            |      named_struct('da', a.doc_id, 'pa', a.pos,
+            |                   'db', b.doc_id, 'pb', b.pos)))),
+            |  x -> x.da < x.db)""".stripMargin)).as("p"))
+        .select(col("p.da").as("da"), col("p.db").as("db"),
+          (col("p.pa") - col("p.pb")).as("diag"), col("p.pa").as("pa"))
+        .distinct()
+      val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+      pairs
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+        .agg((count(lit(1)) + lit(4)).as("span_tokens"))
+        .filter(col("span_tokens") >= 12)
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_spans"), max(col("span_tokens")).as("max_span"),
+          sum(col("span_tokens")).as("span_mass"))
+        .orderBy("da", "db")
+    } {
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 5),
+        |sh AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(('0x' || SUBSTRING(MD5(
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |      toks[i+3] || ' ' || toks[i+4]), 1, 15)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, toks,
+        |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS i FROM t)),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) <= 16),
+        |shg AS (SELECT sh.* FROM sh JOIN rare USING (g)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |    a.pos - b.pos AS diag, a.pos AS pa
+        |  FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT da, db, diag,
+        |    pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+        |  FROM p),
+        |spans AS (
+        |  SELECT da, db, diag, grp, COUNT(*) + 4 AS span_tokens
+        |  FROM runs GROUP BY da, db, diag, grp
+        |  HAVING COUNT(*) + 4 >= 12)
+        |SELECT da, db,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(MAX(span_tokens) AS BIGINT) AS max_span,
+        |  CAST(SUM(span_tokens) AS BIGINT) AS span_mass
+        |FROM spans GROUP BY da, db
+        |ORDER BY da, db""".stripMargin
     }
   )
 

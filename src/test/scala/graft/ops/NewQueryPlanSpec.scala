@@ -256,6 +256,25 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"q124's per-anchor top-k must prune map-side:\n$p")
   }
 
+  test("q126 never self-joins shingles; diagonal windows partition on pair keys") {
+    val p = plan("q126_repeated_spans")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"q126 is one shingle pass (+ guard agg) — a self-join shape re-scans:\n$p")
+    windowsPartitionBy(p, "da", "db", "diag")
+    assert(!p.contains("CartesianProduct"),
+      s"pair expansion must be the postings transform, never a cartesian:\n$p")
+  }
+
+  private def windowsPartitionBy(p: String, keys: String*): Unit = {
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty, s"expected a window in:\n$p")
+    windows.foreach { w =>
+      keys.foreach(k => assert(w.contains(k),
+        s"window must partition by $k:\n$w"))
+    }
+  }
+
   test("q125's bottom-k sketches limit map-side; sketch-sized joins broadcast") {
     val p = plan("q125_kmv_set_sketch")
     assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,

@@ -147,4 +147,11 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // everything downstream is O(k·segments²) broadcast
     assertTrend("q125_kmv_set_sketch", "events")
   }
+
+  test("q126 repeated-span finder scales sub-quadratically in documents") {
+    // pair fan-out is bounded by the df guard + true repeated structure;
+    // a lost guard (hot shingle exploding the postings expansion) or a
+    // degraded diagonal window grows super-linearly here
+    assertTrend("q126_repeated_spans", "documents")
+  }
 }
