@@ -127,6 +127,18 @@ class FormatsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("XML round-trip preserves rows via rowTag (Spark 4 built-in source)") {
+    val out = Files.createTempDirectory("fmt-xml").toString
+    val src = graft.Tables(spark, d, "region")
+    src.write.mode("overwrite").option("rowTag", "region").xml(out)
+    val back = spark.read.option("rowTag", "region")
+      .schema(src.schema).xml(out)
+    assert(back.count() == src.count())
+    val a = src.orderBy("r_regionkey").collect().map(_.toSeq)
+    val b = back.orderBy("r_regionkey").collect().map(_.toSeq)
+    assert(a.sameElements(b), "XML round-trip must preserve every value")
+  }
+
   test("text source reads line-per-row corpora (the raw-documents on-ramp)") {
     val dir = Files.createTempDirectory("fmt-text")
     Files.write(dir.resolve("docs.txt"),
