@@ -182,6 +182,55 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q132: CROSS-SOURCE DUPLICATION MATRIX — which sources mirror which:
+    // exact-duplicate PAIR counts between every source pair (and within
+    // each source), from q23's canonical digest. The provenance triage
+    // behind dedup policy: a hot (src_a, src_b) cell means one feed
+    // syndicates the other, and the keep/drop rule should prefer the
+    // canonical feed corpus-wide rather than per-document. NO pair
+    // expansion anywhere — a hub digest (boilerplate, empty docs) with
+    // g copies would cost O(g²) in a naive self-join; instead the digest
+    // groups aggregate to per-(digest, source) COUNTS and the matrix is
+    // count arithmetic: cross cells c_a·c_b via a digest-keyed join whose
+    // per-digest fan-out is bounded by the SOURCE count (not the copy
+    // count), intra cells C(c,2) with no join at all. Two keyed aggs +
+    // one bounded join — scale-safe against any duplication skew.
+    QueryDef.sql("q132_cross_source_dup_matrix") { (s, d) =>
+      val cnt = Tables(s, d, "documents")
+        .withColumn("canon_key", md5(array_join(sort_array(tokenSet), " ")))
+        .groupBy(col("canon_key"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val a = cnt.select(col("canon_key"), col("source").as("src_a"), col("c").as("ca"))
+      val b = cnt.select(col("canon_key").as("ck_b"), col("source").as("src_b"),
+        col("c").as("cb"))
+      val cross = a.join(b,
+        col("canon_key") === col("ck_b") && col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), (col("ca") * col("cb")).as("n"))
+      val intra = cnt.filter(col("c") > 1)
+        .select(col("source").as("src_a"), col("source").as("src_b"),
+          expr("(c * (c - 1)) DIV 2").as("n")) // integer division — `/` would widen to double
+      cross.unionByName(intra)
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(col("n")).as("n_dup_pairs"))
+        .orderBy("src_a", "src_b")
+    } {
+      """WITH cnt AS (
+        |  SELECT MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+        |      AS canon_key,
+        |    source, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.c * b.c AS n
+        |  FROM cnt a JOIN cnt b
+        |    ON a.canon_key = b.canon_key AND a.source < b.source
+        |  UNION ALL
+        |  SELECT source, source, c * (c - 1) // 2 FROM cnt WHERE c > 1)
+        |SELECT src_a, src_b, CAST(SUM(n) AS BIGINT) AS n_dup_pairs
+        |FROM cells GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q24: exact n-gram (word-set) Jaccard near-dup pairs, blocked by
     // (lang, length bucket) so the pair space stays bucket-local — the
     // quadratic blow-up is bounded per block, and the join shuffles on

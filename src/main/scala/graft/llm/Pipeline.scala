@@ -273,6 +273,102 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q129: CLASS-BALANCED EXACT-SIZE SAMPLE — exactly min(m, |group|)
+    // docs per language, the balanced-subset builder (eval sets,
+    // per-language probes, capped head-class downsampling) that q59's
+    // RATE-based strata cannot express: a rate keeps a fraction, this
+    // keeps a count. Order inside each group is the library-wide md5
+    // id-hash (content-independent, engine-reproducible), so the
+    // selected ids are a deterministic function of the corpus alone.
+    // Shape at scale: the rank ≤ m filter plans a PARTIAL
+    // WindowGroupLimit ahead of the exchange (the q123/q124 posture,
+    // pinned in NewQueryPlanSpec) — each map task forwards at most m
+    // rows per language, so the per-lang sort sees ≤ m·map_tasks rows,
+    // never the corpus.
+    QueryDef.sql("q129_balanced_group_sample") { (s, d) =>
+      val m = 40
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(graft.Ids.hash("doc_id").asc, col("doc_id").asc)
+      Tables(s, d, "documents")
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= m)
+        .orderBy("lang", "rnk")
+        .select(col("lang"), col("rnk"), col("doc_id"))
+    } {
+      s"""SELECT lang, rnk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${graft.Ids.hashSql("doc_id")}, doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= 40
+         |ORDER BY lang, rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q133: TOKEN-BUDGET WATER-FILLING — allocate a corpus token budget
+    // (here: half the total) across sources under the classic
+    // water-filling rule: one uniform integer cap, each source gets
+    // min(tokens, cap), cap = the largest integer that fits the budget.
+    // This is the principled "no source may dominate" mixture cap — the
+    // budgeted complement of q63's temperature schedule (which reweights
+    // but never caps) and of q115's quality prefix (which ranks docs,
+    // not sources). The cap segment solves in closed form on the SORTED
+    // per-source totals via prefix sums: the first source index i
+    // (ascending) where below-prefix + tokens_i · remaining ≥ budget
+    // pins cap = (budget − below-prefix) DIV remaining. Shape at scale:
+    // ONE corpus scan aggregates to the O(|sources|) relation, frozen
+    // via Checkpoints (two consumers); every window/sort after the
+    // freeze runs on source-cardinality rows — the q122 posture. All
+    // integer arithmetic end-to-end.
+    QueryDef.sql("q133_token_budget_waterfill") { (s, d) =>
+      val perSrc = graft.Checkpoints.checkpoint(
+        Tables(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens")))
+      val tot = perSrc.agg(
+        sum(col("tokens")).as("total"), count(lit(1)).as("n"))
+      val ord = Window.orderBy(col("tokens").asc, col("source").asc)
+      val ranked = perSrc.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("total DIV 2"))
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("p", coalesce(
+          sum(col("tokens")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("r", col("n") - col("i") + 1)
+      val seg = ranked
+        .filter(col("p") + col("tokens") * col("r") >= col("budget"))
+        .orderBy(col("i").asc).limit(1)
+        .select(expr("(budget - p) DIV r").as("cap"))
+      ranked.crossJoin(broadcast(seg))
+        .select(col("source"), col("tokens"),
+          least(col("tokens"), col("cap")).as("allocated"),
+          when(col("tokens") > col("cap"), 1).otherwise(0).as("capped"),
+          col("cap"))
+        .orderBy("source")
+    } {
+      """WITH t AS (
+        |  SELECT source, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS n FROM t),
+        |ranked AS (
+        |  SELECT source, tokens, total // 2 AS budget,
+        |    ROW_NUMBER() OVER (ORDER BY tokens, source) AS i,
+        |    COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+        |    n
+        |  FROM t, tot),
+        |seg AS (
+        |  SELECT (budget - p) // (n - i + 1) AS cap FROM ranked
+        |  WHERE p + tokens * (n - i + 1) >= budget
+        |  ORDER BY i LIMIT 1)
+        |SELECT source, tokens, LEAST(tokens, cap) AS allocated,
+        |  CASE WHEN tokens > cap THEN 1 ELSE 0 END AS capped, cap
+        |FROM ranked, seg
+        |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q60: term salience (tf over relative document frequency): token
     // explode → (doc, term) counts → corpus df from the tf relation (one
     // pass, no second tokenize) → score = tf/df, top-3 terms per doc.

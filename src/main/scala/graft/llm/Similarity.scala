@@ -484,8 +484,139 @@ object Similarity {
          |  SELECT * FROM negs WHERE rnk <= 5
          |  UNION ALL SELECT * FROM poss WHERE rnk <= 5)
          |ORDER BY a_id, kind, rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q127: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023) — the
+    // embedding-space dedup that catches paraphrase-level redundancy
+    // MinHash cannot see: route every vector to a coarse cluster, then
+    // drop within-cluster vectors whose cosine to a LOWER-id cluster
+    // mate exceeds the threshold. Determinism makes the whole operator
+    // oracle-hashable where k-means would not be: seeds are the ~sqrt(N)
+    // vectors under the library-wide md5 id-hash keep-predicate (hash <
+    // 2^32/sqrt(N) — content-independent, no global sort), assignment is
+    // argmax cosine over the seed set with ties to the smaller seed id,
+    // and the drop rule is a fixed total order (keep-lowest-id), so both
+    // engines compute the identical partition and the identical drops.
+    // Shape at scale: the seed set collects into ONE broadcast row
+    // (sqrt(N) x dims; ~16 MB at 1e9 vectors) and assignment is a
+    // map-side fold — zero per-vector shuffles; the only exchange is the
+    // within-cluster pair join keyed on cluster_id, whose cost is
+    // (N/k)^2 * k = N^2/k = N^1.5 at k = sqrt(N) — SemDeDup's published
+    // tradeoff. For corpora past that budget, raise k (k = N /
+    // target_cluster_size, still one broadcast row) or route assignment
+    // through the q75 IVF handle; an oversized natural cluster is an
+    // AQE-skew-split case (README "Skew"). Same 1e3 quantization as
+    // q80/q116, so every score is one IEEE division over exact integer
+    // sums — bit-equal across engines.
+    QueryDef.sql("q127_semantic_dedup") { (s, d) => semDedup(s, d) } {
+      s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT vec_id, v, list_dot_product(v, v) AS norm2 FROM e),
+         |seeds AS (
+         |  SELECT vec_id AS s_id, v AS sv, SQRT(norm2) AS sn FROM nn, cnt
+         |  WHERE ${graft.Ids.hashSql("vec_id")} <
+         |    GREATEST(1, CAST(FLOOR(4294967296.0 / SQRT(n)) AS BIGINT))),
+         |scored AS (
+         |  SELECT t.vec_id, s.s_id,
+         |    list_dot_product(t.v, s.sv) / (SQRT(t.norm2) * s.sn) AS sc
+         |  FROM nn t CROSS JOIN seeds s),
+         |asg AS (
+         |  SELECT vec_id, s_id AS cluster_id FROM (
+         |    SELECT vec_id, s_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, s_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.cluster_id, b.vec_id AS vec_b
+         |  FROM asg a JOIN asg b
+         |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  JOIN nn na ON na.vec_id = a.vec_id
+         |  JOIN nn nb ON nb.vec_id = b.vec_id
+         |  WHERE list_dot_product(na.v, nb.v) / (SQRT(na.norm2) * SQRT(nb.norm2))
+         |    >= $SemDedupThreshold),
+         |dropped AS (
+         |  SELECT cluster_id, COUNT(DISTINCT vec_b) AS n_dropped
+         |  FROM pairs GROUP BY cluster_id),
+         |sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS n_members FROM asg GROUP BY cluster_id)
+         |SELECT s.cluster_id, s.n_members,
+         |  COALESCE(d.n_dropped, 0) AS n_dropped,
+         |  s.n_members - COALESCE(d.n_dropped, 0) AS n_kept
+         |FROM sizes s LEFT JOIN dropped d ON s.cluster_id = d.cluster_id
+         |ORDER BY s.cluster_id""".stripMargin
     }
   )
+
+  /** q127's cosine cut: a pair is semantically redundant above this.
+    * (0.4 on the synthetic fixtures plays the role SemDeDup's ~0.95
+    * plays on real embeddings — the fixture vectors are near-orthogonal
+    * random draws, so redundancy lives lower on the cosine scale.)
+    */
+  final val SemDedupThreshold = 0.4
+
+  /** SemDeDup body (q127) — see the registered query's comment for the
+    * full scale posture. Returns one row per cluster: (cluster_id,
+    * n_members, n_dropped, n_kept), all integers, ordered by cluster.
+    */
+  def semDedup(s: SparkSession, d: String,
+      theta: Double = SemDedupThreshold): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val q3 =
+      "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS double))"
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), expr(q3).as("v"))
+      .withColumn("norm2", expr("vec_dot(v, v)"))
+    // plan-time scalar: the seed keep-threshold derives from the corpus
+    // count exactly as the oracle's cnt relation does (one column-pruned
+    // count, the q49 posture)
+    val n = emb.select(col("vec_id")).count()
+    require(n > 0, "semDedup: embeddings table is empty")
+    val keepBuckets = math.max(1L, (4294967296.0 / math.sqrt(n.toDouble)).toLong)
+    val seeds = emb.filter(graft.Ids.hash("vec_id") < lit(keepBuckets))
+      .agg(collect_list(expr(
+        "named_struct('sid', vec_id, 'sv', v, 'sn', SQRT(norm2))")).as("seeds"))
+    // map-side argmax fold (q116's shape): order-independent because the
+    // strictly-greater-or-tie-and-smaller-sid rule is a total order on
+    // (score, -sid); the score formula is character-identical to the
+    // oracle's `sc` so ranking can never diverge
+    val assigned = emb.crossJoin(broadcast(seeds))
+      .withColumn("best", expr(
+        """aggregate(seeds,
+          |  named_struct('s', cast(-1e308 AS double), 'sid', cast(-1 AS bigint)),
+          |  (acc, c) -> CASE
+          |    WHEN vec_dot(v, c.sv) / (SQRT(norm2) * c.sn) > acc.s
+          |      OR (vec_dot(v, c.sv) / (SQRT(norm2) * c.sn) = acc.s
+          |          AND c.sid < acc.sid)
+          |    THEN named_struct('s', vec_dot(v, c.sv) / (SQRT(norm2) * c.sn),
+          |                      'sid', c.sid)
+          |    ELSE acc END)""".stripMargin))
+      .select(col("vec_id"), col("v"), col("norm2"),
+        col("best.sid").as("cluster_id"))
+    // freeze: the assignment feeds three consumers (both pair-join legs
+    // and the size agg) — without the checkpoint each would re-scan the
+    // corpus and re-run the argmax fold (release owned by the caller via
+    // Checkpoints.release once consumed; Verify/Bench sessions are
+    // short-lived)
+    val frozen = graft.Checkpoints.checkpoint(assigned)
+    val a = frozen.select(col("cluster_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm2").as("na"))
+    val b = frozen.select(col("cluster_id").as("cluster_b"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("norm2").as("nb"))
+    val dropped = a
+      .join(b, col("cluster_id") === col("cluster_b") && col("vec_a") < col("vec_b"))
+      .filter(expr("vec_dot(va, vb)") / (sqrt(col("na")) * sqrt(col("nb")))
+        >= lit(theta))
+      .select(col("cluster_id"), col("vec_b")).distinct()
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dropped"))
+    frozen.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cluster_id"), "left_outer")
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .withColumn("n_kept", col("n_members") - col("n_dropped"))
+      .orderBy("cluster_id")
+  }
 
   /** Input cap for [[embeddingNearDupExact]]: its all-pairs join scores
     * n(n−1)/2 64-dim dot products, so the cap bounds the validator at

@@ -291,6 +291,51 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q130: MEDIAN/MAD ROBUST OUTLIER AUDIT — the robust twin of q87's
+    // z-score: median and median-absolute-deviation replace mean/stddev,
+    // so a heavy tail cannot drag its own detection threshold (the
+    // classic failure of moment-based outlier gates on power-law corpus
+    // length distributions). Flag = |len − median| > 3·MAD, reported per
+    // source. Both medians run through Scale.exactQuantiles' two-pass
+    // global order statistics (the q102 machinery — no single-buffer
+    // percentile), so the operator is exact at any corpus size: two
+    // rank passes + one flagging scan, each distributed. Every
+    // interpolation lands on a multiple of 0.5 (integer data, quarter
+    // weights), exact in binary — the doubles hash-match QUANTILE_CONT.
+    QueryDef.sql("q130_mad_outlier_audit") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val med = Scale.exactQuantiles(docs, "n_chars", Seq(0.5))
+        .select(col("quantile").as("med"))
+      val dev = docs.select(col("source"), col("n_chars"))
+        .crossJoin(broadcast(med))
+        .withColumn("absdev", abs(col("n_chars").cast("double") - col("med")))
+      val mad = Scale.exactQuantiles(dev, "absdev", Seq(0.5))
+        .select(col("quantile").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("absdev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"))
+        .orderBy("source")
+    } {
+      """WITH med AS (SELECT QUANTILE_CONT(n_chars, 0.5) AS med FROM documents),
+        |dev AS (
+        |  SELECT source, med.med AS med,
+        |    ABS(CAST(n_chars AS DOUBLE) - med.med) AS absdev
+        |  FROM documents, med),
+        |mad AS (SELECT QUANTILE_CONT(absdev, 0.5) AS mad FROM dev)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN absdev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  MAX(dev.med) AS med, MAX(mad.mad) AS mad
+        |FROM dev, mad
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q58: correlation + least-squares regression of extended price on
     // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
     // order-free exact decimals (one map-side-combined aggregation), and

@@ -1,0 +1,175 @@
+package graft.llm
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-7 curation operators (q127–q133) — the
+  * oracle hash-match (Verify) proves engine agreement; these prove the
+  * answers MEAN what the operators claim.
+  */
+class SemDedupSpec extends AnyFunSuite with SparkTestSession {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q127: partition covers the corpus; identical vectors collapse to one survivor") {
+    // synthetic corpus with KNOWN redundancy: 4 well-separated axis
+    // directions, each present as an identical pair (plus noise-free
+    // singletons), so exact duplicates MUST share an argmax cluster and
+    // dedup to one survivor each
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val dim = 8
+    def vec(axis: Int, sign: Double): Seq[Float] =
+      (0 until dim).map(i => if (i == axis) (sign * 1.0).toFloat else 0.05f)
+    val rows = Seq(
+      (0L, vec(0, 1)), (1L, vec(0, 1)),   // identical pair on axis 0
+      (2L, vec(1, 1)), (3L, vec(1, 1)),   // identical pair on axis 1
+      (4L, vec(2, 1)), (5L, vec(3, 1)),   // singletons
+      (6L, vec(4, 1)), (7L, vec(5, 1)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v, 0) }),
+      schema)
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = Similarity.semDedup(spark, dir, theta = 0.99).collect()
+    assert(out.map(_.getLong(1)).sum == rows.length,
+      "cluster sizes must partition the corpus")
+    out.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), "kept = members - dropped")
+      assert(r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1),
+        "at least one survivor per cluster")
+    }
+    // exactly the two identical-pair duplicates are dropped at θ=0.99:
+    // cos(identical)=1 ≥ θ, and distinct axis directions stay below it
+    assert(out.map(_.getLong(2)).sum == 2,
+      s"expected exactly the 2 exact-duplicate drops, got ${out.map(_.getLong(2)).sum}")
+  }
+
+  test("q127: drops are monotone non-increasing in the threshold") {
+    val loose = Similarity.semDedup(spark, d, theta = 0.3)
+      .agg(sum("n_dropped")).collect()(0).getLong(0)
+    val tight = Similarity.semDedup(spark, d, theta = 0.5)
+      .agg(sum("n_dropped")).collect()(0).getLong(0)
+    assert(loose >= tight,
+      s"a looser cosine cut must drop at least as much ($loose < $tight)")
+    assert(loose > 0, "fixture premise: θ=0.3 finds semantic redundancy")
+  }
+
+  test("q128: fused ranks are dense, borda is consistent with the side ranks") {
+    val rows = graft.SparkEntry.queries("q128_hybrid_retrieval")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val F = 20
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length),
+        "fused ranks must be dense 1..k")
+      val bordas = rs.sortBy(_.getInt(1)).map(_.getInt(3))
+      assert(bordas.zip(bordas.tail).forall { case (a, b) => a >= b },
+        "borda must be non-increasing in fused rank")
+    }
+    rows.foreach { r =>
+      val (borda, bm, dn) = (r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(bm >= 0 && bm <= F && dn >= 0 && dn <= F)
+      val expected = (if (bm > 0) F + 1 - bm else 0) + (if (dn > 0) F + 1 - dn else 0)
+      assert(borda == expected, s"borda $borda != recomputed $expected")
+      assert(borda >= 1, "a fused row must come from at least one retriever")
+    }
+  }
+
+  test("q129: exactly min(m, group size) docs per language, ids from the corpus") {
+    val docs = graft.Tables(spark, d, "documents")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = graft.SparkEntry.queries("q129_balanced_group_sample")(spark, d)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet, "every language must be represented")
+    got.foreach { case (lang, n) =>
+      assert(n == math.min(40L, sizes(lang)),
+        s"$lang: got $n, want min(40, ${sizes(lang)})")
+    }
+    // sampled ids must exist under the claimed language
+    val bad = out.join(docs, Seq("lang", "doc_id"), "left_anti").count()
+    assert(bad == 0, s"$bad sampled rows are not corpus (lang, doc_id) rows")
+  }
+
+  test("q130: median/MAD and flag counts match a brute-force recompute") {
+    val docs = graft.Tables(spark, d, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble))
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * 0.5
+      val (lo, hi) = (math.floor(h).toInt, math.ceil(h).toInt)
+      s(lo) + (s(hi) - s(lo)) * (h - lo)
+    }
+    val med = median(docs.map(_._2))
+    val mad = median(docs.map { case (_, x) => math.abs(x - med) })
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> xs.count { case (_, x) => math.abs(x - med) > 3.0 * mad }
+    }
+    val out = graft.SparkEntry.queries("q130_mad_outlier_audit")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) == med, s"median ${r.getDouble(3)} != $med")
+      assert(r.getDouble(4) == mad, s"MAD ${r.getDouble(4)} != $mad")
+      assert(r.getLong(2) == expected(r.getString(0)).toLong,
+        s"${r.getString(0)}: outliers ${r.getLong(2)} != ${expected(r.getString(0))}")
+    }
+  }
+
+  test("q131: rank/count consistency; BM25 resolves the rare-term query at rank 1") {
+    val rows = graft.SparkEntry.queries("q131_retrieval_eval")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getString(1)).sorted.toSeq == Seq("bm25", "hybrid"),
+        "both retrievers must be evaluated for every query")
+    }
+    rows.foreach { r =>
+      val (first, n) = (r.getInt(2), r.getLong(3))
+      assert(first >= 0 && first <= 10 && n >= 0 && n <= 10)
+      assert((first == 0) == (n == 0),
+        "no-relevant-in-top-k iff zero relevant counted")
+    }
+    // query 3's 'dup' is the corpus's rare term (SearchSpec proves BM25
+    // ranks dup-docs first), so BM25's first relevant hit must be rank 1
+    val q3bm = rows.find(r => r.getLong(0) == 3L && r.getString(1) == "bm25").get
+    assert(q3bm.getInt(2) == 1, s"bm25 q3 first_rel_rank ${q3bm.getInt(2)} != 1")
+  }
+
+  test("q132: matrix cells sum to the exact-duplicate pair total from q23's groups") {
+    val cells = graft.SparkEntry.queries("q132_cross_source_dup_matrix")(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("n_dup_pairs"))
+      .collect()(0).getLong(0)
+    val fromGroups = Dedup.exactDedupGroups(spark, d)
+      .select("n_copies").collect()
+      .map(r => { val g = r.getLong(0); g * (g - 1) / 2 }).sum
+    assert(cells == fromGroups,
+      s"matrix total $cells != C(g,2) over dedup groups $fromGroups")
+    assert(cells > 0, "fixture premise: exact duplicates exist")
+  }
+
+  test("q133: allocation fits the budget and the cap is maximal") {
+    val out = graft.SparkEntry.queries("q133_token_budget_waterfill")(spark, d).collect()
+    assert(out.nonEmpty)
+    val tokens = out.map(_.getLong(1))
+    val alloc = out.map(_.getLong(2))
+    val cap = out.head.getLong(4)
+    val budget = tokens.sum / 2
+    assert(alloc.sum <= budget, s"allocated ${alloc.sum} exceeds budget $budget")
+    out.foreach { r =>
+      val (t, a, c) = (r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(a == math.min(t, cap), "allocation must be min(tokens, cap)")
+      assert((c == 1) == (t > cap), "capped flag must reflect the cap")
+    }
+    // maximality: raising the cap by one must overflow the budget
+    assert(tokens.map(t => math.min(t, cap + 1)).sum > budget,
+      "cap is not the largest integer fitting the budget")
+  }
+}
