@@ -284,4 +284,60 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"),
       s"q125 must never cartesian:\n$p")
   }
+
+  test("q127's assignment is one frozen scan; the pair join keys on cluster_id") {
+    val df = graft.SparkEntry.queries("q127_semantic_dedup")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // the seed fold is the only corpus consumer before the freeze: the
+    // executed plan reads the checkpoint RDD, never parquet, and the
+    // within-cluster pair join must key on cluster_id (AQE/skew handles
+    // an oversized natural cluster), never cartesian
+    assert(!p.contains("Scan parquet"),
+      s"q127's consumers must read the frozen assignment, not re-scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the within-cluster pair space must be keyed on cluster_id:\n$p")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q128's fusion joins rank lists only; per-side top-F limits map-side") {
+    val p = plan("q128_hybrid_retrieval")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"both retrievers' top-F must prune per-partition before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q128 must never cartesian:\n$p")
+  }
+
+  test("q129's per-group cap limits map-side before the lang exchange") {
+    val p = plan("q129_balanced_group_sample")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"rank ≤ m must prune per-partition — each task forwards ≤ m rows " +
+        s"per language, the per-lang sort must never see the corpus:\n$p")
+  }
+
+  test("q132 never expands duplicate groups into pairs") {
+    val p = plan("q132_cross_source_dup_matrix")
+    // the digest join's per-key fan-out is bounded by |sources|; the
+    // hazard shape is a doc-level self-join (O(g²) per hub digest) —
+    // pinned by scan count: two scans (cross legs) aggregate BEFORE
+    // joining, so no plan node ever sees doc×doc rows
+    assert(!p.contains("CartesianProduct"),
+      s"q132 must join on the digest key only:\n$p")
+    // doc_id must never reach a join: the legs aggregate to
+    // per-(digest, source) counts first, so no join input carries
+    // doc-level rows (the O(g²) hub-digest hazard)
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toList
+    assert(joinLines.nonEmpty && joinLines.forall(!_.contains("doc_id")),
+      s"a join sees doc-level rows — group counts must aggregate first:\n$p")
+  }
+
+  test("q133's windows run above the frozen O(|sources|) relation") {
+    val df = graft.SparkEntry.queries("q133_token_budget_waterfill")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"everything above the freeze is source-cardinality rows — a parquet " +
+        s"scan means the corpus leaked past the checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the total/cap scalars must broadcast:\n$p")
+    graft.Checkpoints.release(df)
+  }
 }

@@ -154,4 +154,19 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // degraded diagonal window grows super-linearly here
     assertTrend("q126_repeated_spans", "documents")
   }
+
+  test("q127 semantic dedup scales sub-quadratically in embeddings") {
+    // within-cluster pairs cost N²/k = N^1.5 at k = √N — comfortably
+    // inside the sub-quadratic allowance; a broken seed predicate
+    // (constant seed count as N grows) degrades toward all-pairs and
+    // trips this
+    assertTrend("q127_semantic_dedup", "embeddings")
+  }
+
+  test("q132 cross-source dup matrix scales sub-quadratically in documents") {
+    // count arithmetic on per-(digest, source) rows: growth must track
+    // the digest agg; a regression to doc-level pair expansion (the
+    // O(g²) hub-digest hazard) grows with the square of group sizes
+    assertTrend("q132_cross_source_dup_matrix", "documents")
+  }
 }
