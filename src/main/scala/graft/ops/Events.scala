@@ -536,6 +536,73 @@ object Events {
         |    AS p_transition
         |FROM t JOIN tot ON t.from_type = tot.from_type
         |ORDER BY t.from_type, t.to_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q135: K-STEP ORDERED FUNNEL — how many users complete each prefix
+    // of signup → view → click → purchase with STRICTLY increasing
+    // timestamps (earliest-completion semantics): the general funnel
+    // q22's two-step view→purchase window cannot express. Shape at
+    // scale: ONE shuffle on user_id, then a per-user automaton — an
+    // aggregate() fold over array_sort(collect_list(...)) (q90's
+    // in-buffer-sort posture: per-user history fits an aggregation
+    // buffer wherever it fits a session anyway). The k-join min-chain
+    // the oracle uses (k scans, k shuffles) is exactly what this plan
+    // avoids; the fold is provably equivalent because events arrive in
+    // (ts, event_id) total order, so "first qualifying event after
+    // acc.t" IS "min ts > acc.t". Counts are pure integers.
+    QueryDef.sql("q135_kstep_funnel") { (s, d) =>
+      val steps = expr(
+        """aggregate(
+          |  array_sort(collect_list(struct(ts, event_id, event_type))),
+          |  named_struct('step', 0, 't', cast('1970-01-01 00:00:00' AS timestamp)),
+          |  (acc, x) -> CASE
+          |    WHEN acc.step = 0 AND x.event_type = 'signup'
+          |      THEN named_struct('step', 1, 't', x.ts)
+          |    WHEN acc.step = 1 AND x.event_type = 'view' AND x.ts > acc.t
+          |      THEN named_struct('step', 2, 't', x.ts)
+          |    WHEN acc.step = 2 AND x.event_type = 'click' AND x.ts > acc.t
+          |      THEN named_struct('step', 3, 't', x.ts)
+          |    WHEN acc.step = 3 AND x.event_type = 'purchase' AND x.ts > acc.t
+          |      THEN named_struct('step', 4, 't', x.ts)
+          |    ELSE acc END).step""".stripMargin)
+      Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(steps.as("steps"))
+        .agg(
+          sum(when(col("steps") >= 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("steps") >= 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("steps") >= 3, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("steps") >= 4, 1L).otherwise(0L)).as("n4"))
+        .select(expr(
+          """stack(4,
+            |  1, 'signup',   n1,
+            |  2, 'view',     n2,
+            |  3, 'click',    n3,
+            |  4, 'purchase', n4) AS (step, step_name, n_users)""".stripMargin))
+        .orderBy("step")
+    } {
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t4 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN t3 ON e.user_id = t3.user_id AND e.ts > t3.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT step, step_name, n_users FROM (
+        |  SELECT 1 AS step, 'signup' AS step_name, COUNT(*) AS n_users FROM t1
+        |  UNION ALL SELECT 2, 'view', COUNT(*) FROM t2
+        |  UNION ALL SELECT 3, 'click', COUNT(*) FROM t3
+        |  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM t4)
+        |ORDER BY step""".stripMargin
     }
   )
 }

@@ -336,6 +336,59 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q134: WEIGHTED GLOBAL QUANTILES — order statistics where each row
+    // counts with a WEIGHT (here: doc length in chars weighted by its
+    // token count — "the length of the median token"): the p-quantile is
+    // the smallest value whose cumulative weight reaches ceil(p·W).
+    // Spark has no weighted percentile at all, and the unweighted
+    // exact/approx pair (q57/q67) cannot express it; corpus curation
+    // needs it wherever documents are not equal (token-weighted length
+    // targets, quality-weighted thresholds). Shape at scale: the
+    // cumulative weight is Scale.globalOrderedCumsum's two-pass frozen
+    // range shuffle (the q102/q115 machinery — no single-task window),
+    // thresholds are one 3-row broadcast, and the crossing is a
+    // map-side-combined min per fraction. Integer weights end-to-end:
+    // thresholds are exact ceilings ((W·num + den − 1) DIV den), so the
+    // quantiles are integers and hash-match the oracle.
+    QueryDef.sql("q134_weighted_quantiles") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+      val cum = Scale.globalOrderedCumsum(docs, "w", "cumw", "rnk",
+        col("n_chars").asc, col("doc_id").asc)
+      val tot = cum.agg(max(col("cumw")).as("wtot"))
+      val th = {
+        import s.implicits._
+        Seq((1, 4), (1, 2), (3, 4)).toDF("num", "den")
+      }.crossJoin(broadcast(tot))
+        .withColumn("t", expr("(wtot * num + den - 1) DIV den"))
+        .withColumn("p", col("num").cast("double") / col("den"))
+        .select("p", "t")
+      cum.join(broadcast(th), col("cumw") >= col("t"))
+        .groupBy(col("p")).agg(min(col("n_chars")).as("w_quantile"))
+        .orderBy("p")
+    } {
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |cum AS (
+        |  SELECT n_chars,
+        |    SUM(w) OVER (ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+        |  FROM w),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w),
+        |th(num, den) AS (VALUES (1, 4), (1, 2), (3, 4)),
+        |t2 AS (
+        |  SELECT CAST(num AS DOUBLE) / den AS p,
+        |    (wtot * num + den - 1) // den AS t
+        |  FROM th, tot)
+        |SELECT p, MIN(n_chars) AS w_quantile
+        |FROM cum JOIN t2 ON cumw >= t
+        |GROUP BY p ORDER BY p""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q58: correlation + least-squares regression of extended price on
     // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
     // order-free exact decimals (one map-side-combined aggregation), and

@@ -172,4 +172,40 @@ class SemDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(tokens.map(t => math.min(t, cap + 1)).sum > budget,
       "cap is not the largest integer fitting the budget")
   }
+
+  test("q134: weighted quantiles match a driver-side weighted scan") {
+    val rows = graft.Tables(spark, d, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1)) // (n_chars, doc_id) — the operator's order
+    val wtot = rows.map(_._3).sum
+    def brute(num: Long, den: Long): Long = {
+      val t = (wtot * num + den - 1) / den
+      var c = 0L
+      rows.find { r => c += r._3; c >= t }.get._2
+    }
+    val out = graft.SparkEntry.queries("q134_weighted_quantiles")(spark, d)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out(0.25) == brute(1, 4) && out(0.5) == brute(1, 2) &&
+      out(0.75) == brute(3, 4),
+      s"weighted quantiles $out != brute (${brute(1, 4)}, ${brute(1, 2)}, ${brute(3, 4)})")
+  }
+
+  test("q135: funnel counts are monotone and step 1 equals the signup-user count") {
+    val out = graft.SparkEntry.queries("q135_kstep_funnel")(spark, d)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(out.length == 4)
+    assert(out.zip(out.tail).forall { case (a, b) => a >= b },
+      s"funnel must be non-increasing: ${out.toSeq}")
+    val signupUsers = graft.Tables(spark, d, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(out(0) == signupUsers,
+      s"step 1 ${out(0)} != distinct signup users $signupUsers")
+    assert(out(3) > 0, "fixture premise: some users complete the 4-step funnel")
+  }
 }
