@@ -246,6 +246,89 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q136: PREFIX-FILTER EXACT SET-SIMILARITY SELF-JOIN (SSJoin /
+    // PPJoin, Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — the EXACT
+    // production answer to near-dup on q25's own measure (3-gram shingle
+    // Jaccard ≥ 0.6), complementing the approximate LSH path: every true
+    // pair, no bands, no sampling, no recall loss. The answer-preserving
+    // prune: under one global shingle order (df ascending, rarest
+    // first), any pair with J ≥ t must share its smallest-ordered common
+    // shingle inside BOTH docs' prefixes of length n − ceil(t·n) + 1 —
+    // so the candidate join touches only prefix shingles (~(1−t)·n per
+    // doc), each by construction among its doc's RAREST, capping the
+    // per-key fan-out a hot-shingle join would suffer (residual skew is
+    // an AQE-skew-split case). Candidates verify with the early-exit
+    // sorted-intersect kernel; the length-ratio prune (5·min ≥ 3·max) is
+    // implied by J ≥ 0.6. Shape at scale: one shingle shuffle for df +
+    // prefix rank, one prefix-shingle shuffle for candidates, doc-keyed
+    // verify legs — every stage keyed, nothing quadratic in the corpus.
+    // Oracle builds STRING shingles (Jaccard over xxhash64'd shingles
+    // equals Jaccard over the strings absent an in-pair 64-bit
+    // collision — the q25 precedent).
+    QueryDef.sql("q136_prefix_filter_simjoin") { (s, d) =>
+      graft.functions.SortedIntersectCount.register(s)
+      // freeze: the shingle relation feeds four consumers (df agg,
+      // prefix rank, both verify legs) — without the checkpoint each
+      // would re-tokenize and re-hash the corpus
+      val docs = graft.Checkpoints.checkpoint(
+        Tables(s, d, "documents")
+          .withColumn("tokens", split(col("text"), " "))
+          .select(col("doc_id"),
+            expr(Lsh.shingleHashesSql(sorted = true)).as("toks"))
+          .withColumn("n_toks", size(col("toks"))))
+      val toksRel = docs.select(col("doc_id"), col("n_toks"),
+        explode(col("toks")).as("tok"))
+      val dfRel = toksRel.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // per-doc df-rank; prefix length n − ceil(0.6n) + 1 (ceil(3n/5) =
+      // (3n+4) DIV 5). The window partitions by the high-cardinality
+      // doc_id and sorts each doc's own tokens — bounded by doc length.
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
+      val prefix = toksRel.join(dfRel, "tok")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("n_toks") - expr("(3 * n_toks + 4) DIV 5") + 1)
+        .select(col("doc_id"), col("n_toks"), col("tok"))
+      val pa = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n_toks").as("na"))
+      val pb = prefix.select(col("tok").as("tok_b"), col("doc_id").as("doc_b"),
+        col("n_toks").as("nb"))
+      val cand = pa.join(pb, col("tok") === col("tok_b") &&
+        col("doc_a") < col("doc_b") &&
+        col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .distinct()
+      val la = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val lb = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      cand.join(la, "doc_a").join(lb, "doc_b")
+        .withColumn("i", expr(
+          "sorted_intersect_count_min(toks_a, toks_b, cast((3 * (na + nb) + 7) div 8 AS int))"))
+        .withColumn("jaccard",
+          col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    } {
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |docs AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        |  FROM toks),
+        |sized AS (SELECT doc_id, sh, LEN(sh) AS n FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    LEN(LIST_INTERSECT(a.sh, b.sh)) AS i, a.n AS na, b.n AS nb
+        |  FROM sized a JOIN sized b
+        |    ON a.doc_id < b.doc_id
+        |    AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        |FROM pairs
+        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q25: MinHash + LSH near-dup (the 100 TB scale path): 3-word
     // shingles → 32 min-hash signatures → 8 bands of 4 → bucket-join for
     // candidates → exact Jaccard verification. Hash-specific, so no SQL

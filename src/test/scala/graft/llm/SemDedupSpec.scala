@@ -208,4 +208,20 @@ class SemDedupSpec extends AnyFunSuite with SparkTestSession {
       s"step 1 ${out(0)} != distinct signup users $signupUsers")
     assert(out(3) > 0, "fixture premise: some users complete the 4-step funnel")
   }
+
+  test("q136: exact prefix-filter join contains every q25 LSH-verified pair") {
+    // q136 is the EXACT answer on q25's own measure (3-shingle Jaccard
+    // ≥ 0.6): the approximate path's verified pairs must be a subset —
+    // a prefix-length bug (lost true pair) breaks containment, and
+    // recall(q25) measured against q136 is the honest recall number
+    val exact = graft.SparkEntry.queries("q136_prefix_filter_simjoin")(spark, d)
+    val exactPairs = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture premise: shingle near-dups exist")
+    val lsh = Dedup.minhashDedup(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exactPairs),
+      s"LSH-verified pairs outside the exact answer: ${lsh.diff(exactPairs)}")
+    graft.Checkpoints.release(exact)
+  }
 }

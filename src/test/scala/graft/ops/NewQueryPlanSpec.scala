@@ -330,6 +330,17 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"a join sees doc-level rows — group counts must aggregate first:\n$p")
   }
 
+  test("q136 reads the frozen shingle relation, never re-tokenizes; no cartesian") {
+    val df = graft.SparkEntry.queries("q136_prefix_filter_simjoin")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"all four consumers (df agg, prefix rank, verify legs) must read " +
+        s"the checkpoint, not re-tokenize the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must join on the prefix-shingle key:\n$p")
+    graft.Checkpoints.release(df)
+  }
+
   test("q133's windows run above the frozen O(|sources|) relation") {
     val df = graft.SparkEntry.queries("q133_token_budget_waterfill")(spark, d)
     val p = df.queryExecution.executedPlan.toString

@@ -169,4 +169,12 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // O(g²) hub-digest hazard) grows with the square of group sizes
     assertTrend("q132_cross_source_dup_matrix", "documents")
   }
+
+  test("q136 prefix-filter simjoin scales sub-quadratically in documents") {
+    // candidate pairs come only from PREFIX shingles (each among its
+    // doc's rarest): a broken prefix-length formula (full shingle join)
+    // or a lost df order (hot shingles entering prefixes) re-creates the
+    // quadratic hot-key fan-out this operator exists to avoid
+    assertTrend("q136_prefix_filter_simjoin", "documents")
+  }
 }
