@@ -330,6 +330,53 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // q138: TOKENIZER FERTILITY PER LANGUAGE — chars-per-BPE-token and
+    // BPE-tokens-per-word by language, the multilingual tokenizer-equity
+    // audit (a language whose fertility runs high pays more compute per
+    // character and fits less context per document — the standard
+    // argument for rebalancing a tokenizer's training mix). Reuses q52's
+    // exact RE2-safe pre-tokenizer so the fertility numbers can never
+    // drift from the token counts the pipeline actually uses. One scan,
+    // one keyed agg of exact int64 sums; each ratio is a single IEEE
+    // division of two integer-valued operands — bit-equal on both
+    // engines.
+    QueryDef.sql("q138_tokenizer_fertility") { (s, d) =>
+      val pat = BpePattern
+      Tables(s, d, "documents")
+        .select(col("lang"),
+          length(col("text")).cast("long").as("n_chars_t"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_bpe"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars_t")).as("sum_chars"),
+          sum(col("n_bpe")).as("sum_bpe"),
+          sum(col("n_ws")).as("sum_words"))
+        .withColumn("chars_per_token",
+          col("sum_chars").cast("double") / col("sum_bpe").cast("double"))
+        .withColumn("tokens_per_word",
+          col("sum_bpe").cast("double") / col("sum_words").cast("double"))
+        .orderBy("lang")
+    } {
+      val pat = BpePattern.replace("'", "''")
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(LEN(text)) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(LEN(regexp_extract_all(text, '$pat'))) AS BIGINT) AS sum_bpe,
+         |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS sum_words,
+         |  CAST(SUM(LEN(text)) AS DOUBLE)
+         |    / CAST(SUM(LEN(regexp_extract_all(text, '$pat'))) AS DOUBLE)
+         |    AS chars_per_token,
+         |  CAST(SUM(LEN(regexp_extract_all(text, '$pat'))) AS DOUBLE)
+         |    / CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE)
+         |    AS tokens_per_word
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q34: deterministic rolling-hash document fingerprint: position-
     // weighted character sum (exact int64 arithmetic — order-free), plus
     // how many documents share each fingerprint.

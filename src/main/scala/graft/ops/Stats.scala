@@ -389,6 +389,68 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q137: REFERENTIAL-INTEGRITY AUDIT — orphan and coverage counts for
+    // every foreign-key edge of the star schema plus the events→customer
+    // edge: the data-quality gate a warehouse runs before trusting joins
+    // (an orphan fact row silently disappears from every inner join; an
+    // unreferenced dimension row signals a stale or mis-keyed feed).
+    // Each edge costs two keyed anti-joins (orphans: child ⟂ parent;
+    // unreferenced: parent ⟂ child) — broadcast when the dimension is
+    // small, shuffle otherwise, both sides exact integer counts. The
+    // edge list is the audit's config; results union into one relation.
+    QueryDef.sql("q137_referential_integrity") { (s, d) =>
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(ck).as("__k"))
+        val p = parent.select(col(pk).as("__p"))
+        val childStats = c.agg(
+          count(lit(1)).as("child_rows"),
+          count_distinct(col("__k")).as("distinct_keys"))
+        val orphans = c.join(p, col("__k") === col("__p"), "left_anti")
+          .agg(count(lit(1)).as("orphan_rows"))
+        val unref = p.join(c, col("__p") === col("__k"), "left_anti")
+          .agg(count(lit(1)).as("unreferenced_parents"))
+        childStats.crossJoin(orphans).crossJoin(unref)
+          .select(lit(name).as("edge"), col("child_rows"),
+            col("distinct_keys"), col("orphan_rows"),
+            col("unreferenced_parents"))
+      }
+      val li = Tables(s, d, "lineitem"); val o = Tables(s, d, "orders")
+      val cst = Tables(s, d, "customer"); val pt = Tables(s, d, "part")
+      val sp = Tables(s, d, "supplier"); val nt = Tables(s, d, "nation")
+      val ev = Tables(s, d, "events")
+      Seq(
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", pt, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", sp, "s_suppkey"),
+        edge("orders->customer", o, "o_custkey", cst, "c_custkey"),
+        edge("customer->nation", cst, "c_nationkey", nt, "n_nationkey"),
+        edge("events->customer", ev, "user_id", cst, "c_custkey"))
+        .reduce(_ unionByName _)
+        .orderBy("edge")
+    } {
+      def e(name: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS edge,
+           |  (SELECT COUNT(*) FROM $child) AS child_rows,
+           |  (SELECT COUNT(DISTINCT $ck) FROM $child) AS distinct_keys,
+           |  (SELECT COUNT(*) FROM $child c
+           |     WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+           |    AS orphan_rows,
+           |  (SELECT COUNT(*) FROM $parent p
+           |     WHERE NOT EXISTS (SELECT 1 FROM $child c WHERE c.$ck = p.$pk))
+           |    AS unreferenced_parents""".stripMargin
+      Seq(
+        e("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        e("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        e("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        e("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        e("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        e("events->customer", "events", "user_id", "customer", "c_custkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY edge")
+    },
+
+    // ------------------------------------------------------------------
     // q58: correlation + least-squares regression of extended price on
     // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
     // order-free exact decimals (one map-side-combined aggregation), and

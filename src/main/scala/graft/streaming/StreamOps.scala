@@ -394,4 +394,70 @@ object StreamOps {
           next
       }
   }
+
+  /** Streaming twin of q135's k-step ordered funnel: emit a
+    * FunnelAdvance the moment a user's next step becomes FINAL — i.e.
+    * once the watermark passes the advancing event, so no
+    * still-admissible late event could have advanced the automaton
+    * earlier. Arrival order is NOT event order under reordering, so
+    * advancing on arrival would be wrong; instead events buffer in
+    * per-user state until the watermark finalizes them, then replay
+    * through the same (ts, event_id)-ordered strictly-increasing
+    * automaton as the batch twin — identical final step per user on
+    * identical data (spec-asserted against q135's fold). State is
+    * bounded: the buffer holds only events above the watermark (arrival
+    * rate × allowed lateness) plus two automaton fields; completed
+    * users with a drained buffer drop their state entirely.
+    */
+  final case class FunnelState(step: Int, lastTs: Long,
+      pending: Seq[(Long, Long, String)])
+  final case class FunnelAdvance(user_id: Long, step: Int, step_name: String,
+      ts: java.sql.Timestamp)
+
+  def funnelProgress(events: DataFrame, timeCol: String, keyCol: String,
+      steps: Seq[String], watermarkDelay: String): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      // poison-record hygiene: closedSessions' contract (null/malformed
+      // keys dropped, never a query-killing cast failure)
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          val st0 = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++
+            rows.map(r => (r._2.getTime, r._3, r._4))
+          // ts <= wm is final: the watermark admits only ts > wm later
+          val (ready, hold) = pending.partition(_._1 <= wm)
+          var step = st0.step
+          var lastTs = st0.lastTs
+          val advances = ready.sortBy(t => (t._1, t._2)).flatMap {
+            case (ts, _, typ) =>
+              if (step < steps.length && typ == steps(step) &&
+                (step == 0 || ts > lastTs)) {
+                step += 1
+                lastTs = ts
+                Some(FunnelAdvance(user, step, steps(step - 1),
+                  new java.sql.Timestamp(ts)))
+              } else None
+          }
+          if (step >= steps.length && hold.isEmpty) state.remove()
+          else {
+            state.update(FunnelState(step, lastTs, hold))
+            // wake when the watermark can finalize the oldest held event
+            // (or on the next advance for an empty buffer — cheap no-op)
+            val next = if (hold.nonEmpty) hold.map(_._1).min else wm + 1
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          advances.iterator
+      }
+  }
 }

@@ -224,4 +224,32 @@ class SemDedupSpec extends AnyFunSuite with SparkTestSession {
       s"LSH-verified pairs outside the exact answer: ${lsh.diff(exactPairs)}")
     graft.Checkpoints.release(exact)
   }
+
+  test("q137: star-schema FK edges are clean; the events edge is the loose one") {
+    val rows = graft.SparkEntry.queries("q137_referential_integrity")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 6)
+    // the TPC-H-style generator produces referentially-intact facts
+    Seq("lineitem->orders", "lineitem->part", "lineitem->supplier",
+      "orders->customer", "customer->nation").foreach { e =>
+      assert(rows(e)._3 == 0, s"$e has ${rows(e)._3} orphan rows")
+    }
+    rows.foreach { case (e, (children, distinct, orphans, _)) =>
+      assert(children >= distinct && orphans <= children, s"$e counts inconsistent")
+    }
+  }
+
+  test("q138: fertility ratios are finite and coherent per language") {
+    val rows = graft.SparkEntry.queries("q138_tokenizer_fertility")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (chars, bpe, words) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bpe >= words,
+        s"${r.getString(0)}: BPE must split at least to words ($bpe < $words)")
+      assert(chars > bpe, s"${r.getString(0)}: a token averages > 1 char")
+      assert(r.getDouble(5) == chars.toDouble / bpe.toDouble &&
+        r.getDouble(6) == bpe.toDouble / words.toDouble, "ratio recompute")
+    }
+  }
 }

@@ -369,4 +369,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Seq((1L, ts(0), 3L), (1L, ts(60), 3L), (7L, ts(120), 5L)),
       s"got $rows")
   }
+
+  test("funnelProgress replays buffered events in ts order — arrival order cannot skip steps") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Long, String)](spark)
+    val out = StreamOps.funnelProgress(
+      input.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+      "ts", "user_id",
+      steps = Seq("signup", "view", "click", "purchase"),
+      watermarkDelay = "120 minutes").toDF()
+    spark.sql("DROP TABLE IF EXISTS funnel_sink")
+    val q = out.writeStream.format("memory").queryName("funnel_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: click@50 arrives BEFORE the view that enables it — an
+      // arrival-order automaton would discard it; watermark still low,
+      // so nothing is final and nothing may be emitted
+      input.addData((ts(0), 1L, 1L, "signup"), (ts(50), 1L, 2L, "click"),
+        (ts(60), 99L, 90L, "signup"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_sink").filter($"user_id" === 1L).count() == 0,
+        "no event is final below the watermark — nothing to emit yet")
+      // batch 2: the missing view@10 arrives; flusher pushes wm to 180
+      // → all three finalize and replay in ts order: signup, view, click
+      input.addData((ts(10), 1L, 3L, "view"), (ts(300), 99L, 91L, "signup"))
+      q.processAllAvailable()
+      val mid = spark.table("funnel_sink").filter($"user_id" === 1L)
+        .select($"step", $"step_name", $"ts")
+        .as[(Int, String, Timestamp)].collect().sortBy(_._1)
+      assert(mid.toSeq == Seq((1, "signup", ts(0)), (2, "view", ts(10)),
+        (3, "click", ts(50))), s"got ${mid.toSeq}")
+      // batch 3: purchase@200 (after click@50) completes the funnel
+      input.addData((ts(200), 1L, 4L, "purchase"), (ts(500), 99L, 92L, "signup"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_sink").filter($"user_id" === 1L)
+      .select($"step", $"step_name", $"ts")
+      .as[(Int, String, Timestamp)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "signup", ts(0)), (2, "view", ts(10)),
+      (3, "click", ts(50)), (4, "purchase", ts(200))), s"got ${rows.toSeq}")
+  }
 }
