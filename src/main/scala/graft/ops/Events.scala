@@ -603,6 +603,57 @@ object Events {
         |  UNION ALL SELECT 3, 'click', COUNT(*) FROM t3
         |  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM t4)
         |ORDER BY step""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q140: TRANSITION GAP PROFILE — inter-event dwell time per
+    // (from → to) transition: q118 counts WHERE users go, this measures
+    // HOW LONG they linger on each hop (latency/abandonment diagnosis;
+    // a bot signature is a near-zero gap profile). Same single keyed
+    // lead window as q118 (one user_id shuffle, one sort), then a
+    // types²-key aggregation. Gaps are exact integer MICROSECONDS
+    // summed in decimal(38) — int64 would overflow at corpus row counts
+    // (6e11 rows × ~1e13 µs max gap) — then ONE huge-int→double cast
+    // and two divisions, correctly rounded from identical exact
+    // operands on both engines.
+    QueryDef.sql("q140_transition_gap_profile") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        // ts is TIMESTAMP_NTZ; the session runs UTC, so the NTZ→LTZ cast
+        // is value-preserving and unix_micros equals DuckDB's epoch_us
+        .withColumn("gap_us", expr(
+          "unix_micros(cast(next_ts AS timestamp)) - unix_micros(cast(ts AS timestamp))"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double").as("sum_gap_us"))
+        .withColumn("avg_gap_s",
+          col("sum_gap_us") / col("n_gaps").cast("double") / 1e6)
+        .drop("sum_gap_us")
+        .orderBy("from_type", "to_type")
+    } {
+      """WITH s AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type,
+        |    EPOCH_US(LEAD(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - EPOCH_US(ts) AS gap_us
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type,
+        |  COUNT(*) AS n_gaps,
+        |  MIN(gap_us) AS min_gap_us,
+        |  MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6 AS avg_gap_s
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin
     }
   )
 }

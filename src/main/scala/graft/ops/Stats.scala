@@ -451,6 +451,62 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q139: DELETION-PROPAGATION AUDIT (right-to-be-forgotten) — given a
+    // deletion cohort of users, count every row each table still holds
+    // that references them, directly (events.user_id, orders.o_custkey)
+    // or transitively (lineitem through its order): the pre-deletion
+    // inventory a compliance pipeline runs, and re-runs post-deletion
+    // expecting zeros. The cohort here is the library-wide md5 id-hash
+    // under ~2% of the bucket space — deterministic, content-independent,
+    // engine-shared. Shapes: the cohort predicate is scan-side for the
+    // direct tables; lineitem's transitive hop is one semi-join on
+    // l_orderkey against the cohort's orders (keyed shuffle; the fact
+    // table is never re-keyed by user). Exact integer counts.
+    QueryDef.sql("q139_deletion_propagation") { (s, d) =>
+      val keep = graft.Ids.hash("user_key") < lit(85899345L) // 2% of 2^32
+      def cohortRows(df: DataFrame, keyCol: String): DataFrame =
+        df.withColumn("user_key", col(keyCol)).filter(keep)
+      val cust = cohortRows(Tables(s, d, "customer"), "c_custkey")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_key")).as("n_users"))
+        .select(lit("customer").as("table_name"), col("n_rows"), col("n_users"))
+      val ev = cohortRows(Tables(s, d, "events"), "user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_key")).as("n_users"))
+        .select(lit("events").as("table_name"), col("n_rows"), col("n_users"))
+      val ords = cohortRows(Tables(s, d, "orders"), "o_custkey")
+      val or = ords
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_key")).as("n_users"))
+        .select(lit("orders").as("table_name"), col("n_rows"), col("n_users"))
+      val li = Tables(s, d, "lineitem")
+        .join(ords.select(col("o_orderkey"), col("user_key")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_key")).as("n_users"))
+        .select(lit("lineitem").as("table_name"), col("n_rows"), col("n_users"))
+      cust.unionByName(ev).unionByName(or).unionByName(li)
+        .orderBy("table_name")
+    } {
+      def hash(c: String) = graft.Ids.hashSql(c)
+      s"""SELECT * FROM (
+         |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+         |    COUNT(DISTINCT c_custkey) AS n_users
+         |  FROM customer WHERE ${hash("c_custkey")} < 85899345
+         |  UNION ALL
+         |  SELECT 'events', COUNT(*), COUNT(DISTINCT user_id)
+         |  FROM events WHERE ${hash("user_id")} < 85899345
+         |  UNION ALL
+         |  SELECT 'orders', COUNT(*), COUNT(DISTINCT o_custkey)
+         |  FROM orders WHERE ${hash("o_custkey")} < 85899345
+         |  UNION ALL
+         |  SELECT 'lineitem', COUNT(*), COUNT(DISTINCT o.o_custkey)
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE ${hash("o.o_custkey")} < 85899345
+         |) ORDER BY table_name""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q58: correlation + least-squares regression of extended price on
     // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
     // order-free exact decimals (one map-side-combined aggregation), and

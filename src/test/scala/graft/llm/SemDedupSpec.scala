@@ -240,6 +240,41 @@ class SemDedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q139: cohort counts recompute; transitive hop stays inside the direct one") {
+    val rows = graft.SparkEntry.queries("q139_deletion_propagation")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("customer", "events", "orders", "lineitem"))
+    // the cohort predicate recomputed directly must agree with the audit
+    val cohortCustomers = graft.Tables(spark, d, "customer")
+      .filter(graft.Ids.hash("c_custkey") < org.apache.spark.sql.functions.lit(85899345L))
+      .count()
+    assert(rows("customer")._1 == cohortCustomers,
+      s"customer audit ${rows("customer")._1} != recompute $cohortCustomers")
+    assert(cohortCustomers > 0, "fixture premise: the 2% cohort is non-empty")
+    // orders→customer is a clean FK edge (q137), so order-placing cohort
+    // users are a subset of cohort customers; lineitem only covers
+    // orders that have lines
+    assert(rows("orders")._2 <= rows("customer")._1)
+    assert(rows("lineitem")._2 <= rows("orders")._2)
+  }
+
+  test("q140: every user contributes exactly n_events-1 gaps; avg within [min, max]") {
+    val out = graft.SparkEntry.queries("q140_transition_gap_profile")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mn, mx, avg) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(mn >= 0, "events sorted by ts — a negative gap is a sort bug")
+      assert(avg * 1e6 >= mn - 1e-6 && avg * 1e6 <= mx + 1e-6,
+        s"avg $avg s outside [${mn}us, ${mx}us]")
+      assert(n > 0)
+    }
+    val events = graft.Tables(spark, d, "events")
+    val totalGaps = out.map(_.getLong(2)).sum
+    val expected = events.count() - events.select("user_id").distinct().count()
+    assert(totalGaps == expected,
+      s"gap total $totalGaps != events - users $expected")
+  }
+
   test("q138: fertility ratios are finite and coherent per language") {
     val rows = graft.SparkEntry.queries("q138_tokenizer_fertility")(spark, d).collect()
     assert(rows.nonEmpty)
