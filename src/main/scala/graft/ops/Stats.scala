@@ -507,6 +507,156 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q141: FACT-ROLLUP RECONCILIATION — does the order header's
+    // o_totalprice equal its lineitems' Σ extprice·(1−disc)·(1+tax)?
+    // The warehouse trust audit for any header/detail pair (billing vs
+    // ledger, manifest vs shards): report, per order priority, how many
+    // headers disagree with their detail rollup beyond a tolerance and
+    // by how much. On this synthetic corpus the headers are generated
+    // independently of the lines, so the audit reports ~100% mismatch —
+    // which is precisely its job to notice (spec-pinned). Exactness: the
+    // per-row term is one shared IEEE chain, the per-order rollup is an
+    // order-free decimal sum (Det.dsum), the delta a single subtraction
+    // — deltas, counts and extrema all hash-match. Shape: one shuffle
+    // on l_orderkey (map-side partial sums), one broadcast-joinable
+    // header relation, one priority-key agg.
+    QueryDef.sql("q141_rollup_reconciliation") { (s, d) =>
+      val roll = Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(Det.dsum(expr(
+          "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")).as("roll"))
+      Tables(s, d, "orders")
+        .join(roll, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .withColumn("delta", abs(col("o_totalprice") - coalesce(col("roll"), lit(0.0))))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("roll").isNull, 1L).otherwise(0L)).as("n_lineless"),
+          sum(when(col("delta") > 1.0, 1L).otherwise(0L)).as("n_mismatched"),
+          max(col("delta")).as("max_abs_delta"),
+          Det.dsum(col("delta")).as("sum_abs_delta"))
+        .orderBy("o_orderpriority")
+    } {
+      s"""WITH r AS (
+         |  SELECT l_orderkey,
+         |    ${Det.dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+         |      AS roll
+         |  FROM lineitem GROUP BY l_orderkey),
+         |j AS (
+         |  SELECT o.o_orderpriority, r.roll,
+         |    ABS(o.o_totalprice - COALESCE(r.roll, 0.0)) AS delta
+         |  FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey)
+         |SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CASE WHEN roll IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lineless,
+         |  CAST(SUM(CASE WHEN delta > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_mismatched,
+         |  MAX(delta) AS max_abs_delta,
+         |  ${Det.dsumSql("delta")} AS sum_abs_delta
+         |FROM j
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q142: QUANTILE-BAND LABELING — tag every document with its GLOBAL
+    // length quartile and report the (lang, band) composition: the
+    // "which languages live in the long tail" audit, and the general
+    // pattern of using corpus-level order statistics as a row-level
+    // transform (curriculum difficulty bands q93 ranks globally; this
+    // labels against three broadcast scalars — one scan, no rank
+    // shuffle for the labeling pass). Quartiles come from the q102
+    // two-pass machinery; band = 1 + Σ (len > q_i) is pure integer
+    // arithmetic over identical doubles, so the counts hash-match.
+    QueryDef.sql("q142_quantile_band_mix") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val qs = Scale.exactQuantiles(docs, "n_chars", Seq(0.25, 0.5, 0.75))
+        .groupBy()
+        .agg(
+          min(when(col("p") === 0.25, col("quantile"))).as("q1"),
+          min(when(col("p") === 0.5, col("quantile"))).as("q2"),
+          min(when(col("p") === 0.75, col("quantile"))).as("q3"))
+      docs.select(col("lang"), col("n_chars"))
+        .crossJoin(broadcast(qs))
+        .withColumn("band",
+          lit(1) + (col("n_chars") > col("q1")).cast("int")
+            + (col("n_chars") > col("q2")).cast("int")
+            + (col("n_chars") > col("q3")).cast("int"))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "band")
+    } {
+      """WITH q AS (
+        |  SELECT QUANTILE_CONT(n_chars, 0.25) AS q1,
+        |    QUANTILE_CONT(n_chars, 0.5) AS q2,
+        |    QUANTILE_CONT(n_chars, 0.75) AS q3
+        |  FROM documents)
+        |SELECT lang,
+        |  1 + CAST(n_chars > q.q1 AS INT) + CAST(n_chars > q.q2 AS INT)
+        |    + CAST(n_chars > q.q3 AS INT) AS band,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, q
+        |GROUP BY 1, 2
+        |ORDER BY lang, band""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q143: CHI-SQUARED INDEPENDENCE AUDIT — is `lang` independent of
+    // `source` in the corpus? Per-cell observed vs expected counts and
+    // the cell's χ² contribution: the categorical-association monitor
+    // behind mixture design (a source that only speaks one language is
+    // a concentration risk the marginals hide; q91/q122 watch drift,
+    // this watches ASSOCIATION). Exactness: observed and marginals are
+    // integers, expected = (row_total · col_total) / n is ONE division
+    // of exact integer products, and the χ² contribution is a shared
+    // IEEE chain over identical operands — per-cell doubles hash-match
+    // without any transcendental (a G-test's logs would not). Shape:
+    // one (lang, source) agg, two marginal re-aggs of that tiny grid,
+    // broadcast joins — a single corpus scan.
+    QueryDef.sql("q143_chi2_independence") { (s, d) =>
+      val grid = Tables(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("observed"))
+      val rowM = grid.groupBy(col("lang")).agg(sum(col("observed")).as("n_lang"))
+      val colM = grid.groupBy(col("source")).agg(sum(col("observed")).as("n_source"))
+      val tot = grid.agg(sum(col("observed")).as("n"))
+      grid.join(broadcast(rowM), "lang")
+        .join(broadcast(colM), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("expected", expr(
+          "CAST(n_lang * n_source AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("chi2_cell", expr(
+          "(CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected) / expected"))
+        .select("lang", "source", "observed", "expected", "chi2_cell")
+        .orderBy("lang", "source")
+    } {
+      """WITH grid AS (
+        |  SELECT lang, source, COUNT(*) AS observed
+        |  FROM documents GROUP BY lang, source),
+        |rm AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS n_lang
+        |       FROM grid GROUP BY lang),
+        |cm AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS n_source
+        |       FROM grid GROUP BY source),
+        |tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM grid)
+        |SELECT g.lang, g.source, g.observed,
+        |  CAST(rm.n_lang * cm.n_source AS DOUBLE) / CAST(tot.n AS DOUBLE)
+        |    AS expected,
+        |  (CAST(g.observed AS DOUBLE)
+        |     - CAST(rm.n_lang * cm.n_source AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |  * (CAST(g.observed AS DOUBLE)
+        |     - CAST(rm.n_lang * cm.n_source AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |  / (CAST(rm.n_lang * cm.n_source AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    AS chi2_cell
+        |FROM grid g
+        |JOIN rm ON g.lang = rm.lang
+        |JOIN cm ON g.source = cm.source
+        |CROSS JOIN tot
+        |ORDER BY g.lang, g.source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q58: correlation + least-squares regression of extended price on
     // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
     // order-free exact decimals (one map-side-combined aggregation), and

@@ -275,6 +275,56 @@ class SemDedupSpec extends AnyFunSuite with SparkTestSession {
       s"gap total $totalGaps != events - users $expected")
   }
 
+  test("q141: the audit notices the fixture's header/detail divergence") {
+    val rows = graft.SparkEntry.queries("q141_rollup_reconciliation")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val (orders, mismatched) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(3)).sum)
+    // the synthetic headers are generated independently of the lines —
+    // the audit's entire job is to report that, loudly
+    assert(mismatched > orders / 2,
+      s"fixture premise: headers diverge from rollups ($mismatched of $orders)")
+    rows.foreach { r =>
+      // a lineless header counts as mismatched too (delta = its full
+      // total), so the two counts overlap — each is bounded by n_orders
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1),
+        "counts consistent")
+      assert(r.getDouble(4) >= 0 && r.getDouble(5) >= 0, "deltas non-negative")
+    }
+  }
+
+  test("q142: bands partition the corpus into near-quarters") {
+    val out = graft.SparkEntry.queries("q142_quantile_band_mix")(spark, d).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total == graft.Tables(spark, d, "documents").count())
+    val byBand = out.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byBand.keySet == Set(1, 2, 3, 4), s"bands present: ${byBand.keySet}")
+    byBand.foreach { case (b, n) =>
+      // quartile bands are quarter-sized up to tie plateaus
+      assert(n >= total / 8 && n <= total * 3 / 8, s"band $b holds $n of $total")
+    }
+  }
+
+  test("q143: chi-squared cells reconcile with their marginals") {
+    val out = graft.SparkEntry.queries("q143_chi2_independence")(spark, d).collect()
+    assert(out.nonEmpty)
+    val n = out.map(_.getLong(2)).sum.toDouble
+    val byLang = out.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    out.foreach { r =>
+      val expected = r.getDouble(3)
+      assert(expected > 0 && r.getDouble(4) >= 0)
+      // expected cell mass sums to the row marginal across its row —
+      // spot-check via one lang: Σ_src expected(lang, src) ≈ n_lang when
+      // every source appears in the row's grid slice
+    }
+    // Σ observed = corpus; expected totals match observed totals per lang
+    assert(n == graft.Tables(spark, d, "documents").count().toDouble)
+    byLang.foreach { case (lang, nl) =>
+      val expSum = out.filter(_.getString(0) == lang).map(_.getDouble(3)).sum
+      assert(math.abs(expSum - nl) < nl * 0.2 + 1,
+        s"$lang expected-mass $expSum far from marginal $nl")
+    }
+  }
+
   test("q138: fertility ratios are finite and coherent per language") {
     val rows = graft.SparkEntry.queries("q138_tokenizer_fertility")(spark, d).collect()
     assert(rows.nonEmpty)
