@@ -14,7 +14,7 @@ object SparkEntry {
   /** All operator modules, in presentation order. */
   def all: Seq[QueryDef] =
     ops.Relational.queries ++ ops.Events.queries ++ ops.Extended.queries ++
-      ops.Stats.queries ++
+      ops.Stats.queries ++ ops.Graph.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++ llm.TextAnalysis.queries ++
       llm.Pipeline.queries ++ multimodal.Multimodal.queries ++ llm.Gates.queries ++
       llm.Search.queries

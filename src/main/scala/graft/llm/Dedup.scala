@@ -329,6 +329,83 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q146: DIRECTIONAL CONTAINMENT-SIMILARITY JOIN — C(A→B) =
+    // |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.8 over the q25/q136 3-gram shingle
+    // measure. Jaccard misses asymmetric duplication (a short document
+    // quoted whole inside a much longer one drives J → |A|/|B| → 0 while
+    // C(A→B) = 1); this is the quote/boilerplate-inclusion detector, the
+    // set-containment join of the JOSIE/PPJoin literature. EXACT, via
+    // the one-sided prefix filter: if C(A→B) ≥ t then at most
+    // na − ceil(t·na) of A's shingles miss B, so A must share one of its
+    // (na − ceil(t·na) + 1) RAREST shingles (global df-ascending order)
+    // with B — the probe side joins only those, the indexed side keeps
+    // ALL postings (containment constrains nothing about B's extras, so
+    // B's prefix cannot be pruned — the asymmetry vs q136). Rare probe
+    // tokens meet short posting lists, capping fan-out; the verify leg
+    // is the early-exit sorted-intersect kernel with minRequired =
+    // ceil(t·na), and the integer form 5·i ≥ 4·na decides the threshold
+    // with no float compare. Oracle: exact postings-join intersection
+    // counts over string shingles (the q136 hash-vs-string precedent).
+    QueryDef.sql("q146_containment_join") { (s, d) =>
+      graft.functions.SortedIntersectCount.register(s)
+      val docs = graft.Checkpoints.checkpoint(
+        Tables(s, d, "documents")
+          .withColumn("tokens", split(col("text"), " "))
+          .select(col("doc_id"),
+            expr(Lsh.shingleHashesSql(sorted = true)).as("toks"))
+          .withColumn("n_toks", size(col("toks")))
+          .filter(col("n_toks") > 0))
+      val toksRel = docs.select(col("doc_id"), col("n_toks"),
+        explode(col("toks")).as("tok"))
+      val dfRel = toksRel.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // probe prefix: rarest na − ceil(4·na/5) + 1 shingles per doc
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)
+      val prefix = toksRel.join(dfRel, "tok")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= col("n_toks") - expr("(4 * n_toks + 4) DIV 5") + 1)
+        .select(col("tok"), col("doc_id").as("doc_a"), col("n_toks").as("na"))
+      val postings = toksRel.select(col("tok").as("tok_b"),
+        col("doc_id").as("doc_b"), col("n_toks").as("nb"))
+      val cand = prefix.join(postings, col("tok") === col("tok_b") &&
+        col("doc_a") =!= col("doc_b") &&
+        // i ≤ nb, so nb must reach ceil(4·na/5)
+        col("nb") * 5 >= col("na") * 4)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .distinct()
+      val la = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val lb = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      cand.join(la, "doc_a").join(lb, "doc_b")
+        .withColumn("i", expr(
+          "sorted_intersect_count_min(toks_a, toks_b, cast((4 * na + 4) div 5 AS int))"))
+        .filter(col("i") * 5 >= col("na") * 4)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          (col("i").cast("double") / col("na").cast("double"))
+            .as("containment"))
+        .orderBy("doc_a", "doc_b")
+    } {
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |docs AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        |  FROM toks),
+        |sized AS (
+        |  SELECT doc_id, sh, LEN(sh) AS n FROM docs WHERE LEN(sh) > 0),
+        |post AS (SELECT doc_id, n, UNNEST(sh) AS s FROM sized),
+        |ov AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n AS na, b.n AS nb, COUNT(*) AS i
+        |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, na, nb,
+        |  CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+        |FROM ov WHERE i * 5 >= na * 4
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q25: MinHash + LSH near-dup (the 100 TB scale path): 3-word
     // shingles → 32 min-hash signatures → 8 bands of 4 → bucket-join for
     // candidates → exact Jaccard verification. Hash-specific, so no SQL

@@ -1,0 +1,223 @@
+package graft.ops
+
+import graft.{Checkpoints, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over relations the corpus already contains — the
+  * item-affinity views a recommendation / curation pipeline derives from
+  * transactional co-occurrence (which parts ship together), expressed as
+  * keyed joins and aggregations so the same plans run at warehouse scale.
+  *
+  * The graph itself is DERIVED, never materialized driver-side: the
+  * per-order basket self-join bounds pair fan-out by the basket size
+  * (domain-bounded — an order has a handful of lines at any corpus
+  * scale, so pairs-per-order is O(L²) with small constant L), and the
+  * support threshold prunes the hairball before any iterative work.
+  *
+  * Iterative PageRank (q144) follows the Pregel shape relationally:
+  * ranks live in a node-keyed relation, one shuffle per iteration moves
+  * contributions along edges, and the iteration count is a FIXED
+  * constant — the driver loop is over iterations, never over data. Each
+  * iteration's ranks are frozen with [[graft.Checkpoints]] so the plan
+  * (and its lineage) stays iteration-sized rather than growing
+  * geometrically, exactly the posture the distributed
+  * connected-components loop in [[graft.llm.Dedup]] takes.
+  *
+  * Cross-engine determinism (both queries hash-match their oracles):
+  * every count is exact int64; the only floating steps are single IEEE
+  * divisions/multiplications of exactly-representable operands. PageRank
+  * contributions are quantized to an integer 1e-12 grid and summed
+  * exactly as int64 (the [[graft.Det.csum]] posture — per-target bound:
+  * indegree · 1e12 < 2^63 holds to indegrees of ~9e6; beyond that raise
+  * the grid), so the per-iteration sum is order-free, and the damping
+  * constants 0.75 / 0.25 are dyadic rationals with exact IEEE products.
+  */
+object Graph {
+
+  /** Support threshold: a co-purchase pair must appear in ≥ MinSupport
+    * distinct orders to become an edge. One definition, interpolated
+    * into both engines' plans.
+    */
+  private val MinSupport = 2
+
+  /** Fixed PageRank iteration count (the operator exposes rank AFTER k
+    * sweeps, a deterministic quantity — convergence detection would make
+    * the output depend on float comparisons; k sweeps is what an oracle
+    * can replay).
+    */
+  private val Iters = 3
+
+  /** Contribution quantization grid: pr/deg is rounded to this many
+    * fractional decimal digits and summed as exact int64.
+    */
+  private val Grid = 1e12
+
+  /** The distinct (order, part) basket relation. */
+  private def baskets(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** Directed co-purchase edges with support ≥ [[MinSupport]]; symmetric
+    * by construction (both (i,j) and (j,i) present, equal weight).
+    */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val li = baskets(s, d)
+    val a = li.select(col("o"), col("p").as("src"))
+    val b = li.select(col("o").as("o2"), col("p").as("dst"))
+    a.join(b, col("o") === col("o2") && col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= MinSupport)
+  }
+
+  /** Shared oracle prelude: baskets → supported symmetric edges. */
+  private val EdgeSql =
+    s"""li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (
+       |  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+       |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT src, dst, w FROM pairs WHERE w >= $MinSupport)""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q144: CO-PURCHASE PAGERANK — authority ranking over the item
+    // co-occurrence graph (crawl-prioritization / popularity-debiasing
+    // input: which items are central to purchase behavior, not merely
+    // frequent). Power iteration with damping 0.75, Iters sweeps, over
+    // the support-thresholded symmetric edge set; the rank universe is
+    // the nodes WITH edges, so the graph has no dangling mass. Per
+    // iteration: ONE shuffle of the edge relation keyed by dst; ranks
+    // and degrees stay node-sized; the basket pair expansion is bounded
+    // by order size. The oracle replays the identical three unrolled
+    // sweeps (same integer-grid contribution sums), so the final doubles
+    // hash-match bit-for-bit.
+    QueryDef.sql("q144_copurchase_pagerank") { (s, d) =>
+      val e = Checkpoints.checkpoint(
+        edges(s, d).select(col("src"), col("dst")))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = deg.select(col("src").as("node"), col("deg"))
+      val nRel = broadcast(nodes.agg(count(lit(1)).as("n")))
+      var ranks = nodes.crossJoin(nRel)
+        .select(col("node"), col("deg"), col("n"),
+          (lit(1.0) / col("n").cast("double")).as("pr"))
+      // each sweep reads ONLY the previous sweep's frozen ranks, so the
+      // prior freeze is released as soon as its successor materializes;
+      // the LAST freeze (and the edge checkpoint) back the returned lazy
+      // frame — the caller releases them after consuming (q78's posture)
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to Iters) {
+        val frozen = Checkpoints.checkpoint(ranks)
+        prev.foreach(Checkpoints.release)
+        prev = Some(frozen)
+        val contrib = e.join(frozen, e("src") === frozen("node"))
+          .groupBy(col("dst"))
+          .agg(sum(round(col("pr") / col("deg").cast("double") * Grid)
+            .cast("long")).as("sgrid"))
+        // every node has indegree ≥ 1 (symmetric edges), so the inner
+        // join loses nothing and no coalesce is needed
+        ranks = nodes.crossJoin(nRel)
+          .join(contrib, col("node") === col("dst"))
+          .select(col("node"), col("deg"), col("n"),
+            (lit(0.25) / col("n").cast("double") +
+              lit(0.75) * (col("sgrid").cast("double") / Grid)).as("pr"))
+      }
+      ranks.select(col("node"), col("deg"), col("pr"))
+        .orderBy("node")
+    } {
+      s"""WITH $EdgeSql,
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT src AS node, deg FROM deg),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |pr0 AS (
+         |  SELECT node, deg,
+         |    CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |c1 AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(CAST(ROUND(p.pr / CAST(p.deg AS DOUBLE) * 1e12)
+         |      AS BIGINT)) AS BIGINT) AS sgrid
+         |  FROM edges e JOIN pr0 p ON e.src = p.node GROUP BY 1),
+         |pr1 AS (
+         |  SELECT nodes.node, nodes.deg,
+         |    CAST(0.25 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      + CAST(0.75 AS DOUBLE)
+         |        * (CAST(c1.sgrid AS DOUBLE) / 1e12) AS pr
+         |  FROM nodes CROSS JOIN nn JOIN c1 ON nodes.node = c1.node),
+         |c2 AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(CAST(ROUND(p.pr / CAST(p.deg AS DOUBLE) * 1e12)
+         |      AS BIGINT)) AS BIGINT) AS sgrid
+         |  FROM edges e JOIN pr1 p ON e.src = p.node GROUP BY 1),
+         |pr2 AS (
+         |  SELECT nodes.node, nodes.deg,
+         |    CAST(0.25 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      + CAST(0.75 AS DOUBLE)
+         |        * (CAST(c2.sgrid AS DOUBLE) / 1e12) AS pr
+         |  FROM nodes CROSS JOIN nn JOIN c2 ON nodes.node = c2.node),
+         |c3 AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM(CAST(ROUND(p.pr / CAST(p.deg AS DOUBLE) * 1e12)
+         |      AS BIGINT)) AS BIGINT) AS sgrid
+         |  FROM edges e JOIN pr2 p ON e.src = p.node GROUP BY 1),
+         |pr3 AS (
+         |  SELECT nodes.node, nodes.deg,
+         |    CAST(0.25 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      + CAST(0.75 AS DOUBLE)
+         |        * (CAST(c3.sgrid AS DOUBLE) / 1e12) AS pr
+         |  FROM nodes CROSS JOIN nn JOIN c3 ON nodes.node = c3.node)
+         |SELECT node, deg, pr FROM pr3 ORDER BY node""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q145: ASSOCIATION-RULE MINING (a-priori pruned) — support,
+    // confidence and lift for every supported co-purchase pair:
+    //   lift(i→j) = N · n_ij / (n_i · n_j)
+    // over distinct-order baskets. This is the basket-analysis twin of
+    // q144's graph: counts only, no iteration. Both products are taken
+    // EXACTLY in 128-bit (decimal(38,0) / HUGEINT) before ONE cast to
+    // double each and ONE division — int64 products could overflow at
+    // warehouse row counts (N·n_ij with N ≈ 1.5e11), the wide integers
+    // cannot, and the final doubles are correctly rounded from identical
+    // exact integers on both engines.
+    QueryDef.sql("q145_association_rules") { (s, d) =>
+      val li = baskets(s, d)
+      val nOrders = broadcast(li.agg(
+        countDistinct(col("o")).as("n_orders")))
+      val perPart = li.groupBy(col("p")).agg(count(lit(1)).as("n_part"))
+      val wide = DecimalType(38, 0)
+      edges(s, d)
+        .join(perPart.select(col("p").as("src"), col("n_part").as("n_src")), "src")
+        .join(perPart.select(col("p").as("dst"), col("n_part").as("n_dst")), "dst")
+        .crossJoin(nOrders)
+        .select(col("src"), col("dst"), col("w").as("support"),
+          col("n_src"), col("n_dst"),
+          (col("w").cast("double") / col("n_src").cast("double"))
+            .as("confidence"),
+          ((col("n_orders").cast(wide) * col("w").cast(wide)).cast("double") /
+            (col("n_src").cast(wide) * col("n_dst").cast(wide)).cast("double"))
+            .as("lift"))
+        .orderBy("src", "dst")
+    } {
+      s"""WITH $EdgeSql,
+         |per_part AS (SELECT p, COUNT(*) AS n_part FROM li GROUP BY 1),
+         |nn AS (SELECT COUNT(DISTINCT o) AS n_orders FROM li)
+         |SELECT e.src, e.dst, e.w AS support,
+         |  ps.n_part AS n_src, pd.n_part AS n_dst,
+         |  CAST(e.w AS DOUBLE) / CAST(ps.n_part AS DOUBLE) AS confidence,
+         |  CAST(CAST(nn.n_orders AS HUGEINT) * CAST(e.w AS HUGEINT)
+         |      AS DOUBLE)
+         |    / CAST(CAST(ps.n_part AS HUGEINT) * CAST(pd.n_part AS HUGEINT)
+         |      AS DOUBLE) AS lift
+         |FROM edges e
+         |JOIN per_part ps ON e.src = ps.p
+         |JOIN per_part pd ON e.dst = pd.p
+         |CROSS JOIN nn
+         |ORDER BY e.src, e.dst""".stripMargin
+    }
+  )
+}

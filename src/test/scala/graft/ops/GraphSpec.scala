@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with SparkTestSession {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q144 conserves rank mass and ranks hubs above leaves") {
+    import spark.implicits._
+    val pr = graft.SparkEntry.queries("q144_copurchase_pagerank")(spark, d)
+      .as[(Long, Long, Double)].collect()
+    assert(pr.nonEmpty, "empty co-purchase graph at sf0.001")
+    // no dangling nodes (symmetric supported edges), so each sweep
+    // redistributes all damped mass: Σpr = 1 up to the 1e-12 grid and
+    // IEEE rounding, N·ulp-ish — 1e-6 is orders of magnitude of headroom
+    val mass = pr.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass drifted: $mass")
+    // monotone sanity: the max-degree node must outrank the min-degree
+    // node (true for this fixture's hub-vs-leaf spread; PageRank is not
+    // globally monotone in degree, so compare the extremes only)
+    val byDeg = pr.sortBy(_._2)
+    assert(byDeg.last._3 > byDeg.head._3,
+      s"max-degree node ${byDeg.last} does not outrank min-degree ${byDeg.head}")
+    // every rank strictly positive (damping floor)
+    assert(pr.forall(_._3 > 0.0))
+  }
+
+  test("q144 frees its intermediate sweep checkpoints, keeping only the last") {
+    val df = graft.SparkEntry.queries("q144_copurchase_pagerank")(spark, d)
+    df.collect()
+    // reachable graft-owned checkpoints: the edge freeze + the final
+    // sweep's ranks freeze; the two earlier sweeps must already be gone
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    graft.Checkpoints.release(df)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(persisted - after == 2,
+      s"expected exactly 2 live graph checkpoints (edges + last sweep), " +
+        s"released ${persisted - after}")
+  }
+
+  test("q145 lift is symmetric and support-consistent with the edge relation") {
+    import spark.implicits._
+    val rules = graft.SparkEntry.queries("q145_association_rules")(spark, d)
+      .select($"src", $"dst", $"support", $"lift")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rules.nonEmpty)
+    val byPair = rules.map(r => (r._1, r._2) -> r).toMap
+    rules.foreach { case (src, dst, w, lift) =>
+      val rev = byPair.get((dst, src))
+      assert(rev.isDefined, s"missing mirror rule for ($src,$dst)")
+      // lift's formula is symmetric in (i, j); support likewise
+      assert(rev.get._3 == w && rev.get._4 == lift,
+        s"asymmetric pair ($src,$dst): $w/$lift vs ${rev.get}")
+      assert(lift > 0.0)
+    }
+  }
+}
