@@ -235,4 +235,41 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     info(f"ANN multi-probe recall@10 = $recall%.2f")
     assert(recall >= 0.3, s"recall $recall suspiciously low for multi-probe LSH")
   }
+
+  test("containment join (q146) is exact: matches brute-force truth and dominates Jaccard") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q146_containment_join")(spark, d)
+      .select($"doc_a", $"doc_b", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(r => r._3 >= 0.8 && r._3 <= 1.0 && r._1 != r._2))
+    // brute-force directional truth over string shingles (no prefix
+    // filter, no postings join) -- the prefix prune must lose nothing
+    val docs = graft.Tables(spark, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("sh",
+        expr("array_distinct(transform(sequence(0, size(tokens)-3), i -> concat_ws(' ', slice(tokens, i+1, 3))))"))
+      .select("doc_id", "sh")
+    val truth = docs.alias("a").join(docs.alias("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("c",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(col("a.sh")).cast("double"))
+      .filter(col("c") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2)).toSet == truth,
+      s"prefix-filter answer differs from brute force: " +
+        s"missing ${truth.diff(got.map(r => (r._1, r._2)).toSet).take(5)}, " +
+        s"extra ${got.map(r => (r._1, r._2)).toSet.diff(truth).take(5)}")
+    // C(A->B) >= J(A,B) always, so every q136 pair at J >= 0.8 must
+    // appear in BOTH directions here
+    val j8 = graft.SparkEntry.queries("q136_prefix_filter_simjoin")(spark, d)
+      .filter(col("jaccard") >= 0.8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    j8.foreach { case (a, b) =>
+      assert(pairs.contains((a, b)) && pairs.contains((b, a)),
+        s"J>=0.8 pair ($a,$b) missing a containment direction")
+    }
+  }
 }
