@@ -353,4 +353,65 @@ object Scale {
       .reduce(_ && _)
     l.join(r, cond)
   }
+
+  /** Morton (Z-order) interleave of two `bits`-bit bucket expressions —
+    * the multi-dimensional clustering key behind data-skipping layouts
+    * (Delta/Iceberg OPTIMIZE ZORDER): rows close in z are close in BOTH
+    * dimensions, so a file holding a contiguous z-range covers a small
+    * min/max box in each dimension and file-level statistics prune scans
+    * filtered on EITHER column. A linear (single-column) sort buys
+    * pruning on that column only — the second dimension's per-file span
+    * is the full domain.
+    *
+    * Emitted as dialect-neutral SQL arithmetic (FLOOR-division + modulo
+    * on non-negative ints; the `p.0` literals parse as exact DECIMALs on
+    * both engines, so every quotient is exact rational arithmetic — no
+    * `DIV` vs `//` divergence and no float in the path at all), so ONE
+    * builder serves the Spark expression and the DuckDB oracle and the
+    * two engines can never interleave differently. Bit k of each input
+    * lands at z-bit 2k (x) / 2k+1 (y).
+    */
+  def zorderSql(bx: String, by: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 16)
+    val terms = (0 until bits).flatMap { k =>
+      val p = 1L << k
+      Seq(
+        s"(CAST(FLOOR(($bx) / $p.0) AS BIGINT) % 2) * ${1L << (2 * k)}",
+        s"(CAST(FLOOR(($by) / $p.0) AS BIGINT) % 2) * ${1L << (2 * k + 1)}")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Affine bucketing of an integer column onto [0, 2^bits): dialect-
+    * neutral like [[zorderSql]]; `minv`/`range` are column references to
+    * broadcast scalars (global min and max−min+1). Exact: the numerator
+    * stays far below 2^53 for any 2^bits ≤ 2^16 and 64-bit key domain
+    * bucketed via a first modulo if needed.
+    */
+  def bucketSql(v: String, minv: String, range: String, bits: Int): String =
+    s"CAST(FLOOR((($v) - ($minv)) * ${1L << bits}.0 / ($range)) AS BIGINT)"
+
+  /** The physical z-order layout: cluster `df` into `files` contiguous
+    * z-ranges of the interleave of `ca` × `cb` (each bucketed to `bits`
+    * bits against its global min/max) and sort within partitions by z —
+    * exactly what a writer would stream to `files` parquet files. The
+    * returned frame carries the `z` column; ZorderSpec measures the
+    * per-partition min/max box of both dimensions against a linear
+    * layout of the same data.
+    */
+  def zorderLayout(df: DataFrame, ca: String, cb: String,
+      bits: Int = 8, files: Int = 64): DataFrame = {
+    val mm = df.agg(
+      min(col(ca)).cast("long").as("min_a"),
+      (max(col(ca)).cast("long") - min(col(ca)).cast("long") + 1L).as("range_a"),
+      min(col(cb)).cast("long").as("min_b"),
+      (max(col(cb)).cast("long") - min(col(cb)).cast("long") + 1L).as("range_b"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("bx", expr(bucketSql(ca, "min_a", "range_a", bits)))
+      .withColumn("by", expr(bucketSql(cb, "min_b", "range_b", bits)))
+      .withColumn("z", expr(zorderSql("bx", "by", bits)))
+      .drop("min_a", "range_a", "min_b", "range_b")
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+  }
 }

@@ -291,6 +291,73 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q147: Z-ORDER LAYOUT SKIPPING AUDIT — the data-layout decision
+    // made measurable. Both layouts assign every lineitem row to one of
+    // 64 value-range files: `linear` by l_partkey bucket alone (the
+    // single-column sort a naive writer produces), `zorder` by the
+    // Morton interleave of (l_partkey, l_suppkey) buckets
+    // (Scale.zorderSql — what OPTIMIZE ZORDER writes). Per (layout,
+    // file): row count and the min/max BOX of both dimensions — the
+    // exact statistics a reader's file-pruning consults. The numbers
+    // say it all: linear files span ≤ 4 partkey buckets but the FULL
+    // suppkey domain (a suppkey filter prunes nothing); aligned z-range
+    // files are ≤ 32×32 tiles, so filters on EITHER dimension prune
+    // ~31/32 of files. All-integer arithmetic from one shared formula
+    // builder on both engines; the physical write path
+    // (repartitionByRange on z) is Scale.zorderLayout, spec-pinned.
+    QueryDef.sql("q147_zorder_layout_audit") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val mm = broadcast(li.agg(
+        min(col("l_partkey")).cast("long").as("min_a"),
+        (max(col("l_partkey")).cast("long")
+          - min(col("l_partkey")).cast("long") + 1L).as("range_a"),
+        min(col("l_suppkey")).cast("long").as("min_b"),
+        (max(col("l_suppkey")).cast("long")
+          - min(col("l_suppkey")).cast("long") + 1L).as("range_b")))
+      val bucketed = li.crossJoin(mm)
+        .withColumn("bx", expr(Scale.bucketSql("l_partkey", "min_a", "range_a", 8)))
+        .withColumn("by", expr(Scale.bucketSql("l_suppkey", "min_b", "range_b", 8)))
+        .withColumn("z", expr(Scale.zorderSql("bx", "by", 8)))
+      val z = bucketed
+        .select(lit("zorder").as("layout"),
+          expr("CAST(FLOOR(z / 1024.0) AS BIGINT)").as("file_id"),
+          col("bx"), col("by"))
+      val lin = bucketed
+        .select(lit("linear").as("layout"),
+          expr("CAST(FLOOR(bx / 4.0) AS BIGINT)").as("file_id"),
+          col("bx"), col("by"))
+      z.unionAll(lin)
+        .groupBy(col("layout"), col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("bx")) - min(col("bx")) + 1L).as("span_partkey"),
+          (max(col("by")) - min(col("by")) + 1L).as("span_suppkey"))
+        .orderBy("layout", "file_id")
+    } {
+      s"""WITH mm AS (
+         |  SELECT CAST(MIN(l_partkey) AS BIGINT) AS min_a,
+         |    CAST(MAX(l_partkey) - MIN(l_partkey) + 1 AS BIGINT) AS range_a,
+         |    CAST(MIN(l_suppkey) AS BIGINT) AS min_b,
+         |    CAST(MAX(l_suppkey) - MIN(l_suppkey) + 1 AS BIGINT) AS range_b
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT ${Scale.bucketSql("l_partkey", "min_a", "range_a", 8)} AS bx,
+         |    ${Scale.bucketSql("l_suppkey", "min_b", "range_b", 8)} AS by
+         |  FROM lineitem CROSS JOIN mm),
+         |bz AS (SELECT bx, by, ${Scale.zorderSql("bx", "by", 8)} AS z FROM b),
+         |u AS (
+         |  SELECT 'zorder' AS layout,
+         |    CAST(FLOOR(z / 1024.0) AS BIGINT) AS file_id, bx, by FROM bz
+         |  UNION ALL
+         |  SELECT 'linear' AS layout,
+         |    CAST(FLOOR(bx / 4.0) AS BIGINT) AS file_id, bx, by FROM bz)
+         |SELECT layout, file_id, COUNT(*) AS n_rows,
+         |  MAX(bx) - MIN(bx) + 1 AS span_partkey,
+         |  MAX(by) - MIN(by) + 1 AS span_suppkey
+         |FROM u GROUP BY layout, file_id
+         |ORDER BY layout, file_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q130: MEDIAN/MAD ROBUST OUTLIER AUDIT — the robust twin of q87's
     // z-score: median and median-absolute-deviation replace mean/stddev,
     // so a heavy tail cannot drag its own detection threshold (the

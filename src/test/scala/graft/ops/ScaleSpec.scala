@@ -357,4 +357,60 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.length === 2)
     assert(rows.forall(_.isNullAt(1)), "all-null input must yield NULL quantiles")
   }
+
+  test("q147: z-order files bound BOTH dimension spans; linear bounds only one") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q147_zorder_layout_audit")(spark, d)
+      .select($"layout", $"span_partkey", $"span_suppkey")
+      .as[(String, Long, Long)].collect()
+    val (zo, lin) = rows.partition(_._1 == "zorder")
+    assert(zo.nonEmpty && lin.nonEmpty)
+    // 64 aligned z-ranges of a 16-bit interleave are 32x32 tiles: a
+    // hard geometric bound, not a statistical one
+    zo.foreach { case (_, sx, sy) =>
+      assert(sx <= 32 && sy <= 32, s"z-order tile leaked: $sx x $sy")
+    }
+    // the single-column layout cannot bound the second dimension: at
+    // least one populated linear file spans over half the suppkey domain
+    assert(lin.exists(_._3 >= 128),
+      s"linear layout unexpectedly bounded suppkey: ${lin.map(_._3).max}")
+    // ...while it does bound its own sort column tightly
+    assert(lin.forall(_._2 <= 4))
+  }
+
+  test("zorderLayout physically clusters partitions into bounded boxes") {
+    val df = Scale.zorderLayout(
+      graft.Tables(spark, d, "lineitem"), "l_partkey", "l_suppkey",
+      bits = 8, files = 16)
+    // plan: a range exchange on z, never a single partition
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(z"),
+      s"expected a range exchange on z:\n$plan")
+    // the only SinglePartition allowed is the 1-row global min/max
+    // scalar aggregate; the row-data path must be the range exchange
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1)
+    // partitions hold contiguous z-ranges; 16 range partitions over a
+    // 16-bit z cover ~4096 z-values = 64x64 boxes on ALIGNED splits.
+    // Data-driven split points are unaligned: a range that crosses a
+    // HIGH-bit z boundary (16384k) teleports across the domain, so a
+    // FEW partitions are legitimately wide — the curve guarantees
+    // locality for ranges that avoid high-bit crossings, and the
+    // aligned-file audit (q147) carries the hard 32x32 bound. Honest
+    // physical claim: at least 3/4 of partitions land in a <=128-wide
+    // box in BOTH dimensions (a linear sort bounds only one, ever).
+    val boxes = df.select("bx", "by").rdd.mapPartitions { it =>
+      val b = it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      if (b.isEmpty) Iterator.empty
+      else Iterator((b.map(_._1).min, b.map(_._1).max,
+        b.map(_._2).min, b.map(_._2).max))
+    }.collect()
+    assert(boxes.nonEmpty)
+    val tight = boxes.count { case (x0, x1, y0, y1) =>
+      x1 - x0 + 1 <= 128 && y1 - y0 + 1 <= 128
+    }
+    assert(tight * 4 >= boxes.length * 3,
+      s"only $tight/${boxes.length} partitions in bounded boxes: " +
+        boxes.map { case (x0, x1, y0, y1) => s"[$x0,$x1]x[$y0,$y1]" }
+          .mkString(", "))
+  }
 }
