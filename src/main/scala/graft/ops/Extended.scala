@@ -319,6 +319,69 @@ object Extended {
     },
 
     // ------------------------------------------------------------------
+    // q148: EXACT EDIT-DISTANCE SIMILARITY JOIN (record linkage) —
+    // every distinct-name pair within Levenshtein ≤ 2, with per-name
+    // record counts: the entity-resolution primitive (catalog merge,
+    // near-miss entity match) as an EXACT blocked join, never a name ×
+    // name cross product. Candidate generation is Gravano et al.'s
+    // (VLDB'01) q-gram count filtering, answer-preserving: one edit
+    // destroys ≤ q = 2 positional bigrams, so lev(a,b) ≤ d = 2 forces
+    // ≥ max(|a|,|b|) − 1 − q·d shared bigrams — the bigram-postings
+    // pair counts (keyed agg, shuffle on bigram then pair) plus the
+    // length filter |len diff| ≤ 2 cover every true pair whose longer
+    // name has ≥ 7 chars. Pairs where BOTH names are ≤ 6 chars could
+    // share zero bigrams, so a dedicated short block (alphabet-bounded:
+    // the ≤6-char name universe, a few thousand rows at ANY corpus
+    // scale) cross-joins only within itself. Candidates verify on
+    // codegen'd `levenshtein`; the oracle is the brute-force join over
+    // the distinct-name relation, so the filter chain is proven
+    // loss-free at every Verify run, not just in the spec.
+    QueryDef.sql("q148_name_linkage_join") { (s, d) =>
+      val names = Tables(s, d, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_recs"))
+        .withColumn("len", length(col("name")))
+      val grams = names
+        .select(col("name"), col("len"),
+          explode(expr(
+            "array_distinct(transform(sequence(1, len - 1), i -> substring(name, i, 2)))"))
+            .as("g"))
+      val ga = grams.select(col("g"), col("name").as("name_a"), col("len").as("la"))
+      val gb = grams.select(col("g").as("g2"), col("name").as("name_b"), col("len").as("lb"))
+      val byGram = ga.join(gb, col("g") === col("g2") &&
+          col("name_a") < col("name_b") &&
+          abs(col("la") - col("lb")) <= 2)
+        .groupBy(col("name_a"), col("name_b"), col("la"), col("lb"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= greatest(col("la"), col("lb")) - lit(5))
+        .select(col("name_a"), col("name_b"))
+      val short = names.filter(col("len") <= 6)
+      val shortPairs = short.select(col("name").as("name_a"))
+        .crossJoin(short.select(col("name").as("name_b")))
+        .filter(col("name_a") < col("name_b"))
+      val cand = byGram.unionAll(shortPairs).distinct()
+      val withDist = cand
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+      withDist
+        .join(names.select(col("name").as("name_a"), col("n_recs").as("n_recs_a")), "name_a")
+        .join(names.select(col("name").as("name_b"), col("n_recs").as("n_recs_b")), "name_b")
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("n_recs_a"), col("n_recs_b"))
+        .orderBy("name_a", "name_b")
+    } {
+      """WITH names AS (
+        |  SELECT p_name AS name, COUNT(*) AS n_recs
+        |  FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  LEVENSHTEIN(a.name, b.name) AS dist,
+        |  a.n_recs AS n_recs_a, b.n_recs AS n_recs_b
+        |FROM names a JOIN names b ON a.name < b.name
+        |WHERE LEVENSHTEIN(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q98: DISTRIBUTION RANKS — the rest of the rank family over the
     // q48 fixture: percent_rank and cume_dist on the tie-aware ordering
     // (both are exact-integer ratios → bit-identical doubles), plus

@@ -41,4 +41,21 @@ class ExtendedSpec extends AnyFunSuite with SparkTestSession {
       .select($"l_returnflag", $"approx_parts", $"approx_supps")
       .as[(String, Long, Long)].collect()
   }
+
+  test("q148's q-gram count filter is loss-free vs the brute-force linkage join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("q148_name_linkage_join")(spark, d)
+      .select($"name_a", $"name_b", $"dist").as[(String, String, Int)].collect()
+    assert(got.forall(r => r._3 >= 1 && r._3 <= 2 && r._1 < r._2))
+    val names = graft.Tables(spark, d, "part").select($"p_name").distinct()
+    val truth = names.as("a").join(names.as("b"),
+        col("a.p_name") < col("b.p_name") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+      .select(col("a.p_name"), col("b.p_name")).as[(String, String)]
+      .collect().toSet
+    assert(got.map(r => (r._1, r._2)).toSet == truth,
+      s"blocked join diverged from brute force: missing " +
+        s"${truth.diff(got.map(r => (r._1, r._2)).toSet).take(5)}")
+  }
 }
