@@ -272,6 +272,40 @@ object Multimodal {
         |    AS BIGINT) AS n_frames
         |FROM documents
         |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q149: REAL PIXEL-LEVEL image decode, oracle-verified — the raster
+    // upgrade of q104's header proof. Channel sums are computed by
+    // traversing every pixel of the re-decoded PNG; the oracle predicts
+    // them in closed form from the gradient the encoder wrote (red a
+    // function of x only, green of y only), so a hash-match proves the
+    // decode touched every pixel, not just the IHDR. Means are one
+    // division of exact ints on both engines.
+    QueryDef.sql("q149_pixel_decode")(pixelDecode) {
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, n,
+        |    CAST(16 + n % 64 AS INT) AS width,
+        |    CAST(16 + (n * 7) % 64 AS INT) AS height
+        |  FROM base),
+        |sums AS (
+        |  SELECT doc_id, width, height,
+        |    CAST(height * LIST_SUM(LIST_TRANSFORM(RANGE(0, width),
+        |      x -> (n + x) % 256)) AS BIGINT) AS sum_red,
+        |    CAST(width * LIST_SUM(LIST_TRANSFORM(RANGE(0, height),
+        |      y -> (n * 3 + y) % 256)) AS BIGINT) AS sum_green
+        |  FROM dims)
+        |SELECT doc_id, width, height, sum_red, sum_green,
+        |  CAST(sum_red AS DOUBLE) / CAST(width * height AS DOUBLE)
+        |    AS mean_red,
+        |  CAST(sum_green AS DOUBLE) / CAST(width * height AS DOUBLE)
+        |    AS mean_green
+        |FROM sums
+        |ORDER BY doc_id""".stripMargin
     }
   )
 
@@ -389,6 +423,76 @@ object Multimodal {
         }
       }
       .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Per-image channel statistics recovered from a REAL raster decode —
+    * q149's body. Every pixel is written (red a function of x, green of
+    * y, both offset by the payload length), PNG-encoded losslessly, then
+    * re-read via `ImageIO.read` and traversed pixel-by-pixel; the sums
+    * exist only in the raster, so matching the oracle's closed-form
+    * prediction proves the FULL decode path (q104 proved the header
+    * parse only). This is the feature-extraction stage shape of a real
+    * multimodal pipeline (mean-brightness / channel-stats quality gates
+    * before CLIP scoring), with the codec boundary inside
+    * `mapPartitions` exactly where a native decoder would sit.
+    */
+  final case class PixelStats(doc_id: Long, width: Int, height: Int,
+      sum_red: Long, sum_green: Long)
+
+  def pixelDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaRecords(s, d)
+      .mapPartitions { it =>
+        it.map { r =>
+          val n = r.blob.length
+          val w = 16 + n % 64
+          val h = 16 + (n * 7) % 64
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val red = (n + x) % 256
+              val green = (n * 3 + y) % 256
+              img.setRGB(x, y, (red << 16) | (green << 8) | (n % 256))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(r.doc_id, "image/png", bos.toByteArray)
+        }
+      }
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.blob))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg) = (0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          PixelStats(r.doc_id, w, h, sr, sg)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("sum_red"), col("sum_green"),
+        (col("sum_red").cast("double") /
+          (col("width") * col("height")).cast("double")).as("mean_red"),
+        (col("sum_green").cast("double") /
+          (col("width") * col("height")).cast("double")).as("mean_green"))
       .orderBy("doc_id")
   }
 }
