@@ -460,4 +460,56 @@ object StreamOps {
           advances.iterator
       }
   }
+
+  final case class TransState(lastType: String, lastTs: Long, lastId: Long,
+      pending: Seq[(Long, Long, String)])
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String, ts: java.sql.Timestamp)
+
+  /** Streaming twin of q118's user-journey transition matrix: emits one
+    * (from → to) record per consecutive event pair per user, in EVENT
+    * time — arrival order cannot invert a transition. Events buffer per
+    * user until the watermark finalizes them (the funnelProgress
+    * posture), then replay sorted by (ts, event_id); the last finalized
+    * event is retained in state so transitions bridge trigger
+    * boundaries. Downstream, `groupBy(from_type, to_type).count()` IS
+    * the q118 matrix, continuously maintained. State is bounded by the
+    * allowed lateness (buffered events) plus one retained record per
+    * user.
+    */
+  def transitionEmitter(events: DataFrame, timeCol: String, keyCol: String,
+      watermarkDelay: String): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol),
+        col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[TransState]) =>
+          val st0 = state.getOption.getOrElse(
+            TransState(null, Long.MinValue, Long.MinValue, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++
+            rows.map(r => (r._2.getTime, r._3, r._4))
+          val (ready, hold) = pending.partition(_._1 <= wm)
+          var (lastType, lastTs, lastId) = (st0.lastType, st0.lastTs, st0.lastId)
+          val out = ready.sortBy(t => (t._1, t._2)).flatMap {
+            case (ts, id, typ) =>
+              val t = if (lastType != null)
+                Some(Transition(user, lastType, typ, new java.sql.Timestamp(ts)))
+              else None
+              lastType = typ; lastTs = ts; lastId = id
+              t
+          }
+          state.update(TransState(lastType, lastTs, lastId, hold))
+          val next = if (hold.nonEmpty) hold.map(_._1).min else wm + 1
+          state.setTimeoutTimestamp(math.max(next, wm + 1))
+          out.iterator
+      }
+  }
 }

@@ -409,4 +409,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.toSeq == Seq((1, "signup", ts(0)), (2, "view", ts(10)),
       (3, "click", ts(50)), (4, "purchase", ts(200))), s"got ${rows.toSeq}")
   }
+
+  test("transitionEmitter bridges triggers and replays late events in ts order") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Long, String)](spark)
+    val out = StreamOps.transitionEmitter(
+      input.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+      "ts", "user_id", watermarkDelay = "120 minutes").toDF()
+    spark.sql("DROP TABLE IF EXISTS trans_sink")
+    val q = out.writeStream.format("memory").queryName("trans_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // view@50 arrives before signup@10: finalized replay must order
+      // them signup -> view, not arrival order
+      input.addData((ts(0), 1L, 1L, "signup"), (ts(50), 1L, 2L, "click"),
+        (ts(60), 99L, 90L, "flush"))
+      q.processAllAvailable()
+      input.addData((ts(10), 1L, 3L, "view"), (ts(300), 99L, 91L, "flush"))
+      q.processAllAvailable()
+      // next trigger: purchase@200 must bridge from click@50 held in state
+      input.addData((ts(200), 1L, 4L, "purchase"), (ts(500), 99L, 92L, "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("trans_sink").filter($"user_id" === 1L)
+      .select($"from_type", $"to_type", $"ts")
+      .as[(String, String, Timestamp)].collect().sortBy(_._3.getTime)
+    assert(rows.toSeq == Seq(
+      ("signup", "view", ts(10)), ("view", "click", ts(50)),
+      ("click", "purchase", ts(200))), s"got ${rows.toSeq}")
+    // equivalence with the batch lead-window form on the same events
+    val batch = Seq((ts(0), 1L, 1L, "signup"), (ts(50), 1L, 2L, "click"),
+      (ts(10), 1L, 3L, "view"), (ts(200), 1L, 4L, "purchase"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val expected = batch
+      .withColumn("to_type", org.apache.spark.sql.functions.lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .select($"event_type", $"to_type")
+      .as[(String, String)].collect().toSeq.sorted
+    assert(rows.map(r => (r._1, r._2)).toSeq.sorted == expected)
+  }
 }
