@@ -613,6 +613,91 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q150: CDC MERGE-APPLY AUDIT — the MERGE INTO / changelog-apply
+    // shape relationally, with its own proof of correctness. A base
+    // snapshot (the deterministic even md5-half) receives a changelog:
+    // deletes (h % 200 = 0), updates (h % 200 = 2, modeled as a +3
+    // content-length change), inserts (the odd half). The APPLY path is
+    // what an incremental 100 TB pipeline runs nightly: one anti-join of
+    // the base against the touched-key set, union the updated versions
+    // and the inserts — never a full rebuild. The EXPECTED relation is
+    // built independently by a single CASE over the full table (the
+    // from-scratch rebuild), and the audit compares per-source row
+    // counts and an order-free BIT_XOR content digest of (doc_id, final
+    // length) — if apply and rebuild diverge on ANY row, a digest flips.
+    // Both engines compute both paths; `matches` must read true on
+    // every source row.
+    QueryDef.sql("q150_cdc_merge_audit") { (s, d) =>
+      val h = graft.Ids.hash("doc_id")
+      val dd = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), h.as("h"))
+      val base = dd.filter(col("h") % 2 === 0)
+      val deletes = base.filter(col("h") % 200 === 0).select(col("doc_id"))
+      val updates = base.filter(col("h") % 200 === 2)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 3).as("n_chars"))
+      val inserts = dd.filter(col("h") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val touched = deletes.unionAll(updates.select(col("doc_id")))
+      val applied = base.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(touched, Seq("doc_id"), "left_anti")
+        .unionAll(updates)
+        .unionAll(inserts)
+      val rebuilt = dd.filter(!(col("h") % 2 === 0 && col("h") % 200 === 0))
+        .select(col("doc_id"), col("source"),
+          when(col("h") % 2 === 0 && col("h") % 200 === 2,
+            col("n_chars") + 3).otherwise(col("n_chars")).as("n_chars"))
+      def audit(df: DataFrame, nc: String, dc: String) =
+        df.withColumn("chk", graft.Ids.hash(
+            "(CAST(doc_id AS STRING) || ':' || CAST(n_chars AS STRING))"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as(nc), expr("bit_xor(chk)").as(dc))
+      audit(applied, "n_applied", "digest_applied")
+        .join(audit(rebuilt, "n_rebuilt", "digest_rebuilt"), "source")
+        .select(col("source"), col("n_applied"), col("n_rebuilt"),
+          col("digest_applied"), col("digest_rebuilt"),
+          (col("n_applied") === col("n_rebuilt") &&
+            col("digest_applied") === col("digest_rebuilt")).as("matches"))
+        .orderBy("source")
+    } {
+      s"""WITH dd AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${graft.Ids.hashSql("doc_id")} AS h
+         |  FROM documents),
+         |base AS (SELECT * FROM dd WHERE h % 2 = 0),
+         |applied AS (
+         |  SELECT doc_id, source, n_chars FROM base
+         |  WHERE h % 200 <> 0 AND h % 200 <> 2
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars + 3 FROM base WHERE h % 200 = 2
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars FROM dd WHERE h % 2 = 1),
+         |rebuilt AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN h % 2 = 0 AND h % 200 = 2 THEN n_chars + 3
+         |         ELSE n_chars END AS n_chars
+         |  FROM dd WHERE NOT (h % 2 = 0 AND h % 200 = 0)),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_applied,
+         |    BIT_XOR(${graft.Ids.hashSql(
+              "(CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR))")})
+         |      AS digest_applied
+         |  FROM applied GROUP BY source),
+         |r AS (
+         |  SELECT source, COUNT(*) AS n_rebuilt,
+         |    BIT_XOR(${graft.Ids.hashSql(
+              "(CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR))")})
+         |      AS digest_rebuilt
+         |  FROM rebuilt GROUP BY source)
+         |SELECT a.source, a.n_applied, r.n_rebuilt,
+         |  a.digest_applied, r.digest_rebuilt,
+         |  (a.n_applied = r.n_rebuilt
+         |    AND a.digest_applied = r.digest_rebuilt) AS matches
+         |FROM a JOIN r ON a.source = r.source
+         |ORDER BY a.source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q126: CROSS-DOC REPEATED-SPAN FINDER — the ExactSubstr operator of
     // Lee et al., "Deduplicating Training Data Makes Language Models
     // Better" (ACL'22): find maximal runs of ≥ MinSpanTokens consecutive

@@ -654,6 +654,62 @@ object Events {
         |FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY from_type, to_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q151: SCD-2 DIMENSION BUILD — slowly-changing-dimension version
+    // history from an event stream: for the deterministic 2% user cohort
+    // (q139's posture — bounding the inventory-sized output, exactly as
+    // a targeted backfill would), each user's purchase-value BAND
+    // (floor(value/100)) becomes a versioned attribute with
+    // [effective_from, effective_to) validity intervals and a version
+    // number — the type-2 dimension row a warehouse keeps per attribute
+    // change. Change-point detection is one lag() over the user-keyed
+    // window (high-cardinality partition key, never a global sort);
+    // intervals come from lead() over the surviving change rows; the
+    // open current version carries effective_to NULL. Both engines run
+    // the identical two-window plan; the band is one IEEE FLOOR-division
+    // of identical operands.
+    QueryDef.sql("q151_scd2_dimension_build") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase" &&
+          graft.Ids.hash("user_id") % 50 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(FLOOR(value / 100.0) AS INT)").as("band"))
+        .withColumn("prev_band", lag(col("band"), 1).over(w))
+        .filter(col("prev_band").isNull || col("band") =!= col("prev_band"))
+      val wc = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("effective_from", col("ts"))
+        .withColumn("effective_to", lead(col("ts"), 1).over(wc))
+        .withColumn("version_n", row_number().over(wc))
+        .select(col("user_id"), col("band"), col("effective_from"),
+          col("effective_to"), col("version_n"))
+        .orderBy("user_id", "version_n")
+    } {
+      s"""WITH cohort AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(FLOOR(value / 100.0) AS INT) AS band
+         |  FROM events
+         |  WHERE event_type = 'purchase'
+         |    AND ${graft.Ids.hashSql("user_id")} % 50 = 0),
+         |flagged AS (
+         |  SELECT user_id, ts, event_id, band,
+         |    LAG(band) OVER w AS prev_band
+         |  FROM cohort
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |changes AS (
+         |  SELECT user_id, ts, event_id, band FROM flagged
+         |  WHERE prev_band IS NULL OR band <> prev_band)
+         |SELECT user_id, band,
+         |  ts AS effective_from,
+         |  LEAD(ts) OVER w AS effective_to,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS version_n
+         |FROM changes
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, version_n""".stripMargin
     }
   )
 }

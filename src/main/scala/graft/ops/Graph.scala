@@ -218,6 +218,85 @@ object Graph {
          |JOIN per_part pd ON e.dst = pd.p
          |CROSS JOIN nn
          |ORDER BY e.src, e.dst""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q152: TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT — the cohesion
+    // view of the co-purchase graph (community tightness, link-spam /
+    // anomaly signals: a high-degree node with near-zero clustering is a
+    // hub that bridges unrelated baskets). Enumeration is
+    // compact-forward over a DEGREE-ordered orientation: every edge
+    // points from its lower-(deg, id) endpoint, so each wedge join fans
+    // out by ORIENTED out-degree — bounded by √|E| on any graph (the
+    // standard skew bound; an id-ordered orientation would let one hub
+    // own O(deg²) wedges). Each triangle is counted exactly once at its
+    // minimum-key vertex; counts are orientation-invariant, so the
+    // oracle replays the enumeration under the simpler id order and the
+    // per-node results must still agree exactly. The coefficient is one
+    // division of exact int64 (2·T vs deg·(deg−1)).
+    QueryDef.sql("q152_triangle_clustering") { (s, d) =>
+      val e = Checkpoints.checkpoint(
+        edges(s, d).select(col("src"), col("dst")))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // orient each edge from lower (deg, id) to higher
+      val withDeg = e
+        .join(deg.select(col("src").as("src_"), col("deg").as("dsrc")),
+          col("src") === col("src_"))
+        .join(deg.select(col("src").as("dst_"), col("deg").as("ddst")),
+          col("dst") === col("dst_"))
+        .select(col("src"), col("dst"), col("dsrc"), col("ddst"))
+      val oe = Checkpoints.checkpoint(
+        withDeg.filter(col("dsrc") < col("ddst") ||
+            (col("dsrc") === col("ddst") && col("src") < col("dst")))
+          .select(col("src").as("u"),
+            col("dst").as("v"), col("ddst").as("dv")))
+      val wedges = oe.select(col("u"), col("v"), col("dv"))
+        .join(oe.select(col("u").as("u2"), col("v").as("w"), col("dv").as("dw")),
+          col("u") === col("u2") &&
+            (col("dv") < col("dw") ||
+              (col("dv") === col("dw") && col("v") < col("w"))))
+        .select(col("u"), col("v"), col("w"))
+      val tri = wedges
+        .join(oe.select(col("u").as("v2"), col("v").as("w2")),
+          col("v") === col("v2") && col("w") === col("w2"))
+        .select(col("u"), col("v"), col("w"))
+      val perNode = tri.select(col("u").as("node"))
+        .unionAll(tri.select(col("v").as("node")))
+        .unionAll(tri.select(col("w").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      val out = deg.select(col("src").as("node"), col("deg"))
+        .join(perNode, Seq("node"), "left_outer")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .withColumn("clustering",
+          when(col("deg") >= 2,
+            (col("n_triangles") * 2).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy("node")
+      out
+    } {
+      s"""WITH $EdgeSql,
+         |und AS (SELECT src, dst FROM edges WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM und e1
+         |  JOIN und e2 ON e2.src = e1.dst
+         |  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |roles AS (
+         |  SELECT a AS node FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri),
+         |t AS (SELECT node, COUNT(*) AS n_tri FROM roles GROUP BY 1),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1)
+         |SELECT deg.node, deg.deg,
+         |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN deg.deg >= 2 THEN
+         |    CAST(COALESCE(t.n_tri, 0) * 2 AS DOUBLE)
+         |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+         |  ELSE CAST(0.0 AS DOUBLE) END AS clustering
+         |FROM deg LEFT JOIN t ON deg.node = t.node
+         |ORDER BY deg.node""".stripMargin
     }
   )
 }
