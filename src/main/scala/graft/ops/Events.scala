@@ -710,6 +710,67 @@ object Events {
          |FROM changes
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY user_id, version_n""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q153: LAST-TOUCH REVENUE ATTRIBUTION — each purchase's value is
+    // credited to the user's latest preceding non-purchase event
+    // ("channel") within a 7-day lookback, else to 'organic'. The
+    // marketing-attribution primitive, computed the q21/q95 way: ONE
+    // user-keyed window over the unified event stream (ROWS unbounded
+    // preceding → 1 preceding, ordered by (ts, event_id) so ties are
+    // deterministic) with ignore-nulls last() picking the most recent
+    // non-purchase — never a purchases × events pair join, which at
+    // corpus scale multiplies by the per-user event count. The 7-day
+    // constraint is a scan-side post-filter on the exact µs gap, NOT a
+    // range frame (a range frame cannot carry the event_id tie-break).
+    QueryDef.sql("q153_lasttouch_attribution") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+      Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"),
+          expr("unix_micros(cast(ts AS timestamp))").as("ts_us"))
+        .withColumn("prev_type", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .withColumn("prev_ts_us", last(
+          when(col("event_type") =!= "purchase", col("ts_us")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("prev_type").isNotNull &&
+            col("ts_us") - col("prev_ts_us") <= sevenDaysUs,
+            col("prev_type")).otherwise(lit("organic")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("attributed_revenue"))
+        .orderBy("channel")
+    } {
+      s"""WITH base AS (
+         |  SELECT user_id, ts, event_id, event_type, value,
+         |    epoch_us(ts) AS ts_us
+         |  FROM events),
+         |attrib AS (
+         |  SELECT *,
+         |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+         |        THEN event_type END IGNORE NULLS) OVER w AS prev_type,
+         |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+         |        THEN ts_us END IGNORE NULLS) OVER w AS prev_ts_us
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |p AS (
+         |  SELECT CASE WHEN prev_type IS NOT NULL
+         |      AND ts_us - prev_ts_us <= 604800000000 THEN prev_type
+         |    ELSE 'organic' END AS channel, value
+         |  FROM attrib WHERE event_type = 'purchase')
+         |SELECT channel, COUNT(*) AS n_purchases,
+         |  ${dsumSql("value")} AS attributed_revenue
+         |FROM p GROUP BY channel
+         |ORDER BY channel""".stripMargin
     }
   )
 }
