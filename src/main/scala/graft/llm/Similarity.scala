@@ -64,6 +64,90 @@ object Similarity {
   final val ExactTruthSampleTarget: Long = 20000
 
   val queries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q154: DOMINANT PRINCIPAL COMPONENT via distributed POWER ITERATION
+    // — the embedding-drift / whitening / anisotropy primitive ("is the
+    // space collapsing onto one axis?") as pure relational linear
+    // algebra. Three fixed sweeps of v ← (Σⱼ xⱼxⱼᵀ)·v from the all-ones
+    // start, entirely in EXACT integer arithmetic: embeddings quantize
+    // to the 256-grid, per-vector projections d = x·v and the
+    // re-expansion Σ d·x are keyed aggregations in decimal(38,0) /
+    // HUGEINT, and both engines replay the identical sweeps — the oracle
+    // unrolls them as CTEs. Only the FINAL normalization casts the two
+    // exact integers to double (one correctly-rounded cast each, one
+    // division). Shape at scale: the (vec, dim, value) relation
+    // shuffles once per sweep (join on vec_id, then a 64-key map-side
+    // partial agg — the all-reduce shape); v itself is 64 rows,
+    // broadcast back. Magnitude contract (ANSI aborts, never wraps):
+    // |v₃| ≤ (N·dims·X²)³ must stay under 10³⁸ — at X = 256, dims = 64
+    // that admits N up to ~10⁶ vectors; beyond that a production run
+    // inserts a fixed power-of-two right-shift per sweep (documented
+    // here, not needed at fixture scales). Oracle detail: DuckDB's
+    // direct HUGEINT→DOUBLE cast is NOT correctly rounded for >64-bit
+    // magnitudes (measured 1-ulp drift vs Spark's BigInteger cast, which
+    // is), so the oracle routes the final cast through VARCHAR — strtod
+    // rounds correctly — making both engines' only inexact step the
+    // same correctly-rounded cast + one division.
+    QueryDef.sql("q154_power_iteration_pca") { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ex = graft.Checkpoints.checkpoint(
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(expr(
+            "transform(embedding, x -> cast(floor(cast(x AS double) * 256.0) AS bigint))"))
+            .as(Seq("c", "xc"))))
+      var dv = ex.groupBy(col("vec_id"))
+        .agg(sum(col("xc")).cast(dec).as("dv"))
+      var v: DataFrame = null
+      for (it <- 1 to 3) {
+        v = graft.Checkpoints.checkpoint(
+          ex.join(dv, "vec_id")
+            .groupBy(col("c"))
+            .agg(sum(col("dv") * col("xc")).cast(dec).as("v")))
+        if (it < 3)
+          dv = ex.join(broadcast(v), "c")
+            .groupBy(col("vec_id"))
+            .agg(sum(col("v") * col("xc")).cast(dec).as("dv"))
+      }
+      val m = broadcast(v.agg(max(abs(col("v"))).as("m")))
+      v.crossJoin(m)
+        .select(col("c").as("component"),
+          (col("v").cast("double") / col("m").cast("double")).as("loading"))
+        .orderBy("component")
+    } {
+      """WITH ex AS (
+        |  SELECT vec_id, c - 1 AS c,
+        |    CAST(FLOOR(CAST(xv AS DOUBLE) * 256.0) AS BIGINT) AS xc
+        |  FROM (
+        |    SELECT vec_id, UNNEST(embedding) AS xv,
+        |      generate_subscripts(embedding, 1) AS c
+        |    FROM embeddings)),
+        |d0 AS (
+        |  SELECT vec_id, CAST(SUM(xc) AS HUGEINT) AS dv
+        |  FROM ex GROUP BY vec_id),
+        |v1 AS (
+        |  SELECT c, CAST(SUM(d0.dv * ex.xc) AS HUGEINT) AS v
+        |  FROM ex JOIN d0 USING (vec_id) GROUP BY c),
+        |d1 AS (
+        |  SELECT vec_id, CAST(SUM(v1.v * ex.xc) AS HUGEINT) AS dv
+        |  FROM ex JOIN v1 USING (c) GROUP BY vec_id),
+        |v2 AS (
+        |  SELECT c, CAST(SUM(d1.dv * ex.xc) AS HUGEINT) AS v
+        |  FROM ex JOIN d1 USING (vec_id) GROUP BY c),
+        |d2 AS (
+        |  SELECT vec_id, CAST(SUM(v2.v * ex.xc) AS HUGEINT) AS dv
+        |  FROM ex JOIN v2 USING (c) GROUP BY vec_id),
+        |v3 AS (
+        |  SELECT c, CAST(SUM(d2.dv * ex.xc) AS HUGEINT) AS v
+        |  FROM ex JOIN d2 USING (vec_id) GROUP BY c),
+        |m AS (SELECT MAX(ABS(v)) AS m FROM v3)
+        |SELECT c AS component,
+        |  CAST(CAST(v AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(m AS VARCHAR) AS DOUBLE) AS loading
+        |FROM v3 CROSS JOIN m
+        |ORDER BY component""".stripMargin
+    },
+
     // ------------------------------------------------------------------
     // q27: brute-force cosine top-k (the correctness baseline): the first
     // 5 vectors are the query set; each scans all candidates. The

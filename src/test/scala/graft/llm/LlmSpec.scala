@@ -272,4 +272,41 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
         s"J>=0.8 pair ($a,$b) missing a containment direction")
     }
   }
+
+  test("q154's integer power iteration aligns with a double-precision reference") {
+    import spark.implicits._
+    val loadings = graft.SparkEntry.queries("q154_power_iteration_pca")(spark, d)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(loadings.length == 64)
+    assert(loadings.forall(l => l >= -1.0 && l <= 1.0))
+    assert(loadings.count(l => math.abs(l) == 1.0) == 1,
+      "exactly one component normalizes to +-1")
+    // double-precision reference: the SAME 3 sweeps on the same
+    // quantized vectors, driver-side (fixture is tiny at sf0.001) —
+    // compares the exact-integer pipeline against its float twin, so
+    // only quantization/rounding can separate them (convergence depth
+    // is identical by construction; the spectrum at this SF is flat
+    // enough that a deeper reference would legitimately diverge)
+    val xs = graft.Tables(spark, d, "embeddings")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(f => math.floor(f.toDouble * 256.0)))
+    var v = Array.fill(64)(1.0)
+    for (_ <- 1 to 3) {
+      val nv = new Array[Double](64)
+      xs.foreach { x =>
+        var dd = 0.0
+        var i = 0
+        while (i < 64) { dd += x(i) * v(i); i += 1 }
+        i = 0
+        while (i < 64) { nv(i) += dd * x(i); i += 1 }
+      }
+      val m = nv.map(math.abs).max
+      v = nv.map(_ / m)
+    }
+    val dot = loadings.zip(v).map { case (a, b) => a * b }.sum
+    val cos = dot / (math.sqrt(loadings.map(x => x * x).sum) *
+      math.sqrt(v.map(x => x * x).sum))
+    assert(math.abs(cos) >= 0.9999,
+      s"integer sweeps diverged from their double twin: cos=$cos")
+  }
 }
