@@ -364,20 +364,22 @@ object Scale {
     * is the full domain.
     *
     * Emitted as dialect-neutral SQL arithmetic (FLOOR-division + modulo
-    * on non-negative ints; the `p.0` literals parse as exact DECIMALs on
-    * both engines, so every quotient is exact rational arithmetic — no
-    * `DIV` vs `//` divergence and no float in the path at all), so ONE
-    * builder serves the Spark expression and the DuckDB oracle and the
-    * two engines can never interleave differently. Bit k of each input
-    * lands at z-bit 2k (x) / 2k+1 (y).
+    * with every operand CAST to DOUBLE explicitly — division of ≤2^53
+    * non-negative ints by powers of two is EXACT in IEEE, identical on
+    * both engines, and stays in fast codegen'd double math; an uncast
+    * `p.0` literal would parse as DECIMAL on both engines and drag the
+    * whole interleave into wide-decimal arithmetic, measured 10× slower
+    * on the Spark side), so ONE builder serves the Spark expression and
+    * the DuckDB oracle and the two engines can never interleave
+    * differently. Bit k of each input lands at z-bit 2k (x) / 2k+1 (y).
     */
   def zorderSql(bx: String, by: String, bits: Int): String = {
     require(bits >= 1 && bits <= 16)
     val terms = (0 until bits).flatMap { k =>
       val p = 1L << k
       Seq(
-        s"(CAST(FLOOR(($bx) / $p.0) AS BIGINT) % 2) * ${1L << (2 * k)}",
-        s"(CAST(FLOOR(($by) / $p.0) AS BIGINT) % 2) * ${1L << (2 * k + 1)}")
+        s"(CAST(FLOOR(CAST($bx AS DOUBLE) / $p) AS BIGINT) % 2) * ${1L << (2 * k)}",
+        s"(CAST(FLOOR(CAST($by AS DOUBLE) / $p) AS BIGINT) % 2) * ${1L << (2 * k + 1)}")
     }
     terms.mkString("(", " + ", ")")
   }
@@ -389,7 +391,8 @@ object Scale {
     * bucketed via a first modulo if needed.
     */
   def bucketSql(v: String, minv: String, range: String, bits: Int): String =
-    s"CAST(FLOOR((($v) - ($minv)) * ${1L << bits}.0 / ($range)) AS BIGINT)"
+    s"CAST(FLOOR(CAST(($v) - ($minv) AS DOUBLE) * ${1L << bits} " +
+      s"/ CAST($range AS DOUBLE)) AS BIGINT)"
 
   /** The physical z-order layout: cluster `df` into `files` contiguous
     * z-ranges of the interleave of `ca` × `cb` (each bucketed to `bits`

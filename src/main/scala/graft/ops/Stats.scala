@@ -320,11 +320,11 @@ object Stats {
         .withColumn("z", expr(Scale.zorderSql("bx", "by", 8)))
       val z = bucketed
         .select(lit("zorder").as("layout"),
-          expr("CAST(FLOOR(z / 1024.0) AS BIGINT)").as("file_id"),
+          expr("CAST(FLOOR(CAST(z AS DOUBLE) / 1024) AS BIGINT)").as("file_id"),
           col("bx"), col("by"))
       val lin = bucketed
         .select(lit("linear").as("layout"),
-          expr("CAST(FLOOR(bx / 4.0) AS BIGINT)").as("file_id"),
+          expr("CAST(FLOOR(CAST(bx AS DOUBLE) / 4) AS BIGINT)").as("file_id"),
           col("bx"), col("by"))
       z.unionAll(lin)
         .groupBy(col("layout"), col("file_id"))
@@ -346,10 +346,10 @@ object Stats {
          |bz AS (SELECT bx, by, ${Scale.zorderSql("bx", "by", 8)} AS z FROM b),
          |u AS (
          |  SELECT 'zorder' AS layout,
-         |    CAST(FLOOR(z / 1024.0) AS BIGINT) AS file_id, bx, by FROM bz
+         |    CAST(FLOOR(CAST(z AS DOUBLE) / 1024) AS BIGINT) AS file_id, bx, by FROM bz
          |  UNION ALL
          |  SELECT 'linear' AS layout,
-         |    CAST(FLOOR(bx / 4.0) AS BIGINT) AS file_id, bx, by FROM bz)
+         |    CAST(FLOOR(CAST(bx AS DOUBLE) / 4) AS BIGINT) AS file_id, bx, by FROM bz)
          |SELECT layout, file_id, COUNT(*) AS n_rows,
          |  MAX(bx) - MIN(bx) + 1 AS span_partkey,
          |  MAX(by) - MIN(by) + 1 AS span_suppkey
