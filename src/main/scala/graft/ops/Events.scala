@@ -771,6 +771,78 @@ object Events {
          |  ${dsumSql("value")} AS attributed_revenue
          |FROM p GROUP BY channel
          |ORDER BY channel""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q155: MARKOV NEXT-EVENT MODEL EVALUATION — the train/eval loop of
+    // a sequence baseline, entirely relational: fit q118's first-order
+    // transition model on the EVEN md5-half of users, predict each odd-
+    // half transition's successor as the train-side argmax (ties broken
+    // lexicographically — deterministic on both engines), and score
+    // per-from-type accuracy on the held-out half. The model is a
+    // types²-row broadcast; the eval is one keyed window over test
+    // events plus a broadcast join — no per-row UDF, no driver loop.
+    // Every quantity is an exact integer count; accuracy is the single
+    // terminal division. This is the "can we even beat a bigram
+    // baseline" gate a sequence-model pipeline runs before training
+    // anything expensive.
+    QueryDef.sql("q155_markov_eval") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      def transitions(half: Int) = Tables(s, d, "events")
+        .filter(graft.Ids.hash("user_id") % 2 === half)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val argmaxW = Window.partitionBy(col("from_type"))
+        .orderBy(col("n").desc, col("to_type").asc)
+      val model = transitions(0)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(argmaxW))
+        .filter(col("rk") === 1)
+        .select(col("from_type"), col("to_type").as("predicted"))
+      transitions(1)
+        .join(broadcast(model), Seq("from_type"), "left_outer")
+        .groupBy(col("from_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .join(broadcast(model), Seq("from_type"), "left_outer")
+        .select(col("from_type"), col("predicted"), col("n_test"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_test").cast("double"))
+            .as("accuracy"))
+        .orderBy("from_type")
+    } {
+      s"""WITH tr AS (
+         |  SELECT ${graft.Ids.hashSql("user_id")} % 2 AS half,
+         |    event_type AS from_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |counts AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n
+         |  FROM tr WHERE half = 0 AND to_type IS NOT NULL
+         |  GROUP BY 1, 2),
+         |model AS (
+         |  SELECT from_type, to_type AS predicted FROM (
+         |    SELECT from_type, to_type,
+         |      ROW_NUMBER() OVER (PARTITION BY from_type
+         |        ORDER BY n DESC, to_type ASC) AS rk
+         |    FROM counts) WHERE rk = 1),
+         |test AS (
+         |  SELECT from_type, to_type FROM tr
+         |  WHERE half = 1 AND to_type IS NOT NULL)
+         |SELECT t.from_type, m.predicted,
+         |  COUNT(*) AS n_test,
+         |  CAST(SUM(CASE WHEN t.to_type = m.predicted THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN t.to_type = m.predicted THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM test t LEFT JOIN model m ON t.from_type = m.from_type
+         |GROUP BY t.from_type, m.predicted
+         |ORDER BY t.from_type""".stripMargin
     }
   )
 }

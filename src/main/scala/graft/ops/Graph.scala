@@ -319,6 +319,74 @@ object Graph {
          |  ELSE CAST(0.0 AS DOUBLE) END AS clustering
          |FROM deg LEFT JOIN t ON deg.node = t.node
          |ORDER BY deg.node""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q156: K-CORE PEELING (k = 3, four fixed rounds) — the dense-
+    // community extractor: repeatedly drop nodes with fewer than k
+    // surviving neighbors; what remains after peeling is the spam-/
+    // noise-resistant core (degree alone is gameable, coreness is not).
+    // Like q144, the iteration count is a FIXED constant so the output
+    // is a deterministic, oracle-replayable quantity ("the 4-round
+    // peel"; a converged-only variant would hide a float-free but
+    // data-dependent round count from the oracle). Per round: the edge
+    // relation semi-joins the survivor set on both endpoints (keyed
+    // joins), one degree aggregation, one anti-join — all node/edge-
+    // sized, survivors checkpointed so the plan stays round-sized.
+    // Output: every node with its initial degree and the round that
+    // removed it (0 = still in the core after 4 rounds).
+    QueryDef.sql("q156_kcore_peel") { (s, d) =>
+      val K = 3
+      val e = Checkpoints.checkpoint(
+        edges(s, d).select(col("src"), col("dst")))
+      val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
+      var alive = deg0.select(col("src").as("node"))
+      var removed: DataFrame = null
+      for (r <- 1 to 4) {
+        val eAlive = e
+          .join(alive.select(col("node").as("src")), "src")
+          .join(alive.select(col("node").as("dst")), "dst")
+        val survivors = eAlive.groupBy(col("src")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= K).select(col("src").as("node"))
+        val gone = alive.join(survivors, Seq("node"), "left_anti")
+          .select(col("node"), lit(r).as("removed_round"))
+        removed = if (removed == null) gone else removed.unionAll(gone)
+        alive = Checkpoints.checkpoint(survivors)
+      }
+      deg0.select(col("src").as("node"), col("deg0"))
+        .join(removed, Seq("node"), "left_outer")
+        .select(col("node"), col("deg0"),
+          coalesce(col("removed_round"), lit(0)).as("removed_round"))
+        .orderBy("node")
+    } {
+      s"""WITH $EdgeSql,
+         |deg0 AS (SELECT src AS node, COUNT(*) AS deg0 FROM edges GROUP BY 1),
+         |a0 AS (SELECT node FROM deg0),
+         |s1 AS (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN a0 x ON e.src = x.node JOIN a0 y ON e.dst = y.node
+         |  GROUP BY e.src HAVING COUNT(*) >= 3),
+         |s2 AS (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN s1 x ON e.src = x.node JOIN s1 y ON e.dst = y.node
+         |  GROUP BY e.src HAVING COUNT(*) >= 3),
+         |s3 AS (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN s2 x ON e.src = x.node JOIN s2 y ON e.dst = y.node
+         |  GROUP BY e.src HAVING COUNT(*) >= 3),
+         |s4 AS (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN s3 x ON e.src = x.node JOIN s3 y ON e.dst = y.node
+         |  GROUP BY e.src HAVING COUNT(*) >= 3)
+         |SELECT deg0.node, deg0.deg0,
+         |  CASE
+         |    WHEN deg0.node NOT IN (SELECT node FROM s1) THEN 1
+         |    WHEN deg0.node NOT IN (SELECT node FROM s2) THEN 2
+         |    WHEN deg0.node NOT IN (SELECT node FROM s3) THEN 3
+         |    WHEN deg0.node NOT IN (SELECT node FROM s4) THEN 4
+         |    ELSE 0 END AS removed_round
+         |FROM deg0
+         |ORDER BY deg0.node""".stripMargin
     }
   )
 }

@@ -57,4 +57,16 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
       assert(lift > 0.0)
     }
   }
+
+  test("q156: round-1 peels are exactly the deg0 < 3 nodes; rounds stay in 0..4") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q156_kcore_peel")(spark, d)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= 4))
+    rows.foreach { case (node, deg0, rr) =>
+      assert((rr == 1) == (deg0 < 3),
+        s"node $node: deg0=$deg0 but removed_round=$rr")
+    }
+  }
 }

@@ -57,4 +57,21 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     // a triangle requires degree >= 2 at every corner
     assert(rows.filter(_._2 < 2).forall(_._3 == 0))
   }
+
+  test("q155: the evaluated model predicts each from-type's modal train successor") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q155_markov_eval")(spark, d)
+      .select($"from_type", $"predicted", $"n_test", $"n_correct", $"accuracy")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, pred, nTest, nCorrect, acc) =>
+      assert(pred != null, "every from-type seen in test must exist in train here")
+      assert(nCorrect <= nTest && acc >= 0.0 && acc <= 1.0)
+    }
+    // determinism pin: the argmax tie-break is lexicographic, so a
+    // rerun must reproduce the identical prediction table
+    val again = graft.SparkEntry.queries("q155_markov_eval")(spark, d)
+      .select($"from_type", $"predicted").as[(String, String)].collect().toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == again)
+  }
 }
