@@ -450,17 +450,21 @@ object Multimodal {
           val h = 16 + (n * 7) % 64
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // bulk raster write: one setRGB(int[]) call per image — the
+          // per-pixel setRGB path costs a bounds+model check per pixel
+          // and measured ~2× slower end-to-end at sf0.1
+          val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
+            val g = (n * 3 + y) % 256
             var x = 0
             while (x < w) {
-              val red = (n + x) % 256
-              val green = (n * 3 + y) % 256
-              img.setRGB(x, y, (red << 16) | (green << 8) | (n % 256))
+              px(y * w + x) = (((n + x) % 256) << 16) | (g << 8) | (n % 256)
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           MediaRecord(r.doc_id, "image/png", bos.toByteArray)
@@ -471,17 +475,14 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.blob))
           val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var (sr, sg) = (0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            i += 1
           }
           PixelStats(r.doc_id, w, h, sr, sg)
         }
