@@ -306,6 +306,31 @@ object Multimodal {
         |    AS mean_green
         |FROM sums
         |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q158: IMAGE DEDUP ON THE DECODED RASTER — exact duplicate-image
+    // groups keyed by an md5 digest of the decoded pixel array: the
+    // content-addressed dedup a multimodal corpus runs BEFORE any
+    // embedding work (byte-level digests miss re-encodes; raster
+    // digests don't). By the gradient construction two synthesized
+    // images are pixel-identical iff their payload lengths are
+    // congruent mod 256, so the oracle predicts the exact group
+    // partition without decoding anything — the hash-match proves the
+    // decode+digest path groups precisely right. The perceptual
+    // near-dup path (aHash banding + hamming verify, for NEAR-identical
+    // rasters where no exact oracle can exist) is the
+    // [[perceptualNearDup]] API, spec-verified against this query's
+    // exact groups.
+    QueryDef.sql("q158_image_raster_dedup")(imageRasterDedup) {
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) % 256 AS cls
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS keep_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM base GROUP BY cls HAVING COUNT(*) >= 2
+        |ORDER BY keep_doc_id""".stripMargin
     }
   )
 
@@ -440,35 +465,153 @@ object Multimodal {
   final case class PixelStats(doc_id: Long, width: Int, height: Int,
       sum_red: Long, sum_green: Long)
 
+  /** Gradient-PNG synthesizer shared by q149/q158: red varies with x,
+    * green with y, both offset by the payload length `n` — so two
+    * payloads produce pixel-identical images iff n ≡ n′ (mod 256), the
+    * closed-form fact q158's oracle stands on. Bulk raster write: one
+    * setRGB(int[]) call per image (the per-pixel path costs a
+    * bounds+model check per pixel, measured ~2× slower at sf0.1).
+    */
+  private def gradientPng(docId: Long, n: Int): MediaRecord = {
+    val w = 16 + n % 64
+    val h = 16 + (n * 7) % 64
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val g = (n * 3 + y) % 256
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (((n + x) % 256) << 16) | (g << 8) | (n % 256)
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    MediaRecord(docId, "image/png", bos.toByteArray)
+  }
+
+  /** Decode a PNG blob back to (width, height, packed-RGB pixels). */
+  private def decodeRaster(r: MediaRecord): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.blob))
+    val (w, h) = (img.getWidth, img.getHeight)
+    (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+  }
+
+  /** 64-bit average-hash (aHash) of a decoded raster: 8×8 block
+    * luminance sums, bit i set iff block i's mean luminance is ≥ the
+    * global mean — compared by integer cross-multiplication
+    * (sumᵢ·N ≥ total·cntᵢ), so the hash is exact integer arithmetic
+    * end-to-end. Identical rasters hash identically; near-identical
+    * rasters differ in few bits — the blocking key for perceptual
+    * near-dup.
+    */
+  private def aHash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        val bi = by * 8 + x * 8 / w
+        sums(bi) += lum
+        cnts(bi) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val n = w.toLong * h
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i) * n >= total * cnts(i)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  final case class RasterKey(doc_id: Long, digest: String, ahash: Long)
+
+  /** The synthesized-image relation with raster digest + aHash — one
+    * encode/decode pass feeding both q158 (exact groups on the digest)
+    * and [[perceptualNearDup]] (banded aHash candidates).
+    */
+  private def rasterKeys(s: SparkSession, d: String) = {
+    import s.implicits._
+    mediaRecords(s, d)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val (w, h, px) = decodeRaster(gradientPng(r.doc_id, r.blob.length))
+          md.reset()
+          val bb = java.nio.ByteBuffer.allocate(px.length * 4 + 8)
+          bb.putInt(w).putInt(h)
+          px.foreach(bb.putInt)
+          val digest = md.digest(bb.array()).map("%02x".format(_)).mkString
+          RasterKey(r.doc_id, digest, aHash64(w, h, px))
+        }
+      }
+  }
+
+  /** q158's body: exact duplicate-image groups on the decoded-raster
+    * digest — one codec pass, one digest shuffle, groups ≥ 2 with the
+    * keep-lowest-id canonical (the q68 rule).
+    */
+  def imageRasterDedup(s: SparkSession, d: String): DataFrame =
+    rasterKeys(s, d).toDF()
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .select(col("keep_doc_id"), col("n_members"))
+      .orderBy("keep_doc_id")
+
+  /** Perceptual near-dup pairs: aHash bands (8×8 bits) generate
+    * candidates — any two rasters within `maxHamming` ≤ 7 bits share at
+    * least one intact band (pigeonhole), so the banded join is
+    * answer-preserving at that radius — verified by `bit_count` of the
+    * hash XOR, with `exact` flagging raster-digest equality. The near
+    * radius has no closed-form oracle (that is its point); the spec
+    * pins it against q158's exact groups instead.
+    */
+  def perceptualNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "8 bands preserve answers only to hamming 7")
+    val keys = graft.Checkpoints.checkpoint(rasterKeys(s, d).toDF())
+    val bands = keys.select(col("doc_id"), col("digest"), col("ahash"),
+      explode(expr(
+        "transform(sequence(0, 7), b -> struct(b AS band, " +
+          "(ahash div cast(pow(2, b * 8) AS bigint)) % 256 AS bval))")).as("e"))
+      .select(col("doc_id"), col("digest"), col("ahash"),
+        col("e.band"), col("e.bval"))
+    val a = bands.select(col("band"), col("bval"),
+      col("doc_id").as("doc_a"), col("digest").as("dig_a"), col("ahash").as("ah_a"))
+    val b = bands.select(col("band").as("band_b"), col("bval").as("bval_b"),
+      col("doc_id").as("doc_b"), col("digest").as("dig_b"), col("ahash").as("ah_b"))
+    a.join(b, col("band") === col("band_b") && col("bval") === col("bval_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dig_a"), col("dig_b"),
+        col("ah_a"), col("ah_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ah_a ^ ah_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        (col("dig_a") === col("dig_b")).as("exact"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def pixelDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaRecords(s, d)
       .mapPartitions { it =>
-        it.map { r =>
-          val n = r.blob.length
-          val w = 16 + n % 64
-          val h = 16 + (n * 7) % 64
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          // bulk raster write: one setRGB(int[]) call per image — the
-          // per-pixel setRGB path costs a bounds+model check per pixel
-          // and measured ~2× slower end-to-end at sf0.1
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            val g = (n * 3 + y) % 256
-            var x = 0
-            while (x < w) {
-              px(y * w + x) = (((n + x) % 256) << 16) | (g << 8) | (n % 256)
-              x += 1
-            }
-            y += 1
-          }
-          img.setRGB(0, 0, w, h, px, 0, w)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          MediaRecord(r.doc_id, "image/png", bos.toByteArray)
-        }
+        it.map { r => gradientPng(r.doc_id, r.blob.length) }
       }
       .mapPartitions { it =>
         it.map { r =>

@@ -387,6 +387,72 @@ object Graph {
          |    ELSE 0 END AS removed_round
          |FROM deg0
          |ORDER BY deg0.node""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q157: LABEL-PROPAGATION COMMUNITIES — three synchronized LPA
+    // rounds over the co-purchase graph: every node starts as its own
+    // label and each round adopts the MODAL label among its neighbors
+    // (ties broken by the smallest label — the determinism LPA's
+    // textbook random tie-break destroys, and the reason this variant
+    // is oracle-replayable at all). Communities, unlike q66's connected
+    // components, split dense regions along weak cuts even inside one
+    // component. Per round: one edge-keyed join against the
+    // node-sized label relation, a (node, label) count, and a per-node
+    // argmax window over the node's distinct neighbor labels (bounded
+    // by degree); labels are checkpointed per round so the plan stays
+    // round-sized — the q144 posture throughout.
+    QueryDef.sql("q157_label_propagation") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Checkpoints.checkpoint(
+        edges(s, d).select(col("src"), col("dst")))
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      val argmaxW = Window.partitionBy(col("dst"))
+        .orderBy(col("n").desc, col("lbl").asc)
+      for (_ <- 1 to 3) {
+        labels = Checkpoints.checkpoint(
+          e.join(labels, e("src") === labels("node"))
+            .groupBy(col("dst"), col("lbl"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("rk", row_number().over(argmaxW))
+            .filter(col("rk") === 1)
+            .select(col("dst").as("node"), col("lbl")))
+      }
+      val sizes = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("community_size"))
+      labels.join(broadcast(sizes), "lbl")
+        .select(col("node"), col("lbl").as("community"),
+          col("community_size"))
+        .orderBy("node")
+    } {
+      s"""WITH $EdgeSql,
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |r1 AS (
+         |  SELECT dst AS node, lbl FROM (
+         |    SELECT e.dst, l.lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+         |    FROM edges e JOIN l0 l ON e.src = l.node
+         |    GROUP BY e.dst, l.lbl) WHERE rk = 1),
+         |r2 AS (
+         |  SELECT dst AS node, lbl FROM (
+         |    SELECT e.dst, l.lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+         |    FROM edges e JOIN r1 l ON e.src = l.node
+         |    GROUP BY e.dst, l.lbl) WHERE rk = 1),
+         |r3 AS (
+         |  SELECT dst AS node, lbl FROM (
+         |    SELECT e.dst, l.lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+         |    FROM edges e JOIN r2 l ON e.src = l.node
+         |    GROUP BY e.dst, l.lbl) WHERE rk = 1),
+         |sizes AS (SELECT lbl, COUNT(*) AS community_size FROM r3 GROUP BY 1)
+         |SELECT r3.node, r3.lbl AS community, sizes.community_size
+         |FROM r3 JOIN sizes ON r3.lbl = sizes.lbl
+         |ORDER BY r3.node""".stripMargin
     }
   )
 }
