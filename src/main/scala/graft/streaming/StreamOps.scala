@@ -512,4 +512,59 @@ object StreamOps {
           out.iterator
       }
   }
+
+  final case class Scd1State(lastTs: Long, lastId: Long, value: Double,
+      versions: Long, pending: Seq[(Long, Long, Double)])
+  final case class CurrentValue(user_id: Long, value: Double,
+      versions: Long, ts: java.sql.Timestamp)
+
+  /** Streaming SCD-1 materializer — the keyed current-value store (the
+    * streaming twin of q150's batch CDC apply): per key, the latest
+    * value in EVENT time, with a version counter. Events buffer until
+    * the watermark finalizes them (the funnelProgress/transitionEmitter
+    * posture), then replay in (ts, event_id) order — so a late-arriving
+    * OLDER record can never overwrite a newer value, the bug every
+    * arrival-order upsert store ships with. Emits one [[CurrentValue]]
+    * row per trigger per key whose current value changed; downstream
+    * foreachBatch upserts it into the serving table. State per key is
+    * one scalar record plus the lateness-bounded buffer.
+    */
+  def latestValueStore(events: DataFrame, timeCol: String, keyCol: String,
+      valueCol: String, watermarkDelay: String): Dataset[CurrentValue] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol),
+        col("event_id"), col(valueCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd1State, CurrentValue](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[Scd1State]) =>
+          val st0 = state.getOption.getOrElse(
+            Scd1State(Long.MinValue, Long.MinValue, Double.NaN, 0L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++
+            rows.map(r => (r._2.getTime, r._3, r._4))
+          val (ready, hold) = pending.partition(_._1 <= wm)
+          var (lastTs, lastId, value, versions) =
+            (st0.lastTs, st0.lastId, st0.value, st0.versions)
+          ready.sortBy(t => (t._1, t._2)).foreach { case (ts, id, v) =>
+            // replay is ordered, so every ready record advances the
+            // clock; the guard is belt-and-braces against equal keys
+            if (ts > lastTs || (ts == lastTs && id > lastId)) {
+              lastTs = ts; lastId = id; value = v; versions += 1
+            }
+          }
+          state.update(Scd1State(lastTs, lastId, value, versions, hold))
+          val next = if (hold.nonEmpty) hold.map(_._1).min else wm + 1
+          state.setTimeoutTimestamp(math.max(next, wm + 1))
+          if (versions > st0.versions)
+            Iterator(CurrentValue(user, value, versions,
+              new java.sql.Timestamp(lastTs)))
+          else Iterator.empty
+      }
+  }
 }

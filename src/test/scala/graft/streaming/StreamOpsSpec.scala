@@ -450,4 +450,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       .as[(String, String)].collect().toSeq.sorted
     assert(rows.map(r => (r._1, r._2)).toSeq.sorted == expected)
   }
+
+  test("latestValueStore: a late older record can never overwrite a newer value") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Long, Double)](spark)
+    val out = StreamOps.latestValueStore(
+      input.toDF().toDF("ts", "user_id", "event_id", "value"),
+      "ts", "user_id", "value", watermarkDelay = "120 minutes").toDF()
+    spark.sql("DROP TABLE IF EXISTS scd1_sink")
+    val q = out.writeStream.format("memory").queryName("scd1_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // v=10@0 and v=30@100 arrive; later the MISSING v=20@50 shows up.
+      // An arrival-order store would end at 20; event-time replay must
+      // end at 30.
+      input.addData((ts(0), 1L, 1L, 10.0), (ts(100), 1L, 2L, 30.0),
+        (ts(120), 99L, 90L, 0.0))
+      q.processAllAvailable()
+      input.addData((ts(50), 1L, 3L, 20.0), (ts(400), 99L, 91L, 0.0))
+      q.processAllAvailable()
+      input.addData((ts(600), 99L, 92L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("scd1_sink").filter($"user_id" === 1L)
+      .select($"value", $"versions", $"ts")
+      .as[(Double, Long, Timestamp)].collect().sortBy(_._2)
+    assert(rows.nonEmpty)
+    // final state: value 30 (ts 100), with all three versions counted
+    val last = rows.last
+    assert(last._1 == 30.0 && last._2 == 3L && last._3 == ts(100),
+      s"got $last from ${rows.toSeq}")
+    // no emitted row ever carries a value older than its version count
+    // implies (monotone versions per emission)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted)
+  }
 }
