@@ -149,6 +149,71 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q159: LABEL-CENTROID STABILITY AUDIT — per label, the cosine
+    // between the centroids of the two deterministic vec_id halves: a
+    // clean label's halves point the same way (cos → 1); a noisy or
+    // mixed label drifts apart. This is q80's machinery pointed at
+    // LABEL QUALITY instead of label similarity, and the embedding twin
+    // of q91's mixture-drift monitor. Same exactness trick: quantized
+    // int sums, count denominators cancel inside the cosine, so only
+    // the terminal sqrt/division are floating — identical operands both
+    // engines. One posexplode → shrinking (label, half, dim) partial
+    // agg; centroid relation is labels×2 rows.
+    QueryDef.sql("q159_label_centroid_drift") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val q3 = "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS double))"
+      val emb = Tables(s, d, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("half"), expr(q3).as("v"))
+      val sums = emb
+        .select(col("label"), col("half"), posexplode(col("v")).as(Seq("pos", "qv")))
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(sum(col("qv").cast("long")).as("s"))
+      val cent = sums.groupBy(col("label"), col("half"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, s))), x -> cast(x.s AS double))")
+          .as("cv"))
+      val cnt = emb.groupBy(col("label"), col("half"))
+        .agg(count(lit(1)).as("n"))
+      val withN = cent.join(cnt, Seq("label", "half"))
+      val e0 = withN.filter(col("half") === 0)
+        .select(col("label"), col("cv").as("cv_a"), col("n").as("n_even"))
+      val e1 = withN.filter(col("half") === 1)
+        .select(col("label").as("label_b"), col("cv").as("cv_b"), col("n").as("n_odd"))
+      e0.join(e1, col("label") === col("label_b"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          (dot("cv_a", "cv_b") /
+            (sqrt(dot("cv_a", "cv_a")) * sqrt(dot("cv_b", "cv_b"))))
+            .as("cos_drift"))
+        .orderBy("label")
+    } {
+      """WITH q AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS v
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT label, half, UNNEST(v) AS qv,
+        |    generate_subscripts(v, 1) AS pos
+        |  FROM q),
+        |s AS (
+        |  SELECT label, half, pos, CAST(SUM(qv) AS DOUBLE) AS sv
+        |  FROM e GROUP BY label, half, pos),
+        |cent AS (
+        |  SELECT label, half, LIST(sv ORDER BY pos) AS cv
+        |  FROM s GROUP BY label, half),
+        |c AS (SELECT label, half, COUNT(*) AS n FROM q GROUP BY label, half)
+        |SELECT a.label,
+        |  ca.n AS n_even, cb.n AS n_odd,
+        |  list_dot_product(a.cv, b.cv) /
+        |    (SQRT(list_dot_product(a.cv, a.cv))
+        |      * SQRT(list_dot_product(b.cv, b.cv))) AS cos_drift
+        |FROM cent a JOIN cent b ON a.label = b.label
+        |  AND a.half = 0 AND b.half = 1
+        |JOIN c ca ON ca.label = a.label AND ca.half = 0
+        |JOIN c cb ON cb.label = b.label AND cb.half = 1
+        |ORDER BY a.label""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q27: brute-force cosine top-k (the correctness baseline): the first
     // 5 vectors are the query set; each scans all candidates. The
     // candidate side stays partitioned; queries are a broadcast (tiny).

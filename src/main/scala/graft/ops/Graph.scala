@@ -453,6 +453,101 @@ object Graph {
          |SELECT r3.node, r3.lbl AS community, sizes.community_size
          |FROM r3 JOIN sizes ON r3.lbl = sizes.lbl
          |ORDER BY r3.node""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q160: PERSONALIZED PAGERANK RECOMMENDATIONS — "customers also
+    // bought": two random-walk-with-restart steps (α = 0.25, dyadic)
+    // from each seed part over the co-purchase graph, top-10 non-seed
+    // parts per seed by walk mass. The sparse twin of q144: walk mass
+    // lives in a (seed, node) relation that only ever holds the seeds'
+    // 2-hop neighborhoods (never the full |seeds|×|nodes| product),
+    // each step is one edge-keyed join + a (seed, node) aggregation on
+    // the q144 integer grid, and the per-seed top-10 is a bounded
+    // window. Seeds are fixed literals (the q123 QuerySet posture) so
+    // both engines rank the identical deterministic scores.
+    QueryDef.sql("q160_ppr_recommendations") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val seedIds = Seq(0L, 1L, 2L, 3L, 4L)
+      val e = Checkpoints.checkpoint(
+        edges(s, d).select(col("src"), col("dst")))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val seeds = {
+        import s.implicits._
+        seedIds.toDF("seed")
+      }
+      // restrict to seeds that exist in the graph (deg join), walk mass 1
+      var ppr = seeds.join(deg, col("seed") === col("src"))
+        .select(col("seed"), col("src").as("node"), lit(1.0).as("p"))
+      for (_ <- 1 to 2) {
+        val spread = e.join(ppr, e("src") === ppr("node"))
+          .join(deg, Seq("src"))
+          .groupBy(col("seed"), col("dst"))
+          .agg(sum(round(col("p") / col("deg").cast("double") * Grid)
+            .cast("long")).as("sgrid"))
+          .select(col("seed"), col("dst").as("node"),
+            (lit(0.75) * (col("sgrid").cast("double") / Grid)).as("p"))
+        val restart = seeds.join(deg, col("seed") === col("src"))
+          .select(col("seed"), col("src").as("node"), lit(0.25).as("p"))
+        ppr = Checkpoints.checkpoint(
+          spread.unionAll(restart)
+            .groupBy(col("seed"), col("node"))
+            .agg(graft.Det.dsum(col("p")).as("p")))
+      }
+      val w = Window.partitionBy(col("seed"))
+        .orderBy(col("p").desc, col("node").asc)
+      ppr.filter(col("seed") =!= col("node"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("seed"), col("rank"), col("node"), col("p").as("score"))
+        .orderBy("seed", "rank")
+    } {
+      s"""WITH $EdgeSql,
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |seeds AS (SELECT UNNEST([0, 1, 2, 3, 4]) AS seed),
+         |p0 AS (
+         |  SELECT seed, seed AS node, CAST(1.0 AS DOUBLE) AS p
+         |  FROM seeds WHERE seed IN (SELECT src FROM deg)),
+         |s1 AS (
+         |  SELECT p0.seed, e.dst AS node,
+         |    CAST(0.75 AS DOUBLE) *
+         |      (CAST(CAST(SUM(CAST(ROUND(p0.p / CAST(deg.deg AS DOUBLE)
+         |        * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS p
+         |  FROM edges e
+         |  JOIN p0 ON e.src = p0.node
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY p0.seed, e.dst),
+         |p1 AS (
+         |  SELECT seed, node, ${graft.Det.dsumSql("p")} AS p FROM (
+         |    SELECT seed, node, p FROM s1
+         |    UNION ALL
+         |    SELECT seed, node, CAST(0.25 AS DOUBLE) AS p FROM p0)
+         |  GROUP BY seed, node),
+         |s2 AS (
+         |  SELECT p1.seed, e.dst AS node,
+         |    CAST(0.75 AS DOUBLE) *
+         |      (CAST(CAST(SUM(CAST(ROUND(p1.p / CAST(deg.deg AS DOUBLE)
+         |        * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12) AS p
+         |  FROM edges e
+         |  JOIN p1 ON e.src = p1.node
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY p1.seed, e.dst),
+         |p2 AS (
+         |  SELECT seed, node, ${graft.Det.dsumSql("p")} AS p FROM (
+         |    SELECT seed, node, p FROM s2
+         |    UNION ALL
+         |    SELECT seed, seed AS node, CAST(0.25 AS DOUBLE) AS p
+         |    FROM seeds WHERE seed IN (SELECT src FROM deg))
+         |  GROUP BY seed, node),
+         |ranked AS (
+         |  SELECT seed, node, p,
+         |    ROW_NUMBER() OVER (PARTITION BY seed
+         |      ORDER BY p DESC, node ASC) AS rank
+         |  FROM p2 WHERE seed <> node)
+         |SELECT CAST(seed AS BIGINT) AS seed, CAST(rank AS INT) AS rank,
+         |  CAST(node AS BIGINT) AS node, p AS score
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY seed, rank""".stripMargin
     }
   )
 }
