@@ -351,4 +351,42 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"the total/cap scalars must broadcast:\n$p")
     graft.Checkpoints.release(df)
   }
+
+  test("q146's verify kernel is pushed into the plan; no cartesian anywhere") {
+    val p = plan("q146_containment_join")
+    assert(p.contains("sorted_intersect_count_min"),
+      s"containment verify must ride the early-exit kernel:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the postings equi-join only:\n$p")
+  }
+
+  test("q153's as-of window partitions by the high-cardinality user key") {
+    val p = plan("q153_lasttouch_attribution")
+    assert(p.contains("Window") && p.contains("user_id"),
+      s"attribution needs the user-keyed ignore-nulls window:\n$p")
+    assert(!p.contains("Join"),
+      s"attribution must be a window over the unified stream, never a " +
+        s"purchases x events join:\n$p")
+  }
+
+  test("q154's final stage reads the frozen sweep and broadcasts the scalar") {
+    // the three sweeps execute eagerly behind Checkpoints (their joins
+    // are not in the FINAL plan by design — the lineage is truncated);
+    // what must hold here: the output reads the materialized sweep RDD,
+    // the max|v| normalizer arrives as a 1-row broadcast, and nothing
+    // plans a cartesian
+    val p = plan("q154_power_iteration_pca")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"final stage must read the checkpointed sweep, not recompute it:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the scalar normalizer must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q160's walk never plans a cartesian; per-seed top-k is a plain window") {
+    val p = plan("q160_ppr_recommendations")
+    assert(!p.contains("CartesianProduct"), s"sparse walk only:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may collapse to one task:\n$p")
+  }
 }

@@ -177,4 +177,24 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // quadratic hot-key fan-out this operator exists to avoid
     assertTrend("q136_prefix_filter_simjoin", "documents")
   }
+
+  test("q146 containment join scales sub-quadratically in documents") {
+    // one-sided prefix filter: probe prefixes meet full postings — a
+    // lost df-ordering (prefix no longer the rarest shingles) or a lost
+    // prefix cut degrades toward the doc×doc product this catches
+    assertTrend("q146_containment_join", "documents")
+  }
+
+  test("q145 association rules scale sub-quadratically in lineitem") {
+    // basket-local pair expansion bounded by order size; an accidental
+    // part×part or basket×basket join trips this
+    assertTrend("q145_association_rules", "lineitem")
+  }
+
+  test("q152 triangle clustering scales sub-quadratically in lineitem") {
+    // degree-ordered compact-forward: wedge fan-out is bounded by
+    // oriented out-degree; losing the orientation lets a hub node own
+    // O(deg^2) wedges and shows up here
+    assertTrend("q152_triangle_clustering", "lineitem")
+  }
 }
