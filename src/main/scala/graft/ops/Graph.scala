@@ -548,6 +548,42 @@ object Graph {
          |  CAST(node AS BIGINT) AS node, p AS score
          |FROM ranked WHERE rank <= 10
          |ORDER BY seed, rank""".stripMargin
-    }
+    },
+
+    // ------------------------------------------------------------------
+    // q162: RECURSIVE-CTE REACHABILITY — breadth-first expansion from a
+    // seed part over the co-purchase graph, written as ONE dialect-
+    // shared `WITH RECURSIVE` string run VERBATIM on both engines (the
+    // q119 posture, now for Spark 4's recursive CTE support: the
+    // recursion IS the operator under test). The recursive member joins
+    // the frontier against the edge relation with an explicit depth
+    // bound (dist < 3) — on Spark each recursion step is one more keyed
+    // join stage, planned like any other, so the 100 TB posture is the
+    // same as q144's loop with the driver loop moved into the engine.
+    // Output: every node within 3 hops with its BFS distance and the
+    // number of distinct ≤3-hop walks reaching it (an exact integer the
+    // UNION ALL recursion yields for free).
+    QueryDef.sql("q162_recursive_reachability") { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(ReachabilitySql)
+    } { ReachabilitySql }
   )
+
+  /** q162's dialect-shared text: the edge derivation and the recursive
+    * BFS parse and evaluate identically on Spark SQL and DuckDB.
+    */
+  private def ReachabilitySql: String =
+    s"""WITH RECURSIVE
+       |$EdgeSql,
+       |bfs AS (
+       |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+       |  UNION ALL
+       |  SELECT e.dst AS node, b.dist + 1 AS dist
+       |  FROM bfs b JOIN edges e ON e.src = b.node
+       |  WHERE b.dist < 3)
+       |SELECT node, MIN(dist) AS dist,
+       |  CAST(COUNT(*) AS BIGINT) AS n_walks
+       |FROM bfs
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
 }

@@ -442,7 +442,44 @@ object Relational {
     QueryDef.sql("q119_small_qty_revenue") { (s, d) =>
       Tables.registerViews(s, d)
       s.sql(SmallQtyRevenueSql)
-    } { SmallQtyRevenueSql }
+    } { SmallQtyRevenueSql },
+
+    // ------------------------------------------------------------------
+    // q161: VARIANT SEMI-STRUCTURED INGESTION — the Spark 4 VARIANT
+    // type on the event property bags: parse_json ONCE into the binary
+    // variant encoding, then typed path extraction (variant_get with a
+    // target type) feeding ordinary integer aggregation. This is the
+    // schema-on-read path a 100 TB event pipeline actually wants:
+    // VARIANT parses each JSON document once at scan time into a
+    // shredded binary form, where get_json_object-style string paths
+    // re-parse the text per extraction. Null accounting is explicit
+    // (missing path → NULL → counted); every aggregate is an exact
+    // int64 within the csum contract. The oracle extracts the same
+    // paths with DuckDB's JSON operators — typed results equal, so the
+    // two parse pipelines must agree byte-for-byte on the semantics.
+    QueryDef.sql("q161_variant_extract") { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          sum(col("k").cast("long")).as("k_sum"))
+        .orderBy("event_type")
+    } {
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN JSON_EXTRACT(props, '$.k') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  MIN(CAST(props ->> '$.k' AS INT)) AS k_min,
+        |  MAX(CAST(props ->> '$.k' AS INT)) AS k_max,
+        |  CAST(SUM(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS k_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    }
   )
 
   /** q119's dialect-shared text: everything here parses and evaluates
