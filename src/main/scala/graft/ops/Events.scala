@@ -843,6 +843,65 @@ object Events {
          |FROM test t LEFT JOIN model m ON t.from_type = m.from_type
          |GROUP BY t.from_type, m.predicted
          |ORDER BY t.from_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q164: TIME-WEIGHTED AVERAGE VALUE (TWAP) — per cohort user, the
+    // purchase value weighted by how long it was the CURRENT value
+    // (finance's TWAP / ops' duration-weighted gauge): Σ vᵢ·Δtᵢ / ΣΔtᵢ
+    // over consecutive purchases, the last (open-ended) holding
+    // excluded. A plain AVG pretends every observation held equally
+    // long; the duration weighting is what monitoring and pricing
+    // actually need. Exactness: values become integer cents, gaps exact
+    // µs, products accumulate in decimal(38)/HUGEINT (cents·µs
+    // overflows int64 at month-scale gaps), and the single terminal
+    // division runs on identical correctly-rounded casts (the oracle
+    // routes its wide-int casts through VARCHAR — the q154 lesson).
+    // One user-keyed window + one keyed aggregation; cohort-bounded
+    // output (q139's posture).
+    QueryDef.sql("q164_twap_per_user") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wide = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables(s, d, "events")
+        .filter(col("event_type") === "purchase" &&
+          graft.Ids.hash("user_id") % 50 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"),
+          expr("unix_micros(cast(ts AS timestamp))").as("ts_us"))
+        .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum((col("cents").cast(wide) * col("gap_us")).cast(wide)).as("wsum"),
+          sum(col("gap_us").cast(wide)).as("denom"))
+        .filter(col("denom").isNotNull)
+        .select(col("user_id"), col("n_purchases"),
+          (col("wsum").cast("double") / col("denom").cast("double") /
+            lit(100.0)).as("twap_value"))
+        .orderBy("user_id")
+    } {
+      s"""WITH cohort AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         |    epoch_us(ts) AS ts_us
+         |  FROM events
+         |  WHERE event_type = 'purchase'
+         |    AND ${graft.Ids.hashSql("user_id")} % 50 = 0),
+         |gapped AS (
+         |  SELECT user_id, cents,
+         |    LEAD(ts_us) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) - ts_us AS gap_us
+         |  FROM cohort),
+         |agg AS (
+         |  SELECT user_id, COUNT(*) AS n_purchases,
+         |    SUM(CAST(cents AS HUGEINT) * gap_us) AS wsum,
+         |    SUM(CAST(gap_us AS HUGEINT)) AS denom
+         |  FROM gapped GROUP BY user_id)
+         |SELECT user_id, n_purchases,
+         |  CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+         |    / CAST(CAST(denom AS VARCHAR) AS DOUBLE) / 100.0 AS twap_value
+         |FROM agg WHERE denom IS NOT NULL
+         |ORDER BY user_id""".stripMargin
     }
   )
 }

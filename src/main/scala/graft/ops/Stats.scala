@@ -74,6 +74,19 @@ object Stats {
       .orderBy("column_name")
   }
 
+  /** Benford's law leading-digit probabilities, log10(1 + 1/d), as
+    * shared 17-digit literals — ONE definition interpolated into the
+    * Spark lookup relation and the oracle's VALUES so the two engines
+    * can never audit against different expectations (computing them
+    * with log10 at runtime would be transcendental and engine-local).
+    */
+  private val BenfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q55: pivot — long-to-wide on order status. Spark's
@@ -721,6 +734,61 @@ object Stats {
         |JOIN cm ON g.source = cm.source
         |CROSS JOIN tot
         |ORDER BY g.lang, g.source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q163: BENFORD FIRST-DIGIT AUDIT — the forensic screen for
+    // fabricated or mechanically-generated numeric columns: the
+    // distribution of leading digits of o_totalprice against Benford's
+    // law, with per-digit χ² contributions. Cross-engine determinism
+    // hinges on how the leading digit is taken: NEVER from the float's
+    // string form (engines format doubles differently) and never via
+    // log10 (transcendental) — prices convert to exact integer cents
+    // (leading digit invariant under ×100) and the digit is the first
+    // character of the INTEGER's decimal form, identical everywhere.
+    // The nine Benford probabilities are shared 17-digit literals, so
+    // expected counts and χ² terms are the same IEEE chain on both
+    // engines. On this synthetic fixture the audit correctly reports
+    // massive deviation — uniform-ish generators fail Benford, which is
+    // precisely what it detects.
+    QueryDef.sql("q163_benford_audit")({ (s, d) =>
+      Tables(s, d, "orders")
+        .select(expr(
+          "substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1)")
+          .as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(
+          Tables(s, d, "orders").agg(count(lit(1)).as("n"))))
+        .join({
+          import s.implicits._
+          BenfordP.map { case (k, v) => (k.toString, v.toDouble) }
+            .toDF("digit_p", "p")
+        }, col("digit") === col("digit_p"))
+        .select(col("digit"), col("n_obs"),
+          (col("n").cast("double") * col("p")).as("expected"),
+          expr("(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p) " +
+            "* (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p) " +
+            "/ (CAST(n AS DOUBLE) * p)").as("chi2_term"))
+        .orderBy("digit")
+    }) {
+      s"""WITH d AS (
+         |  SELECT SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS digit
+         |  FROM orders),
+         |obs AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+         |bp AS (${BenfordP.map { case (k, v) =>
+             s"SELECT '$k' AS digit_p, CAST($v AS DOUBLE) AS p"
+           }.mkString(" UNION ALL ")})
+         |SELECT obs.digit, obs.n_obs,
+         |  CAST(tot.n AS DOUBLE) * bp.p AS expected,
+         |  (CAST(obs.n_obs AS DOUBLE) - CAST(tot.n AS DOUBLE) * bp.p)
+         |    * (CAST(obs.n_obs AS DOUBLE) - CAST(tot.n AS DOUBLE) * bp.p)
+         |    / (CAST(tot.n AS DOUBLE) * bp.p) AS chi2_term
+         |FROM obs CROSS JOIN tot
+         |JOIN bp ON obs.digit = bp.digit_p
+         |ORDER BY obs.digit""".stripMargin
     },
 
     // ------------------------------------------------------------------
