@@ -902,6 +902,119 @@ object Events {
          |    / CAST(CAST(denom AS VARCHAR) AS DOUBLE) / 100.0 AS twap_value
          |FROM agg WHERE denom IS NOT NULL
          |ORDER BY user_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q165: CALENDAR DENSIFICATION — the sparse-to-dense time-series
+    // primitive every BI/forecast pipeline needs: daily order counts
+    // per priority over the COMPLETE [min, max] calendar, missing days
+    // present as explicit zeros (a gap a groupBy silently drops is a
+    // gap a forecast silently interpolates wrong). The scaffold is
+    // generated, never scanned: one 1-row min/max aggregate feeds
+    // sequence()/generate_series, cross-joined with the distinct
+    // priority dimension — days × groups rows, broadcast-sized at any
+    // fact-table scale — and the fact counts LEFT-join onto it.
+    QueryDef.sql("q165_calendar_densify") { (s, d) =>
+      val orders = Tables(s, d, "orders")
+      val span = broadcast(orders.agg(
+        min(expr("CAST(o_orderdate AS DATE)")).as("d0"),
+        max(expr("CAST(o_orderdate AS DATE)")).as("d1")))
+      val days = span.select(explode(
+        expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val prios = orders.select(col("o_orderpriority")).distinct()
+      val counts = orders.groupBy(
+          expr("CAST(o_orderdate AS DATE)").as("day2"),
+          col("o_orderpriority").as("prio2"))
+        .agg(count(lit(1)).as("n"))
+      days.crossJoin(broadcast(prios))
+        .join(counts, col("day") === col("day2") &&
+          col("o_orderpriority") === col("prio2"), "left_outer")
+        .select(col("day"), col("o_orderpriority"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy("day", "o_orderpriority")
+    } {
+      """WITH span AS (
+        |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+        |    CAST(MAX(o_orderdate) AS DATE) AS d1
+        |  FROM orders),
+        |days AS (
+        |  SELECT CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM span),
+        |prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |counts AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day2,
+        |    o_orderpriority AS prio2, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT days.day, prios.o_orderpriority,
+        |  CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_orders
+        |FROM days CROSS JOIN prios
+        |LEFT JOIN counts ON days.day = counts.day2
+        |  AND prios.o_orderpriority = counts.prio2
+        |ORDER BY days.day, prios.o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q166: INTERVAL-UNION COVERAGE — per cohort user, the total length
+    // of the UNION of their activity intervals ([ts, ts+30min) per
+    // event): overlapping intervals merge, so the answer is real active
+    // time, not Σ durations (which double-counts every overlap — the
+    // standing bug of naive engagement metrics). The gaps-and-islands
+    // form on INTERVALS: one user-keyed window tracks the running max
+    // interval end, a new island starts where the next interval begins
+    // past it, and each island contributes (max end − min start). All
+    // exact integer microseconds; two windows + one aggregation, all
+    // keyed by the high-cardinality user id.
+    QueryDef.sql("q166_interval_coverage") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val halfHourUs = 1800000000L
+      val flagged = Tables(s, d, "events")
+        .filter(graft.Ids.hash("user_id") % 20 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("unix_micros(cast(ts AS timestamp))").as("s_us"))
+        .withColumn("e_us", col("s_us") + halfHourUs)
+        .withColumn("prev_max_end",
+          max(col("e_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max_end").isNull ||
+            col("s_us") > col("prev_max_end"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s_us")).as("i_start"), max(col("e_us")).as("i_end"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_end") - col("i_start")).as("coverage_us"))
+        .orderBy("user_id")
+    } {
+      s"""WITH cohort AS (
+         |  SELECT user_id, ts, event_id,
+         |    epoch_us(ts) AS s_us, epoch_us(ts) + 1800000000 AS e_us
+         |  FROM events
+         |  WHERE ${graft.Ids.hashSql("user_id")} % 20 = 0),
+         |flagged AS (
+         |  SELECT user_id, ts, event_id, s_us, e_us,
+         |    CASE WHEN MAX(e_us) OVER w IS NULL
+         |        OR s_us > MAX(e_us) OVER w THEN 1 ELSE 0 END AS new_island
+         |  FROM cohort
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |islanded AS (
+         |  SELECT user_id, s_us, e_us,
+         |    SUM(new_island) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM flagged),
+         |per_island AS (
+         |  SELECT user_id, island,
+         |    MIN(s_us) AS i_start, MAX(e_us) AS i_end
+         |  FROM islanded GROUP BY user_id, island)
+         |SELECT user_id, COUNT(*) AS n_islands,
+         |  CAST(SUM(i_end - i_start) AS BIGINT) AS coverage_us
+         |FROM per_island GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
     }
   )
 }
