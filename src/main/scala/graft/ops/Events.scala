@@ -1015,6 +1015,92 @@ object Events {
          |  CAST(SUM(i_end - i_start) AS BIGINT) AS coverage_us
          |FROM per_island GROUP BY user_id
          |ORDER BY user_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q167: SEQUENTIAL-PATTERN MINING (lite) — the support of every
+    // 3-step behavioral pattern: for each event-type trigram (three
+    // consecutive events of one user), how many DISTINCT users exhibit
+    // it and how often it occurs. The SPAM/PrefixSpan entry point a
+    // product team actually uses ("what do users do right before
+    // churning?"), bounded to contiguous windows so the pattern
+    // universe is types³ — never the exponential subsequence lattice.
+    // One user-keyed window (two leads), then a types³-key aggregation
+    // with an exact distinct-user count; support filter ≥ 2 users.
+    QueryDef.sql("q167_sequence_patterns") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+          col("t3").as("step3"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") >= 2)
+        .orderBy("step1", "step2", "step3")
+    } {
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS step1,
+        |    LEAD(event_type, 1) OVER w AS step2,
+        |    LEAD(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3,
+        |  COUNT(*) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM seq WHERE step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |HAVING COUNT(DISTINCT user_id) >= 2
+        |ORDER BY step1, step2, step3""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q168: RUN-LENGTH COMPRESSIBILITY — per cohort user, how much the
+    // event-type sequence compresses under run-length encoding: run
+    // count over event count. A human's session mixes types (ratio near
+    // 1); a scripted client hammers one action (ratio near 0) — the
+    // cheapest bot/automation signature there is, and a close cousin of
+    // q69's intra-document repetition rules applied to behavior. One
+    // lag() change-flag + one keyed aggregation, all integers, one
+    // terminal division.
+    QueryDef.sql("q168_rle_compressibility") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .filter(graft.Ids.hash("user_id") % 20 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("new_run",
+          when(col("prev_type").isNull ||
+            col("event_type") =!= col("prev_type"), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("new_run")).as("n_runs"))
+        .select(col("user_id"), col("n_events"), col("n_runs"),
+          (col("n_runs").cast("double") / col("n_events").cast("double"))
+            .as("rle_ratio"))
+        .orderBy("user_id")
+    } {
+      s"""WITH cohort AS (
+         |  SELECT user_id, ts, event_id, event_type
+         |  FROM events
+         |  WHERE ${graft.Ids.hashSql("user_id")} % 20 = 0),
+         |flagged AS (
+         |  SELECT user_id,
+         |    CASE WHEN LAG(event_type) OVER w IS NULL
+         |        OR event_type <> LAG(event_type) OVER w
+         |      THEN 1 ELSE 0 END AS new_run
+         |  FROM cohort
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(new_run) AS BIGINT) AS n_runs,
+         |  CAST(SUM(new_run) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS rle_ratio
+         |FROM flagged GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
     }
   )
 }
