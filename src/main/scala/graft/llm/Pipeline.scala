@@ -1192,6 +1192,68 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q169: QUALITY-SCORE CALIBRATION vs DUPLICATION — does the quality
+    // score actually predict anything? Every doc lands in a quality
+    // DECILE by exact global rank (ties broken by doc_id — no
+    // interpolated quantile thresholds, whose float interpolation is
+    // engine-divergent on non-integer scores), and each decile reports
+    // its exact-duplicate rate from q23's canonical digest. A filter
+    // score that is flat across deciles filters noise; a calibrated one
+    // shows the dup rate falling as quality rises. The decile rank is
+    // the two-pass Scale.globalRowNumber (never a single-task window);
+    // the dup flag is one window over the canonical-digest key; both
+    // the score and the digest recipe are the library-wide shared
+    // definitions (q32 / q23), so calibration can never drift from the
+    // operators it audits.
+    QueryDef.sql("q169_quality_calibration") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("q", TextAnalysis.qualityScore)
+        .withColumn("ck",
+          md5(array_join(sort_array(expr("array_distinct(split(text, ' '))")), " ")))
+        .drop("text")
+      val flagged = docs.withColumn("is_dup",
+        (count(lit(1)).over(Window.partitionBy(col("ck"))) > 1).cast("long"))
+      val total = flagged.agg(count(lit(1)).as("total"))
+      val ranked = graft.ops.Scale.globalRowNumber(
+        flagged, "rnk", col("q").asc, col("doc_id").asc)
+      ranked.crossJoin(broadcast(total))
+        .withColumn("decile", expr("((rnk - 1) * 10) div total"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).as("n_dup_docs"))
+        .select(col("decile"), col("n_docs"), col("n_dup_docs"),
+          (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+        .orderBy("decile")
+    } {
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.qualityScoreSql} AS q,
+         |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+         |      AS ck
+         |  FROM documents),
+         |flagged AS (
+         |  SELECT doc_id, q,
+         |    CASE WHEN COUNT(*) OVER (PARTITION BY ck) > 1
+         |      THEN 1 ELSE 0 END AS is_dup
+         |  FROM scored),
+         |ranked AS (
+         |  SELECT q, is_dup,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY q, doc_id) AS BIGINT) AS rnk,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS total
+         |  FROM flagged)
+         |SELECT ((rnk - 1) * 10) // total AS decile,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+         |FROM ranked
+         |GROUP BY 1
+         |ORDER BY decile""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q121: WEIGHTED PRIORITY SAMPLE — Duffield–Lund–Thorup priority
     // sampling (JACM '07): the standard one-pass weighted sample whose
     // per-item estimate max(w_i, tau) sums to an unbiased estimate of

@@ -792,6 +792,41 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q170: ORPHAN-RATE TREND — q137's referential-integrity audit as a
+    // TIME SERIES: per day, how many events reference a user with no
+    // customer row, and the orphan rate. A point-in-time audit says
+    // "0.4% orphans"; the trend says WHEN the producer broke (a joint
+    // deploy window shows as a step change). One left join of the fact
+    // stream against the dimension key (keyed equi-join — at warehouse
+    // scale the dimension side is bloom-prunable, q85's tooling), one
+    // day-keyed aggregation; all exact integers plus one division.
+    QueryDef.sql("q170_orphan_rate_trend") { (s, d) =>
+      val cust = Tables(s, d, "customer").select(col("c_custkey"))
+      Tables(s, d, "events")
+        .select(expr("CAST(ts AS DATE)").as("day"), col("user_id"))
+        .join(cust, col("user_id") === col("c_custkey"), "left_outer")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .select(col("day"), col("n_events"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_events").cast("double"))
+            .as("orphan_rate"))
+        .orderBy("day")
+    } {
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orphans,
+        |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q58: correlation + least-squares regression of extended price on
     // quantity, from exact decimal sums: Σx, Σy, Σxy, Σx², Σy² are
     // order-free exact decimals (one map-side-combined aggregation), and
