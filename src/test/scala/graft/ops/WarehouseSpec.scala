@@ -74,4 +74,82 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
       .select($"from_type", $"predicted").as[(String, String)].collect().toMap
     assert(rows.map(r => r._1 -> r._2).toMap == again)
   }
+
+  test("q163: digits 1-9 covered, chi2 terms non-negative, counts sum to the table") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q163_benford_audit")(spark, d)
+      .select($"digit", $"n_obs", $"expected", $"chi2_term")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (1 to 9).map(_.toString),
+      s"digit coverage: ${rows.map(_._1).toSeq}")
+    assert(rows.forall(r => r._3 > 0.0 && r._4 >= 0.0))
+    val total = graft.Tables(spark, d, "orders").count()
+    assert(rows.map(_._2).sum == total)
+    // expected counts must also sum to ~the table (Benford probs sum to 1)
+    assert(math.abs(rows.map(_._3).sum - total) < 1e-6 * total)
+  }
+
+  test("q165: the grid is complete (days x priorities) and zeros mark real gaps") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q165_calendar_densify")(spark, d)
+      .select($"day", $"o_orderpriority", $"n_orders")
+      .as[(java.sql.Date, String, Long)].collect()
+    val days = rows.map(_._1.toLocalDate).distinct.sorted
+    val prios = rows.map(_._2).distinct
+    assert(rows.length == days.length * prios.length,
+      s"grid not dense: ${rows.length} != ${days.length} x ${prios.length}")
+    // the scaffold is CONTIGUOUS: every calendar day in the span appears
+    assert(days.length ==
+      java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1)
+    // totals reconcile with the raw table
+    assert(rows.map(_._3).sum == graft.Tables(spark, d, "orders").count())
+  }
+
+  test("q166: coverage is bounded by the naive sum and at least one interval") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q166_interval_coverage")(spark, d)
+      .select($"user_id", $"n_islands", $"coverage_us")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val halfHour = 1800000000L
+    val nEvents = graft.Tables(spark, d, "events")
+      .filter(graft.Ids.hash("user_id") % 20 === 0)
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    rows.foreach { case (u, islands, cov) =>
+      val n = nEvents(u)
+      assert(islands >= 1 && islands <= n)
+      // union length: at least one interval, at most the no-overlap sum
+      assert(cov >= halfHour && cov <= n * halfHour,
+        s"user $u coverage $cov outside [$halfHour, ${n * halfHour}]")
+    }
+  }
+
+  test("q167/q168: pattern support and RLE invariants hold") {
+    import spark.implicits._
+    val pats = graft.SparkEntry.queries("q167_sequence_patterns")(spark, d)
+      .select($"n_occurrences", $"n_users").as[(Long, Long)].collect()
+    assert(pats.nonEmpty)
+    assert(pats.forall(p => p._1 >= p._2 && p._2 >= 2))
+    val rle = graft.SparkEntry.queries("q168_rle_compressibility")(spark, d)
+      .select($"n_events", $"n_runs", $"rle_ratio")
+      .as[(Long, Long, Double)].collect()
+    assert(rle.nonEmpty)
+    rle.foreach { case (n, runs, ratio) =>
+      assert(runs >= 1 && runs <= n && ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("q169: deciles partition the corpus; q170 rates reconcile with q137-style totals") {
+    import spark.implicits._
+    val cal = graft.SparkEntry.queries("q169_quality_calibration")(spark, d)
+      .select($"decile", $"n_docs", $"n_dup_docs", $"dup_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(cal.map(_._1).sorted.toSeq == (0L to 9L))
+    assert(cal.map(_._2).sum == graft.Tables(spark, d, "documents").count())
+    assert(cal.forall(r => r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0))
+    val trend = graft.SparkEntry.queries("q170_orphan_rate_trend")(spark, d)
+      .select($"n_events", $"n_orphans").as[(Long, Long)].collect()
+    assert(trend.map(_._1).sum == graft.Tables(spark, d, "events").count())
+    assert(trend.forall(r => r._2 <= r._1))
+  }
 }
