@@ -567,4 +567,33 @@ object StreamOps {
           else Iterator.empty
       }
   }
+
+  /** Streaming referential-integrity monitor — q170's live twin: per
+    * tumbling window, the rate of events whose key has no row in the
+    * static dimension, emitted ONLY for windows whose watermark-final
+    * rate reaches `threshold`. Stream-static left join (the dimension
+    * re-resolves per micro-batch, so a dimension backfill heals future
+    * windows without restart) → watermarked windowed aggregation →
+    * scan-side rate filter on the finalized window. Append mode means
+    * an alert fires exactly once per offending window, when it can no
+    * longer change.
+    */
+  def orphanRateAlerts(events: DataFrame, dim: DataFrame,
+      timeCol: String, keyCol: String, dimKey: String,
+      windowDuration: String, watermarkDelay: String,
+      threshold: Double): DataFrame = {
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .join(dim.select(col(dimKey).as("__dim_key")),
+        col(keyCol) === col("__dim_key"), "left_outer")
+      .groupBy(window(col(timeCol), windowDuration))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__dim_key").isNull, 1L).otherwise(0L))
+          .as("n_orphans"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("n_orphans"),
+        (col("n_orphans").cast("double") / col("n_events").cast("double"))
+          .as("orphan_rate"))
+      .filter(col("orphan_rate") >= threshold)
+  }
 }

@@ -484,4 +484,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     // implies (monotone versions per emission)
     assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted)
   }
+
+  test("orphanRateAlerts fires once per finalized window that breaches the threshold") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val dim = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val out = StreamOps.orphanRateAlerts(
+      input.toDF().toDF("ts", "user_id"), dim,
+      "ts", "user_id", "c_custkey",
+      windowDuration = "1 hour", watermarkDelay = "30 minutes",
+      threshold = 0.5)
+    spark.sql("DROP TABLE IF EXISTS orphan_sink")
+    val q = out.writeStream.format("memory").queryName("orphan_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0, 60): 1 known + 2 unknown users -> rate 2/3 >= 0.5
+      // window [60, 120): 2 known + 1 unknown -> rate 1/3 < 0.5
+      input.addData((ts(0), 1L), (ts(10), 999L), (ts(20), 888L),
+        (ts(70), 2L), (ts(80), 3L), (ts(90), 777L))
+      q.processAllAvailable()
+      // max ts 90 − 30 delay = watermark 60: the [0, 60) window is
+      // already final and breaches → exactly one alert; [60, 120) is
+      // still open
+      assert(spark.table("orphan_sink").count() == 1)
+      // flusher finalizes [60, 120): under threshold → NO new alert,
+      // and the finalized [0, 60) alert must not re-emit
+      input.addData((ts(300), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("orphan_sink")
+      .select($"window_start", $"n_events", $"n_orphans", $"orphan_rate")
+      .as[(Timestamp, Long, Long, Double)].collect()
+    assert(rows.toSeq == Seq((ts(0), 3L, 2L, 2.0 / 3.0)),
+      s"expected exactly the [0,60) window to alert, got ${rows.toSeq}")
+  }
 }
