@@ -69,4 +69,37 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
         s"node $node: deg0=$deg0 but removed_round=$rr")
     }
   }
+
+  test("q160: ranks are dense 1..k per seed, seeds never self-recommend") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q160_ppr_recommendations")(spark, d)
+      .select($"seed", $"rank", $"node", $"score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 != r._3 && r._4 > 0.0))
+    rows.groupBy(_._1).foreach { case (seed, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1 to rs.length), s"seed $seed ranks not dense: $ranks")
+      // scores weakly decrease with rank (ties broken by node id)
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"seed $seed scores not monotone: ${byRank.toSeq}")
+    }
+  }
+
+  test("q162: BFS distances are consistent with the edge relation") {
+    import spark.implicits._
+    val reach = graft.SparkEntry.queries("q162_recursive_reachability")(spark, d)
+      .select($"node", $"dist", $"n_walks").as[(Long, Int, Long)].collect()
+    assert(reach.exists(r => r._1 == 0L && r._2 == 0),
+      "the seed must appear at distance 0")
+    assert(reach.forall(r => r._2 >= 0 && r._2 <= 3 && r._3 >= 1))
+    // frontier sanity: exactly one node at distance 0, the seed is not
+    // its own neighbor, and the reached set cannot exceed the graph
+    val hop1 = reach.filter(_._2 == 1).map(_._1).toSet
+    assert(!hop1.contains(0L))
+    assert(reach.count(_._2 == 0) == 1)
+    val graphSize = graft.SparkEntry.queries("q144_copurchase_pagerank")(spark, d).count()
+    assert(reach.length <= graphSize + 1)
+  }
 }
