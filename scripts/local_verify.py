@@ -2,7 +2,9 @@
 """Local replica of the driver's t2 correctness gate: run each oracle SQL in
 DuckDB over the fixture parquet and compare to the Verify parquet dumps.
 Columns are sorted by name (like the driver); rows compared in output order.
-Usage: local_verify.py <sfDir> <outDir>
+Usage: local_verify.py <sfDir> <outDir> [queryName ...]
+With query names given, only those are checked (single-query iteration);
+otherwise every oracle entry must have a Spark dump present.
 """
 import json
 import sys
@@ -14,20 +16,49 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def dtype_family(dt) -> str:
+    """Collapse a pandas dtype to the family the driver's hash is sensitive
+    to. Width differences (int32 vs int64) hash identically; family
+    differences (int vs float — the DuckDB HUGEINT promotion trap) do not."""
+    s = str(dt)
+    if "datetime" in s:
+        return "datetime"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s == "bool" or s == "boolean":
+        return "bool"
+    return "obj"
+
+
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
+        missing = set(only) - set(oracles)
+        if missing:
+            print(f"WARN: no oracle entry for {sorted(missing)}")
     n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
         try:
-            exp = con.execute(sql).df()
+            rel = con.sql(sql)
+            wide = [f"{c} {t}" for c, t in zip(rel.columns, map(str, rel.types))
+                    if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()]
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if wide:
+            print(f"FAIL {name}: oracle emits wide types the driver hashes as "
+                  f"float64 — CAST to BIGINT/DOUBLE: {wide}")
             n_fail += 1
             continue
         try:
@@ -51,8 +82,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             if "datetime" in str(exp[c].dtype) or "datetime" in str(got[c].dtype):
                 exp[c] = pd.to_datetime(exp[c])
                 got[c] = pd.to_datetime(got[c])
-            if isinstance(exp[c].dtype, object.__class__):
-                pass
+        # dtype-family strictness: the driver hashes typed values, so an
+        # int column on one side vs float on the other fails there even
+        # when every value compares equal after coercion. Fail here first.
+        mism = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+                if dtype_family(exp[c].dtype) != dtype_family(got[c].dtype)]
+        if mism:
+            print(f"FAIL {name}: dtype family mismatch (oracle vs spark): {mism}")
+            n_fail += 1
+            continue
         bad = None
         for c in exp.columns:
             ev, gv = exp[c], got[c]
@@ -76,4 +114,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:] or None))

@@ -354,12 +354,12 @@ object Pipeline {
         |ranked AS (
         |  SELECT source, tokens, total // 2 AS budget,
         |    ROW_NUMBER() OVER (ORDER BY tokens, source) AS i,
-        |    COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+        |    CAST(COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p,
         |    n
         |  FROM t, tot),
         |seg AS (
-        |  SELECT (budget - p) // (n - i + 1) AS cap FROM ranked
+        |  SELECT CAST((budget - p) // (n - i + 1) AS BIGINT) AS cap FROM ranked
         |  WHERE p + tokens * (n - i + 1) >= budget
         |  ORDER BY i LIMIT 1)
         |SELECT source, tokens, LEAST(tokens, cap) AS allocated,
