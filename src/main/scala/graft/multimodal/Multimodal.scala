@@ -583,12 +583,24 @@ object Multimodal {
     * pins it against q158's exact groups instead.
     */
   def perceptualNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 7, "8 bands preserve answers only to hamming 7")
     val keys = graft.Checkpoints.checkpoint(rasterKeys(s, d).toDF())
+    bandedNearDupPairs(keys, maxHamming)
+  }
+
+  /** The banded candidate join on an already-keyed (doc_id, digest,
+    * ahash) relation — split out so the pigeonhole guarantee is
+    * testable on adversarial hashes (bit 63 set, hamming 1–7) without
+    * routing through the codec.
+    */
+  def bandedNearDupPairs(keys: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "8 bands preserve answers only to hamming 7")
     val bands = keys.select(col("doc_id"), col("digest"), col("ahash"),
       explode(expr(
+        // unsigned bitfield extraction: div/% would mangle the 8-bit
+        // fields whenever bit 63 is set (negative long), silently
+        // voiding the pigeonhole recall guarantee for those hashes.
         "transform(sequence(0, 7), b -> struct(b AS band, " +
-          "(ahash div cast(pow(2, b * 8) AS bigint)) % 256 AS bval))")).as("e"))
+          "shiftrightunsigned(ahash, b * 8) & 255L AS bval))")).as("e"))
       .select(col("doc_id"), col("digest"), col("ahash"),
         col("e.band"), col("e.bval"))
     val a = bands.select(col("band"), col("bval"),

@@ -10,6 +10,40 @@ import org.apache.spark.sql.functions._
   */
 object Extended {
 
+  /** q148's candidate generator over an arbitrary `(name, len)` relation:
+    * Gravano et al.'s (VLDB'01) q-gram count filter for lev ≤ 2, plus the
+    * dedicated ≤6-char short block. Duplicate grams are KEPT: distinct
+    * grams would undercount shared bigrams for names with repeated grams
+    * ('ue', 'e ' repeat routinely in p_names) and the count filter could
+    * silently drop true pairs. Joining the full positional bags
+    * over-counts (r_a·r_b per repeated gram ≥ the bag-intersection min),
+    * which only ADMITS extra candidates — safe for a lower-bound filter;
+    * the caller's levenshtein verification prunes. Factored out so the
+    * loss-free claim is testable on adversarial repeated-gram names
+    * (ExtendedSpec) independent of the part table.
+    */
+  def levenshteinCandidates(names: DataFrame): DataFrame = {
+    val grams = names
+      .select(col("name"), col("len"),
+        explode(expr(
+          "transform(sequence(1, len - 1), i -> substring(name, i, 2))"))
+          .as("g"))
+    val ga = grams.select(col("g"), col("name").as("name_a"), col("len").as("la"))
+    val gb = grams.select(col("g").as("g2"), col("name").as("name_b"), col("len").as("lb"))
+    val byGram = ga.join(gb, col("g") === col("g2") &&
+        col("name_a") < col("name_b") &&
+        abs(col("la") - col("lb")) <= 2)
+      .groupBy(col("name_a"), col("name_b"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= greatest(col("la"), col("lb")) - lit(5))
+      .select(col("name_a"), col("name_b"))
+    val short = names.filter(col("len") <= 6)
+    val shortPairs = short.select(col("name").as("name_a"))
+      .crossJoin(short.select(col("name").as("name_b")))
+      .filter(col("name_a") < col("name_b"))
+    byGram.unionAll(shortPairs).distinct()
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q37: full outer join of two sparse keyed aggregates — both null
@@ -341,26 +375,7 @@ object Extended {
         .groupBy(col("p_name").as("name"))
         .agg(count(lit(1)).as("n_recs"))
         .withColumn("len", length(col("name")))
-      val grams = names
-        .select(col("name"), col("len"),
-          explode(expr(
-            "array_distinct(transform(sequence(1, len - 1), i -> substring(name, i, 2)))"))
-            .as("g"))
-      val ga = grams.select(col("g"), col("name").as("name_a"), col("len").as("la"))
-      val gb = grams.select(col("g").as("g2"), col("name").as("name_b"), col("len").as("lb"))
-      val byGram = ga.join(gb, col("g") === col("g2") &&
-          col("name_a") < col("name_b") &&
-          abs(col("la") - col("lb")) <= 2)
-        .groupBy(col("name_a"), col("name_b"), col("la"), col("lb"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= greatest(col("la"), col("lb")) - lit(5))
-        .select(col("name_a"), col("name_b"))
-      val short = names.filter(col("len") <= 6)
-      val shortPairs = short.select(col("name").as("name_a"))
-        .crossJoin(short.select(col("name").as("name_b")))
-        .filter(col("name_a") < col("name_b"))
-      val cand = byGram.unionAll(shortPairs).distinct()
-      val withDist = cand
+      val withDist = levenshteinCandidates(names)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 2)
       withDist

@@ -452,15 +452,20 @@ object Relational {
     // schema-on-read path a 100 TB event pipeline actually wants:
     // VARIANT parses each JSON document once at scan time into a
     // shredded binary form, where get_json_object-style string paths
-    // re-parse the text per extraction. Null accounting is explicit
-    // (missing path → NULL → counted); every aggregate is an exact
-    // int64 within the csum contract. The oracle extracts the same
-    // paths with DuckDB's JSON operators — typed results equal, so the
-    // two parse pipelines must agree byte-for-byte on the semantics.
+    // re-parse the text per extraction. Null accounting is aligned on
+    // TRY-cast semantics in BOTH engines: "missing" = absent path OR
+    // explicit JSON null OR a value that fails the int cast
+    // (try_variant_get here, TRY_CAST in the oracle) — so dirty
+    // payloads degrade identically instead of diverging between
+    // engines. Residual contract (documented, fixture-guaranteed):
+    // '$.k' is integer / digit-string / null / absent; a FRACTIONAL
+    // double would truncate under Spark's variant cast but fail
+    // DuckDB's VARCHAR-routed TRY_CAST. Every aggregate is an exact
+    // int64 within the csum contract.
     QueryDef.sql("q161_variant_extract") { (s, d) =>
       Tables(s, d, "events")
         .select(col("event_type"),
-          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+          expr("try_variant_get(parse_json(props), '$.k', 'int')").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
@@ -471,11 +476,11 @@ object Relational {
     } {
       """SELECT event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CASE WHEN JSON_EXTRACT(props, '$.k') IS NULL
+        |  CAST(SUM(CASE WHEN TRY_CAST(props ->> '$.k' AS INT) IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
-        |  MIN(CAST(props ->> '$.k' AS INT)) AS k_min,
-        |  MAX(CAST(props ->> '$.k' AS INT)) AS k_max,
-        |  CAST(SUM(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS k_sum
+        |  MIN(TRY_CAST(props ->> '$.k' AS INT)) AS k_min,
+        |  MAX(TRY_CAST(props ->> '$.k' AS INT)) AS k_max,
+        |  CAST(SUM(TRY_CAST(props ->> '$.k' AS INT)) AS BIGINT) AS k_sum
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin

@@ -43,4 +43,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(h4.forall(_._3 <= 4))
     assert(h0.subsetOf(h4.map(p => (p._1, p._2)).toSet))
   }
+
+  test("banded join recall holds for negative hashes at every hamming 1..7") {
+    // Adversarial keys: bit 63 set (negative longs), each neighbor
+    // flipping k bits SPREAD ACROSS k DISTINCT BANDS of the base —
+    // the worst case for the pigeonhole bound (exactly 8-k intact
+    // bands). Signed div/% band extraction mangles these; unsigned
+    // shift+mask must recover every pair.
+    import spark.implicits._
+    val base = 0xF0F0F0F0F0F0F0F0L // bit 63 set -> negative
+    def flip(h: Long, bits: Seq[Int]): Long = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    // neighbor k flips bit 7 of bands 0..k-1 (k bits, k bands)
+    val rows = (0L, "d0", base) +: (1 to 7).map { k =>
+      (k.toLong, s"d$k", flip(base, (0 until k).map(b => b * 8 + 7)))
+    }
+    val keys = rows.toDF("doc_id", "digest", "ahash")
+    for (h <- 1 to 7) {
+      val got = Multimodal.bandedNearDupPairs(keys, h)
+        .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
+      // every neighbor within hamming h of doc 0 must be found
+      val fromBase = got.filter(_._1 == 0L).map(p => p._2 -> p._3).toMap
+      for (k <- 1 to h)
+        assert(fromBase.get(k.toLong).contains(k),
+          s"maxHamming=$h lost pair (0,$k) at hamming $k: $fromBase")
+    }
+  }
 }

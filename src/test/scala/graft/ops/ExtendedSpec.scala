@@ -58,4 +58,21 @@ class ExtendedSpec extends AnyFunSuite with SparkTestSession {
       s"blocked join diverged from brute force: missing " +
         s"${truth.diff(got.map(r => (r._1, r._2)).toSet).take(5)}")
   }
+
+  test("q148 candidates survive repeated-gram names the distinct bound would drop") {
+    // Adversarial pair: 10-char names of alternating 'xa' — distinct
+    // grams {xa, ax} intersect in only 2 < bound (10-5=5), so a
+    // DISTINCT-gram count filter silently drops this true lev-1 pair.
+    // The full-bag co-occurrence count (kept duplicates) must admit it.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val names = Seq("xaxaxaxaxa", "xaxaxaxaxb", "qrstuvwxyz")
+      .toDF("name").withColumn("len", length(col("name")))
+    val cand = Extended.levenshteinCandidates(names)
+      .as[(String, String)].collect().toSet
+    assert(cand.contains(("xaxaxaxaxa", "xaxaxaxaxb")),
+      s"repeated-gram true pair lost by the count filter: $cand")
+    // sanity: the unrelated name pairs share no grams and stay out
+    assert(!cand.exists(p => p._1 == "qrstuvwxyz" || p._2 == "qrstuvwxyz"))
+  }
 }

@@ -152,4 +152,19 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     assert(trend.map(_._1).sum == graft.Tables(spark, d, "events").count())
     assert(trend.forall(r => r._2 <= r._1))
   }
+
+  test("q161 variant extraction degrades identically to TRY_CAST on dirty payloads") {
+    // Pins the Spark side of the cross-engine null contract: missing
+    // path, explicit JSON null, and a non-numeric string are all
+    // "missing" (NULL); ints and digit-strings extract. The DuckDB
+    // TRY_CAST oracle side was verified to produce exactly this table
+    // (7, NULL, NULL, 5, NULL) — see the q161 Scaladoc contract.
+    import spark.implicits._
+    val got = Seq("""{"k": 7}""", """{"k": null}""", """{"j": 1}""",
+        """{"k": "5"}""", """{"k": "abc"}""")
+      .toDF("props")
+      .select(expr("try_variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .as[Option[Int]].collect().toSeq
+    assert(got == Seq(Some(7), None, None, Some(5), None), got.toString)
+  }
 }
