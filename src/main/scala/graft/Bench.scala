@@ -9,6 +9,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // default 100 entries thrashes on a 170-query session: the warmup
+      // pass alone compiles >170 plans, so timed queries were paying
+      // recompilation (q60 0.39->0.81s round over round, same plan).
+      // Size the cache to hold the whole surface's generated classes.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated query-name filter and repeat count.
@@ -53,7 +58,13 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms-resolution) values: full-precision doubles made the
+    // 170-query line ~6.3 KB and overflowed the driver's log-tail JSON
+    // capture (BENCH_r07 recorded parsed:null). -1 failure markers kept.
+    def f3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -62,7 +73,7 @@ object Bench {
     // reps makes round-over-round comparisons self-describing (a min-of-5
     // artifact is not comparable to a single-shot one under host load)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     println(line)
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
