@@ -322,6 +322,77 @@ object Multimodal {
     // rasters where no exact oracle can exist) is the
     // [[perceptualNearDup]] API, spec-verified against this query's
     // exact groups.
+    // ------------------------------------------------------------------
+    // q171: REAL IMAGE RESIZE, oracle-verified — the de-stubbed upgrade
+    // of q51's byte-stub resize (which stays as the honest fallback for
+    // payloads no codec reads). The decoded q149-style gradient raster
+    // is half-scaled by Java2D's REAL scaling pipeline (Graphics2D
+    // drawImage under a pinned NEAREST_NEIGHBOUR hint), then the
+    // resized raster is traversed for channel sums. Nearest-neighbour
+    // half-scale has an exact closed form — dst(X,Y) samples
+    // src(2X+1, 2Y+1), probed and pinned against the JDK's rounding
+    // (floor((dst+0.5)/scale)) — so the oracle predicts the resized
+    // sums from the gradient alone; a hash match proves a real
+    // resample of the decoded raster, pixel for pixel. (Bilinear has no
+    // such closed form at the 255→0 gradient wrap, so the proof rides
+    // the hint Java2D can be held exactly to.) Same per-partition
+    // mapPartitions codec boundary as q149.
+    QueryDef.sql("q171_image_resize_real")(imageResizeReal) {
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, n,
+        |    CAST(16 + n % 64 AS INT) AS w,
+        |    CAST(16 + (n * 7) % 64 AS INT) AS h
+        |  FROM base),
+        |o AS (
+        |  SELECT doc_id, n, w, h,
+        |    CAST(w // 2 AS INT) AS w2, CAST(h // 2 AS INT) AS h2
+        |  FROM dims)
+        |SELECT doc_id, w AS width_in, h AS height_in,
+        |  w2 AS width_out, h2 AS height_out,
+        |  CAST(h2 * LIST_SUM(LIST_TRANSFORM(RANGE(0, w2),
+        |    x -> (n + 2 * x + 1) % 256)) AS BIGINT) AS sum_red,
+        |  CAST(w2 * LIST_SUM(LIST_TRANSFORM(RANGE(0, h2),
+        |    y -> (n * 3 + 2 * y + 1) % 256)) AS BIGINT) AS sum_green
+        |FROM o
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q172: FULL-SAMPLE AUDIO DECODE, oracle-verified — the q149-grade
+    // upgrade of q120's header proof. The WAV payload now carries a
+    // deterministic NON-silent PCM ramp (16-bit signed little-endian,
+    // sample i = (n + 7i) % 4001 − 2000, interleaved across channels),
+    // written by the JDK's real WAVE writer; the decode side re-reads
+    // the container with AudioSystem's real RIFF parse and traverses
+    // EVERY sample for sum and abs-sum. Those sums exist only in the
+    // PCM body, so the oracle's closed-form prediction passes only if
+    // the codec path decodes every byte of audio — header-only parsing
+    // (q120's proof level) cannot fake it. Exact int arithmetic
+    // end-to-end; same mapPartitions codec boundary.
+    QueryDef.sql("q172_audio_pcm_decode")(audioPcmDecode) {
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    CAST(8000 + (n % 8) * 1000 AS INT) AS sample_rate,
+        |    CAST(1 + n % 2 AS INT) AS channels,
+        |    CAST(100 + (n * 3) % 900 AS BIGINT) AS n_frames
+        |  FROM base)
+        |SELECT doc_id, sample_rate, channels, n_frames,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, n_frames * channels),
+        |    i -> (n + i * 7) % 4001 - 2000)) AS BIGINT) AS sum_samples,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, n_frames * channels),
+        |    i -> ABS((n + i * 7) % 4001 - 2000))) AS BIGINT) AS sum_abs
+        |FROM p
+        |ORDER BY doc_id""".stripMargin
+    },
+
     QueryDef.sql("q158_image_raster_dedup")(imageRasterDedup) {
       """WITH base AS (
         |  SELECT doc_id,
@@ -492,6 +563,103 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     MediaRecord(docId, "image/png", bos.toByteArray)
+  }
+
+  /** q172's decoded-PCM stats row. */
+  final case class PcmStats(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, sum_samples: Long, sum_abs: Long)
+
+  /** q172's body: synthesize a WAV with a deterministic PCM ramp, then
+    * decode it back and traverse every sample. See the QueryDef comment.
+    */
+  def audioPcmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import javax.sound.sampled._
+    mediaRecords(s, d)
+      .mapPartitions { it =>
+        it.map { r =>
+          val n = r.blob.length
+          val rate = 8000 + (n % 8) * 1000
+          val channels = 1 + n % 2
+          val frames = 100 + (n * 3) % 900
+          val pcm = new Array[Byte](frames * 2 * channels)
+          var i = 0
+          while (i < frames * channels) {
+            val v = (n + i * 7) % 4001 - 2000
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(r.doc_id, "audio/wav", bos.toByteArray)
+        }
+      }
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.blob))
+          val f = ais.getFormat
+          val body = ais.readAllBytes()
+          ais.close()
+          var (sum, sabs) = (0L, 0L)
+          var i = 0
+          while (i + 1 < body.length) {
+            // 16-bit signed little-endian, as the format reports
+            val v = ((body(i) & 0xff) | (body(i + 1) << 8)).toShort.toLong
+            sum += v
+            sabs += math.abs(v)
+            i += 2
+          }
+          PcmStats(r.doc_id, f.getSampleRate.toInt, f.getChannels,
+            ais.getFrameLength, sum, sabs)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** q171's resized-raster stats row. */
+  final case class ResizedStats(doc_id: Long, width_in: Int, height_in: Int,
+      width_out: Int, height_out: Int, sum_red: Long, sum_green: Long)
+
+  /** q171's body: gradient PNG → real decode → REAL Java2D half-scale
+    * (nearest-neighbour hint, see the QueryDef comment for the pinned
+    * sampling rule) → channel sums over the RESIZED raster.
+    */
+  def imageResizeReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaRecords(s, d)
+      .mapPartitions(_.map(r => gradientPng(r.doc_id, r.blob.length)))
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.blob))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (w2, h2) = (w / 2, h / 2)
+          val out = new java.awt.image.BufferedImage(
+            w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, w2, h2, null)
+          g.dispose()
+          val px = out.getRGB(0, 0, w2, h2, null, 0, w2)
+          var (sr, sg) = (0L, 0L)
+          var i = 0
+          while (i < px.length) {
+            sr += (px(i) >> 16) & 0xff
+            sg += (px(i) >> 8) & 0xff
+            i += 1
+          }
+          ResizedStats(r.doc_id, w, h, w2, h2, sr, sg)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
   }
 
   /** Decode a PNG blob back to (width, height, packed-RGB pixels). */

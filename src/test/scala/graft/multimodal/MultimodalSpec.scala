@@ -44,6 +44,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(h0.subsetOf(h4.map(p => (p._1, p._2)).toSet))
   }
 
+  test("q171 resize halves dims and keeps sums consistent with the source raster") {
+    import spark.implicits._
+    val rz = graft.SparkEntry.queries("q171_image_resize_real")(spark, d)
+      .select($"doc_id", $"width_in", $"height_in", $"width_out", $"height_out",
+        $"sum_red", $"sum_green")
+      .as[(Long, Int, Int, Int, Int, Long, Long)].collect()
+    assert(rz.nonEmpty)
+    rz.foreach { case (_, w, h, w2, h2, sr, sg) =>
+      assert(w2 == w / 2 && h2 == h / 2)
+      // channel sums bounded by a full-intensity resized raster, nonzero
+      // because the gradient always spans more than one value
+      assert(sr > 0 && sr < 255L * w2 * h2)
+      assert(sg > 0 && sg < 255L * w2 * h2)
+    }
+  }
+
+  test("q172 PCM stats respect the ramp's closed-form bounds") {
+    import spark.implicits._
+    val pcm = graft.SparkEntry.queries("q172_audio_pcm_decode")(spark, d)
+      .select($"doc_id", $"channels", $"n_frames", $"sum_samples", $"sum_abs")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(pcm.nonEmpty)
+    pcm.foreach { case (_, ch, frames, sum, sabs) =>
+      val nSamples = frames * ch
+      assert(sabs >= math.abs(sum)) // triangle inequality
+      assert(sabs <= 2000L * nSamples) // ramp amplitude bound
+      assert(sabs > 0) // non-silent by construction
+    }
+  }
+
   test("banded join recall holds for negative hashes at every hamming 1..7") {
     // Adversarial keys: bit 63 set (negative longs), each neighbor
     // flipping k bits SPREAD ACROSS k DISTINCT BANDS of the base —
