@@ -568,6 +568,134 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of q153's last-touch attribution: emit one
+    * Attribution record per purchase the moment the purchase becomes
+    * watermark-FINAL, credited to the user's latest preceding
+    * non-purchase event within `lookbackUs`, else 'organic'. Events
+    * buffer per user until final (arrival order is not event order),
+    * then replay through the same (ts, event_id)-ordered fold as the
+    * batch window — identical channel per purchase on identical data
+    * (spec-asserted against the q153 window on a replayed fixture).
+    * State is bounded and self-evicting: the compacted last-touch pair
+    * plus the above-watermark buffer; once the watermark passes
+    * last-touch + lookback with an empty buffer, no future purchase
+    * (all later than the watermark) can be attributed to it, so the
+    * group state is removed entirely.
+    */
+  final case class TouchState(lastType: String, lastTsUs: Long,
+      pending: Seq[(Long, Long, String, Double)])
+  final case class Attribution(user_id: Long, ts: java.sql.Timestamp,
+      channel: String, value: Double)
+
+  def lastTouchAttribution(events: DataFrame, timeCol: String,
+      keyCol: String, purchaseType: String, lookbackUs: Long,
+      watermarkDelay: String): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[TouchState]) =>
+          val st0 = state.getOption.getOrElse(TouchState(null, Long.MinValue, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++ rows.map(r =>
+            (r._2.getTime * 1000L + (r._2.getNanos / 1000) % 1000, r._3, r._4, r._5))
+          // final iff at-or-below the watermark (ms granularity, like the
+          // engine's own finality rule)
+          val (ready, hold) = pending.partition(_._1 / 1000 <= wmMs)
+          var (lastType, lastTs) = (st0.lastType, st0.lastTsUs)
+          val out = ready.sortBy(t => (t._1, t._2)).flatMap {
+            case (tsUs, _, typ, value) =>
+              if (typ != purchaseType) { lastType = typ; lastTs = tsUs; None }
+              else {
+                val channel =
+                  if (lastType != null && tsUs - lastTs <= lookbackUs) lastType
+                  else "organic"
+                Some(Attribution(user, new java.sql.Timestamp(tsUs / 1000),
+                  channel, value))
+              }
+          }
+          val touchDeadMs = if (lastType == null) Long.MinValue
+            else (lastTs + lookbackUs) / 1000
+          if (hold.isEmpty && wmMs > touchDeadMs) state.remove()
+          else {
+            state.update(TouchState(lastType, lastTs, hold))
+            val next = if (hold.nonEmpty) hold.map(_._1 / 1000).min
+              else touchDeadMs + 1
+            state.setTimeoutTimestamp(math.max(next, wmMs + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of q166's interval-union coverage: each event opens
+    * a [ts, ts + intervalUs) activity interval; overlapping intervals
+    * merge into islands, and each island is emitted EXACTLY ONCE, the
+    * moment it can no longer grow — either a watermark-final successor
+    * event started a new island past its end, or the watermark itself
+    * passed its end (every future event is later than the watermark,
+    * hence past the island). Same buffer-until-final replay as the
+    * other twins; island arithmetic in exact integer microseconds,
+    * matching the batch gaps-and-islands window (spec-asserted on a
+    * replayed fixture). State: one open island + the above-watermark
+    * buffer; groups with no open island and an empty buffer drop.
+    */
+  final case class IslandState(start: Long, maxEnd: Long, hasOpen: Boolean,
+      pending: Seq[(Long, Long)])
+  final case class Island(user_id: Long, island_start: java.sql.Timestamp,
+      island_end: java.sql.Timestamp, duration_us: Long)
+
+  def intervalCoverage(events: DataFrame, timeCol: String, keyCol: String,
+      intervalUs: Long, watermarkDelay: String): Dataset[Island] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[IslandState, Island](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[IslandState]) =>
+          val st0 = state.getOption.getOrElse(
+            IslandState(0L, Long.MinValue, hasOpen = false, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++ rows.map(r =>
+            (r._2.getTime * 1000L + (r._2.getNanos / 1000) % 1000, r._3))
+          val (ready, hold) = pending.partition(_._1 / 1000 <= wmMs)
+          var (start, maxEnd, hasOpen) = (st0.start, st0.maxEnd, st0.hasOpen)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Island]
+          def close(): Unit = {
+            out += Island(user, new java.sql.Timestamp(start / 1000),
+              new java.sql.Timestamp(maxEnd / 1000), maxEnd - start)
+            hasOpen = false
+          }
+          ready.sortBy(identity).foreach { case (sUs, _) =>
+            if (!hasOpen) { start = sUs; maxEnd = sUs + intervalUs; hasOpen = true }
+            else if (sUs > maxEnd) { close(); start = sUs; maxEnd = sUs + intervalUs; hasOpen = true }
+            else maxEnd = math.max(maxEnd, sUs + intervalUs)
+          }
+          // watermark past the open island's end: nothing can extend it
+          // (held events included — they are above the watermark)
+          if (hasOpen && wmMs * 1000 > maxEnd) close()
+          if (!hasOpen && hold.isEmpty) state.remove()
+          else {
+            state.update(IslandState(start, maxEnd, hasOpen, hold))
+            val next = if (hold.nonEmpty) hold.map(_._1 / 1000).min
+              else maxEnd / 1000 + 1
+            state.setTimeoutTimestamp(math.max(next, wmMs + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming referential-integrity monitor — q170's live twin: per
     * tumbling window, the rate of events whose key has no row in the
     * static dimension, emitted ONLY for windows whose watermark-final

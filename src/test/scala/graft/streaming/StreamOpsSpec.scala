@@ -518,4 +518,108 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.toSeq == Seq((ts(0), 3L, 2L, 2.0 / 3.0)),
       s"expected exactly the [0,60) window to alert, got ${rows.toSeq}")
   }
+
+  test("lastTouchAttribution matches the q153 window on a replayed fixture") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val lookbackUs = 7L * 24 * 3600 * 1000000L
+    val ev = graft.Tables(spark, d, "events")
+      .filter($"user_id" % 7 === 0)
+      .select($"ts".cast("timestamp").as("ts"), $"user_id", $"event_id", $"event_type", $"value")
+    // batch expectation: exactly q153's ignore-nulls window on the subset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = ev
+      .withColumn("ts_us", expr("unix_micros(cast(ts AS timestamp))"))
+      .withColumn("prev_type", last(
+        when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+      .withColumn("prev_ts_us", last(
+        when($"event_type" =!= "purchase", $"ts_us"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("channel", when($"prev_type".isNotNull &&
+        $"ts_us" - $"prev_ts_us" <= lookbackUs, $"prev_type").otherwise("organic"))
+      .select($"user_id", $"channel", $"value")
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(expected.nonEmpty, "fixture cohort has no purchases — widen it")
+    // stream: replay the same rows in three arrival-SHUFFLED chunks
+    // (each chunk reversed — arrival order is adversarial within the
+    // watermark horizon), then sentinels to flush the tail
+    val rows = ev.as[(Timestamp, Long, Long, String, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._3))
+    val maxTs = rows.map(_._1.getTime).max
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).map(_.reverse).toSeq
+    val input = MemoryStream[(Timestamp, Long, Long, String, Double)](spark)
+    val out = StreamOps.lastTouchAttribution(
+      input.toDF().toDF("ts", "user_id", "event_id", "event_type", "value"),
+      "ts", "user_id", "purchase", lookbackUs, "10 minutes")
+    spark.sql("DROP TABLE IF EXISTS attr_sink")
+    val q = out.writeStream.format("memory").queryName("attr_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData((new Timestamp(maxTs + 20L * 86400000), 999999999L, 0L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((new Timestamp(maxTs + 21L * 86400000), 999999999L, 1L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_sink")
+      .filter($"user_id" =!= 999999999L)
+      .select($"user_id", $"channel", $"value")
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(got == expected,
+      s"stream/batch divergence: missing ${expected.diff(got).take(3)}, " +
+        s"extra ${got.diff(expected).take(3)}")
+  }
+
+  test("intervalCoverage islands reproduce the q166 batch coverage on a replayed fixture") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val halfHourUs = 1800000000L
+    val ev = graft.Tables(spark, d, "events")
+      .filter($"user_id" % 11 === 0)
+      .select($"ts".cast("timestamp").as("ts"), $"user_id", $"event_id")
+    // batch expectation: q166's gaps-and-islands on the subset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val expected = ev
+      .withColumn("s_us", expr("unix_micros(cast(ts AS timestamp))"))
+      .withColumn("e_us", $"s_us" + halfHourUs)
+      .withColumn("prev_max_end", max($"e_us").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("new_island", when($"prev_max_end".isNull ||
+        $"s_us" > $"prev_max_end", 1L).otherwise(0L))
+      .withColumn("island", sum($"new_island").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"island")
+      .agg(min($"s_us").as("i_start"), max($"e_us").as("i_end"))
+      .select($"user_id", ($"i_end" - $"i_start").as("dur"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(expected.nonEmpty)
+    val rows = ev.as[(Timestamp, Long, Long)].collect()
+      .sortBy(r => (r._1.getTime, r._3))
+    val maxTs = rows.map(_._1.getTime).max
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).map(_.reverse).toSeq
+    val input = MemoryStream[(Timestamp, Long, Long)](spark)
+    val out = StreamOps.intervalCoverage(
+      input.toDF().toDF("ts", "user_id", "event_id"),
+      "ts", "user_id", halfHourUs, "10 minutes")
+    spark.sql("DROP TABLE IF EXISTS island_sink")
+    val q = out.writeStream.format("memory").queryName("island_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData((new Timestamp(maxTs + 20L * 86400000), 999999999L, 0L))
+      q.processAllAvailable()
+      input.addData((new Timestamp(maxTs + 21L * 86400000), 999999999L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("island_sink")
+      .filter($"user_id" =!= 999999999L)
+      .select($"user_id", $"duration_us")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == expected,
+      s"stream/batch island divergence: missing ${expected.diff(got).take(3)}, " +
+        s"extra ${got.diff(expected).take(3)}")
+  }
 }
