@@ -564,15 +564,26 @@ object Graph {
     // number of distinct ≤3-hop walks reaching it (an exact integer the
     // UNION ALL recursion yields for free).
     QueryDef.sql("q162_recursive_reachability") { (s, d) =>
-      Tables.registerViews(s, d)
-      s.sql(ReachabilitySql)
-    } { ReachabilitySql }
+      reachability(s, d, depth = 3)
+    } { ReachabilitySql(3) }
   )
+
+  /** Parameterized recursive-CTE BFS from the seed part: every node
+    * within `depth` hops with its BFS distance and ≤depth-hop walk
+    * count. q162 registers depth 3; the depth generalizes freely — each
+    * extra level plans as ONE more keyed frontier join (plan-pinned in
+    * NewQueryPlanSpec: no nested-loop, no frontier re-scan per step).
+    */
+  def reachability(s: SparkSession, d: String, depth: Int): DataFrame = {
+    require(depth >= 1, "BFS depth must be at least 1")
+    Tables.registerViews(s, d)
+    s.sql(ReachabilitySql(depth))
+  }
 
   /** q162's dialect-shared text: the edge derivation and the recursive
     * BFS parse and evaluate identically on Spark SQL and DuckDB.
     */
-  private def ReachabilitySql: String =
+  private def ReachabilitySql(depth: Int): String =
     s"""WITH RECURSIVE
        |$EdgeSql,
        |bfs AS (
@@ -580,7 +591,7 @@ object Graph {
        |  UNION ALL
        |  SELECT e.dst AS node, b.dist + 1 AS dist
        |  FROM bfs b JOIN edges e ON e.src = b.node
-       |  WHERE b.dist < 3)
+       |  WHERE b.dist < $depth)
        |SELECT node, MIN(dist) AS dist,
        |  CAST(COUNT(*) AS BIGINT) AS n_walks
        |FROM bfs

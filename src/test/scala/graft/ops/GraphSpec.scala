@@ -102,4 +102,19 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     val graphSize = graft.SparkEntry.queries("q144_copurchase_pagerank")(spark, d).count()
     assert(reach.length <= graphSize + 1)
   }
+
+  test("reachability depth generalizes: deeper runs extend, never contradict") {
+    import spark.implicits._
+    def at(depth: Int): Map[Long, Int] =
+      graft.ops.Graph.reachability(spark, d, depth)
+        .select($"node", $"dist").as[(Long, Int)].collect().toMap
+    val (d2, d3) = (at(2), at(3))
+    // the depth-2 reachable set is a subset of depth-3's
+    assert(d2.keySet.subsetOf(d3.keySet))
+    // BFS distances agree on the shared set (depth truncates, never warps)
+    d2.foreach { case (n, dist) => assert(d3(n) == dist,
+      s"node $n: dist $dist at depth 2 but ${d3(n)} at depth 3") }
+    // every depth respects its own bound
+    assert(d2.values.forall(_ <= 2) && d3.values.forall(_ <= 3))
+  }
 }

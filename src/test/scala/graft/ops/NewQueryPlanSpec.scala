@@ -185,6 +185,20 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"the row-total join is tiny and must broadcast:\n$p")
   }
 
+  test("q162's recursion plans one keyed frontier join per step") {
+    // the q119 posture for the recursive CTE: the loop body must be ONE
+    // inner equi-join of the frontier (UnionLoopRef) against the edge
+    // relation — never a nested-loop and never a second frontier
+    // reference (which would re-scan the recursion's accumulated rows)
+    val p = graft.ops.Graph.reachability(spark, d, depth = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"), s"expected a recursive UnionLoop plan:\n$p")
+    assert("UnionLoopRef".r.findAllIn(p).length == 1,
+      s"the frontier must be referenced exactly once per step:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the frontier-edge join must stay a keyed equi-join:\n$p")
+  }
+
   test("q119's correlated subquery decorrelates to one keyed aggregate join") {
     val p = plan("q119_small_qty_revenue")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -185,6 +185,45 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     assertTrend("q146_containment_join", "documents")
   }
 
+  test("q146 containment join survives a hub document quoted in 10% of the corpus") {
+    // Deliberate worst-case skew for a containment join: one document's
+    // FULL text is appended to every 10th document, so the hub's
+    // shingles jump to df ≈ N/10 (hot keys). The one-sided prefix
+    // filter must keep fan-out bounded anyway: quoting docs still probe
+    // their own rarest (non-hub) shingles, and the hub itself probes a
+    // single ~N/10 posting list — linear, never the N²/100 hot-key
+    // product a full postings self-join would pay. Same sub-quadratic
+    // allowance as assertTrend, on hub-skewed rewrites of both fixtures.
+    import org.apache.spark.sql.functions._
+    def makeSkewed(src: String, out: String): Unit = {
+      val docs = Tables(spark, src, "documents")
+      val hub = docs.orderBy("doc_id").limit(1)
+        .select("text").collect().head.getString(0)
+      docs.withColumn("text",
+          when(col("doc_id") % 10 === 0 && col("doc_id") > 0,
+            concat(col("text"), lit(" "), lit(hub))).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    val (skSmall, skLarge) = ("/tmp/graft_skew_small", "/tmp/graft_skew_large")
+    makeSkewed(small, skSmall)
+    makeSkewed(large, skLarge)
+    val ratio = 10.0 // 500 → 5000 documents
+    run("q146_containment_join", skSmall) // warmup
+    val tSmall = time("q146_containment_join", skSmall)
+    val tLarge = time("q146_containment_join", skLarge)
+    val allowed = math.max(5.0, 4.0 * ratio * tSmall)
+    info(f"hub-skewed q146: $tSmall%.2fs → $tLarge%.2fs (allowed $allowed%.1fs)")
+    assert(tLarge <= allowed,
+      f"hub skew broke the prefix-filter bound: ${tLarge / tSmall}%.1f× on a " +
+        "10× corpus — bucket the verify join by doc_b so hub arrays ship " +
+        "once per partition")
+    // sanity: the hub inclusion is actually detected (containment ≥ 0.8
+    // pairs from the hub into its quoting docs must exist)
+    val hubPairs = graft.SparkEntry.queries("q146_containment_join")(spark, skSmall)
+      .filter(col("doc_a") === 0 || col("doc_b") === 0).count()
+    assert(hubPairs >= 40, s"hub quoted in ~50 docs but only $hubPairs pairs found")
+  }
+
   test("q145 association rules scale sub-quadratically in lineitem") {
     // basket-local pair expansion bounded by order size; an accidental
     // part×part or basket×basket join trips this
