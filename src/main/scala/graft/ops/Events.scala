@@ -1101,6 +1101,135 @@ object Events {
          |    AS rle_ratio
          |FROM flagged GROUP BY user_id
          |ORDER BY user_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q173: RANGE-FRAME TRAILING WINDOW — per event, the 7-day trailing
+    // sum/count of the SAME USER's event values, as a true value-range
+    // frame (RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW over unix
+    // seconds) — the time-series "moving revenue" primitive a ROWS
+    // frame cannot express (event counts per window vary) and a pair
+    // join would quadratically overpay for. Ties share a frame by
+    // value, so the result is order-independent by construction; the
+    // windowed double sum rides the Det decimal contract (order-free
+    // exact accumulation, one terminal cast). Keyed by the
+    // high-cardinality user id — no single-task stage at any scale.
+    // Cohort-bounded output (the q166 posture).
+    QueryDef.sql("q173_trailing_window") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-604800L, 0L)
+      Tables(s, d, "events")
+        .filter(graft.Ids.hash("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts AS timestamp)) DIV 1000000").as("ts_s"),
+          col("value"))
+        .withColumn("trail_sum",
+          sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          col("trail_sum"), col("trail_n"))
+        .orderBy("user_id", "ts_s", "event_id")
+    } {
+      s"""WITH cohort AS (
+         |  SELECT user_id, event_id,
+         |    epoch_us(ts) // 1000000 AS ts_s, value
+         |  FROM events
+         |  WHERE ${graft.Ids.hashSql("user_id")} % 20 = 0)
+         |SELECT user_id, event_id, ts_s,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |    AS trail_sum,
+         |  COUNT(*) OVER w AS trail_n
+         |FROM cohort
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+         |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_s, event_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q176: GAP-FILL WITH LINEAR INTERPOLATION — the q165 calendar
+    // scaffold upgraded from explicit zeros to interpolated estimates:
+    // per order-priority, every day in the global [min, max] span gets
+    // the exact daily order count where one exists, else the linear
+    // interpolation between the nearest BRACKETING observed days (the
+    // timeseries-warehouse gap-fill primitive). Interpolation
+    // arithmetic is one rational: prev + (next − prev)·(day − prev_day)
+    // / (next_day − prev_day) on exact int64 counts and day ordinals —
+    // numerator products first, ONE terminal double division, so both
+    // engines round identically. Edges (before first / after last
+    // observation) carry the nearest value. Scaffold = days ×
+    // priorities (broadcast-sized above one span agg); the as-of
+    // brackets are two ignore-nulls windows keyed by priority over the
+    // scaffold-sized relation — never the fact table.
+    QueryDef.sql("q176_gap_interpolation") { (s, d) =>
+      val daily = Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
+        .groupBy(col("prio"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+        .crossJoin(daily.select(col("prio")).distinct())
+      val joined = grid.join(daily, Seq("prio", "day"), "left_outer")
+      val wPrev = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      joined
+        .withColumn("pv", last(col("n"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("n").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("n"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("n").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("filled",
+          when(col("n").isNotNull, col("n").cast("double"))
+            .when(col("pv").isNull, col("nv").cast("double"))
+            .when(col("nv").isNull, col("pv").cast("double"))
+            .otherwise(
+              (col("pv") * (col("nd") - col("day")) +
+               col("nv") * (col("day") - col("pd"))).cast("double") /
+                (col("nd") - col("pd")).cast("double")))
+        .withColumn("observed", col("n").isNotNull.cast("int"))
+        .select(col("prio"), col("day"), col("filled"), col("observed"))
+        .orderBy("prio", "day")
+    } {
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(DATEDIFF('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |grid AS (
+        |  SELECT p.prio, g.day
+        |  FROM (SELECT DISTINCT prio FROM daily) p,
+        |    (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span) g),
+        |j AS (
+        |  SELECT g.prio, g.day, d.n FROM grid g
+        |  LEFT JOIN daily d ON g.prio = d.prio AND g.day = d.day),
+        |br AS (
+        |  SELECT prio, day, n,
+        |    LAST_VALUE(n IGNORE NULLS) OVER wp AS pv,
+        |    LAST_VALUE(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    FIRST_VALUE(n IGNORE NULLS) OVER wn AS nv,
+        |    FIRST_VALUE(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM j
+        |  WINDOW
+        |    wp AS (PARTITION BY prio ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY prio ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT prio, day,
+        |  CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+        |    WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        |    WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        |    ELSE CAST(pv * (nd - day) + nv * (day - pd) AS DOUBLE)
+        |      / CAST(nd - pd AS DOUBLE) END AS filled,
+        |  CAST(n IS NOT NULL AS INT) AS observed
+        |FROM br
+        |ORDER BY prio, day""".stripMargin
     }
   )
 }

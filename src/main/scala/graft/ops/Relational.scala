@@ -484,8 +484,37 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
-    }
+    },
+
+    // ------------------------------------------------------------------
+    // q175: LATERAL CORRELATED TOP-K JOIN — the top-3 orders by price
+    // for each cohort customer, written as ONE dialect-shared LATERAL
+    // subquery with ORDER BY + LIMIT run VERBATIM on both engines (the
+    // q119/q162 posture, now for Spark 4's lateral-join decorrelation:
+    // the operator under test is the rewrite itself). Catalyst plans
+    // the correlated LIMIT as a per-key window group-limit over ONE
+    // keyed join — never a per-customer re-scan of orders — so the
+    // 100 TB posture is q07's top-per-group with the loop moved into
+    // the planner. Ties break on o_orderkey; the price double orders
+    // identically on both engines.
+    QueryDef.sql("q175_lateral_topk") { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(LateralTopkSql)
+    } { LateralTopkSql }
   )
+
+  /** q175's dialect-shared text: the LATERAL correlated top-k parses
+    * and evaluates identically on Spark SQL and DuckDB.
+    */
+  private def LateralTopkSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+      |WHERE c.c_custkey % 100 = 0
+      |ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
 
   /** q119's dialect-shared text: everything here parses and evaluates
     * identically on Spark SQL and DuckDB — the correlated subquery, the

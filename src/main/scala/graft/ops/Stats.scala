@@ -1127,6 +1127,82 @@ object Stats {
          |  ${Stats.kmvBand("est_inter", "n_exact_inter", "0.40")} AS inter_in_band
          |FROM est2
          |ORDER BY seg_a, seg_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q174: SEQUENCE-GAP AUDIT — every missing id range in the fact
+    // table's order-key sequence (gap start/end/size): the
+    // lost-ingestion detector for tables whose keys are supposed to
+    // arrive from a sequence (on this corpus it correctly reports the
+    // ~257 order keys that never reached lineitem). DISTRIBUTED islands:
+    // island boundaries come from two keyed ANTI joins (k present,
+    // k±1 absent — shuffles on the key, never a global sort of the
+    // table), and only the BOUNDARY relation is globally ranked, via
+    // the two-pass Scale.globalRowNumber (range-partitioned, no
+    // single-task window even when boundaries are corpus-sized, as
+    // sparse key spaces make them). Gap i pairs end-rank i with
+    // start-rank i+1 — one keyed join on the rank. All-integer output.
+    QueryDef.sql("q174_sequence_gaps") { (s, d) =>
+      val keys = graft.Checkpoints.checkpoint(
+        Tables(s, d, "lineitem").select(col("l_orderkey").as("k")).distinct())
+      // island end: k present, k+1 absent  <=>  k not in (keys - 1)
+      val ends = keys.join(keys.select((col("k") - 1).as("k")), Seq("k"), "left_anti")
+      // island start: k present, k-1 absent  <=>  k not in (keys + 1)
+      val starts = keys.join(keys.select((col("k") + 1).as("k")), Seq("k"), "left_anti")
+      val er = graft.ops.Scale.globalRowNumber(ends, "r", col("k").asc)
+        .select(col("k").as("before_gap"), col("r"))
+      val sr = graft.ops.Scale.globalRowNumber(starts, "r2", col("k").asc)
+        .select(col("k").as("after_gap"), col("r2"))
+      er.join(sr, col("r2") === col("r") + 1)
+        .select((col("before_gap") + 1).as("gap_start"),
+          (col("after_gap") - 1).as("gap_end"),
+          (col("after_gap") - col("before_gap") - 1).as("n_missing"))
+        .orderBy("gap_start")
+    } {
+      """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |g AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
+        |SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+        |  nk - k - 1 AS n_missing
+        |FROM g WHERE nk > k + 1
+        |ORDER BY gap_start""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q177: K-ANONYMITY AUDIT — group the customer table by its
+    // quasi-identifiers (nation, market segment, account-balance
+    // kilo-band) and report, per nation, how exposed the equivalence
+    // classes are: classes below k = 5 members re-identify their rows
+    // (the governance gate run before any "anonymized" export). One
+    // keyed aggregation to class sizes, one shrinking rollup to the
+    // nation report — exact integers end-to-end; the balance band is a
+    // single double division + floor, bit-identical on both engines.
+    QueryDef.sql("q177_k_anonymity") { (s, d) =>
+      val classes = Tables(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("sz"))
+      classes.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("n_rows_at_risk"),
+          min(col("sz")).as("min_class_size"))
+        .orderBy("c_nationkey")
+    } {
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey,
+        |  COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_classes,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  MIN(sz) AS min_class_size
+        |FROM cls GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
     }
   )
 

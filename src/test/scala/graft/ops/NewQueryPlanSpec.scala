@@ -185,6 +185,19 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"the row-total join is tiny and must broadcast:\n$p")
   }
 
+  test("q173's range frame partitions by user_id; q175's lateral decorrelates") {
+    val p173 = plan("q173_trailing_window")
+    val windows = p173.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("user_id"),
+      s"the trailing range frame must key on user_id, never SinglePartition:\n$w"))
+    val p175 = plan("q175_lateral_topk")
+    assert(!p175.contains("CartesianProduct") && !p175.contains("BroadcastNestedLoopJoin"),
+      s"the lateral LIMIT must decorrelate to a keyed join, not re-scan per row:\n$p175")
+    assert(p175.contains("WindowGroupLimit"),
+      s"the correlated top-3 should plan as a window group limit:\n$p175")
+  }
+
   test("q162's recursion plans one keyed frontier join per step") {
     // the q119 posture for the recursive CTE: the loop body must be ONE
     // inner equi-join of the frontier (UnionLoopRef) against the edge

@@ -61,4 +61,42 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
       assert(corr >= -1.0 && corr <= 1.0)
     }
   }
+
+  test("q174 gaps reconcile exactly with the key census and contain no keys") {
+    import spark.implicits._
+    val gaps = graft.SparkEntry.queries("q174_sequence_gaps")(spark, d)
+      .select($"gap_start", $"gap_end", $"n_missing")
+      .as[(Long, Long, Long)].collect()
+    gaps.foreach { case (s, e, n) => assert(e >= s && n == e - s + 1) }
+    // non-overlapping and ordered
+    gaps.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 + 1 < b._1); case _ => ()
+    }
+    // census: sum of gap sizes == span − distinct keys
+    val keys = graft.Tables(spark, d, "lineitem")
+      .select($"l_orderkey").distinct().as[Long].collect()
+    val expectedMissing = (keys.max - keys.min + 1) - keys.length
+    assert(gaps.map(_._3).sum == expectedMissing,
+      s"gap census ${gaps.map(_._3).sum} != $expectedMissing")
+    val keySet = keys.toSet
+    gaps.foreach { case (s, e, _) =>
+      assert(!(s to e).exists(keySet), s"gap [$s,$e] contains a present key") }
+  }
+
+  test("q177 class sizes partition each nation's customers") {
+    import spark.implicits._
+    val audit = graft.SparkEntry.queries("q177_k_anonymity")(spark, d)
+      .select($"c_nationkey", $"n_classes", $"n_small_classes",
+        $"n_rows_at_risk", $"min_class_size")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(audit.nonEmpty)
+    val perNation = graft.Tables(spark, d, "customer")
+      .groupBy($"c_nationkey").count()
+      .as[(Long, Long)].collect().toMap
+    audit.foreach { case (nk, nc, nsmall, atRisk, minSz) =>
+      assert(nsmall <= nc && atRisk <= perNation(nk) && minSz >= 1)
+      // rows at risk come only from small classes: at most 4 each
+      assert(atRisk <= nsmall * 4)
+    }
+  }
 }

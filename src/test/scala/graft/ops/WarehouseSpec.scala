@@ -153,6 +153,57 @@ class WarehouseSpec extends AnyFunSuite with SparkTestSession {
     assert(trend.forall(r => r._2 <= r._1))
   }
 
+  test("q173 trailing sums match a per-user brute force on the cohort") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q173_trailing_window")(spark, d)
+      .select($"user_id", $"event_id", $"ts_s", $"trail_sum", $"trail_n")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    // independent brute force from the raw cohort events
+    val raw = graft.Tables(spark, d, "events")
+      .filter(graft.Ids.hash("user_id") % 20 === 0)
+      .select($"user_id",
+        expr("unix_micros(cast(ts AS timestamp)) DIV 1000000").as("ts_s"),
+        $"value")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    rows.foreach { case (u, _, t, sum, n) =>
+      val frame = raw(u).filter(e => e._2 >= t - 604800 && e._2 <= t)
+      assert(frame.length == n, s"user $u@$t: frame count $n != ${frame.length}")
+      // the query sums via DECIMAL(18,6): replay that exactly
+      val brute = frame.map(e => BigDecimal(e._3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(math.abs(brute - sum) < 1e-9,
+        s"user $u@$t: brute $brute != windowed $sum")
+    }
+  }
+
+  test("q176 interpolation stays inside its brackets and reproduces observed days") {
+    import spark.implicits._
+    val filled = graft.SparkEntry.queries("q176_gap_interpolation")(spark, d)
+      .select($"prio", $"day", $"filled", $"observed")
+      .as[(String, Long, Double, Int)].collect()
+    assert(filled.nonEmpty && filled.exists(_._4 == 0),
+      "fixture premise: the calendar must actually have gaps to interpolate")
+    filled.groupBy(_._1).values.foreach { series =>
+      val obs = series.filter(_._4 == 1).sortBy(_._2)
+      series.filter(_._4 == 0).foreach { case (_, day, v, _) =>
+        val prev = obs.filter(_._2 < day).lastOption
+        val next = obs.find(_._2 > day)
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            val (lo, hi) = (math.min(p._3, n._3), math.max(p._3, n._3))
+            assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+              s"interpolated $v escapes bracket [$lo,$hi] at day $day")
+          case (Some(p), None) => assert(v == p._3)
+          case (None, Some(n)) => assert(v == n._3)
+          case _ => fail("gap with no observations at all")
+        }
+      }
+      // observed days carry their exact integer count
+      obs.foreach { case (_, _, v, _) => assert(v == math.rint(v)) }
+    }
+  }
+
   test("q161 variant extraction degrades identically to TRY_CAST on dirty payloads") {
     // Pins the Spark side of the cross-engine null contract: missing
     // path, explicit JSON null, and a non-numeric string are all
