@@ -33,6 +33,28 @@ object HeavyHitters {
     * partition). Decrement-all is amortized O(1)/item: each sweep removes
     * `counters` units that matching increments previously added.
     */
+  /** One Misra–Gries update on a mutable counter map: increment a
+    * tracked item, admit while below capacity, else decrement-all.
+    * Shared by the batch sketch pass and the streaming
+    * `StreamOps.heavyHitterSketch` twin, so both carry the identical
+    * undercount bound (≤ n/(counters+1) per item over the updates the
+    * map has absorbed).
+    */
+  def mgUpdate(counts: java.util.HashMap[String, Long], x: String,
+      counters: Int): Unit = {
+    val cur = counts.get(x)
+    if (cur != 0L || counts.containsKey(x)) counts.put(x, cur + 1L)
+    else if (counts.size < counters) counts.put(x, 1L)
+    else {
+      val entries = counts.entrySet().iterator()
+      while (entries.hasNext) {
+        val e = entries.next()
+        if (e.getValue == 1L) entries.remove()
+        else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
   def candidates(items: DataFrame, itemCol: String, counters: Int): DataFrame = {
     require(counters >= 1, s"counters must be >= 1 (got $counters)")
     val spark = items.sparkSession
@@ -40,20 +62,7 @@ object HeavyHitters {
     items.select(col(itemCol).cast("string")).as[String]
       .mapPartitions { it =>
         val counts = new java.util.HashMap[String, Long]()
-        while (it.hasNext) {
-          val x = it.next()
-          val cur = counts.get(x)
-          if (cur != 0L || counts.containsKey(x)) counts.put(x, cur + 1L)
-          else if (counts.size < counters) counts.put(x, 1L)
-          else {
-            val entries = counts.entrySet().iterator()
-            while (entries.hasNext) {
-              val e = entries.next()
-              if (e.getValue == 1L) entries.remove()
-              else e.setValue(e.getValue - 1L)
-            }
-          }
-        }
+        while (it.hasNext) mgUpdate(counts, it.next(), counters)
         counts.keySet().iterator().asScala
       }
       .toDF(itemCol)

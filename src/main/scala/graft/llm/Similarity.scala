@@ -696,6 +696,55 @@ object Similarity {
          |  s.n_members - COALESCE(d.n_dropped, 0) AS n_kept
          |FROM sizes s LEFT JOIN dropped d ON s.cluster_id = d.cluster_id
          |ORDER BY s.cluster_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q181: GRAM MATRIX (XᵀX) — the 64×64 second-moment matrix of the
+    // embedding corpus as a relation: the input every whitening / PCA /
+    // covariance-shrinkage / linear-probe step consumes, and the
+    // relational form of the distributed all-reduce matrix multiply
+    // (q154's power iteration computes XᵀXv one v at a time; this
+    // materializes the operator itself). Shape at scale: the upper
+    // triangle of per-vector outer products is generated MAP-SIDE by a
+    // nested array transform (d(d+1)/2 = 2080 structs per vector — pure
+    // compute, no self-join shuffling 64N rows by vec_id), and the only
+    // exchange is the shrinking aggregation onto 2080 (i, j) keys with
+    // map-side partial sums. Exactness: the q27 1e6 quantizer makes
+    // each product an exact integer (< 2^40); per-cell sums accumulate
+    // in int64 — exact to ~8e5 × N < 2^63, i.e. ~1e13 vectors; past
+    // that, swap the sum to decimal(38) (documented contract, not a
+    // different plan).
+    QueryDef.sql("q181_gram_matrix") { (s, d) =>
+      Tables(s, d, "embeddings")
+        .select(expr(quant).as("q"))
+        .select(explode(expr(
+          """flatten(transform(q, (vi, i) ->
+            |  transform(slice(q, i + 1, size(q) - i), (vj, jj) ->
+            |    struct(i + 1 AS i, i + jj + 1 AS j,
+            |      CAST(vi * vj AS BIGINT) AS p))))""".stripMargin)).as("c"))
+        .select(col("c.i").cast("long").as("i"),
+          col("c.j").cast("long").as("j"), col("c.p").as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("p")).as("s"))
+        .orderBy("i", "j")
+    } {
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS v
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT vec_id, i, v[i] AS val
+        |  FROM q, (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)),
+        |prod AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(a.val * b.val AS BIGINT) AS p
+        |  FROM flat a JOIN flat b
+        |    ON a.vec_id = b.vec_id AND b.i >= a.i)
+        |SELECT i, j, COUNT(*) AS n_vecs,
+        |  CAST(SUM(p) AS BIGINT) AS s
+        |FROM prod GROUP BY i, j
+        |ORDER BY i, j""".stripMargin
     }
   )
 

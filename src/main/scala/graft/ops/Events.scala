@@ -1230,6 +1230,116 @@ object Events {
         |  CAST(n IS NOT NULL AS INT) AS observed
         |FROM br
         |ORDER BY prio, day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q178: MAX DRAWDOWN — per cohort user, the deepest peak-to-current
+    // decline of the event value gauge over (ts, event_id) order: the
+    // finance max-drawdown primitive applied to any monitored metric
+    // series (engagement, balance, throughput). A running-max window
+    // gives each row its historical peak; the drawdown is max(peak −
+    // value), with the count of below-peak rows as the persistence
+    // signal. Everything rides exact integer cents (value is 2-decimal
+    // by fixture contract, round() makes the int exact on both engines);
+    // the only doubles are two terminal long→double casts and a shared
+    // /100. ONE user-keyed window + one keyed agg — no self-join over
+    // (row, earlier rows) pairs, which is the quadratic formulation this
+    // window shape replaces. Keyed by the high-cardinality user id: no
+    // single-task stage at any scale.
+    QueryDef.sql("q178_max_drawdown") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables(s, d, "events")
+        .filter(graft.Ids.hash("user_id") % 20 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .withColumn("peak", max(col("vc")).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(col("vc")).cast("double") / 100.0).as("max_value"),
+          (max(col("peak") - col("vc")).cast("double") / 100.0).as("max_drawdown"),
+          sum(when(col("vc") < col("peak"), 1L).otherwise(0L)).as("n_below_peak"))
+        .orderBy("user_id")
+    } {
+      s"""WITH cohort AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS vc
+         |  FROM events
+         |  WHERE ${graft.Ids.hashSql("user_id")} % 20 = 0),
+         |pk AS (
+         |  SELECT user_id, vc,
+         |    MAX(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM cohort)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(MAX(vc) AS DOUBLE) / 100.0 AS max_value,
+         |  CAST(MAX(peak - vc) AS DOUBLE) / 100.0 AS max_drawdown,
+         |  CAST(SUM(CASE WHEN vc < peak THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_below_peak
+         |FROM pk GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q184: SEASONAL-NAIVE FORECAST ERROR — the mandatory baseline any
+    // real forecasting model must beat: predict each day's order count
+    // with the count from 7 days earlier, and report per-priority MAE
+    // over the days where the prediction exists. Runs on q165's dense
+    // calendar scaffold (missing days are explicit zeros — a lag(7) over
+    // a SPARSE daily relation would silently compare across gaps), so
+    // the fact table is touched exactly once for the daily agg; the
+    // lag window and error agg run on the O(days × priorities)
+    // broadcast-sized grid. All-integer errors, one terminal division.
+    QueryDef.sql("q184_seasonal_naive_error") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
+        .groupBy(col("prio"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+        .crossJoin(daily.select(col("prio")).distinct())
+      val filled = grid.join(daily, Seq("prio", "day"), "left_outer")
+        .withColumn("c", coalesce(col("n"), lit(0L)))
+      val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+      filled
+        .withColumn("pred", lag(col("c"), 7).over(w))
+        .filter(col("pred").isNotNull)
+        .groupBy(col("prio"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(abs(col("c") - col("pred"))).as("total_abs_err"))
+        .select(col("prio"), col("n_days"), col("total_abs_err"),
+          (col("total_abs_err").cast("double") / col("n_days").cast("double"))
+            .as("mae"))
+        .orderBy("prio")
+    } {
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(DATEDIFF('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |grid AS (
+        |  SELECT p.prio, g.day
+        |  FROM (SELECT DISTINCT prio FROM daily) p,
+        |    (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span) g),
+        |filled AS (
+        |  SELECT g.prio, g.day, COALESCE(d.n, 0) AS c
+        |  FROM grid g LEFT JOIN daily d ON g.prio = d.prio AND g.day = d.day),
+        |scored AS (
+        |  SELECT prio, c,
+        |    LAG(c, 7) OVER (PARTITION BY prio ORDER BY day) AS pred
+        |  FROM filled)
+        |SELECT prio, COUNT(*) AS n_days,
+        |  CAST(SUM(ABS(c - pred)) AS BIGINT) AS total_abs_err,
+        |  CAST(SUM(ABS(c - pred)) AS DOUBLE) / COUNT(*) AS mae
+        |FROM scored WHERE pred IS NOT NULL
+        |GROUP BY prio ORDER BY prio""".stripMargin
     }
   )
 }

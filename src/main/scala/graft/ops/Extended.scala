@@ -430,6 +430,66 @@ object Extended {
         |  wt AS (PARTITION BY o_orderpriority
         |         ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT) DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q182: SKYLINE (PARETO FRONTIER) — the customers no other customer
+    // beats on BOTH lifetime spend and account balance (dominance:
+    // ≥ on both, > on one): the multi-criteria "best tradeoffs" query
+    // (Börzsönyi et al., ICDE'01) that a max() cannot express and a
+    // naive formulation answers with an O(n²) self-join. DISTRIBUTED
+    // two-phase shape: phase 1 computes a LOCAL skyline inside each of
+    // 32 md5-hash buckets — answer-preserving, since a bucket-mate that
+    // dominates a point locally also dominates it globally, so only
+    // non-skyline points are discarded — and phase 2 re-runs the exact
+    // dominance test on the tiny survivor union (≤ buckets × skyline
+    // size; skylines of anti-correlated data grow ~log n per bucket).
+    // Per-bucket dominance is two RANGE windows on the spend value, not
+    // a pair join: dominated ⇔ max(bal over spend' > spend) ≥ bal OR
+    // max(bal over spend' = spend) > bal. Exact integer cents
+    // end-to-end; the oracle is the brute-force NOT EXISTS, so the
+    // bucket prune is re-proven loss-free on every Verify run.
+    QueryDef.sql("q182_skyline_pareto") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def survivors(df: DataFrame, bucketed: Boolean): DataFrame = {
+        val base = if (bucketed) Window.partitionBy(col("b")) else
+          Window.partitionBy()
+        val wGt = base.orderBy(col("spend").asc)
+          .rangeBetween(1L, Window.unboundedFollowing)
+        val wEq = base.orderBy(col("spend").asc).rangeBetween(0L, 0L)
+        df.withColumn("m1", max(col("bal")).over(wGt))
+          .withColumn("m2", max(col("bal")).over(wEq))
+          .filter((col("m1").isNull || col("m1") < col("bal")) &&
+            col("m2") <= col("bal"))
+          .drop("m1", "m2")
+      }
+      val spend = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("spend"))
+      val pts = spend.join(
+        Tables(s, d, "customer").select(col("c_custkey"),
+          expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("bal")),
+        col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("spend"), col("bal"))
+        .withColumn("b", pmod(graft.Ids.hash("c_custkey"), lit(32)))
+      survivors(survivors(pts, bucketed = true), bucketed = false)
+        .select(col("c_custkey"), col("spend"), col("bal"))
+        .orderBy("c_custkey")
+    } {
+      """WITH pts AS (
+        |  SELECT c.c_custkey,
+        |    CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend,
+        |    CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey, c.c_acctbal)
+        |SELECT p.c_custkey, p.spend, p.bal
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.spend >= p.spend AND q.bal >= p.bal
+        |    AND (q.spend > p.spend OR q.bal > p.bal))
+        |ORDER BY p.c_custkey""".stripMargin
     }
   )
 

@@ -1203,6 +1203,183 @@ object Stats {
         |  MIN(sz) AS min_class_size
         |FROM cls GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q179: WINSORIZED MEAN — per-language mean document length with the
+    // global 5%/95% tails clipped to the cut values (winsorization: the
+    // outlier-robust mean that, unlike trimming, keeps every row's
+    // vote). Cuts are pure ORDER STATISTICS — the value at global rank
+    // ceil(p·n) — not interpolated quantiles, so the whole query is
+    // integer-exact end-to-end (interpolation weights at p=0.05 are not
+    // binary-representable; rank picks are). Ranks come from the
+    // two-pass Scale.globalRowNumber frozen range shuffle (no
+    // single-task sort); the two cut values collapse to ONE broadcast
+    // row, so the clipping pass is a map-side scan. ceil(p·n) is one
+    // shared IEEE multiply — bit-identical on both engines.
+    QueryDef.sql("q179_winsorized_mean") { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("lang"), col("n_chars"))
+      val ranked = Scale.globalRowNumber(
+        docs.select(col("n_chars").as("v")), "r", col("v").asc)
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      val cuts = ranked.crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("r") === expr("CAST(CEIL(0.05 * n) AS BIGINT)"),
+            col("v"))).as("lo"),
+          min(when(col("r") === expr("CAST(CEIL(0.95 * n) AS BIGINT)"),
+            col("v"))).as("hi"))
+      docs.crossJoin(broadcast(cuts))
+        .withColumn("w", least(greatest(col("n_chars"), col("lo")), col("hi")))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") < col("lo"), 1L)
+            .when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_clipped"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_raw"),
+          (sum(col("w")).cast("double") / count(lit(1))).as("mean_winsorized"))
+        .orderBy("lang")
+    } {
+      """WITH ranked AS (
+        |  SELECT n_chars AS v,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars) AS r
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |cuts AS (
+        |  SELECT
+        |    MIN(CASE WHEN r = CAST(CEIL(0.05 * n) AS BIGINT) THEN v END) AS lo,
+        |    MIN(CASE WHEN r = CAST(CEIL(0.95 * n) AS BIGINT) THEN v END) AS hi
+        |  FROM ranked, tot)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_chars < lo OR n_chars > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped,
+        |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_raw,
+        |  CAST(CAST(SUM(LEAST(GREATEST(n_chars, lo), hi)) AS BIGINT) AS DOUBLE)
+        |    / COUNT(*) AS mean_winsorized
+        |FROM documents, cuts
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q180: GINI CONCENTRATION — per order priority, the Gini
+    // coefficient of order value: the inequality/concentration audit
+    // behind "do a few whale orders carry this segment?" (q100 measures
+    // source concentration by HHI; Gini is the size-invariant
+    // complement). Closed form on sorted values: G = (2·Σ rᵢxᵢ − (n+1)·
+    // Σxᵢ) / (n·Σxᵢ) with ranks ascending — rank ties on equal x leave
+    // the sums invariant, so the per-group row_number needs no
+    // engine-aligned tie-break. Both sums accumulate exactly in
+    // decimal(38)/HUGEINT (r·x overflows int64 at warehouse row
+    // counts), and the single terminal division runs on correctly-
+    // rounded casts (oracle routes wide ints through VARCHAR — the q154
+    // lesson). One keyed window + one keyed agg on the priority key.
+    QueryDef.sql("q180_gini_concentration") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wide = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy(col("prio")).orderBy(col("xc"), col("o_orderkey"))
+      Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("xc"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .groupBy(col("prio"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("xc").cast(wide)).as("s"),
+          sum((col("r").cast(wide) * col("xc")).cast(wide)).as("s1"))
+        .select(col("prio"), col("n_orders"),
+          (col("s").cast("double") / lit(100.0)).as("total_value"),
+          ((lit(2).cast(wide) * col("s1") -
+            (col("n_orders") + 1).cast(wide) * col("s")).cast("double") /
+            (col("n_orders").cast(wide) * col("s")).cast("double")).as("gini"))
+        .orderBy("prio")
+    } {
+      """WITH v AS (
+        |  SELECT o_orderpriority AS prio, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc
+        |  FROM orders),
+        |rk AS (
+        |  SELECT prio, xc,
+        |    ROW_NUMBER() OVER (PARTITION BY prio
+        |      ORDER BY xc, o_orderkey) AS r
+        |  FROM v),
+        |agg AS (
+        |  SELECT prio, COUNT(*) AS n_orders,
+        |    SUM(CAST(xc AS HUGEINT)) AS s,
+        |    SUM(CAST(r AS HUGEINT) * xc) AS s1
+        |  FROM rk GROUP BY prio)
+        |SELECT prio, n_orders,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) / 100.0 AS total_value,
+        |  CAST(CAST(2 * s1 - (n_orders + 1) * s AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(n_orders * s AS VARCHAR) AS DOUBLE) AS gini
+        |FROM agg ORDER BY prio""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q183: ABC / PARETO CLASSIFICATION — every part banded by its
+    // cumulative share of corpus revenue in descending-revenue order
+    // (A: the head reaching 80%, B: to 95%, C: the tail) — the
+    // inventory-policy / storage-tiering primitive behind "which 20% of
+    // items earn 80% of revenue". Revenue is exact scale-4 integer
+    // cents⁴ per part, half-up-rounded to whole cents by INTEGER
+    // arithmetic ((x+50) div 100 — never a float round), and the
+    // cumulative sum over (revenue DESC, partkey) is
+    // Scale.globalOrderedCumsum's two-pass frozen range shuffle — the
+    // CDF shape with no single-task window. Band tests are integer
+    // cross-multiplications (cum·100 ≤ 80·total), exact at any scale
+    // where the int64 cumsum contract holds (whole-cents corpus revenue
+    // < 2^63 — ~9e16 dollars; scale-4 would not survive 100 TB, which
+    // is WHY the cumsum runs on cents).
+    QueryDef.sql("q183_abc_classification") { (s, d) =>
+      val rev = Tables(s, d, "lineitem")
+        .select(col("l_partkey"),
+          (expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)") *
+            expr("CAST(100 - ROUND(l_discount * 100) AS BIGINT)")).as("rev4"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("rev4")).as("rev4"))
+        .select(col("l_partkey"),
+          expr("CAST((rev4 + 50) DIV 100 AS BIGINT)").as("cents"))
+      val cum = Scale.globalOrderedCumsum(rev, "cents", "cum", "rnk",
+        col("cents").desc, col("l_partkey").asc)
+      val tot = cum.agg(max(col("cum")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("band",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("band"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("cents")).as("band_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n_parts"), col("band_cents"),
+          (col("band_cents").cast("double") / col("total").cast("double"))
+            .as("revenue_share"))
+        .orderBy("band")
+    } {
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(100 - ROUND(l_discount * 100) AS BIGINT)) + 50) // 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |cum AS (
+        |  SELECT l_partkey, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM rev),
+        |tot AS (SELECT MAX(cum) AS total FROM cum),
+        |banded AS (
+        |  SELECT cents,
+        |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |      WHEN cum * 100 <= total * 95 THEN 'B'
+        |      ELSE 'C' END AS band
+        |  FROM cum, tot)
+        |SELECT band, COUNT(*) AS n_parts,
+        |  CAST(SUM(cents) AS BIGINT) AS band_cents,
+        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(total AS DOUBLE) AS revenue_share
+        |FROM banded, tot
+        |GROUP BY band, total ORDER BY band""".stripMargin
     }
   )
 

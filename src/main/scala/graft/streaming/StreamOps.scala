@@ -724,4 +724,50 @@ object StreamOps {
           .as("orphan_rate"))
       .filter(col("orphan_rate") >= threshold)
   }
+
+  /** Streaming heavy-hitter monitor — q86's live twin: a continuously
+    * maintained Misra–Gries sketch over an unbounded item stream,
+    * PARTITIONED by an md5 hash bucket of the item so the state scales
+    * out (each bucket owns a disjoint slice of the item universe; a
+    * global heavy hitter is at least as heavy inside its own bucket, so
+    * per-bucket sketches lose nothing). Every micro-batch folds its
+    * rows into the bucket's counter map via the SAME `mgUpdate` the
+    * batch q86 pass runs, so the live sketch carries the identical
+    * guarantee: any item whose true bucket count exceeds
+    * n_bucket/(counters+1) is present, with its map value in
+    * [count − n_bucket/(counters+1), count] (spec-pinned against exact
+    * counts on a replayed fixture). Emits the bucket's refreshed
+    * snapshot each batch (Update mode — monitoring reads the latest
+    * row per bucket); state is bounded at buckets × counters entries
+    * forever, which is the entire point of sketching the stream
+    * instead of counting it.
+    */
+  final case class HHSnapshot(
+      bucket: Long, n_seen: Long, candidates: Map[String, Long])
+
+  def heavyHitterSketch(events: DataFrame, itemCol: String,
+      buckets: Int, counters: Int): Dataset[HHSnapshot] = {
+    require(buckets >= 1 && counters >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    events
+      .select(col(itemCol).cast("string").as("item"),
+        pmod(graft.Ids.hash(itemCol), lit(buckets)).as("bucket"))
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[HHSnapshot, HHSnapshot](GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state: GroupState[HHSnapshot]) =>
+          val prev = state.getOption.getOrElse(HHSnapshot(bucket, 0L, Map.empty))
+          val m = new java.util.HashMap[String, Long]()
+          prev.candidates.foreach { case (k, v) => m.put(k, v) }
+          var n = prev.n_seen
+          rows.foreach { case (item, _) =>
+            graft.llm.HeavyHitters.mgUpdate(m, item, counters); n += 1
+          }
+          val next = HHSnapshot(bucket, n, m.asScala.toMap)
+          state.update(next)
+          next
+      }
+  }
 }

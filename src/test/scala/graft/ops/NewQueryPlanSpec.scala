@@ -416,4 +416,40 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Exchange SinglePartition"),
       s"no stage may collapse to one task:\n$p")
   }
+
+  test("q178/q180 windows key on their group columns, never SinglePartition") {
+    for ((q, key) <- Seq("q178_max_drawdown" -> "user_id",
+        "q180_gini_concentration" -> "prio")) {
+      val p = plan(q)
+      val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+      assert(windows.nonEmpty, s"$q expected a window:\n$p")
+      windows.foreach(w => assert(w.contains(key),
+        s"$q's window must partition by $key:\n$w"))
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must never collapse to one task:\n$p")
+    }
+  }
+
+  test("q181 expands outer products map-side: one scan, zero joins") {
+    val p = plan("q181_gram_matrix")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"Gram matrix is ONE pass over embeddings (got $scans):\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the pair expansion must be the nested array transform, never a " +
+        s"self-join shuffling 64N rows:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"the 2080-key agg must combine map-side:\n$p")
+  }
+
+  test("q182's first dominance pass is bucketed; no pair join anywhere") {
+    val p = plan("q182_skyline_pareto")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dominance must come from range windows, never an O(n^2) join:\n$p")
+    val bucketed = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).exists(_.contains("b#"))
+    assert(bucketed,
+      s"phase 1 must run the dominance windows inside hash buckets so the " +
+        s"global pass only ever sees local-skyline survivors:\n$p")
+  }
 }

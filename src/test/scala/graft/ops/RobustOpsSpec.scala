@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-8 robust-statistics / multi-criteria
+  * operators (q178 drawdown, q179 winsorized mean, q180 Gini, q181 Gram
+  * matrix, q182 skyline, q183 ABC bands, q184 seasonal-naive error):
+  * each is re-derived by an independent in-memory brute force on the
+  * sf0.001 fixture and compared exactly — the oracle hash proves
+  * cross-engine agreement, these prove the MATH.
+  */
+class RobustOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q178 drawdown matches a sequential per-user replay") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q178_max_drawdown")(spark, d)
+      .select($"user_id", $"n_events", $"max_value", $"max_drawdown", $"n_below_peak")
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq.sortBy(_._1)
+    val events = spark.read.parquet(s"$d/events.parquet")
+      .filter(graft.Ids.hash("user_id") % 20 === 0)
+      .select($"user_id", expr("unix_micros(cast(ts AS timestamp))").as("tsl"),
+        $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expect = events.groupBy(_._1).map { case (u, es) =>
+      val vs = es.sortBy(e => (e._2, e._3)).map(e => math.round(e._4 * 100))
+      var peak = Long.MinValue; var dd = 0L; var below = 0L
+      vs.foreach { v =>
+        peak = math.max(peak, v)
+        dd = math.max(dd, peak - v)
+        if (v < peak) below += 1
+      }
+      (u, vs.length.toLong, vs.max / 100.0, dd / 100.0, below)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    assert(got.forall(r => r._4 >= 0 && r._3 >= 0))
+  }
+
+  test("q179 cuts are true order statistics and clipping is idempotent") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q179_winsorized_mean")(spark, d)
+      .select($"lang", $"n_docs", $"n_clipped", $"mean_raw", $"mean_winsorized")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val lens = spark.read.parquet(s"$d/documents.parquet")
+      .select($"lang", $"n_chars").as[(String, Long)].collect()
+    val sorted = lens.map(_._2).sorted
+    val n = sorted.length
+    val lo = sorted((math.ceil(0.05 * n) - 1).toInt)
+    val hi = sorted((math.ceil(0.95 * n) - 1).toInt)
+    assert(lo <= hi)
+    val expect = lens.groupBy(_._1).map { case (lang, ds) =>
+      val raw = ds.map(_._2)
+      val w = raw.map(v => math.min(math.max(v, lo), hi))
+      (lang, raw.length.toLong,
+        raw.count(v => v < lo || v > hi).toLong,
+        raw.sum.toDouble / raw.length, w.sum.toDouble / w.length)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    // winsorized mean lies inside [lo, hi]; clipping twice changes nothing
+    got.foreach { r => assert(r._5 >= lo && r._5 <= hi) }
+  }
+
+  test("q180 Gini matches the sorted-rank closed form and sits in [0, 1)") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q180_gini_concentration")(spark, d)
+      .select($"prio", $"n_orders", $"total_value", $"gini")
+      .as[(String, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)].collect()
+    val expect = orders.groupBy(_._1).map { case (p, os) =>
+      val xs = os.map(o => math.round(o._2 * 100)).sorted
+      val nL = xs.length.toLong
+      val s = xs.map(BigInt(_)).sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = (BigDecimal(2 * s1 - (nL + 1) * s) / BigDecimal(nL * s)).toDouble
+      (p, nL, (BigDecimal(s) / 100).toDouble, gini)
+    }.toSeq.sortBy(_._1)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2)
+      assert(math.abs(g._3 - e._3) < 1e-6 && math.abs(g._4 - e._4) < 1e-12,
+        s"prio ${g._1}: got $g expected $e")
+      assert(g._4 >= 0.0 && g._4 < 1.0)
+    }
+  }
+
+  test("q181 Gram matrix equals the in-memory XtX on quantized embeddings") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q181_gram_matrix")(spark, d)
+      .select($"i", $"j", $"n_vecs", $"s")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * 1e6).toLong))
+    val dim = vecs.head.length
+    assert(got.size == dim * (dim + 1) / 2)
+    for (i <- 0 until dim; j <- i until dim) {
+      val s = vecs.map(v => v(i) * v(j)).sum
+      assert(got((i + 1).toLong, (j + 1).toLong) == (vecs.length.toLong, s),
+        s"cell ($i, $j) mismatch")
+    }
+    // diagonal cells are sums of squares: strictly positive
+    for (i <- 1 to dim) assert(got((i.toLong, i.toLong))._2 > 0)
+  }
+
+  test("q182 skyline equals the brute-force dominance filter") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q182_skyline_pareto")(spark, d)
+      .select($"c_custkey", $"spend", $"bal")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val spend = spark.read.parquet(s"$d/orders.parquet")
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("sp"))
+      .as[(Long, Long)].collect().toMap
+    val pts = spark.read.parquet(s"$d/customer.parquet")
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect()
+      .flatMap { case (k, b) =>
+        spend.get(k).map(sp => (k, sp, math.round(b * 100)))
+      }
+    val expect = pts.filter { p =>
+      !pts.exists(q => q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3))
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q183 bands partition all parts and respect the cumulative thresholds") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q183_abc_classification")(spark, d)
+      .select($"band", $"n_parts", $"band_cents", $"revenue_share")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_partkey",
+        (expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)") *
+          expr("CAST(100 - ROUND(l_discount * 100) AS BIGINT)")).as("rev4"))
+      .groupBy($"l_partkey").agg(sum($"rev4").as("rev4"))
+      .as[(Long, Long)].collect()
+      .map { case (k, r4) => (k, (r4 + 50) / 100) }
+    val ordered = li.sortBy(p => (-p._2, p._1))
+    val total = ordered.map(_._2).sum
+    var cum = 0L
+    val bands = ordered.map { case (_, c) =>
+      cum += c
+      if (cum * 100 <= total * 80) "A" else if (cum * 100 <= total * 95) "B" else "C"
+    }
+    val expect = bands.zip(ordered.map(_._2)).groupBy(_._1).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).sum.toDouble / total)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    assert(got.map(_._2).sum == li.length)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
+  }
+
+  test("q184 seasonal-naive MAE matches a dense-calendar replay") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q184_seasonal_naive_error")(spark, d)
+      .select($"prio", $"n_days", $"total_abs_err", $"mae")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val daily = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderpriority".as("p"),
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val lo = daily.keys.map(_._2).min
+    val hi = daily.keys.map(_._2).max
+    val prios = daily.keys.map(_._1).toSeq.distinct
+    val expect = prios.map { p =>
+      val c = (lo to hi).map(day => daily.getOrElse((p, day), 0L))
+      val errs = (7 until c.length).map(t => math.abs(c(t) - c(t - 7)))
+      (p, errs.length.toLong, errs.sum, errs.sum.toDouble / errs.length)
+    }.sortBy(_._1)
+    assert(got == expect)
+  }
+}

@@ -622,4 +622,58 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       s"stream/batch island divergence: missing ${expected.diff(got).take(3)}, " +
         s"extra ${got.diff(expected).take(3)}")
   }
+
+  test("heavyHitterSketch keeps every true heavy hitter with bounded undercount") {
+    import spark.implicits._
+    val buckets = 2
+    val counters = 3
+    // skewed universe: two genuinely heavy items + a one-off tail that
+    // forces decrement sweeps; split into 3 batches to prove the sketch
+    // state carries across micro-batches
+    val items = Seq.fill(60)("heavy_a") ++ Seq.fill(40)("heavy_b") ++
+      (1 to 50).map(i => s"tail_$i")
+    val batches = scala.util.Random.shuffle(items).grouped(50).toSeq
+    val input = MemoryStream[String](spark)
+    val out = StreamOps.heavyHitterSketch(
+      input.toDF().toDF("item"), "item", buckets, counters)
+    spark.sql("DROP TABLE IF EXISTS hh_sink")
+    val q = out.writeStream.format("memory").queryName("hh_sink")
+      .outputMode(OutputMode.Update).start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // latest snapshot per bucket = the one with the largest n_seen
+    val snaps = spark.table("hh_sink")
+      .as[StreamOps.HHSnapshot].collect()
+      .groupBy(_.bucket).map(_._2.maxBy(_.n_seen)).toSeq
+    // exact truth, bucketed exactly as the operator buckets
+    val truth = items.toDF("item")
+      .select($"item", pmod(graft.Ids.hash("item"), lit(buckets)).as("b"))
+      .groupBy($"item", $"b").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._2).map { case (b, xs) =>
+        b -> xs.map(x => x._1 -> x._3).toMap
+      }
+    assert(snaps.map(_.n_seen).sum == items.length)
+    assert(snaps.forall(_.candidates.size <= counters),
+      "state must stay bounded at `counters` entries per bucket")
+    snaps.foreach { s =>
+      val exact = truth(s.bucket)
+      val bound = s.n_seen / (counters + 1)
+      exact.foreach { case (item, c) =>
+        if (c > bound)
+          assert(s.candidates.contains(item),
+            s"bucket ${s.bucket}: heavy item $item (count $c > $bound) lost")
+        s.candidates.get(item).foreach { v =>
+          assert(v <= c && v >= c - bound,
+            s"bucket ${s.bucket}: $item estimate $v outside [${c - bound}, $c]")
+        }
+      }
+      // no phantom items: every candidate really occurred in this bucket
+      s.candidates.keySet.foreach(k => assert(exact.contains(k)))
+    }
+    // the two planted heavy hitters survive in their buckets
+    Seq("heavy_a", "heavy_b").foreach { h =>
+      assert(snaps.exists(_.candidates.contains(h)), s"$h missing from sketch")
+    }
+  }
 }
