@@ -788,6 +788,42 @@ object TextAnalysis {
         |    AS trigram_diversity
         |FROM uni u JOIN tri t ON u.source = t.source
         |ORDER BY u.source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q185: BPE MERGE CANDIDATES — the top-20 adjacent character pairs
+    // inside words across the corpus: exactly the statistic byte-pair
+    // encoding's first merge step maximizes (Sennrich et al., ACL'16),
+    // and the corpus-side computation a tokenizer-training pipeline
+    // runs once per merge round. Pairs are generated MAP-SIDE by an
+    // index transform over each word (length−1 substrings — no join,
+    // no per-character explode), aggregated with map-side partial
+    // combine onto the small pair universe (≤ alphabet², and Zipf makes
+    // the heavy keys combine hardest), and the top-20 is a distributed
+    // TakeOrderedAndProject (each task keeps 20, the driver merges
+    // heaps — never a global sort). Deterministic tie-break on the pair
+    // string keeps the cut identical across engines.
+    QueryDef.sql("q185_bpe_merge_candidates") { (s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    } {
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |pairs AS (
+        |  SELECT unnest([substring(w, i, 2) for i in range(1, length(w))])
+        |    AS pair
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, COUNT(*) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin
     }
   )
 }

@@ -1340,6 +1340,144 @@ object Events {
         |  CAST(SUM(ABS(c - pred)) AS DOUBLE) / COUNT(*) AS mae
         |FROM scored WHERE pred IS NOT NULL
         |GROUP BY prio ORDER BY prio""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q186: LAG-k AUTOCORRELATION (ACF) — per priority, the Pearson
+    // correlation of the daily order count with itself k = 1 and 7 days
+    // earlier: the seasonality detector that tells q184's seasonal-naive
+    // baseline WHICH lag to use, and the first diagnostic any
+    // forecasting pipeline prints. Runs on the q165 dense calendar (a
+    // sparse series would correlate across gaps), so the fact table is
+    // scanned once for the daily agg and the lag windows + moment sums
+    // live on the O(days × priorities) grid. All five moment sums are
+    // exact int64 over integer counts (at warehouse scale swap the
+    // product sums to decimal(38) — q58's contract note), and the ACF
+    // is ONE shared IEEE chain over exact operands (q58's
+    // cross-multiplied form; zero-variance guard yields NULL on both
+    // engines).
+    QueryDef.sql("q186_autocorrelation") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
+        .groupBy(col("prio"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+        .crossJoin(daily.select(col("prio")).distinct())
+      val filled = graft.Checkpoints.checkpoint(
+        grid.join(daily, Seq("prio", "day"), "left_outer")
+          .withColumn("c", coalesce(col("n"), lit(0L))))
+      val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+      val byLag = Seq(1, 7).map { k =>
+        filled
+          .withColumn("y", lead(col("c"), k).over(w))
+          .filter(col("y").isNotNull)
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("c") * col("y")).as("sxy"),
+            sum(col("c") * col("c")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("prio"), lit(k.toLong).as("lag"), col("n").as("n_pairs"),
+            {
+              val n = col("n").cast("double")
+              val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+              val sxy = col("sxy").cast("double")
+              val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+              val varx = n * sxx - sx * sx
+              val vary = n * syy - sy * sy
+              when(varx * vary <= 0, lit(null).cast("double"))
+                .otherwise((n * sxy - sx * sy) / sqrt(varx * vary)).as("acf")
+            })
+      }
+      byLag.reduce(_ unionAll _).orderBy("prio", "lag")
+    } {
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(DATEDIFF('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |grid AS (
+        |  SELECT p.prio, g.day
+        |  FROM (SELECT DISTINCT prio FROM daily) p,
+        |    (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span) g),
+        |filled AS (
+        |  SELECT g.prio, g.day, COALESCE(d.n, 0) AS c
+        |  FROM grid g LEFT JOIN daily d ON g.prio = d.prio AND g.day = d.day),
+        |lagged AS (
+        |  SELECT l.lag, prio, c,
+        |    LEAD(c, l.lag) OVER (PARTITION BY l.lag, prio ORDER BY day) AS y
+        |  FROM filled, (SELECT UNNEST([1, 7]) AS lag) l),
+        |sums AS (
+        |  SELECT prio, lag, COUNT(*) AS n_pairs,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(c * y) AS BIGINT) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+        |  FROM lagged WHERE y IS NOT NULL GROUP BY prio, lag)
+        |SELECT prio, CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN NULL
+        |    ELSE (n * sxy - sx * sy)
+        |      / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS acf
+        |FROM sums
+        |ORDER BY prio, lag""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q189: CUMULATIVE UNIQUE USERS — the growth curve: per day, the
+    // number of DISTINCT users ever seen up to that day. The naive form
+    // (COUNT(DISTINCT) OVER a running frame) doesn't exist in either
+    // engine and would hold the user set per frame; the scalable
+    // identity is that a user contributes exactly once, on their FIRST
+    // day: one user-keyed min() agg, a daily first-timer count, and a
+    // running sum over the dense calendar. The only window runs on the
+    // O(days) grid — calendar-bounded, not corpus-bounded, which is why
+    // a global frame is safe here and nowhere else (a decade is ~3.7k
+    // rows no matter how many trillion events feed it).
+    QueryDef.sql("q189_cumulative_uniques") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = Tables(s, d, "events")
+        .select(col("user_id"),
+          expr("CAST(datediff(cast(ts AS timestamp), DATE '2024-01-01') AS BIGINT)")
+            .as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+        .groupBy(col("first_day"))
+        .agg(count(lit(1)).as("n_new"))
+      val span = firstDay.agg(min(col("first_day")).as("lo"),
+        max(col("first_day")).as("hi"))
+      val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(firstDay, col("day") === col("first_day"), "left_outer")
+        .withColumn("n_new_users", coalesce(col("n_new"), lit(0L)))
+        .withColumn("n_cum_users", sum(col("n_new_users")).over(w))
+        .select(col("day"), col("n_new_users"), col("n_cum_users"))
+        .orderBy("day")
+    } {
+      """WITH fd AS (
+        |  SELECT user_id,
+        |    MIN(CAST(DATEDIFF('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |newbies AS (
+        |  SELECT first_day, COUNT(*) AS n_new FROM fd GROUP BY first_day),
+        |span AS (SELECT MIN(first_day) AS lo, MAX(first_day) AS hi
+        |  FROM newbies),
+        |grid AS (
+        |  SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span)
+        |SELECT g.day, COALESCE(n.n_new, 0) AS n_new_users,
+        |  CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_cum_users
+        |FROM grid g LEFT JOIN newbies n ON g.day = n.first_day
+        |ORDER BY g.day""".stripMargin
     }
   )
 }

@@ -500,8 +500,98 @@ object Relational {
     QueryDef.sql("q175_lateral_topk") { (s, d) =>
       Tables.registerViews(s, d)
       s.sql(LateralTopkSql)
-    } { LateralTopkSql }
+    } { LateralTopkSql },
+
+    // ------------------------------------------------------------------
+    // q187: NOT IN vs NOT EXISTS NULL SEMANTICS — the classic
+    // three-valued-logic trap, pinned as a cross-engine contract: the
+    // urgent-customer subquery deliberately carries NULLs (every
+    // non-urgent row projects NULL), so standard SQL makes `NOT IN`
+    // UNKNOWN for every candidate — zero rows — while `NOT EXISTS`
+    // returns the real complement. One dialect-shared string run
+    // VERBATIM on both engines (the q119/q162/q175 posture): the
+    // operator under test is the ENGINE's null-aware anti-join
+    // semantics, and a hash-match proves both implement the standard
+    // (Catalyst plans the NOT IN as a null-aware anti join — the
+    // broadcast-only plan shape that is exactly WHY production
+    // pipelines should write NOT EXISTS; this query is the library's
+    // executable documentation of that rule).
+    QueryDef.sql("q187_not_in_null_semantics") { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(NotInNullSql)
+    } { NotInNullSql },
+
+    // ------------------------------------------------------------------
+    // q188: PERCENT-OF-PARENT SHARES — each nation's share of its
+    // REGION's order revenue: the two-level drill-down ratio every BI
+    // rollup renders (percent-of-parent, not percent-of-total — q100
+    // covers the global shares). One keyed customer join + one
+    // (nation)-keyed exact cents aggregation; the region totals come
+    // from a window over the 25-row nation relation (never a second
+    // fact-table pass), and the tiny dimension joins broadcast. Share =
+    // one division of exact int64 cents.
+    QueryDef.sql("q188_percent_of_parent") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables(s, d, "orders")
+        .join(Tables(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val named = rev
+        .join(broadcast(Tables(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          col("cents"))
+      val w = Window.partitionBy(col("region"))
+      named
+        .withColumn("region_cents", sum(col("cents")).over(w))
+        .select(col("region"), col("nation"),
+          (col("cents").cast("double") / 100.0).as("nation_revenue"),
+          (col("cents").cast("double") / col("region_cents").cast("double"))
+            .as("share_of_region"))
+        .orderBy("region", "nation")
+    } {
+      """WITH rev AS (
+        |  SELECT c.c_nationkey,
+        |    CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey),
+        |named AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation, rev.cents
+        |  FROM rev
+        |  JOIN nation n ON rev.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT region, nation,
+        |  CAST(cents AS DOUBLE) / 100.0 AS nation_revenue,
+        |  CAST(cents AS DOUBLE)
+        |    / CAST(CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+        |      AS DOUBLE) AS share_of_region
+        |FROM named
+        |ORDER BY region, nation""".stripMargin
+    }
   )
+
+  /** q187's dialect-shared text: the NULL-polluted NOT IN, its NOT
+    * EXISTS complement, and the census, evaluated identically (standard
+    * three-valued logic) on Spark SQL and DuckDB.
+    */
+  private def NotInNullSql: String =
+    """WITH urgent AS (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN o_custkey END AS k
+      |  FROM orders),
+      |not_in AS (
+      |  SELECT COUNT(*) AS n FROM customer
+      |  WHERE c_custkey NOT IN (SELECT k FROM urgent)),
+      |not_exists AS (
+      |  SELECT COUNT(*) AS n FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.k = c.c_custkey))
+      |SELECT ni.n AS n_not_in, ne.n AS n_not_exists,
+      |  (SELECT COUNT(*) FROM customer) AS n_customers
+      |FROM not_in ni, not_exists ne""".stripMargin
 
   /** q175's dialect-shared text: the LATERAL correlated top-k parses
     * and evaluates identically on Spark SQL and DuckDB.

@@ -441,6 +441,18 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"the 2080-key agg must combine map-side:\n$p")
   }
 
+  test("q185's top-20 is a distributed partial top-k; q188's dims broadcast") {
+    val p185 = plan("q185_bpe_merge_candidates")
+    assert(p185.contains("TakeOrderedAndProject"),
+      s"the merge-candidate cut must be a merged-heaps top-k, not a " +
+        s"global sort:\n$p185")
+    val p188 = plan("q188_percent_of_parent")
+    assert(!p188.contains("CartesianProduct"), s"broadcast dims only:\n$p188")
+    val smjs = "SortMergeJoin".r.findAllIn(p188).length
+    assert(smjs <= 1,
+      s"nation/region must broadcast; only the customer join may shuffle:\n$p188")
+  }
+
   test("q182's first dominance pass is bucketed; no pair join anywhere") {
     val p = plan("q182_skyline_pareto")
     assert(!p.contains("CartesianProduct") &&

@@ -155,6 +155,99 @@ class RobustOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
   }
 
+  test("q185 top pairs match a brute-force adjacent-pair census") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q185_bpe_merge_candidates")(spark, d)
+      .select($"pair", $"n").as[(String, Long)].collect().toSeq
+    val counts = spark.read.parquet(s"$d/documents.parquet")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got == expect)
+  }
+
+  test("q186 ACF matches direct Pearson on the dense series") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q186_autocorrelation")(spark, d)
+      .select($"prio", $"lag", $"n_pairs", $"acf")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val daily = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderpriority".as("p"),
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val lo = daily.keys.map(_._2).min; val hi = daily.keys.map(_._2).max
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+      val sxx = xs.map(a => a * a).sum.toDouble
+      val syy = ys.map(a => a * a).sum.toDouble
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      if (vx * vy <= 0) None else Some((n * sxy - sx * sy) / math.sqrt(vx * vy))
+    }
+    val expect = (for {
+      p <- daily.keys.map(_._1).toSeq.distinct
+      k <- Seq(1L, 7L)
+    } yield {
+      val c = (lo to hi).map(day => daily.getOrElse((p, day), 0L))
+      val pairs = c.dropRight(k.toInt).zip(c.drop(k.toInt))
+      (p, k, pairs.length.toLong, pearson(pairs.map(_._1), pairs.map(_._2)))
+    }).sortBy(r => (r._1, r._2))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3)
+      (g._4, e._4) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"$g vs $e")
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
+
+  test("q187 pins the three-valued-logic contract: NOT IN over NULLs is empty") {
+    import spark.implicits._
+    val Array((nNotIn, nNotExists, nCust)) =
+      graft.SparkEntry.queries("q187_not_in_null_semantics")(spark, d)
+        .as[(Long, Long, Long)].collect()
+    // the fixture always has non-urgent orders, so the subquery carries
+    // NULLs and standard SQL must return UNKNOWN for every candidate
+    assert(nNotIn == 0L)
+    val urgent = spark.read.parquet(s"$d/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").as[Long].collect().toSet
+    val custs = spark.read.parquet(s"$d/customer.parquet")
+      .select($"c_custkey").as[Long].collect()
+    assert(nNotExists == custs.count(!urgent.contains(_)))
+    assert(nCust == custs.length)
+  }
+
+  test("q188 shares are positive and sum to 1 inside every region") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q188_percent_of_parent")(spark, d)
+      .select($"region", $"nation_revenue", $"share_of_region")
+      .as[(String, Double, Double)].collect()
+    assert(got.nonEmpty && got.forall(r => r._2 > 0 && r._3 > 0 && r._3 <= 1))
+    got.groupBy(_._1).foreach { case (region, rows) =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9,
+        s"$region shares sum to ${rows.map(_._3).sum}")
+    }
+  }
+
+  test("q189 growth curve is monotone and lands on the exact distinct total") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q189_cumulative_uniques")(spark, d)
+      .select($"day", $"n_new_users", $"n_cum_users")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._2).sum == got.last._3)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    val total = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id").distinct().count()
+    assert(got.last._3 == total)
+  }
+
   test("q184 seasonal-naive MAE matches a dense-calendar replay") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q184_seasonal_naive_error")(spark, d)
