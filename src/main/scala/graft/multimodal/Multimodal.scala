@@ -402,6 +402,46 @@ object Multimodal {
         |  CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM base GROUP BY cls HAVING COUNT(*) >= 2
         |ORDER BY keep_doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q191: CORPUS CHANNEL HISTOGRAM — the 16-bin red/green intensity
+    // histogram over EVERY decoded pixel in the corpus: the dataset
+    // brightness/exposure profile a multimodal pipeline computes before
+    // choosing normalization constants (and the per-channel drift
+    // monitor once it's in production). Scale shape: the histogram is
+    // accumulated INSIDE mapPartitions into two 16-long arrays — one
+    // emission of ≤ 16 rows per partition, so the shuffle moves
+    // O(partitions × bins) rows no matter how many trillion pixels were
+    // traversed; the keyed agg then folds partials. The oracle predicts
+    // every bin count in closed form from the gradient construction
+    // (red varies only with x, green only with y — each row/column
+    // contributes h/w copies of one value), so a hash match proves the
+    // real decode visited every pixel AND binned it correctly.
+    QueryDef.sql("q191_channel_histogram")(channelHistogram) {
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, n,
+        |    CAST(16 + n % 64 AS BIGINT) AS w,
+        |    CAST(16 + (n * 7) % 64 AS BIGINT) AS h
+        |  FROM base),
+        |bins AS (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS bin),
+        |per AS (
+        |  SELECT b.bin,
+        |    d.h * LIST_SUM(LIST_TRANSFORM(RANGE(0, d.w),
+        |      x -> CASE WHEN ((d.n + x) % 256) // 16 = b.bin
+        |        THEN 1 ELSE 0 END)) AS nr,
+        |    d.w * LIST_SUM(LIST_TRANSFORM(RANGE(0, d.h),
+        |      y -> CASE WHEN ((d.n * 3 + y) % 256) // 16 = b.bin
+        |        THEN 1 ELSE 0 END)) AS ng
+        |  FROM dims d, bins b)
+        |SELECT bin, CAST(SUM(nr) AS BIGINT) AS n_red,
+        |  CAST(SUM(ng) AS BIGINT) AS n_green
+        |FROM per GROUP BY bin
+        |ORDER BY bin""".stripMargin
     }
   )
 
@@ -785,6 +825,41 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"),
         (col("dig_a") === col("dig_b")).as("exact"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** q191's per-partition histogram row: one of 16 bins with its red /
+    * green pixel counts from this partition's decoded rasters.
+    */
+  final case class HistBins(bin: Long, n_red: Long, n_green: Long)
+
+  /** q191: corpus-wide 16-bin channel histogram over decoded pixels.
+    * Per-partition codec boundary (q149's posture); the per-partition
+    * fold emits 16 rows regardless of pixel count.
+    */
+  def channelHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaRecords(s, d)
+      .mapPartitions { it =>
+        val nr = new Array[Long](16)
+        val ng = new Array[Long](16)
+        it.foreach { r0 =>
+          val (w, h, px) =
+            decodeRaster(gradientPng(r0.doc_id, r0.blob.length))
+          require(w > 0 && h > 0)
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            nr(((rgb >> 16) & 0xff) / 16) += 1
+            ng(((rgb >> 8) & 0xff) / 16) += 1
+            i += 1
+          }
+        }
+        (0 until 16).iterator.map(b => HistBins(b.toLong, nr(b), ng(b)))
+      }
+      .toDF()
+      .groupBy(col("bin"))
+      .agg(sum(col("n_red")).as("n_red"), sum(col("n_green")).as("n_green"))
+      .orderBy("bin")
   }
 
   def pixelDecode(s: SparkSession, d: String): DataFrame = {

@@ -565,7 +565,110 @@ object Graph {
     // UNION ALL recursion yields for free).
     QueryDef.sql("q162_recursive_reachability") { (s, d) =>
       reachability(s, d, depth = 3)
-    } { ReachabilitySql(3) }
+    } { ReachabilitySql(3) },
+
+    // ------------------------------------------------------------------
+    // q190: HITS HUBS & AUTHORITIES (Kleinberg, JACM'99) — on the
+    // DIRECTED supplier→customer shipment graph (an edge per pair with
+    // ≥ 2 shipped orders): hub suppliers are those shipping to
+    // well-supplied customers, authority customers those supplied by
+    // broad hubs — the key-vendor / key-account detector PageRank's
+    // single score conflates (q144's graph is symmetric, where the two
+    // collapse). Two full mutual-reinforcement sweeps with L1
+    // normalization, all deterministic: a₁ is the exact in-degree over
+    // its exact total; every later sweep sums Grid-quantized
+    // contributions as int64 (q144's posture) and normalizes by the
+    // exact int64 grid total — each score is ONE division of exact
+    // integers, bit-equal across engines. One edge-keyed shuffle per
+    // half-sweep; the bipartite node sets never materialize beyond
+    // their keyed aggregates.
+    QueryDef.sql("q190_hits_bipartite") { (s, d) =>
+      val e = Checkpoints.checkpoint(
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+          .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+          .filter(col("n_ord") >= 2)
+          .select(col("s"), col("c")))
+      // a1: authority = in-degree / total edges (h0 = 1 uniformly)
+      val tot = broadcast(e.agg(count(lit(1)).as("m")))
+      val a1 = e.groupBy(col("c")).agg(count(lit(1)).as("indeg"))
+        .crossJoin(tot)
+        .select(col("c"), col("indeg"),
+          (col("indeg").cast("double") / col("m").cast("double")).as("a"))
+      // h1: hub = sum of its customers' authorities, L1-normalized on
+      // the exact grid total
+      val h1g = e.join(a1, "c")
+        .groupBy(col("s"))
+        .agg(sum(round(col("a") * Grid).cast("long")).as("hg"))
+      val h1t = broadcast(h1g.agg(sum(col("hg")).as("ht")))
+      val h1 = h1g.crossJoin(h1t)
+        .select(col("s"), col("hg"),
+          (col("hg").cast("double") / col("ht").cast("double")).as("h"))
+      // a2: authority = sum of its suppliers' hub scores, normalized
+      val a2g = e.join(h1, "s")
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("indeg"),
+          sum(round(col("h") * Grid).cast("long")).as("ag"))
+      val a2t = broadcast(a2g.agg(sum(col("ag")).as("atot")))
+      val a2 = a2g.crossJoin(a2t)
+        .select(col("c"), col("indeg"),
+          (col("ag").cast("double") / col("atot").cast("double")).as("a"))
+      // h2: final hub sweep against the refreshed authorities
+      val h2g = e.join(a2.select(col("c"), col("a")), "c")
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("outdeg"),
+          sum(round(col("a") * Grid).cast("long")).as("hg"))
+      val h2t = broadcast(h2g.agg(sum(col("hg")).as("ht")))
+      val h2 = h2g.crossJoin(h2t)
+        .select(col("s"), col("outdeg"),
+          (col("hg").cast("double") / col("ht").cast("double")).as("h"))
+      h2.select(lit("hub").as("role"), col("s").as("id"),
+          col("outdeg").as("degree"), col("h").as("score"))
+        .unionAll(a2.select(lit("authority").as("role"), col("c").as("id"),
+          col("indeg").as("degree"), col("a").as("score")))
+        .orderBy("role", "id")
+    } {
+      """WITH e AS (
+        |  SELECT l.l_suppkey AS s, o.o_custkey AS c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT o.o_orderkey) >= 2),
+        |tot AS (SELECT COUNT(*) AS m FROM e),
+        |a1 AS (
+        |  SELECT c, COUNT(*) AS indeg,
+        |    CAST(COUNT(*) AS DOUBLE) / CAST(m AS DOUBLE) AS a
+        |  FROM e CROSS JOIN tot GROUP BY c, m),
+        |h1g AS (
+        |  SELECT e.s,
+        |    CAST(SUM(CAST(ROUND(a1.a * 1e12) AS BIGINT)) AS BIGINT) AS hg
+        |  FROM e JOIN a1 ON e.c = a1.c GROUP BY e.s),
+        |h1t AS (SELECT CAST(SUM(hg) AS BIGINT) AS ht FROM h1g),
+        |h1 AS (
+        |  SELECT s, CAST(hg AS DOUBLE) / CAST(ht AS DOUBLE) AS h
+        |  FROM h1g CROSS JOIN h1t),
+        |a2g AS (
+        |  SELECT e.c, COUNT(*) AS indeg,
+        |    CAST(SUM(CAST(ROUND(h1.h * 1e12) AS BIGINT)) AS BIGINT) AS ag
+        |  FROM e JOIN h1 ON e.s = h1.s GROUP BY e.c),
+        |a2t AS (SELECT CAST(SUM(ag) AS BIGINT) AS atot FROM a2g),
+        |a2 AS (
+        |  SELECT c, indeg, CAST(ag AS DOUBLE) / CAST(atot AS DOUBLE) AS a
+        |  FROM a2g CROSS JOIN a2t),
+        |h2g AS (
+        |  SELECT e.s, COUNT(*) AS outdeg,
+        |    CAST(SUM(CAST(ROUND(a2.a * 1e12) AS BIGINT)) AS BIGINT) AS hg
+        |  FROM e JOIN a2 ON e.c = a2.c GROUP BY e.s),
+        |h2t AS (SELECT CAST(SUM(hg) AS BIGINT) AS ht FROM h2g),
+        |h2 AS (
+        |  SELECT s, outdeg, CAST(hg AS DOUBLE) / CAST(ht AS DOUBLE) AS h
+        |  FROM h2g CROSS JOIN h2t)
+        |SELECT 'hub' AS role, s AS id, outdeg AS degree, h AS score FROM h2
+        |UNION ALL
+        |SELECT 'authority' AS role, c AS id, indeg AS degree, a AS score
+        |FROM a2
+        |ORDER BY role, id""".stripMargin
+    }
   )
 
   /** Parameterized recursive-CTE BFS from the seed part: every node

@@ -725,6 +725,68 @@ object StreamOps {
       .filter(col("orphan_rate") >= threshold)
   }
 
+  /** Streaming drawdown monitor — q178's live twin: one alert per
+    * drawdown EPISODE, fired at the first watermark-FINAL event whose
+    * decline from the user's running peak reaches `thresholdCents`, and
+    * re-armed only when a later event sets a NEW peak (so a gauge
+    * crawling along the bottom alerts once, not per tick). Events
+    * buffer per user until final and replay through the identical
+    * (ts, event_id)-ordered peak fold as the batch q178 window, so the
+    * emitted peak/value pairs are exactly the batch recurrence's
+    * (spec-asserted on a replayed arrival-shuffled fixture). State is
+    * the compacted (peak, armed) pair plus the above-watermark buffer —
+    * unlike attribution there is no lookback horizon, so the peak pair
+    * lives for the key's lifetime (two longs and a flag; the buffer
+    * alone is watermark-bounded), which is the honest cost of a
+    * monitors-forever gauge.
+    */
+  final case class DrawdownState(peakCents: Long, armed: Boolean,
+      pending: Seq[(Long, Long, Long)])
+  final case class DrawdownAlert(user_id: Long, ts: java.sql.Timestamp,
+      peak_value: Double, value: Double, drawdown: Double)
+
+  def drawdownAlerts(events: DataFrame, timeCol: String, keyCol: String,
+      valueCol: String, thresholdCents: Long,
+      watermarkDelay: String): Dataset[DrawdownAlert] = {
+    require(thresholdCents >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol),
+        col("event_id"),
+        expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DrawdownState, DrawdownAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[DrawdownState]) =>
+          val st0 = state.getOption
+            .getOrElse(DrawdownState(Long.MinValue, armed = true, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++ rows.map(r =>
+            (r._2.getTime * 1000L + (r._2.getNanos / 1000) % 1000, r._3, r._4))
+          val (ready, hold) = pending.partition(_._1 / 1000 <= wmMs)
+          var peak = st0.peakCents
+          var armed = st0.armed
+          val out = ready.sortBy(t => (t._1, t._2)).flatMap {
+            case (tsUs, _, vc) =>
+              if (vc > peak) { peak = vc; armed = true; None }
+              else if (armed && peak - vc >= thresholdCents) {
+                armed = false
+                Some(DrawdownAlert(user, new java.sql.Timestamp(tsUs / 1000),
+                  peak / 100.0, vc / 100.0, (peak - vc) / 100.0))
+              } else None
+          }
+          state.update(DrawdownState(peak, armed, hold))
+          val next = if (hold.nonEmpty) hold.map(_._1 / 1000).min
+            else wmMs + 60000L
+          state.setTimeoutTimestamp(math.max(next, wmMs + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming heavy-hitter monitor — q86's live twin: a continuously
     * maintained Misra–Gries sketch over an unbounded item stream,
     * PARTITIONED by an md5 hash bucket of the item so the state scales

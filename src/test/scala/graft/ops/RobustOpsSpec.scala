@@ -248,6 +248,60 @@ class RobustOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.last._3 == total)
   }
 
+  test("q190 HITS scores are L1-normalized per role and bipartite-disjoint") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q190_hits_bipartite")(spark, d)
+      .select($"role", $"id", $"degree", $"score")
+      .as[(String, Long, Long, Double)].collect()
+    val (hubs, auths) = got.partition(_._1 == "hub")
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    // L1 normalization: each role's scores sum to 1 (up to grid rounding)
+    assert(math.abs(hubs.map(_._4).sum - 1.0) < 1e-9)
+    assert(math.abs(auths.map(_._4).sum - 1.0) < 1e-9)
+    assert(got.forall(r => r._4 > 0 && r._3 >= 1))
+    // brute-force replay of the two quantized sweeps
+    val e = spark.read.parquet(s"$d/lineitem.parquet")
+      .join(spark.read.parquet(s"$d/orders.parquet"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_suppkey", $"o_custkey")
+      .agg(countDistinct($"o_orderkey").as("n"))
+      .filter($"n" >= 2)
+      .select($"l_suppkey", $"o_custkey").as[(Long, Long)].collect()
+    val m = e.length.toDouble
+    val a1 = e.groupBy(_._2).map { case (c, xs) => c -> xs.length / m }
+    def normSweep(scores: Map[Long, Long]): Map[Long, Double] = {
+      val tot = scores.values.sum.toDouble
+      scores.map { case (k, v) => k -> v / tot }
+    }
+    val h1 = normSweep(e.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(x => math.round(a1(x._2) * 1e12)).sum
+    })
+    val a2 = normSweep(e.groupBy(_._2).map { case (c, xs) =>
+      c -> xs.map(x => math.round(h1(x._1) * 1e12)).sum
+    })
+    val h2 = normSweep(e.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(x => math.round(a2(x._2) * 1e12)).sum
+    })
+    hubs.foreach(r => assert(math.abs(r._4 - h2(r._2)) < 1e-15, s"hub $r"))
+    auths.foreach(r => assert(math.abs(r._4 - a2(r._2)) < 1e-15, s"auth $r"))
+  }
+
+  test("q191 histogram masses equal the corpus pixel count in both channels") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q191_channel_histogram")(spark, d)
+      .select($"bin", $"n_red", $"n_green")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (0L to 15L))
+    val totalPixels = spark.read.parquet(s"$d/documents.parquet")
+      .select($"text").as[String].collect()
+      .map { t =>
+        val n = t.getBytes("UTF-8").length
+        (16 + n % 64).toLong * (16 + (n * 7) % 64)
+      }.sum
+    assert(got.map(_._2).sum == totalPixels)
+    assert(got.map(_._3).sum == totalPixels)
+  }
+
   test("q184 seasonal-naive MAE matches a dense-calendar replay") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q184_seasonal_naive_error")(spark, d)

@@ -623,6 +623,54 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
         s"extra ${got.diff(expected).take(3)}")
   }
 
+  test("drawdownAlerts agrees with the batch episode fold on shuffled arrivals") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val thresholdCents = 10000L
+    val ev = graft.Tables(spark, d, "events")
+      .filter(graft.Ids.hash("user_id") % 10 === 0)
+      .select(expr("cast(ts AS timestamp)").as("ts"), $"user_id",
+        $"event_id", $"value")
+    val rows = ev.as[(Timestamp, Long, Long, Double)].collect()
+    // batch reference: per user, event-ordered episode fold (alert on
+    // first breach, re-arm on a new peak) — q178's recurrence
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+      var peak = Long.MinValue; var armed = true
+      es.sortBy(e => (e._1.getTime, e._3)).flatMap { e =>
+        val vc = math.round(e._4 * 100)
+        if (vc > peak) { peak = vc; armed = true; None }
+        else if (armed && peak - vc >= thresholdCents) {
+          armed = false; Some((u, peak / 100.0, vc / 100.0))
+        } else None
+      }
+    }.sorted
+    assert(expected.nonEmpty, "fixture must produce at least one alert")
+    val maxTs = rows.map(_._1.getTime).max
+    val chunks = rows.sortBy(r => (r._1.getTime, r._3))
+      .grouped(math.max(1, rows.length / 3)).map(_.reverse).toSeq
+    val input = MemoryStream[(Timestamp, Long, Long, Double)](spark)
+    val out = StreamOps.drawdownAlerts(
+      input.toDF().toDF("ts", "user_id", "event_id", "value"),
+      "ts", "user_id", "value", thresholdCents, "10 minutes")
+    spark.sql("DROP TABLE IF EXISTS dd_sink")
+    val q = out.writeStream.format("memory").queryName("dd_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      input.addData((new Timestamp(maxTs + 30L * 86400000), 999999999L, 0L, 1.0))
+      q.processAllAvailable()
+      input.addData((new Timestamp(maxTs + 31L * 86400000), 999999999L, 1L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dd_sink")
+      .filter($"user_id" =!= 999999999L)
+      .select($"user_id", $"peak_value", $"value")
+      .as[(Long, Double, Double)].collect().sorted.toSeq
+    assert(got == expected,
+      s"stream/batch drawdown divergence: missing ${expected.diff(got).take(3)}, " +
+        s"extra ${got.diff(expected).take(3)}")
+  }
+
   test("heavyHitterSketch keeps every true heavy hitter with bounded undercount") {
     import spark.implicits._
     val buckets = 2
