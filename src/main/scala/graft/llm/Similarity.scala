@@ -745,6 +745,125 @@ object Similarity {
         |  CAST(SUM(p) AS BIGINT) AS s
         |FROM prod GROUP BY i, j
         |ORDER BY i, j""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q192: LLOYD k-MEANS, TWO DETERMINISTIC SWEEPS — the coarse
+    // quantizer trainer itself (q75's IVF and q116's classifier consume
+    // centroids; this PRODUCES them), with per-cluster size and exact
+    // inertia after two full assign→refit rounds. Every source of
+    // k-means nondeterminism is pinned: seeds are the k=8 smallest
+    // (md5-hash, vec_id) vectors (a distributed partial top-k, not a
+    // random init), assignment is argmin squared distance with ties to
+    // the smaller centroid index, and refitted centroids are REQUANTIZED
+    // to the integer grid (floor of the exact-sum mean — one correctly-
+    // rounded IEEE division per (cluster, dim), identical on both
+    // engines), so distances stay exact integer arithmetic through both
+    // sweeps and the final inertia hash-matches. Shape at scale: each
+    // sweep is one map-side argmin fold over ONE broadcast k×dims row
+    // (zero per-vector shuffles — q127's posture) plus a shrinking
+    // (cluster, dim) refit agg; the corpus is never pair-joined. The
+    // 1e3 grid bounds per-vector squared distance at ~7e7, so corpus
+    // inertia stays int64-exact to ~1e11 vectors (decimal(38) past it).
+    QueryDef.sql("q192_kmeans_lloyd") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val q3 =
+        "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS double))"
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), expr(q3).as("v"))
+        .withColumn("n2", expr("vec_dot(v, v)"))
+      val k = 8
+      // the row_number window runs over exactly k rows (post-limit)
+      val seeds = emb.withColumn("hsh", graft.Ids.hash("vec_id"))
+        .orderBy(col("hsh"), col("vec_id")).limit(k)
+        .withColumn("cid", row_number()
+          .over(Window.orderBy(col("hsh"), col("vec_id"))).cast("long"))
+        .select(col("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      def centRow(c: org.apache.spark.sql.DataFrame) = broadcast(c.agg(
+        collect_list(expr("named_struct('cid', cid, 'cv', cv, 'cn2', cn2)"))
+          .as("cents")))
+      // map-side argmin fold: total order on (dist, cid) — the oracle's
+      // ROW_NUMBER(ORDER BY dist, cid) — over exact integer-valued doubles
+      def assign(cents: org.apache.spark.sql.DataFrame) =
+        emb.crossJoin(cents)
+          .withColumn("best", expr(
+            """aggregate(cents,
+              |  named_struct('d', cast(1e308 AS double), 'cid', cast(-1 AS bigint)),
+              |  (acc, c) -> CASE
+              |    WHEN n2 - 2 * vec_dot(v, c.cv) + c.cn2 < acc.d
+              |      OR (n2 - 2 * vec_dot(v, c.cv) + c.cn2 = acc.d
+              |          AND c.cid < acc.cid)
+              |    THEN named_struct('d', n2 - 2 * vec_dot(v, c.cv) + c.cn2,
+              |                      'cid', c.cid)
+              |    ELSE acc END)""".stripMargin))
+          .select(col("vec_id"), col("v"),
+            col("best.cid").as("cid"), col("best.d").as("dist"))
+      def refit(assigned: org.apache.spark.sql.DataFrame) =
+        assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(floor(sum(col("val").cast("long")).cast("double") /
+            count(lit(1))).cast("double").as("cval"))
+          .groupBy(col("cid"))
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(pos, cval))), x -> x.cval)")
+            .as("cv"))
+          .withColumn("cn2", expr("vec_dot(cv, cv)"))
+          .select(col("cid"), col("cv"), col("cn2"))
+      val a1 = graft.Checkpoints.checkpoint(assign(centRow(seeds)))
+      val a2 = assign(centRow(refit(a1)))
+      a2.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("dist").cast("long")).as("inertia"))
+        .select(col("cid"), col("n_members"), col("inertia"),
+          (col("inertia").cast("double") / col("n_members").cast("double"))
+            .as("mean_inertia"))
+        .orderBy("cid")
+    } {
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS v
+         |  FROM embeddings),
+         |en AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |c0 AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY hsh, vec_id) AS cid,
+         |    v AS cv, list_dot_product(v, v) AS cn2
+         |  FROM (SELECT vec_id, ${graft.Ids.hashSql("vec_id")} AS hsh, v
+         |        FROM e ORDER BY hsh, vec_id LIMIT 8)),
+         |a1 AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT en.vec_id, en.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+         |        ORDER BY en.n2 - 2 * list_dot_product(en.v, c.cv) + c.cn2,
+         |          c.cid) AS rn
+         |    FROM en CROSS JOIN c0 c) WHERE rn = 1),
+         |f1 AS (
+         |  SELECT cid, i, v[i] AS val
+         |  FROM a1, (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)),
+         |g1 AS (
+         |  SELECT cid, i,
+         |    FLOOR(CAST(CAST(SUM(CAST(val AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / COUNT(*)) AS cval
+         |  FROM f1 GROUP BY cid, i),
+         |c1 AS (
+         |  SELECT cid, LIST(cval ORDER BY i) AS cv FROM g1 GROUP BY cid),
+         |c1n AS (SELECT cid, cv, list_dot_product(cv, cv) AS cn2 FROM c1),
+         |a2 AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT en.vec_id, c.cid,
+         |      en.n2 - 2 * list_dot_product(en.v, c.cv) + c.cn2 AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+         |        ORDER BY en.n2 - 2 * list_dot_product(en.v, c.cv) + c.cn2,
+         |          c.cid) AS rn
+         |    FROM en CROSS JOIN c1n c) WHERE rn = 1)
+         |SELECT cid, COUNT(*) AS n_members,
+         |  CAST(SUM(CAST(dist AS BIGINT)) AS BIGINT) AS inertia,
+         |  CAST(CAST(SUM(CAST(dist AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / COUNT(*) AS mean_inertia
+         |FROM a2 GROUP BY cid
+         |ORDER BY cid""".stripMargin
     }
   )
 

@@ -1478,6 +1478,57 @@ object Events {
         |    AS n_cum_users
         |FROM grid g LEFT JOIN newbies n ON g.day = n.first_day
         |ORDER BY g.day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q194: ROLLING 7-DAY ACTIVE USERS — for every day, how many
+    // distinct users were active in the trailing week. The naive form
+    // is a COUNT(DISTINCT) per sliding window — a distinct set held per
+    // window-day, the exact thing that detonates at scale (and q99's
+    // DAU/WAU computes only two fixed windows). The scalable identity:
+    // a user active on day d is "rolling-active" on exactly the days
+    // [d, d+6], so merge each user's overlapping coverage intervals
+    // into disjoint islands (gap > 6 starts a new one — q166's
+    // gaps-and-islands ON INTERVALS, user-keyed windows) and explode
+    // each island's covered days ONCE. Disjointness makes the final
+    // count a plain keyed agg — no distinct anywhere; the explode
+    // fan-out is bounded by 7× the user-day relation. Oracle = the
+    // brute-force range join + COUNT(DISTINCT), so the island identity
+    // is re-proven equivalent on every Verify run.
+    QueryDef.sql("q194_rolling_active_users") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ud = Tables(s, d, "events")
+        .select(col("user_id"),
+          expr("CAST(datediff(cast(ts AS timestamp), DATE '2024-01-01') AS BIGINT)")
+            .as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      ud
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("new_island",
+          when(col("prev").isNull || col("day") - col("prev") > 6, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("day")).as("cov_start"),
+          (max(col("day")) + 6).as("cov_end"))
+        .select(col("user_id"),
+          explode(expr("sequence(cov_start, cov_end)")).as("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active_7d"))
+        .orderBy("day")
+    } {
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) + 6 AS hi FROM ud),
+        |w AS (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span)
+        |SELECT w.day, COUNT(DISTINCT ud.user_id) AS n_active_7d
+        |FROM w JOIN ud ON ud.day BETWEEN w.day - 6 AND w.day
+        |GROUP BY w.day ORDER BY w.day""".stripMargin
     }
   )
 }

@@ -571,8 +571,35 @@ object Relational {
         |      AS DOUBLE) AS share_of_region
         |FROM named
         |ORDER BY region, nation""".stripMargin
-    }
+    },
+
+    // ------------------------------------------------------------------
+    // q193: GROUP BY ALL / ORDER BY ALL — the key-inference SQL surface
+    // (Spark 3.4+/DuckDB): grouping keys inferred from the non-aggregate
+    // select list, sort keys from the whole list, ONE dialect-shared
+    // string run verbatim on both engines (the q119 posture — the
+    // operator under test is the inference rule itself, and a
+    // hash-match proves both engines resolve it to the identical
+    // explicit plan). The aggregate rides the Det decimal contract.
+    QueryDef.sql("q193_group_by_all") { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(GroupByAllSql)
+    } { GroupByAllSql }
   )
+
+  /** q193's dialect-shared text: GROUP BY ALL / ORDER BY ALL — the
+    * modern-SQL ergonomics surface (Spark ≥ 3.4 and DuckDB both infer
+    * the grouping keys from the non-aggregate select list and the sort
+    * keys from the full list), proven equivalent by the hash-match.
+    */
+  private def GroupByAllSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS total_value
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
 
   /** q187's dialect-shared text: the NULL-polluted NOT IN, its NOT
     * EXISTS complement, and the census, evaluated identically (standard

@@ -302,6 +302,75 @@ class RobustOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(_._3).sum == totalPixels)
   }
 
+  test("q192 two-sweep Lloyd matches an in-memory replay exactly") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q192_kmeans_lloyd")(spark, d)
+      .select($"cid", $"n_members", $"inertia")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        (id, e.map(x => math.floor(x.toDouble * 1000.0).toLong))
+      }
+    def md5hash(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val seeds = vecs.sortBy { case (id, _) => (md5hash(id), id) }.take(8)
+      .zipWithIndex.map { case ((_, v), i) => (i + 1L, v) }
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Seq[(Long, Array[Long])]) = vecs.map { case (id, v) =>
+      val best = cents.map { case (cid, c) => (sq(v, c), cid) }.minBy(identity)
+      (id, v, best._2, best._1)
+    }
+    val a1 = assign(seeds)
+    val c1 = a1.groupBy(_._3).toSeq.map { case (cid, xs) =>
+      val n = xs.length
+      val c = Array.tabulate(vecs.head._2.length) { dim =>
+        math.floor(xs.map(_._2(dim)).sum.toDouble / n).toLong
+      }
+      (cid, c)
+    }
+    val a2 = assign(c1)
+    val expect = a2.groupBy(_._3).toSeq.map { case (cid, xs) =>
+      (cid, xs.length.toLong, xs.map(_._4).sum)
+    }.sortBy(_._1)
+    assert(got == expect)
+    assert(got.map(_._2).sum == vecs.length)
+  }
+
+  test("q193 GROUP BY ALL resolves to the explicit grouping") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q193_group_by_all")(spark, d)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val explicit = graft.Tables(spark, d, "orders")
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum($"o_totalprice").as("t"))
+      .orderBy($"o_orderpriority", $"o_orderstatus", $"n", $"t")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == explicit)
+  }
+
+  test("q194 island identity equals the sliding distinct count") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q194_rolling_active_users")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    val ud = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id",
+        expr("CAST(datediff(cast(ts AS timestamp), DATE '2024-01-01') AS BIGINT)")
+          .as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val lo = ud.map(_._2).min; val hi = ud.map(_._2).max + 6
+    (lo to hi).foreach { w =>
+      val expect = ud.filter(x => x._2 >= w - 6 && x._2 <= w)
+        .map(_._1).distinct.length.toLong
+      assert(got.getOrElse(w, 0L) == expect, s"day $w")
+    }
+  }
+
   test("q184 seasonal-naive MAE matches a dense-calendar replay") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q184_seasonal_naive_error")(spark, d)
