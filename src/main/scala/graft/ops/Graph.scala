@@ -668,6 +668,62 @@ object Graph {
         |SELECT 'authority' AS role, c AS id, indeg AS degree, a AS score
         |FROM a2
         |ORDER BY role, id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q196: WEIGHTED SHORTEST PATH (bounded Bellman–Ford) — min-cost
+    // distance from the seed item over the co-purchase graph where
+    // strong ties are SHORT (edge cost = max(1, 1000 div support)):
+    // the "affinity distance" that q162's hop-count BFS flattens (two
+    // hops over strong ties can be closer than one weak hop). Three
+    // relaxation sweeps, each ONE edge-keyed join of the frozen
+    // frontier + a node-keyed min — Bellman–Ford's relational form,
+    // with the same per-sweep Checkpoints freeze/release discipline as
+    // q144 so lineage stays sweep-sized. All-integer costs end-to-end;
+    // the oracle replays the identical three unrolled relaxations.
+    QueryDef.sql("q196_weighted_shortest_path") { (s, d) =>
+      val e = Checkpoints.checkpoint(
+        edges(s, d).select(col("src"), col("dst"),
+          greatest(lit(1L), expr("CAST(1000 DIV w AS BIGINT)")).as("ecost")))
+      var dist = s.range(1)
+        .select(lit(0L).as("node"), lit(0L).as("cost"))
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to 3) {
+        val frozen = Checkpoints.checkpoint(dist)
+        prev.foreach(Checkpoints.release)
+        prev = Some(frozen)
+        val relaxed = e.join(frozen, e("src") === frozen("node"))
+          .select(col("dst").as("node"),
+            (col("ecost") + frozen("cost")).as("cost"))
+        dist = frozen.select(col("node"), col("cost"))
+          .unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+      }
+      dist.orderBy("node")
+    } {
+      s"""WITH $EdgeSql,
+         |ec AS (
+         |  SELECT src, dst, GREATEST(1, 1000 // w) AS ecost FROM edges),
+         |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
+         |d1 AS (
+         |  SELECT node, MIN(cost) AS cost FROM (
+         |    SELECT node, cost FROM d0
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.cost + e.ecost AS cost
+         |    FROM d0 d JOIN ec e ON e.src = d.node) t GROUP BY node),
+         |d2 AS (
+         |  SELECT node, MIN(cost) AS cost FROM (
+         |    SELECT node, cost FROM d1
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.cost + e.ecost AS cost
+         |    FROM d1 d JOIN ec e ON e.src = d.node) t GROUP BY node),
+         |d3 AS (
+         |  SELECT node, MIN(cost) AS cost FROM (
+         |    SELECT node, cost FROM d2
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.cost + e.ecost AS cost
+         |    FROM d2 d JOIN ec e ON e.src = d.node) t GROUP BY node)
+         |SELECT node, cost FROM d3 ORDER BY node""".stripMargin
     }
   )
 

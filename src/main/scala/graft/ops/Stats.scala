@@ -1380,6 +1380,138 @@ object Stats {
         |    / CAST(total AS DOUBLE) AS revenue_share
         |FROM banded, tot
         |GROUP BY band, total ORDER BY band""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q195: CUSUM CHANGE-POINT SCAN — per priority, the one-sided CUSUM
+    // of daily order counts against the series' own mean: the standard
+    // "when did the level shift" detector (Page, Biometrika'54) behind
+    // volume-drop/spike alerts, where per-day z-scores (q87) miss slow
+    // drifts that ACCUMULATE. The sequential recurrence S_t = max(0,
+    // S_{t−1} + dev_t) is not a window function — but it has a closed
+    // running-min identity: S_t = P_t − min_{j≤t} P_j over the prefix
+    // sums P of the deviations. INTEGER EXACTNESS: deviations are
+    // n-scaled (n·c_t − total removes the rational mean), so P, the
+    // running min, and every S are exact int64 end-to-end; the one
+    // division (S/n, back to order units) happens at output. Two
+    // priority-keyed windows over the q165 dense grid — the fact table
+    // is scanned once.
+    QueryDef.sql("q195_cusum_changepoint") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
+        .groupBy(col("prio"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+        .crossJoin(daily.select(col("prio")).distinct())
+      val filled = grid.join(daily, Seq("prio", "day"), "left_outer")
+        .withColumn("c", coalesce(col("n"), lit(0L)))
+      val stats = filled.groupBy(col("prio"))
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("total"))
+      val wRun = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      filled.join(broadcast(stats), "prio")
+        .withColumn("p", sum(col("c") * col("nd") - col("total")).over(wRun))
+        .withColumn("s", col("p") - min(col("p")).over(wRun))
+        .groupBy(col("prio"))
+        .agg(
+          max(col("nd")).as("n_days"),
+          sum(when(col("s") > col("nd") * 10, 1L).otherwise(0L))
+            .as("n_alert_days"),
+          (max(col("s")).cast("double") / max(col("nd")).cast("double"))
+            .as("max_cusum"))
+        .orderBy("prio")
+    } {
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(DATEDIFF('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |grid AS (
+        |  SELECT p.prio, g.day
+        |  FROM (SELECT DISTINCT prio FROM daily) p,
+        |    (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span) g),
+        |filled AS (
+        |  SELECT g.prio, g.day, COALESCE(d.n, 0) AS c
+        |  FROM grid g LEFT JOIN daily d ON g.prio = d.prio AND g.day = d.day),
+        |st AS (
+        |  SELECT prio, COUNT(*) AS nd, CAST(SUM(c) AS BIGINT) AS total
+        |  FROM filled GROUP BY prio),
+        |pfx AS (
+        |  SELECT f.prio, f.day, nd,
+        |    CAST(SUM(f.c * st.nd - st.total) OVER (PARTITION BY f.prio
+        |      ORDER BY f.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS p
+        |  FROM filled f JOIN st ON f.prio = st.prio),
+        |cusum AS (
+        |  SELECT prio, nd,
+        |    p - MIN(p) OVER (PARTITION BY prio ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM pfx)
+        |SELECT prio, MAX(nd) AS n_days,
+        |  CAST(SUM(CASE WHEN s > nd * 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alert_days,
+        |  CAST(MAX(s) AS DOUBLE) / CAST(MAX(nd) AS DOUBLE) AS max_cusum
+        |FROM cusum GROUP BY prio
+        |ORDER BY prio""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q197: FUNCTIONAL-DEPENDENCY AUDIT — does column A determine column
+    // B? Checked for a dependency the star schema PROMISES (nation →
+    // region, must hold) and one it does NOT (part → supplier: TPC-H
+    // multi-sources every part), reporting keys, violating keys, and
+    // the worst fan-out. This is the schema-inference/data-contract
+    // primitive: a violated promised FD is an upstream corruption page.
+    // Shape: one (A)-keyed two-level aggregation per declared edge
+    // (distinct B per A — the q117 posture, never a global distinct);
+    // the audit relation is edge-count-sized. Exact integers; one
+    // terminal division.
+    QueryDef.sql("q197_fd_audit") { (s, d) =>
+      def audit(df: DataFrame, fd: String, a: String, b: String): DataFrame =
+        df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("nb")).as("max_fanout"))
+          .select(lit(fd).as("fd"), col("n_keys"), col("n_violating"),
+            col("max_fanout"),
+            (col("n_violating").cast("double") / col("n_keys").cast("double"))
+              .as("violation_rate"))
+      audit(Tables(s, d, "nation"), "nation->region",
+          "n_nationkey", "n_regionkey")
+        .unionAll(audit(Tables(s, d, "lineitem"), "part->supplier",
+          "l_partkey", "l_suppkey"))
+        .orderBy("fd")
+    } {
+      """WITH n1 AS (
+        |  SELECT n_nationkey AS a, COUNT(DISTINCT n_regionkey) AS nb
+        |  FROM nation GROUP BY 1),
+        |e1 AS (
+        |  SELECT 'nation->region' AS fd, COUNT(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    MAX(nb) AS max_fanout
+        |  FROM n1),
+        |n2 AS (
+        |  SELECT l_partkey AS a, COUNT(DISTINCT l_suppkey) AS nb
+        |  FROM lineitem GROUP BY 1),
+        |e2 AS (
+        |  SELECT 'part->supplier' AS fd, COUNT(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    MAX(nb) AS max_fanout
+        |  FROM n2),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |SELECT fd, n_keys, n_violating, max_fanout,
+        |  CAST(n_violating AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        |    AS violation_rate
+        |FROM u ORDER BY fd""".stripMargin
     }
   )
 

@@ -371,6 +371,75 @@ class RobustOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q195 running-min identity equals the sequential CUSUM recurrence") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q195_cusum_changepoint")(spark, d)
+      .select($"prio", $"n_days", $"n_alert_days", $"max_cusum")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val daily = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderpriority".as("p"),
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val lo = daily.keys.map(_._2).min; val hi = daily.keys.map(_._2).max
+    val expect = daily.keys.map(_._1).toSeq.distinct.map { p =>
+      val c = (lo to hi).map(day => daily.getOrElse((p, day), 0L))
+      val n = c.length.toLong
+      val total = c.sum
+      // the textbook sequential recurrence, n-scaled
+      var s = 0L; var alerts = 0L; var maxS = 0L
+      c.foreach { ct =>
+        s = math.max(0L, s + (ct * n - total))
+        if (s > n * 10) alerts += 1
+        maxS = math.max(maxS, s)
+      }
+      (p, n, alerts, maxS.toDouble / n)
+    }.sortBy(_._1)
+    assert(got == expect)
+  }
+
+  test("q196 three-sweep costs match a bounded Bellman-Ford replay") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q196_weighted_shortest_path")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    // independent edge derivation: basket pairs with support >= 2
+    val baskets = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).values.map(_.map(_._2).toSeq)
+    val support = baskets.toSeq.flatMap(ps =>
+      ps.combinations(2).map(_.sorted).map(p => (p(0), p(1))))
+      .groupBy(identity).collect { case (k, v) if v.size >= 2 => (k, v.size.toLong) }
+    val adj = support.toSeq.flatMap { case ((a, b), w) =>
+      val cost = math.max(1L, 1000L / w)
+      Seq((a, b, cost), (b, a, cost))
+    }.groupBy(_._1)
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, c) =>
+        adj.getOrElse(u, Nil).map { case (_, v, ec) => (v, c + ec) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    assert(got == dist)
+    assert(got(0L) == 0L && got.size > 1)
+  }
+
+  test("q197 the promised FD holds and the broken one matches brute force") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q197_fd_audit")(spark, d)
+      .select($"fd", $"n_keys", $"n_violating", $"max_fanout")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val Seq(nr, ps) = got
+    assert(nr._1 == "nation->region" && nr._3 == 0L && nr._4 == 1L,
+      s"the star schema's promised FD must hold: $nr")
+    val fan = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).map(_._2.length.toLong)
+    assert(ps == (("part->supplier"), fan.size.toLong,
+      fan.count(_ > 1).toLong, fan.max))
+  }
+
   test("q184 seasonal-naive MAE matches a dense-calendar replay") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q184_seasonal_naive_error")(spark, d)
