@@ -490,6 +490,44 @@ object Extended {
         |  WHERE q.spend >= p.spend AND q.bal >= p.bal
         |    AND (q.spend > p.spend OR q.bal > p.bal))
         |ORDER BY p.c_custkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q198: NTILE DECILE BANDING — NTILE(10) per priority over the
+    // (price, orderkey) total order, reporting each decile's size and
+    // exact value range: completes the rank-function family
+    // (q48 rank/dense_rank/row_number, q98 percent_rank/cume_dist/
+    // nth_value) with the one member whose semantics differ between
+    // naive implementations — the standard fills the first (n mod k)
+    // tiles with one extra row, and the hash-match pins both engines to
+    // it. The tie-broken ORDER BY makes tile membership deterministic;
+    // aggregates are exact cents.
+    QueryDef.sql("q198_ntile_deciles") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      Tables(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("tile", ntile(10).over(w).cast("long"))
+        .groupBy(col("o_orderpriority"), col("tile"))
+        .agg(count(lit(1)).as("n_orders"),
+          (min(col("cents")).cast("double") / 100.0).as("lo_value"),
+          (max(col("cents")).cast("double") / 100.0).as("hi_value"))
+        .orderBy("o_orderpriority", "tile")
+    } {
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+        |        o_orderkey) AS BIGINT) AS tile
+        |  FROM orders)
+        |SELECT o_orderpriority, tile, COUNT(*) AS n_orders,
+        |  CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo_value,
+        |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi_value
+        |FROM t GROUP BY o_orderpriority, tile
+        |ORDER BY o_orderpriority, tile""".stripMargin
     }
   )
 

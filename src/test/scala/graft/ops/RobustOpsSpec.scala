@@ -440,6 +440,25 @@ class RobustOpsSpec extends AnyFunSuite with SparkTestSession {
       fan.count(_ > 1).toLong, fan.max))
   }
 
+  test("q198 deciles partition each priority with standard NTILE fill") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q198_ntile_deciles")(spark, d)
+      .select($"o_orderpriority", $"tile", $"n_orders")
+      .as[(String, Long, Long)].collect().toSeq
+    got.groupBy(_._1).foreach { case (prio, tiles) =>
+      val n = tiles.map(_._3).sum
+      val k = tiles.length
+      assert(k == 10 || n < 10, s"$prio: $k tiles for $n rows")
+      // standard fill: first (n mod k) tiles get ceil(n/k), rest floor
+      val sizes = tiles.sortBy(_._2).map(_._3)
+      val (big, small) = ((n + k - 1) / k, n / k)
+      val nBig = (n % k).toInt
+      assert(sizes == Seq.fill(nBig)(big) ++
+        Seq.fill(k - nBig)(if (n % k == 0) big else small),
+        s"$prio sizes $sizes violate the standard NTILE distribution")
+    }
+  }
+
   test("q184 seasonal-naive MAE matches a dense-calendar replay") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q184_seasonal_naive_error")(spark, d)
