@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Det, QueryDef, Tables}
 import graft.Det.{dsum, dsumSql}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Coverage beyond the core set: outer joins, CUBE grouping sets, HLL
@@ -451,12 +451,17 @@ object Extended {
     // bucket prune is re-proven loss-free on every Verify run.
     QueryDef.sql("q182_skyline_pareto") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // Both dominance windows must be INCREMENTAL (O(n) per bucket):
+      // the strictly-greater-spend max runs as an unbounded-preceding
+      // frame over DESCENDING spend (Spark's running-frame path — an
+      // (1, unboundedFollowing) frame re-scans the tail per row, which
+      // measured super-linear, 20x at 10x data), and the equal-spend max
+      // is a whole-partition aggregate keyed on (bucket, spend).
       def survivors(df: DataFrame, bucketed: Boolean): DataFrame = {
-        val base = if (bucketed) Window.partitionBy(col("b")) else
-          Window.partitionBy()
-        val wGt = base.orderBy(col("spend").asc)
-          .rangeBetween(1L, Window.unboundedFollowing)
-        val wEq = base.orderBy(col("spend").asc).rangeBetween(0L, 0L)
+        val part = if (bucketed) Seq(col("b")) else Seq.empty[Column]
+        val wGt = Window.partitionBy(part: _*).orderBy(col("spend").desc)
+          .rangeBetween(Window.unboundedPreceding, -1L)
+        val wEq = Window.partitionBy(part :+ col("spend"): _*)
         df.withColumn("m1", max(col("bal")).over(wGt))
           .withColumn("m2", max(col("bal")).over(wEq))
           .filter((col("m1").isNull || col("m1") < col("bal")) &&
