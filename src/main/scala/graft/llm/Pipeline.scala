@@ -1302,6 +1302,103 @@ object Pipeline {
          |FROM r, t
          |WHERE rn <= 100
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q200: CROSS-SOURCE QUANTILE NORMALIZATION — before a single global
+    // quality threshold can be applied to a mixed corpus, each source's
+    // score distribution must be mapped onto a common reference (batch-
+    // effect correction: one crawler's "80" is another's "40"). Classic
+    // rank-based quantile normalization: doc with within-source rank r of
+    // n_s maps to the global score at position ⌈r·N/n_s⌉. ALL-INTEGER:
+    // ranks and positions are exact int64 (deterministic (score, doc_id)
+    // tiebreak), so the lookup is an equi-join, not interpolation.
+    // SCALE SHAPE: the within-source rank is a KEYED window; the global
+    // position table is built from the DISTINCT-score relation (bounded
+    // cardinality — score vocab, not corpus size): cumulative counts over
+    // distinct scores, then each score's occupied position interval
+    // [cum−cnt+1, cum] exploded to individual positions. The explode
+    // totals N rows but is generated partition-parallel from the compact
+    // relation, and the lookup is a plain shuffle equi-join on int
+    // position — no global sort of the corpus, no single-partition
+    // window over N rows.
+    QueryDef.sql("q200_quantile_normalization") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("score"))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))
+      val ranked = docs
+        .withColumn("r", row_number().over(wSrc).cast("long"))
+      val perSrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      // distinct-score cumulative occupancy -> one row per global position
+      val wScore = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val positions = docs.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wScore))
+        .select(col("score").as("norm_score"),
+          explode(expr("sequence(cum - cnt + 1, cum)")).as("pos"))
+      ranked
+        .join(perSrc, "source")
+        .crossJoin(broadcast(tot))
+        // DIV, not `/`: Spark's Divide always yields double. OVERFLOW
+        // CONTRACT: r·N < 2^63 holds while n_s·N < 9e18 — comfortable to
+        // ~1e10 docs (a 100 TB doc corpus); past that compute pos in
+        // DECIMAL(38,0) on both engines.
+        .withColumn("pos",
+          expr("CAST((r * n_total + n_s - 1) DIV n_s AS BIGINT)"))
+        .join(positions, "pos")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("norm_score")).as("min_norm"),
+          max(col("norm_score")).as("max_norm"),
+          (sum(col("norm_score")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_norm"),
+          (sum(col("score")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_raw"))
+        .orderBy("source")
+    } {
+      """WITH docs AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY score, doc_id) AS BIGINT) AS r
+        |  FROM docs),
+        |per_src AS (
+        |  SELECT source, COUNT(*) AS n_s FROM docs GROUP BY source),
+        |tot AS (SELECT COUNT(*) AS n_total FROM docs),
+        |occ AS (
+        |  SELECT score, COUNT(*) AS cnt FROM docs GROUP BY score),
+        |cumo AS (
+        |  SELECT score, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM occ),
+        |positions AS (
+        |  SELECT score AS norm_score,
+        |    UNNEST(GENERATE_SERIES(cum - cnt + 1, cum)) AS pos
+        |  FROM cumo),
+        |mapped AS (
+        |  SELECT ranked.source, ranked.score, norm_score
+        |  FROM ranked
+        |  JOIN per_src ON ranked.source = per_src.source
+        |  CROSS JOIN tot
+        |  JOIN positions
+        |    ON positions.pos = (ranked.r * n_total + n_s - 1) // n_s)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  MIN(norm_score) AS min_norm, MAX(norm_score) AS max_norm,
+        |  CAST(CAST(SUM(norm_score) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_norm,
+        |  CAST(CAST(SUM(score) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_raw
+        |FROM mapped GROUP BY source
+        |ORDER BY source""".stripMargin
     }
   )
 }

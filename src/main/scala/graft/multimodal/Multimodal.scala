@@ -442,6 +442,40 @@ object Multimodal {
         |  CAST(SUM(ng) AS BIGINT) AS n_green
         |FROM per GROUP BY bin
         |ORDER BY bin""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q203: AUDIO ZERO-CROSSING FEATURES — the classic cheap audio
+    // feature (speech/music/noise discriminator, silence trimming) over
+    // the real WAV path: per-channel strict sign flips between
+    // consecutive frames, plus the peak amplitude. The oracle predicts
+    // both in closed form from the ramp construction — a crossing exists
+    // only between specific consecutive same-channel samples of the PCM
+    // body, so a hash match proves the decoder walked every frame of
+    // every channel in interleaved order (q120's header parse or q172's
+    // channel-blind flat sum cannot fake per-channel adjacency). All
+    // integer arithmetic; same per-partition codec boundary.
+    QueryDef.sql("q203_audio_zero_crossings")(audioZeroCrossings) {
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    CAST(1 + n % 2 AS INT) AS channels,
+        |    CAST(100 + (n * 3) % 900 AS BIGINT) AS n_frames
+        |  FROM base)
+        |SELECT doc_id, channels, n_frames,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, CAST(channels AS BIGINT)),
+        |    c -> LIST_SUM(LIST_TRANSFORM(RANGE(0, n_frames - 1),
+        |      j -> CASE WHEN
+        |          ((n + (j * channels + c) * 7) % 4001 - 2000)
+        |          * ((n + ((j + 1) * channels + c) * 7) % 4001 - 2000) < 0
+        |        THEN 1 ELSE 0 END)))) AS BIGINT) AS n_crossings,
+        |  CAST(LIST_MAX(LIST_TRANSFORM(RANGE(0, n_frames * channels),
+        |    i -> ABS((n + i * 7) % 4001 - 2000))) AS BIGINT) AS peak
+        |FROM p
+        |ORDER BY doc_id""".stripMargin
     }
   )
 
@@ -612,7 +646,13 @@ object Multimodal {
   /** q172's body: synthesize a WAV with a deterministic PCM ramp, then
     * decode it back and traverse every sample. See the QueryDef comment.
     */
-  def audioPcmDecode(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic WAV fixture both audio queries decode: 16-bit
+    * signed little-endian PCM ramp (sample i = (n + 7i) % 4001 − 2000,
+    * interleaved across channels), written through the JDK's real WAVE
+    * writer. Factored so q172 (sample sums) and q203 (zero crossings)
+    * provably read the same container bytes.
+    */
+  private def synthWavRecords(s: SparkSession, d: String) = {
     import s.implicits._
     import javax.sound.sampled._
     mediaRecords(s, d)
@@ -638,6 +678,12 @@ object Multimodal {
           MediaRecord(r.doc_id, "audio/wav", bos.toByteArray)
         }
       }
+  }
+
+  def audioPcmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import javax.sound.sampled._
+    synthWavRecords(s, d)
       .mapPartitions { it =>
         it.map { r =>
           val ais = AudioSystem.getAudioInputStream(
@@ -656,6 +702,47 @@ object Multimodal {
           }
           PcmStats(r.doc_id, f.getSampleRate.toInt, f.getChannels,
             ais.getFrameLength, sum, sabs)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** q203's per-doc audio feature row. */
+  final case class ZcrStats(doc_id: Long, channels: Int, n_frames: Long,
+      n_crossings: Long, peak: Long)
+
+  /** q203's body: decode the real WAV container and compute per-channel
+    * zero-crossing counts (strict sign flips between consecutive frames
+    * of the SAME channel — the interleaved body is walked with a
+    * per-channel previous-sample array) plus the peak amplitude. See the
+    * QueryDef comment for the oracle argument.
+    */
+  def audioZeroCrossings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import javax.sound.sampled._
+    synthWavRecords(s, d)
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.blob))
+          val f = ais.getFormat
+          val ch = f.getChannels
+          val body = ais.readAllBytes()
+          ais.close()
+          val prev = new Array[Long](ch)
+          var (crossings, peak) = (0L, 0L)
+          var sample = 0
+          while (2 * sample + 1 < body.length) {
+            val v = ((body(2 * sample) & 0xff) |
+              (body(2 * sample + 1) << 8)).toShort.toLong
+            val c = sample % ch
+            if (sample >= ch && prev(c) * v < 0) crossings += 1
+            prev(c) = v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sample += 1
+          }
+          ZcrStats(r.doc_id, ch, ais.getFrameLength, crossings, peak)
         }
       }
       .toDF()

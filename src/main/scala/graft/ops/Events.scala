@@ -1529,6 +1529,172 @@ object Events {
         |SELECT w.day, COUNT(DISTINCT ud.user_id) AS n_active_7d
         |FROM w JOIN ud ON ud.day BETWEEN w.day - 6 AND w.day
         |GROUP BY w.day ORDER BY w.day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q199: A/B CONVERSION Z-TEST — the experiment-analysis primitive:
+    // users are split into two arms by the library's one id-hash recipe
+    // (graft.Ids — content-independent, so assignment is unbiased and
+    // reproducible on both engines), exposure = saw a view, conversion =
+    // exposed user later purchased, and the two-proportion pooled z-test
+    // decides significance. DETERMINISM: counts are exact integers; the
+    // z statistic uses only IEEE-correctly-rounded ops (divide, sqrt) in
+    // one fixed expression tree mirrored verbatim in the oracle, so the
+    // doubles are bit-equal cross-engine. Shape at scale: one user-keyed
+    // shrinking agg (events → one flag row per user), then a single
+    // global conditional-sum row — no shuffle after the per-user agg,
+    // nothing driver-side.
+    QueryDef.sql("q199_ab_conversion_ztest") { (s, d) =>
+      import graft.Ids
+      val flags = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("exposed"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .filter(col("exposed") === 1L)
+        .select(
+          (Ids.hash("user_id") % 2 === 0).as("in_a"), col("converted"))
+      val counts = flags.agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_a"), col("converted")).otherwise(0L)).as("x_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("in_a"), col("converted")).otherwise(0L)).as("x_b"))
+      val pa = col("x_a").cast("double") / col("n_a").cast("double")
+      val pb = col("x_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      counts
+        .withColumn("p_a", pa)
+        .withColumn("p_b", pb)
+        .withColumn("se", sqrt((pp * (lit(1.0) - pp)) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double"))))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          col("p_a"), col("p_b"),
+          when(col("se") === 0.0, 0.0)
+            .otherwise((col("p_a") - col("p_b")) / col("se")).as("z_stat"),
+          when(col("se") =!= 0.0 &&
+              abs((col("p_a") - col("p_b")) / col("se")) > 1.96, 1L)
+            .otherwise(0L).as("significant"))
+    } {
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS exposed,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |armed AS (
+        |  SELECT ${graft.Ids.hashSql("user_id")} % 2 = 0 AS in_a, converted
+        |  FROM pu WHERE exposed = 1),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT)
+        |      AS x_a,
+        |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN NOT in_a THEN converted ELSE 0 END)
+        |      AS BIGINT) AS x_b
+        |  FROM armed),
+        |z AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |    SQRT((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |        * (1.0 - CAST(x_a + x_b AS DOUBLE)
+        |            / CAST(n_a + n_b AS DOUBLE)))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |      AS se
+        |  FROM c)
+        |SELECT n_a, x_a, n_b, x_b, p_a, p_b,
+        |  CASE WHEN se = 0.0 THEN 0.0 ELSE (p_a - p_b) / se END AS z_stat,
+        |  CAST(CASE WHEN se <> 0.0 AND ABS((p_a - p_b) / se) > 1.96
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM z""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q202: EWMA LEVEL-SHIFT MONITOR — exponentially-weighted smoothing
+    // of daily event volume per type, the alerting complement to q195's
+    // CUSUM (EWMA reacts to fast spikes, CUSUM to slow drifts). The
+    // recurrence is made engine-exact by fixing α = 1/2 and truncating
+    // to a 16-term window: weight of lag k is 2^-(k+1), so the SCALED
+    // smoothed level E'_t = Σ_{k=0..15} c_{t-k}·2^(15-k) is a pure int64
+    // (counts ≤ 2^40 leave 2^15 headroom per term across 16 terms), and
+    // ewma = E'/2^16 is one exact long→double cast + dyadic divide. The
+    // truncation residual is a DEFINED part of the operator (2^-16 of
+    // weight), not an approximation the engines could disagree on.
+    // Spike alert: day t (past the 16-day warm-up) with c_t·2^16 >
+    // 3·E'_{t-1} — an all-integer comparison. Shape: dense per-type
+    // daily grid (q195's posture), one keyed window with 16 lags (a
+    // single pass — lags share the frame), then a keyed shrink.
+    QueryDef.sql("q202_ewma_level_shift") { (s, d) =>
+      val daily = Tables(s, d, "events")
+        .select(col("event_type").as("etype"),
+          expr("CAST(datediff(cast(ts AS timestamp), DATE '2024-01-01') AS BIGINT)")
+            .as("day"))
+        .groupBy(col("etype"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+        .crossJoin(daily.select(col("etype")).distinct())
+      val filled = grid.join(daily, Seq("etype", "day"), "left_outer")
+        .withColumn("c", coalesce(col("n"), lit(0L)))
+      val w = Window.partitionBy(col("etype")).orderBy(col("day"))
+      val eprime = (0 to 15)
+        .map(k => coalesce(lag(col("c"), k).over(w), lit(0L)) *
+          lit(1L << (15 - k)))
+        .reduce(_ + _)
+      filled
+        .withColumn("e", eprime)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("eprev", lag(col("e"), 1).over(w))
+        .groupBy(col("etype"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          (max(col("e")).cast("double") / 65536.0).as("max_ewma"),
+          sum(when(col("rn") > 16 &&
+              col("c") * 65536L > col("eprev") * 3L, 1L).otherwise(0L))
+            .as("n_spike_days"))
+        .orderBy("etype")
+    } {
+      val terms = (0 to 15)
+        .map(k => s"COALESCE(LAG(c, $k) OVER w, 0) * ${1L << (15 - k)}")
+        .mkString(" + ")
+      s"""WITH daily AS (
+        |  SELECT event_type AS etype,
+        |    CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |grid AS (
+        |  SELECT t.etype, g.day
+        |  FROM (SELECT DISTINCT etype FROM daily) t,
+        |    (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span) g),
+        |filled AS (
+        |  SELECT g.etype, g.day, COALESCE(d.n, 0) AS c
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.etype = d.etype AND g.day = d.day),
+        |lvl AS (
+        |  SELECT etype, day, c,
+        |    CAST($terms AS BIGINT) AS e,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY etype ORDER BY day)),
+        |sm AS (
+        |  SELECT etype, day, c, e, rn,
+        |    LAG(e, 1) OVER (PARTITION BY etype ORDER BY day) AS eprev
+        |  FROM lvl)
+        |SELECT etype, COUNT(*) AS n_days,
+        |  CAST(MAX(e) AS DOUBLE) / 65536.0 AS max_ewma,
+        |  CAST(SUM(CASE WHEN rn > 16 AND c * 65536 > eprev * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_days
+        |FROM sm GROUP BY etype
+        |ORDER BY etype""".stripMargin
     }
   )
 }

@@ -1512,6 +1512,72 @@ object Stats {
         |  CAST(n_violating AS DOUBLE) / CAST(n_keys AS DOUBLE)
         |    AS violation_rate
         |FROM u ORDER BY fd""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q201: JOIN-CARDINALITY ESTIMATOR AUDIT — the planner primitive
+    // behind every join-order/broadcast decision: estimate |R ⋈ R| on
+    // l_partkey from a 100-bucket MCV histogram (the PostgreSQL/Catalyst
+    // statistics model: exact mass for the top-100 heavy keys, uniform
+    // spread for the tail) and compare to the EXACT self-join size
+    // Σ_k c_k² (the second frequency moment). Reports both plus the
+    // relative error — drift here is how a stats-stale catalog starts
+    // choosing wrong plans. DETERMINISM: MCV selection orders by
+    // (count DESC, key); every sum is exact int64 (c_k ≤ fan-out per
+    // part, Σc_k² ≪ 2^63 while max fan-out √(9e18/d) — thousands at
+    // TPC-H shape); the tail estimate is one double divide at the end.
+    // SCALE SHAPE: one keyed count agg, a TakeOrdered(100) for the MCV
+    // set (no global sort), two shrinking scans of the counts relation,
+    // 1-row broadcast combine.
+    QueryDef.sql("q201_join_size_estimate") { (s, d) =>
+      val counts = Tables(s, d, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val mcv = counts.orderBy(col("c").desc, col("l_partkey")).limit(100)
+      val mcvAgg = mcv.agg(
+        sum(col("c") * col("c")).as("mcv_sq"),
+        sum(col("c")).as("mcv_n"),
+        count(lit(1)).as("mcv_d"))
+      val allAgg = counts.agg(
+        sum(col("c") * col("c")).as("exact_size"),
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+      allAgg.crossJoin(broadcast(mcvAgg))
+        .select(
+          col("n_rows"), col("n_distinct"), col("exact_size"),
+          (col("mcv_sq").cast("double") +
+            when(col("n_distinct") > col("mcv_d"),
+              ((col("n_rows") - col("mcv_n")) *
+                (col("n_rows") - col("mcv_n"))).cast("double") /
+                (col("n_distinct") - col("mcv_d")).cast("double"))
+              .otherwise(0.0)).as("est_size"))
+        .withColumn("rel_err",
+          abs(col("est_size") - col("exact_size").cast("double")) /
+            col("exact_size").cast("double"))
+    } {
+      """WITH counts AS (
+        |  SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |mcv AS (
+        |  SELECT c FROM counts ORDER BY c DESC, l_partkey LIMIT 100),
+        |m AS (
+        |  SELECT CAST(SUM(c * c) AS BIGINT) AS mcv_sq,
+        |    CAST(SUM(c) AS BIGINT) AS mcv_n, COUNT(*) AS mcv_d
+        |  FROM mcv),
+        |a AS (
+        |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct
+        |  FROM counts),
+        |e AS (
+        |  SELECT n_rows, n_distinct, exact_size,
+        |    CAST(mcv_sq AS DOUBLE) +
+        |      CASE WHEN n_distinct > mcv_d
+        |        THEN CAST((n_rows - mcv_n) * (n_rows - mcv_n) AS DOUBLE)
+        |          / CAST(n_distinct - mcv_d AS DOUBLE)
+        |        ELSE 0.0 END AS est_size
+        |  FROM a, m)
+        |SELECT n_rows, n_distinct, exact_size, est_size,
+        |  ABS(est_size - CAST(exact_size AS DOUBLE))
+        |    / CAST(exact_size AS DOUBLE) AS rel_err
+        |FROM e""".stripMargin
     }
   )
 

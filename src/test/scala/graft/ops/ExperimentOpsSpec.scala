@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the experiment-analysis / normalization /
+  * planner-audit batch (q199 A/B z-test, q200 quantile normalization,
+  * q201 join-size estimate, q202 dyadic EWMA, q203 audio zero
+  * crossings): each is re-derived by an independent in-memory brute
+  * force on the sf0.001 fixture and compared exactly — the oracle hash
+  * proves cross-engine agreement, these prove the MATH.
+  */
+class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def idHash(id: Long): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+
+  test("q199 z-test matches a per-user replay and the arms partition exposed users") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q199_ab_conversion_ztest")(spark, d)
+      .select($"n_a", $"x_a", $"n_b", $"x_b", $"p_a", $"p_b", $"z_stat",
+        $"significant")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(got.size == 1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val perUser = ev.groupBy(_._1).iterator.collect {
+      case (u, es) if es.exists(_._2 == "view") =>
+        (idHash(u) % 2 == 0, es.exists(_._2 == "purchase"))
+    }.toSeq
+    val na = perUser.count(_._1).toLong
+    val xa = perUser.count(p => p._1 && p._2).toLong
+    val nb = perUser.count(!_._1).toLong
+    val xb = perUser.count(p => !p._1 && p._2).toLong
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    val se = math.sqrt((pp * (1.0 - pp)) * (1.0 / na + 1.0 / nb))
+    val z = if (se == 0.0) 0.0 else (pa - pb) / se
+    val sig = if (se != 0.0 && math.abs(z) > 1.96) 1L else 0L
+    assert(got.head == ((na, xa, nb, xb, pa, pb, z, sig)))
+    // the split covers every exposed user exactly once
+    assert(na + nb == perUser.size)
+  }
+
+  test("q200 normalized scores are the global order statistics at the mapped ranks") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q200_quantile_normalization")(spark, d)
+      .select($"source", $"n_docs", $"min_norm", $"max_norm", $"mean_norm",
+        $"mean_raw")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)]
+      .collect()
+    val global = docs.map(_._3).sorted // 1-indexed order statistics
+    val n = global.length.toLong
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val ns = ds.length.toLong
+      val ranked = ds.sortBy(x => (x._3, x._1)).zipWithIndex
+      val norm = ranked.map { case (_, i) =>
+        val r = i + 1L
+        val pos = (r * n + ns - 1L) / ns // ceil(r*n/ns), all-integer
+        global((pos - 1L).toInt)
+      }
+      (src, ns, norm.min, norm.max,
+        norm.sum.toDouble / ns, ds.map(_._3).sum.toDouble / ns)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    // every source's top rank maps to the global maximum
+    assert(got.forall(_._4 == global.last))
+  }
+
+  test("q201 exact self-join size is the second frequency moment; estimator replayed") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q201_join_size_estimate")(spark, d)
+      .select($"n_rows", $"n_distinct", $"exact_size", $"est_size", $"rel_err")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.size == 1)
+    val counts = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_partkey").as[Long].collect()
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }.toSeq
+    val exact = counts.map(c => c._2 * c._2).sum
+    val nRows = counts.map(_._2).sum
+    val nDist = counts.size.toLong
+    val mcv = counts.sortBy(c => (-c._2, c._1)).take(100)
+    val est = mcv.map(c => c._2 * c._2).sum.toDouble + (
+      if (nDist > mcv.size) {
+        val restN = nRows - mcv.map(_._2).sum
+        (restN * restN).toDouble / (nDist - mcv.size)
+      } else 0.0)
+    assert(got.head._1 == nRows && got.head._2 == nDist && got.head._3 == exact)
+    assert(got.head._4 == est)
+    assert(got.head._5 == math.abs(est - exact.toDouble) / exact.toDouble)
+  }
+
+  test("q202 EWMA matches a sequential dyadic replay per event type") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q202_ewma_level_shift")(spark, d)
+      .select($"etype", $"n_days", $"max_ewma", $"n_spike_days")
+      .as[(String, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    val days = spark.read.parquet(s"$d/events.parquet")
+      .select($"event_type",
+        expr("CAST(datediff(cast(ts AS timestamp), DATE '2024-01-01') AS BIGINT)")
+          .as("day"))
+      .as[(String, Long)].collect()
+    val (lo, hi) = (days.map(_._2).min, days.map(_._2).max)
+    val expect = days.groupBy(_._1).map { case (t, es) =>
+      val byDay = es.groupBy(_._2).map { case (k, v) => (k, v.length.toLong) }
+      val cs = (lo to hi).map(day => byDay.getOrElse(day, 0L))
+      val es16 = cs.indices.map { t =>
+        (0 to 15).map(k =>
+          (if (t - k >= 0) cs(t - k) else 0L) * (1L << (15 - k))).sum
+      }
+      val spikes = cs.indices.count(i =>
+        i + 1 > 16 && cs(i) * 65536L > es16(i - 1) * 3L).toLong
+      (t, cs.length.toLong, es16.max.toDouble / 65536.0, spikes)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+  }
+
+  test("q203 crossings match the ramp's closed form, independent of the codec") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q203_audio_zero_crossings")(spark, d)
+      .select($"doc_id", $"channels", $"n_frames", $"n_crossings", $"peak")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val blobs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", length(encode($"text", "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val expect = blobs.map { case (id, n) =>
+      val ch = (1 + n % 2).toInt
+      val frames = 100 + (n * 3) % 900
+      def s(i: Long): Long = (n + i * 7) % 4001 - 2000
+      val crossings = (0 until ch).map { c =>
+        (0L until frames - 1).count(j =>
+          s(j * ch + c) * s((j + 1) * ch + c) < 0).toLong
+      }.sum
+      val peak = (0L until frames * ch).map(i => math.abs(s(i))).max
+      (id, ch, frames, crossings, peak)
+    }
+    assert(got == expect)
+    // short ramps may stay one-signed, but the corpus as a whole crosses
+    assert(got.exists(_._4 > 0))
+  }
+}
