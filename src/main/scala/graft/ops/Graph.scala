@@ -724,6 +724,81 @@ object Graph {
          |    SELECT e.dst AS node, d.cost + e.ecost AS cost
          |    FROM d2 d JOIN ec e ON e.src = d.node) t GROUP BY node)
          |SELECT node, cost FROM d3 ORDER BY node""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q204: FREQUENT TRIPLE MINING — the size-3 extension of q145's
+    // pair rules (Apriori level 3): every ordered part triple
+    // (a < b < c) co-purchased in ≥ MinSupport orders, with its support
+    // and the tightest pair-confidence floor (support(abc) relative to
+    // the WEAKEST contained pair — the classic "does the third item add
+    // signal" ratio; Agrawal & Srikant, VLDB'94). SCALE SHAPE: the
+    // expansion is BASKET-LOCAL like q145's pairs — one shuffle groups
+    // each order to its sorted part list, C(L,3) triples expand
+    // in-buffer (basket size L is domain-bounded: a TPC-H order holds
+    // ≤ 7 parts, so ≤ 35 triples/order — no candidate-generation join
+    // needed when L is bounded; at unbounded L the Apriori prefix-join
+    // prune applies first), then one keyed count. The pair supports are
+    // the q145 half relation joined back three ways — each a keyed
+    // shuffle join on the compact supported-pair relation. Exact int64
+    // counts; one terminal division per row.
+    QueryDef.sql("q204_frequent_triples") { (s, d) =>
+      val tri = baskets(s, d)
+        .groupBy(col("o")).agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  flatten(transform(slice(ps, i + 2, size(ps)), (y, j) ->
+            |    transform(slice(ps, i + j + 3, size(ps)), z ->
+            |      struct(x AS a, y AS b, z AS c))))))""".stripMargin)).as("t"))
+        .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= MinSupport)
+      val half = baskets(s, d)
+        .groupBy(col("o")).agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(x AS src, y AS dst))))""".stripMargin)).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      tri
+        .join(half.select(col("src").as("a"), col("dst").as("b"),
+          col("w").as("w_ab")), Seq("a", "b"))
+        .join(half.select(col("src").as("a"), col("dst").as("c"),
+          col("w").as("w_ac")), Seq("a", "c"))
+        .join(half.select(col("src").as("b"), col("dst").as("c"),
+          col("w").as("w_bc")), Seq("b", "c"))
+        .select(col("a"), col("b"), col("c"), col("support"),
+          least(col("w_ab"), col("w_ac"), col("w_bc")).as("min_pair"),
+          (col("support").cast("double") /
+            least(col("w_ab"), col("w_ac"), col("w_bc")).cast("double"))
+            .as("floor_confidence"))
+        .orderBy("a", "b", "c")
+    } {
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |tri AS (
+         |  SELECT x.p AS a, y.p AS b, z.p AS c, COUNT(*) AS support
+         |  FROM li x
+         |  JOIN li y ON x.o = y.o AND x.p < y.p
+         |  JOIN li z ON y.o = z.o AND y.p < z.p
+         |  GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) >= $MinSupport),
+         |half AS (
+         |  SELECT x.p AS src, y.p AS dst, COUNT(*) AS w
+         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2)
+         |SELECT t.a, t.b, t.c, t.support,
+         |  LEAST(ab.w, ac.w, bc.w) AS min_pair,
+         |  CAST(t.support AS DOUBLE) / CAST(LEAST(ab.w, ac.w, bc.w)
+         |    AS DOUBLE) AS floor_confidence
+         |FROM tri t
+         |JOIN half ab ON ab.src = t.a AND ab.dst = t.b
+         |JOIN half ac ON ac.src = t.a AND ac.dst = t.c
+         |JOIN half bc ON bc.src = t.b AND bc.dst = t.c
+         |ORDER BY t.a, t.b, t.c""".stripMargin
     }
   )
 

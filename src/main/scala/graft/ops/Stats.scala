@@ -1578,6 +1578,166 @@ object Stats {
         |  ABS(est_size - CAST(exact_size AS DOUBLE))
         |    / CAST(exact_size AS DOUBLE) AS rel_err
         |FROM e""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q205: INCREMENTAL-VIEW-MAINTENANCE AUDIT — the delta-merge
+    // contract behind every materialized aggregate: partition the fact
+    // stream at a cutoff into base and delta, maintain the view by
+    // COMBINING PARTIALS (counts add; DECIMAL sums add exactly —
+    // decimal addition is associative, unlike double), and prove the
+    // maintained view equals a full recompute, including the classic
+    // non-mergeable case done right (avg is re-derived from merged
+    // sum/count, never averaged-of-averages). The agree flags are the
+    // audit's point: a 0 in production means the incremental pipeline
+    // dropped or double-applied a delta. SCALE SHAPE: two
+    // predicate-disjoint keyed aggs + one keyed recompute agg, joined
+    // on the (small) group key — the fact table is scanned twice only
+    // because the audit DEMANDS an independent full recompute; the
+    // production path is the partial-merge leg alone.
+    QueryDef.sql("q205_incremental_agg_maintenance") { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val D = DecimalType(18, 6)
+      val ev = Tables(s, d, "events")
+        .select(col("event_type").as("etype"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      def part(p: DataFrame, tag: String): DataFrame =
+        p.groupBy(col("etype")).agg(
+          count(lit(1)).as(s"n_$tag"),
+          sum(col("value").cast(D)).as(s"s_$tag"))
+      val base = part(ev.filter(col("ts") < cutoff), "base")
+      val delta = part(ev.filter(col("ts") >= cutoff), "delta")
+      val full = ev.groupBy(col("etype")).agg(
+        count(lit(1)).as("n_full"),
+        sum(col("value").cast(D)).as("s_full"))
+      base.join(delta, Seq("etype"), "full_outer")
+        .select(col("etype"),
+          (coalesce(col("n_base"), lit(0L)) +
+            coalesce(col("n_delta"), lit(0L))).as("n_merged"),
+          (coalesce(col("s_base"), lit(0).cast(D)) +
+            coalesce(col("s_delta"), lit(0).cast(D))).as("s_merged"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+        .join(full, "etype")
+        .select(col("etype"), col("n_base"), col("n_delta"),
+          col("n_merged"), col("n_full"),
+          col("s_full").cast("double").as("sum_full"),
+          (col("s_merged").cast("double") /
+            col("n_merged").cast("double")).as("avg_merged"),
+          (col("s_full").cast("double") /
+            col("n_full").cast("double")).as("avg_full"),
+          when(col("n_merged") === col("n_full") &&
+            col("s_merged") === col("s_full"), 1L).otherwise(0L)
+            .as("agree"))
+        .orderBy("etype")
+    } {
+      """WITH ev AS (
+        |  SELECT event_type AS etype, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT etype, COUNT(*) AS n_base, SUM(v) AS s_base
+        |  FROM ev WHERE ts < TIMESTAMP '2024-01-16' GROUP BY etype),
+        |dl AS (
+        |  SELECT etype, COUNT(*) AS n_delta, SUM(v) AS s_delta
+        |  FROM ev WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY etype),
+        |f AS (
+        |  SELECT etype, COUNT(*) AS n_full, SUM(v) AS s_full
+        |  FROM ev GROUP BY etype),
+        |m AS (
+        |  SELECT COALESCE(b.etype, dl.etype) AS etype,
+        |    COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_merged,
+        |    COALESCE(s_base, 0) + COALESCE(s_delta, 0) AS s_merged,
+        |    COALESCE(n_base, 0) AS n_base, COALESCE(n_delta, 0) AS n_delta
+        |  FROM b FULL OUTER JOIN dl ON b.etype = dl.etype)
+        |SELECT m.etype, n_base, n_delta, n_merged, n_full,
+        |  CAST(s_full AS DOUBLE) AS sum_full,
+        |  CAST(s_merged AS DOUBLE) / CAST(n_merged AS DOUBLE) AS avg_merged,
+        |  CAST(s_full AS DOUBLE) / CAST(n_full AS DOUBLE) AS avg_full,
+        |  CAST(CASE WHEN n_merged = n_full AND s_merged = s_full
+        |    THEN 1 ELSE 0 END AS BIGINT) AS agree
+        |FROM m JOIN f ON m.etype = f.etype
+        |ORDER BY m.etype""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q206: HAAR WAVELET SKETCH — the classic time-series compression /
+    // similarity-index transform (Chan & Fu, ICDE'99): the monthly order
+    // series, zero-padded to 128, decomposed into UNNORMALIZED Haar
+    // coefficients (detail at level k = even-block sum − odd-block sum
+    // of level k−1; DC term = the full-series total), keeping the top-8
+    // by energy. Unnormalized keeps EVERYTHING exact int64 — no √2
+    // factors, no division anywhere; ties in |detail| break by (level,
+    // pos), so the kept set is deterministic. SCALE SHAPE: the fact
+    // scan reduces to ≤ 128 rows in the first keyed agg; the seven
+    // halving levels are keyed shrinking aggs over ≤ 64 rows each (at
+    // billion-row facts the cost is the one scan — the pyramid is
+    // noise). A longer horizon just deepens the pyramid
+    // logarithmically.
+    QueryDef.sql("q206_haar_sketch") { (s, d) =>
+      val monthly = Tables(s, d, "orders")
+        .select(expr(
+          "CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+          .as("pos"))
+        .groupBy(col("pos")).agg(count(lit(1)).as("v"))
+      var lvl = s.range(0, 128).toDF("pos")
+        .join(monthly, Seq("pos"), "left_outer")
+        .select(col("pos"), coalesce(col("v"), lit(0L)).as("v"))
+      var details: DataFrame = null
+      for (k <- 1 to 7) {
+        val next = lvl
+          .groupBy(expr("pos DIV 2").as("p"))
+          .agg(sum(col("v")).as("v"),
+            sum(when(pmod(col("pos"), lit(2L)) === 0, col("v"))
+              .otherwise(-col("v"))).as("det"))
+          .select(col("p").as("pos"), col("v"), col("det"))
+        val dk = next.select(lit(k).as("level"), col("pos"),
+          col("det").as("detail"))
+        details = if (details == null) dk else details.unionAll(dk)
+        lvl = next.select(col("pos"), col("v"))
+      }
+      val dc = lvl.select(lit(8).as("level"), col("pos"),
+        col("v").as("detail"))
+      val w = Window.orderBy(abs(col("detail")).desc, col("level"),
+        col("pos"))
+      details.unionAll(dc)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .select(col("rn").cast("long").as("rn"), col("level").cast("long")
+          .as("level"), col("pos"), col("detail"))
+        .orderBy("rn")
+    } {
+      val levels = (1 to 7).map { k =>
+        s"""l$k AS (
+           |  SELECT pos // 2 AS pos, CAST(SUM(v) AS BIGINT) AS v,
+           |    CAST(SUM(CASE WHEN pos % 2 = 0 THEN v ELSE -v END)
+           |      AS BIGINT) AS det
+           |  FROM l${k - 1} GROUP BY pos // 2)""".stripMargin
+      }.mkString(",\n")
+      val dets = (1 to 7)
+        .map(k => s"SELECT $k AS level, pos, det AS detail FROM l$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH monthly AS (
+         |  SELECT CAST((YEAR(CAST(o_orderdate AS DATE)) - 1992) * 12
+         |      + MONTH(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS pos,
+         |    COUNT(*) AS v
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT UNNEST(GENERATE_SERIES(0, 127)) AS pos),
+         |l0 AS (
+         |  SELECT g.pos, COALESCE(m.v, 0) AS v
+         |  FROM g LEFT JOIN monthly m ON g.pos = m.pos),
+         |$levels,
+         |dets AS (
+         |  $dets
+         |  UNION ALL SELECT 8 AS level, pos, v AS detail FROM l7),
+         |ranked AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(detail) DESC,
+         |      level, pos) AS BIGINT) AS rn,
+         |    CAST(level AS BIGINT) AS level, pos, detail
+         |  FROM dets)
+         |SELECT rn, level, pos, detail FROM ranked
+         |WHERE rn <= 8 ORDER BY rn""".stripMargin
     }
   )
 

@@ -832,4 +832,81 @@ object StreamOps {
           next
       }
   }
+
+  /** One finalized day of the streaming EWMA monitor — q202's live twin. */
+  final case class EwmaPoint(
+      etype: String, day: Long, c: Long, eprime: Long, spike: Boolean)
+
+  final case class EwmaState(
+      lastDay: Long, nEmitted: Long, window: List[Long],
+      pending: Map[Long, Long])
+
+  /** Streaming EWMA level monitor — q202's live twin: per event type, a
+    * watermark-finalized daily count stream smoothed with the SAME
+    * α = 1/2 dyadic 16-term recurrence (scaled level E'_t =
+    * Σ_{k=0..15} c_{t-k}·2^(15-k), exact int64), emitting one point per
+    * FINALIZED day with the spike flag (past the 16-day warm-up,
+    * c·2^16 > 3·E'_{t-1}). Days with no events still emit (c = 0): the
+    * state walks every day from the last finalized one up to the
+    * watermark, so the dense-grid semantics match the batch query on
+    * any key whose first event lands on the grid start. State is
+    * bounded: a 16-deep window plus the pending not-yet-final day
+    * counts (≤ watermark delay in days); event-time timeouts keep the
+    * walk advancing through silent stretches.
+    */
+  def ewmaLevels(events: DataFrame, timeCol: String, typeCol: String,
+      watermarkDelay: String): Dataset[EwmaPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val epochDay2024 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(typeCol).cast("string"), col(timeCol),
+        expr(s"CAST(datediff(cast($timeCol AS date), DATE '2024-01-01') AS BIGINT)"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (etype, rows, state: GroupState[EwmaState]) =>
+          val st0 = state.getOption
+            .getOrElse(EwmaState(Long.MinValue, 0L, Nil, Map.empty))
+          var pending = st0.pending
+          rows.foreach { r =>
+            pending = pending.updated(r._3, pending.getOrElse(r._3, 0L) + 1L)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          // the day containing the watermark is still open; everything
+          // strictly before it is final
+          val finalUpTo =
+            math.floorDiv(wmMs, 86400000L) - epochDay2024 - 1L
+          val start =
+            if (st0.lastDay != Long.MinValue) st0.lastDay
+            else if (pending.nonEmpty) pending.keys.min - 1L
+            else Long.MinValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+          var window = st0.window
+          var nEmitted = st0.nEmitted
+          var day = start
+          if (start != Long.MinValue) {
+            while (day < finalUpTo) {
+              day += 1L
+              val c = pending.getOrElse(day, 0L)
+              pending = pending - day
+              val eprev = window.iterator.zipWithIndex
+                .map { case (v, k) => v * (1L << (15 - k)) }.sum
+              window = (c :: window).take(16)
+              val eprime = window.iterator.zipWithIndex
+                .map { case (v, k) => v * (1L << (15 - k)) }.sum
+              nEmitted += 1L
+              val spike = nEmitted > 16L && c * 65536L > eprev * 3L
+              out += EwmaPoint(etype, day, c, eprime, spike)
+            }
+          }
+          state.update(EwmaState(
+            if (day == Long.MinValue) st0.lastDay else day,
+            nEmitted, window, pending))
+          state.setTimeoutTimestamp(wmMs + 60000L)
+          out.iterator
+      }
+  }
 }

@@ -147,4 +147,81 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // short ramps may stay one-signed, but the corpus as a whole crosses
     assert(got.exists(_._4 > 0))
   }
+
+  test("q204 triples match a brute-force basket census; support bounded by pairs") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q204_frequent_triples")(spark, d)
+      .select($"a", $"b", $"c", $"support", $"min_pair", $"floor_confidence")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(t => (t._1, t._2, t._3))
+    val baskets = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toSeq).toSeq
+    val triCount = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { ps =>
+      ps.combinations(3).foreach { t =>
+        triCount((t(0), t(1), t(2))) = triCount.getOrElse((t(0), t(1), t(2)), 0L) + 1
+      }
+      ps.combinations(2).foreach { p =>
+        pairCount((p(0), p(1))) = pairCount.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val expect = triCount.toSeq.collect { case ((a, b, c), w) if w >= 2 =>
+      val mp = Seq(pairCount((a, b)), pairCount((a, c)), pairCount((b, c))).min
+      (a, b, c, w, mp, w.toDouble / mp)
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got == expect)
+    // anti-monotonicity: a triple can never out-support its weakest pair
+    assert(got.forall(t => t._4 <= t._5))
+  }
+
+  test("q205 merged partials equal the full recompute on every group") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q205_incremental_agg_maintenance")(spark, d)
+      .select($"etype", $"n_base", $"n_delta", $"n_merged", $"n_full",
+        $"avg_merged", $"avg_full", $"agree")
+      .as[(String, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r._2 + r._3 == r._4 && r._4 == r._5, s"counts diverge: $r")
+      assert(r._6 == r._7, s"avg from merged partials diverges: $r")
+      assert(r._8 == 1L, s"agree flag down: $r")
+    }
+    // the cutoff actually splits the stream (both legs non-empty somewhere)
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
+  }
+
+  test("q206 sketch matches an in-memory Haar pyramid and satisfies Parseval") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q206_haar_sketch")(spark, d)
+      .select($"rn", $"level", $"pos", $"detail")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val months = spark.read.parquet(s"$d/orders.parquet")
+      .select(expr("CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT)"))
+      .as[Long].collect()
+    val series = Array.fill(128)(0L)
+    months.foreach(m => series(m.toInt) += 1)
+    var cur = series.toSeq
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (k <- 1 to 7) {
+      val next = cur.grouped(2).map(p => p(0) + p(1)).toSeq
+      val det = cur.grouped(2).map(p => p(0) - p(1)).toSeq
+      det.zipWithIndex.foreach { case (dv, p) => all += ((k.toLong, p.toLong, dv)) }
+      cur = next
+    }
+    all += ((8L, 0L, cur.head)) // DC term
+    val expect = all.sortBy(t => (-math.abs(t._3), t._1, t._2)).take(8)
+      .zipWithIndex.map { case ((l, p, dv), i) => (i + 1L, l, p, dv) }.toSeq
+    assert(got == expect)
+    // unnormalized Parseval: sum over levels of 2^-k * (details_k^2) plus
+    // 2^-7 * DC^2 equals the series energy — checked on the FULL pyramid
+    val lhs = all.map { case (l, _, dv) =>
+      BigInt(dv) * BigInt(dv) * BigInt(1) << (7 - math.min(l, 7L).toInt)
+    }.sum
+    val rhs = series.map(v => BigInt(v) * BigInt(v)).sum * BigInt(128)
+    assert(lhs == rhs, s"Parseval: $lhs vs $rhs")
+  }
 }

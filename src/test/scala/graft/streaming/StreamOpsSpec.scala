@@ -724,4 +724,55 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       assert(snaps.exists(_.candidates.contains(h)), s"$h missing from sketch")
     }
   }
+
+  test("ewmaLevels finalizes dense days and agrees with the dyadic batch recurrence") {
+    import spark.implicits._
+    def dayTs(day: Int, hour: Int = 12): Timestamp =
+      Timestamp.valueOf(f"2024-01-${1 + day}%02d $hour%02d:00:00")
+    // counts: day 0 ×3, day 1 ×1, day 3 ×5 (day 2 silent), day 20 ×100
+    val counts = Map(0 -> 3, 1 -> 1, 3 -> 5, 20 -> 100)
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamOps.ewmaLevels(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS ewma_sink")
+    val q = out.writeStream.format("memory").queryName("ewma_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(counts.toSeq.flatMap { case (day, n) =>
+        Seq.fill(n)((dayTs(day), "click"))
+      })
+      q.processAllAvailable()
+      // processAllAvailable keeps running micro-batches while the
+      // watermark advances: day 20@12:00 − 1 h finalizes days 0..19
+      assert(spark.table("ewma_sink").count() == 20)
+      input.addData((dayTs(29, 23), "flush"))
+      q.processAllAvailable()
+      input.addData((dayTs(30, 23), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_sink")
+      .filter($"etype" === "click")
+      .select($"day", $"c", $"eprime", $"spike")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty && got.head._1 == 0L)
+    // independent sequential replay of the q202 recurrence
+    var window = List.empty[Long]
+    val expect = (0L to got.last._1).map { day =>
+      val c = counts.getOrElse(day.toInt, 0).toLong
+      val eprev = window.zipWithIndex.map { case (v, k) =>
+        v * (1L << (15 - k))
+      }.sum
+      window = (c :: window).take(16)
+      val eprime = window.zipWithIndex.map { case (v, k) =>
+        v * (1L << (15 - k))
+      }.sum
+      (day, c, eprime, day + 1 > 16 && c * 65536L > eprev * 3L)
+    }
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the planted burst on day 20 fires the spike flag exactly once
+    assert(got.count(_._4) == 1 && got.find(_._4).get._1 == 20L)
+    // contiguous dense emission: every day in the range appears once
+    assert(got.map(_._1) == (0L to got.last._1))
+  }
 }
