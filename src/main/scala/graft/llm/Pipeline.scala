@@ -1399,6 +1399,169 @@ object Pipeline {
         |    / CAST(COUNT(*) AS DOUBLE) AS mean_raw
         |FROM mapped GROUP BY source
         |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q208: DECILE GAINS / LIFT TABLE — the standard model-evaluation
+    // report for a targeting score (here: total engagement cents per
+    // user, outcome = purchased): rank users by score, band into 10
+    // deciles, and report each band's conversion lift over the global
+    // rate plus the cumulative gains curve ("the top 20% of scores
+    // captures X% of all converters"). Campaign-sizing reads straight
+    // off this table. DETERMINISM: score is an exact cent sum; ranking
+    // ties break by user_id; decile = ((rnk−1)·10) div n (exact
+    // integers, q169's banding rule); lift/gains are terminal divisions
+    // of exact counts. SCALE SHAPE: one user-keyed agg, the two-pass
+    // [[graft.ops.Scale.globalRowNumber]] (never a single-task global
+    // window), a 10-row decile agg, and a 10-row running sum.
+    QueryDef.sql("q208_gains_table") { (s, d) =>
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val tot = perUser.agg(count(lit(1)).as("n"),
+        sum(col("conv")).as("total_conv"))
+      val ranked = graft.ops.Scale.globalRowNumber(
+        perUser, "rnk", col("score").desc, col("user_id").asc)
+      val deciles = ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"),
+          max(col("n")).as("n"), max(col("total_conv")).as("total_conv"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deciles
+        .withColumn("cum_conv", sum(col("n_conv")).over(wCum))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          (col("n_conv").cast("double") / col("n_users").cast("double"))
+            .as("conv_rate"),
+          ((col("n_conv") * col("n")).cast("double") /
+            (col("n_users") * col("total_conv")).cast("double")).as("lift"),
+          (col("cum_conv").cast("double") / col("total_conv").cast("double"))
+            .as("cum_gains"))
+        .orderBy("decile")
+    } {
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |ranked AS (
+        |  SELECT score, conv,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, user_id)
+        |      AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(conv) OVER () AS BIGINT) AS total_conv
+        |  FROM pu),
+        |dec AS (
+        |  SELECT ((rnk - 1) * 10) // n AS decile,
+        |    COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv,
+        |    MAX(n) AS n, MAX(total_conv) AS total_conv
+        |  FROM ranked GROUP BY 1)
+        |SELECT decile, n_users, n_conv,
+        |  CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+        |  CAST(n_conv * n AS DOUBLE) / CAST(n_users * total_conv AS DOUBLE)
+        |    AS lift,
+        |  CAST(CAST(SUM(n_conv) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS DOUBLE) / CAST(total_conv AS DOUBLE) AS cum_gains
+        |FROM dec
+        |ORDER BY decile""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q210: NEYMAN-ALLOCATED STRATIFIED SAMPLE — q59 samples each
+    // stratum at a FIXED rate; optimal (Neyman) allocation sizes each
+    // stratum's share of a fixed budget by N_h·σ_h (high-variance
+    // strata earn more draws — the minimum-variance design for a fixed
+    // total, Neyman 1934). ENGINE-EXACT APPORTIONMENT: N_h·σ_h =
+    // √(N_h·Σx² − (Σx)²) — an IEEE sqrt of an exact int64 — is
+    // quantized to integer micro-units, and the largest-remainder
+    // method then runs in PURE integer arithmetic: base = (S·wq) div W,
+    // the S−Σbase leftovers go to the largest (S·wq) mod W (ties by
+    // lang). No floating comparison decides an allocation. The draw
+    // itself is the house md5 order (rank by id-hash within stratum),
+    // so the sampled set is reproducible anywhere. OVERFLOW CONTRACT:
+    // N_h·Σx² needs N_h·N_h·x̄² < 2^63 — holds to ~1e7 docs/stratum at
+    // 1e3 chars; past that lift s1/s2 into DECIMAL(38,0) on both
+    // engines. SCALE SHAPE: one stratum-keyed moment agg (rows =
+    // strata), the apportionment entirely on that tiny relation, one
+    // broadcast join back, one stratum-keyed rank window for the draw.
+    QueryDef.sql("q210_neyman_allocation") { (s, d) =>
+      val S = 100L
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("x"))
+      val strata = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+        .withColumn("wq", expr(
+          "CAST(ROUND(SQRT(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)) * 1000000) AS BIGINT)"))
+      val tot = strata.agg(sum(col("wq")).as("bigw"))
+      val based = strata.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"CAST(($S * wq) DIV bigw AS BIGINT)"))
+        .withColumn("rem", expr(s"CAST(($S * wq) % bigw AS BIGINT)"))
+      val spare = based.agg((lit(S) - sum(col("base"))).as("r"))
+      val wRem = Window.orderBy(col("rem").desc, col("lang"))
+      val alloc = based.crossJoin(broadcast(spare))
+        .withColumn("rr", row_number().over(wRem).cast("long"))
+        .withColumn("alloc",
+          col("base") + when(col("rr") <= col("r"), 1L).otherwise(0L))
+        .select(col("lang"), col("n_docs"), col("wq"), col("alloc"))
+      val wDraw = Window.partitionBy(col("lang"))
+        .orderBy(graft.Ids.hash("doc_id"), col("doc_id"))
+      docs
+        .withColumn("rn", row_number().over(wDraw).cast("long"))
+        .join(broadcast(alloc), "lang")
+        .filter(col("rn") <= col("alloc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("x")).as("sampled_chars"),
+          max(col("n_docs")).as("n_docs"), max(col("wq")).as("wq"),
+          max(col("alloc")).as("alloc"))
+        .select(col("lang"), col("n_docs"), col("wq"), col("alloc"),
+          col("n_sampled"),
+          (col("sampled_chars").cast("double") /
+            col("n_sampled").cast("double")).as("sample_mean_chars"))
+        .orderBy("lang")
+    } {
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x
+         |  FROM documents),
+         |strata AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+         |  FROM docs GROUP BY lang),
+         |wq AS (
+         |  SELECT *, CAST(ROUND(SQRT(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))
+         |    * 1000000) AS BIGINT) AS wq
+         |  FROM strata),
+         |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS bigw FROM wq),
+         |based AS (
+         |  SELECT w.*, (100 * wq) // bigw AS base, (100 * wq) % bigw AS rem
+         |  FROM wq w CROSS JOIN tot),
+         |spare AS (SELECT 100 - CAST(SUM(base) AS BIGINT) AS r FROM based),
+         |alloc AS (
+         |  SELECT lang, n_docs, wq,
+         |    base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+         |      <= r THEN 1 ELSE 0 END AS alloc
+         |  FROM based CROSS JOIN spare),
+         |drawn AS (
+         |  SELECT d.lang, d.x,
+         |    ROW_NUMBER() OVER (PARTITION BY d.lang
+         |      ORDER BY ${graft.Ids.hashSql("d.doc_id")}, d.doc_id) AS rn,
+         |    a.n_docs, a.wq, a.alloc
+         |  FROM docs d JOIN alloc a ON d.lang = a.lang)
+         |SELECT lang, MAX(n_docs) AS n_docs, MAX(wq) AS wq,
+         |  CAST(MAX(alloc) AS BIGINT) AS alloc,
+         |  COUNT(*) AS n_sampled,
+         |  CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS sample_mean_chars
+         |FROM drawn WHERE rn <= alloc
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
     }
   )
 }

@@ -384,6 +384,67 @@ object Search {
          |  GROUP BY q.q_id)
          |SELECT q_id, method, first_rel_rank, n_rel_topk FROM ev
          |ORDER BY q_id, method""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q207: POSITIONAL PHRASE SEARCH — the exact-phrase half of a search
+    // engine (BM25 ranks bags of words; "\"foo bar\"" needs POSITIONS).
+    // The positional postings relation (doc, token, pos) self-joins on
+    // (doc, pos+1) — the textbook positional-index adjacency join. The
+    // phrase itself is data-derived (the corpus's most frequent bigram,
+    // ties by token order) so the query is self-contained and the
+    // oracle re-derives it independently. OVERLAPS COUNT: 'a a a'
+    // matches 'a a' twice — the positional definition, which a
+    // non-overlapping regex scan would get wrong. SCALE SHAPE: the
+    // adjacency join keys on doc_id (collocated after one shuffle of
+    // the postings); the census reuses that same relation; the phrase
+    // probe is a 1-row broadcast slicing the postings BEFORE the
+    // occurrence count — at scale the sliced relation is the two query
+    // tokens' postings, not the corpus.
+    QueryDef.sql("q207_phrase_search") { (s, d) =>
+      val postings = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val adj = postings.as("p1")
+        .join(postings.as("p2"),
+          col("p1.doc_id") === col("p2.doc_id") &&
+            col("p2.pos") === col("p1.pos") + 1L)
+        .select(col("p1.doc_id").as("doc_id"), col("p1.pos").as("pos"),
+          col("p1.tok").as("w1"), col("p2.tok").as("w2"))
+      val top = adj.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .select(col("w1").as("q1"), col("w2").as("q2"))
+      adj.join(broadcast(top),
+          col("w1") === col("q1") && col("w2") === col("q2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("pos")).as("first_pos"))
+        .orderBy("doc_id")
+    } {
+      """WITH s AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT doc_id, UNNEST(ts) AS tok,
+        |    UNNEST(GENERATE_SERIES(1, LEN(ts))) AS pos
+        |  FROM s),
+        |adj AS (
+        |  SELECT p1.doc_id, p1.pos, p1.tok AS w1, p2.tok AS w2
+        |  FROM p p1 JOIN p p2
+        |    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1),
+        |top AS (
+        |  SELECT w1 AS q1, w2 AS q2 FROM adj GROUP BY w1, w2
+        |  ORDER BY COUNT(*) DESC, w1, w2 LIMIT 1)
+        |SELECT adj.doc_id, COUNT(*) AS n_occurrences,
+        |  CAST(MIN(adj.pos) AS BIGINT) AS first_pos
+        |FROM adj JOIN top ON adj.w1 = top.q1 AND adj.w2 = top.q2
+        |GROUP BY adj.doc_id
+        |ORDER BY adj.doc_id""".stripMargin
     }
   )
 

@@ -824,6 +824,60 @@ object TextAnalysis {
         |SELECT pair, COUNT(*) AS n
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q209: PER-DOCUMENT KEYWORD EXTRACTION — top-3 tf·idf terms per
+    // document, the doc-level complement of q60's corpus-level term
+    // ranking (tagging, routing, dedup-explainability all read from
+    // this). IDF surrogate: N/df, the raw inverse document frequency
+    // itself rather than its log — q114/q123's posture: any monotone
+    // idf ranks a FIXED tf identically, the multiplicative surrogate is
+    // a defined (and published — "raw idf") weighting choice, and every
+    // score is one IEEE division of exact integers (tf·N over df), so
+    // the ranking and the hash agree cross-engine. Ties break by token.
+    // SCALE SHAPE: one (doc, token) keyed tf agg; df as a token-keyed
+    // shrink of that SAME relation; one token-keyed join back; a
+    // doc-keyed top-3 window. No corpus-wide sort, no broadcast bigger
+    // than the scalar N.
+    QueryDef.sql("q209_doc_keywords") { (s, d) =>
+      val tf = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = Tables(s, d, "documents").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    } {
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM tf GROUP BY doc_id, token),
+        |dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+        |    CAST(tfc.tf * n.n AS DOUBLE) / CAST(dfc.df AS DOUBLE) AS score
+        |  FROM tfc JOIN dfc ON tfc.token = dfc.token CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tf, df, score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
     }
   )
 }

@@ -224,4 +224,110 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     val rhs = series.map(v => BigInt(v) * BigInt(v)).sum * BigInt(128)
     assert(lhs == rhs, s"Parseval: $lhs vs $rhs")
   }
+
+  test("q207 phrase hits match an in-memory positional scan with overlap counting") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q207_phrase_search")(spark, d)
+      .select($"doc_id", $"n_occurrences", $"first_pos")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val adj = texts.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1)
+      (0 until ts.length - 1).map(i => (id, i + 1L, (ts(i), ts(i + 1))))
+    }
+    val top = adj.groupBy(_._3).view.mapValues(_.length).toSeq
+      .sortBy { case ((w1, w2), n) => (-n, w1, w2) }.head._1
+    val expect = adj.filter(_._3 == top).groupBy(_._1).map { case (id, os) =>
+      (id, os.length.toLong, os.map(_._2).min)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q208 lift and gains replay from the ranked user list; gains end at 1") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q208_gains_table")(spark, d)
+      .select($"decile", $"n_users", $"n_conv", $"conv_rate", $"lift",
+        $"cum_gains")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+      .sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_type",
+        expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      .as[(Long, String, Long)].collect()
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.map(_._3).sum, if (es.exists(_._2 == "purchase")) 1L else 0L)
+    }.toSeq.sortBy(t => (-t._2, t._1))
+    val n = users.length.toLong
+    val totalConv = users.map(_._3).sum
+    val dec = users.zipWithIndex.groupBy { case (_, i) => i.toLong * 10 / n }
+    var cum = 0L
+    val expect = (0L to 9L).map { dcl =>
+      val us = dec(dcl).map(_._1)
+      val conv = us.map(_._3).sum
+      cum += conv
+      (dcl, us.length.toLong, conv, conv.toDouble / us.length,
+        (conv * n).toDouble / (us.length * totalConv),
+        cum.toDouble / totalConv)
+    }
+    assert(got == expect)
+    assert(math.abs(got.last._6 - 1.0) == 0.0)
+    // the score actually targets: top decile must beat the bottom
+    assert(got.head._4 >= got.last._4)
+  }
+
+  test("q209 keywords match an in-memory tf-idf ranking per document") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q209_doc_keywords")(spark, d)
+      .select($"doc_id", $"rank", $"token", $"tf", $"df", $"score")
+      .as[(Long, Long, String, Long, Long, Double)].collect().toSeq
+      .sortBy(t => (t._1, t._2))
+    val texts = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tf = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, o) =>
+        (id, w, o.length.toLong)
+      }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = texts.length.toLong
+    val expect = tf.groupBy(_._1).iterator.flatMap { case (id, ts) =>
+      ts.map { case (_, w, f) => (w, f, df(w), (f * n).toDouble / df(w)) }
+        .sortBy { case (w, _, _, sc) => (-sc, w) }.take(3).zipWithIndex
+        .map { case ((w, f, dfw, sc), i) => (id, i + 1L, w, f, dfw, sc) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect)
+  }
+
+  test("q210 allocation sums to the budget and follows N·sigma ordering") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q210_neyman_allocation")(spark, d)
+      .select($"lang", $"n_docs", $"wq", $"alloc", $"n_sampled",
+        $"sample_mean_chars")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    // replay the largest-remainder apportionment in exact integers
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"lang", $"n_chars").as[(String, Long)].collect()
+    val strata = docs.groupBy(_._1).map { case (l, ds) =>
+      val xs = ds.map(_._2)
+      val (nH, s1, s2) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+      (l, nH, math.round(math.sqrt((nH * s2 - s1 * s1).toDouble) * 1e6))
+    }.toSeq.sortBy(_._1)
+    val bigW = strata.map(_._3).sum
+    val based = strata.map { case (l, nH, wq) =>
+      (l, nH, wq, 100L * wq / bigW, 100L * wq % bigW)
+    }
+    val spare = 100L - based.map(_._4).sum
+    val topUp = based.sortBy(t => (-t._5, t._1)).take(spare.toInt)
+      .map(_._1).toSet
+    val expectAlloc = based.map { case (l, nH, wq, b, _) =>
+      (l, nH, wq, b + (if (topUp(l)) 1L else 0L))
+    }.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == expectAlloc)
+    assert(got.map(_._4).sum == 100L)
+    // every stratum fills its allocation (fixture strata are large enough)
+    assert(got.forall(r => r._5 == math.min(r._4, r._2)))
+  }
 }
