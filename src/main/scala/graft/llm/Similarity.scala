@@ -864,6 +864,147 @@ object Similarity {
          |    / COUNT(*) AS mean_inertia
          |FROM a2 GROUP BY cid
          |ORDER BY cid""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q211: PRODUCT-QUANTIZATION CODEBOOK — the third classic ANN
+    // compression next to the registered LSH (q28/q50) and IVF (q75)
+    // paths (Jégou et al., PAMI'11): the 64-dim vector splits into m=4
+    // contiguous 16-dim sub-blocks, each sub-block gets its own k=8
+    // codebook (md5-seeded + ONE Lloyd refit — q192's deterministic
+    // trainer, per block), and every vector encodes as 4 small codes
+    // (64 floats → 4×3 bits here; 16× fewer centroid dims than one
+    // joint k=8⁴ codebook would need — the entire PQ point). Reported
+    // per block: members, codes actually used, and the exact
+    // quantization inertia — the quality dashboard a vector store
+    // watches for codebook staleness. DETERMINISM: q192's exact
+    // integer-distance machinery verbatim (quantized integer-valued
+    // doubles, total-order argmin on (dist, cid), floor'd refit means).
+    // SCALE SHAPE: blocks explode the corpus ×4 but each row carries
+    // only its 16-dim slice (same bytes moved); both sweeps are
+    // map-side folds over ONE broadcast 4×8 centroid row; refit is a
+    // (block, cid, pos)-keyed shrinking agg. No KNN joins anywhere.
+    QueryDef.sql("q211_pq_codebook") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val q3 =
+        "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS double))"
+      val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(q3).as("v"))
+      val blocks = emb
+        .select(col("vec_id"), explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  named_struct('block', CAST(b AS BIGINT),
+            |               'bv', slice(v, b * 16 + 1, 16)))""".stripMargin))
+          .as("s"))
+        .select(col("vec_id"), col("s.block").as("block"), col("s.bv").as("bv"))
+        .withColumn("n2", expr("vec_dot(bv, bv)"))
+      val seeds = emb.withColumn("hsh", graft.Ids.hash("vec_id"))
+        .orderBy(col("hsh"), col("vec_id")).limit(8)
+        .withColumn("cid", row_number()
+          .over(Window.orderBy(col("hsh"), col("vec_id"))).cast("long"))
+        .select(col("cid"), explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  named_struct('block', CAST(b AS BIGINT),
+            |               'cv', slice(v, b * 16 + 1, 16)))""".stripMargin))
+          .as("s"))
+        .select(col("s.block").as("block"), col("cid"),
+          col("s.cv").as("cv"), expr("vec_dot(s.cv, s.cv)").as("cn2"))
+      def centRows(c: DataFrame) = broadcast(c.groupBy(col("block")).agg(
+        collect_list(expr("named_struct('cid', cid, 'cv', cv, 'cn2', cn2)"))
+          .as("cents")))
+      def assign(cents: DataFrame) =
+        blocks.join(centRows(cents), "block")
+          .withColumn("best", expr(
+            """aggregate(cents,
+              |  named_struct('d', cast(1e308 AS double), 'cid', cast(-1 AS bigint)),
+              |  (acc, c) -> CASE
+              |    WHEN n2 - 2 * vec_dot(bv, c.cv) + c.cn2 < acc.d
+              |      OR (n2 - 2 * vec_dot(bv, c.cv) + c.cn2 = acc.d
+              |          AND c.cid < acc.cid)
+              |    THEN named_struct('d', n2 - 2 * vec_dot(bv, c.cv) + c.cn2,
+              |                      'cid', c.cid)
+              |    ELSE acc END)""".stripMargin))
+          .select(col("vec_id"), col("block"), col("bv"),
+            col("best.cid").as("cid"), col("best.d").as("dist"))
+      val a1 = graft.Checkpoints.checkpoint(assign(seeds))
+      val refit = a1
+        .select(col("block"), col("cid"), posexplode(col("bv")).as(Seq("pos", "val")))
+        .groupBy(col("block"), col("cid"), col("pos"))
+        .agg(floor(sum(col("val").cast("long")).cast("double") /
+          count(lit(1))).cast("double").as("cval"))
+        .groupBy(col("block"), col("cid"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, cval))), x -> x.cval)")
+          .as("cv"))
+        .withColumn("cn2", expr("vec_dot(cv, cv)"))
+        .select(col("block"), col("cid"), col("cv"), col("cn2"))
+      assign(refit)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("cid")).as("n_codes_used"),
+          sum(col("dist").cast("long")).as("inertia"))
+        .select(col("block"), col("n_vecs"), col("n_codes_used"),
+          col("inertia"),
+          (col("inertia").cast("double") / col("n_vecs").cast("double"))
+            .as("mean_dist"))
+        .orderBy("block")
+    } {
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS v
+         |  FROM embeddings),
+         |bl AS (
+         |  SELECT vec_id, b.block, list_slice(v, b.block * 16 + 1,
+         |    b.block * 16 + 16) AS bv
+         |  FROM e, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS block) b),
+         |bn AS (
+         |  SELECT vec_id, block, bv, list_dot_product(bv, bv) AS n2 FROM bl),
+         |sd AS (
+         |  SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY hsh, vec_id) AS cid
+         |  FROM (SELECT vec_id, ${graft.Ids.hashSql("vec_id")} AS hsh, v
+         |        FROM e ORDER BY hsh, vec_id LIMIT 8)),
+         |c0 AS (
+         |  SELECT b.block, sd.cid, list_slice(sd.v, b.block * 16 + 1,
+         |      b.block * 16 + 16) AS cv
+         |  FROM sd, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS block) b),
+         |c0n AS (
+         |  SELECT block, cid, cv, list_dot_product(cv, cv) AS cn2 FROM c0),
+         |a1 AS (
+         |  SELECT vec_id, block, bv, cid FROM (
+         |    SELECT bn.vec_id, bn.block, bn.bv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY bn.vec_id, bn.block
+         |        ORDER BY bn.n2 - 2 * list_dot_product(bn.bv, c.cv) + c.cn2,
+         |          c.cid) AS rn
+         |    FROM bn JOIN c0n c ON bn.block = c.block) WHERE rn = 1),
+         |f1 AS (
+         |  SELECT block, cid, i, bv[i] AS val
+         |  FROM a1, (SELECT UNNEST(GENERATE_SERIES(1, 16)) AS i)),
+         |g1 AS (
+         |  SELECT block, cid, i,
+         |    FLOOR(CAST(CAST(SUM(CAST(val AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / COUNT(*)) AS cval
+         |  FROM f1 GROUP BY block, cid, i),
+         |c1 AS (
+         |  SELECT block, cid, LIST(cval ORDER BY i) AS cv
+         |  FROM g1 GROUP BY block, cid),
+         |c1n AS (
+         |  SELECT block, cid, cv, list_dot_product(cv, cv) AS cn2 FROM c1),
+         |a2 AS (
+         |  SELECT vec_id, block, cid, dist FROM (
+         |    SELECT bn.vec_id, bn.block, c.cid,
+         |      bn.n2 - 2 * list_dot_product(bn.bv, c.cv) + c.cn2 AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY bn.vec_id, bn.block
+         |        ORDER BY bn.n2 - 2 * list_dot_product(bn.bv, c.cv) + c.cn2,
+         |          c.cid) AS rn
+         |    FROM bn JOIN c1n c ON bn.block = c.block) WHERE rn = 1)
+         |SELECT block, COUNT(*) AS n_vecs,
+         |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_codes_used,
+         |  CAST(SUM(CAST(dist AS BIGINT)) AS BIGINT) AS inertia,
+         |  CAST(CAST(SUM(CAST(dist AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / COUNT(*) AS mean_dist
+         |FROM a2 GROUP BY block
+         |ORDER BY block""".stripMargin
     }
   )
 

@@ -909,4 +909,48 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** One segment's live KMV sketch snapshot — q125's streaming twin. */
+  final case class KmvSnapshot(
+      etype: String, n_sk: Long, hk: Long, estimate: Double)
+
+  private final val KmvStreamK = graft.ops.Stats.KmvK
+
+  /** Streaming KMV distinct sketch — q125's live twin: per segment, the
+    * k smallest DISTINCT md5 hashes of the active user-day element
+    * (the exact [[graft.Ids]] recipe the batch query uses), maintained
+    * as bounded state and snapshotted each micro-batch with the same
+    * (k−1)·2³²/h_k estimator. The k-min set is a DETERMINISTIC function
+    * of the set of elements seen — independent of arrival order or
+    * batching — so the final snapshot equals the batch q125 sketch
+    * EXACTLY, not approximately (spec-pinned). State is bounded at
+    * k longs per segment forever; this is the mergeable-sketch posture
+    * that lets a fleet of tasks union their k-min sets without ever
+    * holding the distinct universe.
+    */
+  def kmvDistinctSketch(events: DataFrame, timeCol: String,
+      typeCol: String, userCol: String): Dataset[KmvSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(typeCol).cast("string").as("etype"),
+        graft.Ids.hash(
+          s"concat(cast($userCol AS string), ':', cast(to_date($timeCol) AS string))")
+          .as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], KmvSnapshot](GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[Seq[Long]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty[Long])
+          val merged = (prev.iterator ++ rows.map(_._2))
+            .toArray.distinct.sorted.take(KmvStreamK).toSeq
+          state.update(merged)
+          val n = merged.size.toLong
+          val hk = if (merged.isEmpty) 0L else merged.last
+          val est =
+            if (n < KmvStreamK) n.toDouble
+            else (KmvStreamK - 1).toDouble * 4294967296.0 / hk.toDouble
+          KmvSnapshot(etype, n, hk, est)
+      }
+  }
 }

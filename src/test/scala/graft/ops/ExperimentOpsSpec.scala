@@ -330,4 +330,42 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // every stratum fills its allocation (fixture strata are large enough)
     assert(got.forall(r => r._5 == math.min(r._4, r._2)))
   }
+
+  test("q211 PQ codebook matches an in-memory two-sweep replay per block") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q211_pq_codebook")(spark, d)
+      .select($"block", $"n_vecs", $"n_codes_used", $"inertia", $"mean_dist")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        (id, e.map(x => math.floor(x.toDouble * 1000.0).toLong))
+      }
+    val seeds = vecs.map { case (id, v) => (idHash(id), id, v) }
+      .sortBy(t => (t._1, t._2)).take(8).zipWithIndex
+      .map { case ((_, _, v), i) => (i + 1L, v) }
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = (0L to 3L).map { blk =>
+      val lo = blk.toInt * 16
+      val bvs = vecs.map { case (id, v) => (id, v.slice(lo, lo + 16)) }
+      val cb0 = seeds.map { case (cid, v) => (cid, v.slice(lo, lo + 16)) }
+      def assign(cb: Seq[(Long, Array[Long])]) = bvs.map { case (id, bv) =>
+        val best = cb.map { case (cid, cv) => (dist(bv, cv), cid) }.min
+        (id, bv, best._2, best._1)
+      }
+      val a1 = assign(cb0)
+      val cb1 = a1.groupBy(_._3).map { case (cid, ms) =>
+        (cid, Array.tabulate(16)(p =>
+          math.floor(ms.map(_._2(p)).sum.toDouble / ms.length).toLong))
+      }.toSeq
+      val a2 = assign(cb1)
+      (blk, a2.length.toLong, a2.map(_._3).distinct.length.toLong,
+        a2.map(_._4).sum,
+        a2.map(_._4).sum.toDouble / a2.length)
+    }
+    assert(got == expect)
+    // every block uses more than one code on the fixture
+    assert(got.forall(_._3 > 1))
+  }
 }

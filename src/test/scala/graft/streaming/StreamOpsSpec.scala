@@ -775,4 +775,53 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     // contiguous dense emission: every day in the range appears once
     assert(got.map(_._1) == (0L to got.last._1))
   }
+
+  test("kmvDistinctSketch's final snapshot equals the batch k-min set exactly") {
+    import spark.implicits._
+    def md5h(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString, 16)
+    // "click" overflows k=256 (300 distinct user-days); "view" stays
+    // exact (40); both arrive split across batches with repeats
+    val clicks = (0 until 300).map(u =>
+      (Timestamp.valueOf("2024-01-05 10:00:00"), u.toLong, "click"))
+    val views = (0 until 40).map(u =>
+      (Timestamp.valueOf("2024-01-06 10:00:00"), u.toLong, "view"))
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamOps.kmvDistinctSketch(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "event_type", "user_id").toDF()
+    spark.sql("DROP TABLE IF EXISTS kmv_sink")
+    val q = out.writeStream.format("memory").queryName("kmv_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(clicks.take(150) ++ views.take(10))
+      q.processAllAvailable()
+      // duplicates + the rest, out of order
+      input.addData(clicks.reverse ++ views ++ clicks.take(5))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest snapshot per segment: n_sk grows to the cap, then hk only
+    // shrinks as the k-min set improves — (n_sk max, hk min) is final
+    val finals = spark.table("kmv_sink")
+      .select($"etype", $"n_sk", $"hk", $"estimate")
+      .as[(String, Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(rs => rs.maxBy(r => (r._2, -r._3)))
+      .toMap
+    def replay(rows: Seq[(Timestamp, Long, String)]): (Long, Long, Double) = {
+      val hs = rows.map { case (ts, u, _) =>
+        md5h(s"$u:${ts.toLocalDateTime.toLocalDate}")
+      }.distinct.sorted.take(256)
+      val n = hs.size.toLong
+      val est = if (n < 256) n.toDouble else 255.0 * 4294967296.0 / hs.last
+      (n, hs.last, est)
+    }
+    val (cn, chk, cest) = replay(clicks)
+    assert(finals("click") == (("click", cn, chk, cest)))
+    assert(cn == 256L) // the estimate branch is actually exercised
+    val (vn, vhk, vest) = replay(views)
+    assert(finals("view") == (("view", vn, vhk, vest)))
+    assert(vn == 40L && vest == 40.0) // exact branch below k
+  }
 }
