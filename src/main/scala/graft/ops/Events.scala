@@ -1695,6 +1695,74 @@ object Events {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_days
         |FROM sm GROUP BY etype
         |ORDER BY etype""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q212: POINT-IN-TIME DIMENSION JOIN — the temporal-correctness
+    // primitive behind every "state as of the fact's own time" question
+    // (and the thing naive BI gets wrong by joining facts to TODAY's
+    // dimension): signups are SCD-2-style tier updates (value-banded),
+    // purchases are facts, and each purchase joins to the tier that was
+    // in force AT ITS TIMESTAMP — same-instant updates apply, later
+    // ones never leak back. Implementation is the q21 union-tag + one
+    // user-keyed ordered window (`last ignoreNulls`) — ONE shuffle on
+    // the shared user key, no range join, no per-fact probe; the oracle
+    // re-derives every assignment through an INDEPENDENT mechanism
+    // (per-fact LATERAL top-1 over ts) so the window identity is
+    // re-proven equivalent on every Verify. Tie rule: equal ts resolves
+    // by event_id (dim before fact at the same instant). Exact cents;
+    // one terminal division.
+    QueryDef.sql("q212_point_in_time_join") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val tier = when(col("value") < 30.0, "basic")
+        .when(col("value") < 70.0, "plus").otherwise("pro")
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("u"), col("ts").as("t"),
+          col("event_id"), lit(0).as("kind"), tier.as("tier"),
+          lit(null).cast("long").as("cents"))
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("ts").as("t"),
+          col("event_id"), lit(1).as("kind"),
+          lit(null).cast("string").as("tier"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("t"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim.unionByName(fact)
+        .withColumn("asof_tier",
+          last(col("tier"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(coalesce(col("asof_tier"), lit("none")).as("tier"),
+          col("cents"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+        .select(col("tier"), col("n_purchases"), col("revenue_cents"),
+          (col("revenue_cents").cast("double") /
+            col("n_purchases").cast("double")).as("avg_cents"))
+        .orderBy("tier")
+    } {
+      """WITH dim AS (
+        |  SELECT user_id AS u, ts AS t, event_id,
+        |    CASE WHEN value < 30.0 THEN 'basic'
+        |         WHEN value < 70.0 THEN 'plus' ELSE 'pro' END AS tier
+        |  FROM events WHERE event_type = 'signup'),
+        |fact AS (
+        |  SELECT user_id AS u, ts AS t, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pit AS (
+        |  SELECT f.cents, COALESCE(d.tier, 'none') AS tier
+        |  FROM fact f
+        |  LEFT JOIN LATERAL (
+        |    SELECT tier FROM dim
+        |    WHERE dim.u = f.u AND dim.t <= f.t
+        |    ORDER BY dim.t DESC, dim.event_id DESC LIMIT 1) d ON TRUE)
+        |SELECT tier, COUNT(*) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_cents
+        |FROM pit GROUP BY tier
+        |ORDER BY tier""".stripMargin
     }
   )
 }

@@ -368,4 +368,33 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // every block uses more than one code on the fixture
     assert(got.forall(_._3 > 1))
   }
+
+  test("q212 point-in-time tiers match a sequential per-user replay") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q212_point_in_time_join")(spark, d)
+      .select($"tier", $"n_purchases", $"revenue_cents", $"avg_cents")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", expr("unix_micros(cast(ts AS timestamp))"),
+        $"event_id", $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    def tier(v: Double) = if (v < 30.0) "basic" else if (v < 70.0) "plus" else "pro"
+    val assigned = ev.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      // replay in (ts, kind, event_id) order: signup updates state,
+      // purchase reads it
+      var cur: String = "none"
+      es.sortBy(e => (e._2, if (e._4 == "signup") 0 else 1, e._3)).flatMap {
+        case (_, _, _, "signup", v) => cur = tier(v); None
+        case (_, _, _, "purchase", v) => Some((cur, math.round(v * 100)))
+        case _ => None
+      }
+    }.toSeq
+    val expect = assigned.groupBy(_._1).map { case (t, ps) =>
+      (t, ps.length.toLong, ps.map(_._2).sum,
+        ps.map(_._2).sum.toDouble / ps.length)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    // temporal correctness bites on the fixture: not every purchase is 'none'
+    assert(got.exists(_._1 != "none"))
+  }
 }

@@ -464,4 +464,36 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"phase 1 must run the dominance windows inside hash buckets so the " +
         s"global pass only ever sees local-skyline survivors:\n$p")
   }
+
+  test("q204's triple expansion stays basket-local: equi-joins only") {
+    val p = plan("q204_frequent_triples")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triples must expand in-buffer and join pairs on keys — any " +
+        s"non-equi join is the O(n²) candidate generation this avoids:\n$p")
+  }
+
+  test("q207's phrase probe broadcasts; no cartesian anywhere") {
+    val p = plan("q207_phrase_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1-row phrase must broadcast into the postings slice:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q207 must never cartesian the postings:\n$p")
+  }
+
+  test("q211's codebooks reach the corpus only as broadcasts") {
+    val p = plan("q211_pq_codebook")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 4×8 centroid relation must broadcast-join the block relation; " +
+        s"a shuffle join here re-partitions the corpus per sweep:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("q212's point-in-time assignment is join-free: one union, one keyed window") {
+    val p = plan("q212_point_in_time_join")
+    assert(!p.contains("Join"),
+      s"the as-of state must come from the union + last-ignoreNulls " +
+        s"window, never a per-fact probe join:\n$p")
+    assert(p.contains("Union"), s"expected the tagged union:\n$p")
+  }
 }
