@@ -512,58 +512,11 @@ object Similarity {
     // label wins), so collect_list's nondeterministic order is
     // immaterial.
     QueryDef.sql("q116_centroid_classifier") { (s, d) =>
-      graft.functions.VectorFunctions.register(s)
-      val q3 = "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS double))"
-      val emb = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), expr(q3).as("v"))
-      val sums = emb.filter(col("vec_id") % 2 === 0)
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "qv")))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("qv").cast("long")).as("s"))
-      val cent = sums.groupBy(col("label"))
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(pos, s))), x -> cast(x.s AS double))")
-          .as("cv"))
-        .withColumn("nrm", sqrt(expr("vec_dot(cv, cv)")))
-      val cents = cent.agg(collect_list(
-        expr("named_struct('l', label, 'cv', cv, 'nrm', nrm)")).as("cents"))
-      emb.filter(col("vec_id") % 2 === 1)
-        .crossJoin(broadcast(cents))
-        .withColumn("best", expr(
-          """aggregate(cents,
-            |  named_struct('s', cast(-1e308 AS double), 'l', cast(-1 AS int)),
-            |  (acc, c) -> CASE
-            |    WHEN vec_dot(v, c.cv) / c.nrm > acc.s
-            |      OR (vec_dot(v, c.cv) / c.nrm = acc.s AND c.l < acc.l)
-            |    THEN named_struct('s', vec_dot(v, c.cv) / c.nrm, 'l', c.l)
-            |    ELSE acc END)""".stripMargin))
-        .groupBy(col("label").as("label_actual"), col("best.l").as("label_pred"))
-        .agg(count(lit(1)).as("n_vecs"))
-        .orderBy("label_actual", "label_pred")
+      centroidConfusion(s, d).orderBy("label_actual", "label_pred")
     } {
-      """WITH q AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS v
-        |  FROM embeddings),
-        |e AS (
-        |  SELECT label, UNNEST(v) AS qv, generate_subscripts(v, 1) AS pos
-        |  FROM q WHERE vec_id % 2 = 0),
-        |s AS (
-        |  SELECT label, pos, CAST(SUM(qv) AS DOUBLE) AS sv FROM e GROUP BY label, pos),
-        |cent AS (SELECT label, LIST(sv ORDER BY pos) AS cv FROM s GROUP BY label),
-        |cn AS (SELECT label, cv, SQRT(list_dot_product(cv, cv)) AS nrm FROM cent),
-        |scored AS (
-        |  SELECT t.vec_id, t.label AS label_actual, c.label AS label_pred,
-        |    list_dot_product(t.v, c.cv) / c.nrm AS score
-        |  FROM q t CROSS JOIN cn c WHERE t.vec_id % 2 = 1),
-        |best AS (
-        |  SELECT vec_id, label_actual, label_pred,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, label_pred) AS rn
-        |  FROM scored)
-        |SELECT label_actual, label_pred, COUNT(*) AS n_vecs
-        |FROM best WHERE rn = 1
-        |GROUP BY label_actual, label_pred
+      s"""WITH $CentroidConfusionCte
+        |SELECT label_actual, label_pred, n_vecs
+        |FROM confusion
         |ORDER BY label_actual, label_pred""".stripMargin
     },
 
@@ -1005,8 +958,137 @@ object Similarity {
          |    / COUNT(*) AS mean_dist
          |FROM a2 GROUP BY block
          |ORDER BY block""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q216: CLASSIFIER EVALUATION METRICS — per-label precision / recall
+    // / F1 over the q116 confusion matrix (one shared derivation on each
+    // engine side, so the eval can never diverge from the classifier it
+    // scores — the q128→q131 cross-reference posture). F1 is computed as
+    // the single division 2·tp / (n_actual + n_pred), algebraically
+    // identical to the harmonic mean but one correctly-rounded IEEE op
+    // instead of three. The matrix relation is labels²-sized; every
+    // step below it is driver-free arithmetic on that tiny relation.
+    QueryDef.sql("q216_confusion_metrics") { (s, d) =>
+      val m = centroidConfusion(s, d)
+      val act = m.groupBy(col("label_actual").as("label"))
+        .agg(sum(col("n_vecs")).as("n_actual"))
+      val prd = m.groupBy(col("label_pred").as("label"))
+        .agg(sum(col("n_vecs")).as("n_pred"))
+      val tp = m.filter(col("label_actual") === col("label_pred"))
+        .select(col("label_actual").as("label"), col("n_vecs").as("tp"))
+      act.join(prd, Seq("label"), "full_outer")
+        .join(tp, Seq("label"), "left_outer")
+        .select(col("label"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision",
+          when(col("n_pred") === 0L, 0.0)
+            .otherwise(col("tp").cast("double") / col("n_pred").cast("double")))
+        .withColumn("recall",
+          when(col("n_actual") === 0L, 0.0)
+            .otherwise(col("tp").cast("double") / col("n_actual").cast("double")))
+        .withColumn("f1",
+          when(col("n_actual") + col("n_pred") === 0L, 0.0)
+            .otherwise((col("tp") * 2L).cast("double") /
+              (col("n_actual") + col("n_pred")).cast("double")))
+        .orderBy("label")
+    } {
+      s"""WITH $CentroidConfusionCte,
+        |act AS (
+        |  SELECT label_actual AS label, CAST(SUM(n_vecs) AS BIGINT)
+        |    AS n_actual
+        |  FROM confusion GROUP BY 1),
+        |prd AS (
+        |  SELECT label_pred AS label, CAST(SUM(n_vecs) AS BIGINT) AS n_pred
+        |  FROM confusion GROUP BY 1),
+        |tp AS (
+        |  SELECT label_actual AS label, n_vecs AS tp FROM confusion
+        |  WHERE label_actual = label_pred),
+        |j AS (
+        |  SELECT COALESCE(act.label, prd.label) AS label,
+        |    COALESCE(n_actual, 0) AS n_actual, COALESCE(n_pred, 0) AS n_pred,
+        |    COALESCE(tp.tp, 0) AS tp
+        |  FROM act FULL OUTER JOIN prd ON act.label = prd.label
+        |  LEFT JOIN tp ON COALESCE(act.label, prd.label) = tp.label)
+        |SELECT label, n_actual, n_pred, tp,
+        |  CASE WHEN n_pred = 0 THEN 0.0
+        |    ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+        |  CASE WHEN n_actual = 0 THEN 0.0
+        |    ELSE CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) END AS recall,
+        |  CASE WHEN n_actual + n_pred = 0 THEN 0.0
+        |    ELSE CAST(tp * 2 AS DOUBLE) / CAST(n_actual + n_pred AS DOUBLE)
+        |    END AS f1
+        |FROM j
+        |ORDER BY label""".stripMargin
     }
   )
+
+  /** The q116 train/test centroid confusion matrix — one derivation
+    * shared by the classifier query (q116) and its metric report
+    * (q216): even-id vectors fit per-label centroids (exact integer
+    * coordinate sums), odd-id vectors classify by cosine against the
+    * ONE broadcast centroid row via the map-side argmax fold.
+    */
+  def centroidConfusion(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val q3 = "transform(embedding, x -> cast(floor(cast(x AS double) * 1000.0) AS double))"
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), expr(q3).as("v"))
+    val sums = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv").cast("long")).as("s"))
+    val cent = sums.groupBy(col("label"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(pos, s))), x -> cast(x.s AS double))")
+        .as("cv"))
+      .withColumn("nrm", sqrt(expr("vec_dot(cv, cv)")))
+    val cents = cent.agg(collect_list(
+      expr("named_struct('l', label, 'cv', cv, 'nrm', nrm)")).as("cents"))
+    emb.filter(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(cents))
+      .withColumn("best", expr(
+        """aggregate(cents,
+          |  named_struct('s', cast(-1e308 AS double), 'l', cast(-1 AS int)),
+          |  (acc, c) -> CASE
+          |    WHEN vec_dot(v, c.cv) / c.nrm > acc.s
+          |      OR (vec_dot(v, c.cv) / c.nrm = acc.s AND c.l < acc.l)
+          |    THEN named_struct('s', vec_dot(v, c.cv) / c.nrm, 'l', c.l)
+          |    ELSE acc END)""".stripMargin))
+      .groupBy(col("label").as("label_actual"), col("best.l").as("label_pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** DuckDB twin of [[centroidConfusion]] as a CTE prelude ending in a
+    * `confusion(label_actual, label_pred, n_vecs)` relation.
+    */
+  private def CentroidConfusionCte: String =
+    """q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0)) AS v
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT label, UNNEST(v) AS qv, generate_subscripts(v, 1) AS pos
+      |  FROM q WHERE vec_id % 2 = 0),
+      |s AS (
+      |  SELECT label, pos, CAST(SUM(qv) AS DOUBLE) AS sv FROM e GROUP BY label, pos),
+      |cent AS (SELECT label, LIST(sv ORDER BY pos) AS cv FROM s GROUP BY label),
+      |cn AS (SELECT label, cv, SQRT(list_dot_product(cv, cv)) AS nrm FROM cent),
+      |scored AS (
+      |  SELECT t.vec_id, t.label AS label_actual, c.label AS label_pred,
+      |    list_dot_product(t.v, c.cv) / c.nrm AS score
+      |  FROM q t CROSS JOIN cn c WHERE t.vec_id % 2 = 1),
+      |best AS (
+      |  SELECT vec_id, label_actual, label_pred,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY score DESC, label_pred) AS rn
+      |  FROM scored),
+      |confusion AS (
+      |  SELECT label_actual, label_pred, COUNT(*) AS n_vecs
+      |  FROM best WHERE rn = 1
+      |  GROUP BY label_actual, label_pred)""".stripMargin
 
   /** q127's cosine cut: a pair is semantically redundant above this.
     * (0.4 on the synthetic fixtures plays the role SemDeDup's ~0.95

@@ -1763,6 +1763,72 @@ object Events {
         |    / CAST(COUNT(*) AS DOUBLE) AS avg_cents
         |FROM pit GROUP BY tier
         |ORDER BY tier""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q214: LAG-FEATURE MATRIX — the time-series featurization step a
+    // forecasting pipeline materializes before training (one row per
+    // (series, day): yesterday, same-day-last-week, trailing-7 total
+    // and mean, day-over-day delta). Everything is integer counts over
+    // the dense per-type grid except the trailing mean's ONE terminal
+    // division; lags at the series edge are explicit NULLs (a model
+    // must see "no history yet", not a silent 0 — the 0-fill is what
+    // the EWMA/CUSUM monitors use, deliberately different here). One
+    // keyed window pass produces every feature — the frame is shared,
+    // so adding features widens the projection, not the shuffle.
+    QueryDef.sql("q214_lag_features") { (s, d) =>
+      val daily = Tables(s, d, "events")
+        .select(col("event_type").as("etype"),
+          expr("CAST(datediff(cast(ts AS timestamp), DATE '2024-01-01') AS BIGINT)")
+            .as("day"))
+        .groupBy(col("etype"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+        .crossJoin(daily.select(col("etype")).distinct())
+      val filled = grid.join(daily, Seq("etype", "day"), "left_outer")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val w = Window.partitionBy(col("etype")).orderBy(col("day"))
+      val w7 = w.rowsBetween(-6, 0)
+      filled
+        .withColumn("lag_1", lag(col("c"), 1).over(w))
+        .withColumn("lag_7", lag(col("c"), 7).over(w))
+        .withColumn("trail_7", sum(col("c")).over(w7))
+        .withColumn("n_trail", count(lit(1)).over(w7))
+        .select(col("etype"), col("day"), col("c"), col("lag_1"),
+          col("lag_7"), col("trail_7"),
+          (col("trail_7").cast("double") / col("n_trail").cast("double"))
+            .as("trail_mean"),
+          (col("c") - col("lag_1")).as("delta_1"))
+        .orderBy("etype", "day")
+    } {
+      """WITH daily AS (
+        |  SELECT event_type AS etype,
+        |    CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |grid AS (
+        |  SELECT t.etype, g.day
+        |  FROM (SELECT DISTINCT etype FROM daily) t,
+        |    (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span) g),
+        |filled AS (
+        |  SELECT g.etype, g.day, COALESCE(d.c, 0) AS c
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.etype = d.etype AND g.day = d.day)
+        |SELECT etype, day, c,
+        |  LAG(c, 1) OVER w AS lag_1,
+        |  LAG(c, 7) OVER w AS lag_7,
+        |  CAST(SUM(c) OVER w7 AS BIGINT) AS trail_7,
+        |  CAST(CAST(SUM(c) OVER w7 AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w7 AS DOUBLE) AS trail_mean,
+        |  c - LAG(c, 1) OVER w AS delta_1
+        |FROM filled
+        |WINDOW w AS (PARTITION BY etype ORDER BY day),
+        |  w7 AS (PARTITION BY etype ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY etype, day""".stripMargin
     }
   )
 }

@@ -533,6 +533,78 @@ object Extended {
         |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi_value
         |FROM t GROUP BY o_orderpriority, tile
         |ORDER BY o_orderpriority, tile""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q215: LEAVE-ONE-OUT TARGET ENCODING — the gradient-boosting
+    // feature trick for high-cardinality categoricals (encode p_brand
+    // by its return rate) done the non-leaking way: each row's encoding
+    // excludes ITS OWN target ((sum − y)/(n − 1), plus m-smoothing
+    // toward the global prior so rare brands shrink to the mean —
+    // Micci-Barreca, SIGKDD Expl.'01). A naive mean encoding leaks the
+    // label and a GBM will happily memorize it; LOO is the audit
+    // difference this query materializes (enc_mean vs naive_rate).
+    // DETERMINISM: counts exact; prior and every encoding are fixed
+    // IEEE expression trees (one divide each). The per-row encoding
+    // aggregates back to brand level in DECIMAL(18,6) — order-free
+    // exact — before ONE cast. SCALE SHAPE: one keyed join
+    // (lineitem⋈part on partkey), one brand-keyed moment agg, a
+    // broadcast scalar prior, then the per-row encode is map-side
+    // arithmetic — the wide relation is never re-shuffled.
+    QueryDef.sql("q215_target_encoding") { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val D = DecimalType(18, 6)
+      val m = 10.0
+      val rows = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val prior = rows.agg(
+        (sum(col("y")).cast("double") / count(lit(1)).cast("double"))
+          .as("prior"))
+      val stats = rows.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      rows.join(stats, "brand").crossJoin(broadcast(prior))
+        .withColumn("enc",
+          ((col("pos") - col("y")).cast("double") + lit(m) * col("prior")) /
+            ((col("n") - 1L).cast("double") + lit(m)))
+        .groupBy(col("brand"))
+        .agg(
+          max(col("n")).as("n_rows"), max(col("pos")).as("n_pos"),
+          max(col("prior")).as("prior"),
+          (max(col("pos")).cast("double") / max(col("n")).cast("double"))
+            .as("naive_rate"),
+          sum(col("enc").cast(D)).cast("double").as("enc_sum"),
+          min(col("enc")).as("enc_min"), max(col("enc")).as("enc_max"))
+        .withColumn("enc_mean", col("enc_sum") / col("n_rows").cast("double"))
+        .drop("enc_sum")
+        .orderBy("brand")
+    } {
+      """WITH rows_ AS (
+        |  SELECT p.p_brand AS brand,
+        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |pr AS (
+        |  SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS prior
+        |  FROM rows_),
+        |st AS (
+        |  SELECT brand, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM rows_ GROUP BY brand),
+        |enc AS (
+        |  SELECT r.brand, st.n, st.pos, pr.prior,
+        |    (CAST(st.pos - r.y AS DOUBLE) + 10.0 * pr.prior)
+        |      / (CAST(st.n - 1 AS DOUBLE) + 10.0) AS enc
+        |  FROM rows_ r JOIN st ON r.brand = st.brand CROSS JOIN pr)
+        |SELECT brand, MAX(n) AS n_rows, MAX(pos) AS n_pos,
+        |  MAX(prior) AS prior,
+        |  CAST(MAX(pos) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS naive_rate,
+        |  MIN(enc) AS enc_min, MAX(enc) AS enc_max,
+        |  CAST(SUM(CAST(enc AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(MAX(n) AS DOUBLE) AS enc_mean
+        |FROM enc GROUP BY brand
+        |ORDER BY brand""".stripMargin
     }
   )
 

@@ -1738,6 +1738,103 @@ object Stats {
          |  FROM dets)
          |SELECT rn, level, pos, detail FROM ranked
          |WHERE rn <= 8 ORDER BY rn""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q213: BINARY-SEGMENTATION CHANGE POINT — the offline "WHERE did
+    // the level shift" estimator that complements q195's online CUSUM
+    // alarm (AMOC / first step of binary segmentation, Scott & Knott):
+    // per priority, the split day t maximizing the between-segment
+    // contrast |n·S_t − t·S_n|² / (t·(n−t)) over the dense daily grid.
+    // The numerator's base n·S_t − t·S_n is EXACT int64 (the same
+    // n-scaled mean-removal as q195); the objective is one IEEE divide
+    // per candidate of exact-integer operands, and the argmax
+    // tie-breaks on the earlier day. Left/right segment means are
+    // terminal divisions. Shape: the q195 grid + ONE prefix-sum window
+    // per priority, a keyed max, one keyed join back — no per-split
+    // rescan (the naive formulation recomputes both segment means per
+    // candidate; the prefix identity makes each candidate O(1)).
+    QueryDef.sql("q213_binary_segmentation") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)")
+            .as("day"))
+        .groupBy(col("prio"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+        .crossJoin(daily.select(col("prio")).distinct())
+      val filled = grid.join(daily, Seq("prio", "day"), "left_outer")
+        .withColumn("c", coalesce(col("n"), lit(0L)))
+      val wRun = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wIdx = Window.partitionBy(col("prio")).orderBy(col("day"))
+      val stats = filled.groupBy(col("prio"))
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("total"))
+      val scored = filled.join(broadcast(stats), "prio")
+        .withColumn("t", row_number().over(wIdx).cast("long"))
+        .withColumn("st", sum(col("c")).over(wRun))
+        .filter(col("t") < col("nd"))
+        // square in DOUBLE: num is exact int64 (|num| ≤ nd·total < 2^53
+        // at the design point) but num² would overflow int64 — one
+        // exact long→double cast then a correctly-rounded square
+        .withColumn("num",
+          (col("nd") * col("st") - col("t") * col("total")).cast("double"))
+        .withColumn("contrast",
+          (col("num") * col("num")) /
+            (col("t") * (col("nd") - col("t"))).cast("double"))
+      val wBest = Window.partitionBy(col("prio"))
+        .orderBy(col("contrast").desc, col("day"))
+      scored.withColumn("rb", row_number().over(wBest))
+        .filter(col("rb") === 1)
+        .select(col("prio"), col("day").as("split_day"), col("contrast"),
+          (col("st").cast("double") / col("t").cast("double"))
+            .as("mean_left"),
+          ((col("total") - col("st")).cast("double") /
+            (col("nd") - col("t")).cast("double")).as("mean_right"))
+        .orderBy("prio")
+    } {
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(DATEDIFF('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |grid AS (
+        |  SELECT p.prio, g.day
+        |  FROM (SELECT DISTINCT prio FROM daily) p,
+        |    (SELECT UNNEST(GENERATE_SERIES(lo, hi)) AS day FROM span) g),
+        |filled AS (
+        |  SELECT g.prio, g.day, COALESCE(d.n, 0) AS c
+        |  FROM grid g LEFT JOIN daily d ON g.prio = d.prio AND g.day = d.day),
+        |st AS (
+        |  SELECT prio, COUNT(*) AS nd, CAST(SUM(c) AS BIGINT) AS total
+        |  FROM filled GROUP BY prio),
+        |pfx AS (
+        |  SELECT f.prio, f.day, st.nd, st.total,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+        |    CAST(SUM(f.c) OVER (PARTITION BY f.prio ORDER BY f.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS stv
+        |  FROM filled f JOIN st ON f.prio = st.prio
+        |  WINDOW w AS (PARTITION BY f.prio ORDER BY f.day)),
+        |sc AS (
+        |  SELECT prio, day, t, nd, total, stv,
+        |    (CAST(nd * stv - t * total AS DOUBLE)
+        |      * CAST(nd * stv - t * total AS DOUBLE))
+        |      / CAST(t * (nd - t) AS DOUBLE) AS contrast
+        |  FROM pfx WHERE t < nd),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY prio
+        |    ORDER BY contrast DESC, day) AS rb
+        |  FROM sc)
+        |SELECT prio, day AS split_day, contrast,
+        |  CAST(stv AS DOUBLE) / CAST(t AS DOUBLE) AS mean_left,
+        |  CAST(total - stv AS DOUBLE) / CAST(nd - t AS DOUBLE) AS mean_right
+        |FROM best WHERE rb = 1
+        |ORDER BY prio""".stripMargin
     }
   )
 

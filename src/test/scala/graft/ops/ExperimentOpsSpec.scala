@@ -397,4 +397,120 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // temporal correctness bites on the fixture: not every purchase is 'none'
     assert(got.exists(_._1 != "none"))
   }
+
+  test("q213 split maximizes the contrast — checked against the naive rescan") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q213_binary_segmentation")(spark, d)
+      .select($"prio", $"split_day", $"contrast", $"mean_left", $"mean_right")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    val days = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderpriority",
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"))
+      .as[(String, Long)].collect()
+    val (lo, hi) = (days.map(_._2).min, days.map(_._2).max)
+    val expect = days.groupBy(_._1).map { case (prio, ds) =>
+      val byDay = ds.groupBy(_._2).map { case (k, v) => (k, v.length.toLong) }
+      val cs = (lo to hi).map(day => byDay.getOrElse(day, 0L))
+      val (nd, total) = (cs.length.toLong, cs.sum)
+      // the NAIVE formulation: recompute both segment means per split
+      val cands = (1L until nd).map { t =>
+        val st = cs.take(t.toInt).sum
+        val num = (nd * st - t * total).toDouble
+        (num * num / (t * (nd - t)).toDouble, lo + t - 1, st, t)
+      }
+      val best = cands.maxBy(c => (c._1, -c._2))
+      (prio, best._2, best._1, best._3.toDouble / best._4,
+        (total - best._3).toDouble / (nd - best._4))
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    // a split separates: left and right means differ where contrast > 0
+    assert(got.forall(r => r._3 == 0.0 || r._4 != r._5))
+  }
+
+  test("q214 features replay sequentially; edges are NULL not zero") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q214_lag_features")(spark, d)
+      .select($"etype", $"day", $"c", $"lag_1", $"lag_7", $"trail_7",
+        $"trail_mean", $"delta_1")
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Double,
+        Option[Long])].collect().toSeq.sortBy(t => (t._1, t._2))
+    val days = spark.read.parquet(s"$d/events.parquet")
+      .select($"event_type",
+        expr("CAST(datediff(cast(ts AS timestamp), DATE '2024-01-01') AS BIGINT)"))
+      .as[(String, Long)].collect()
+    val (lo, hi) = (days.map(_._2).min, days.map(_._2).max)
+    val expect = days.groupBy(_._1).iterator.flatMap { case (t, ds) =>
+      val byDay = ds.groupBy(_._2).map { case (k, v) => (k, v.length.toLong) }
+      val cs = (lo to hi).map(day => byDay.getOrElse(day, 0L)).toIndexedSeq
+      cs.indices.map { i =>
+        val t7 = cs.slice(math.max(0, i - 6), i + 1)
+        (t, lo + i, cs(i),
+          if (i >= 1) Some(cs(i - 1)) else None,
+          if (i >= 7) Some(cs(i - 7)) else None,
+          t7.sum, t7.sum.toDouble / t7.length,
+          if (i >= 1) Some(cs(i) - cs(i - 1)) else None)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect)
+    assert(got.filter(_._2 == lo).forall(r => r._4.isEmpty && r._8.isEmpty))
+  }
+
+  test("q215 LOO encoding replays per brand and never equals the leaking mean") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q215_target_encoding")(spark, d)
+      .select($"brand", $"n_rows", $"n_pos", $"naive_rate", $"enc_min",
+        $"enc_max", $"enc_mean")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq.sortBy(_._1)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_partkey", $"l_returnflag").as[(Long, String)].collect()
+    val brandOf = spark.read.parquet(s"$d/part.parquet")
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val rows = li.map { case (pk, rf) => (brandOf(pk), if (rf == "R") 1L else 0L) }
+    val prior = rows.map(_._2).sum.toDouble / rows.length
+    val expect = rows.groupBy(_._1).map { case (b, rs) =>
+      val (n, pos) = (rs.length.toLong, rs.map(_._2).sum)
+      val encs = rs.map(r =>
+        ((pos - r._2).toDouble + 10.0 * prior) / ((n - 1).toDouble + 10.0))
+      val encMean = encs.map(e =>
+        BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)).sum
+      (b, n, pos, pos.toDouble / n, encs.min, encs.max,
+        encMean.toDouble / n)
+    }.toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) ==
+      expect.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._7 - e._7) < 1e-9, s"${g._1}: ${g._7} vs ${e._7}")
+    }
+    // LOO ≠ naive mean wherever the brand has both outcomes
+    assert(got.exists(r => r._5 != r._6))
+  }
+
+  test("q216 metrics are consistent with the registered q116 matrix") {
+    import spark.implicits._
+    val matrix = graft.SparkEntry.queries("q116_centroid_classifier")(spark, d)
+      .select($"label_actual", $"label_pred", $"n_vecs")
+      .as[(Int, Int, Long)].collect().toSeq
+    val got = graft.SparkEntry.queries("q216_confusion_metrics")(spark, d)
+      .select($"label", $"n_actual", $"n_pred", $"tp", $"precision",
+        $"recall", $"f1")
+      .as[(Int, Long, Long, Long, Double, Double, Double)].collect().toSeq
+      .sortBy(_._1)
+    val labels = (matrix.map(_._1) ++ matrix.map(_._2)).distinct.sorted
+    val expect = labels.map { l =>
+      val na = matrix.filter(_._1 == l).map(_._3).sum
+      val np = matrix.filter(_._2 == l).map(_._3).sum
+      val tp = matrix.filter(m => m._1 == l && m._2 == l).map(_._3).sum
+      (l, na, np, tp,
+        if (np == 0) 0.0 else tp.toDouble / np,
+        if (na == 0) 0.0 else tp.toDouble / na,
+        if (na + np == 0) 0.0 else (2 * tp).toDouble / (na + np))
+    }
+    assert(got == expect)
+    // F1 is between min and max of precision/recall wherever defined
+    got.filter(r => r._5 > 0 && r._6 > 0).foreach { r =>
+      assert(r._7 >= math.min(r._5, r._6) - 1e-12 &&
+        r._7 <= math.max(r._5, r._6) + 1e-12)
+    }
+  }
 }
