@@ -95,6 +95,36 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
   }
 
+  /** Shared oracle prelude: [[EdgeSql]] + three label-propagation
+    * sweeps, ending in `r3(node, lbl)` — factored so q157 (the
+    * communities) and q217 (their modularity) grade the identical
+    * assignment.
+    */
+  private def LabelPropCte: String =
+    s"""$EdgeSql,
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |r1 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT e.dst, l.lbl,
+       |      ROW_NUMBER() OVER (PARTITION BY e.dst
+       |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+       |    FROM edges e JOIN l0 l ON e.src = l.node
+       |    GROUP BY e.dst, l.lbl) WHERE rk = 1),
+       |r2 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT e.dst, l.lbl,
+       |      ROW_NUMBER() OVER (PARTITION BY e.dst
+       |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+       |    FROM edges e JOIN r1 l ON e.src = l.node
+       |    GROUP BY e.dst, l.lbl) WHERE rk = 1),
+       |r3 AS (
+       |  SELECT dst AS node, lbl FROM (
+       |    SELECT e.dst, l.lbl,
+       |      ROW_NUMBER() OVER (PARTITION BY e.dst
+       |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+       |    FROM edges e JOIN r2 l ON e.src = l.node
+       |    GROUP BY e.dst, l.lbl) WHERE rk = 1)""".stripMargin
+
   /** Shared oracle prelude: baskets → supported symmetric edges. */
   private val EdgeSql =
     s"""li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -426,33 +456,81 @@ object Graph {
           col("community_size"))
         .orderBy("node")
     } {
-      s"""WITH $EdgeSql,
-         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-         |r1 AS (
-         |  SELECT dst AS node, lbl FROM (
-         |    SELECT e.dst, l.lbl,
-         |      ROW_NUMBER() OVER (PARTITION BY e.dst
-         |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
-         |    FROM edges e JOIN l0 l ON e.src = l.node
-         |    GROUP BY e.dst, l.lbl) WHERE rk = 1),
-         |r2 AS (
-         |  SELECT dst AS node, lbl FROM (
-         |    SELECT e.dst, l.lbl,
-         |      ROW_NUMBER() OVER (PARTITION BY e.dst
-         |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
-         |    FROM edges e JOIN r1 l ON e.src = l.node
-         |    GROUP BY e.dst, l.lbl) WHERE rk = 1),
-         |r3 AS (
-         |  SELECT dst AS node, lbl FROM (
-         |    SELECT e.dst, l.lbl,
-         |      ROW_NUMBER() OVER (PARTITION BY e.dst
-         |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
-         |    FROM edges e JOIN r2 l ON e.src = l.node
-         |    GROUP BY e.dst, l.lbl) WHERE rk = 1),
+      s"""WITH $LabelPropCte,
          |sizes AS (SELECT lbl, COUNT(*) AS community_size FROM r3 GROUP BY 1)
          |SELECT r3.node, r3.lbl AS community, sizes.community_size
          |FROM r3 JOIN sizes ON r3.lbl = sizes.lbl
          |ORDER BY r3.node""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q217: MODULARITY SCORE — the quality metric for the q157
+    // communities (Newman & Girvan): per community, intra-edge mass vs
+    // the degree-product null model. The assignment relation is THE
+    // registered q157 output on the Spark side and the SAME factored
+    // CTE on the oracle side (q128→q131's cross-reference posture), so
+    // the score can never drift from the communities it grades.
+    // ARITHMETIC: with M2 = the directed edge count (= 2m on this
+    // symmetric graph), Q = Σ_c (E_c·M2 − d_c²) / M2². E_c, d_c, M2
+    // are exact int64; each product is taken in DOUBLE over exact
+    // ≤2^53 operands (E_c·M2 overflows int64 at warehouse scale — the
+    // double product is correctly rounded from exact inputs on both
+    // engines, which is the determinism contract). SCALE SHAPE: two
+    // label-keyed joins of the edge relation (the same shape as one
+    // propagation sweep), keyed shrinks, one broadcast scalar.
+    QueryDef.sql("q217_modularity_score") { (s, d) =>
+      val labels = queries.find(_.name == "q157_label_propagation").get
+        .run(s, d).select(col("node"), col("community"))
+      val e = edges(s, d).select(col("src"), col("dst"))
+      val m2 = e.agg(count(lit(1)).as("m2"))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val dsum = labels
+        .join(deg, labels("node") === deg("src"))
+        .groupBy(col("community")).agg(sum(col("deg")).as("d_c"))
+      val intra = e
+        .join(labels.select(col("node").as("src"), col("community").as("cs")),
+          "src")
+        .join(labels.select(col("node").as("dst"), col("community").as("cd")),
+          "dst")
+        .filter(col("cs") === col("cd"))
+        .groupBy(col("cs").as("community"))
+        .agg(count(lit(1)).as("e_intra"))
+      dsum.join(intra, Seq("community"), "left_outer")
+        .crossJoin(broadcast(m2))
+        .select(col("community"),
+          coalesce(col("e_intra"), lit(0L)).as("e_intra"),
+          col("d_c"),
+          ((coalesce(col("e_intra"), lit(0L)).cast("double") *
+            col("m2").cast("double") -
+            col("d_c").cast("double") * col("d_c").cast("double")) /
+            (col("m2").cast("double") * col("m2").cast("double")))
+            .as("contribution"))
+        .orderBy("community")
+    } {
+      s"""WITH $LabelPropCte,
+         |labels AS (SELECT node, lbl AS community FROM r3),
+         |m2 AS (SELECT COUNT(*) AS m2 FROM edges),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |dsum AS (
+         |  SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS d_c
+         |  FROM labels l JOIN deg d ON l.node = d.src
+         |  GROUP BY l.community),
+         |intra AS (
+         |  SELECT ls.community, COUNT(*) AS e_intra
+         |  FROM edges e
+         |  JOIN labels ls ON e.src = ls.node
+         |  JOIN labels ld ON e.dst = ld.node
+         |  WHERE ls.community = ld.community
+         |  GROUP BY ls.community)
+         |SELECT d.community,
+         |  COALESCE(i.e_intra, 0) AS e_intra, d.d_c,
+         |  (CAST(COALESCE(i.e_intra, 0) AS DOUBLE) * CAST(m2.m2 AS DOUBLE)
+         |    - CAST(d.d_c AS DOUBLE) * CAST(d.d_c AS DOUBLE))
+         |    / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE))
+         |    AS contribution
+         |FROM dsum d LEFT JOIN intra i ON d.community = i.community
+         |CROSS JOIN m2
+         |ORDER BY d.community""".stripMargin
     },
 
     // ------------------------------------------------------------------

@@ -513,4 +513,35 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
         r._7 <= math.max(r._5, r._6) + 1e-12)
     }
   }
+
+  test("q217 modularity replays from the registered q157 assignment") {
+    import spark.implicits._
+    val labels = graft.SparkEntry.queries("q157_label_propagation")(spark, d)
+      .select($"node", $"community").as[(Long, Long)].collect().toMap
+    val got = graft.SparkEntry.queries("q217_modularity_score")(spark, d)
+      .select($"community", $"e_intra", $"d_c", $"contribution")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // rebuild the supported symmetric edge relation like the query does
+    val baskets = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).values
+      .map(_.map(_._2).sorted.toSeq)
+    val half = baskets.toSeq.flatMap(_.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length).filter(_._2 >= 2).keys.toSeq
+    val edges = half.flatMap(p => Seq(p, (p._2, p._1)))
+    val m2 = edges.length.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expect = labels.values.toSeq.distinct.sorted.map { c =>
+      val members = labels.collect { case (n, cc) if cc == c => n }.toSet
+      val eIntra = edges.count(e =>
+        members(e._1) && labels(e._2) == c).toLong
+      val dC = members.toSeq.map(n => deg.getOrElse(n, 0L)).sum
+      (c, eIntra, dC,
+        (eIntra.toDouble * m2 - dC.toDouble * dC.toDouble) / (m2.toDouble * m2))
+    }
+    assert(got == expect)
+    // total modularity is a proper score: in (-1, 1]
+    val q = got.map(_._4).sum
+    assert(q > -1.0 && q <= 1.0)
+  }
 }

@@ -236,4 +236,32 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // O(deg^2) wedges and shows up here
     assertTrend("q152_triangle_clustering", "lineitem")
   }
+
+  test("q204 frequent triples scale sub-quadratically in lineitem") {
+    // C(L,3) expansion is basket-local (L domain-bounded); a candidate
+    // pair×pair join regression grows with the square of the pair
+    // relation and trips this
+    assertTrend("q204_frequent_triples", "lineitem")
+  }
+
+  test("q207 phrase search scales sub-quadratically in documents") {
+    // the adjacency join is doc-collocated (pos+1 within one doc) and
+    // the census relation is bigram-vocab-sized; a cross-doc postings
+    // join would grow quadratically in corpus tokens
+    assertTrend("q207_phrase_search", "documents")
+  }
+
+  test("q211 PQ codebook scales sub-quadratically in embeddings") {
+    // both sweeps are map-side folds over a broadcast 4×8 codebook; a
+    // shuffle join of blocks×centroids (or worse, blocks×blocks)
+    // regresses the growth and trips this
+    assertTrend("q211_pq_codebook", "embeddings")
+  }
+
+  test("q200 quantile normalization scales sub-quadratically in documents") {
+    // the position table explodes from the DISTINCT-score relation and
+    // joins once on int position; a per-doc×distinct-score range probe
+    // would be quadratic
+    assertTrend("q200_quantile_normalization", "documents")
+  }
 }
