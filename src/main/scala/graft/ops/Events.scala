@@ -1829,6 +1829,56 @@ object Events {
         |  w7 AS (PARTITION BY etype ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY etype, day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q218: SHARD REBALANCE PLAN — the reference's consumer-group
+    // assignment rule (`/root/reference/syncclient.go:113-117`: client
+    // idx of n owns shards [round(idx·r), round((idx+1)·r)), r =
+    // shards/n) applied AS AN ANALYTIC: when the group scales 2 → 3
+    // clients, which shards move, and how many buffered records ride
+    // the checkpoint handoff. owner(s) = Σ_{i=1..n−1} [round(i·r) ≤ s]
+    // — the range rule inverted into a per-shard fold over the tiny
+    // client list, so both engines evaluate the identical round()
+    // boundaries (positive half-up on both). The spec additionally pins
+    // this SQL derivation against the ShardAssignment.split function
+    // the source layer actually uses (the [2,1,2] golden from
+    // `kinesumer_test.go:231-316`), closing the loop between §2.1
+    // semantics and the query surface.
+    QueryDef.sql("q218_shard_rebalance_plan") { (s, d) =>
+      val owner = (n: Int) => expr(
+        s"""aggregate(sequence(1, ${n - 1}), 0L,
+           |  (acc, i) -> acc + IF(ROUND(i * (${NumShards}.0 / $n)) <= s,
+           |    1L, 0L))""".stripMargin)
+      Tables(s, d, "events")
+        .select(pmod(col("user_id"), lit(NumShards)).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("n_records"))
+        .withColumn("old_owner", owner(2))
+        .withColumn("new_owner", owner(3))
+        .select(
+          format_string("shardId-%012d", col("s")).as("shard_id"),
+          col("n_records"), col("old_owner"), col("new_owner"),
+          (col("old_owner") =!= col("new_owner")).cast("long").as("moved"))
+        .orderBy("shard_id")
+    } {
+      s"""WITH sh AS (
+         |  SELECT user_id % $NumShards AS s, COUNT(*) AS n_records
+         |  FROM events GROUP BY 1),
+         |own AS (
+         |  SELECT s, n_records,
+         |    CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 2),
+         |      i -> CASE WHEN ROUND(i * (${NumShards}.0 / 2)) <= s
+         |        THEN 1 ELSE 0 END)) AS BIGINT) AS old_owner,
+         |    CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 3),
+         |      i -> CASE WHEN ROUND(i * (${NumShards}.0 / 3)) <= s
+         |        THEN 1 ELSE 0 END)) AS BIGINT) AS new_owner
+         |  FROM sh)
+         |SELECT PRINTF('shardId-%012d', s) AS shard_id, n_records,
+         |  old_owner, new_owner,
+         |  CAST(CASE WHEN old_owner <> new_owner THEN 1 ELSE 0 END
+         |    AS BIGINT) AS moved
+         |FROM own
+         |ORDER BY shard_id""".stripMargin
     }
   )
 }

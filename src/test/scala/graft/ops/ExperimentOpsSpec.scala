@@ -544,4 +544,31 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     val q = got.map(_._4).sum
     assert(q > -1.0 && q <= 1.0)
   }
+
+  test("q218 SQL owners agree with ShardAssignment.split and its goldens") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q218_shard_rebalance_plan")(spark, d)
+      .select($"shard_id", $"n_records", $"old_owner", $"new_owner", $"moved")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 5)
+    // the SQL owner derivation must equal the source layer's function
+    val shards = (0 until 5).toSeq
+    def owners(n: Int): Map[Int, Int] =
+      graft.source.ShardAssignment.split(shards, n).zipWithIndex
+        .flatMap { case (ss, i) => ss.map(_ -> i) }.toMap
+    val (o2, o3) = (owners(2), owners(3))
+    got.zipWithIndex.foreach { case (r, s) =>
+      assert(r._3 == o2(s).toLong && r._4 == o3(s).toLong,
+        s"shard $s: SQL (${r._3}, ${r._4}) vs function (${o2(s)}, ${o3(s)})")
+    }
+    // the reference golden: 5 shards / 3 clients split [2, 1, 2]
+    assert(graft.source.ShardAssignment.split(shards, 3).map(_.size) ==
+      Seq(2, 1, 2))
+    // contiguous-range rebalance is minimal-movement: growing 2 -> 3
+    // clients moves strictly fewer shards than a full reshuffle
+    assert(got.count(_._5 == 1L) < 5)
+    // every record is accounted for
+    val evTotal = spark.read.parquet(s"$d/events.parquet").count()
+    assert(got.map(_._2).sum == evTotal)
+  }
 }
