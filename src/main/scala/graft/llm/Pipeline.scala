@@ -1562,6 +1562,81 @@ object Pipeline {
          |FROM drawn WHERE rn <= alloc
          |GROUP BY lang
          |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q219: PADDING-WASTE AUDIT — the batching-efficiency decision
+    // every trainer makes: batches of 32 padded to their own max
+    // length, under (a) hash-order batching (the arrival baseline) vs
+    // (b) length-sorted batching (the standard bucketing trick). Waste
+    // per batch = n·max − Σlen, all exact int64; the two strategies
+    // differ ONLY in the rank order, so the comparison isolates the
+    // batching policy. This is the measurement that justifies (or
+    // kills) adding a sort stage to the data loader. SCALE SHAPE: two
+    // [[graft.ops.Scale.globalRowNumber]] passes (never a single-task
+    // sort), batch-keyed shrinking aggs, a 2-row final relation.
+    QueryDef.sql("q219_padding_waste_audit") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " "))
+          .cast("long").as("len"))
+      def waste(ordered: DataFrame, tag: String): DataFrame =
+        ordered
+          .withColumn("batch", expr("(rnk - 1) DIV 32"))
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n"), max(col("len")).as("mx"),
+            sum(col("len")).as("tok"))
+          .agg(
+            count(lit(1)).as("n_batches"),
+            sum(col("tok")).as("total_tokens"),
+            sum(col("n") * col("mx") - col("tok")).as("padding_waste"))
+          .select(lit(tag).as("strategy"), col("n_batches"),
+            col("total_tokens"), col("padding_waste"),
+            (col("padding_waste").cast("double") /
+              (col("padding_waste") + col("total_tokens")).cast("double"))
+              .as("waste_ratio"))
+      val arrival = graft.ops.Scale.globalRowNumber(
+        docs.withColumn("h", graft.Ids.hash("doc_id")), "rnk",
+        col("h").asc, col("doc_id").asc)
+      val sorted = graft.ops.Scale.globalRowNumber(
+        docs, "rnk", col("len").desc, col("doc_id").asc)
+      waste(arrival, "hash_order").unionAll(waste(sorted, "length_sorted"))
+        .orderBy("strategy")
+    } {
+      s"""WITH docs AS (
+         |  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)
+         |    AS len,
+         |    ${graft.Ids.hashSql("doc_id")} AS h
+         |  FROM documents),
+         |ra AS (
+         |  SELECT len, (CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id)
+         |    AS BIGINT) - 1) // 32 AS batch
+         |  FROM docs),
+         |rs AS (
+         |  SELECT len, (CAST(ROW_NUMBER() OVER (ORDER BY len DESC, doc_id)
+         |    AS BIGINT) - 1) // 32 AS batch
+         |  FROM docs),
+         |ba AS (
+         |  SELECT batch, COUNT(*) AS n, MAX(len) AS mx,
+         |    CAST(SUM(len) AS BIGINT) AS tok
+         |  FROM ra GROUP BY batch),
+         |bs AS (
+         |  SELECT batch, COUNT(*) AS n, MAX(len) AS mx,
+         |    CAST(SUM(len) AS BIGINT) AS tok
+         |  FROM rs GROUP BY batch),
+         |u AS (
+         |  SELECT 'hash_order' AS strategy, COUNT(*) AS n_batches,
+         |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(n * mx - tok) AS BIGINT) AS padding_waste
+         |  FROM ba
+         |  UNION ALL
+         |  SELECT 'length_sorted', COUNT(*),
+         |    CAST(SUM(tok) AS BIGINT), CAST(SUM(n * mx - tok) AS BIGINT)
+         |  FROM bs)
+         |SELECT strategy, n_batches, total_tokens, padding_waste,
+         |  CAST(padding_waste AS DOUBLE)
+         |    / CAST(padding_waste + total_tokens AS DOUBLE) AS waste_ratio
+         |FROM u
+         |ORDER BY strategy""".stripMargin
     }
   )
 }

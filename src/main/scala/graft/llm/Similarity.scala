@@ -1022,6 +1022,81 @@ object Similarity {
         |    END AS f1
         |FROM j
         |ORDER BY label""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q220: MATRYOSHKA TRUNCATION AUDIT — before serving truncated
+    // embeddings (the MRL deployment trick: store 64 dims, query with
+    // the first 16 at 4× less compute), measure what ranking quality
+    // the truncation costs: per anchor, recall@10 of the 16-dim cosine
+    // top-k against the full-64-dim exact top-k. The same decision
+    // dashboard as the q109/q110 ANN recall gates, but for DIMENSION
+    // truncation rather than index approximation. Exact quantized
+    // arithmetic both sides (q27's machinery verbatim; ties to smaller
+    // id), one IEEE division per recall. Scale: both rankings are one
+    // candidate scan against a broadcast anchor row; the per-anchor
+    // top-k limits map-side (partial WindowGroupLimit) and the overlap
+    // join is k-sized per anchor.
+    QueryDef.sql("q220_matryoshka_truncation") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val k = 10
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), expr(quant).as("v"))
+        .withColumn("vt", expr("slice(v, 1, 16)"))
+        .withColumn("n2", dot("v", "v"))
+        .withColumn("nt2", dot("vt", "vt"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("a_id"), col("v").as("qv"),
+          col("vt").as("qvt"), col("n2").as("qn2"), col("nt2").as("qnt2"))
+      val pairs = emb.join(broadcast(q), col("vec_id") =!= col("a_id"))
+        .withColumn("cos_full",
+          dot("qv", "v") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+        .withColumn("cos_trunc",
+          dot("qvt", "vt") / (sqrt(col("qnt2")) * sqrt(col("nt2"))))
+      val wF = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos_full").desc, col("vec_id"))
+      val wT = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos_trunc").desc, col("vec_id"))
+      val topF = pairs.withColumn("r", row_number().over(wF))
+        .filter(col("r") <= k).select(col("a_id"), col("vec_id"))
+      val topT = pairs.withColumn("r", row_number().over(wT))
+        .filter(col("r") <= k).select(col("a_id"), col("vec_id"))
+      topF.join(topT, Seq("a_id", "vec_id"), "left_semi")
+        .groupBy(col("a_id")).agg(count(lit(1)).as("n_overlap"))
+        .select(col("a_id"), col("n_overlap"),
+          (col("n_overlap").cast("double") / k).as("recall_at_10"))
+        .orderBy("a_id")
+    } {
+      s"""WITH e AS (
+         |  SELECT vec_id, $quantSql AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, list_slice(v, 1, 16) AS vt,
+         |    list_dot_product(v, v) AS n2,
+         |    list_dot_product(list_slice(v, 1, 16), list_slice(v, 1, 16))
+         |      AS nt2
+         |  FROM e),
+         |pairs AS (
+         |  SELECT q.vec_id AS a_id, c.vec_id,
+         |    list_dot_product(q.v, c.v) / (SQRT(q.n2) * SQRT(c.n2))
+         |      AS cos_full,
+         |    list_dot_product(q.vt, c.vt) / (SQRT(q.nt2) * SQRT(c.nt2))
+         |      AS cos_trunc
+         |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |tf AS (
+         |  SELECT a_id, vec_id FROM (
+         |    SELECT a_id, vec_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY cos_full DESC, vec_id) AS r FROM pairs)
+         |  WHERE r <= 10),
+         |tt AS (
+         |  SELECT a_id, vec_id FROM (
+         |    SELECT a_id, vec_id, ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY cos_trunc DESC, vec_id) AS r FROM pairs)
+         |  WHERE r <= 10)
+         |SELECT tf.a_id, COUNT(*) AS n_overlap,
+         |  CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+         |FROM tf JOIN tt ON tf.a_id = tt.a_id AND tf.vec_id = tt.vec_id
+         |GROUP BY tf.a_id
+         |ORDER BY tf.a_id""".stripMargin
     }
   )
 

@@ -571,4 +571,56 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     val evTotal = spark.read.parquet(s"$d/events.parquet").count()
     assert(got.map(_._2).sum == evTotal)
   }
+
+  test("q219 waste replays per strategy; sorting can only help") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q219_padding_waste_audit")(spark, d)
+      .select($"strategy", $"n_batches", $"total_tokens", $"padding_waste",
+        $"waste_ratio")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect()
+    def replay(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(32).toSeq
+      (batches.length.toLong, ordered.sum,
+        batches.map(b => b.length * b.max - b.sum).sum)
+    }
+    val hashOrd = docs.sortBy { case (id, _) => (idHash(id), id) }.map(_._2)
+    val lenOrd = docs.sortBy { case (id, l) => (-l, id) }.map(_._2)
+    val (hb, ht, hw) = replay(hashOrd)
+    val (sb, st, sw) = replay(lenOrd)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == Seq(
+      ("hash_order", hb, ht, hw), ("length_sorted", sb, st, sw)))
+    // descending-sorted consecutive grouping minimizes the batch maxima
+    assert(sw <= hw)
+    assert(got.forall(r => r._5 >= 0.0 && r._5 < 1.0))
+  }
+
+  test("q220 recall replays from exact full vs truncated rankings") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q220_matryoshka_truncation")(spark, d)
+      .select($"a_id", $"n_overlap", $"recall_at_10")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        (id, e.map(x => math.floor(x.toDouble * 1000.0)))
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d0 = a.zip(b).map { case (x, y) => x * y }.sum
+      d0 / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val anchors = vecs.filter(_._1 < 8)
+    val expect = anchors.sortBy(_._1).map { case (aid, av) =>
+      val cands = vecs.filter(_._1 != aid)
+      def topk(f: Array[Double] => Array[Double]) = cands
+        .map { case (id, v) => (cos(f(av), f(v)), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSet
+      val overlap = (topk(identity) & topk(_.take(16))).size.toLong
+      (aid, overlap, overlap.toDouble / 10)
+    }.toSeq
+    assert(got == expect)
+    assert(got.forall(r => r._2 >= 0 && r._2 <= 10))
+  }
 }
