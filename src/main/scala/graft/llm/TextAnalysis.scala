@@ -878,6 +878,65 @@ object TextAnalysis {
         |SELECT doc_id, rank, token, tf, df, score
         |FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q222: SPEARMAN RANK CORRELATION — "is the quality score just
+    // length in disguise?": per source, Spearman's ρ between document
+    // length and the audited q32 quality score. Pearson (q58) reads
+    // linear association; rank correlation reads MONOTONE association,
+    // which is the right question for a gating score. ENGINE-EXACT:
+    // ranks are row_numbers with the (value, doc_id) tie-break, d² sums
+    // are pure int64 (Σd² < n³ — exact to ~2M docs/source, then lift
+    // to DECIMAL(38)), and ρ = 1 − 6Σd²/(n(n²−1)) is one fixed IEEE
+    // chain with the denominator's products taken in double over exact
+    // operands. SCALE SHAPE: two source-KEYED rank windows over one
+    // scored scan, one keyed shrink — no global sort anywhere.
+    QueryDef.sql("q222_spearman_quality_length") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          col("n_chars").cast("long").as("len"))
+        .withColumn("q", qualityScore)
+        .drop("text")
+      val wLen = Window.partitionBy(col("source"))
+        .orderBy(col("len"), col("doc_id"))
+      val wQ = Window.partitionBy(col("source"))
+        .orderBy(col("q"), col("doc_id"))
+      scored
+        .withColumn("rl", row_number().over(wLen).cast("long"))
+        .withColumn("rq", row_number().over(wQ).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("rl") - col("rq")) * (col("rl") - col("rq")))
+            .as("sum_d2"))
+        .select(col("source"), col("n_docs"), col("sum_d2"),
+          (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n_docs").cast("double") *
+              (col("n_docs").cast("double") * col("n_docs").cast("double") -
+                lit(1.0)))).as("rho"))
+        .orderBy("source")
+    } {
+      s"""WITH scored AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS len,
+        |    $qualityScoreSql AS q
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY len, doc_id) AS BIGINT) AS rl,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY q, doc_id) AS BIGINT) AS rq
+        |  FROM scored)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM((rl - rq) * (rl - rq)) AS BIGINT) AS sum_d2,
+        |  1.0 - 6.0 * CAST(CAST(SUM((rl - rq) * (rl - rq)) AS BIGINT)
+        |      AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE)
+        |      * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+        |        - 1.0)) AS rho
+        |FROM ranked GROUP BY source
+        |ORDER BY source""".stripMargin
     }
   )
 }

@@ -1835,6 +1835,108 @@ object Stats {
         |  CAST(total - stv AS DOUBLE) / CAST(nd - t AS DOUBLE) AS mean_right
         |FROM best WHERE rb = 1
         |ORDER BY prio""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q221: DECISION-STUMP SPLIT FINDER — the inner loop of every
+    // gradient-boosted tree, distributed: over (user engagement score →
+    // did purchase), find the threshold minimizing weighted Gini
+    // impurity. The candidate relation is the DISTINCT-score histogram
+    // (score vocab, not user count) with prefix class counts — each
+    // candidate split is then O(1), the exact trick real GBM engines
+    // use (feature-histogram split finding, LightGBM-style). Gini
+    // needs no logs: n²·gini = n² − pos² − neg² is EXACT int64, and
+    // the weighted child impurity is a fixed chain of IEEE ops over
+    // exact operands, so the argmin is cross-engine stable (ties →
+    // smaller threshold). OVERFLOW: pos² ≤ n² < 2^63 to ~3e9 users —
+    // past that lift the squares into DECIMAL(38,0)/HUGEINT.
+    QueryDef.sql("q221_decision_stump") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val hist = users.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      val tot = users.agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      val wCum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cands = hist
+        .withColumn("nl", sum(col("cnt")).over(wCum))
+        .withColumn("pl", sum(col("pos")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n")) // a split must leave both sides
+      // weighted gini after split: Σ_child (n_c − (pos_c²+neg_c²)/n_c)/n
+      val giniAfter =
+        ((col("nl").cast("double") -
+          (col("pl") * col("pl") + (col("nl") - col("pl")) *
+            (col("nl") - col("pl"))).cast("double") /
+            col("nl").cast("double")) +
+          ((col("n") - col("nl")).cast("double") -
+            ((col("p") - col("pl")) * (col("p") - col("pl")) +
+              ((col("n") - col("nl")) - (col("p") - col("pl"))) *
+              ((col("n") - col("nl")) - (col("p") - col("pl"))))
+              .cast("double") /
+              (col("n") - col("nl")).cast("double"))) /
+          col("n").cast("double")
+      val wBest = Window.orderBy(col("gini_after").asc, col("score").asc)
+      cands
+        .withColumn("gini_after", giniAfter)
+        .withColumn("rb", row_number().over(wBest))
+        .filter(col("rb") === 1)
+        .select(col("score").as("threshold"),
+          col("nl").as("n_left"), (col("n") - col("nl")).as("n_right"),
+          ((col("n").cast("double") -
+            (col("p") * col("p") + (col("n") - col("p")) *
+              (col("n") - col("p"))).cast("double") /
+              col("n").cast("double")) / col("n").cast("double"))
+            .as("gini_before"),
+          col("gini_after"))
+        .withColumn("gain", col("gini_before") - col("gini_after"))
+    } {
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |hist AS (
+        |  SELECT score, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM users GROUP BY score),
+        |tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS p FROM users),
+        |cands AS (
+        |  SELECT score,
+        |    CAST(SUM(cnt) OVER w AS BIGINT) AS nl,
+        |    CAST(SUM(pos) OVER w AS BIGINT) AS pl,
+        |    n, p
+        |  FROM hist CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT score, nl, pl, n, p,
+        |    ((CAST(nl AS DOUBLE)
+        |        - CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+        |          / CAST(nl AS DOUBLE))
+        |      + (CAST(n - nl AS DOUBLE)
+        |        - CAST((p - pl) * (p - pl)
+        |            + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl))
+        |          AS DOUBLE) / CAST(n - nl AS DOUBLE)))
+        |      / CAST(n AS DOUBLE) AS gini_after
+        |  FROM cands WHERE nl < n),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY gini_after, score) AS rb
+        |  FROM scored)
+        |SELECT score AS threshold, nl AS n_left, n - nl AS n_right,
+        |  (CAST(n AS DOUBLE)
+        |    - CAST(p * p + (n - p) * (n - p) AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS gini_before,
+        |  gini_after,
+        |  ((CAST(n AS DOUBLE)
+        |    - CAST(p * p + (n - p) * (n - p) AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) - gini_after AS gain
+        |FROM best WHERE rb = 1""".stripMargin
     }
   )
 
