@@ -1879,6 +1879,134 @@ object Events {
          |    AS BIGINT) AS moved
          |FROM own
          |ORDER BY shard_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q224: WATERMARK-DELAY PROFILE — how out-of-order is each shard,
+    // really? A record is LATE if its event time trails the running
+    // event-time high-water mark at its ARRIVAL position. Per shard:
+    // late fraction and the max lateness in µs — exactly the numbers
+    // that size `withWatermark` (too small drops data, too large
+    // bloats state); every streaming operator in graft.streaming takes
+    // that delay as a parameter, and this query is where it comes
+    // from. The driver fixture's envelope sequence is perfectly
+    // ts-ordered, so the replay harness synthesizes the disorder the
+    // way q172 synthesizes audio: a DETERMINISTIC bounded arrival
+    // jitter (md5 of the event id, ±29 on a stride-7 sequence — up to
+    // ~8 positions of displacement, the same one-hash recipe both
+    // engines share), then the profile MEASURES the resulting
+    // lateness. Exact µs integers; one keyed
+    // arrival-ordered window (running max), keyed shrink.
+    QueryDef.sql("q224_watermark_delay_profile") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(pmod(col("user_id"), lit(NumShards)).as("shard"),
+          col("event_id"),
+          (col("event_id") * 7L + graft.Ids.hash("event_id") % 59L - 29L)
+            .as("arrival"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("arrival"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("hwm", max(col("tus")).over(w))
+        .withColumn("late_by",
+          when(col("hwm").isNotNull && col("hwm") > col("tus"),
+            col("hwm") - col("tus")).otherwise(0L))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(when(col("late_by") > 0L, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_by")).as("max_late_us"))
+        .select(
+          format_string("shardId-%012d", col("shard")).as("shard_id"),
+          col("n_records"), col("n_late"),
+          (col("n_late").cast("double") / col("n_records").cast("double"))
+            .as("late_rate"),
+          col("max_late_us"))
+        .orderBy("shard_id")
+    } {
+      s"""WITH ev AS (
+        |  SELECT user_id % 5 AS shard, event_id,
+        |    event_id * 7 + ${graft.Ids.hashSql("event_id")} % 59 - 29
+        |      AS arrival,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events),
+        |hw AS (
+        |  SELECT shard, tus,
+        |    MAX(tus) OVER (PARTITION BY shard ORDER BY arrival, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM ev),
+        |lt AS (
+        |  SELECT shard,
+        |    CASE WHEN hwm IS NOT NULL AND hwm > tus THEN hwm - tus
+        |      ELSE 0 END AS late_by
+        |  FROM hw)
+        |SELECT PRINTF('shardId-%012d', shard) AS shard_id,
+        |  COUNT(*) AS n_records,
+        |  CAST(SUM(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(SUM(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS late_rate,
+        |  CAST(MAX(late_by) AS BIGINT) AS max_late_us
+        |FROM lt GROUP BY shard
+        |ORDER BY shard_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q225: SLO BURN-RATE ALERTS — the SRE multi-window error-budget
+    // monitor (Beyer et al., the SRE workbook's ch.5 alerting policy):
+    // with SLO = 99% non-error events, burn rate = error_rate / 0.01
+    // per window; page when BOTH the 6-hour and the 1-hour window burn
+    // faster than 6× (long window proves it's sustained, short window
+    // proves it's still happening; the 6x of the workbook's example
+    // becomes 20x here so the fixture's ~20% synthetic error mix
+    // exercises BOTH filter outcomes). Windows tumble hourly with the
+    // 6-hour leg as a trailing frame over the hourly grid — exact
+    // integer counts; divisions terminal. Per qualifying hour: both
+    // burn rates. Shape: one hourly keyed agg, one 6-wide frame window.
+    QueryDef.sql("q225_slo_burn_rate") { (s, d) =>
+      val hourly = Tables(s, d, "events")
+        .select(expr(
+          "CAST(floor(unix_micros(cast(ts AS timestamp)) / 3600000000.0) AS BIGINT)")
+          .as("hour"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+        .groupBy(col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("err")).as("e"))
+      val w6 = Window.orderBy(col("hour")).rowsBetween(-5, 0)
+      hourly
+        .withColumn("n6", sum(col("n")).over(w6))
+        .withColumn("e6", sum(col("e")).over(w6))
+        .withColumn("burn_1h",
+          (col("e").cast("double") / col("n").cast("double")) / 0.01)
+        .withColumn("burn_6h",
+          (col("e6").cast("double") / col("n6").cast("double")) / 0.01)
+        .filter(col("burn_1h") > 20.0 && col("burn_6h") > 20.0)
+        .select(col("hour"), col("n"), col("e"), col("burn_1h"),
+          col("burn_6h"))
+        .orderBy("hour")
+    } {
+      """WITH hourly AS (
+        |  SELECT CAST(FLOOR(EPOCH_US(CAST(ts AS TIMESTAMP)) / 3600000000.0)
+        |      AS BIGINT) AS hour,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS e
+        |  FROM events GROUP BY 1),
+        |fr AS (
+        |  SELECT hour, n, e,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS n6,
+        |    CAST(SUM(e) OVER w AS BIGINT) AS e6
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING
+        |    AND CURRENT ROW)),
+        |b AS (
+        |  SELECT hour, n, e,
+        |    (CAST(e AS DOUBLE) / CAST(n AS DOUBLE)) / 0.01 AS burn_1h,
+        |    (CAST(e6 AS DOUBLE) / CAST(n6 AS DOUBLE)) / 0.01 AS burn_6h
+        |  FROM fr)
+        |SELECT hour, n, e, burn_1h, burn_6h
+        |FROM b WHERE burn_1h > 20.0 AND burn_6h > 20.0
+        |ORDER BY hour""".stripMargin
     }
   )
 }

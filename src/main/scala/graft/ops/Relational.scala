@@ -584,8 +584,47 @@ object Relational {
     QueryDef.sql("q193_group_by_all") { (s, d) =>
       Tables.registerViews(s, d)
       s.sql(GroupByAllSql)
-    } { GroupByAllSql }
+    } { GroupByAllSql },
+
+    // ------------------------------------------------------------------
+    // q223: BAG SET OPERATIONS — EXCEPT ALL / INTERSECT ALL with
+    // MULTIPLICITY semantics (result count = max(0, m−n) / min(m, n)
+    // per value), the contract that separates bag algebra from the
+    // DISTINCT set ops q10 covers — and the one naive rewrites to
+    // NOT IN/joins silently break. ONE dialect-shared string (the
+    // q193/q162 posture): a hash match proves Spark SQL and DuckDB
+    // resolve the multiplicity rules identically. Aggregated output so
+    // the bag result itself (orderless, duplicate-bearing) hashes
+    // stably.
+    QueryDef.sql("q223_bag_set_ops") { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(BagSetOpsSql)
+    } { BagSetOpsSql }
   )
+
+  /** q223's dialect-shared text. The two legs deliberately overlap:
+    * high includes most of very_high, so both multiplicity rules are
+    * exercised away from their trivial zero/full cases.
+    */
+  private def BagSetOpsSql: String =
+    """WITH high AS (
+      |  SELECT event_type FROM events WHERE value > 50.0),
+      |very_high AS (
+      |  SELECT event_type FROM events WHERE value > 80.0),
+      |ex AS (
+      |  SELECT 'except_all' AS op, event_type FROM (
+      |    SELECT event_type FROM high
+      |    EXCEPT ALL
+      |    SELECT event_type FROM very_high)),
+      |ia AS (
+      |  SELECT 'intersect_all' AS op, event_type FROM (
+      |    SELECT event_type FROM high
+      |    INTERSECT ALL
+      |    SELECT event_type FROM very_high)),
+      |u AS (SELECT * FROM ex UNION ALL SELECT * FROM ia)
+      |SELECT op, event_type, COUNT(*) AS n
+      |FROM u GROUP BY op, event_type
+      |ORDER BY op, event_type""".stripMargin
 
   /** q193's dialect-shared text: GROUP BY ALL / ORDER BY ALL — the
     * modern-SQL ergonomics surface (Spark ≥ 3.4 and DuckDB both infer

@@ -678,4 +678,57 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(got.map(_._2).sum == docs.count())
   }
+
+  test("q224 lateness replays against a sequential high-water-mark walk") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q224_watermark_delay_profile")(spark, d)
+      .select($"shard_id", $"n_records", $"n_late", $"late_rate",
+        $"max_late_us")
+      .as[(String, Long, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_id",
+        expr("unix_micros(cast(ts AS timestamp))"))
+      .as[(Long, Long, Long)].collect()
+    val expect = ev.groupBy(e => e._1 % 5).toSeq.map { case (shard, es) =>
+      var hwm = Long.MinValue
+      var (late, maxLate) = (0L, 0L)
+      es.sortBy(e => (e._2 * 7 + idHash(e._2) % 59 - 29, e._2))
+        .foreach { case (_, _, t) =>
+        if (hwm != Long.MinValue && hwm > t) {
+          late += 1; maxLate = math.max(maxLate, hwm - t)
+        }
+        hwm = math.max(hwm, t)
+      }
+      (f"shardId-$shard%012d", es.length.toLong, late,
+        late.toDouble / es.length, maxLate)
+    }.sortBy(_._1)
+    assert(got == expect)
+    // the fixture streams are genuinely out of order per shard
+    assert(got.exists(_._3 > 0))
+  }
+
+  test("q225 burn rates replay from hourly counts; both windows must fire") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q225_slo_burn_rate")(spark, d)
+      .select($"hour", $"n", $"e", $"burn_1h", $"burn_6h")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select(expr("CAST(floor(unix_micros(cast(ts AS timestamp)) / 3600000000.0) AS BIGINT)"),
+        ($"event_type" === "error").cast("long"))
+      .as[(Long, Long)].collect()
+    val hourly = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (h, es) =>
+      (h, es.length.toLong, es.map(_._2).sum)
+    }
+    val expect = hourly.indices.flatMap { i =>
+      val (h, n, e) = hourly(i)
+      val win = hourly.slice(math.max(0, i - 5), i + 1)
+      val (n6, e6) = (win.map(_._2).sum, win.map(_._3).sum)
+      val b1 = (e.toDouble / n) / 0.01
+      val b6 = (e6.toDouble / n6) / 0.01
+      if (b1 > 20.0 && b6 > 20.0) Some((h, n, e, b1, b6)) else None
+    }
+    assert(got == expect)
+    // the threshold discriminates: some hours page, some don't
+    assert(got.nonEmpty && got.size < hourly.size)
+  }
 }
