@@ -2007,6 +2007,141 @@ object Events {
         |SELECT hour, n, e, burn_1h, burn_6h
         |FROM b WHERE burn_1h > 20.0 AND burn_6h > 20.0
         |ORDER BY hour""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q228: SAMPLE-EXTRAPOLATION AUDIT — can the nightly revenue number
+    // be read off the deterministic user sample instead of the full
+    // scan? Two Horvitz–Thompson estimators over the library's md5
+    // buckets (each sampled row weighted by its inverse inclusion
+    // probability): a uniform 20% sample, and q59's variable-rate
+    // design (10% of the even-hash "majority" arm, 25% of the rest) —
+    // both priced against the exact total with their signed relative
+    // error. The decision this feeds: which sample rate is cheap
+    // enough AND close enough for the dashboard. Exact cent sums;
+    // inverse-probability weights are exact small rationals (×5, ×10,
+    // ×4); divisions terminal.
+    QueryDef.sql("q228_sample_extrapolation_audit") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"),
+          (pmod(graft.Ids.hash("user_id"), lit(100L))).as("bucket"),
+          (graft.Ids.hash("user_id") % 2 === 0).as("arm_a"))
+      val exact = ev.agg(sum(col("cents")).as("exact_cents"))
+      val uni = ev.filter(col("bucket") < 20)
+        .agg((sum(col("cents")) * 5L).as("est_cents"),
+          count(lit(1)).as("n_sampled"))
+        .select(lit("uniform_20pct").as("design"), col("est_cents"),
+          col("n_sampled"))
+      val strat = ev
+        .filter((col("arm_a") && col("bucket") < 10) ||
+          (!col("arm_a") && col("bucket") < 25))
+        .agg(sum(when(col("arm_a"), col("cents") * 10L)
+            .otherwise(col("cents") * 4L)).as("est_cents"),
+          count(lit(1)).as("n_sampled"))
+        .select(lit("stratified_10_25").as("design"), col("est_cents"),
+          col("n_sampled"))
+      uni.unionAll(strat).crossJoin(broadcast(exact))
+        .select(col("design"), col("n_sampled"), col("est_cents"),
+          col("exact_cents"),
+          ((col("est_cents") - col("exact_cents")).cast("double") /
+            col("exact_cents").cast("double")).as("rel_err"))
+        .orderBy("design")
+    } {
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         |    ${graft.Ids.hashSql("user_id")} % 100 AS bucket,
+         |    ${graft.Ids.hashSql("user_id")} % 2 = 0 AS arm_a
+         |  FROM events),
+         |exact AS (SELECT CAST(SUM(cents) AS BIGINT) AS exact_cents FROM ev),
+         |uni AS (
+         |  SELECT 'uniform_20pct' AS design, COUNT(*) AS n_sampled,
+         |    CAST(SUM(cents) * 5 AS BIGINT) AS est_cents
+         |  FROM ev WHERE bucket < 20),
+         |strat AS (
+         |  SELECT 'stratified_10_25' AS design, COUNT(*) AS n_sampled,
+         |    CAST(SUM(CASE WHEN arm_a THEN cents * 10 ELSE cents * 4 END)
+         |      AS BIGINT) AS est_cents
+         |  FROM ev WHERE (arm_a AND bucket < 10)
+         |    OR (NOT arm_a AND bucket < 25)),
+         |u AS (SELECT * FROM uni UNION ALL SELECT * FROM strat)
+         |SELECT design, n_sampled, est_cents, exact_cents,
+         |  CAST(est_cents - exact_cents AS DOUBLE)
+         |    / CAST(exact_cents AS DOUBLE) AS rel_err
+         |FROM u CROSS JOIN exact
+         |ORDER BY design""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q229: ALLOWED-LATENESS IMPACT — q224 measures HOW out-of-order
+    // the stream is; this prices WHAT each candidate watermark delay
+    // would cost: under the same deterministic arrival jitter, a record
+    // is dropped if its event time trails the shard's running
+    // high-water mark by more than D, for D ∈ {1 s, 10 s, 60 s}.
+    // Reported per D: dropped records, drop rate, and the cents of
+    // purchase value lost — turning "pick a watermark" into a priced
+    // decision against q224's profile. One hwm window shared across
+    // the three candidate delays (a 3-row explode, not three scans);
+    // exact µs/cents integers.
+    QueryDef.sql("q229_allowed_lateness_impact") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(pmod(col("user_id"), lit(NumShards)).as("shard"),
+          col("event_id"),
+          (col("event_id") * 7L + graft.Ids.hash("event_id") % 59L - 29L)
+            .as("arrival"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"),
+          when(col("event_type") === "purchase",
+            expr("CAST(ROUND(value * 100) AS BIGINT)")).otherwise(0L)
+            .as("cents"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("arrival"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withHwm = ev.withColumn("hwm", max(col("tus")).over(w))
+      withHwm
+        .select(col("tus"), col("hwm"), col("cents"),
+          explode(expr("array(1000000L, 10000000L, 60000000L)")).as("d_us"))
+        .groupBy(col("d_us"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(when(col("hwm").isNotNull &&
+            col("hwm") - col("tus") > col("d_us"), 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("hwm").isNotNull &&
+            col("hwm") - col("tus") > col("d_us"), col("cents"))
+            .otherwise(0L)).as("cents_lost"))
+        .select(col("d_us"), col("n_records"), col("n_dropped"),
+          (col("n_dropped").cast("double") / col("n_records").cast("double"))
+            .as("drop_rate"),
+          col("cents_lost"))
+        .orderBy("d_us")
+    } {
+      s"""WITH ev AS (
+         |  SELECT user_id % $NumShards AS shard, event_id,
+         |    event_id * 7 + ${graft.Ids.hashSql("event_id")} % 59 - 29
+         |      AS arrival,
+         |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS tus,
+         |    CASE WHEN event_type = 'purchase'
+         |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END AS cents
+         |  FROM events),
+         |hw AS (
+         |  SELECT tus, cents,
+         |    MAX(tus) OVER (PARTITION BY shard ORDER BY arrival, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+         |  FROM ev),
+         |x AS (
+         |  SELECT tus, cents, hwm,
+         |    UNNEST([1000000, 10000000, 60000000]) AS d_us
+         |  FROM hw)
+         |SELECT CAST(d_us AS BIGINT) AS d_us, COUNT(*) AS n_records,
+         |  CAST(SUM(CASE WHEN hwm IS NOT NULL AND hwm - tus > d_us
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN hwm IS NOT NULL AND hwm - tus > d_us
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS drop_rate,
+         |  CAST(SUM(CASE WHEN hwm IS NOT NULL AND hwm - tus > d_us
+         |    THEN cents ELSE 0 END) AS BIGINT) AS cents_lost
+         |FROM x GROUP BY d_us
+         |ORDER BY d_us""".stripMargin
     }
   )
 }

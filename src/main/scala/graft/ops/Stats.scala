@@ -1937,6 +1937,72 @@ object Stats {
         |    - CAST(p * p + (n - p) * (n - p) AS DOUBLE) / CAST(n AS DOUBLE))
         |    / CAST(n AS DOUBLE)) - gini_after AS gain
         |FROM best WHERE rb = 1""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q226: PARTITION-SIZING ADVISOR — the capacity arithmetic behind
+    // `spark.sql.files.maxPartitionBytes` / shuffle-partition tuning,
+    // computed from the data instead of guessed: per corpus table, the
+    // estimated uncompressed payload (exact byte sums over the payload
+    // columns + a per-row envelope constant), the partition count a
+    // 128 MiB target implies, and how many 32-core waves that schedule
+    // costs. The numbers that matter at 100 TB — "how many tasks will
+    // this scan actually plan, and do they fit one wave" — derived
+    // with the same exact-integer discipline as everything else.
+    QueryDef.sql("q226_partition_sizing_advisor") { (s, d) =>
+      val target = 134217728L // 128 MiB
+      val docs = Tables(s, d, "documents")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(expr("octet_length(encode(text, 'UTF-8'))")) +
+            sum(expr("octet_length(encode(lang, 'UTF-8'))")) +
+            sum(expr("octet_length(encode(source, 'UTF-8'))")) +
+            count(lit(1)) * 16L).as("est_bytes"))
+        .select(lit("documents").as("tbl"), col("n_rows"), col("est_bytes"))
+      val ev = Tables(s, d, "events")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(expr("octet_length(encode(props, 'UTF-8'))")) +
+            sum(expr("octet_length(encode(event_type, 'UTF-8'))")) +
+            count(lit(1)) * 32L).as("est_bytes"))
+        .select(lit("events").as("tbl"), col("n_rows"), col("est_bytes"))
+      val li = Tables(s, d, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) * 120L).as("est_bytes"))
+        .select(lit("lineitem").as("tbl"), col("n_rows"), col("est_bytes"))
+      docs.unionAll(ev).unionAll(li)
+        .withColumn("recommended_partitions",
+          expr(s"CAST((est_bytes + $target - 1) DIV $target AS BIGINT)"))
+        .withColumn("waves_32core",
+          expr("CAST((recommended_partitions + 31) DIV 32 AS BIGINT)"))
+        .withColumn("avg_row_bytes",
+          (col("est_bytes").cast("double") / col("n_rows").cast("double")))
+        .orderBy("tbl")
+    } {
+      """WITH docs AS (
+        |  SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+        |    CAST(SUM(OCTET_LENGTH(ENCODE(text)))
+        |      + SUM(OCTET_LENGTH(ENCODE(lang)))
+        |      + SUM(OCTET_LENGTH(ENCODE(source)))
+        |      + COUNT(*) * 16 AS BIGINT) AS est_bytes
+        |  FROM documents),
+        |ev AS (
+        |  SELECT 'events' AS tbl, COUNT(*) AS n_rows,
+        |    CAST(SUM(OCTET_LENGTH(ENCODE(props)))
+        |      + SUM(OCTET_LENGTH(ENCODE(event_type)))
+        |      + COUNT(*) * 32 AS BIGINT) AS est_bytes
+        |  FROM events),
+        |li AS (
+        |  SELECT 'lineitem' AS tbl, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) * 120 AS BIGINT) AS est_bytes
+        |  FROM lineitem),
+        |u AS (SELECT * FROM docs UNION ALL SELECT * FROM ev
+        |  UNION ALL SELECT * FROM li)
+        |SELECT tbl, n_rows, est_bytes,
+        |  (est_bytes + 134217727) // 134217728 AS recommended_partitions,
+        |  ((est_bytes + 134217727) // 134217728 + 31) // 32 AS waves_32core,
+        |  CAST(est_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS avg_row_bytes
+        |FROM u
+        |ORDER BY tbl""".stripMargin
     }
   )
 

@@ -910,6 +910,77 @@ object StreamOps {
       }
   }
 
+  /** One paging alert of the streaming burn-rate monitor — q225's live
+    * twin.
+    */
+  final case class BurnAlert(shard: Long, hour: Long, n: Long, e: Long,
+      burn_1h: Double, burn_6h: Double)
+
+  final case class BurnState(lastHour: Long, window: List[(Long, Long)],
+      pending: Map[Long, (Long, Long)])
+
+  /** Streaming SLO burn-rate pager — q225's live twin, per shard: hourly
+    * (count, error) buckets finalize as the watermark passes each hour
+    * boundary; the 6-hour leg is a trailing deque of finalized buckets;
+    * an alert emits for a finalized hour when BOTH windows burn faster
+    * than the 20× threshold (the q225 policy verbatim, including the
+    * dense walk — silent hours advance the deque with (0,0), which can
+    * only end a page, exactly like the batch frame). State is bounded:
+    * a 6-deep deque plus the pending open hours.
+    */
+  def burnRateAlerts(events: DataFrame, timeCol: String, typeCol: String,
+      shardCol: String, watermarkDelay: String): Dataset[BurnAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(expr(s"pmod($shardCol, 5)").cast("long"), col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 3600000000.0) AS BIGINT)"),
+        (col(typeCol) === "error").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BurnState, BurnAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (shard, rows, state: GroupState[BurnState]) =>
+          val st0 = state.getOption
+            .getOrElse(BurnState(Long.MinValue, Nil, Map.empty))
+          var pending = st0.pending
+          rows.foreach { r =>
+            val (n0, e0) = pending.getOrElse(r._3, (0L, 0L))
+            pending = pending.updated(r._3, (n0 + 1L, e0 + r._4))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val finalUpTo = math.floorDiv(wmMs, 3600000L) - 1L
+          val start =
+            if (st0.lastHour != Long.MinValue) st0.lastHour
+            else if (pending.nonEmpty) pending.keys.min - 1L
+            else Long.MinValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[BurnAlert]
+          var window = st0.window
+          var hour = start
+          if (start != Long.MinValue) {
+            while (hour < finalUpTo) {
+              hour += 1L
+              val (n, e) = pending.getOrElse(hour, (0L, 0L))
+              pending = pending - hour
+              window = ((n, e) :: window).take(6)
+              val (n6, e6) = (window.map(_._1).sum, window.map(_._2).sum)
+              if (n > 0L && n6 > 0L) {
+                val b1 = (e.toDouble / n) / 0.01
+                val b6 = (e6.toDouble / n6) / 0.01
+                if (b1 > 20.0 && b6 > 20.0)
+                  out += BurnAlert(shard, hour, n, e, b1, b6)
+              }
+            }
+          }
+          state.update(BurnState(
+            if (hour == Long.MinValue) st0.lastHour else hour,
+            window, pending))
+          state.setTimeoutTimestamp(wmMs + 60000L)
+          out.iterator
+      }
+  }
+
   /** One segment's live KMV sketch snapshot — q125's streaming twin. */
   final case class KmvSnapshot(
       etype: String, n_sk: Long, hk: Long, estimate: Double)

@@ -731,4 +731,87 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // the threshold discriminates: some hours page, some don't
     assert(got.nonEmpty && got.size < hourly.size)
   }
+
+  test("q226 partition math replays from exact byte sums") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q226_partition_sizing_advisor")(spark, d)
+      .select($"tbl", $"n_rows", $"est_bytes", $"recommended_partitions",
+        $"waves_32core", $"avg_row_bytes")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    assert(got.map(_._1) == Seq("documents", "events", "lineitem"))
+    got.foreach { r =>
+      assert(r._4 == (r._3 + 134217727L) / 134217728L)
+      assert(r._5 == (r._4 + 31L) / 32L)
+      assert(r._6 == r._3.toDouble / r._2)
+      assert(r._4 >= 1L && r._5 >= 1L)
+    }
+    val docBytes = spark.read.parquet(s"$d/documents.parquet")
+      .select((length(encode($"text", "UTF-8")) + length(encode($"lang", "UTF-8")) +
+        length(encode($"source", "UTF-8"))).cast("long"))
+      .as[Long].collect()
+    assert(got.head._3 == docBytes.sum + docBytes.length * 16L)
+  }
+
+  test("q228 Horvitz–Thompson estimates replay from the md5 buckets") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q228_sample_extrapolation_audit")(spark, d)
+      .select($"design", $"n_sampled", $"est_cents", $"exact_cents",
+        $"rel_err")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+    val exact = ev.map(_._2).sum
+    val withBuckets = ev.map { case (u, c) =>
+      (c, idHash(u) % 100, idHash(u) % 2 == 0)
+    }
+    val uniEst = withBuckets.filter(_._2 < 20).map(_._1).sum * 5
+    val uniN = withBuckets.count(_._2 < 20).toLong
+    val stratRows = withBuckets.filter(r =>
+      (r._3 && r._2 < 10) || (!r._3 && r._2 < 25))
+    val stratEst = stratRows.map(r => if (r._3) r._1 * 10 else r._1 * 4).sum
+    val expect = Seq(
+      ("stratified_10_25", stratRows.length.toLong, stratEst, exact,
+        (stratEst - exact).toDouble / exact),
+      ("uniform_20pct", uniN, uniEst, exact,
+        (uniEst - exact).toDouble / exact))
+    assert(got == expect)
+    // no accuracy bound here: sf0.001 has only ~15 distinct users, so
+    // user-level sampling variance swamps the estimate (6/15 users in
+    // the 20% bucket on this seed). The replay equality above is the
+    // contract; accuracy at realistic populations is visible at sf0.01.
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("q229 lateness pricing replays the q224 walk with three delays") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q229_allowed_lateness_impact")(spark, d)
+      .select($"d_us", $"n_records", $"n_dropped", $"drop_rate",
+        $"cents_lost")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_id",
+        expr("unix_micros(cast(ts AS timestamp))"),
+        when($"event_type" === "purchase",
+          expr("CAST(ROUND(value * 100) AS BIGINT)")).otherwise(0L))
+      .as[(Long, Long, Long, Long)].collect()
+    val lateness = ev.groupBy(_._1 % 5).iterator.flatMap { case (_, es) =>
+      var hwm = Long.MinValue
+      es.sortBy(e => (e._2 * 7 + idHash(e._2) % 59 - 29, e._2)).map {
+        case (_, _, t, c) =>
+          val late = if (hwm != Long.MinValue && hwm > t) hwm - t else 0L
+          hwm = math.max(hwm, t)
+          (late, c)
+      }
+    }.toSeq
+    val expect = Seq(1000000L, 10000000L, 60000000L).map { dUs =>
+      val dropped = lateness.filter(_._1 > dUs)
+      (dUs, lateness.length.toLong, dropped.length.toLong,
+        dropped.length.toDouble / lateness.length, dropped.map(_._2).sum)
+    }
+    assert(got == expect)
+    // a longer allowance can only drop fewer records
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+  }
 }

@@ -824,4 +824,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(finals("view") == (("view", vn, vhk, vest)))
     assert(vn == 40L && vest == 40.0) // exact branch below k
   }
+
+  test("burnRateAlerts pages only when both finalized windows burn hot") {
+    import spark.implicits._
+    def hTs(hour: Int, minute: Int = 30): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+    // one shard (user 0): hours 0-2 healthy (10% errors), hour 3 an
+    // outage (60%), hour 4 healthy again; 1h burn fires only in hour 3,
+    // and the 6h window (carrying the outage, 18/80 = 22.5x) crosses too
+    def mix(hour: Int, total: Int, errors: Int) =
+      (0 until total).map(i =>
+        (hTs(hour, 1 + i % 50), 0L, if (i < errors) "error" else "click"))
+    val events =
+      mix(0, 20, 2) ++ mix(1, 20, 2) ++ mix(2, 20, 2) ++
+        mix(3, 20, 12) ++ mix(4, 20, 2)
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamOps.burnRateAlerts(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "event_type", "user_id", watermarkDelay = "30 minutes").toDF()
+    spark.sql("DROP TABLE IF EXISTS burn_sink")
+    val q = out.writeStream.format("memory").queryName("burn_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData((hTs(8), 99L, "click")) // flusher advances the watermark
+      q.processAllAvailable()
+      input.addData((hTs(9), 99L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("burn_sink").filter($"shard" === 0L)
+      .select($"hour", $"n", $"e", $"burn_1h", $"burn_6h")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val hourBase = hTs(0).toInstant.toEpochMilli / 3600000L
+    // replay: only hour 3 pages (1h burn 50, 6h burn carries the spike)
+    assert(got.size == 1, s"got $got")
+    assert(got.head._1 == hourBase + 3)
+    assert(got.head._2 == 20L && got.head._3 == 12L)
+    assert(got.head._4 == (12.0 / 20.0) / 0.01)
+    // 6h window at hour 3 = hours 0..3: 80 records, 18 errors
+    assert(got.head._5 == (18.0 / 80.0) / 0.01)
+  }
 }
