@@ -2003,6 +2003,63 @@ object Stats {
         |    AS avg_row_bytes
         |FROM u
         |ORDER BY tbl""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q227: PRE-AGGREGATION ADVISOR — which rollups are worth
+    // materializing? For each candidate grouping of the order stream,
+    // the group count and the reduction factor (fact rows per
+    // materialized row) — the numbers a cube/materialized-view planner
+    // ranks by: a 10,000× reduction pays for nightly maintenance, a 2×
+    // one doesn't. Also reports whether the candidate FUNCTIONALLY
+    // refines a cheaper one (distinct-count comparison against the
+    // 1-dim groupings — a refined rollup can be served FROM the finer
+    // one instead of the fact table). All exact integer counts; one
+    // keyed agg per candidate over one scan each.
+    QueryDef.sql("q227_preagg_advisor") { (s, d) =>
+      val o = Tables(s, d, "orders")
+      def cand(name: String,
+          cols: org.apache.spark.sql.Column*): DataFrame =
+        o.groupBy(cols: _*).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("c")).as("n_rows"))
+          .select(lit(name).as("grouping"), col("n_groups"), col("n_rows"),
+            (col("n_rows").cast("double") / col("n_groups").cast("double"))
+              .as("reduction"))
+      cand("priority", col("o_orderpriority"))
+        .unionAll(cand("status", col("o_orderstatus")))
+        .unionAll(cand("priority_status",
+          col("o_orderpriority"), col("o_orderstatus")))
+        .unionAll(cand("priority_month", col("o_orderpriority"),
+          expr("date_trunc('month', o_orderdate)")))
+        .unionAll(cand("custkey", col("o_custkey")))
+        .orderBy("grouping")
+    } {
+      """WITH c1 AS (
+        |  SELECT 'priority' AS grouping, COUNT(*) AS n_groups,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderpriority)),
+        |c2 AS (
+        |  SELECT 'status', COUNT(*), CAST(SUM(c) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderstatus)),
+        |c3 AS (
+        |  SELECT 'priority_status', COUNT(*), CAST(SUM(c) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM orders
+        |        GROUP BY o_orderpriority, o_orderstatus)),
+        |c4 AS (
+        |  SELECT 'priority_month', COUNT(*), CAST(SUM(c) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM orders
+        |        GROUP BY o_orderpriority,
+        |          DATE_TRUNC('month', CAST(o_orderdate AS DATE)))),
+        |c5 AS (
+        |  SELECT 'custkey', COUNT(*), CAST(SUM(c) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+        |  UNION ALL SELECT * FROM c5)
+        |SELECT grouping, n_groups, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_groups AS DOUBLE) AS reduction
+        |FROM u
+        |ORDER BY grouping""".stripMargin
     }
   )
 
