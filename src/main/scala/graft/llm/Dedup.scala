@@ -793,6 +793,54 @@ object Dedup {
         |  CAST(SUM(span_tokens) AS BIGINT) AS span_mass
         |FROM spans GROUP BY da, db
         |ORDER BY da, db""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q231: NORMALIZATION-UPLIFT DEDUP AUDIT — how many duplicate
+    // groups does text normalization (lowercase, whitespace collapse,
+    // punctuation strip) surface that raw exact-digest dedup (q23's
+    // contract) misses? The decision this prices: whether the exact
+    // pass should run on normalized digests (catching case/format
+    // echoes) at the cost of treating deliberate casing variants as
+    // dups. One scan computes BOTH digests; two digest-keyed counts;
+    // exact integers. The normalized group count can only be ≤ the raw
+    // one (normalization is a function — spec-asserted).
+    QueryDef.sql("q231_normalization_uplift") { (s, d) =>
+      val norm = "regexp_replace(lower(regexp_replace(text, '[.,!?;:]', '')), ' +', ' ')"
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("raw_digest"),
+          md5(expr(norm)).as("norm_digest"))
+      def groups(c: String, tag: String) = docs.groupBy(col(c))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("sz") > 1, col("sz")).otherwise(0L))
+            .as("n_docs_in_dups"))
+        .select(lit(tag).as("digest"), col("n_groups"),
+          col("n_dup_groups"), col("n_docs_in_dups"))
+      groups("raw_digest", "raw").unionAll(groups("norm_digest", "normalized"))
+        .orderBy("digest")
+    } {
+      """WITH docs AS (
+        |  SELECT doc_id, MD5(text) AS raw_digest,
+        |    MD5(REGEXP_REPLACE(LOWER(
+        |      REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')), ' +', ' ', 'g'))
+        |      AS norm_digest
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'raw' AS digest, COUNT(*) AS n_groups,
+        |    CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_groups,
+        |    CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+        |      AS n_docs_in_dups
+        |  FROM (SELECT COUNT(*) AS sz FROM docs GROUP BY raw_digest)),
+        |n AS (
+        |  SELECT 'normalized', COUNT(*),
+        |    CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS sz FROM docs GROUP BY norm_digest))
+        |SELECT * FROM r UNION ALL SELECT * FROM n
+        |ORDER BY digest""".stripMargin
     }
   )
 

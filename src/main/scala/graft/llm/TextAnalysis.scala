@@ -937,6 +937,42 @@ object TextAnalysis {
         |        - 1.0)) AS rho
         |FROM ranked GROUP BY source
         |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q232: METADATA-CONSISTENCY GATE — is the carried n_chars column
+    // actually LENGTH(text)? Derived metadata drifts from its source in
+    // real lakes (re-encodings, truncating ETL, unicode length vs byte
+    // length confusions), and every query that trusts the column (q32,
+    // q53, q134, q200, q210…) inherits the drift. Reported per source:
+    // docs, mismatches, the worst absolute delta, and which length
+    // CONVENTION the column matches (characters vs UTF-8 bytes —
+    // distinguishable wherever the text is non-ASCII). Exact integers.
+    QueryDef.sql("q232_metadata_consistency") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("meta"),
+          length(col("text")).cast("long").as("chars"),
+          expr("octet_length(encode(text, 'UTF-8'))").cast("long")
+            .as("bytes"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("meta") =!= col("chars"), 1L).otherwise(0L))
+            .as("n_char_mismatch"),
+          sum(when(col("meta") =!= col("bytes"), 1L).otherwise(0L))
+            .as("n_byte_mismatch"),
+          max(abs(col("meta") - col("chars"))).as("max_char_delta"))
+        .orderBy("source")
+    } {
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN CAST(n_chars AS BIGINT) <> LENGTH(text)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_char_mismatch,
+        |  CAST(SUM(CASE WHEN CAST(n_chars AS BIGINT)
+        |      <> OCTET_LENGTH(ENCODE(text))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_byte_mismatch,
+        |  CAST(MAX(ABS(CAST(n_chars AS BIGINT) - LENGTH(text))) AS BIGINT)
+        |    AS max_char_delta
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin
     }
   )
 }

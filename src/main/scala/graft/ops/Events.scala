@@ -2142,6 +2142,64 @@ object Events {
          |    THEN cents ELSE 0 END) AS BIGINT) AS cents_lost
          |FROM x GROUP BY d_us
          |ORDER BY d_us""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q230: DUPLICATE-PAYMENT DETECTION — the classic fintech audit
+    // (double-click, retry storm, replayed webhook): purchases by the
+    // SAME user for the SAME whole-dollar amount within 24 hours of
+    // each other (the fixture's synthetic values are near-continuous,
+    // so the match key rounds to dollars — a real ledger would key on
+    // exact minor units). Join-free: each purchase compares to its
+    // predecessor AT THE SAME (user, dollars) via one keyed lag — the
+    // suspect is the LATER event of each close pair, so retry chains
+    // flag every echo once. Reported per user: suspect count and the
+    // exact cents at risk. Exact µs/cent integers.
+    QueryDef.sql("q230_duplicate_payments") { (s, d) =>
+      val p = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"),
+          expr("CAST(ROUND(value) AS BIGINT)").as("dollars"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy(col("user_id"), col("dollars"))
+        .orderBy(col("tus"), col("event_id"))
+      p.withColumn("prev_tus", lag(col("tus"), 1).over(w))
+        .withColumn("suspect",
+          when(col("prev_tus").isNotNull &&
+            col("tus") - col("prev_tus") <= 86400000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("suspect")).as("n_suspect"),
+          sum(when(col("suspect") === 1L, col("cents")).otherwise(0L))
+            .as("cents_at_risk"))
+        .filter(col("n_suspect") > 0L)
+        .orderBy("user_id")
+    } {
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(ROUND(value) AS BIGINT) AS dollars,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |lagd AS (
+        |  SELECT user_id, cents, tus,
+        |    LAG(tus, 1) OVER (PARTITION BY user_id, dollars
+        |      ORDER BY tus, event_id) AS prev_tus
+        |  FROM p),
+        |f AS (
+        |  SELECT user_id, cents,
+        |    CASE WHEN prev_tus IS NOT NULL
+        |        AND tus - prev_tus <= 86400000000
+        |      THEN 1 ELSE 0 END AS suspect
+        |  FROM lagd)
+        |SELECT user_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(suspect) AS BIGINT) AS n_suspect,
+        |  CAST(SUM(CASE WHEN suspect = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS cents_at_risk
+        |FROM f GROUP BY user_id
+        |HAVING SUM(suspect) > 0
+        |ORDER BY user_id""".stripMargin
     }
   )
 }

@@ -814,4 +814,64 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // a longer allowance can only drop fewer records
     assert(got.map(_._3) == got.map(_._3).sorted.reverse)
   }
+
+  test("q230 suspect purchases replay from a per-(user, dollars) walk") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q230_duplicate_payments")(spark, d)
+      .select($"user_id", $"n_purchases", $"n_suspect", $"cents_at_risk")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val p = spark.read.parquet(s"$d/events.parquet")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        expr("unix_micros(cast(ts AS timestamp))"),
+        expr("CAST(ROUND(value) AS BIGINT)"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val expect = p.groupBy(_._1).iterator.map { case (u, es) =>
+      val suspects = es.groupBy(_._4).iterator.flatMap { case (_, same) =>
+        same.sortBy(e => (e._3, e._2)).toSeq.sliding(2).collect {
+          case Seq(a, b) if b._3 - a._3 <= 86400000000L => b._5
+        }
+      }.toSeq
+      (u, es.length.toLong, suspects.length.toLong, suspects.sum)
+    }.filter(_._3 > 0).toSeq.sortBy(_._1)
+    assert(got == expect)
+    assert(got.nonEmpty) // the detector actually fires on the fixture
+  }
+
+  test("q231 normalization can only merge digest groups, never split them") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q231_normalization_uplift")(spark, d)
+      .select($"digest", $"n_groups", $"n_dup_groups", $"n_docs_in_dups")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq("normalized", "raw"))
+    val Seq(norm, raw) = got
+    // normalization is a function of the text: group count can only drop
+    assert(norm._2 <= raw._2)
+    assert(norm._4 >= raw._4)
+    val total = spark.read.parquet(s"$d/documents.parquet").count()
+    // group counts are consistent with the corpus size
+    assert(raw._2 <= total && norm._2 >= 1)
+  }
+
+  test("q232 metadata gate replays: the fixture's n_chars is LENGTH(text)") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q232_metadata_consistency")(spark, d)
+      .select($"source", $"n_docs", $"n_char_mismatch", $"n_byte_mismatch",
+        $"max_char_delta")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"source", $"n_chars", length($"text").cast("long"),
+        expr("octet_length(encode(text, 'UTF-8'))").cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+    val expect = docs.groupBy(_._1).iterator.map { case (src, ds) =>
+      (src, ds.length.toLong,
+        ds.count(r => r._2 != r._3).toLong,
+        ds.count(r => r._2 != r._4).toLong,
+        ds.map(r => math.abs(r._2 - r._3)).max)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    // the synthetic fixture's metadata is trustworthy — zero drift
+    assert(got.forall(r => r._3 == 0L && r._5 == 0L))
+  }
 }
