@@ -1637,6 +1637,66 @@ object Pipeline {
          |    / CAST(padding_waste + total_tokens AS DOUBLE) AS waste_ratio
          |FROM u
          |ORDER BY strategy""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q234: TEMPORAL-SPLIT ENTITY LEAKAGE — a time-based train/test
+    // split (train strictly before the cutoff, test at/after) looks
+    // leak-free, but the same USER on both sides leaks entity-level
+    // signal into any per-user feature — the standard churn/LTV-model
+    // evaluation bug. Reported: side sizes, users per side, users
+    // straddling the cutoff, and the share of TEST events whose user
+    // was seen in train — the number that decides between a temporal
+    // split and a user-disjoint one (q53's hash split is the
+    // user-disjoint fix; this query prices why you'd need it). One
+    // user-keyed agg carrying per-side flags; exact integers.
+    QueryDef.sql("q234_temporal_split_leakage") { (s, d) =>
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val perUser = Tables(s, d, "events")
+        .select(col("user_id"),
+          (col("ts").cast("timestamp") < cutoff).as("is_train"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train_ev"),
+          sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test_ev"))
+      perUser.agg(
+        sum(col("n_train_ev")).as("n_train_events"),
+        sum(col("n_test_ev")).as("n_test_events"),
+        sum(when(col("n_train_ev") > 0L, 1L).otherwise(0L))
+          .as("n_train_users"),
+        sum(when(col("n_test_ev") > 0L, 1L).otherwise(0L))
+          .as("n_test_users"),
+        sum(when(col("n_train_ev") > 0L && col("n_test_ev") > 0L, 1L)
+          .otherwise(0L)).as("n_straddling_users"),
+        sum(when(col("n_train_ev") > 0L, col("n_test_ev")).otherwise(0L))
+          .as("n_leaked_test_events"))
+        .withColumn("leakage_rate",
+          col("n_leaked_test_events").cast("double") /
+            col("n_test_events").cast("double"))
+    } {
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+        |      < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train_ev,
+        |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+        |      >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test_ev
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(n_train_ev) AS BIGINT) AS n_train_events,
+        |  CAST(SUM(n_test_ev) AS BIGINT) AS n_test_events,
+        |  CAST(SUM(CASE WHEN n_train_ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train_users,
+        |  CAST(SUM(CASE WHEN n_test_ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test_users,
+        |  CAST(SUM(CASE WHEN n_train_ev > 0 AND n_test_ev > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_users,
+        |  CAST(SUM(CASE WHEN n_train_ev > 0 THEN n_test_ev ELSE 0 END)
+        |    AS BIGINT) AS n_leaked_test_events,
+        |  CAST(SUM(CASE WHEN n_train_ev > 0 THEN n_test_ev ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(SUM(n_test_ev) AS DOUBLE) AS leakage_rate
+        |FROM pu""".stripMargin
     }
   )
 }

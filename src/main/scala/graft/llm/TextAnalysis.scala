@@ -973,6 +973,52 @@ object TextAnalysis {
         |    AS max_char_delta
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q233: LANGID-CONFUSION AUDIT — q31 predicts a language per doc;
+    // this aggregates detector-vs-metadata agreement into the (meta,
+    // predicted) confusion relation with per-metadata-language accuracy
+    // — the "should we trust the lang column or re-detect" decision,
+    // and the monitor that catches a crawler whose lang tags rot. The
+    // detector expression is q31's verbatim (shared hitsExpr/hitsSql),
+    // so the audit can never drift from the detector it audits. Exact
+    // counts; one terminal division.
+    QueryDef.sql("q233_langid_confusion") { (s, d) =>
+      val pred =
+        when(hitsExpr(En) >= hitsExpr(Es) && hitsExpr(En) >= hitsExpr(De),
+          "en").when(hitsExpr(Es) >= hitsExpr(De), "es").otherwise("de")
+      val m = Tables(s, d, "documents")
+        .select(col("lang"), pred.as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = m.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+      m.join(tot, "lang")
+        .select(col("lang"), col("predicted"), col("n_docs"),
+          (col("n_docs").cast("double") / col("n_lang").cast("double"))
+            .as("share"),
+          (col("lang") === col("predicted")).cast("long").as("agree"))
+        .orderBy("lang", "predicted")
+    } {
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE WHEN ${hitsSql(En)} >= ${hitsSql(Es)}
+         |          AND ${hitsSql(En)} >= ${hitsSql(De)} THEN 'en'
+         |         WHEN ${hitsSql(Es)} >= ${hitsSql(De)} THEN 'es'
+         |         ELSE 'de' END AS predicted
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, predicted, COUNT(*) AS n_docs
+         |  FROM p GROUP BY lang, predicted),
+         |t AS (
+         |  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+         |  FROM m GROUP BY lang)
+         |SELECT m.lang, m.predicted, m.n_docs,
+         |  CAST(m.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS share,
+         |  CAST(CASE WHEN m.lang = m.predicted THEN 1 ELSE 0 END AS BIGINT)
+         |    AS agree
+         |FROM m JOIN t ON m.lang = t.lang
+         |ORDER BY m.lang, m.predicted""".stripMargin
     }
   )
 }

@@ -874,4 +874,50 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // the synthetic fixture's metadata is trustworthy — zero drift
     assert(got.forall(r => r._3 == 0L && r._5 == 0L))
   }
+
+  test("q233 confusion shares sum to 1 per language; diagonal carries agree=1") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q233_langid_confusion")(spark, d)
+      .select($"lang", $"predicted", $"n_docs", $"share", $"agree")
+      .as[(String, String, Long, Double, Long)].collect().toSeq
+    val total = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(got.map(_._3).sum == total)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val n = rows.map(_._3).sum
+      rows.foreach(r => assert(r._4 == r._3.toDouble / n))
+    }
+    got.foreach(r => assert(r._5 == (if (r._1 == r._2) 1L else 0L)))
+    // detector agreement must match the registered q31 per-doc predictions
+    val q31Agree = graft.SparkEntry.queries("q31_langid_stopwords")(spark, d)
+      .filter($"lang" === $"predicted_lang").count()
+    assert(got.filter(_._5 == 1L).map(_._3).sum == q31Agree)
+  }
+
+  test("q234 leakage replays from per-user side counts") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q234_temporal_split_leakage")(spark, d)
+      .select($"n_train_events", $"n_test_events", $"n_train_users",
+        $"n_test_users", $"n_straddling_users", $"n_leaked_test_events",
+        $"leakage_rate")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.size == 1)
+    val cutoff = 1705363200000L // 2024-01-16T00:00:00Z (session tz is UTC)
+    // read through graft.Tables: the fixture's TIMESTAMP(NANOS) needs its
+    // canonical micro-truncating conversion before absolute comparisons
+    val ev = graft.Tables(spark, d, "events")
+      .select($"user_id", expr("unix_millis(cast(ts AS timestamp))"))
+      .as[(Long, Long)].collect()
+    val pu = ev.groupBy(_._1).iterator.map { case (_, es) =>
+      (es.count(_._2 < cutoff).toLong, es.count(_._2 >= cutoff).toLong)
+    }.toSeq
+    val r = got.head
+    assert(r._1 == pu.map(_._1).sum && r._2 == pu.map(_._2).sum)
+    assert(r._3 == pu.count(_._1 > 0) && r._4 == pu.count(_._2 > 0))
+    assert(r._5 == pu.count(p => p._1 > 0 && p._2 > 0))
+    assert(r._6 == pu.filter(_._1 > 0).map(_._2).sum)
+    assert(r._7 == r._6.toDouble / r._2)
+    // on this fixture nearly every user straddles — the temporal split
+    // leaks heavily, which is exactly the audit's point
+    assert(r._7 > 0.5)
+  }
 }
