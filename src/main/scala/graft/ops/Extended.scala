@@ -605,6 +605,54 @@ object Extended {
         |    / CAST(MAX(n) AS DOUBLE) AS enc_mean
         |FROM enc GROUP BY brand
         |ORDER BY brand""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q237: TOP-K WITH TIES — the rank family's semantics gap: q7/q175
+    // take exactly k rows per group (row_number), silently breaking
+    // ties by id; ANSI FETCH FIRST k WITH TIES keeps EVERY row tied
+    // with the k-th (rank() ≤ k), so group output sizes vary with the
+    // data — the correct semantics for leaderboards and SLA reports
+    // where "joint third place" is real. Top-3 order SIZES (line
+    // count, domain 1–7) per priority: the tiny measure domain
+    // guarantees massive ties, so the two semantics differ by
+    // thousands of rows (spec-asserted) — exactly the situation where
+    // a LIMIT-3 rewrite silently drops the joint leaders. One keyed
+    // agg + one keyed rank window, map-side group-limited.
+    QueryDef.sql("q237_topk_with_ties") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sized = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_orderkey"))
+        .agg(count(lit(1)).as("qty"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("qty").desc)
+      sized.withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows_kept"),
+          countDistinct(col("qty")).as("n_distinct_qty"),
+          max(col("qty")).as("top_qty"), min(col("qty")).as("cut_qty"))
+        .orderBy("o_orderpriority")
+    } {
+      """WITH sized AS (
+        |  SELECT o.o_orderpriority, l.l_orderkey,
+        |    COUNT(*) AS qty
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_orderpriority, l.l_orderkey),
+        |r AS (
+        |  SELECT o_orderpriority, qty,
+        |    CAST(RANK() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY qty DESC) AS BIGINT) AS rnk
+        |  FROM sized)
+        |SELECT o_orderpriority, COUNT(*) AS n_rows_kept,
+        |  CAST(COUNT(DISTINCT qty) AS BIGINT) AS n_distinct_qty,
+        |  MAX(qty) AS top_qty, MIN(qty) AS cut_qty
+        |FROM r WHERE rnk <= 3
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
     }
   )
 

@@ -877,6 +877,73 @@ object Graph {
          |JOIN half ac ON ac.src = t.a AND ac.dst = t.c
          |JOIN half bc ON bc.src = t.b AND bc.dst = t.c
          |ORDER BY t.a, t.b, t.c""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q235: DEGREE ASSORTATIVITY — Newman's r: the Pearson correlation
+    // of endpoint degrees over the edge relation. Positive = hubs link
+    // hubs (social-network shape), negative = hubs link leaves
+    // (hub-and-spoke catalogs) — it decides whether hub-targeted
+    // strategies (q156's k-core, the q146 skew bucketing) will
+    // concentrate or spread load. ARITHMETIC: degree sums over edges
+    // are exact int64; the five moment products are taken in DOUBLE
+    // over exact operands (the q217 contract — m·Σxy overflows int64
+    // at warehouse edge counts); sqrt is IEEE-exact. One degree join
+    // per endpoint (the same shape as one propagation sweep), one
+    // 1-row shrink.
+    QueryDef.sql("q235_degree_assortativity") { (s, d) =>
+      val e = edges(s, d).select(col("src"), col("dst"))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val de = e
+        .join(deg.select(col("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      val m = de.agg(
+        count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      val md = col("m2").cast("double")
+      val cov = md * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val vx = md * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = md * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      m.select(col("m2"),
+        (col("sx").cast("double") / md).as("mean_deg"),
+        when(vx * vy <= 0.0, lit(null).cast("double"))
+          .otherwise(cov / sqrt(vx * vy)).as("assortativity"))
+    } {
+      s"""WITH $EdgeSql,
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |de AS (
+         |  SELECT dx.deg AS dx, dy.deg AS dy
+         |  FROM edges e
+         |  JOIN deg dx ON e.src = dx.src
+         |  JOIN deg dy ON e.dst = dy.src),
+         |mm AS (
+         |  SELECT COUNT(*) AS m2,
+         |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |  FROM de)
+         |SELECT m2,
+         |  CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE) AS mean_deg,
+         |  CASE WHEN (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0
+         |    THEN NULL
+         |    ELSE (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / SQRT((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |    END AS assortativity
+         |FROM mm""".stripMargin
     }
   )
 

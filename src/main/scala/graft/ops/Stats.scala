@@ -2060,6 +2060,76 @@ object Stats {
         |  CAST(n_rows AS DOUBLE) / CAST(n_groups AS DOUBLE) AS reduction
         |FROM u
         |ORDER BY grouping""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q236: PERIOD-OVER-PERIOD PROFILE DIFF — the warehouse diff tool:
+    // per-user activity profiles (event count, purchase cents) for the
+    // two halves of the month, full-outer-joined into the
+    // added/removed/changed/same census plus the aggregate cents
+    // delta. This is the shape of every snapshot-comparison job
+    // (yesterday's dim vs today's, replica vs primary); q150 audits a
+    // CHANGELOG against a rebuild, this diffs two MATERIALIZED states
+    // with no changelog at all. One user-keyed agg with per-side
+    // conditional sums (the q205 posture — the fact scan happens
+    // once); exact integers.
+    QueryDef.sql("q236_profile_snapshot_diff") { (s, d) =>
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val pu = Tables(s, d, "events")
+        .select(col("user_id"),
+          (col("ts").cast("timestamp") < cutoff).as("in_a"),
+          when(col("event_type") === "purchase",
+            expr("CAST(ROUND(value * 100) AS BIGINT)")).otherwise(0L)
+            .as("cents"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("in_a"), col("cents")).otherwise(0L)).as("c_a"),
+          sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("c_b"))
+      pu.agg(
+        sum(when(col("n_a") === 0L && col("n_b") > 0L, 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("n_a") > 0L && col("n_b") === 0L, 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("n_a") > 0L && col("n_b") > 0L &&
+          (col("n_a") =!= col("n_b") || col("c_a") =!= col("c_b")), 1L)
+          .otherwise(0L)).as("n_changed"),
+        sum(when(col("n_a") > 0L && col("n_b") > 0L &&
+          col("n_a") === col("n_b") && col("c_a") === col("c_b"), 1L)
+          .otherwise(0L)).as("n_same"),
+        (sum(col("c_b")) - sum(col("c_a"))).as("cents_delta"))
+    } {
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+        |      < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+        |      >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+        |        < TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+        |        >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS c_b
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(CASE WHEN n_a = 0 AND n_b > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN n_a > 0 AND n_b = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN n_a > 0 AND n_b > 0
+        |      AND (n_a <> n_b OR c_a <> c_b) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN n_a > 0 AND n_b > 0
+        |      AND n_a = n_b AND c_a = c_b THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_same,
+        |  CAST(SUM(c_b) - SUM(c_a) AS BIGINT) AS cents_delta
+        |FROM pu""".stripMargin
     }
   )
 

@@ -920,4 +920,91 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // leaks heavily, which is exactly the audit's point
     assert(r._7 > 0.5)
   }
+
+  test("q235 assortativity replays from the edge-endpoint degree moments") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q235_degree_assortativity")(spark, d)
+      .select($"m2", $"mean_deg", $"assortativity")
+      .as[(Long, Double, Option[Double])].collect().toSeq
+    assert(got.size == 1)
+    val baskets = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).values
+      .map(_.map(_._2).sorted.toSeq)
+    val half = baskets.toSeq.flatMap(_.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length).filter(_._2 >= 2).keys.toSeq
+    val edges = half.flatMap(p => Seq(p, (p._2, p._1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val (xs, ys) = edges.map(e => (deg(e._1), deg(e._2))).unzip
+    val m2 = edges.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+    val cov = m2 * sxy - sx.toDouble * sy.toDouble
+    val vx = m2 * sxx - sx.toDouble * sx.toDouble
+    val vy = m2 * syy - sy.toDouble * sy.toDouble
+    val r = got.head
+    assert(r._1 == edges.length.toLong)
+    assert(r._2 == sx / m2)
+    if (vx * vy > 0) {
+      assert(math.abs(r._3.get - cov / math.sqrt(vx * vy)) < 1e-12)
+      assert(r._3.get >= -1.0 && r._3.get <= 1.0)
+    } else assert(r._3.isEmpty)
+    // the symmetric edge relation makes x and y exchangeable
+    assert(sx == sy && sxx == syy)
+  }
+
+  test("q236 diff census partitions the user universe; cents delta replays") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q236_profile_snapshot_diff")(spark, d)
+      .select($"n_added", $"n_removed", $"n_changed", $"n_same",
+        $"cents_delta")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 1)
+    val cutoff = 1705363200000L
+    val ev = graft.Tables(spark, d, "events")
+      .select($"user_id", expr("unix_millis(cast(ts AS timestamp))"),
+        when($"event_type" === "purchase",
+          expr("CAST(ROUND(value * 100) AS BIGINT)")).otherwise(0L))
+      .as[(Long, Long, Long)].collect()
+    val pu = ev.groupBy(_._1).view.mapValues { es =>
+      val (a, b) = es.partition(_._2 < cutoff)
+      (a.length.toLong, b.length.toLong, a.map(_._3).sum, b.map(_._3).sum)
+    }.values.toSeq
+    val r = got.head
+    assert(r._1 == pu.count(p => p._1 == 0 && p._2 > 0))
+    assert(r._2 == pu.count(p => p._1 > 0 && p._2 == 0))
+    assert(r._3 == pu.count(p => p._1 > 0 && p._2 > 0 &&
+      (p._1 != p._2 || p._3 != p._4)))
+    assert(r._4 == pu.count(p => p._1 > 0 && p._2 > 0 &&
+      p._1 == p._2 && p._3 == p._4))
+    assert(r._5 == pu.map(_._4).sum - pu.map(_._3).sum)
+    // the census covers every user exactly once
+    assert(r._1 + r._2 + r._3 + r._4 == pu.size)
+  }
+
+  test("q237 WITH TIES keeps more than row_number would where ties exist") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q237_topk_with_ties")(spark, d)
+      .select($"o_orderpriority", $"n_rows_kept", $"n_distinct_qty",
+        $"top_qty", $"cut_qty")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val sized = spark.read.parquet(s"$d/lineitem.parquet")
+      .join(spark.read.parquet(s"$d/orders.parquet")
+        .select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority", $"l_orderkey")
+      .agg(count(lit(1)).as("qty"))
+      .select($"o_orderpriority", $"qty").as[(String, Long)].collect()
+    val expect = sized.groupBy(_._1).iterator.map { case (p, qs) =>
+      val sorted = qs.map(_._2).sorted.reverse.toSeq
+      val kept = sorted.takeWhile(q =>
+        sorted.count(_ > q) < 3) // rank() <= 3 keeps all tied with 3rd
+      (p, kept.length.toLong, kept.distinct.length.toLong,
+        kept.head, kept.last)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    // the semantics visibly differ from LIMIT 3 somewhere on the fixture
+    assert(got.exists(_._2 > 3))
+  }
 }
