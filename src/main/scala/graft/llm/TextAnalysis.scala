@@ -1019,6 +1019,148 @@ object TextAnalysis {
          |    AS agree
          |FROM m JOIN t ON m.lang = t.lang
          |ORDER BY m.lang, m.predicted""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q240: ZIPF RANK×FREQUENCY PROFILE — does the corpus's token
+    // distribution obey Zipf's law (f_r ≈ f_1/r)? A natural corpus has
+    // rank·frequency roughly constant; template/machine-generated text
+    // is flat-headed and fails it. The textbook log-log OLS slope needs
+    // ln() (libm-specific last ulp); rank·freq is the SAME diagnostic
+    // from exact int64 products — rf/f_1 per rank (≈1 under Zipf,
+    // →r·(share) when flat) plus the cumulative head share, each ONE
+    // correctly-rounded division. Global top-20 via TakeOrdered
+    // (distributed partial top-k, never a vocabulary sort); the window
+    // ranks 20 broadcast-small rows; the token total is an exact-int
+    // scalar from the same aggregated vocabulary relation.
+    QueryDef.sql("q240_zipf_profile") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+      val total = counts.agg(sum(col("freq")).as("n_tokens"))
+      val top = counts
+        .orderBy(col("freq").desc, col("token")).limit(20)
+      val w = Window.orderBy(col("freq").desc, col("token"))
+      val f1 = top.agg(max(col("freq")).as("f1"))
+      top
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_freq",
+          sum(col("freq")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .crossJoin(broadcast(f1))
+        .select(
+          col("rank"), col("token"), col("freq"),
+          (col("rank") * col("freq")).as("rank_x_freq"),
+          expr("CAST(rank * freq AS DOUBLE) / CAST(f1 AS DOUBLE)")
+            .as("zipf_ratio"),
+          expr("CAST(cum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE)")
+            .as("cum_share"))
+        .orderBy("rank")
+    } {
+      """WITH counts AS (
+        |  SELECT token, COUNT(*) AS freq
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens FROM counts),
+        |top AS (
+        |  SELECT token, freq FROM counts
+        |  ORDER BY freq DESC, token LIMIT 20),
+        |r AS (
+        |  SELECT token, freq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |      AS rank,
+        |    CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_freq,
+        |    MAX(freq) OVER () AS f1
+        |  FROM top)
+        |SELECT rank, token, freq, rank * freq AS rank_x_freq,
+        |  CAST(rank * freq AS DOUBLE) / CAST(f1 AS DOUBLE) AS zipf_ratio,
+        |  CAST(cum_freq AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)
+        |    AS cum_share
+        |FROM r CROSS JOIN tot
+        |ORDER BY rank""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q241: COHEN'S KAPPA between the stored `lang` label and the q31
+    // heuristic labeler — q233's confusion matrix compressed to the one
+    // number label-pipeline dashboards track: chance-corrected
+    // agreement ((p_o − p_e)/(1 − p_e)). Raw agreement flatters any
+    // labeler on a skewed corpus (predict the majority class and score
+    // its share); kappa subtracts exactly that. Algebra stays in exact
+    // int64 — kappa = (n·Σdiag − Σ_l row_l·col_l)/(n² − Σ_l row_l·col_l)
+    // — with ONE terminal division, so it hash-matches across engines.
+    // Overflow contract (ANSI aborts, never wraps): n² must fit int64 →
+    // valid to n ≈ 3e9 docs; past that promote the two products to
+    // decimal(38,0)/HUGEINT and accept the documented wide-cast rules.
+    // The confusion grid is ≤ |langs|² rows; marginal joins are outer
+    // (the heuristic only ever emits {en,es,de}, the corpus has more).
+    // On this fixture the heuristic degenerates to majority-class (the
+    // synthetic non-English text carries no stopwords either, so every
+    // tie resolves 'en') and kappa lands at exactly 0 — raw agreement
+    // reads 38.6% while the chance-corrected score correctly reports
+    // zero labeler skill, which is precisely the failure mode kappa
+    // exists to expose (spec-asserted).
+    QueryDef.sql("q241_labeler_kappa") { (s, d) =>
+      val p = Tables(s, d, "documents")
+        .withColumn("en_hits", hitsExpr(En).cast("int"))
+        .withColumn("es_hits", hitsExpr(Es).cast("int"))
+        .withColumn("de_hits", hitsExpr(De).cast("int"))
+        .withColumn("predicted",
+          when(col("en_hits") >= col("es_hits") &&
+            col("en_hits") >= col("de_hits"), "en")
+            .when(col("es_hits") >= col("de_hits"), "es")
+            .otherwise("de"))
+        .select(col("lang"), col("predicted"))
+      val grid = p.groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("c"))
+      val rowM = grid.groupBy(col("lang")).agg(sum(col("c")).as("row_n"))
+      val colM = grid.groupBy(col("predicted")).agg(sum(col("c")).as("col_n"))
+      val pe = rowM
+        .join(colM, col("lang") === col("predicted"), "full_outer")
+        .agg(sum(coalesce(col("row_n"), lit(0L)) *
+          coalesce(col("col_n"), lit(0L))).as("pe_num"))
+      val agg = grid.agg(
+        sum(col("c")).as("n_docs"),
+        sum(when(col("lang") === col("predicted"), col("c"))
+          .otherwise(lit(0L))).as("n_agree"))
+      agg.crossJoin(broadcast(pe))
+        .select(col("n_docs"), col("n_agree"), col("pe_num"),
+          expr("CAST(n_docs * n_agree - pe_num AS DOUBLE) " +
+            "/ CAST(n_docs * n_docs - pe_num AS DOUBLE)").as("kappa"))
+    } {
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE WHEN ${hitsSql(En)} >= ${hitsSql(Es)}
+         |          AND ${hitsSql(En)} >= ${hitsSql(De)} THEN 'en'
+         |         WHEN ${hitsSql(Es)} >= ${hitsSql(De)} THEN 'es'
+         |         ELSE 'de' END AS predicted
+         |  FROM documents),
+         |grid AS (
+         |  SELECT lang, predicted, COUNT(*) AS c
+         |  FROM p GROUP BY lang, predicted),
+         |rm AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS row_n
+         |       FROM grid GROUP BY lang),
+         |cm AS (SELECT predicted, CAST(SUM(c) AS BIGINT) AS col_n
+         |       FROM grid GROUP BY predicted),
+         |pe AS (
+         |  SELECT CAST(SUM(COALESCE(rm.row_n, 0) * COALESCE(cm.col_n, 0))
+         |    AS BIGINT) AS pe_num
+         |  FROM rm FULL OUTER JOIN cm ON rm.lang = cm.predicted),
+         |a AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN lang = predicted THEN c ELSE 0 END)
+         |      AS BIGINT) AS n_agree
+         |  FROM grid)
+         |SELECT a.n_docs, a.n_agree, pe.pe_num,
+         |  CAST(a.n_docs * a.n_agree - pe.pe_num AS DOUBLE)
+         |    / CAST(a.n_docs * a.n_docs - pe.pe_num AS DOUBLE) AS kappa
+         |FROM a CROSS JOIN pe""".stripMargin
     }
   )
 }

@@ -2200,6 +2200,164 @@ object Events {
         |FROM f GROUP BY user_id
         |HAVING SUM(suspect) > 0
         |ORDER BY user_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q238: BEHAVIORAL DIVERSITY AUDIT (Gini–Simpson) — the bot/script
+    // screen on action mixes: a scripted client hammers one action
+    // (diversity → 0, top-action share → 1) while organic users spread
+    // across the type vocabulary. Shannon entropy is the textbook
+    // choice but needs ln() — a transcendental whose last ulp is libm-
+    // specific; the Gini–Simpson index 1 − Σc²/n² carries the same
+    // signal from exact integers with ONE correctly-rounded division
+    // per user, so it hash-matches across engines. Two shrinking keyed
+    // aggregations ((user,type) → user → k-band); the per-user doubles
+    // never shuffle raw — the band rollup sums them via the Det
+    // decimal contract. Output is ≤ |type vocabulary| rows at any SF.
+    QueryDef.sql("q238_action_diversity") { (s, d) =>
+      val perType = Tables(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val perUser = perType.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("k"),
+          sum(col("c")).as("n"),
+          sum(col("c") * col("c")).as("ssq"),
+          max(col("c")).as("cmax"))
+        .withColumn("diversity", expr(
+          "1.0D - CAST(ssq AS DOUBLE) / CAST(n * n AS DOUBLE)"))
+        .withColumn("top_share", expr(
+          "CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("scripted",
+          (col("diversity") < 0.30) || (col("top_share") > 0.85))
+      perUser.groupBy(col("k").as("n_action_types"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("scripted"), 1L).otherwise(0L)).as("n_scripted"),
+          Det.davg(col("diversity")).as("avg_diversity"),
+          min(col("diversity")).as("min_diversity"),
+          max(col("diversity")).as("max_diversity"),
+          Det.davg(col("top_share")).as("avg_top_share"))
+        .orderBy("n_action_types")
+    } {
+      s"""WITH c AS (
+         |  SELECT user_id, event_type, COUNT(*) AS c
+         |  FROM events GROUP BY user_id, event_type),
+         |u AS (
+         |  SELECT user_id, COUNT(*) AS k,
+         |    CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(c * c) AS BIGINT) AS ssq,
+         |    MAX(c) AS cmax
+         |  FROM c GROUP BY user_id),
+         |p AS (
+         |  SELECT k,
+         |    1.0 - CAST(ssq AS DOUBLE) / CAST(n * n AS DOUBLE) AS diversity,
+         |    CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
+         |  FROM u)
+         |SELECT k AS n_action_types, COUNT(*) AS n_users,
+         |  CAST(SUM(CASE WHEN diversity < 0.30 OR top_share > 0.85
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_scripted,
+         |  ${Det.davgSql("diversity")} AS avg_diversity,
+         |  MIN(diversity) AS min_diversity,
+         |  MAX(diversity) AS max_diversity,
+         |  ${Det.davgSql("top_share")} AS avg_top_share
+         |FROM p GROUP BY k
+         |ORDER BY n_action_types""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q239: KAPLAN–MEIER TIME-TO-CONVERSION with right-censoring — the
+    // survival curve for "days from signup to first purchase", where
+    // users who never purchase are CENSORED at the corpus horizon
+    // rather than dropped (dropping them biases conversion speed
+    // optimistic — the classic funnel-analytics mistake). Estimator:
+    // S(t) = Π_{u≤t} (n_u − d_u)/n_u over event days. Determinism: the
+    // at-risk count n_t is a SUFFIX sum (descending-order running
+    // window — never a rows-to-unbounded-FOLLOWING frame, which
+    // WindowExec rescans per row); each factor is one correctly-rounded
+    // double division from exact integers; and the product is an
+    // ORDERED left fold (sorted factor array + aggregate()) — the same
+    // multiplication sequence DuckDB's list_reduce performs, so the
+    // doubles are bit-identical. The curve relation after the day
+    // rollup has ≤ calendar-span rows — CONSTANT in corpus size — so
+    // the single-partition window and the O(T²) prefix folds never see
+    // data-scale input; everything upstream is keyed aggregation.
+    QueryDef.sql("q239_conversion_survival") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tus"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(signup, "user_id")
+        .filter(col("tus") >= col("t0"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("tconv"))
+      val horizon = ev.agg(max(col("tus")).as("tmax"))
+      val durations = signup.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("tconv").isNotNull, lit(1L)).otherwise(lit(0L)).as("event"),
+          expr("(coalesce(tconv, tmax) - t0) div 86400000000L").as("t_days"))
+      val days = durations.groupBy(col("t_days"))
+        .agg(sum(col("event")).as("n_events"),
+          sum(lit(1L) - col("event")).as("n_censored"))
+      val wDesc = Window.orderBy(col("t_days").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("t_days"))
+      val curve = days
+        .withColumn("n_at_risk",
+          sum(col("n_events") + col("n_censored")).over(wDesc))
+        .withColumn("factor", expr(
+          "CAST(n_at_risk - n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)"))
+        .withColumn("i", row_number().over(wAsc))
+      val factors = curve
+        .agg(expr("transform(sort_array(collect_list(struct(t_days, factor)))," +
+          " x -> x.factor)").as("fs"))
+      curve.crossJoin(broadcast(factors))
+        .withColumn("survival", expr(
+          "aggregate(slice(fs, 1, i), 1.0D, (acc, f) -> acc * f)"))
+        .select("t_days", "n_at_risk", "n_events", "n_censored", "survival")
+        .orderBy("t_days")
+    } {
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    EPOCH_US(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events),
+        |signup AS (
+        |  SELECT user_id, MIN(tus) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, MIN(e.tus) AS tconv
+        |  FROM ev e JOIN signup s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus >= s.t0
+        |  GROUP BY e.user_id),
+        |horizon AS (SELECT MAX(tus) AS tmax FROM ev),
+        |dur AS (
+        |  SELECT CASE WHEN c.tconv IS NOT NULL THEN 1 ELSE 0 END AS event,
+        |    (COALESCE(c.tconv, h.tmax) - s.t0) // 86400000000 AS t_days
+        |  FROM signup s LEFT JOIN conv c ON s.user_id = c.user_id
+        |  CROSS JOIN horizon h),
+        |days AS (
+        |  SELECT t_days, CAST(SUM(event) AS BIGINT) AS n_events,
+        |    CAST(SUM(1 - event) AS BIGINT) AS n_censored
+        |  FROM dur GROUP BY t_days),
+        |curve AS (
+        |  SELECT t_days, n_events, n_censored,
+        |    CAST(SUM(n_events + n_censored) OVER (ORDER BY t_days DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_at_risk,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t_days) AS INT) AS i
+        |  FROM days),
+        |f AS (
+        |  SELECT t_days, n_events, n_censored, n_at_risk, i,
+        |    CAST(n_at_risk - n_events AS DOUBLE)
+        |      / CAST(n_at_risk AS DOUBLE) AS factor
+        |  FROM curve),
+        |l AS (SELECT LIST(factor ORDER BY t_days) AS fs FROM f)
+        |SELECT f.t_days, f.n_at_risk, f.n_events, f.n_censored,
+        |  LIST_REDUCE(l.fs[1:f.i], (acc, x) -> acc * x) AS survival
+        |FROM f CROSS JOIN l
+        |ORDER BY f.t_days""".stripMargin
     }
   )
 }

@@ -2130,6 +2130,77 @@ object Stats {
         |    AS BIGINT) AS n_same,
         |  CAST(SUM(c_b) - SUM(c_a) AS BIGINT) AS cents_delta
         |FROM pu""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q242: CRAMÉR'S V — q143's χ² grid compressed to the bounded [0,1]
+    // association strength dashboards can threshold (χ² itself grows
+    // with n, so "is lang associated with source" cannot be read off it
+    // directly): V = √(χ²/(n·min(r−1,c−1))). Per-cell terms are q143's
+    // exact chain verbatim (divergence here would mean the two audits
+    // disagree about the same grid); the total crosses the order-
+    // dependent-summation gap via the Det decimal contract, and √ is a
+    // correctly-rounded IEEE primitive — no transcendental anywhere.
+    // Everything after the (lang,source) rollup is O(r·c) rows.
+    QueryDef.sql("q242_cramers_v") { (s, d) =>
+      val grid = Tables(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("observed"))
+      val rowM = grid.groupBy(col("lang")).agg(sum(col("observed")).as("n_lang"))
+      val colM = grid.groupBy(col("source")).agg(sum(col("observed")).as("n_source"))
+      val dims = grid.agg(
+        sum(col("observed")).as("n"),
+        countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"))
+      grid.join(broadcast(rowM), "lang")
+        .join(broadcast(colM), "source")
+        .crossJoin(broadcast(dims))
+        .withColumn("chi2_cell", expr(
+          "(CAST(observed AS DOUBLE) " +
+            "- CAST(n_lang * n_source AS DOUBLE) / CAST(n AS DOUBLE)) " +
+            "* (CAST(observed AS DOUBLE) " +
+            "- CAST(n_lang * n_source AS DOUBLE) / CAST(n AS DOUBLE)) " +
+            "/ (CAST(n_lang * n_source AS DOUBLE) / CAST(n AS DOUBLE))"))
+        .groupBy(col("n"), col("r"), col("c"))
+        .agg(Det.dsum(col("chi2_cell")).as("chi2"))
+        .select(col("n"), col("r").as("n_langs"), col("c").as("n_sources"),
+          col("chi2"),
+          expr("SQRT(chi2 / (CAST(n AS DOUBLE) " +
+            "* CAST(least(r - 1, c - 1) AS DOUBLE)))").as("cramers_v"))
+    } {
+      s"""WITH grid AS (
+         |  SELECT lang, source, COUNT(*) AS observed
+         |  FROM documents GROUP BY lang, source),
+         |rm AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS n_lang
+         |       FROM grid GROUP BY lang),
+         |cm AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS n_source
+         |       FROM grid GROUP BY source),
+         |dims AS (
+         |  SELECT CAST(SUM(observed) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+         |    CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+         |  FROM grid),
+         |cells AS (
+         |  SELECT dims.n, dims.r, dims.c,
+         |    (CAST(g.observed AS DOUBLE)
+         |       - CAST(rm.n_lang * cm.n_source AS DOUBLE)
+         |         / CAST(dims.n AS DOUBLE))
+         |    * (CAST(g.observed AS DOUBLE)
+         |       - CAST(rm.n_lang * cm.n_source AS DOUBLE)
+         |         / CAST(dims.n AS DOUBLE))
+         |    / (CAST(rm.n_lang * cm.n_source AS DOUBLE)
+         |       / CAST(dims.n AS DOUBLE)) AS chi2_cell
+         |  FROM grid g
+         |  JOIN rm ON g.lang = rm.lang
+         |  JOIN cm ON g.source = cm.source
+         |  CROSS JOIN dims),
+         |t AS (
+         |  SELECT n, r, c, ${Det.dsumSql("chi2_cell")} AS chi2
+         |  FROM cells GROUP BY n, r, c)
+         |SELECT n, r AS n_langs, c AS n_sources, chi2,
+         |  SQRT(chi2 / (CAST(n AS DOUBLE)
+         |    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+         |FROM t""".stripMargin
     }
   )
 

@@ -1007,4 +1007,113 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // the semantics visibly differ from LIMIT 3 somewhere on the fixture
     assert(got.exists(_._2 > 3))
   }
+
+  test("q238 diversity bands replay from per-user type counts") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q238_action_diversity")(spark, d)
+      .select($"n_action_types", $"n_users", $"n_scripted",
+        $"min_diversity", $"max_diversity")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val perUser = ev.groupBy(_._1).map { case (_, es) =>
+      val c = es.groupBy(_._2).map(_._2.size.toLong).toSeq
+      val n = c.sum
+      val div = 1.0 - c.map(x => x * x).sum.toDouble / (n * n).toDouble
+      val top = c.max.toDouble / n.toDouble
+      (c.size.toLong, div, div < 0.30 || top > 0.85)
+    }.toSeq
+    val expect = perUser.groupBy(_._1).map { case (k, us) =>
+      (k, us.size.toLong, us.count(_._3).toLong,
+        us.map(_._2).min, us.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    // a uniform mix maximizes the index: every diversity ≤ 1 − 1/k
+    perUser.foreach { case (k, div, _) =>
+      assert(div <= 1.0 - 1.0 / k + 1e-12)
+    }
+  }
+
+  test("q239 KM curve: at-risk ladder is consistent and survival is the prefix product") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q239_conversion_survival")(spark, d)
+      .select($"t_days", $"n_at_risk", $"n_events", $"n_censored", $"survival")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    // n_at_risk(t) = everyone whose observed duration is >= t
+    val totalObs = got.map(r => r._3 + r._4).sum
+    got.foldLeft(totalObs) { case (atRisk, (_, n, dEv, cEn, _)) =>
+      assert(n == atRisk)
+      atRisk - dEv - cEn
+    }
+    // survival is exactly the running product of (n-d)/n in t order
+    got.foldLeft(1.0) { case (acc, (_, n, dEv, _, surv)) =>
+      val next = acc * ((n - dEv).toDouble / n.toDouble)
+      assert(surv == next)
+      next
+    }
+    // monotone non-increasing from 1, and the cohort is the signup users
+    assert(got.map(_._5).zip(got.map(_._5).drop(1)).forall(p => p._2 <= p._1))
+    val signups = spark.read.parquet(s"$d/events.parquet")
+      .filter($"event_type" === "signup").select($"user_id")
+      .distinct().count()
+    assert(totalObs == signups)
+  }
+
+  test("q240 zipf profile replays from the exact token histogram") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q240_zipf_profile")(spark, d)
+      .select($"rank", $"token", $"freq", $"rank_x_freq", $"cum_share")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 20)
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1))
+    val hist = toks.groupBy(identity).map { case (t, o) => (t, o.size.toLong) }
+    val top = hist.toSeq.sortBy { case (t, f) => (-f, t) }.take(20)
+    val totalToks = hist.values.sum
+    got.zip(top).zipWithIndex.foreach { case (((r, tok, f, rf, cs), (et, ef)), i) =>
+      assert(r == i + 1 && tok == et && f == ef && rf == (i + 1) * ef)
+      assert(cs == top.take(i + 1).map(_._2).sum.toDouble / totalToks.toDouble)
+    }
+  }
+
+  test("q241 kappa replays from the confusion matrix and reads 0 on the majority-class labeler") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q241_labeler_kappa")(spark, d)
+      .select($"n_docs", $"n_agree", $"pe_num", $"kappa")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.size == 1)
+    val (n, agree, peNum, kappa) = got.head
+    val conf = graft.SparkEntry.queries("q233_langid_confusion")(spark, d)
+      .select($"lang", $"predicted", $"n_docs")
+      .as[(String, String, Long)].collect().toSeq
+    assert(n == conf.map(_._3).sum)
+    assert(agree == conf.collect { case (l, p, c) if l == p => c }.sum)
+    val rows = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val cols = conf.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val pe = (rows.keySet ++ cols.keySet).toSeq
+      .map(l => rows.getOrElse(l, 0L) * cols.getOrElse(l, 0L)).sum
+    assert(peNum == pe)
+    assert(kappa == (n * agree - pe).toDouble / (n * n - pe).toDouble)
+    // the fixture labeler degenerates to majority-class → zero skill
+    assert(kappa == 0.0)
+  }
+
+  test("q242 Cramér's V replays from q143's cell grid and lands in [0,1]") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q242_cramers_v")(spark, d)
+      .select($"n", $"n_langs", $"n_sources", $"chi2", $"cramers_v")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.size == 1)
+    val (n, r, c, chi2, v) = got.head
+    val cells = graft.SparkEntry.queries("q143_chi2_independence")(spark, d)
+      .select($"chi2_cell").as[Double].collect()
+    // same grid: the total is the Det-decimal sum of q143's cells
+    val detSum = cells.map(x => BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(chi2 == detSum)
+    assert(v == math.sqrt(chi2 / (n.toDouble * math.min(r - 1, c - 1).toDouble)))
+    assert(v >= 0.0 && v <= 1.0)
+  }
 }
