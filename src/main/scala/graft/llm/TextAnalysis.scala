@@ -1161,6 +1161,83 @@ object TextAnalysis {
          |  CAST(a.n_docs * a.n_agree - pe.pe_num AS DOUBLE)
          |    / CAST(a.n_docs * a.n_docs - pe.pe_num AS DOUBLE) AS kappa
          |FROM a CROSS JOIN pe""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q246: McNEMAR'S PAIRED TEST — is the q31 stopword detector
+    // actually better than predicting the majority class, ON THE SAME
+    // DOCUMENTS? Unpaired accuracy comparisons (two independent
+    // proportions, q199's shape) waste the pairing; McNemar's statistic
+    // uses only the DISCORDANT pairs — b = detector right & baseline
+    // wrong, c = the reverse — and (b−c)²/(b+c) ~ χ²(1) under "no skill
+    // difference". This is the promote-the-new-labeler gate: q241's
+    // kappa says the detector beats chance, this says it beats the
+    // incumbent. The detector expression is q31's verbatim (shared
+    // hitsExpr/hitsSql); the baseline class is the exact corpus mode
+    // (count-desc, lexicographic tie-break — deterministic, 1-row
+    // broadcast). Exact integer counts; the statistic is the ONE
+    // terminal division, NULL when no discordant pairs exist on both
+    // engines.
+    QueryDef.sql("q246_mcnemar_paired") { (s, d) =>
+      val pred =
+        when(hitsExpr(En) >= hitsExpr(Es) && hitsExpr(En) >= hitsExpr(De),
+          "en").when(hitsExpr(Es) >= hitsExpr(De), "es").otherwise("de")
+      val docs = Tables(s, d, "documents")
+      val mode = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang")).limit(1)
+        .select(col("lang").as("mode_lang"))
+      docs.select(col("lang"), pred.as("pa"))
+        .crossJoin(broadcast(mode))
+        .select((col("pa") === col("lang")).as("ca"),
+          (col("mode_lang") === col("lang")).as("cb"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("ca") && col("cb"), 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("ca") && !col("cb"), 1L).otherwise(0L))
+            .as("n_only_detector"),
+          sum(when(!col("ca") && col("cb"), 1L).otherwise(0L))
+            .as("n_only_baseline"),
+          sum(when(!col("ca") && !col("cb"), 1L).otherwise(0L))
+            .as("n_neither"))
+        .withColumn("mcnemar_chi2",
+          when(col("n_only_detector") + col("n_only_baseline") === 0L,
+            lit(null).cast("double"))
+            .otherwise(expr(
+              "CAST((n_only_detector - n_only_baseline) " +
+                "* (n_only_detector - n_only_baseline) AS DOUBLE) " +
+                "/ CAST(n_only_detector + n_only_baseline AS DOUBLE)")))
+    } {
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE WHEN ${hitsSql(En)} >= ${hitsSql(Es)}
+         |          AND ${hitsSql(En)} >= ${hitsSql(De)} THEN 'en'
+         |         WHEN ${hitsSql(Es)} >= ${hitsSql(De)} THEN 'es'
+         |         ELSE 'de' END AS pa
+         |  FROM documents),
+         |md AS (
+         |  SELECT lang AS mode_lang FROM documents
+         |  GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1),
+         |c AS (
+         |  SELECT (p.pa = p.lang) AS ca, (md.mode_lang = p.lang) AS cb
+         |  FROM p CROSS JOIN md),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_both,
+         |    CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_only_detector,
+         |    CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_only_baseline,
+         |    CAST(SUM(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_neither
+         |  FROM c)
+         |SELECT n_docs, n_both, n_only_detector, n_only_baseline, n_neither,
+         |  CASE WHEN n_only_detector + n_only_baseline = 0 THEN NULL
+         |    ELSE CAST((n_only_detector - n_only_baseline)
+         |        * (n_only_detector - n_only_baseline) AS DOUBLE)
+         |      / CAST(n_only_detector + n_only_baseline AS DOUBLE) END
+         |    AS mcnemar_chi2
+         |FROM a""".stripMargin
     }
   )
 }

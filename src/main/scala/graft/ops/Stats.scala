@@ -2201,6 +2201,285 @@ object Stats {
          |  SQRT(chi2 / (CAST(n AS DOUBLE)
          |    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS cramers_v
          |FROM t""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q243: MANN–KENDALL TREND TEST — is each event type's daily volume
+    // monotonically drifting? The KPI-trend screen that works where OLS
+    // slopes mislead (no linearity assumption, outlier-robust) and where
+    // q195's CUSUM answers a different question (abrupt change, not
+    // drift). S = Σ_{i<j} sign(c_j − c_i) over day pairs in exact
+    // integers; Kendall's tau-a = S / C(n,2) is the single terminal
+    // division. Shape at scale: the pair join is per-type days² — the
+    // CALENDAR bounds it (365² pairs/type/year), never the corpus; the
+    // daily rollup in front is the only pass over the fact table.
+    QueryDef.sql("q243_mann_kendall_trend") { (s, d) =>
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("event_type"), col("day").as("day_a"),
+        col("cnt").as("cnt_a"))
+      val b = daily.select(col("event_type").as("et_b"),
+        col("day").as("day_b"), col("cnt").as("cnt_b"))
+      val nd = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"))
+      a.join(b, col("event_type") === col("et_b") &&
+          col("day_a") < col("day_b"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("cnt_b") > col("cnt_a"), 1L)
+            .when(col("cnt_b") < col("cnt_a"), -1L).otherwise(0L))
+            .as("s_stat"),
+          count(lit(1)).as("n_pairs"))
+        .join(broadcast(nd), "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("s_stat"),
+          (col("s_stat").cast("double") / col("n_pairs").cast("double"))
+            .as("tau_a"))
+        .orderBy("event_type")
+    } {
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+        |      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY a.event_type),
+        |nd AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY event_type)
+        |SELECT p.event_type, nd.n_days, p.n_pairs, p.s_stat,
+        |  CAST(p.s_stat AS DOUBLE) / CAST(p.n_pairs AS DOUBLE) AS tau_a
+        |FROM p JOIN nd ON p.event_type = nd.event_type
+        |ORDER BY p.event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q244: MANN–WHITNEY RANK-SUM + CLIFF'S DELTA per source vs the rest
+    // of the corpus — the non-parametric twin of q199's z-test and the
+    // distribution-shift screen q122's KS complements: "does source X
+    // produce systematically longer documents?" without any normality
+    // assumption. Everything is exact integers until one division:
+    // average ranks are kept DOUBLED (r2 = 2·cnt_less + ties + 1, always
+    // an integer), so 2R₁ = Σ ties_source·r2 and 2U₁ = 2R₁ − n₁(n₁+1)
+    // are exact int64, and Cliff's delta = (2U₁ − n₁n₂)/(n₁n₂) is the
+    // terminal division. Shape at scale: ranks come from the VALUE
+    // histogram (distinct n_chars, not rows) through the two-pass
+    // globalOrderedCumsum — no single-task window, no row-level sort;
+    // int64 bound: 2R₁ ≤ n₁·(2N+1) → valid to N ≈ 2e9 rows.
+    QueryDef.sql("q244_rank_sum_test") { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("source"), col("n_chars"))
+      val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("t"))
+      val r2 = Scale.globalOrderedCumsum(hist, "t", "cumt", "rnk",
+          col("n_chars").asc)
+        .select(col("n_chars"),
+          (lit(2L) * (col("cumt") - col("t")) + col("t") + 1L).as("r2"))
+      val bySrc = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("ts"))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      bySrc.join(r2, "n_chars")
+        .groupBy(col("source"))
+        .agg(sum(col("ts")).as("n1"),
+          sum(col("ts") * col("r2")).as("two_r1"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n2", col("n_total") - col("n1"))
+        .withColumn("two_u", col("two_r1") - col("n1") * (col("n1") + 1L))
+        .select(col("source"), col("n1"), col("n2"), col("two_u"),
+          expr("CAST(two_u - n1 * n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)")
+            .as("cliffs_delta"))
+        .orderBy("source")
+    } {
+      """WITH hist AS (
+        |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM documents GROUP BY n_chars),
+        |cum AS (
+        |  SELECT n_chars, t,
+        |    CAST(SUM(t) OVER (ORDER BY n_chars) AS BIGINT) AS cumt
+        |  FROM hist),
+        |r AS (
+        |  SELECT n_chars, 2 * (cumt - t) + t + 1 AS r2 FROM cum),
+        |bs AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS ts
+        |  FROM documents GROUP BY source, n_chars),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+        |agg AS (
+        |  SELECT source, CAST(SUM(ts) AS BIGINT) AS n1,
+        |    CAST(SUM(ts * r2) AS BIGINT) AS two_r1
+        |  FROM bs JOIN r USING (n_chars) GROUP BY source)
+        |SELECT source, n1,
+        |  CAST(n_total - n1 AS BIGINT) AS n2,
+        |  CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u,
+        |  CAST((two_r1 - n1 * (n1 + 1)) - n1 * (n_total - n1) AS DOUBLE)
+        |    / CAST(n1 * (n_total - n1) AS DOUBLE) AS cliffs_delta
+        |FROM agg CROSS JOIN tot
+        |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q245: SORT-KEY COMPRESSION ADVISOR — which clustering key should
+    // the 100 TB table be written under? Columnar encodings (parquet
+    // RLE/dictionary run lengths, delta pages) are decided by how many
+    // value RUNS each column degenerates to after the sort, so the
+    // advisor scores each candidate by the clustered-run bound:
+    // Σ over sort-key groups of COUNT(DISTINCT column) — the run count a
+    // writer that co-locates equal values within each key group
+    // achieves, exact up to group-boundary merges. The same census
+    // drives q226's partition sizing and q147's min/max skipping; this
+    // one prices the ENCODING. One scan per candidate (Expand handles
+    // the five distinct aggs map-side); all exact integers, the
+    // rows-per-run ratio is the terminal division.
+    QueryDef.sql("q245_sort_compression_advisor") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val tot = li.agg(count(lit(1)).as("n_rows"))
+      def runsFor(name: String, key: org.apache.spark.sql.Column) =
+        li.groupBy(key.as("__k"))
+          .agg(
+            countDistinct(col("l_returnflag")).as("r_returnflag"),
+            countDistinct(col("l_linestatus")).as("r_linestatus"),
+            countDistinct(col("l_partkey")).as("r_partkey"),
+            countDistinct(col("l_suppkey")).as("r_suppkey"),
+            countDistinct(col("l_quantity")).as("r_quantity"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(col("r_returnflag")).as("runs_returnflag"),
+            sum(col("r_linestatus")).as("runs_linestatus"),
+            sum(col("r_partkey")).as("runs_partkey"),
+            sum(col("r_suppkey")).as("runs_suppkey"),
+            sum(col("r_quantity")).as("runs_quantity"),
+            sum(col("r_returnflag") + col("r_linestatus") +
+              col("r_partkey") + col("r_suppkey") + col("r_quantity"))
+              .as("total_runs"))
+          .withColumn("sort_key", lit(name))
+      runsFor("l_partkey", col("l_partkey"))
+        .unionByName(runsFor("l_shipdate_day", to_date(col("l_shipdate"))))
+        .unionByName(runsFor("l_suppkey", col("l_suppkey")))
+        .crossJoin(broadcast(tot))
+        .select(col("sort_key"), col("n_groups"), col("n_rows"),
+          col("runs_returnflag"), col("runs_linestatus"),
+          col("runs_partkey"), col("runs_suppkey"), col("runs_quantity"),
+          col("total_runs"),
+          expr("CAST(5 * n_rows AS DOUBLE) / CAST(total_runs AS DOUBLE)")
+            .as("rows_per_run"))
+        .orderBy("sort_key")
+    } {
+      val candidates = Seq(
+        "l_partkey" -> "l_partkey",
+        "l_shipdate_day" -> "CAST(l_shipdate AS DATE)",
+        "l_suppkey" -> "l_suppkey")
+      val branches = candidates.map { case (name, keyExpr) =>
+        s"""  SELECT '$name' AS sort_key,
+           |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |    CAST(SUM(r_returnflag) AS BIGINT) AS runs_returnflag,
+           |    CAST(SUM(r_linestatus) AS BIGINT) AS runs_linestatus,
+           |    CAST(SUM(r_partkey) AS BIGINT) AS runs_partkey,
+           |    CAST(SUM(r_suppkey) AS BIGINT) AS runs_suppkey,
+           |    CAST(SUM(r_quantity) AS BIGINT) AS runs_quantity,
+           |    CAST(SUM(r_returnflag + r_linestatus + r_partkey
+           |      + r_suppkey + r_quantity) AS BIGINT) AS total_runs
+           |  FROM (
+           |    SELECT
+           |      CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS r_returnflag,
+           |      CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS r_linestatus,
+           |      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS r_partkey,
+           |      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS r_suppkey,
+           |      CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS r_quantity
+           |    FROM lineitem GROUP BY $keyExpr) g""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+         |u AS (
+         |$branches)
+         |SELECT sort_key, n_groups, n_rows, runs_returnflag,
+         |  runs_linestatus, runs_partkey, runs_suppkey, runs_quantity,
+         |  total_runs,
+         |  CAST(5 * n_rows AS DOUBLE) / CAST(total_runs AS DOUBLE)
+         |    AS rows_per_run
+         |FROM u CROSS JOIN tot
+         |ORDER BY sort_key""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q247: SPLIT-CONFORMAL CALIBRATION — the distribution-free
+    // prediction-interval recipe (Vovk; Lei et al.): fit on one half,
+    // take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual,
+    // and |y − ŷ| ≤ q̂ is guaranteed ≥ 1−α coverage on exchangeable
+    // test data — the model-agnostic error bar for any score the
+    // curation pipeline predicts. Model here: per-lang median n_chars
+    // (R-7, integer data → exact halves), residuals DOUBLED into exact
+    // int64 so the order statistic is integer algebra; α = 0.1 with the
+    // rank ceiling as exact integer DIV. The calibration/test split is
+    // the library-wide md5 id-hash recipe (q53/q89/q155 — Ids.hash).
+    // Shape at scale: residual ranks come from the VALUE histogram via
+    // the two-pass globalOrderedCumsum; the crossing is a broadcast
+    // threshold; coverage is one more scan-side agg. One division each
+    // for q̂/2 and coverage.
+    QueryDef.sql("q247_conformal_calibration") { (s, d) =>
+      val split = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (graft.Ids.hash("doc_id") % 2 === 0).as("is_cal"))
+      val med = split.filter(col("is_cal")).groupBy(col("lang"))
+        .agg(expr("CAST(2 * percentile(n_chars, 0.5) AS BIGINT)").as("med2"))
+      val joined = split.join(broadcast(med), "lang")
+        .withColumn("res2", abs(lit(2L) * col("n_chars") - col("med2")))
+      val cal = joined.filter(col("is_cal")).select("res2")
+      val k = cal.agg(count(lit(1)).as("n_cal"))
+        .withColumn("k_rank", expr("(9 * (n_cal + 1) + 9) DIV 10"))
+      val hist = cal.groupBy(col("res2")).agg(count(lit(1)).as("t"))
+      val cum = Scale.globalOrderedCumsum(hist, "t", "cum", "rnk",
+        col("res2").asc)
+      val qhat = cum.crossJoin(broadcast(k))
+        .filter(col("cum") >= col("k_rank"))
+        .agg(min(col("res2")).as("qhat2"))
+      val cov = joined.filter(!col("is_cal")).select("res2")
+        .crossJoin(broadcast(qhat))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("res2") <= col("qhat2"), 1L).otherwise(0L))
+            .as("n_covered"))
+      k.crossJoin(broadcast(qhat)).crossJoin(broadcast(cov))
+        .select(col("n_cal"), col("k_rank").cast("long").as("k_rank"),
+          (col("qhat2").cast("double") / lit(2.0)).as("qhat"),
+          col("n_test"), col("n_covered"),
+          (col("n_covered").cast("double") / col("n_test").cast("double"))
+            .as("coverage"))
+    } {
+      s"""WITH split AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    (${graft.Ids.hashSql("doc_id")} % 2 = 0) AS is_cal
+         |  FROM documents),
+         |med AS (
+         |  SELECT lang, CAST(2 * MEDIAN(n_chars) AS BIGINT) AS med2
+         |  FROM split WHERE is_cal GROUP BY lang),
+         |res AS (
+         |  SELECT s.is_cal, ABS(2 * s.n_chars - m.med2) AS res2
+         |  FROM split s JOIN med m ON s.lang = m.lang),
+         |k AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+         |    CAST((9 * (COUNT(*) + 1) + 9) // 10 AS BIGINT) AS k_rank
+         |  FROM res WHERE is_cal),
+         |hist AS (
+         |  SELECT res2, CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM res WHERE is_cal GROUP BY res2),
+         |cum AS (
+         |  SELECT res2, CAST(SUM(t) OVER (ORDER BY res2) AS BIGINT) AS cum
+         |  FROM hist),
+         |q AS (
+         |  SELECT CAST(MIN(res2) AS BIGINT) AS qhat2
+         |  FROM cum CROSS JOIN k WHERE cum >= k_rank),
+         |cov AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         |    CAST(SUM(CASE WHEN res2 <= qhat2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_covered
+         |  FROM res CROSS JOIN q WHERE NOT is_cal)
+         |SELECT k.n_cal, k.k_rank,
+         |  CAST(q.qhat2 AS DOUBLE) / 2.0 AS qhat,
+         |  cov.n_test, cov.n_covered,
+         |  CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+         |    AS coverage
+         |FROM k CROSS JOIN q CROSS JOIN cov""".stripMargin
     }
   )
 

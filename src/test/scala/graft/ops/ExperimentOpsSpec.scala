@@ -1116,4 +1116,151 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(v == math.sqrt(chi2 / (n.toDouble * math.min(r - 1, c - 1).toDouble)))
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("q243 Mann-Kendall replays from the daily rollup pairs") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q243_mann_kendall_trend")(spark, d)
+      .select($"event_type", $"n_days", $"n_pairs", $"s_stat", $"tau_a")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // daily rollup shared with the query (same to_date), pairs replayed here
+    val daily = spark.read.parquet(s"$d/events.parquet")
+      .select($"event_type", to_date($"ts").cast("string").as("day"))
+      .as[(String, String)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((et, day), cnt) => (et, day, cnt) }
+    val exp = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val byDay = rows.sortBy(_._2).map(_._3)
+      val pairs = for (i <- byDay.indices; j <- i + 1 until byDay.size)
+        yield java.lang.Long.signum(byDay(j) - byDay(i)).toLong
+      (et, byDay.size.toLong, pairs.size.toLong, pairs.sum,
+        pairs.sum.toDouble / pairs.size.toDouble)
+    }
+    assert(got == exp)
+    // tau is a bounded correlation
+    got.foreach { case (_, _, _, _, tau) => assert(tau >= -1.0 && tau <= 1.0) }
+  }
+
+  test("q244 rank-sum replays from brute-force average ranks") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q244_rank_sum_test")(spark, d)
+      .select($"source", $"n1", $"n2", $"two_u", $"cliffs_delta")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val n = docs.length.toLong
+    val less = docs.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sortedVals = less.keys.toSeq.sorted
+    val cntLess = sortedVals.zip(
+      sortedVals.scanLeft(0L)((acc, v) => acc + less(v)).init).toMap
+    val exp = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val twoR1 = rows.map { case (_, v) => 2 * cntLess(v) + less(v) + 1 }.sum
+      val n1 = rows.size.toLong
+      val n2 = n - n1
+      val twoU = twoR1 - n1 * (n1 + 1)
+      (src, n1, n2, twoU, (twoU - n1 * n2).toDouble / (n1 * n2).toDouble)
+    }
+    assert(got == exp)
+    // 2U counts (wins + half-ties) doubled: bounded by the pair universe
+    got.foreach { case (_, n1, n2, twoU, delta) =>
+      assert(twoU >= 0L && twoU <= 2 * n1 * n2)
+      assert(delta >= -1.0 && delta <= 1.0)
+    }
+  }
+
+  test("q245 run bounds replay per candidate and the finer key never compresses better") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q245_sort_compression_advisor")(spark, d)
+      .select($"sort_key", $"n_groups", $"n_rows", $"runs_returnflag",
+        $"runs_partkey", $"runs_quantity", $"total_runs", $"rows_per_run")
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got.size == 3)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey", $"l_shipdate".cast("date").cast("string"),
+        $"l_returnflag", $"l_quantity")
+      .as[(Long, Long, String, String, Double)].collect()
+    def replay(key: ((Long, Long, String, String, Double)) => Any) = {
+      val groups = li.groupBy(key)
+      (groups.size.toLong,
+        groups.values.map(_.map(_._4).distinct.size.toLong).sum,
+        groups.values.map(_.map(_._1).distinct.size.toLong).sum,
+        groups.values.map(_.map(_._5).distinct.size.toLong).sum)
+    }
+    val byName = got.map(r => r._1 -> r).toMap
+    for ((name, key) <- Seq[(String, ((Long, Long, String, String, Double)) => Any)](
+        "l_partkey" -> (_._1), "l_suppkey" -> (_._2),
+        "l_shipdate_day" -> (_._3))) {
+      val (ng, rFlag, rPart, rQty) = replay(key)
+      val r = byName(name)
+      assert((r._2, r._4, r._5, r._6) == ((ng, rFlag, rPart, rQty)),
+        s"candidate $name")
+      assert(r._3 == li.length.toLong)
+    }
+    // sorting by partkey makes partkey itself fully run-compressed
+    assert(byName("l_partkey")._5 == byName("l_partkey")._2)
+  }
+
+  test("q246 McNemar replays from per-doc paired correctness") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q246_mcnemar_paired")(spark, d)
+      .select($"n_docs", $"n_both", $"n_only_detector", $"n_only_baseline",
+        $"n_neither", $"mcnemar_chi2")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got.size == 1)
+    val (n, both, b, c, neither, chi2) = got.head
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"lang", $"text").as[(String, String)].collect()
+    val en = Set("the", "a", "of", "and", "to", "in")
+    val es = Set("el", "la", "de", "y", "en", "los")
+    val de = Set("der", "die", "das", "und", "ein", "zu")
+    def hits(t: String, s: Set[String]) =
+      t.split(" ", -1).count(s.contains)
+    val mode = docs.groupBy(_._1).view.mapValues(_.size).toSeq
+      .sortBy { case (l, cnt) => (-cnt, l) }.head._1
+    val paired = docs.map { case (lang, text) =>
+      val (he, hs, hd) = (hits(text, en), hits(text, es), hits(text, de))
+      val pred = if (he >= hs && he >= hd) "en"
+        else if (hs >= hd) "es" else "de"
+      (pred == lang, mode == lang)
+    }
+    val eb = paired.count(p => p._1 && !p._2).toLong
+    val ec = paired.count(p => !p._1 && p._2).toLong
+    assert(n == docs.length.toLong)
+    assert(both == paired.count(p => p._1 && p._2).toLong)
+    assert((b, c) == ((eb, ec)))
+    assert(neither == paired.count(p => !p._1 && !p._2).toLong)
+    assert(both + b + c + neither == n)
+    if (eb + ec == 0) assert(chi2.isEmpty)
+    else assert(chi2.contains(
+      ((eb - ec) * (eb - ec)).toDouble / (eb + ec).toDouble))
+  }
+
+  test("q247 conformal threshold and coverage replay from the md5 split") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q247_conformal_calibration")(spark, d)
+      .select($"n_cal", $"k_rank", $"qhat", $"n_test", $"n_covered",
+        $"coverage")
+      .as[(Long, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(got.size == 1)
+    val (nCal, kRank, qhat, nTest, nCovered, coverage) = got.head
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)]
+      .collect()
+    val (cal, tst) = docs.partition(r => idHash(r._1) % 2 == 0)
+    def med2(vs: Seq[Long]): Long = {
+      val s = vs.sorted; val m = s.size
+      if (m % 2 == 1) 2 * s(m / 2) else s(m / 2 - 1) + s(m / 2)
+    }
+    val m2 = cal.groupBy(_._2).view.mapValues(g => med2(g.map(_._3).toSeq)).toMap
+    val calRes = cal.map(r => math.abs(2 * r._3 - m2(r._2))).sorted
+    val k = (9 * (calRes.length + 1) + 9) / 10
+    val q2 = calRes(k - 1)
+    val tstRes = tst.map(r => math.abs(2 * r._3 - m2(r._2)))
+    assert(nCal == calRes.length.toLong && nTest == tstRes.length.toLong)
+    assert(nCal + nTest == docs.length.toLong)
+    assert(kRank == k.toLong)
+    assert(qhat == q2.toDouble / 2.0)
+    assert(nCovered == tstRes.count(_ <= q2).toLong)
+    assert(coverage == nCovered.toDouble / nTest.toDouble)
+  }
 }
