@@ -653,6 +653,56 @@ object Extended {
         |FROM r WHERE rnk <= 3
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q249: SCHEMA-DRIFT CENSUS — when did a producer add or drop a
+    // field? Semi-structured payloads (events.props) rot silently: a
+    // new app version ships an extra key, a migration renames one, and
+    // every downstream from_json starts reading NULLs. This audits the
+    // JSON key population per day — distinct keys present, and keys
+    // making their FIRST corpus appearance that day (the new-field
+    // alarm) — using q47's parse parity (Spark from_json map_keys ↔
+    // DuckDB json_keys). Shape at scale: the (day × key) grid is
+    // calendar × schema bounded regardless of fact count; the key
+    // explode is scan-side; first-seen is a broadcast-sized relation.
+    QueryDef.sql("q249_schema_drift") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"),
+          map_keys(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType))).as("keys"))
+      val dayKey = ev.select(col("day"), explode(col("keys")).as("key"))
+        .groupBy(col("day"), col("key")).agg(count(lit(1)).as("n_rows"))
+      val firstSeen = dayKey.groupBy(col("key"))
+        .agg(min(col("day")).as("first_day"))
+      val perDay = ev.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+      dayKey.join(broadcast(firstSeen), "key")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("first_day") === col("day"), 1L).otherwise(0L))
+            .as("n_new_keys"))
+        .join(perDay, "day")
+        .select(col("day"), col("n_events"), col("n_keys"), col("n_new_keys"))
+        .orderBy("day")
+    } {
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, json_keys(props::JSON) AS keys
+        |  FROM events),
+        |dk0 AS (SELECT day, UNNEST(keys) AS key FROM ev),
+        |dk AS (SELECT DISTINCT day, key FROM dk0),
+        |fs AS (SELECT key, MIN(day) AS first_day FROM dk GROUP BY key),
+        |pe AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY day)
+        |SELECT dk.day, pe.n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN fs.first_day = dk.day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new_keys
+        |FROM dk JOIN fs ON dk.key = fs.key JOIN pe ON pe.day = dk.day
+        |GROUP BY dk.day, pe.n_events
+        |ORDER BY dk.day""".stripMargin
     }
   )
 

@@ -2480,6 +2480,216 @@ object Stats {
          |  CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
          |    AS coverage
          |FROM k CROSS JOIN q CROSS JOIN cov""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q248: THEIL–SEN SLOPE — q243 detects THAT a daily KPI drifts;
+    // this estimates HOW FAST, robustly: the median of all pairwise
+    // slopes tolerates up to ~29% outlier days where the OLS slope
+    // (q58's machinery) is dragged by a single bad backfill. Each pair's
+    // slope is ONE IEEE division of exact integers (Δcount/Δdays —
+    // bit-identical on both engines), and the median is the shared R-7
+    // interpolation over an exact sort (the q57 cross-engine contract).
+    // Same calendar-bounded pair join as q243 — days² per type, never
+    // corpus-bounded; the daily rollup is the only pass over the facts.
+    QueryDef.sql("q248_theil_sen_slope") { (s, d) =>
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("event_type"), col("day").as("day_a"),
+        col("cnt").as("cnt_a"))
+      val b = daily.select(col("event_type").as("et_b"),
+        col("day").as("day_b"), col("cnt").as("cnt_b"))
+      a.join(b, col("event_type") === col("et_b") &&
+          col("day_a") < col("day_b"))
+        .withColumn("slope",
+          (col("cnt_b") - col("cnt_a")).cast("double") /
+            datediff(col("day_b"), col("day_a")).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(slope, 0.5)").as("theil_sen_slope"))
+        .orderBy("event_type")
+    } {
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(b.cnt - a.cnt AS DOUBLE)
+        |      / CAST(DATEDIFF('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  MEDIAN(slope) AS theil_sen_slope
+        |FROM p GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q250: JOIN-ORDER ADVISOR AUDIT — the System-R cardinality
+    // estimate |A⋈B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)) for each step
+    // of both join orders of the customer⋈orders⋈lineitem chain, placed
+    // NEXT TO the true intermediate sizes so the estimator itself is
+    // audited (q201 prices one join; this prices ORDERS — the input to
+    // "which intermediate do I materialize first" at 100 TB, where the
+    // wrong order is a 10× shuffle). Base-table NDVs are exact
+    // countDistinct; estimates are exact-int operands in one shared IEEE
+    // double chain (products in double — int64 would overflow at
+    // petabyte row counts); true sizes are the FK-keyed joins
+    // themselves, each one keyed shuffle.
+    QueryDef.sql("q250_join_order_advisor") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val or = Tables(s, d, "orders")
+      val cu = Tables(s, d, "customer")
+      val stats = li
+        .agg(count(lit(1)).as("l_n"),
+          countDistinct(col("l_orderkey")).as("l_ndv_ok"))
+        .crossJoin(broadcast(or.agg(count(lit(1)).as("o_n"),
+          countDistinct(col("o_orderkey")).as("o_ndv_ok"),
+          countDistinct(col("o_custkey")).as("o_ndv_ck"))))
+        .crossJoin(broadcast(cu.agg(count(lit(1)).as("c_n"),
+          countDistinct(col("c_custkey")).as("c_ndv_ck"))))
+      val loTrue = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("true_rows"))
+      val ocTrue = or.join(cu, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("true_rows"))
+      val locTrue = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("true_rows"))
+      def step(name: String, trueDf: DataFrame, estExpr: String) =
+        stats.crossJoin(broadcast(trueDf))
+          .select(lit(name).as("step"), expr(estExpr).as("est_rows"),
+            col("true_rows"),
+            (expr(estExpr) / col("true_rows").cast("double")).as("err_ratio"))
+      val estLo = "CAST(l_n AS DOUBLE) * CAST(o_n AS DOUBLE) " +
+        "/ CAST(greatest(l_ndv_ok, o_ndv_ok) AS DOUBLE)"
+      val estOc = "CAST(o_n AS DOUBLE) * CAST(c_n AS DOUBLE) " +
+        "/ CAST(greatest(o_ndv_ck, c_ndv_ck) AS DOUBLE)"
+      val estLoC = s"($estLo) * CAST(c_n AS DOUBLE) " +
+        "/ CAST(greatest(o_ndv_ck, c_ndv_ck) AS DOUBLE)"
+      val estOcL = s"($estOc) * CAST(l_n AS DOUBLE) " +
+        "/ CAST(greatest(l_ndv_ok, o_ndv_ok) AS DOUBLE)"
+      step("1_lineitem_x_orders", loTrue, estLo)
+        .unionByName(step("2_orders_x_customer", ocTrue, estOc))
+        .unionByName(step("3_lo_then_customer", locTrue, estLoC))
+        .unionByName(step("4_oc_then_lineitem", locTrue, estOcL))
+        .orderBy("step")
+    } {
+      """WITH st AS (
+        |  SELECT
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS l_n,
+        |    (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |       FROM lineitem) AS l_ndv_ok,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS o_n,
+        |    (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |       FROM orders) AS o_ndv_ok,
+        |    (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |       FROM orders) AS o_ndv_ck,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS c_n,
+        |    (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+        |       FROM customer) AS c_ndv_ck),
+        |lo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |oc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM orders
+        |  JOIN customer ON o_custkey = c_custkey),
+        |loc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |u AS (
+        |  SELECT '1_lineitem_x_orders' AS step,
+        |    CAST(l_n AS DOUBLE) * CAST(o_n AS DOUBLE)
+        |      / CAST(GREATEST(l_ndv_ok, o_ndv_ok) AS DOUBLE) AS est_rows,
+        |    lo.t AS true_rows
+        |  FROM st CROSS JOIN lo
+        |  UNION ALL
+        |  SELECT '2_orders_x_customer',
+        |    CAST(o_n AS DOUBLE) * CAST(c_n AS DOUBLE)
+        |      / CAST(GREATEST(o_ndv_ck, c_ndv_ck) AS DOUBLE),
+        |    oc.t
+        |  FROM st CROSS JOIN oc
+        |  UNION ALL
+        |  SELECT '3_lo_then_customer',
+        |    (CAST(l_n AS DOUBLE) * CAST(o_n AS DOUBLE)
+        |      / CAST(GREATEST(l_ndv_ok, o_ndv_ok) AS DOUBLE))
+        |      * CAST(c_n AS DOUBLE)
+        |      / CAST(GREATEST(o_ndv_ck, c_ndv_ck) AS DOUBLE),
+        |    loc.t
+        |  FROM st CROSS JOIN loc
+        |  UNION ALL
+        |  SELECT '4_oc_then_lineitem',
+        |    (CAST(o_n AS DOUBLE) * CAST(c_n AS DOUBLE)
+        |      / CAST(GREATEST(o_ndv_ck, c_ndv_ck) AS DOUBLE))
+        |      * CAST(l_n AS DOUBLE)
+        |      / CAST(GREATEST(l_ndv_ok, o_ndv_ok) AS DOUBLE),
+        |    loc.t
+        |  FROM st CROSS JOIN loc)
+        |SELECT step, est_rows, true_rows,
+        |  est_rows / CAST(true_rows AS DOUBLE) AS err_ratio
+        |FROM u ORDER BY step""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q251: WILSON LOWER BOUND per segment — ranking segments (or
+    // sources, or variants) by raw conversion rate promotes tiny-n
+    // flukes; the Wilson score interval's lower bound is the standard
+    // small-sample-safe ranking statistic (how "sort by rating" works
+    // at scale). Exposure/conversion reuses q199's semantics (a user
+    // counts once, exposed = any view, converted = any purchase); the
+    // bound is one shared transcendental-free IEEE chain over exact
+    // integer counts with z = 1.96 as exact decimal literals (z² =
+    // 3.8416, z²/2 = 1.9208, z²/4 = 0.9604). One user-keyed agg + one
+    // broadcast dimension join; segments are a handful of rows.
+    QueryDef.sql("q251_wilson_lower_bound") { (s, d) =>
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("exposed"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .filter(col("exposed") === 1L)
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val wilson =
+        "(p_hat + 1.9208 / n_d - 1.96 * SQRT(p_hat * (1.0 - p_hat) / n_d " +
+          "+ 0.9604 / (n_d * n_d))) / (1.0 + 3.8416 / n_d)"
+      perUser.join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_exposed"),
+          sum(col("converted")).as("n_converted"))
+        .withColumn("n_d", col("n_exposed").cast("double"))
+        .withColumn("p_hat", col("n_converted").cast("double") / col("n_d"))
+        .withColumn("wilson_lb", expr(wilson))
+        .select(col("c_mktsegment"), col("n_exposed"), col("n_converted"),
+          col("p_hat"), col("wilson_lb"))
+        .orderBy("c_mktsegment")
+    } {
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS exposed,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |seg AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_exposed,
+        |    CAST(SUM(converted) AS BIGINT) AS n_converted
+        |  FROM pu JOIN customer ON user_id = c_custkey
+        |  WHERE exposed = 1 GROUP BY c_mktsegment),
+        |x AS (
+        |  SELECT c_mktsegment, n_exposed, n_converted,
+        |    CAST(n_exposed AS DOUBLE) AS n_d,
+        |    CAST(n_converted AS DOUBLE) / CAST(n_exposed AS DOUBLE)
+        |      AS p_hat
+        |  FROM seg)
+        |SELECT c_mktsegment, n_exposed, n_converted, p_hat,
+        |  (p_hat + 1.9208 / n_d - 1.96 * SQRT(p_hat * (1.0 - p_hat) / n_d
+        |    + 0.9604 / (n_d * n_d))) / (1.0 + 3.8416 / n_d) AS wilson_lb
+        |FROM x ORDER BY c_mktsegment""".stripMargin
     }
   )
 

@@ -1263,4 +1263,128 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(nCovered == tstRes.count(_ <= q2).toLong)
     assert(coverage == nCovered.toDouble / nTest.toDouble)
   }
+
+  test("q248 Theil-Sen slope replays as the R-7 median of pairwise slopes") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q248_theil_sen_slope")(spark, d)
+      .select($"event_type", $"n_pairs", $"theil_sen_slope")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    val daily = spark.read.parquet(s"$d/events.parquet")
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"event_type", $"day".cast("string"), $"cnt")
+      .as[(String, String, Long)].collect()
+    def r7median(vs: Seq[Double]): Double = {
+      val s = vs.sorted; val h = 0.5 * (s.size - 1)
+      val lo = h.toInt; val w = h - lo
+      if (lo + 1 < s.size) s(lo) + (s(lo + 1) - s(lo)) * w else s(lo)
+    }
+    val exp = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val byDay = rows.sortBy(_._2)
+      val slopes = for {
+        i <- byDay.indices; j <- i + 1 until byDay.size
+      } yield (byDay(j)._3 - byDay(i)._3).toDouble /
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(byDay(i)._2),
+          java.time.LocalDate.parse(byDay(j)._2)).toDouble
+      (et, slopes.size.toLong, r7median(slopes))
+    }
+    assert(got == exp)
+  }
+
+  test("q249 schema drift: every key is new exactly once and day censuses replay") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q249_schema_drift")(spark, d)
+      .select($"day".cast("string"), $"n_events", $"n_keys", $"n_new_keys")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // shared parse (q47's from_json parity), independent census math
+    val parsed = graft.Tables(spark, d, "events")
+      .select(to_date($"ts").cast("string").as("day"),
+        map_keys(from_json($"props", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as("keys"))
+      .as[(String, Seq[String])].collect()
+    val dayKeys = parsed.flatMap { case (day, ks) => ks.map(day -> _) }.distinct
+    val firstDay = dayKeys.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val exp = dayKeys.groupBy(_._1).toSeq.sortBy(_._1).map { case (day, ks) =>
+      (day, parsed.count(_._1 == day).toLong, ks.size.toLong,
+        ks.count { case (dy, k) => firstDay(k) == dy }.toLong)
+    }
+    assert(got == exp)
+    // pigeonhole: total new-key credits == distinct keys in the corpus
+    assert(got.map(_._4).sum == firstDay.size.toLong)
+  }
+
+  test("q250 join-order estimates replay and true sizes match the FK joins") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q250_join_order_advisor")(spark, d)
+      .select($"step", $"est_rows", $"true_rows", $"err_ratio")
+      .as[(String, Double, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 4)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_orderkey").as[Long].collect()
+    val or = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect()
+    val cu = spark.read.parquet(s"$d/customer.parquet")
+      .select($"c_custkey").as[Long].collect()
+    val (ln, lndv) = (li.length.toLong, li.distinct.length.toLong)
+    val (on, ondvOk, ondvCk) =
+      (or.length.toLong, or.map(_._1).distinct.length.toLong,
+        or.map(_._2).distinct.length.toLong)
+    val (cn, cndv) = (cu.length.toLong, cu.distinct.length.toLong)
+    val orderCust = or.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val custSet = cu.toSet
+    val ordKeyToCust = or.toMap
+    val loTrue = {
+      val okSet = or.map(_._1).toSet; li.count(okSet.contains).toLong
+    }
+    val ocTrue = or.count(o => custSet.contains(o._2)).toLong
+    val locTrue = li.map(ordKeyToCust.get)
+      .count(c => c.exists(custSet.contains)).toLong
+    val estLo = ln.toDouble * on.toDouble / math.max(lndv, ondvOk).toDouble
+    val estOc = on.toDouble * cn.toDouble / math.max(ondvCk, cndv).toDouble
+    val byStep = got.map(r => r._1 -> r).toMap
+    assert(byStep("1_lineitem_x_orders")._2 == estLo)
+    assert(byStep("1_lineitem_x_orders")._3 == loTrue)
+    assert(byStep("2_orders_x_customer")._2 == estOc)
+    assert(byStep("2_orders_x_customer")._3 == ocTrue)
+    assert(byStep("3_lo_then_customer")._2 ==
+      estLo * cn.toDouble / math.max(ondvCk, cndv).toDouble)
+    assert(byStep("3_lo_then_customer")._3 == locTrue)
+    assert(byStep("4_oc_then_lineitem")._2 ==
+      estOc * ln.toDouble / math.max(lndv, ondvOk).toDouble)
+    assert(byStep("4_oc_then_lineitem")._3 == locTrue)
+    got.foreach(r => assert(r._4 == r._2 / r._3.toDouble))
+    assert(orderCust.nonEmpty) // silence unused in case fixtures change
+  }
+
+  test("q251 Wilson lower bound replays and never exceeds the raw rate") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q251_wilson_lower_bound")(spark, d)
+      .select($"c_mktsegment", $"n_exposed", $"n_converted", $"p_hat",
+        $"wilson_lb")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val seg = spark.read.parquet(s"$d/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)].collect().toMap
+    val perUser = ev.groupBy(_._1).iterator.collect {
+      case (u, es) if es.exists(_._2 == "view") && seg.contains(u) =>
+        (seg(u), es.exists(_._2 == "purchase"))
+    }.toSeq
+    val exp = perUser.groupBy(_._1).toSeq.sortBy(_._1).map { case (sg, rows) =>
+      val n = rows.size.toLong
+      val x = rows.count(_._2).toLong
+      val nd = n.toDouble
+      val p = x.toDouble / nd
+      val lb = (p + 1.9208 / nd - 1.96 * math.sqrt(p * (1.0 - p) / nd
+        + 0.9604 / (nd * nd))) / (1.0 + 3.8416 / nd)
+      (sg, n, x, p, lb)
+    }
+    assert(got == exp)
+    got.foreach { case (_, _, _, p, lb) =>
+      assert(lb <= p && lb >= 0.0 || p == 0.0)
+    }
+  }
 }
