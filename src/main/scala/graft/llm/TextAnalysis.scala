@@ -1238,6 +1238,64 @@ object TextAnalysis {
          |      / CAST(n_only_detector + n_only_baseline AS DOUBLE) END
          |    AS mcnemar_chi2
          |FROM a""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q252: TERM LIFT MATRIX — co-occurrence lift between the corpus's
+    // top document-frequency terms: lift(a,b) = N·df_ab/(df_a·df_b),
+    // the PMI diagnostic without its logarithm (>1 attract, <1 repel,
+    // exact-int operands, ONE division per pair). This is the
+    // boilerplate/topic-structure probe: templated corpora show whole
+    // blocks of terms with lift ≈ 1/share (always together), organic
+    // text shows a spread. Everything happens in the TOP-K universe:
+    // per-doc distinct tokens are semi-joined against the broadcast
+    // top-12 relation scan-side, so the pair join is ≤ C(12,2) groups
+    // over docs×12 rows — corpus-scale safe by construction; df ranks
+    // come from a distributed partial top-k, never a vocabulary sort.
+    QueryDef.sql("q252_term_lift_matrix") { (s, d) =>
+      val docTok = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token"))
+      val top = docTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(12)
+      val tot = Tables(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val present = docTok.join(broadcast(top), "token")
+      val a = present.select(col("doc_id"), col("token").as("tok_a"),
+        col("df").as("df_a"))
+      val b = present.select(col("doc_id").as("doc_b"),
+        col("token").as("tok_b"), col("df").as("df_b"))
+      a.join(b, col("doc_id") === col("doc_b") && col("tok_a") < col("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"))
+        .agg(count(lit(1)).as("df_ab"))
+        .crossJoin(broadcast(tot))
+        .select(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"),
+          col("df_ab"),
+          expr("CAST(n_docs * df_ab AS DOUBLE) " +
+            "/ CAST(df_a * df_b AS DOUBLE)").as("lift"))
+        .orderBy("tok_a", "tok_b")
+    } {
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        |  FROM documents),
+        |top AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dt GROUP BY token
+        |  ORDER BY df DESC, token LIMIT 12),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |pres AS (
+        |  SELECT dt.doc_id, dt.token, top.df
+        |  FROM dt JOIN top ON dt.token = top.token),
+        |pairs AS (
+        |  SELECT a.token AS tok_a, b.token AS tok_b, a.df AS df_a,
+        |    b.df AS df_b, CAST(COUNT(*) AS BIGINT) AS df_ab
+        |  FROM pres a JOIN pres b
+        |    ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY a.token, b.token, a.df, b.df)
+        |SELECT tok_a, tok_b, df_a, df_b, df_ab,
+        |  CAST(n_docs * df_ab AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)
+        |    AS lift
+        |FROM pairs CROSS JOIN tot
+        |ORDER BY tok_a, tok_b""".stripMargin
     }
   )
 }

@@ -2358,6 +2358,77 @@ object Events {
         |  LIST_REDUCE(l.fs[1:f.i], (acc, x) -> acc * x) AS survival
         |FROM f CROSS JOIN l
         |ORDER BY f.t_days""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q253: FRESHNESS / COMPLETENESS AUDIT — the two questions every
+    // ingestion dashboard leads with: is each producer still WRITING
+    // (staleness = minutes between its newest event and the corpus
+    // high-water mark, exact integer µs DIV), and is its newest full
+    // day COMPLETE (reference-day volume vs the R-7 median of its
+    // prior-7-day volumes — a ratio « 1 means the producer is up but
+    // dropping data, which staleness alone can never see). Per-type
+    // daily rollup = one fact pass; the 7-day median sorts ≤ 7 ints per
+    // type; ratios are single divisions on exact operands. Days with
+    // zero events are absent from the rollup and hence from the median
+    // (both engines agree; the zero-day itself shows up as the ratio's
+    // numerator collapsing).
+    QueryDef.sql("q253_freshness_audit") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("event_type"), col("ts"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"),
+          to_date(col("ts")).as("day"))
+      val hw = ev.agg(max(col("tus")).as("hw_us"), max(col("day")).as("ref_day"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val per = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("tus")).as("max_us"))
+      val last = daily.crossJoin(broadcast(hw))
+        .filter(col("day") === col("ref_day"))
+        .select(col("event_type"), col("cnt").as("v_ref_day"))
+      val med7 = daily.crossJoin(broadcast(hw))
+        .filter(col("day") >= date_sub(col("ref_day"), 7) &&
+          col("day") < col("ref_day"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(cnt, 0.5)").as("med7"))
+      per.crossJoin(broadcast(hw))
+        .join(broadcast(last), "event_type")
+        .join(broadcast(med7), "event_type")
+        .select(col("event_type"), col("n_events"),
+          expr("(hw_us - max_us) DIV 60000000").as("staleness_min"),
+          col("v_ref_day"), col("med7"),
+          (col("v_ref_day").cast("double") / col("med7")).as("volume_ratio"))
+        .orderBy("event_type")
+    } {
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |hw AS (
+        |  SELECT MAX(tus) AS hw_us, MAX(day) AS ref_day FROM ev),
+        |daily AS (
+        |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY event_type, day),
+        |per AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MAX(tus) AS max_us
+        |  FROM ev GROUP BY event_type),
+        |lastd AS (
+        |  SELECT event_type, cnt AS v_ref_day
+        |  FROM daily CROSS JOIN hw WHERE day = ref_day),
+        |med7 AS (
+        |  SELECT event_type, MEDIAN(cnt) AS med7
+        |  FROM daily CROSS JOIN hw
+        |  WHERE day >= ref_day - 7 AND day < ref_day
+        |  GROUP BY event_type)
+        |SELECT per.event_type, per.n_events,
+        |  CAST((hw.hw_us - per.max_us) // 60000000 AS BIGINT)
+        |    AS staleness_min,
+        |  lastd.v_ref_day, med7.med7,
+        |  CAST(lastd.v_ref_day AS DOUBLE) / med7.med7 AS volume_ratio
+        |FROM per CROSS JOIN hw
+        |JOIN lastd ON per.event_type = lastd.event_type
+        |JOIN med7 ON per.event_type = med7.event_type
+        |ORDER BY per.event_type""".stripMargin
     }
   )
 }

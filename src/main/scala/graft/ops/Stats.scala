@@ -2690,6 +2690,111 @@ object Stats {
         |  (p_hat + 1.9208 / n_d - 1.96 * SQRT(p_hat * (1.0 - p_hat) / n_d
         |    + 0.9604 / (n_d * n_d))) / (1.0 + 3.8416 / n_d) AS wilson_lb
         |FROM x ORDER BY c_mktsegment""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q254: NEAR-CONSTANT COLUMN SCREEN — q73 profiles nulls and NDV;
+    // this adds the MODE SHARE, the number that actually decides two
+    // production actions: drop the column from feature sets (a 99%-
+    // constant feature carries no signal) and expect ~free storage
+    // (RLE/dictionary collapse a near-constant column regardless of
+    // sort order — the q245 advisor's trivial case). Mode COUNT only —
+    // max over the per-value histogram, deterministic with no tie-break
+    // and no engine-specific value formatting (a double mode rendered
+    // as text would differ between engines). One scan per column of a
+    // generated list; exact ints, one division.
+    QueryDef.sql("q254_near_constant_audit") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_discount", "l_tax")
+      cols.map { c =>
+        li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("ndv"), sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("mode_cnt"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("ndv"),
+            col("mode_cnt"),
+            expr("CAST(mode_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+              .as("mode_share"),
+            expr("CAST(CASE WHEN ndv = 1 " +
+              "OR mode_cnt * 100 >= n_rows * 95 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("near_constant"))
+      }.reduce(_ unionByName _).orderBy("col_name")
+    } {
+      val branches = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_discount", "l_tax").map { c =>
+        s"""  SELECT '$c' AS col_name,
+           |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS ndv,
+           |    CAST(MAX(cnt) AS BIGINT) AS mode_cnt
+           |  FROM (SELECT $c, CAST(COUNT(*) AS BIGINT) AS cnt
+           |        FROM lineitem GROUP BY $c) h""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$branches)
+         |SELECT col_name, n_rows, ndv, mode_cnt,
+         |  CAST(mode_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mode_share,
+         |  CAST(CASE WHEN ndv = 1 OR mode_cnt * 100 >= n_rows * 95
+         |    THEN 1 ELSE 0 END AS BIGINT) AS near_constant
+         |FROM u ORDER BY col_name""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q255: EQUI-DEPTH HISTOGRAM (ANALYZE-style optimizer statistics) —
+    // 16 equal-frequency buckets over order value in exact cents, the
+    // statistic a cost-based optimizer feeds range-selectivity from.
+    // Boundaries are EXACT order statistics at the binary-exact k/16
+    // fractions via Scale.exactQuantiles' two-pass frozen range shuffle
+    // (no buffer ever holds the distribution — the q102 scale shape);
+    // the per-bucket recount is one broadcast range join back over the
+    // scan. The audit IS the output: per-bucket share vs the ideal 1/16
+    // exposes heavy ties (a value spanning bucket boundaries collapses
+    // neighbors to zero — exactly what the optimizer needs to know).
+    // The 17-row boundary window is driver-trivial; everything row-scale
+    // is distributed.
+    QueryDef.sql("q255_equidepth_histogram") { (s, d) =>
+      val cents = Tables(s, d, "orders")
+        .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val qs = Scale.exactQuantiles(cents, "cents", (0 to 16).map(_ / 16.0))
+      val w = Window.orderBy("p") // 17 rows — single-task by construction
+      val ranges = qs
+        .withColumn("hi", lead(col("quantile"), 1).over(w))
+        .withColumn("bucket", row_number().over(w).cast("long"))
+        .filter(col("hi").isNotNull)
+        .select(col("bucket"), col("quantile").as("lo"), col("hi"))
+      val tot = cents.agg(count(lit(1)).as("n_total"))
+      cents.join(broadcast(ranges),
+          col("cents") >= col("lo") &&
+            (col("cents") < col("hi") ||
+              (col("bucket") === 16L && col("cents") <= col("hi"))))
+        .groupBy(col("bucket"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_in_bucket"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("lo"), col("hi"), col("n_in_bucket"),
+          expr("CAST(n_in_bucket AS DOUBLE) / CAST(n_total AS DOUBLE)")
+            .as("share"))
+        .orderBy("bucket")
+    } {
+      val branches = (0 to 16).map { k =>
+        s"  SELECT $k AS k, QUANTILE_CONT(cents, $k / 16.0) AS b FROM c"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (
+         |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |qq AS (
+         |$branches),
+         |r AS (
+         |  SELECT lo.k + 1 AS bucket, lo.b AS lo, hi.b AS hi
+         |  FROM qq lo JOIN qq hi ON hi.k = lo.k + 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM c)
+         |SELECT CAST(r.bucket AS BIGINT) AS bucket, r.lo, r.hi,
+         |  CAST(COUNT(*) AS BIGINT) AS n_in_bucket,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n_total) AS DOUBLE)
+         |    AS share
+         |FROM c JOIN r ON c.cents >= r.lo
+         |  AND (c.cents < r.hi OR (r.bucket = 16 AND c.cents <= r.hi))
+         |CROSS JOIN tot
+         |GROUP BY r.bucket, r.lo, r.hi
+         |ORDER BY bucket""".stripMargin
     }
   )
 

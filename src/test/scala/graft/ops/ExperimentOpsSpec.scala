@@ -1387,4 +1387,111 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
       assert(lb <= p && lb >= 0.0 || p == 0.0)
     }
   }
+
+  test("q252 term lift replays from brute-force co-occurrence over the top-12") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q252_term_lift_matrix")(spark, d)
+      .select($"tok_a", $"tok_b", $"df_a", $"df_b", $"df_ab", $"lift")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val sets = docs.map { case (_, t) => t.split(" ", -1).toSet }
+    val df = sets.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = df.toSeq.sortBy { case (t, f) => (-f, t) }.take(12).toMap
+    val n = docs.length.toLong
+    val exp = (for {
+      a <- top.keys; b <- top.keys if a < b
+      ab = sets.count(s => s(a) && s(b)).toLong if ab > 0
+    } yield (a, b, top(a), top(b), ab,
+      (n * ab).toDouble / (top(a) * top(b)).toDouble))
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(got == exp)
+  }
+
+  test("q253 freshness audit replays staleness and completeness per type") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q253_freshness_audit")(spark, d)
+      .select($"event_type", $"n_events", $"staleness_min", $"v_ref_day",
+        $"med7", $"volume_ratio")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+      .sortBy(_._1)
+    val ev = graft.Tables(spark, d, "events")
+      .select($"event_type",
+        expr("unix_micros(cast(ts AS timestamp))").as("tus"),
+        to_date($"ts").cast("string").as("day"))
+      .as[(String, Long, String)].collect()
+    val hwUs = ev.map(_._2).max
+    val refDay = ev.map(_._3).max
+    def r7median(vs: Seq[Long]): Double = {
+      val s = vs.sorted; val h = 0.5 * (s.size - 1)
+      val lo = h.toInt; val w = h - lo
+      if (lo + 1 < s.size) s(lo) + (s(lo + 1) - s(lo)) * w else s(lo).toDouble
+    }
+    val exp = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val daily = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val ref = java.time.LocalDate.parse(refDay)
+      val prior = (1 to 7).flatMap(i => daily.get(ref.minusDays(i).toString))
+      val med = r7median(prior)
+      val vRef = daily(refDay)
+      (et, rows.size.toLong, (hwUs - rows.map(_._2).max) / 60000000L,
+        vRef, med, vRef.toDouble / med)
+    }
+    assert(got == exp)
+  }
+
+  test("q254 near-constant screen replays mode counts per column") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q254_near_constant_audit")(spark, d)
+      .select($"col_name", $"n_rows", $"ndv", $"mode_cnt", $"mode_share",
+        $"near_constant")
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+      .sortBy(_._1)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("string"), $"l_discount".cast("string"),
+        $"l_tax".cast("string"))
+      .as[(String, String, String, String, String)].collect()
+    val colVals = Map(
+      "l_returnflag" -> li.map(_._1), "l_linestatus" -> li.map(_._2),
+      "l_quantity" -> li.map(_._3), "l_discount" -> li.map(_._4),
+      "l_tax" -> li.map(_._5))
+    got.foreach { case (name, n, ndv, modeCnt, share, flag) =>
+      val vs = colVals(name)
+      val hist = vs.groupBy(identity).view.mapValues(_.size.toLong)
+      assert(n == vs.length.toLong)
+      assert(ndv == hist.size.toLong)
+      assert(modeCnt == hist.values.max)
+      assert(share == modeCnt.toDouble / n.toDouble)
+      assert(flag == (if (ndv == 1 || modeCnt * 100 >= n * 95) 1L else 0L))
+    }
+  }
+
+  test("q255 equi-depth buckets partition the corpus and replay exactly") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q255_equidepth_histogram")(spark, d)
+      .select($"bucket", $"lo", $"hi", $"n_in_bucket", $"share")
+      .as[(Long, Double, Double, Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    val cents = spark.read.parquet(s"$d/orders.parquet")
+      .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+      .as[Long].collect().sorted
+    val n = cents.length
+    def r7(p: Double): Double = {
+      val h = (n - 1) * p; val lo = h.toInt; val w = h - lo
+      if (lo + 1 < n) cents(lo) + (cents(lo + 1) - cents(lo)) * w
+      else cents(lo).toDouble
+    }
+    val bounds = (0 to 16).map(k => r7(k / 16.0))
+    // buckets with zero rows are absent (inner-join semantics both engines)
+    val exp = (1 to 16).map { k =>
+      val (lo, hi) = (bounds(k - 1), bounds(k))
+      val cnt = cents.count(c =>
+        c >= lo && (c < hi || (k == 16 && c <= hi))).toLong
+      (k.toLong, lo, hi, cnt, cnt.toDouble / n.toDouble)
+    }.filter(_._4 > 0L)
+    assert(got == exp)
+    // the buckets partition the corpus exactly once
+    assert(got.map(_._4).sum == n.toLong)
+  }
 }
