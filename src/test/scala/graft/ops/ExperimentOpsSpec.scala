@@ -1167,37 +1167,43 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("q245 run bounds replay per candidate and the finer key never compresses better") {
+  test("q245 run bounds replay per candidate as Σ-per-group distinct counts") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q245_sort_compression_advisor")(spark, d)
       .select($"sort_key", $"n_groups", $"n_rows", $"runs_returnflag",
-        $"runs_partkey", $"runs_quantity", $"total_runs", $"rows_per_run")
+        $"runs_linestatus", $"runs_quantity", $"total_runs", $"rows_per_run")
       .as[(String, Long, Long, Long, Long, Long, Long, Double)]
       .collect().toSeq
     assert(got.size == 3)
     val li = spark.read.parquet(s"$d/lineitem.parquet")
       .select($"l_partkey", $"l_suppkey", $"l_shipdate".cast("date").cast("string"),
-        $"l_returnflag", $"l_quantity")
-      .as[(Long, Long, String, String, Double)].collect()
-    def replay(key: ((Long, Long, String, String, Double)) => Any) = {
+        $"l_returnflag", $"l_linestatus", $"l_quantity")
+      .as[(Long, Long, String, String, String, Double)].collect()
+    // the implementation computes global distinct PAIRS; the replay uses
+    // the definition it stands in for: Σ over key groups of per-group
+    // distinct column values
+    def replay(key: ((Long, Long, String, String, String, Double)) => Any) = {
       val groups = li.groupBy(key)
       (groups.size.toLong,
         groups.values.map(_.map(_._4).distinct.size.toLong).sum,
-        groups.values.map(_.map(_._1).distinct.size.toLong).sum,
-        groups.values.map(_.map(_._5).distinct.size.toLong).sum)
+        groups.values.map(_.map(_._5).distinct.size.toLong).sum,
+        groups.values.map(_.map(_._6).distinct.size.toLong).sum)
     }
     val byName = got.map(r => r._1 -> r).toMap
-    for ((name, key) <- Seq[(String, ((Long, Long, String, String, Double)) => Any)](
+    for ((name, key) <- Seq[(String,
+        ((Long, Long, String, String, String, Double)) => Any)](
         "l_partkey" -> (_._1), "l_suppkey" -> (_._2),
         "l_shipdate_day" -> (_._3))) {
-      val (ng, rFlag, rPart, rQty) = replay(key)
+      val (ng, rFlag, rStat, rQty) = replay(key)
       val r = byName(name)
-      assert((r._2, r._4, r._5, r._6) == ((ng, rFlag, rPart, rQty)),
+      assert((r._2, r._4, r._5, r._6) == ((ng, rFlag, rStat, rQty)),
         s"candidate $name")
       assert(r._3 == li.length.toLong)
+      assert(r._7 == rFlag + rStat + rQty)
+      assert(r._8 == (3L * li.length).toDouble / r._7.toDouble)
     }
-    // sorting by partkey makes partkey itself fully run-compressed
-    assert(byName("l_partkey")._5 == byName("l_partkey")._2)
+    // a key group can never need fewer runs than groups
+    got.foreach(r => assert(r._4 >= r._2 && r._5 >= r._2 && r._6 >= r._2))
   }
 
   test("q246 McNemar replays from per-doc paired correctness") {
