@@ -2429,6 +2429,56 @@ object Events {
         |JOIN lastd ON per.event_type = lastd.event_type
         |JOIN med7 ON per.event_type = med7.event_type
         |ORDER BY per.event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q257: DAILY QUANTILE DRIFT — the value-distribution monitor that
+    // mean-based panels (q202's EWMA, q92's bursts) are blind to: a
+    // payment processor that starts truncating large orders moves the
+    // high tail while the mean barely stirs. Per day: exact R-7 P50 and
+    // P87.5 of purchase value in integer cents (7/8 — a BINARY-EXACT
+    // fraction, so Spark's weighted-average interpolation and DuckDB's
+    // lower+(upper−lower)·w form collapse to the same exact value; 0.9
+    // is not, and the two engines' algebraically-equal forms drift in
+    // the last ulps), plus week-over-week deltas via
+    // an explicit day = day−7 self-join (NULL when no prior week — a
+    // keyed join, not a window, so missing days surface as NULL instead
+    // of silently comparing adjacent rows). Interpolation parity rides
+    // the q57 shared-R-7 contract. Scale caveat (q57's): per-day exact
+    // percentile buffers one day per task — at extreme scale swap in
+    // the q67 GK sketch or the q102 two-pass machinery per day.
+    QueryDef.sql("q257_daily_quantile_drift") { (s, d) =>
+      val pv = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val qd = pv.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.875)").as("p875"))
+      val prior = qd.select(col("day").as("prior_day"),
+        col("p50").as("p50_prior"), col("p875").as("p875_prior"))
+      qd.join(prior, col("day") === date_add(col("prior_day"), 7),
+          "left_outer")
+        .select(col("day"), col("n_purchases"), col("p50"), col("p875"),
+          (col("p50") - col("p50_prior")).as("p50_wow"),
+          (col("p875") - col("p875_prior")).as("p875_wow"))
+        .orderBy("day")
+    } {
+      """WITH pv AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |qd AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |    QUANTILE_CONT(cents, 0.5) AS p50,
+        |    QUANTILE_CONT(cents, 0.875) AS p875
+        |  FROM pv GROUP BY day)
+        |SELECT a.day, a.n_purchases, a.p50, a.p875,
+        |  a.p50 - b.p50 AS p50_wow,
+        |  a.p875 - b.p875 AS p875_wow
+        |FROM qd a LEFT JOIN qd b ON a.day = b.day + 7
+        |ORDER BY a.day""".stripMargin
     }
   )
 }

@@ -2812,6 +2812,145 @@ object Stats {
          |CROSS JOIN tot
          |GROUP BY r.bucket, r.lo, r.hi
          |ORDER BY bucket""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q256: COLUMN-CORRELATION STATS — the audit that tells you when
+    // q250's System-R arithmetic LIES: cardinality estimators multiply
+    // per-column selectivities under an independence assumption, and
+    // the standard correction factor is ndv(a)·ndv(b)/ndv(a,b) (≈1 when
+    // every combination occurs — independent-ish; ≫1 when the columns
+    // move together and the product estimate undercounts by exactly
+    // that factor). One multi-distinct aggregate per table over
+    // BOUNDED-dictionary column pairs, so every dedup stream collapses
+    // map-side; exact integers, one terminal division per pair.
+    QueryDef.sql("q256_column_correlation_stats") { (s, d) =>
+      def pairStats(df: DataFrame, name: String,
+          a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        df.agg(countDistinct(a).as("ndv_a"), countDistinct(b).as("ndv_b"),
+            countDistinct(a, b).as("ndv_pair"))
+          .select(lit(name).as("pair"), col("ndv_a"), col("ndv_b"),
+            col("ndv_pair"),
+            expr("CAST(ndv_a * ndv_b AS DOUBLE) / CAST(ndv_pair AS DOUBLE)")
+              .as("independence_ratio"))
+      val or = Tables(s, d, "orders")
+      val li = Tables(s, d, "lineitem")
+      pairStats(or, "o_status_x_priority",
+          col("o_orderstatus"), col("o_orderpriority"))
+        .unionByName(pairStats(or, "o_status_x_month",
+          col("o_orderstatus"), date_trunc("month", col("o_orderdate"))))
+        .unionByName(pairStats(or, "o_priority_x_month",
+          col("o_orderpriority"), date_trunc("month", col("o_orderdate"))))
+        .unionByName(pairStats(li, "l_returnflag_x_linestatus",
+          col("l_returnflag"), col("l_linestatus")))
+        .orderBy("pair")
+    } {
+      def b(name: String, tbl: String, a: String, c: String) =
+        s"""  SELECT '$name' AS pair,
+           |    (SELECT CAST(COUNT(DISTINCT $a) AS BIGINT) FROM $tbl)
+           |      AS ndv_a,
+           |    (SELECT CAST(COUNT(DISTINCT $c) AS BIGINT) FROM $tbl)
+           |      AS ndv_b,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+           |      (SELECT DISTINCT $a AS x, $c AS y FROM $tbl) t)
+           |      AS ndv_pair""".stripMargin
+      val month = "DATE_TRUNC('month', o_orderdate)"
+      val branches = Seq(
+        b("l_returnflag_x_linestatus", "lineitem",
+          "l_returnflag", "l_linestatus"),
+        b("o_priority_x_month", "orders", "o_orderpriority", month),
+        b("o_status_x_month", "orders", "o_orderstatus", month),
+        b("o_status_x_priority", "orders",
+          "o_orderstatus", "o_orderpriority")).mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$branches)
+         |SELECT pair, ndv_a, ndv_b, ndv_pair,
+         |  CAST(ndv_a * ndv_b AS DOUBLE) / CAST(ndv_pair AS DOUBLE)
+         |    AS independence_ratio
+         |FROM u ORDER BY pair""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q258: ROW-WIDTH PROFILE — exact byte-width statistics per string
+    // column (UTF-8 octets, not code points — what pages, shuffles, and
+    // network actually carry): the input to page sizing, shuffle-buffer
+    // budgets, and "which column is 80% of this table" questions that
+    // row counts alone cannot answer. One column-pruned scan per
+    // profiled column (the parquet reader materializes nothing else);
+    // exact int64 sums, the mean is the terminal division.
+    QueryDef.sql("q258_row_width_profile") { (s, d) =>
+      def widths(tbl: String, colName: String) =
+        Tables(s, d, tbl)
+          .select(octet_length(col(colName)).cast("long").as("w"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("total_bytes"),
+            max(col("w")).as("max_bytes"))
+          .select(lit(s"$tbl.$colName").as("column"), col("n_rows"),
+            col("total_bytes"), col("max_bytes"),
+            expr("CAST(total_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+              .as("avg_bytes"))
+      widths("documents", "text")
+        .unionByName(widths("events", "props"))
+        .unionByName(widths("part", "p_name"))
+        .unionByName(widths("customer", "c_name"))
+        .unionByName(widths("orders", "o_orderpriority"))
+        .orderBy("column")
+    } {
+      val branches = Seq("documents" -> "text", "events" -> "props",
+        "part" -> "p_name", "customer" -> "c_name",
+        "orders" -> "o_orderpriority").map { case (t, c) =>
+        s"""  SELECT '$t.$c' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(SUM(OCTET_LENGTH(ENCODE($c))) AS BIGINT) AS total_bytes,
+           |    CAST(MAX(OCTET_LENGTH(ENCODE($c))) AS BIGINT) AS max_bytes
+           |  FROM $t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$branches)
+         |SELECT "column", n_rows, total_bytes, max_bytes,
+         |  CAST(total_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE) AS avg_bytes
+         |FROM u ORDER BY "column"""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q259: BUCKETING ADVISOR — before writing a bucketed/clustered
+    // table on a join key, pick the bucket count: too few and each
+    // bucket outgrows a task, too many and files shrink below the scan
+    // sweet spot, and EITHER way a skewed key distribution quietly
+    // concentrates rows. For each candidate count b the advisor hashes
+    // the key through the library-wide md5 recipe (Ids.hash — the same
+    // function the engine's hash_split/sampling use, so the measured
+    // distribution is the one a bucketed write would actually produce)
+    // and reports max/min bucket occupancy and the max/ideal skew
+    // ratio. One keyed agg per candidate over ≤ b groups; exact ints,
+    // the skew ratio is the terminal division.
+    QueryDef.sql("q259_bucketing_advisor") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      def forB(b: Int) =
+        ev.select((graft.Ids.hash("user_id") % b).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_used_buckets"),
+            sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_rows"),
+            min(col("cnt")).as("min_rows"))
+          .select(lit(b.toLong).as("n_buckets"), col("n_rows"),
+            col("n_used_buckets"), col("max_rows"), col("min_rows"),
+            expr(s"CAST(max_rows * $b AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+              .as("skew_ratio"))
+      forB(8).unionByName(forB(16)).unionByName(forB(32))
+        .orderBy("n_buckets")
+    } {
+      val branches = Seq(8, 16, 32).map { b =>
+        s"""  SELECT CAST($b AS BIGINT) AS n_buckets,
+           |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_used_buckets,
+           |    CAST(MAX(cnt) AS BIGINT) AS max_rows,
+           |    CAST(MIN(cnt) AS BIGINT) AS min_rows,
+           |    CAST(MAX(cnt) * $b AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+           |      AS skew_ratio
+           |  FROM (SELECT ${graft.Ids.hashSql("user_id")} % $b AS bucket,
+           |          COUNT(*) AS cnt
+           |        FROM events GROUP BY 1) h""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$branches
+         |ORDER BY n_buckets""".stripMargin
     }
   )
 

@@ -1500,4 +1500,101 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // the buckets partition the corpus exactly once
     assert(got.map(_._4).sum == n.toLong)
   }
+
+  test("q256 correlation factors replay from exact distinct counts") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q256_column_correlation_stats")(spark, d)
+      .select($"pair", $"ndv_a", $"ndv_b", $"ndv_pair", $"independence_ratio")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val or = spark.read.parquet(s"$d/orders.parquet")
+      .select($"o_orderstatus", $"o_orderpriority",
+        date_trunc("month", $"o_orderdate").cast("string"))
+      .as[(String, String, String)].collect()
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_returnflag", $"l_linestatus").as[(String, String)].collect()
+    def f(a: Seq[String], b: Seq[String]) = {
+      val (na, nb) = (a.distinct.size.toLong, b.distinct.size.toLong)
+      val np = a.zip(b).distinct.size.toLong
+      (na, nb, np, (na * nb).toDouble / np.toDouble)
+    }
+    val exp = Seq(
+      "l_returnflag_x_linestatus" -> f(li.map(_._1), li.map(_._2)),
+      "o_priority_x_month" -> f(or.map(_._2), or.map(_._3)),
+      "o_status_x_month" -> f(or.map(_._1), or.map(_._3)),
+      "o_status_x_priority" -> f(or.map(_._1), or.map(_._2)))
+      .map { case (n, (a, b, p, r)) => (n, a, b, p, r) }
+    assert(got == exp)
+    // a correlation factor is never below 1 (every combo is bounded by the product)
+    got.foreach(r => assert(r._5 >= 1.0))
+  }
+
+  test("q257 daily quantiles and WoW deltas replay with R-7 interpolation") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q257_daily_quantile_drift")(spark, d)
+      .select($"day".cast("string"), $"n_purchases", $"p50", $"p875",
+        $"p50_wow", $"p875_wow")
+      .as[(String, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    val pv = graft.Tables(spark, d, "events")
+      .filter($"event_type" === "purchase")
+      .select(to_date($"ts").cast("string").as("day"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    def r7(vs: Seq[Long], p: Double): Double = {
+      val s = vs.sorted; val h = (s.size - 1) * p
+      val lo = h.toInt; val w = h - lo
+      if (lo + 1 < s.size) s(lo) + (s(lo + 1) - s(lo)) * w else s(lo).toDouble
+    }
+    val byDay = pv.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, r7(rs.map(_._2).toSeq, 0.5),
+        r7(rs.map(_._2).toSeq, 0.875))).toMap
+    val exp = byDay.toSeq.sortBy(_._1).map { case (day, (n, p50, p90)) =>
+      val prior = byDay.get(java.time.LocalDate.parse(day).minusDays(7).toString)
+      (day, n, p50, p90, prior.map(p50 - _._2), prior.map(p90 - _._3))
+    }
+    assert(got == exp)
+  }
+
+  test("q258 byte widths replay from UTF-8 encodings") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q258_row_width_profile")(spark, d)
+      .select($"column", $"n_rows", $"total_bytes", $"max_bytes", $"avg_bytes")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val sources = Seq(
+      "customer.c_name" -> ("customer", "c_name"),
+      "documents.text" -> ("documents", "text"),
+      "events.props" -> ("events", "props"),
+      "orders.o_orderpriority" -> ("orders", "o_orderpriority"),
+      "part.p_name" -> ("part", "p_name"))
+    val exp = sources.map { case (label, (t, c)) =>
+      val vs = spark.read.parquet(s"$d/$t.parquet")
+        .select(col(c).cast("string")).as[String].collect()
+      val ws = vs.map(_.getBytes("UTF-8").length.toLong)
+      (label, vs.length.toLong, ws.sum, ws.max,
+        ws.sum.toDouble / vs.length.toDouble)
+    }
+    assert(got == exp)
+  }
+
+  test("q259 bucket occupancy replays from the shared md5 hash recipe") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q259_bucketing_advisor")(spark, d)
+      .select($"n_buckets", $"n_rows", $"n_used_buckets", $"max_rows",
+        $"min_rows", $"skew_ratio")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    val users = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id").as[Long].collect()
+    val exp = Seq(8, 16, 32).map { b =>
+      val hist = users.map(u => idHash(u) % b)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (b.toLong, users.length.toLong, hist.size.toLong, hist.values.max,
+        hist.values.min,
+        (hist.values.max * b).toDouble / users.length.toDouble)
+    }
+    assert(got == exp)
+    // used buckets never exceed the candidate count (empties are legal
+    // on a small fixture and show up as n_used_buckets < n_buckets)
+    got.foreach(r => assert(r._3 <= r._1 && r._6 >= 1.0))
+  }
 }
