@@ -2373,21 +2373,27 @@ object Stats {
         countDistinct(col("sk"), col("rf")).as("sk_rf"),
         countDistinct(col("sk"), col("ls")).as("sk_ls"),
         countDistinct(col("sk"), col("qty")).as("sk_qty"))
-      def row(name: String, groups: String, rf: String, ls: String,
+      // one row per candidate via a 1-row explode — a union of three
+      // selects over `stats` would re-plan (and re-run) the whole
+      // multi-distinct aggregate per branch (observed as 3 scans)
+      def cand(name: String, groups: String, rf: String, ls: String,
           qty: String) =
-        stats.select(lit(name).as("sort_key"),
-          col(groups).as("n_groups"), col("n_rows"),
-          col(rf).as("runs_returnflag"), col(ls).as("runs_linestatus"),
-          col(qty).as("runs_quantity"),
+        struct(lit(name).as("sort_key"), col(groups).as("n_groups"),
+          col("n_rows"), col(rf).as("runs_returnflag"),
+          col(ls).as("runs_linestatus"), col(qty).as("runs_quantity"),
           (col(rf) + col(ls) + col(qty)).as("total_runs"))
-      row("l_partkey", "ndv_pk", "pk_rf", "pk_ls", "pk_qty")
-        .unionByName(
-          row("l_shipdate_day", "ndv_day", "day_rf", "day_ls", "day_qty"))
-        .unionByName(row("l_suppkey", "ndv_sk", "sk_rf", "sk_ls", "sk_qty"))
-        .select(col("sort_key"), col("n_groups"), col("n_rows"),
-          col("runs_returnflag"), col("runs_linestatus"),
-          col("runs_quantity"), col("total_runs"),
-          expr("CAST(3 * n_rows AS DOUBLE) / CAST(total_runs AS DOUBLE)")
+      stats.select(explode(array(
+          cand("l_partkey", "ndv_pk", "pk_rf", "pk_ls", "pk_qty"),
+          cand("l_shipdate_day", "ndv_day", "day_rf", "day_ls", "day_qty"),
+          cand("l_suppkey", "ndv_sk", "sk_rf", "sk_ls", "sk_qty")))
+          .as("r"))
+        .select(col("r.sort_key").as("sort_key"),
+          col("r.n_groups").as("n_groups"), col("r.n_rows").as("n_rows"),
+          col("r.runs_returnflag").as("runs_returnflag"),
+          col("r.runs_linestatus").as("runs_linestatus"),
+          col("r.runs_quantity").as("runs_quantity"),
+          col("r.total_runs").as("total_runs"),
+          expr("CAST(3 * r.n_rows AS DOUBLE) / CAST(r.total_runs AS DOUBLE)")
             .as("rows_per_run"))
         .orderBy("sort_key")
     } {

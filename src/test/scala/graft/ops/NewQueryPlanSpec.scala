@@ -496,4 +496,79 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
         s"window, never a per-fact probe join:\n$p")
     assert(p.contains("Union"), s"expected the tagged union:\n$p")
   }
+
+  test("q245 is one shared scan through Expand, join-free") {
+    val p = plan("q245_sort_compression_advisor")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"all 13 pair-distinct metrics must ride ONE lineitem scan " +
+        s"(got $scans):\n$p")
+    assert(p.contains("Expand"),
+      s"multi-distinct must plan as Expand projections, not " +
+        s"per-metric re-scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q245 has no join anywhere:\n$p")
+  }
+
+  test("q250's scalar stats and true counts reach the steps only as broadcasts") {
+    val p = plan("q250_join_order_advisor")
+    assert(!p.contains("CartesianProduct"),
+      s"1-row stat relations must broadcast, never cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast crossJoins of the 1-row stats:\n$p")
+  }
+
+  test("q252's pair join lives in the broadcast top-k universe") {
+    val p = plan("q252_term_lift_matrix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the top-12 df relation must broadcast into the token scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q252 must never cartesian:\n$p")
+  }
+
+  test("q255's bucket recount is a broadcast range join; ranks ride the two-pass key") {
+    val df = graft.SparkEntry.queries("q255_equidepth_histogram")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 16-row range relation must broadcast into the cents scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q255 must broadcast, never cartesian:\n$p")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q244's rank windows partition by the two-pass key, never SinglePartition") {
+    val df = graft.SparkEntry.queries("q244_rank_sum_test")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("__pid"),
+      s"a q244 window does not partition by the two-pass key:\n$w"))
+    graft.Checkpoints.release(df)
+  }
+
+  test("q247's residual ranks ride the two-pass key and the median broadcasts") {
+    val df = graft.SparkEntry.queries("q247_conformal_calibration")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    windows.foreach(w => assert(w.contains("__pid"),
+      s"a q247 window does not partition by the two-pass key:\n$w"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row per-lang median relation must broadcast:\n$p")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q249's first-seen relation broadcasts back into the day census") {
+    val p = plan("q249_schema_drift")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the schema-bounded first-seen relation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in q249:\n$p")
+  }
+
+  test("q256 and q259 are join-free aggregates") {
+    Seq("q256_column_correlation_stats", "q259_bucketing_advisor").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"),
+        s"$q is unions of aggregates — any join is a regression:\n$p")
+    }
+  }
 }
