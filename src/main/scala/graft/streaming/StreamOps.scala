@@ -1024,4 +1024,61 @@ object StreamOps {
           KmvSnapshot(etype, n, hk, est)
       }
   }
+
+  /** One staleness page of the live freshness monitor — q253's twin. */
+  final case class FreshnessAlert(
+      event_type: String, last_ts_us: Long, staleness_min: Long)
+
+  final case class FreshnessState(maxUs: Long, alerted: Boolean)
+
+  /** Streaming freshness pager — q253's live twin: per type, the newest
+    * event time is the ONLY state (two fields, bounded forever); the
+    * event-time WATERMARK plays the corpus high-water-mark role — it
+    * advances because OTHER producers keep writing, which is exactly
+    * the comparison the batch audit makes against MAX(ts) over the
+    * corpus. When watermark − max_ts reaches the threshold, ONE alert
+    * emits per quiet period (fresh data re-arms the pager), driven by
+    * an event-time timeout set to the alert's due instant — a silent
+    * producer costs zero per-event work; detection latency is one
+    * timeout firing, not a scheduled batch re-scan. The batch query
+    * answers "how stale is everything right now"; this answers "page
+    * me the moment anything goes stale".
+    */
+  def freshnessAlerts(events: DataFrame, timeCol: String, typeCol: String,
+      watermarkDelay: String, thresholdMin: Long): Dataset[FreshnessAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(typeCol).cast("string"), col(timeCol),
+        expr(s"unix_micros(cast($timeCol AS timestamp))"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FreshnessState, FreshnessAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (etype, rows, state: GroupState[FreshnessState]) =>
+          val st0 = state.getOption
+            .getOrElse(FreshnessState(Long.MinValue, alerted = false))
+          var maxUs = st0.maxUs
+          var hadData = false
+          rows.foreach { r =>
+            hadData = true; if (r._3 > maxUs) maxUs = r._3
+          }
+          val alreadyPaged = if (hadData) false else st0.alerted
+          val wmMs = state.getCurrentWatermarkMs()
+          val stalenessMin =
+            if (maxUs == Long.MinValue) Long.MinValue
+            else (wmMs - maxUs / 1000L) / 60000L
+          val fire = stalenessMin != Long.MinValue &&
+            stalenessMin >= thresholdMin && !alreadyPaged
+          state.update(FreshnessState(maxUs, alreadyPaged || fire))
+          // wake exactly when the alert comes due (or re-check shortly
+          // after the watermark if already due/paged)
+          val dueMs = if (maxUs == Long.MinValue) wmMs + 60000L
+            else maxUs / 1000L + thresholdMin * 60000L
+          state.setTimeoutTimestamp(math.max(wmMs + 60000L, dueMs + 1L))
+          if (fire) Iterator(FreshnessAlert(etype, maxUs, stalenessMin))
+          else Iterator.empty
+      }
+  }
 }

@@ -865,4 +865,55 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     // 6h window at hour 3 = hours 0..3: 80 records, 18 errors
     assert(got.head._5 == (18.0 / 80.0) / 0.01)
   }
+
+  test("freshnessAlerts pages a silent producer once, re-arms on new data, and agrees with q253's stale set") {
+    import spark.implicits._
+    def dayTs(day: Int, hour: Int = 12): Timestamp =
+      Timestamp.valueOf(f"2024-01-${1 + day}%02d $hour%02d:00:00")
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamOps.freshnessAlerts(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      watermarkDelay = "1 hour", thresholdMin = 1440L).toDF()
+    spark.sql("DROP TABLE IF EXISTS fresh_sink")
+    val q = out.writeStream.format("memory").queryName("fresh_sink")
+      .outputMode(OutputMode.Append).start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String)]
+    def feed(rows: (Timestamp, String)*): Unit = {
+      fed ++= rows; input.addData(rows: _*); q.processAllAvailable()
+    }
+    try {
+      // clicks stop after day 2; views keep the watermark advancing
+      feed(((0 to 2).map(d => (dayTs(d), "click")) ++
+        (0 to 10).map(d => (dayTs(d), "view"))): _*)
+      feed((dayTs(11), "view"))
+      feed((dayTs(12), "view"))
+      val first = spark.table("fresh_sink")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(first.map(_._1) == Seq("click"),
+        s"exactly one page, for the silent type: $first")
+      assert(first.head._2 ==
+        dayTs(2).toInstant.toEpochMilli * 1000L)
+      assert(first.head._3 >= 1440L)
+      // fresh data re-arms; a second quiet period pages a second time
+      feed((dayTs(13), "click"), (dayTs(13), "view"))
+      feed((dayTs(14), "view"))
+      feed((dayTs(15), "view"))
+      feed((dayTs(16), "view"))
+      val fin = spark.table("fresh_sink")
+        .as[(String, Long, Long)].collect().toSeq.sortBy(_._2)
+      assert(fin.size == 2 && fin.forall(_._1 == "click"))
+      assert(fin(1)._2 == dayTs(13).toInstant.toEpochMilli * 1000L)
+      assert(fin(1)._3 >= 1440L)
+    } finally q.stop()
+    // agreement with the batch audit: the paged set IS q253's stale set
+    // (staleness vs the corpus high-water mark ≥ threshold) on the fed
+    // corpus as of the final watermark
+    val hwUs = fed.map(_._1.toInstant.toEpochMilli).max * 1000L
+    val staleBatch = fed.groupBy(_._2).collect {
+      case (et, rs)
+        if (hwUs - rs.map(_._1.toInstant.toEpochMilli).max * 1000L)
+          / 60000000L >= 1440L => et
+    }.toSet
+    assert(staleBatch == Set("click"))
+  }
 }
