@@ -1081,4 +1081,79 @@ object StreamOps {
           else Iterator.empty
       }
   }
+
+  /** One finalized day of the live quantile monitor — q257's twin. */
+  final case class DayQuantiles(
+      day: String, n_purchases: Long, p50: Double, p875: Double)
+
+  /** Streaming daily quantile monitor — q257's live twin: purchases
+    * group by their DAY key (groups distribute — no single ordering
+    * task), each open day's state is a cents→count HISTOGRAM (bounded
+    * by the price grid, NOT the event count — the reason exact
+    * quantiles are streamable here at all), and the day finalizes
+    * exactly once when the watermark passes its end: the R-7 order
+    * statistics are read off the sorted histogram walk, bit-identical
+    * to the batch percentile on the same day (spec-pinned — 0.5 and
+    * 7/8 are binary-exact fractions, the q257 contract). Late events
+    * beyond the watermark are dropped by the watermark itself, the
+    * same completeness contract the batch query inherits from its
+    * snapshot.
+    */
+  def dailyQuantileMonitor(events: DataFrame, timeCol: String,
+      typeCol: String, valueCol: String,
+      watermarkDelay: String): Dataset[DayQuantiles] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the purchase filter runs INSIDE the stateful op, not as a
+    // .filter() between withWatermark and the groupBy: Catalyst pushes
+    // a deterministic predicate below the EventTimeWatermark node, so
+    // filtered-out event types would stop advancing the watermark and
+    // open days would never finalize (observed: watermark frozen while
+    // non-purchase traffic kept flowing)
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(expr(s"CAST(to_date($timeCol) AS string)"),
+        col(timeCol),
+        expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)"),
+        (col(typeCol) === "purchase").as("is_purchase"))
+      .as[(String, java.sql.Timestamp, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], DayQuantiles](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (day, rows, state: GroupState[Map[Long, Long]]) =>
+          var hist = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { r =>
+            if (r._4) hist = hist.updated(r._3, hist.getOrElse(r._3, 0L) + 1L)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val dayEndMs = java.time.LocalDate.parse(day).plusDays(1)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          if (wmMs >= dayEndMs) {
+            // final: exact R-7 off the sorted histogram walk
+            val n = hist.valuesIterator.sum
+            def r7(p: Double): Double = {
+              val h = (n - 1) * p
+              val lo = h.toLong; val w = h - lo
+              var seen = 0L
+              var vLo = 0L; var vHi = 0L
+              val it = hist.toSeq.sortBy(_._1).iterator
+              while (it.hasNext && (seen <= lo + 1)) {
+                val (v, c) = it.next()
+                if (seen <= lo && lo < seen + c) vLo = v
+                if (seen <= lo + 1 && lo + 1 < seen + c) vHi = v
+                seen += c
+              }
+              if (lo + 1 < n) vLo + (vHi - vLo) * w else vLo.toDouble
+            }
+            state.remove()
+            // a day that saw only non-purchase traffic closes silently
+            if (hist.nonEmpty) Iterator(DayQuantiles(day, n, r7(0.5), r7(0.875)))
+            else Iterator.empty
+          } else {
+            state.update(hist)
+            state.setTimeoutTimestamp(math.max(wmMs + 60000L, dayEndMs + 1L))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -916,4 +916,56 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     }.toSet
     assert(staleBatch == Set("click"))
   }
+
+  test("dailyQuantileMonitor finalizes each day bit-identical to the batch R-7") {
+    import spark.implicits._
+    def dayTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${1 + day}%02d $hour%02d:00:00")
+    // deterministic per-day value sets incl. duplicates and an even-n
+    // day (interpolated median) — arrival order shuffled
+    val vals = Map(
+      0 -> Seq(12.34, 5.0, 99.99, 5.0),
+      1 -> Seq(50.0, 10.0, 20.0, 30.0, 40.0, 60.0, 70.0),
+      2 -> Seq(7.77))
+    val rows = new scala.util.Random(42).shuffle(
+      vals.toSeq.flatMap { case (d, vs) =>
+        vs.zipWithIndex.map { case (v, i) =>
+          (dayTs(d, 1 + i % 20), "purchase", v)
+        }
+      })
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val out = StreamOps.dailyQuantileMonitor(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "event_type",
+      "value", watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS dq_sink")
+    val q = out.writeStream.format("memory").queryName("dq_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // flush rows (non-purchase) advance the watermark past day 2
+      input.addData((dayTs(4, 12), "flush", 0.0))
+      q.processAllAvailable()
+      input.addData((dayTs(5, 12), "flush", 0.0))
+      q.processAllAvailable()
+      input.addData((dayTs(6, 12), "flush", 0.0))
+      q.processAllAvailable()
+      input.addData((dayTs(7, 12), "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dq_sink")
+      .as[(String, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    // batch replay: engine-identical R-7 over exact cents
+    def r7(vs: Seq[Long], p: Double): Double = {
+      val s = vs.sorted; val h = (s.size - 1) * p
+      val lo = h.toInt; val w = h - lo
+      if (lo + 1 < s.size) s(lo) + (s(lo + 1) - s(lo)) * w else s(lo).toDouble
+    }
+    val exp = vals.toSeq.sortBy(_._1).map { case (d, vs) =>
+      val cents = vs.map(v => math.round(v * 100))
+      (f"2024-01-${1 + d}%02d", cents.size.toLong,
+        r7(cents, 0.5), r7(cents, 0.875))
+    }
+    assert(got == exp)
+  }
 }
