@@ -2479,6 +2479,73 @@ object Events {
         |  a.p875 - b.p875 AS p875_wow
         |FROM qd a LEFT JOIN qd b ON a.day = b.day + 7
         |ORDER BY a.day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q260: COOLDOWN DEDUP (greedy 24 h keeper chain) — q20 keeps the
+    // first event per key EVER; real notification/billing suppression
+    // keeps an event iff ≥ 24 h passed since the last KEPT one, a
+    // self-referential greedy chain no window/lag stack can express
+    // (each decision depends on the previous DECISION, not the
+    // previous row). Per (user, type) the chain folds over the
+    // in-buffer-sorted history — the q135 posture: ONE keyed shuffle,
+    // an `aggregate()` lambda inside codegen, per-group memory bounded
+    // by that user's history. The sentinel start is -86400000001 so
+    // the first event always keeps WITHOUT the +24 h addition
+    // overflowing ANSI arithmetic on a MinValue sentinel. The oracle
+    // walks the identical chain as a recursive CTE (the q162 posture),
+    // proving the fold against an independent per-rank recursion.
+    QueryDef.sql("q260_cooldown_dedup") { (s, d) =>
+      val keptExpr = expr(
+        """aggregate(
+          |  array_sort(collect_list(struct(tus, event_id))),
+          |  named_struct('last', CAST(-86400000001 AS BIGINT),
+          |               'kept', CAST(0 AS BIGINT)),
+          |  (acc, x) -> CASE
+          |    WHEN x.tus >= acc.last + 86400000000
+          |      THEN named_struct('last', x.tus, 'kept', acc.kept + 1L)
+          |    ELSE acc END
+          |).kept""".stripMargin)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), keptExpr.as("kept"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"), sum(col("kept")).as("n_kept"))
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          expr("CAST(n_events - n_kept AS DOUBLE) / CAST(n_events AS DOUBLE)")
+            .as("suppression_ratio"))
+        .orderBy("event_type")
+    } {
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, event_type, rn, tus AS last_kept,
+        |    CAST(1 AS BIGINT) AS kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.rn,
+        |    CASE WHEN e.tus >= w.last_kept + 86400000000
+        |      THEN e.tus ELSE w.last_kept END,
+        |    w.kept + CASE WHEN e.tus >= w.last_kept + 86400000000
+        |      THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e
+        |    ON e.user_id = w.user_id AND e.event_type = w.event_type
+        |    AND e.rn = w.rn + 1),
+        |fin AS (
+        |  SELECT user_id, event_type,
+        |    MAX(rn) AS n, MAX_BY(kept, rn) AS kept
+        |  FROM walk GROUP BY user_id, event_type)
+        |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n) - SUM(kept) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |    AS suppression_ratio
+        |FROM fin GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
     }
   )
 }

@@ -2957,6 +2957,126 @@ object Stats {
       }.mkString("\nUNION ALL\n")
       s"""$branches
          |ORDER BY n_buckets""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q261: PARTITION-SYNC CHECKSUM AUDIT — the anti-entropy shape
+    // every replicated warehouse runs: compare per-partition (here:
+    // per-day) row counts AND order-free content checksums between a
+    // primary and a replica, and resync ONLY the partitions that
+    // disagree — never the table. The checksum is the SUM of per-row
+    // 32-bit md5 id-hashes: order-free (addition commutes), exact in
+    // int64 to ~2^31 rows/partition, and sensitive to any dropped or
+    // duplicated row. The "replica" here is the primary minus a
+    // deterministic ~0.1% md5 cohort — a SIMULATED defect, so the
+    // audit provably reports exactly the planted loss; the comparison
+    // machinery is the production shape (two scans, one day-keyed agg
+    // each, a tiny day-keyed join). Spark-side fault line and DuckDB
+    // side share the Ids recipe, so both engines plant and detect the
+    // SAME defect.
+    QueryDef.sql("q261_partition_sync_audit") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"),
+          graft.Ids.hash("event_id").as("h"))
+      def sums(df: DataFrame, n: String, c: String) =
+        df.groupBy(col("day"))
+          .agg(count(lit(1)).as(n), sum(col("h")).as(c))
+      val primary = sums(ev, "n_primary", "sum_primary")
+      val replica = sums(ev.filter(col("h") % 997 =!= 0L),
+        "n_replica", "sum_replica")
+      primary.join(replica, Seq("day"), "left_outer")
+        .select(col("day"), col("n_primary"),
+          coalesce(col("n_replica"), lit(0L)).as("n_replica"),
+          (col("n_primary") - coalesce(col("n_replica"), lit(0L)))
+            .as("rows_missing"),
+          (coalesce(col("sum_replica"), lit(0L)) =!= col("sum_primary"))
+            .cast("long").as("needs_resync"))
+        .orderBy("day")
+    } {
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    ${graft.Ids.hashSql("event_id")} AS h
+         |  FROM events),
+         |p AS (
+         |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_primary,
+         |    CAST(SUM(h) AS BIGINT) AS sum_primary
+         |  FROM ev GROUP BY day),
+         |r AS (
+         |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_replica,
+         |    CAST(SUM(h) AS BIGINT) AS sum_replica
+         |  FROM ev WHERE h % 997 <> 0 GROUP BY day)
+         |SELECT p.day, p.n_primary,
+         |  COALESCE(r.n_replica, 0) AS n_replica,
+         |  CAST(p.n_primary - COALESCE(r.n_replica, 0) AS BIGINT)
+         |    AS rows_missing,
+         |  CAST(CASE WHEN COALESCE(r.sum_replica, 0) <> p.sum_primary
+         |    THEN 1 ELSE 0 END AS BIGINT) AS needs_resync
+         |FROM p LEFT JOIN r ON p.day = r.day
+         |ORDER BY p.day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q262: FEATURE-HASH COLLISION AUDIT — the hashing trick maps an
+    // unbounded vocabulary into 2^k feature buckets; its silent cost is
+    // collisions, and this measures them EXACTLY for candidate widths
+    // (2^14/2^16/2^18) before a model bakes one in: distinct tokens per
+    // bucket, tokens sharing a bucket, and the OCCURRENCE-weighted
+    // share of collided tokens (a rare token colliding matters less
+    // than 'the'). The vocabulary aggregates once; the three widths
+    // ride ONE explode of that relation (k, bucket) — the q245 lesson:
+    // no per-width re-plan of the corpus scan. Bucketing uses the
+    // library-wide md5 recipe, so the audited table IS the one a
+    // hashed-feature writer built on [[graft.Ids]] would produce.
+    QueryDef.sql("q262_feature_hash_audit") { (s, d) =>
+      val vocab = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .select(col("token"), col("freq"),
+          graft.Ids.hash("token").as("h"))
+      val widths = Seq(14, 16, 18)
+      val exploded = vocab.select(col("freq"), explode(array(
+        widths.map(k => struct(lit(k.toLong).as("k_bits"),
+          (col("h") % (1L << k)).as("bucket"))): _*)).as("kb"))
+        .select(col("kb.k_bits").as("k_bits"), col("kb.bucket").as("bucket"),
+          col("freq"))
+      exploded.groupBy(col("k_bits"), col("bucket"))
+        .agg(count(lit(1)).as("toks"), sum(col("freq")).as("occ"))
+        .groupBy(col("k_bits"))
+        .agg(
+          sum(col("toks")).as("n_tokens"),
+          count(lit(1)).as("n_buckets_used"),
+          sum(when(col("toks") > 1L, col("toks")).otherwise(0L))
+            .as("n_collided_tokens"),
+          sum(col("occ")).as("n_occurrences"),
+          sum(when(col("toks") > 1L, col("occ")).otherwise(0L))
+            .as("collided_occurrences"))
+        .select(col("k_bits"), col("n_tokens"), col("n_buckets_used"),
+          col("n_collided_tokens"),
+          expr("CAST(collided_occurrences AS DOUBLE) " +
+            "/ CAST(n_occurrences AS DOUBLE)").as("collided_occ_share"))
+        .orderBy("k_bits")
+    } {
+      val branches = Seq(14, 16, 18).map { k =>
+        s"""  SELECT CAST($k AS BIGINT) AS k_bits,
+           |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           |    CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           |    CAST(SUM(CASE WHEN toks > 1 THEN toks ELSE 0 END) AS BIGINT)
+           |      AS n_collided_tokens,
+           |    CAST(SUM(CASE WHEN toks > 1 THEN occ ELSE 0 END) AS DOUBLE)
+           |      / CAST(SUM(occ) AS DOUBLE) AS collided_occ_share
+           |  FROM (
+           |    SELECT ${graft.Ids.hashSql("token")} % ${1L << k} AS bucket,
+           |      CAST(COUNT(*) AS BIGINT) AS toks,
+           |      CAST(SUM(freq) AS BIGINT) AS occ
+           |    FROM vocab GROUP BY 1) b""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH vocab AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY token)
+         |$branches
+         |ORDER BY k_bits""".stripMargin
     }
   )
 

@@ -1597,4 +1597,84 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // on a small fixture and show up as n_used_buckets < n_buckets)
     got.foreach(r => assert(r._3 <= r._1 && r._6 >= 1.0))
   }
+
+  private def strHash(s0: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+
+  test("q260 cooldown chains replay greedily per (user, type)") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q260_cooldown_dedup")(spark, d)
+      .select($"event_type", $"n_events", $"n_kept", $"suppression_ratio")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val ev = graft.Tables(spark, d, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        expr("unix_micros(cast(ts AS timestamp))"))
+      .as[(Long, String, Long, Long)].collect()
+    val exp = ev.groupBy(_._2).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val perPair = rows.groupBy(_._1).values.map { es =>
+        val sorted = es.sortBy(e => (e._4, e._3))
+        var last = Long.MinValue / 2; var kept = 0L
+        sorted.foreach { e =>
+          if (e._4 >= last + 86400000000L) { last = e._4; kept += 1L }
+        }
+        (es.size.toLong, kept)
+      }.toSeq
+      val (n, k) = (perPair.map(_._1).sum, perPair.map(_._2).sum)
+      (et, n, k, (n - k).toDouble / n.toDouble)
+    }
+    assert(got == exp)
+    // the chain keeps at least one event per active pair, never more than all
+    got.foreach(r => assert(r._3 >= 1L && r._3 <= r._2))
+  }
+
+  test("q261 checksum audit reports exactly the planted cohort loss") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q261_partition_sync_audit")(spark, d)
+      .select($"day".cast("string"), $"n_primary", $"n_replica",
+        $"rows_missing", $"needs_resync")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select(to_date($"ts").cast("string"), $"event_id")
+      .as[(String, Long)].collect()
+    val exp = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (day, rows) =>
+      val hs = rows.map(r => idHash(r._2))
+      val kept = hs.filter(_ % 997L != 0L)
+      (day, hs.length.toLong, kept.length.toLong,
+        (hs.length - kept.length).toLong,
+        if (kept.sum != hs.sum) 1L else 0L)
+    }
+    assert(got == exp)
+    // a day needs resync IFF rows are missing (sum-of-distinct-hashes
+    // cannot collide back to equality when rows were dropped, since
+    // every dropped hash is nonzero)
+    got.foreach(r => assert((r._5 == 1L) == (r._4 > 0L)))
+    // the planted 0.1% defect is actually present somewhere
+    assert(got.exists(_._5 == 1L))
+  }
+
+  test("q262 collision census replays from the md5 token hash") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q262_feature_hash_audit")(spark, d)
+      .select($"k_bits", $"n_tokens", $"n_buckets_used",
+        $"n_collided_tokens", $"collided_occ_share")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1))
+    val freq = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = Seq(14, 16, 18).map { k =>
+      val m = 1L << k
+      val byBucket = freq.toSeq.groupBy { case (t, _) => strHash(t) % m }
+      val collided = byBucket.values.filter(_.size > 1).flatten.toSeq
+      (k.toLong, freq.size.toLong, byBucket.size.toLong,
+        collided.size.toLong,
+        collided.map(_._2).sum.toDouble / toks.length.toDouble)
+    }
+    assert(got == exp)
+    // wider tables collide monotonically less
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+  }
 }
