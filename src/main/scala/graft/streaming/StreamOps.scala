@@ -1156,4 +1156,48 @@ object StreamOps {
           }
       }
   }
+
+  /** One finalized day of the live checksum feed — q261's twin. */
+  final case class DayChecksum(day: String, n_rows: Long, checksum: Long)
+
+  /** Streaming per-partition checksum feed — q261's live twin: each
+    * day-keyed group maintains (count, Σ md5-id-hash) — two longs of
+    * state, order-free because addition commutes — and publishes its
+    * final checksum exactly once when the watermark passes the day's
+    * end. Two replicas running this feed against their own copy give
+    * the q261 anti-entropy comparison CONTINUOUSLY: a diverging day
+    * surfaces one watermark-delay after it closes, instead of at the
+    * next batch audit. The id column rides the library-wide md5 recipe
+    * ([[graft.Ids]]), so the streamed checksum equals the batch q261
+    * checksum for the same rows EXACTLY (spec-pinned on a
+    * shuffled-arrival fixture).
+    */
+  def dailyChecksumMonitor(events: DataFrame, timeCol: String,
+      idCol: String, watermarkDelay: String): Dataset[DayChecksum] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(expr(s"CAST(to_date($timeCol) AS string)"), col(timeCol),
+        graft.Ids.hash(idCol))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), DayChecksum](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (day, rows, state: GroupState[(Long, Long)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1L; sum += r._3 }
+          val wmMs = state.getCurrentWatermarkMs()
+          val dayEndMs = java.time.LocalDate.parse(day).plusDays(1)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          if (wmMs >= dayEndMs) {
+            state.remove()
+            if (n > 0L) Iterator(DayChecksum(day, n, sum)) else Iterator.empty
+          } else {
+            state.update((n, sum))
+            state.setTimeoutTimestamp(math.max(wmMs + 60000L, dayEndMs + 1L))
+            Iterator.empty
+          }
+      }
+  }
 }

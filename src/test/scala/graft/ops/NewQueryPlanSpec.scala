@@ -571,4 +571,42 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
         s"$q is unions of aggregates — any join is a regression:\n$p")
     }
   }
+
+  test("q260's chain folds in ONE keyed shuffle, join-free") {
+    val p = plan("q260_cooldown_dedup")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"one events scan (got $scans):\n$p")
+    assert(!p.contains("Join"),
+      s"the greedy chain is a per-group fold, never a self-join:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window anywhere — the fold happens inside aggregate():\n$p")
+  }
+
+  test("q261 compares day relations with one keyed join, no broadcast of the fact side") {
+    val p = plan("q261_partition_sync_audit")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in q261:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"primary + replica legs are each one scan (got $scans):\n$p")
+  }
+
+  test("q262's three widths ride one vocabulary aggregate") {
+    val p = plan("q262_feature_hash_audit")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"the vocabulary aggregates once; per-width re-plans re-scan the " +
+        s"corpus (got $scans):\n$p")
+    assert(!p.contains("Join"), s"q262 is aggregation only:\n$p")
+  }
+
+  test("q258 prunes each profiled scan to its single column") {
+    val p = plan("q258_row_width_profile")
+    // every ReadSchema lists exactly one struct field
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(reads.nonEmpty)
+    reads.foreach { r =>
+      assert(!r.contains(","),
+        s"a q258 scan reads more than its one profiled column: $r")
+    }
+  }
 }

@@ -968,4 +968,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(got == exp)
   }
+
+  test("dailyChecksumMonitor finalizes each day's order-free checksum exactly once") {
+    import spark.implicits._
+    def dayTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${1 + day}%02d $hour%02d:00:00")
+    def idHash(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    // ids spread over 3 days, arrival order shuffled
+    val rows = new scala.util.Random(7).shuffle(
+      (1L to 30L).map(i => (dayTs((i % 3).toInt, 1 + (i % 20).toInt), i)))
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamOps.dailyChecksumMonitor(
+      input.toDF().toDF("ts", "event_id"), "ts", "event_id",
+      watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS ck_sink")
+    val q = out.writeStream.format("memory").queryName("ck_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((dayTs(5, 12), 99999L))
+      q.processAllAvailable()
+      input.addData((dayTs(6, 12), 99998L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ck_sink")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val exp = (1L to 30L).groupBy(i => (i % 3).toInt).toSeq
+      .sortBy(_._1).map { case (day, ids) =>
+        (f"2024-01-${1 + day}%02d", ids.size.toLong, ids.map(idHash).sum)
+      } :+ ("2024-01-06", 1L, idHash(99999L))
+    // the day-5 flush row is itself a (finalized) day — the monitor
+    // checksums EVERY row; the day-6 flush stays open at the final
+    // watermark and correctly never emits
+    assert(got == exp)
+  }
 }
