@@ -2546,6 +2546,177 @@ object Events {
         |    AS suppression_ratio
         |FROM fin GROUP BY event_type
         |ORDER BY event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q263: CAPPED SESSIONIZATION — q19's inactivity rule (30 min gap)
+    // PLUS the duration cap every production analytics stack applies
+    // (a session also ends 4 h after it STARTED, even under continuous
+    // activity — else a polling client produces week-long sessions).
+    // The cap makes the break decision self-referential (it compares
+    // against the session START, which is itself a prior decision), so
+    // like q260 this is a per-user greedy fold over the in-buffer-
+    // sorted history — ONE keyed shuffle, the q135 posture — and NO
+    // window/session_window stack can express it. The oracle walks the
+    // identical chain as a recursive CTE. Output: corpus totals plus
+    // how many breaks each rule caused — the knob-tuning numbers.
+    QueryDef.sql("q263_capped_sessions") { (s, d) =>
+      val foldExpr = expr(
+        """aggregate(
+          |  array_sort(collect_list(struct(tus, event_id))),
+          |  named_struct('start', CAST(-1 AS BIGINT),
+          |    'last', CAST(-1 AS BIGINT), 'sessions', CAST(0 AS BIGINT),
+          |    'gap_breaks', CAST(0 AS BIGINT),
+          |    'cap_breaks', CAST(0 AS BIGINT)),
+          |  (acc, x) -> CASE
+          |    WHEN acc.sessions = 0 THEN named_struct(
+          |      'start', x.tus, 'last', x.tus,
+          |      'sessions', CAST(1 AS BIGINT),
+          |      'gap_breaks', CAST(0 AS BIGINT),
+          |      'cap_breaks', CAST(0 AS BIGINT))
+          |    WHEN x.tus - acc.last > 1800000000 THEN named_struct(
+          |      'start', x.tus, 'last', x.tus, 'sessions', acc.sessions + 1L,
+          |      'gap_breaks', acc.gap_breaks + 1L,
+          |      'cap_breaks', acc.cap_breaks)
+          |    WHEN x.tus - acc.start > 14400000000 THEN named_struct(
+          |      'start', x.tus, 'last', x.tus, 'sessions', acc.sessions + 1L,
+          |      'gap_breaks', acc.gap_breaks,
+          |      'cap_breaks', acc.cap_breaks + 1L)
+          |    ELSE named_struct('start', acc.start, 'last', x.tus,
+          |      'sessions', acc.sessions, 'gap_breaks', acc.gap_breaks,
+          |      'cap_breaks', acc.cap_breaks) END
+          |)""".stripMargin)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), foldExpr.as("f"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+          sum(col("f.sessions")).as("n_sessions"),
+          sum(col("f.gap_breaks")).as("n_gap_breaks"),
+          sum(col("f.cap_breaks")).as("n_cap_breaks"))
+        .withColumn("events_per_session",
+          expr("CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)"))
+    } {
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, rn, tus AS sstart, tus AS slast,
+        |    CAST(1 AS BIGINT) AS sessions, CAST(0 AS BIGINT) AS gapb,
+        |    CAST(0 AS BIGINT) AS capb
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN e.tus - w.slast > 1800000000
+        |           OR e.tus - w.sstart > 14400000000
+        |      THEN e.tus ELSE w.sstart END,
+        |    e.tus,
+        |    w.sessions + CASE WHEN e.tus - w.slast > 1800000000
+        |      OR e.tus - w.sstart > 14400000000 THEN 1 ELSE 0 END,
+        |    w.gapb + CASE WHEN e.tus - w.slast > 1800000000
+        |      THEN 1 ELSE 0 END,
+        |    w.capb + CASE WHEN e.tus - w.slast <= 1800000000
+        |      AND e.tus - w.sstart > 14400000000 THEN 1 ELSE 0 END
+        |  FROM walk w JOIN ev e
+        |    ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+        |fin AS (
+        |  SELECT user_id, MAX(rn) AS n, MAX_BY(sessions, rn) AS sessions,
+        |    MAX_BY(gapb, rn) AS gapb, MAX_BY(capb, rn) AS capb
+        |  FROM walk GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(sessions) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(gapb) AS BIGINT) AS n_gap_breaks,
+        |  CAST(SUM(capb) AS BIGINT) AS n_cap_breaks,
+        |  CAST(SUM(n) AS DOUBLE) / CAST(SUM(sessions) AS DOUBLE)
+        |    AS events_per_session
+        |FROM fin""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q265: ROLLING 14-DAY CORRELATION of two KPI series (daily view
+    // count vs daily purchase count) — "do these metrics still move
+    // together" is the relationship monitor that catches a broken
+    // funnel even when both individual series look healthy (q58
+    // correlates ROWS; this correlates two TIME SERIES through a
+    // moving frame). Exactness: every frame statistic (n, Σa, Σb, Σa²,
+    // Σb², Σab) is an exact-int windowed sum; Pearson r is ONE shared
+    // IEEE chain with a correctly-rounded √, NULL when a frame is
+    // constant. Frames ride the COMPLETE q165-style densified calendar
+    // (missing days as explicit zeros), so both engines window the
+    // same 14 rows. The day series is calendar-bounded — the window
+    // runs over ≤ 365 rows/year regardless of corpus size.
+    QueryDef.sql("q265_rolling_correlation") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, d, "events")
+      val span = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val cal = span.select(
+        explode(expr("sequence(d0, d1)")).as("day"))
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("b"))
+      val dense = cal.join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+      // calendar-bounded series: the single-task window is ≤365 rows/yr
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      val corr =
+        "CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) <= 0 " +
+          "THEN NULL ELSE CAST(n * sab - sa * sb AS DOUBLE) " +
+          "/ SQRT(CAST((n * saa - sa * sa) * (n * sbb - sb * sb) " +
+          "AS DOUBLE)) END"
+      dense
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sa", sum(col("a")).over(w))
+        .withColumn("sb", sum(col("b")).over(w))
+        .withColumn("saa", sum(col("a") * col("a")).over(w))
+        .withColumn("sbb", sum(col("b") * col("b")).over(w))
+        .withColumn("sab", sum(col("a") * col("b")).over(w))
+        .filter(col("n") === 14L)
+        .select(col("day"), col("a"), col("b"),
+          expr(corr).as("rolling_corr"))
+        .orderBy("day")
+    } {
+      """WITH span AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |cal AS (
+        |  SELECT UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY))::DATE
+        |    AS day FROM span),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM events GROUP BY CAST(ts AS DATE)),
+        |dense AS (
+        |  SELECT cal.day, COALESCE(daily.a, 0) AS a, COALESCE(daily.b, 0) AS b
+        |  FROM cal LEFT JOIN daily ON cal.day = daily.day),
+        |fr AS (
+        |  SELECT day, a, b,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(a) OVER w AS BIGINT) AS sa,
+        |    CAST(SUM(b) OVER w AS BIGINT) AS sb,
+        |    CAST(SUM(a * a) OVER w AS BIGINT) AS saa,
+        |    CAST(SUM(b * b) OVER w AS BIGINT) AS sbb,
+        |    CAST(SUM(a * b) OVER w AS BIGINT) AS sab
+        |  FROM dense
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT day, a, b,
+        |  CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) <= 0
+        |    THEN NULL ELSE CAST(n * sab - sa * sb AS DOUBLE)
+        |    / SQRT(CAST((n * saa - sa * sa) * (n * sbb - sb * sb)
+        |        AS DOUBLE)) END AS rolling_corr
+        |FROM fr WHERE n = 14
+        |ORDER BY day""".stripMargin
     }
   )
 }

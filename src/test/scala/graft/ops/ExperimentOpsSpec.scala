@@ -1677,4 +1677,68 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     // wider tables collide monotonically less
     assert(got.map(_._4) == got.map(_._4).sorted.reverse)
   }
+
+  test("q263 capped sessions replay the two-rule greedy chain per user") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q263_capped_sessions")(spark, d)
+      .select($"n_users", $"n_events", $"n_sessions", $"n_gap_breaks",
+        $"n_cap_breaks", $"events_per_session")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.size == 1)
+    val ev = graft.Tables(spark, d, "events")
+      .select($"user_id", $"event_id",
+        expr("unix_micros(cast(ts AS timestamp))"))
+      .as[(Long, Long, Long)].collect()
+    var (sessions, gapB, capB) = (0L, 0L, 0L)
+    ev.groupBy(_._1).values.foreach { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var start = -1L; var last = -1L; var first = true
+      sorted.foreach { e =>
+        if (first) { sessions += 1; start = e._3; last = e._3; first = false }
+        else if (e._3 - last > 1800000000L) {
+          sessions += 1; gapB += 1; start = e._3; last = e._3
+        } else if (e._3 - start > 14400000000L) {
+          sessions += 1; capB += 1; start = e._3; last = e._3
+        } else last = e._3
+      }
+    }
+    val users = ev.map(_._1).distinct.length.toLong
+    assert(got.head == ((users, ev.length.toLong, sessions, gapB, capB,
+      ev.length.toDouble / sessions.toDouble)))
+    // every break is attributed to exactly one rule
+    assert(sessions == users + gapB + capB)
+  }
+
+  test("q265 rolling correlation replays frame-exact Pearson over the dense calendar") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q265_rolling_correlation")(spark, d)
+      .select($"day".cast("string"), $"a", $"b", $"rolling_corr")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select(to_date($"ts").cast("string"), $"event_type")
+      .as[(String, String)].collect()
+    val byDay = ev.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2 == "view").toLong, rs.count(_._2 == "purchase").toLong)
+    }.toMap
+    val d0 = java.time.LocalDate.parse(ev.map(_._1).min)
+    val d1 = java.time.LocalDate.parse(ev.map(_._1).max)
+    val days = Iterator.iterate(d0)(_.plusDays(1))
+      .takeWhile(!_.isAfter(d1)).toSeq
+    val series = days.map(dy => (dy.toString,
+      byDay.getOrElse(dy.toString, (0L, 0L))))
+    val exp = series.indices.drop(13).map { i =>
+      val fr = series.slice(i - 13, i + 1).map(_._2)
+      val n = 14L
+      val sa = fr.map(_._1).sum; val sb = fr.map(_._2).sum
+      val saa = fr.map(x => x._1 * x._1).sum
+      val sbb = fr.map(x => x._2 * x._2).sum
+      val sab = fr.map(x => x._1 * x._2).sum
+      val den = (n * saa - sa * sa) * (n * sbb - sb * sb)
+      val r = if (den <= 0) None
+        else Some((n * sab - sa * sb).toDouble / math.sqrt(den.toDouble))
+      (series(i)._1, series(i)._2._1, series(i)._2._2, r)
+    }
+    assert(got == exp)
+    got.flatMap(_._4).foreach(r => assert(r >= -1.0 && r <= 1.0))
+  }
 }
