@@ -2717,6 +2717,161 @@ object Events {
         |        AS DOUBLE)) END AS rolling_corr
         |FROM fr WHERE n = 14
         |ORDER BY day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q266: DEPENDENCY-AWARE BACKFILL PLAN — q261 finds the raw-data
+    // days that need resync; this turns them into the RECOMPUTE plan
+    // for a downstream 7-day-window feature job (each bad raw day d
+    // taints feature days [d, d+6]). Tainted ranges overlap, and a
+    // scheduler wants contiguous SEGMENTS (one backfill job each), not
+    // 7N day-jobs — so the q166 islands-on-intervals machinery merges
+    // them: a new island starts where a day clears every preceding
+    // range's running-max end. Windows run over the BAD-DAY relation
+    // only (calendar-bounded); the defect predicate is the q261 planted
+    // cohort, so the plan is deterministic and both engines derive the
+    // identical segments.
+    QueryDef.sql("q266_backfill_plan") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bad = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"),
+          graft.Ids.hash("event_id").as("h"))
+        .filter(col("h") % 997 === 0L)
+        .groupBy(col("day")).agg(count(lit(1)).as("n_bad_rows"))
+        .withColumn("end_day", date_add(col("day"), 6))
+      val wPrev = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bad
+        .withColumn("new_island",
+          when(col("day") > max(col("end_day")).over(wPrev), 1L)
+            .otherwise(when(max(col("end_day")).over(wPrev).isNull, 1L)
+              .otherwise(0L)))
+        .withColumn("island", sum(col("new_island")).over(wRun))
+        .groupBy(col("island"))
+        .agg(min(col("day")).as("from_day"),
+          max(col("end_day")).as("to_day"),
+          count(lit(1)).as("n_bad_days"),
+          sum(col("n_bad_rows")).as("n_bad_rows"))
+        .select(col("island"), col("from_day"), col("to_day"),
+          (datediff(col("to_day"), col("from_day")) + 1).cast("long")
+            .as("n_recompute_days"),
+          col("n_bad_days"), col("n_bad_rows"))
+        .orderBy("island")
+    } {
+      s"""WITH bad AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bad_rows,
+         |    CAST(ts AS DATE) + 6 AS end_day
+         |  FROM events
+         |  WHERE ${graft.Ids.hashSql("event_id")} % 997 = 0
+         |  GROUP BY CAST(ts AS DATE)),
+         |mk AS (
+         |  SELECT day, end_day, n_bad_rows,
+         |    CASE WHEN MAX(end_day) OVER (ORDER BY day
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      IS NULL THEN 1
+         |      WHEN day > MAX(end_day) OVER (ORDER BY day
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS new_island
+         |  FROM bad),
+         |isl AS (
+         |  SELECT day, end_day, n_bad_rows,
+         |    CAST(SUM(new_island) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS island
+         |  FROM mk)
+         |SELECT island, MIN(day) AS from_day, MAX(end_day) AS to_day,
+         |  CAST(DATEDIFF('day', MIN(day), MAX(end_day)) + 1 AS BIGINT)
+         |    AS n_recompute_days,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bad_days,
+         |  CAST(SUM(n_bad_rows) AS BIGINT) AS n_bad_rows
+         |FROM isl GROUP BY island
+         |ORDER BY island""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q268: A/A TEST CALIBRATION — before trusting any A/B readout,
+    // run the SAME machinery on a null experiment: split the exposed
+    // population by a FRESH salted hash (independent of every split
+    // the engine already uses — a reused hash would correlate with
+    // q53/q199's arms) and z-test conversion between the two halves.
+    // Any significance here means the bucketing or the test is broken,
+    // not the product. The z chain is q199's verbatim; the salt rides
+    // the library md5 recipe over 'aa:' || user_id on both engines.
+    QueryDef.sql("q268_aa_test_calibration") { (s, d) =>
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("exposed"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .filter(col("exposed") === 1L)
+        .withColumn("arm",
+          graft.Ids.hash("concat('aa:', cast(user_id AS string))") % 2)
+      perUser.agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0L, col("converted")).otherwise(0L))
+            .as("x_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1L, col("converted")).otherwise(0L))
+            .as("x_b"))
+        .withColumn("p_a", expr("CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)"))
+        .withColumn("p_b", expr("CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)"))
+        .withColumn("p_pool",
+          expr("CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"))
+        .withColumn("se", expr(
+          "SQRT(p_pool * (1.0 - p_pool) " +
+            "* (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"))
+        .withColumn("z_stat",
+          expr("CASE WHEN se = 0.0 THEN 0.0 ELSE (p_a - p_b) / se END"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          col("p_a"), col("p_b"), col("z_stat"),
+          expr("CAST(CASE WHEN se <> 0.0 AND ABS((p_a - p_b) / se) > 1.96 " +
+            "THEN 1 ELSE 0 END AS BIGINT)").as("significant"))
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS exposed,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY user_id),
+         |arms AS (
+         |  SELECT converted,
+         |    ${graft.Ids.hashSql("'aa:' || CAST(user_id AS VARCHAR)")} % 2
+         |      AS arm
+         |  FROM pu WHERE exposed = 1),
+         |agg AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS x_a,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+         |      AS BIGINT) AS x_b
+         |  FROM arms),
+         |x AS (
+         |  SELECT n_a, x_a, n_b, x_b,
+         |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+         |      AS p_pool
+         |  FROM agg),
+         |y AS (
+         |  SELECT *, SQRT(p_pool * (1.0 - p_pool)
+         |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         |    AS se
+         |  FROM x)
+         |SELECT n_a, x_a, n_b, x_b, p_a, p_b,
+         |  CASE WHEN se = 0.0 THEN 0.0 ELSE (p_a - p_b) / se END AS z_stat,
+         |  CAST(CASE WHEN se <> 0.0 AND ABS((p_a - p_b) / se) > 1.96
+         |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM y""".stripMargin
     }
   )
 }

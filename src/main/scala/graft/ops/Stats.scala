@@ -3077,6 +3077,56 @@ object Stats {
          |  GROUP BY token)
          |$branches
          |ORDER BY k_bits""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q267: LSH PARAMETER ADVISOR — the (bands, rows) tuning table for
+    // a 128-hash MinHash signature: collision probability
+    // p = 1 − (1 − s^r)^b at decision-relevant similarities, for the
+    // three power-of-two splits of 128. This is the planning input
+    // behind q25/q107/q109's fixed parameters: pick the S-curve whose
+    // knee sits on YOUR dedup threshold. Exactness: no POW anywhere —
+    // libm pow is not correctly rounded and differs across engines —
+    // every power is an explicit SQUARING CHAIN (r and b are powers of
+    // two), one shared dialect-neutral expression string per (b, r),
+    // so both engines execute the identical IEEE multiply sequence.
+    // Zero table scans: a planner relation, the q218 posture.
+    QueryDef.sql("q267_lsh_parameter_advisor") { (s, d) =>
+      val _ = d // planner table: no fixture input
+      def sq(x: String, times: Int): String =
+        (1 to times).foldLeft(x) { case (e, _) => s"($e * $e)" }
+      def chain(b: Int, r: Int): String = {
+        // s^r then (1 - s^r)^b, both by squaring (r, b powers of two)
+        val sr = sq("sim", Integer.numberOfTrailingZeros(r))
+        val t = s"(1.0 - $sr)"
+        s"(1.0 - ${sq(t, Integer.numberOfTrailingZeros(b))})"
+      }
+      val sims = Seq(0.3, 0.5, 0.7, 0.8, 0.9, 0.95)
+      Seq((32, 4), (16, 8), (8, 16)).map { case (b, r) =>
+        s.range(1)
+          .select(explode(array(sims.map(lit): _*)).as("sim"))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"), col("sim"),
+            expr(chain(b, r)).as("collision_prob"))
+      }.reduce(_ unionByName _).orderBy("bands", "sim")
+    } {
+      def sq(x: String, times: Int): String =
+        (1 to times).foldLeft(x) { case (e, _) => s"($e * $e)" }
+      def chain(b: Int, r: Int): String = {
+        val sr = sq("sim", Integer.numberOfTrailingZeros(r))
+        val t = s"(1.0 - $sr)"
+        s"(1.0 - ${sq(t, Integer.numberOfTrailingZeros(b))})"
+      }
+      val simList = Seq(0.3, 0.5, 0.7, 0.8, 0.9, 0.95)
+        .map(v => s"$v::DOUBLE").mkString(", ")
+      val branches = Seq((32, 4), (16, 8), (8, 16)).map { case (b, r) =>
+        s"""  SELECT CAST($b AS BIGINT) AS bands,
+           |    CAST($r AS BIGINT) AS rows_per_band, sim,
+           |    ${chain(b, r)} AS collision_prob
+           |  FROM (SELECT UNNEST([$simList]) AS sim) t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$branches
+         |ORDER BY bands, sim""".stripMargin
     }
   )
 

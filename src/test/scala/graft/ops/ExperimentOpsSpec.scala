@@ -1741,4 +1741,93 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == exp)
     got.flatMap(_._4).foreach(r => assert(r >= -1.0 && r <= 1.0))
   }
+
+  test("q266 backfill segments replay from merged tainted intervals") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q266_backfill_plan")(spark, d)
+      .select($"island", $"from_day".cast("string"),
+        $"to_day".cast("string"), $"n_recompute_days", $"n_bad_days",
+        $"n_bad_rows")
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select(to_date($"ts").cast("string"), $"event_id")
+      .as[(String, Long)].collect()
+    val badRows = ev.filter(r => idHash(r._2) % 997L == 0L)
+    val byDay = badRows.groupBy(_._1).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    // greedy interval merge over [day, day+6]
+    var islands = List.empty[(String, String, Long, Long)] // from,toEnd,badDays,badRows
+    byDay.foreach { case (day, n) =>
+      val end = java.time.LocalDate.parse(day).plusDays(6).toString
+      islands match {
+        case (f, t, bd, br) :: rest if day <= t =>
+          islands = (f, if (end > t) end else t, bd + 1, br + n) :: rest
+        case _ => islands = (day, end, 1L, n) :: islands
+      }
+    }
+    val exp = islands.reverse.zipWithIndex.map { case ((f, t, bd, br), i) =>
+      val days = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(f), java.time.LocalDate.parse(t)) + 1
+      (i + 1L, f, t, days, bd, br)
+    }
+    assert(got == exp)
+    // merged segments never overlap and cover every bad day once
+    assert(got.map(_._5).sum == byDay.size.toLong)
+  }
+
+  test("q267 S-curves replay via the identical squaring chains and are monotone") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q267_lsh_parameter_advisor")(spark, d)
+      .select($"bands", $"rows_per_band", $"sim", $"collision_prob")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+    assert(got.size == 18)
+    def chain(b: Int, r: Int, s0: Double): Double = {
+      def sq(x: Double, times: Int): Double =
+        (1 to times).foldLeft(x) { case (e, _) => e * e }
+      1.0 - sq(1.0 - sq(s0, Integer.numberOfTrailingZeros(r)),
+        Integer.numberOfTrailingZeros(b))
+    }
+    got.foreach { case (b, r, s0, p) =>
+      assert(b * r == 128L)
+      assert(p == chain(b.toInt, r.toInt, s0))
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // more rows per band -> sharper knee: below the knee fewer collisions
+    val at3 = got.filter(_._3 == 0.3).sortBy(_._2).map(_._4)
+    assert(at3 == at3.sorted.reverse)
+    // every curve is monotone in similarity
+    got.groupBy(_._1).values.foreach { c =>
+      val ps = c.sortBy(_._3).map(_._4)
+      assert(ps == ps.sorted)
+    }
+  }
+
+  test("q268 A/A arms replay from the salted hash and partition the exposed users") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q268_aa_test_calibration")(spark, d)
+      .select($"n_a", $"x_a", $"n_b", $"x_b", $"p_a", $"p_b", $"z_stat",
+        $"significant")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(got.size == 1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val perUser = ev.groupBy(_._1).iterator.collect {
+      case (u, es) if es.exists(_._2 == "view") =>
+        (strHash(s"aa:$u") % 2 == 0, es.exists(_._2 == "purchase"))
+    }.toSeq
+    val (na, xa) = (perUser.count(_._1).toLong,
+      perUser.count(p => p._1 && p._2).toLong)
+    val (nb, xb) = (perUser.count(!_._1).toLong,
+      perUser.count(p => !p._1 && p._2).toLong)
+    val (pa, pb) = (xa.toDouble / na, xb.toDouble / nb)
+    val pp = (xa + xb).toDouble / (na + nb)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    val z = if (se == 0.0) 0.0 else (pa - pb) / se
+    assert(got.head == ((na, xa, nb, xb, pa, pb, z,
+      if (se != 0.0 && math.abs(z) > 1.96) 1L else 0L)))
+    assert(na + nb == perUser.size.toLong)
+  }
 }
