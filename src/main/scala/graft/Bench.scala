@@ -38,7 +38,26 @@ object Bench {
     // so the first timed query never absorbs session-init cost
     else spark.range(1000).selectExpr("sum(id)").collect()
     var errors = Map.empty[String, String]
+    // Interleaved health probe: re-run one cheap fixed query (q02) every
+    // ~25 timed queries and record the series. A multi-minute host stall
+    // mid-run (observed r8: one contiguous 4-query window read 8-20×
+    // slower than the committed same-code pair) is invisible to
+    // min-of-2 back-to-back reps and to a single probe at the start;
+    // the series bounds WHICH span of the run was degraded, so
+    // per-query numbers can be confidence-banded post hoc.
+    val probeFn = SparkEntry.queries.get("q02_filter_project")
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probe(): Unit = probeFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      probes += (System.nanoTime() - t0) / 1e9
+    }
+    probe()
+    var sinceProbe = 0
     val results = names.map { case (name, fn) =>
+      sinceProbe += 1
+      if (sinceProbe >= 25) { sinceProbe = 0; probe() }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: executes the complete plan (final sorts and projections
@@ -72,9 +91,16 @@ object Bench {
     // per-query values are the MINIMUM over `reps` timed runs; recording
     // reps makes round-over-round comparisons self-describing (a min-of-5
     // artifact is not comparable to a single-shot one under host load)
+    val ps = probes.map(f3).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"probe_series":$ps,"sf":"$sfDir"}"""
     println(line)
+    // Short summary line AFTER the big one: the driver keeps only a log
+    // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
+    // capture and loses its "metric":"total" HEAD (BENCH_r07/r08 recorded
+    // parsed:null). This line is <300 bytes and always survives the tail.
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"probe_series":$ps,"sf":"$sfDir"}""")
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
     // 11 per-query entries) — the file survives regardless of log size

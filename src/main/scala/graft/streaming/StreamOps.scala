@@ -1200,4 +1200,148 @@ object StreamOps {
           }
       }
   }
+
+  /** One kept (non-suppressed) event of the live cooldown dedup —
+    * q260's twin.
+    */
+  final case class KeptEvent(user_id: Long, event_type: String,
+      event_id: Long, ts: java.sql.Timestamp)
+
+  final case class CooldownState(lastKeptUs: Long,
+      pending: Seq[(Long, Long)])
+
+  /** Streaming cooldown dedup — q260's live twin, the alert/notification
+    * suppression primitive: per (user, type), emit an event iff at least
+    * `cooldown` elapsed since the last EMITTED one. The keep decision is
+    * self-referential (it compares against the previous DECISION, not the
+    * previous row), so arrival order matters and events must replay in
+    * EVENT time: they buffer per key until the watermark finalizes them
+    * (the funnelProgress posture), then fold through the identical
+    * greedy chain as the batch aggregate — same sentinel start, same
+    * `>= last + cooldown` keep rule — so the kept set equals q260's fold
+    * on the same data exactly (spec-asserted on shuffled arrivals).
+    * State per key is one long plus the lateness-bounded buffer.
+    */
+  def cooldownDedup(events: DataFrame, timeCol: String, userCol: String,
+      typeCol: String, watermarkDelay: String,
+      cooldown: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[KeptEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cooldownUs = cooldown.toMillis * 1000L
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($userCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($userCol AS bigint)"),
+        col(typeCol).cast("string"), col(timeCol), col("event_id"),
+        expr(s"unix_micros(cast($timeCol AS timestamp))"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[CooldownState, KeptEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, etype), rows, state: GroupState[CooldownState]) =>
+          // the q260 sentinel: first event always keeps, and the +cooldown
+          // comparison cannot overflow ANSI arithmetic
+          val st0 = state.getOption
+            .getOrElse(CooldownState(-86400000001L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++ rows.map(r => (r._5, r._4))
+          // tsUs <= wm·1000 is final: the watermark admits only later events
+          val (ready, hold) = pending.partition(_._1 <= wm * 1000L)
+          var lastKept = st0.lastKeptUs
+          val out = ready.sortBy(identity).flatMap { case (tus, id) =>
+            if (tus >= lastKept + cooldownUs) {
+              lastKept = tus
+              Some(KeptEvent(user, etype, id,
+                new java.sql.Timestamp(tus / 1000L)))
+            } else None
+          }
+          state.update(CooldownState(lastKept, hold))
+          val next = if (hold.nonEmpty) hold.map(_._1).min / 1000L else wm + 1L
+          state.setTimeoutTimestamp(math.max(next, wm + 1L))
+          out.iterator
+      }
+  }
+
+  /** One finalized day of the live KPI correlation monitor — q265's twin. */
+  final case class RollingCorr(day: String, a: Long, b: Long,
+      rolling_corr: Option[Double])
+
+  final case class CorrState(lastDay: Long, window: List[(Long, Long)],
+      pending: Map[Long, (Long, Long)])
+
+  /** Streaming rolling KPI correlation — q265's live twin: daily
+    * (view, purchase) counts finalize as the watermark passes each day
+    * boundary; a 14-deep trailing deque of finalized days feeds the
+    * same exact-int64 Pearson moments as the batch window, densified —
+    * silent days advance the deque with (0,0) exactly like the batch
+    * calendar join, so a dead KPI drives the correlation signal instead
+    * of silently freezing it (the burnRateAlerts dense-walk posture).
+    * Emits one row per finalized day once the frame holds 14 days, with
+    * the batch's NULL-on-degenerate-variance contract. State is bounded:
+    * a 14-deep deque plus the lateness-bounded open-day counts. The
+    * series is global (one row per calendar day — the batch twin's
+    * single-task calendar scaffold), so the single group is the correct
+    * parallelism, not a bottleneck.
+    */
+  def rollingCorrelation(events: DataFrame, timeCol: String,
+      typeCol: String, watermarkDelay: String): Dataset[RollingCorr] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
+        (col(typeCol) === "view").cast("long"),
+        (col(typeCol) === "purchase").cast("long"))
+      .as[(java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[CorrState, RollingCorr](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[CorrState]) =>
+          val st0 = state.getOption
+            .getOrElse(CorrState(Long.MinValue, Nil, Map.empty))
+          var pending = st0.pending
+          rows.foreach { r =>
+            val (a0, b0) = pending.getOrElse(r._2, (0L, 0L))
+            pending = pending.updated(r._2, (a0 + r._3, b0 + r._4))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val finalUpTo = math.floorDiv(wmMs, 86400000L) - 1L
+          val start =
+            if (st0.lastDay != Long.MinValue) st0.lastDay
+            else if (pending.nonEmpty) pending.keys.min - 1L
+            else Long.MinValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[RollingCorr]
+          var window = st0.window
+          var day = start
+          if (start != Long.MinValue) {
+            while (day < finalUpTo) {
+              day += 1L
+              val (a, b) = pending.getOrElse(day, (0L, 0L))
+              pending = pending - day
+              window = ((a, b) :: window).take(14)
+              if (window.size == 14) {
+                // exact int64 moments — identical algebra to the batch frame
+                val n = 14L
+                val sa = window.map(_._1).sum
+                val sb = window.map(_._2).sum
+                val saa = window.map(w => w._1 * w._1).sum
+                val sbb = window.map(w => w._2 * w._2).sum
+                val sab = window.map(w => w._1 * w._2).sum
+                val den = (n * saa - sa * sa) * (n * sbb - sb * sb)
+                val corr =
+                  if (den <= 0L) None
+                  else Some((n * sab - sa * sb).toDouble / math.sqrt(den.toDouble))
+                out += RollingCorr(
+                  java.time.LocalDate.ofEpochDay(day).toString, a, b, corr)
+              }
+            }
+          }
+          state.update(CorrState(
+            if (day == Long.MinValue) st0.lastDay else day, window, pending))
+          state.setTimeoutTimestamp(wmMs + 60000L)
+          out.iterator
+      }
+  }
 }

@@ -264,4 +264,70 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     // would be quadratic
     assertTrend("q200_quantile_normalization", "documents")
   }
+
+  test("q162 recursive reachability scales sub-quadratically in lineitem") {
+    // one keyed frontier join per BFS level; losing the depth predicate
+    // or re-scanning the whole accumulated walk set per level (instead
+    // of the previous frontier) regresses the growth and trips this
+    assertTrend("q162_recursive_reachability", "lineitem")
+  }
+
+  test("q162 recursive reachability survives a dense clique on the seed") {
+    // Deliberate worst-case fan-out for a walk-COUNTING BFS: 40 parts
+    // (incl. the seed, part 0) are co-purchased pairwise ≥ MinSupport
+    // times — a 40-clique on the seed. ≤3-hop walks inside a K-clique
+    // multiply as ~K² per surviving node (~60k extra walk rows here):
+    // data-dependent fan-out the depth bound alone doesn't cap. The
+    // implementation must pay walk-row cost LINEARLY (each level joins
+    // only the previous frontier against the edge list) — an allowance
+    // of 12× the unskewed time catches any super-linear restructuring
+    // (e.g. the recursion re-joining the full accumulated bfs relation,
+    // which squares the clique's walk rows). Semantics stay exact: the
+    // walk counts ARE the query's contract; this pins their COST.
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, small, "lineitem")
+    val cliqueParts = (0L until 40L)
+    // 2 synthetic orders, each containing all 40 clique parts → every
+    // pair co-occurs twice (= MinSupport); order keys above the domain
+    val extra = spark.createDataFrame(
+      for (o <- Seq(9000001L, 9000002L); p <- cliqueParts) yield (o, p))
+      .toDF("l_orderkey", "l_partkey")
+    val skDir = "/tmp/graft_clique_li"
+    // q162 runs over registerViews (all 10 tables) — symlink the
+    // untouched ones from the source fixture dir
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(skDir))
+    Tables.names.filterNot(_ == "lineitem").foreach { n =>
+      val link = java.nio.file.Paths.get(s"$skDir/$n.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$small/$n.parquet"))
+    }
+    // only the two columns the edge derivation reads; remaining lineitem
+    // columns are never touched by q162 (column pruning is part of the
+    // plan contract) — but keep the schema union-compatible by writing
+    // the full row set for base and nulls for the synthetic clique rows
+    val cols = li.columns
+    val extraFull = extra.select(cols.map { c =>
+      if (c == "l_orderkey" || c == "l_partkey") col(c)
+      else lit(null).cast(li.schema(c).dataType).as(c)
+    }: _*)
+    li.unionByName(extraFull)
+      .write.mode("overwrite").parquet(s"$skDir/lineitem.parquet")
+    run("q162_recursive_reachability", small) // warmup
+    val tPlain = time("q162_recursive_reachability", small)
+    val tSkew = time("q162_recursive_reachability", skDir)
+    val allowed = math.max(5.0, 12.0 * tPlain)
+    info(f"clique-skewed q162: $tPlain%.2fs → $tSkew%.2fs (allowed $allowed%.1fs)")
+    assert(tSkew <= allowed,
+      f"seed clique broke the frontier bound: ${tSkew / tPlain}%.1f× — the " +
+        "recursion is paying more than linear cost per walk row")
+    // sanity: the clique is actually in the graph — every clique member
+    // is reachable at dist 1 with multiplied walk counts
+    val res = graft.SparkEntry.queries("q162_recursive_reachability")(spark, skDir)
+      .filter(col("node") < 40 && col("node") > 0)
+      .agg(max("dist").as("maxd"), min("n_walks").as("minw"))
+      .collect().head
+    assert(res.getInt(0) == 1 && res.getLong(1) > 100L,
+      s"clique fixture inert: $res")
+  }
 }

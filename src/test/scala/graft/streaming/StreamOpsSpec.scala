@@ -1007,4 +1007,104 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     // watermark and correctly never emits
     assert(got == exp)
   }
+
+  test("cooldownDedup keeps exactly the batch greedy-chain events on shuffled arrivals") {
+    import spark.implicits._
+    def hTs(hours: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0).plusHours(hours.toLong))
+    // user 1 "alert": 0h keep, 10h drop, 23h drop, 24h keep (>= boundary),
+    // 30h drop (6h after last KEPT — the self-referential case: a lag
+    // against the previous ROW at 24h would wrongly keep it), 49h keep.
+    // user 2 "alert": single event. user 1 "billing": independent chain.
+    val fixture = Seq(
+      (1L, "alert", 0), (1L, "alert", 10), (1L, "alert", 23),
+      (1L, "alert", 24), (1L, "alert", 30), (1L, "alert", 49),
+      (2L, "alert", 5), (1L, "billing", 2), (1L, "billing", 27))
+    val rows = new scala.util.Random(11).shuffle(
+      fixture.zipWithIndex.map { case ((u, t, h), i) =>
+        (hTs(h), u, t, 1000L + i)
+      })
+    val input = MemoryStream[(Timestamp, Long, String, Long)](spark)
+    val out = StreamOps.cooldownDedup(
+      input.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+      "ts", "user_id", "event_type", watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS cd_sink")
+    val q = out.writeStream.format("memory").queryName("cd_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((hTs(24 * 10), 99L, "flush", 9999L))
+      q.processAllAvailable()
+      input.addData((hTs(24 * 11), 99L, "flush", 9998L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cd_sink")
+      .select($"user_id", $"event_type", $"event_id")
+      .as[(Long, String, Long)].collect().toSet
+    // batch replay: the q260 fold (sentinel start, >= last + 24h keeps)
+    val exp = fixture.zipWithIndex
+      .map { case ((u, t, h), i) => (u, t, h.toLong * 3600000000L, 1000L + i) }
+      .groupBy(r => (r._1, r._2)).flatMap { case (_, evs) =>
+        var last = -86400000001L
+        evs.sortBy(e => (e._3, e._4)).flatMap { case (u, t, tus, id) =>
+          if (tus >= last + 86400000000L) { last = tus; Some((u, t, id)) }
+          else None
+        }
+      }.toSet + ((99L, "flush", 9999L)) // first flush finalizes and keeps
+    assert(got == exp)
+  }
+
+  test("rollingCorrelation finalizes dense days with the batch exact-moment frame") {
+    import spark.implicits._
+    def dTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, hour, 0).plusDays(day.toLong))
+    // 16 active days with deterministic per-day (view, purchase) counts;
+    // day 12 fully silent (dense (0,0) walk), correlated-with-noise series
+    val counts = (0 to 16).filter(_ != 12).map { d =>
+      d -> ((d % 5 + 1).toLong, ((d * 3) % 7).toLong)
+    }.toMap
+    val rows = new scala.util.Random(3).shuffle(
+      counts.toSeq.flatMap { case (d, (v, p)) =>
+        (1L to v).map(i => (dTs(d, 1 + (i % 20).toInt), "view")) ++
+          (1L to p).map(i => (dTs(d, 2 + (i % 20).toInt), "purchase"))
+      })
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamOps.rollingCorrelation(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS rc_sink")
+    val q = out.writeStream.format("memory").queryName("rc_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((dTs(20, 12), "flush"))
+      q.processAllAvailable()
+      input.addData((dTs(21, 12), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rc_sink")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    // batch replay: dense walk day0..day20 (the second flush advances the
+    // watermark past day 20, whose own count is the flush's (0,0)),
+    // emit once the 14-deep frame fills, exact int64 moments
+    val dense = (0 to 20).map(d => counts.getOrElse(d, (0L, 0L)))
+    val exp = (13 to 20).map { d =>
+      val w = dense.slice(d - 13, d + 1)
+      val n = 14L
+      val sa = w.map(_._1).sum; val sb = w.map(_._2).sum
+      val saa = w.map(x => x._1 * x._1).sum
+      val sbb = w.map(x => x._2 * x._2).sum
+      val sab = w.map(x => x._1 * x._2).sum
+      val den = (n * saa - sa * sa) * (n * sbb - sb * sb)
+      val corr = if (den <= 0L) None
+        else Some((n * sab - sa * sb).toDouble / math.sqrt(den.toDouble))
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong).toString,
+        dense(d)._1, dense(d)._2, corr)
+    }
+    assert(got == exp)
+  }
 }
