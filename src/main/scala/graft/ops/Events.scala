@@ -2872,6 +2872,227 @@ object Events {
          |  CAST(CASE WHEN se <> 0.0 AND ABS((p_a - p_b) / se) > 1.96
          |    THEN 1 ELSE 0 END AS BIGINT) AS significant
          |FROM y""".stripMargin
+    },
+    // ------------------------------------------------------------------
+    // q273: RFM SEGMENTATION — the classic customer-value census:
+    // recency (days since last purchase vs the corpus high-water day),
+    // frequency (purchase count) and monetary (exact cents) per user,
+    // each coded into quintiles, then the segment census with its value
+    // mass. Quintile boundaries are exact ORDER STATISTICS (b_k = the
+    // smallest value whose cumulative count reaches ⌈n·k/5⌉ —
+    // QUANTILE_DISC semantics, pure integer arithmetic, so no
+    // interpolation FP can drift between engines), derived from the
+    // per-dimension VALUE HISTOGRAM through the two-pass cumsum — never
+    // a row-level sort, never an NTILE's single-task global window.
+    // Coding is a broadcast of 12 boundary values; the census is one
+    // user-keyed agg + one ≤125-group agg.
+    QueryDef.sql("q273_rfm_segmentation") { (s, d) =>
+      val pv = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val hwm = pv.agg(max(col("day")).as("maxday"))
+      val users = pv.crossJoin(broadcast(hwm))
+        .groupBy(col("user_id"))
+        .agg(datediff(max(col("maxday")), max(col("day"))).cast("long").as("r"),
+          count(lit(1)).as("f"), sum(col("cents")).as("m"))
+      val nRel = users.agg(count(lit(1)).as("n"))
+      val ks = nRel.select(explode(expr("sequence(1, 4)")).as("k"), col("n"))
+        .withColumn("t", expr("(n * k + 4) div 5"))
+      // exact-order-statistic boundaries of one dimension, pivoted to a
+      // single broadcastable row (prefix1..prefix4)
+      def boundsOf(valueCol: String, prefix: String) = {
+        val hist = users.groupBy(col(valueCol).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val cum = Scale.globalOrderedCumsum(hist, "c", "cum", "rnk",
+          col("v").asc)
+        val pivots = (1 to 4).map(i =>
+          max(when(col("k") === i, col("b"))).as(s"$prefix$i"))
+        cum.join(broadcast(ks), col("cum") >= col("t"))
+          .groupBy(col("k")).agg(min(col("v")).as("b"))
+          .agg(pivots.head, pivots.tail: _*)
+      }
+      def code(x: String, p: String) =
+        s"CAST(CASE WHEN $x <= ${p}1 THEN 1 WHEN $x <= ${p}2 THEN 2 " +
+          s"WHEN $x <= ${p}3 THEN 3 WHEN $x <= ${p}4 THEN 4 ELSE 5 END AS BIGINT)"
+      users
+        .crossJoin(broadcast(boundsOf("r", "rb")))
+        .crossJoin(broadcast(boundsOf("f", "fb")))
+        .crossJoin(broadcast(boundsOf("m", "mb")))
+        .select(expr(code("r", "rb")).as("r_code"),
+          expr(code("f", "fb")).as("f_code"),
+          expr(code("m", "mb")).as("m_code"), col("m"))
+        .groupBy(col("r_code"), col("f_code"), col("m_code"))
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("total_cents"))
+        .orderBy("r_code", "f_code", "m_code")
+    } {
+      def boundsSql(dim: String, prefix: String) =
+        s"""${prefix}h AS (
+           |  SELECT $dim AS v, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM u GROUP BY $dim),
+           |${prefix}c AS (
+           |  SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum
+           |  FROM ${prefix}h),
+           |${prefix}b AS (
+           |  SELECT
+           |    MAX(CASE WHEN k = 1 THEN b END) AS ${prefix}1,
+           |    MAX(CASE WHEN k = 2 THEN b END) AS ${prefix}2,
+           |    MAX(CASE WHEN k = 3 THEN b END) AS ${prefix}3,
+           |    MAX(CASE WHEN k = 4 THEN b END) AS ${prefix}4
+           |  FROM (
+           |    SELECT k, MIN(v) AS b
+           |    FROM ${prefix}c JOIN ks ON cum >= t GROUP BY k) t)""".stripMargin
+      def code(x: String, p: String) =
+        s"CAST(CASE WHEN $x <= ${p}1 THEN 1 WHEN $x <= ${p}2 THEN 2 " +
+          s"WHEN $x <= ${p}3 THEN 3 WHEN $x <= ${p}4 THEN 4 ELSE 5 END AS BIGINT)"
+      s"""WITH pv AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |hwm AS (SELECT MAX(day) AS maxday FROM pv),
+         |u AS (
+         |  SELECT user_id,
+         |    CAST(MAX(h.maxday) - MAX(day) AS BIGINT) AS r,
+         |    CAST(COUNT(*) AS BIGINT) AS f,
+         |    CAST(SUM(cents) AS BIGINT) AS m
+         |  FROM pv CROSS JOIN hwm h GROUP BY user_id),
+         |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+         |ks AS (
+         |  SELECT k, (n * k + 4) // 5 AS t
+         |  FROM nr, (SELECT UNNEST(GENERATE_SERIES(1, 4)) AS k) g),
+         |${boundsSql("r", "rb")},
+         |${boundsSql("f", "fb")},
+         |${boundsSql("m", "mb")}
+         |SELECT ${code("u.r", "rb")} AS r_code, ${code("u.f", "fb")} AS f_code,
+         |  ${code("u.m", "mb")} AS m_code,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(u.m) AS BIGINT) AS total_cents
+         |FROM u CROSS JOIN rbb CROSS JOIN fbb CROSS JOIN mbb
+         |GROUP BY 1, 2, 3
+         |ORDER BY r_code, f_code, m_code""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q275: WEEKLY DISTRIBUTION DRIFT (total-variation distance) — the
+    // histogram-level twin of q122's KS screen, run week-over-week on
+    // purchase value: TV = ½·Σ|p_i − q_i| over $20 value bands is the
+    // number a data-quality pager thresholds ("this week's spend mix
+    // moved 12% of its mass"). Exactness: the band census is exact
+    // int64; TV's numerator is Σ|c_cur·n_prev − c_prev·n_cur| — exact
+    // cross-multiplied integers (valid while weekly volume stays under
+    // ~3e9 rows/week) — and ONE terminal division. Weeks ride
+    // engine-neutral epoch-day arithmetic; the complete week×band grid
+    // (calendar × 20 — never corpus-sized) makes missing bands explicit
+    // zeros on both engines, and consecutive weeks meet in a grid-sized
+    // self-join, not a fact-table one.
+    QueryDef.sql("q275_weekly_tv_drift") { (s, d) =>
+      val pv = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("wk"),
+          expr("least(CAST(ROUND(value * 100) AS BIGINT) div 2000, 19)").as("band"))
+      val hist = pv.groupBy(col("wk"), col("band")).agg(count(lit(1)).as("c"))
+      val tot = pv.groupBy(col("wk")).agg(count(lit(1)).as("n"))
+      val bands = Tables(s, d, "events").sparkSession.range(1)
+        .select(explode(expr("sequence(0, 19)")).as("band"))
+      val cur = tot.select(col("wk")).crossJoin(bands)
+        .join(hist, Seq("wk", "band"), "left_outer")
+        .select(col("wk"), col("band"), coalesce(col("c"), lit(0L)).as("c"))
+        .join(tot, "wk")
+      val prev = cur.select(col("wk").as("pwk"), col("band").as("pband"),
+        col("c").as("pc"), col("n").as("pn"))
+      cur.join(prev, col("wk") === col("pwk") + 1 &&
+          col("band") === col("pband"))
+        .groupBy(col("wk"))
+        .agg(max(col("pn")).as("n_prev"), max(col("n")).as("n_cur"),
+          sum(abs(col("c") * col("pn") - col("pc") * col("n"))).as("num"))
+        .select(col("wk"), col("n_prev"), col("n_cur"),
+          expr("CAST(num AS DOUBLE) / " +
+            "(2.0 * CAST(n_prev AS DOUBLE) * CAST(n_cur AS DOUBLE))")
+            .as("tv_distance"))
+        .orderBy("wk")
+    } {
+      """WITH pv AS (
+        |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+        |    LEAST(CAST(ROUND(value * 100) AS BIGINT) // 2000, 19) AS band
+        |  FROM events WHERE event_type = 'purchase'),
+        |hist AS (
+        |  SELECT wk, band, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pv GROUP BY wk, band),
+        |tot AS (
+        |  SELECT wk, CAST(COUNT(*) AS BIGINT) AS n FROM pv GROUP BY wk),
+        |cur AS (
+        |  SELECT t.wk, b.band, COALESCE(h.c, 0) AS c, t.n
+        |  FROM tot t
+        |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 19)) AS band) b
+        |  LEFT JOIN hist h ON h.wk = t.wk AND h.band = b.band)
+        |SELECT a.wk, MAX(b.n) AS n_prev, MAX(a.n) AS n_cur,
+        |  CAST(CAST(SUM(ABS(a.c * b.n - b.c * a.n)) AS BIGINT) AS DOUBLE)
+        |    / (2.0 * CAST(MAX(b.n) AS DOUBLE) * CAST(MAX(a.n) AS DOUBLE))
+        |    AS tv_distance
+        |FROM cur a JOIN cur b ON a.wk = b.wk + 1 AND a.band = b.band
+        |GROUP BY a.wk
+        |ORDER BY a.wk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q276: A/B SAMPLE-SIZE CALCULATOR — the planning half of the
+    // q199/q268 testing stack: from the corpus's own baseline conversion
+    // (q251's exposure semantics — a user counts once), the users per
+    // arm needed to detect a 2/5/10% RELATIVE lift at α=0.05, power=0.8
+    // (the standard two-proportion closed form
+    // 2(z_{α/2}+z_β)²·p(1−p)/δ²). z literals are shortest-round-trip
+    // doubles (both engines parse the identical values); the whole
+    // estimate is ONE shared IEEE chain per MDE row over exact integer
+    // counts, CEIL'd at the end. One user-keyed agg over the fact
+    // table; the calculator itself is a 3-row planner relation (the
+    // q267 posture).
+    QueryDef.sql("q276_sample_size") { (s, d) =>
+      val flags = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "view").cast("long")).as("exposed"),
+          max((col("event_type") === "purchase").cast("long")).as("purch"))
+        .filter(col("exposed") === 1L)
+      val base = flags.agg(count(lit(1)).as("n_exposed"),
+        sum(col("purch")).as("n_converted"))
+      base.select(col("n_exposed"), col("n_converted"),
+          expr("CAST(n_converted AS DOUBLE) / CAST(n_exposed AS DOUBLE)")
+            .as("p"),
+          explode(expr("array(0.02D, 0.05D, 0.1D)")).as("rel_mde"))
+        .select(col("n_exposed"), col("n_converted"), col("p"),
+          col("rel_mde"), expr(SampleSizeExpr).as("n_per_arm"))
+        .orderBy("rel_mde")
+    } {
+      s"""WITH flags AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS exposed,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS purch
+         |  FROM events GROUP BY user_id),
+         |base AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exposed,
+         |    CAST(SUM(purch) AS BIGINT) AS n_converted
+         |  FROM flags WHERE exposed = 1),
+         |px AS (
+         |  SELECT n_exposed, n_converted,
+         |    CAST(n_converted AS DOUBLE) / CAST(n_exposed AS DOUBLE) AS p,
+         |    rel_mde
+         |  FROM base,
+         |    (SELECT UNNEST([0.02::DOUBLE, 0.05::DOUBLE, 0.1::DOUBLE])
+         |      AS rel_mde) m)
+         |SELECT n_exposed, n_converted, p, rel_mde,
+         |  $SampleSizeExpr AS n_per_arm
+         |FROM px
+         |ORDER BY rel_mde""".stripMargin
     }
   )
+
+  /** q276's closed-form per-arm size: 2(z_a+z_b)^2*p(1-p)/(p*rel)^2, one
+    * shared IEEE chain (z's are shortest-round-trip doubles for alpha=0.05
+    * two-sided and power 0.8).
+    */
+  private def SampleSizeExpr: String =
+    "CAST(CEIL(((1.959963984540054 + 0.8416212335729143) * " +
+      "(1.959963984540054 + 0.8416212335729143)) * 2.0 * p * (1.0 - p) / " +
+      "((p * rel_mde) * (p * rel_mde))) AS BIGINT)"
 }

@@ -3127,6 +3127,358 @@ object Stats {
       }.mkString("\nUNION ALL\n")
       s"""$branches
          |ORDER BY bands, sim""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q274: KEY-CANDIDATE DETECTOR — which column (or pair) can serve as
+    // a primary/merge key? For each candidate: exact NDV, uniqueness
+    // ratio, the boolean verdict, and the duplication factor that
+    // prices a dedup-on-write. Complements q197 (which audits value
+    // DEPENDENCIES between given columns; this discovers identity).
+    // Plan shape is the q245/q256 discipline: ALL candidates ride ONE
+    // shared-scan multi-distinct aggregate (map-side partials dedup each
+    // stream before the shuffle), and the per-candidate rows explode off
+    // the single aggregate row — no per-candidate re-plan of the scan.
+    // The composite candidate uses a null-safe delimited concat (the
+    // delimiter can't occur in the integer/date renderings).
+    QueryDef.sql("q274_key_candidates") { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val agg = o.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("d_orderkey"),
+        countDistinct(col("o_custkey")).as("d_custkey"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        countDistinct(col("o_custkey"), to_date(col("o_orderdate")))
+          .as("d_cust_date"))
+      agg.select(col("n"), explode(expr(
+          """array(
+            |  named_struct('candidate', 'o_orderkey', 'ndv', d_orderkey),
+            |  named_struct('candidate', 'o_custkey', 'ndv', d_custkey),
+            |  named_struct('candidate', 'o_orderstatus', 'ndv', d_status),
+            |  named_struct('candidate', 'o_custkey+o_orderdate',
+            |               'ndv', d_cust_date))""".stripMargin)).as("x"))
+        .select(col("x.candidate").as("candidate"), col("n"),
+          col("x.ndv").as("ndv"),
+          expr("CAST(x.ndv AS DOUBLE) / CAST(n AS DOUBLE)").as("uniqueness"),
+          (col("x.ndv") === col("n")).as("is_unique_key"),
+          expr("CAST(n AS DOUBLE) / CAST(x.ndv AS DOUBLE)")
+            .as("duplication_factor"))
+        .orderBy("candidate")
+    } {
+      """WITH agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_orderkey,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+        |    CAST(COUNT(DISTINCT (o_custkey, CAST(o_orderdate AS DATE)))
+        |      AS BIGINT) AS d_cust_date
+        |  FROM orders),
+        |x AS (
+        |  SELECT n, candidate, ndv FROM agg, (VALUES (1)) v,
+        |  LATERAL (SELECT UNNEST([
+        |    {'candidate': 'o_orderkey', 'ndv': d_orderkey},
+        |    {'candidate': 'o_custkey', 'ndv': d_custkey},
+        |    {'candidate': 'o_orderstatus', 'ndv': d_status},
+        |    {'candidate': 'o_custkey+o_orderdate', 'ndv': d_cust_date}],
+        |    recursive := true)) u)
+        |SELECT candidate, n, ndv,
+        |  CAST(ndv AS DOUBLE) / CAST(n AS DOUBLE) AS uniqueness,
+        |  ndv = n AS is_unique_key,
+        |  CAST(n AS DOUBLE) / CAST(ndv AS DOUBLE) AS duplication_factor
+        |FROM x
+        |ORDER BY candidate""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q269: KRUSKAL–WALLIS H — does ANY source produce a different
+    // length distribution? q244 compares one source vs the rest; this is
+    // the k-group omnibus (the screen you run FIRST, before k pairwise
+    // rank-sums inflate the false-positive rate). Machinery: q244's
+    // doubled average ranks from the VALUE histogram (exact int64 via
+    // the two-pass cumsum — never a row-level sort), per-source exact
+    // (n, 2R) aggregates, then H = 3/(N(N+1))·Σ(2R)²/n − 3(N+1) — the
+    // 12/4 constant folding of the doubled ranks. Σ(2R)²/n is the only
+    // order-sensitive double sum, so it rides an ORDERED source fold
+    // (the q239 list_reduce contract) — both engines add ~5 doubles in
+    // the identical sequence. Tie correction Σ(t³−t) is exact int64
+    // from the same histogram (valid to t ≈ 2e6 rows per value). One
+    // fact pass + vocabulary-sized relations throughout.
+    QueryDef.sql("q269_kruskal_wallis") { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("source"), col("n_chars"))
+      val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("t"))
+      val r2 = Scale.globalOrderedCumsum(hist, "t", "cumt", "rnk",
+          col("n_chars").asc)
+        .select(col("n_chars"),
+          (lit(2L) * (col("cumt") - col("t")) + col("t") + 1L).as("r2"))
+      val grp = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("ts"))
+        .join(r2, "n_chars")
+        .groupBy(col("source"))
+        .agg(sum(col("ts")).as("n"), sum(col("ts") * col("r2")).as("two_r"))
+        // the per-source contribution is ONE shared IEEE chain on exact
+        // int64 operands — identical on both engines
+        .withColumn("contrib", expr(
+          "(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)) / CAST(n AS DOUBLE)"))
+      val folded = grp.agg(
+        sum(col("n")).as("n_total"),
+        count(lit(1)).as("n_groups"),
+        expr("aggregate(transform(sort_array(collect_list(" +
+          "struct(source, contrib))), x -> x.contrib), 0.0D, " +
+          "(acc, v) -> acc + v)").as("s2"))
+      val ties = hist.agg(
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+      folded.crossJoin(broadcast(ties)).select(
+        col("n_total"), col("n_groups"),
+        expr(KwHExpr).as("h"),
+        expr(KwTieExpr).as("tie_c"),
+        expr(s"CASE WHEN ($KwTieExpr) <= 0.0 THEN NULL " +
+          s"ELSE ($KwHExpr) / ($KwTieExpr) END").as("h_tie_adjusted"))
+    } {
+      s"""WITH hist AS (
+         |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM documents GROUP BY n_chars),
+         |r AS (
+         |  SELECT n_chars,
+         |    2 * (CAST(SUM(t) OVER (ORDER BY n_chars) AS BIGINT) - t) + t + 1
+         |      AS r2
+         |  FROM hist),
+         |grp AS (
+         |  SELECT source, CAST(SUM(ts) AS BIGINT) AS n,
+         |    CAST(SUM(ts * r2) AS BIGINT) AS two_r
+         |  FROM (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS ts
+         |        FROM documents GROUP BY source, n_chars) bs
+         |  JOIN r USING (n_chars) GROUP BY source),
+         |cb AS (
+         |  SELECT source,
+         |    (CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE))
+         |      / CAST(n AS DOUBLE) AS contrib, n
+         |  FROM grp),
+         |fold AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    LIST_REDUCE(LIST(contrib ORDER BY source),
+         |      (acc, v) -> acc + v) AS s2
+         |  FROM cb),
+         |tie AS (
+         |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum FROM hist)
+         |SELECT n_total, n_groups,
+         |  $KwHExpr AS h,
+         |  $KwTieExpr AS tie_c,
+         |  CASE WHEN ($KwTieExpr) <= 0.0 THEN NULL
+         |    ELSE ($KwHExpr) / ($KwTieExpr) END AS h_tie_adjusted
+         |FROM fold CROSS JOIN tie""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q270: POISSON BOOTSTRAP CI for the mean purchase value — the error
+    // bar for any corpus-scale point estimate, computed the only way a
+    // bootstrap scales: resampling-with-replacement is approximated by
+    // independent Poisson(1) replicate weights per row (Chamandy et al.'s
+    // Poisson bootstrap), so all B=64 replicates ride ONE fact scan —
+    // no per-replicate shuffle of the corpus, no N×B materialization
+    // beyond the map-side explode. Weights are DETERMINISTIC: the
+    // library md5 recipe over (event_id, b) inverted through the exact
+    // Poisson(1) CDF literals (shortest round-trip doubles — both
+    // engines parse the identical values). Replicate means are one
+    // division of exact int64 (Σw·cents / Σw); the CI bounds are exact
+    // ORDER STATISTICS of the 64 means (ranks 4 and 61 ≈ 90% central
+    // coverage) — no interpolation, so arbitrary-double percentile
+    // arithmetic can never drift between engines.
+    QueryDef.sql("q270_bootstrap_ci") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pv = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val exact = pv.agg(count(lit(1)).as("n_rows"),
+        expr("CAST(SUM(cents) AS DOUBLE) / COUNT(*)").as("exact_mean_cents"))
+      val reps = pv
+        .select(col("event_id"), col("cents"),
+          explode(expr("sequence(0, 63)")).as("b"))
+        .withColumn("u", graft.Ids.hash(
+          "concat(cast(event_id AS string), ':', cast(b AS string))")
+          .cast("double") / lit(4294967296.0))
+        .withColumn("w", expr(PoissonWExpr))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("wsum"), sum(col("w") * col("cents")).as("wcents"))
+        .withColumn("m",
+          expr("CAST(wcents AS DOUBLE) / CAST(wsum AS DOUBLE)"))
+      val ranked = reps.withColumn("rnk",
+        row_number().over(Window.orderBy(col("m"), col("b"))))
+      val lo = ranked.filter(col("rnk") === 4).select(col("m").as("ci_lo"))
+      val hi = ranked.filter(col("rnk") === 61).select(col("m").as("ci_hi"))
+      exact.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    } {
+      s"""WITH pv AS (
+         |  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |exact AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / COUNT(*)
+         |      AS exact_mean_cents
+         |  FROM pv),
+         |reps AS (
+         |  SELECT b.b, CAST(SUM(w) AS BIGINT) AS wsum,
+         |    CAST(SUM(w * cents) AS BIGINT) AS wcents
+         |  FROM pv, (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) b,
+         |    LATERAL (SELECT CAST(${graft.Ids.hashSql(
+               "(CAST(event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR))")} AS DOUBLE)
+         |      / 4294967296.0 AS u) lu,
+         |    LATERAL (SELECT $PoissonWExpr AS w) lw
+         |  GROUP BY b.b),
+         |means AS (
+         |  SELECT b, CAST(wcents AS DOUBLE) / CAST(wsum AS DOUBLE) AS m
+         |  FROM reps),
+         |ranked AS (
+         |  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rnk FROM means)
+         |SELECT exact.n_rows, exact.exact_mean_cents,
+         |  lo.m AS ci_lo, hi.m AS ci_hi
+         |FROM exact
+         |CROSS JOIN (SELECT m FROM ranked WHERE rnk = 4) lo
+         |CROSS JOIN (SELECT m FROM ranked WHERE rnk = 61) hi""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q271: STATISTICS-STALENESS AUDIT — optimizer statistics are
+    // gathered once and decay silently; this prices the decay by
+    // re-deriving the stats a mid-corpus ANALYZE would have stored (the
+    // first half of the calendar — a deterministic cutoff both engines
+    // compute identically from the fixture's own date span) next to the
+    // current truth: row-count growth, user-NDV growth, and the
+    // concrete damage — the row estimate a stale selectivity
+    // (purchase share at ANALYZE time) produces for today's corpus vs
+    // the actual purchase count, as a misestimate factor. Two exact
+    // aggregates over one table (the audit runs rarely; NDVs are exact
+    // countDistinct); all ratios are IEEE chains over exact int64 with
+    // products in double (int64 products would overflow at petabyte row
+    // counts).
+    QueryDef.sql("q271_stats_staleness") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+          (col("event_type") === "purchase").cast("long").as("isp"))
+      val cut = ev.agg(expr(
+        "date_add(MIN(day), CAST((datediff(MAX(day), MIN(day)) div 2) AS INT))")
+        .as("cutoff"))
+      val old = ev.crossJoin(broadcast(cut)).filter(col("day") < col("cutoff"))
+        .agg(count(lit(1)).as("n_old"),
+          countDistinct(col("user_id")).as("ndv_user_old"),
+          sum(col("isp")).as("npurch_old"))
+      val cur = ev.agg(count(lit(1)).as("n_cur"),
+        countDistinct(col("user_id")).as("ndv_user_cur"),
+        sum(col("isp")).as("npurch_cur"))
+      cut.crossJoin(broadcast(old)).crossJoin(broadcast(cur))
+        .select(col("cutoff"), col("n_old"), col("n_cur"),
+          expr("CAST(n_cur AS DOUBLE) / CAST(n_old AS DOUBLE)")
+            .as("count_growth"),
+          col("ndv_user_old"), col("ndv_user_cur"),
+          expr("CAST(ndv_user_cur AS DOUBLE) / CAST(ndv_user_old AS DOUBLE)")
+            .as("ndv_growth"),
+          expr("(CAST(npurch_old AS DOUBLE) * CAST(n_cur AS DOUBLE)) / CAST(n_old AS DOUBLE)")
+            .as("est_purchase_rows"),
+          col("npurch_cur").as("actual_purchase_rows"),
+          expr("(CAST(npurch_old AS DOUBLE) * CAST(n_cur AS DOUBLE)) / " +
+            "(CAST(n_old AS DOUBLE) * CAST(npurch_cur AS DOUBLE))")
+            .as("misestimate_factor"))
+    } {
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        |  FROM events),
+        |cut AS (
+        |  SELECT MIN(day) + CAST((MAX(day) - MIN(day)) // 2 AS INTEGER)
+        |    AS cutoff FROM ev),
+        |old AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_old,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_user_old,
+        |    CAST(SUM(isp) AS BIGINT) AS npurch_old
+        |  FROM ev CROSS JOIN cut WHERE day < cutoff),
+        |cur AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cur,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_user_cur,
+        |    CAST(SUM(isp) AS BIGINT) AS npurch_cur
+        |  FROM ev)
+        |SELECT cutoff, n_old, n_cur,
+        |  CAST(n_cur AS DOUBLE) / CAST(n_old AS DOUBLE) AS count_growth,
+        |  ndv_user_old, ndv_user_cur,
+        |  CAST(ndv_user_cur AS DOUBLE) / CAST(ndv_user_old AS DOUBLE)
+        |    AS ndv_growth,
+        |  (CAST(npurch_old AS DOUBLE) * CAST(n_cur AS DOUBLE))
+        |    / CAST(n_old AS DOUBLE) AS est_purchase_rows,
+        |  npurch_cur AS actual_purchase_rows,
+        |  (CAST(npurch_old AS DOUBLE) * CAST(n_cur AS DOUBLE))
+        |    / (CAST(n_old AS DOUBLE) * CAST(npurch_cur AS DOUBLE))
+        |    AS misestimate_factor
+        |FROM cut CROSS JOIN old CROSS JOIN cur""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q272: WEEKDAY SEASONALITY PROFILE — the additive-decomposition
+    // screen behind every "is Monday supposed to look like this"
+    // question: per-weekday purchase seasonal indices plus the seasonal
+    // STRENGTH (eta² — the share of daily-volume variance explained by
+    // weekday), which decides whether a forecast/anomaly stack needs a
+    // seasonal term at all (q184's seasonal-naive error measures one
+    // model; this measures the signal). Weekday is engine-neutral
+    // integer arithmetic (epoch-day mod 7, 0 = Thursday — no locale
+    // dayofweek), indices are single IEEE chains over exact int64 with
+    // products in double, and eta²'s Σ(S_w²/n_w) rides a 7-row ORDERED
+    // weekday fold (the q269 posture). Calendar-bounded everywhere
+    // after the one fact pass; days without purchases are absent from
+    // the daily relation (both engines agree) — the profile describes
+    // ACTIVE days.
+    QueryDef.sql("q272_weekday_seasonality") { (s, d) =>
+      val daily = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("wd", expr("datediff(day, DATE '1970-01-01') % 7"))
+      val byWd = daily.groupBy(col("wd"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"))
+        .withColumn("contrib", expr(
+          "(CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) / CAST(n_days AS DOUBLE)"))
+      val glob = daily.agg(count(lit(1)).as("n_all"),
+        sum(col("c")).as("s_all"), sum(col("c") * col("c")).as("q_all"))
+      val f = byWd.agg(expr(
+        "aggregate(transform(sort_array(collect_list(struct(wd, contrib))), " +
+          "x -> x.contrib), 0.0D, (acc, v) -> acc + v)").as("f"))
+      byWd.crossJoin(broadcast(glob)).crossJoin(broadcast(f))
+        .select(col("wd"), col("n_days"), col("total"),
+          expr("(CAST(total AS DOUBLE) * CAST(n_all AS DOUBLE)) / " +
+            "(CAST(n_days AS DOUBLE) * CAST(s_all AS DOUBLE))")
+            .as("seasonal_index"),
+          expr(Eta2Expr).as("weekday_eta2"))
+        .orderBy("wd")
+    } {
+      s"""WITH daily AS (
+         |  SELECT day, CAST(COUNT(*) AS BIGINT) AS c,
+         |    (day - DATE '1970-01-01') % 7 AS wd
+         |  FROM (SELECT CAST(ts AS DATE) AS day FROM events
+         |        WHERE event_type = 'purchase') t
+         |  GROUP BY day),
+         |bywd AS (
+         |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(c) AS BIGINT) AS total
+         |  FROM daily GROUP BY wd),
+         |cb AS (
+         |  SELECT wd, n_days, total,
+         |    (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+         |      / CAST(n_days AS DOUBLE) AS contrib
+         |  FROM bywd),
+         |gl AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         |    CAST(SUM(c) AS BIGINT) AS s_all,
+         |    CAST(SUM(c * c) AS BIGINT) AS q_all
+         |  FROM daily),
+         |fd AS (
+         |  SELECT LIST_REDUCE(LIST(contrib ORDER BY wd), (acc, v) -> acc + v)
+         |    AS f
+         |  FROM cb)
+         |SELECT wd, n_days, total,
+         |  (CAST(total AS DOUBLE) * CAST(n_all AS DOUBLE))
+         |    / (CAST(n_days AS DOUBLE) * CAST(s_all AS DOUBLE))
+         |    AS seasonal_index,
+         |  $Eta2Expr AS weekday_eta2
+         |FROM cb CROSS JOIN gl CROSS JOIN fd
+         |ORDER BY wd""".stripMargin
     }
   )
 
@@ -3148,4 +3500,45 @@ object Stats {
   /** Accuracy-contract boolean, dialect-shared. */
   def kmvBand(est: String, exact: String, tol: String): String =
     s"ABS(($est) - CAST($exact AS DOUBLE)) <= CAST($exact AS DOUBLE) * $tol"
+
+  /** q269's H statistic from (n_total, s2 = Σ(2R)²/n) — one shared IEEE
+    * chain: 3·s2/(N(N+1)) − 3(N+1) (the 12/4 constant of doubled ranks).
+    */
+  private def KwHExpr: String =
+    "(3.0 * s2) / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))" +
+      " - 3.0 * CAST(n_total + 1 AS DOUBLE)"
+
+  /** q269's tie-correction factor 1 − Σ(t³−t)/(N³−N), products in double
+    * (N³ overflows int64 past N ≈ 2e6).
+    */
+  private def KwTieExpr: String =
+    "1.0 - CAST(tie_sum AS DOUBLE) / (CAST(n_total AS DOUBLE) * " +
+      "CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))"
+
+  /** q270's deterministic Poisson(1) weight: the 32-bit md5 hash
+    * fragment `h` mapped to u ∈ [0,1) (exactly representable — h/2³²)
+    * and inverted through the exact CDF literals (shortest round-trip
+    * doubles; both engines parse the identical values). P(w=8 bucket,
+    * the open tail) ≈ 1.1e-6.
+    */
+  private def PoissonWExpr: String = {
+    val cum = Seq(
+      "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+      "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+      "0.999916758850712", "0.9999897508033253", "0.999998874797402")
+    val whens = cum.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+    s"CAST(CASE $whens ELSE 9 END AS BIGINT)"
+  }
+
+  /** q272's seasonal strength eta² = (n·F − S²)/(n·Q − S²) over exact
+    * operands (F from the ordered weekday fold), NULL on zero variance.
+    */
+  private def Eta2Expr: String =
+    "CASE WHEN CAST(n_all AS DOUBLE) * CAST(q_all AS DOUBLE) - " +
+      "CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) <= 0.0 THEN NULL " +
+      "ELSE (CAST(n_all AS DOUBLE) * f - " +
+      "CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)) / " +
+      "(CAST(n_all AS DOUBLE) * CAST(q_all AS DOUBLE) - " +
+      "CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)) END"
 }
