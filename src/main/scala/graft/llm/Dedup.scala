@@ -182,6 +182,59 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q282: DEDUP ROI ESTIMATE — the storage/compute case for running
+    // the q23 pass at all, priced per source: documents that would DROP
+    // under the canonical keep-min rule (q68's policy over q23's
+    // digest), the exact bytes they carry (n_chars — the metadata column
+    // q232 audits for trust), and the per-source saving share. This is
+    // the number that decides whether dedup runs before or after the
+    // expensive enrichment stages at 100 TB. Same digest-keyed single
+    // shuffle as q23 (32-byte key per doc, never the body); the
+    // canonical relation joins back digest-keyed; all ratios are single
+    // divisions of exact int64.
+    QueryDef.sql("q282_dedup_roi") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .withColumn("canon_key", md5(array_join(sort_array(tokenSet), " ")))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("canon_key"))
+      val canon = docs.groupBy(col("canon_key"))
+        .agg(min(col("doc_id")).as("canonical_id"))
+      docs.join(canon, "canon_key")
+        .withColumn("dropped",
+          (col("doc_id") =!= col("canonical_id")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("bytes_total"),
+          sum(col("dropped")).as("n_dropped"),
+          sum(col("dropped") * col("n_chars")).as("bytes_saved"))
+        .select(col("source"), col("n_docs"), col("bytes_total"),
+          col("n_dropped"), col("bytes_saved"),
+          expr("CAST(bytes_saved AS DOUBLE) / CAST(bytes_total AS DOUBLE)")
+            .as("saving_share"))
+        .orderBy("source")
+    } {
+      """WITH dg AS (
+        |  SELECT doc_id, source, n_chars,
+        |    MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+        |      STRING_SPLIT(text, ' '))), ' ')) AS canon_key
+        |  FROM documents),
+        |canon AS (
+        |  SELECT canon_key, MIN(doc_id) AS canonical_id
+        |  FROM dg GROUP BY canon_key),
+        |f AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END AS dropped
+        |  FROM dg JOIN canon USING (canon_key))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+        |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(dropped * n_chars) AS BIGINT) AS bytes_saved,
+        |  CAST(SUM(dropped * n_chars) AS DOUBLE)
+        |    / CAST(SUM(n_chars) AS DOUBLE) AS saving_share
+        |FROM f GROUP BY source
+        |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q132: CROSS-SOURCE DUPLICATION MATRIX — which sources mirror which:
     // exact-duplicate PAIR counts between every source pair (and within
     // each source), from q23's canonical digest. The provenance triage

@@ -250,6 +250,25 @@ object Gates {
     },
 
     // ------------------------------------------------------------------
+    // q278: PQ-ADC recall gate for q277, against the exact q27 cosine
+    // top-10 (oracle-anchored). Measured recall@10 of the
+    // shortlist-then-exact-rerank path: 0.84 / 0.92 / 0.70 at
+    // sf0.001/0.01/0.1 (shortlist 100 ≈ 0.2% of the sf0.1 corpus); the
+    // 0.55 floor sits below the minimum with margin. A codebook /
+    // encoding / ADC regression (wrong block slice, lost tie-break,
+    // broken table lookup) collapses the shortlist toward random
+    // (recall ≈ shortlist/N) and trips this hard.
+    QueryDef.sql("q278_pq_adc_recall_gate") { (s, d) =>
+      val truth = defOf(Similarity.queries, "q27_cosine_topk")
+        .run(s, d).select("q_id", "neighbor_id")
+      val found = Similarity.pqAdcTopk(s, d).select("q_id", "neighbor_id")
+      recallRow(truth, found, Seq("q_id", "neighbor_id"), floor = 0.55)
+    } {
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+         |FROM (${defOf(Similarity.queries, "q27_cosine_topk").oracle.get})""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q111: embedding near-dup LSH gate for q50, against q49's exact
     // pair truth (oracle-computable): the LSH path must produce NO false
     // positives (same exact-cosine verification → subset) and keep

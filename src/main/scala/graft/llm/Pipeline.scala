@@ -956,6 +956,81 @@ object Pipeline {
     },
 
     // ------------------------------------------------------------------
+    // q281: RAG CHUNK DEDUP RATE — q84 cuts the retrieval chunks; this
+    // prices how redundant the chunk STORE is before embedding them
+    // (embedding cost is per chunk, so duplicate chunks are pure waste,
+    // and retrieval quality degrades when the index serves the same
+    // passage k times): per source, total vs distinct chunk digests,
+    // the duplicate share, and the chunks whose digest also appears in
+    // ANOTHER source (syndication at chunk granularity — invisible to
+    // q132's whole-document matrix). Everything is digest-keyed count
+    // arithmetic: per-(source, digest) counts collapse map-side, the
+    // cross-source census is a digest-keyed join of those counts — no
+    // chunk body ever crosses a shuffle twice, no pair expansion.
+    QueryDef.sql("q281_chunk_dedup_rate") { (s, d) =>
+      val chunks = chunked(Tables(s, d, "documents"),
+          chunkTokens = 32, stride = 24)
+        .select(col("source"),
+          md5(array_join(col("chunk_toks"), " ")).as("dg"))
+      val perSrcDg = chunks.groupBy(col("source"), col("dg"))
+        .agg(count(lit(1)).as("c"))
+      val multiSrc = perSrcDg.groupBy(col("dg"))
+        .agg(count(lit(1)).as("nsrc"))
+        .filter(col("nsrc") > 1L)
+        .select(col("dg"))
+      val shared = perSrcDg.join(multiSrc, "dg")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_cross_source_chunks"))
+      perSrcDg.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"))
+        .join(shared, Seq("source"), "left_outer")
+        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+          expr("CAST(n_chunks - n_distinct_chunks AS DOUBLE) / " +
+            "CAST(n_chunks AS DOUBLE)").as("dup_share"),
+          coalesce(col("n_cross_source_chunks"), lit(0L))
+            .as("n_cross_source_chunks"))
+        .orderBy("source")
+    } {
+      """WITH t AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |    1 + (GREATEST(0, n_tok - 32) + 23) // 24 AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, source, toks,
+        |    UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM c),
+        |ch AS (
+        |  SELECT source,
+        |    MD5(ARRAY_TO_STRING(
+        |      list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32), ' '))
+        |      AS dg
+        |  FROM e),
+        |psd AS (
+        |  SELECT source, dg, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY source, dg),
+        |ms AS (
+        |  SELECT dg FROM psd GROUP BY dg HAVING COUNT(*) > 1),
+        |sh AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_cross_source_chunks
+        |  FROM psd JOIN ms USING (dg) GROUP BY source),
+        |agg AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_chunks,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks
+        |  FROM psd GROUP BY source)
+        |SELECT agg.source, n_chunks, n_distinct_chunks,
+        |  CAST(n_chunks - n_distinct_chunks AS DOUBLE)
+        |    / CAST(n_chunks AS DOUBLE) AS dup_share,
+        |  COALESCE(sh.n_cross_source_chunks, 0) AS n_cross_source_chunks
+        |FROM agg LEFT JOIN sh ON agg.source = sh.source
+        |ORDER BY agg.source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q64: quality-filter FUNNEL audit — the per-stage attrition report a
     // pipeline publishes with every dataset build, expressed through the
     // [[Funnel]] library API (ordered cumulative stages, ONE scan, one

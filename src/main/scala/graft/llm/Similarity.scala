@@ -315,6 +315,23 @@ object Similarity {
     QueryDef.noOracle("q75_ann_ivf_topk")((s, d) => annIvf(s, d)),
 
     // ------------------------------------------------------------------
+    // q277: PQ-ADC TOP-K SEARCH — the query half of q211's
+    // product-quantization codebook, completing the compressed-domain
+    // ANN path (LSH probes buckets, IVF probes clusters; PQ scans
+    // EVERYTHING but in 4 bytes/vector): vectors are unit-sphere
+    // quantized (cosine ranking ≡ L2 ranking), encoded per 16-dim block
+    // against an exact-integer-trained codebook (q211's seed+refit
+    // machinery — deterministic centroids, no FP mean drift), and each
+    // query scores candidates by Asymmetric Distance Computation — a
+    // 4-entry table lookup per vector, never a 64-dim dot. The distance
+    // table is queries×blocks×codes rows (broadcast-sized); the only
+    // corpus-scale shuffle is the (query, vector) partial-aggregated
+    // block sum; the ADC ranking prunes to a 100-row shortlist per
+    // query that an exact re-rank finishes (the standard PQ deployment
+    // shape). Recall vs the exact q27 ranking is gated in q278.
+    QueryDef.noOracle("q277_pq_adc_topk")((s, d) => pqAdcTopk(s, d)),
+
+    // ------------------------------------------------------------------
     // q72: INT8 QUANTIZATION AUDIT — the storage side of similarity at
     // scale: per-vector symmetric int8 quantization (scale = max |x|,
     // code = floor(x·127/scale + 0.5)) shrinks an embedding store 4×,
@@ -1800,6 +1817,121 @@ object Similarity {
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** q277's PQ-ADC search (see the registration comment). Unit-sphere
+    * integer quantization — floor(x/‖x‖·10⁴) — makes L2 ranking equal
+    * cosine ranking up to the 1e-4 grid, and keeps the q211 training
+    * algebra EXACT (integer block vectors, integer centroid means →
+    * bit-deterministic codebook and distances; vec_dot products of
+    * ≤1e8-magnitude operands are exact in double). 32 codes per 8-dim block (8×5 bits) with two exact Lloyd sweeps —
+    * the measured recall floor is gated in q278. At 100 TB: codes are one narrow pass over the corpus
+    * (broadcast codebook, no shuffle); ADC pays queries×N partial-agg
+    * rows into one keyed shuffle — linear per query batch.
+    */
+  def pqAdcTopk(s: SparkSession, d: String, k: Int = 10,
+      nSeeds: Int = 32, nBlocks: Int = 8, refits: Int = 2,
+      shortlist: Int = 100): DataFrame = {
+    val bDim = 64 / nBlocks
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val emb0 = Tables(s, d, "embeddings")
+      .select(col("vec_id"), expr(quant).as("v0"))
+      .withColumn("n0", dot("v0", "v0"))
+      .filter(col("n0") > 0.0)
+      .select(col("vec_id"), expr(
+        "transform(v0, x -> cast(floor(x / sqrt(n0) * 10000.0) AS double))")
+        .as("v"))
+    val toBlocks =
+      s"""transform(sequence(0, ${nBlocks - 1}), b ->
+        |  named_struct('block', CAST(b AS BIGINT),
+        |               'bv', slice(v, b * $bDim + 1, $bDim)))""".stripMargin
+    val blocks = emb0
+      .select(col("vec_id"), explode(expr(toBlocks)).as("s"))
+      .select(col("vec_id"), col("s.block").as("block"), col("s.bv").as("bv"))
+      .withColumn("n2", expr("vec_dot(bv, bv)"))
+    val seeds = emb0.withColumn("hsh", graft.Ids.hash("vec_id"))
+      .orderBy(col("hsh"), col("vec_id")).limit(nSeeds)
+      .withColumn("cid", row_number()
+        .over(Window.orderBy(col("hsh"), col("vec_id"))).cast("long"))
+      .select(col("cid"), explode(expr(toBlocks)).as("s"))
+      .select(col("s.block").as("block"), col("cid"),
+        col("s.bv").as("cv"), expr("vec_dot(s.bv, s.bv)").as("cn2"))
+    def centRows(c: DataFrame) = broadcast(c.groupBy(col("block")).agg(
+      collect_list(expr("named_struct('cid', cid, 'cv', cv, 'cn2', cn2)"))
+        .as("cents")))
+    // argmin fold with the q211 cid tie-break — collect_list order-proof
+    def assign(cents: DataFrame) =
+      blocks.join(centRows(cents), "block")
+        .withColumn("best", expr(
+          """aggregate(cents,
+            |  named_struct('d', cast(1e308 AS double), 'cid', cast(-1 AS bigint)),
+            |  (acc, c) -> CASE
+            |    WHEN n2 - 2 * vec_dot(bv, c.cv) + c.cn2 < acc.d
+            |      OR (n2 - 2 * vec_dot(bv, c.cv) + c.cn2 = acc.d
+            |          AND c.cid < acc.cid)
+            |    THEN named_struct('d', n2 - 2 * vec_dot(bv, c.cv) + c.cn2,
+            |                      'cid', c.cid)
+            |    ELSE acc END)""".stripMargin))
+        .select(col("vec_id"), col("block"), col("bv"),
+          col("best.cid").as("cid"))
+    def refitFrom(a: DataFrame): DataFrame = a
+      .select(col("block"), col("cid"), posexplode(col("bv")).as(Seq("pos", "val")))
+      .groupBy(col("block"), col("cid"), col("pos"))
+      .agg(floor(sum(col("val").cast("long")).cast("double") /
+        count(lit(1))).cast("double").as("cval"))
+      .groupBy(col("block"), col("cid"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(pos, cval))), x -> x.cval)")
+        .as("cv"))
+      .withColumn("cn2", expr("vec_dot(cv, cv)"))
+      .select(col("block"), col("cid"), col("cv"), col("cn2"))
+    // Lloyd sweeps: each refit is (block, cid, pos)-keyed exact-integer
+    // means over the frozen previous assignment
+    val refit = (1 to refits).foldLeft(seeds) { case (cb, _) =>
+      refitFrom(graft.Checkpoints.checkpoint(assign(cb)))
+    }
+    val codes = assign(refit).select(col("vec_id"), col("block"), col("cid"))
+    // ADC distance table: query blocks × refit codebook — a
+    // (n_queries × 4 × nSeeds)-row broadcast
+    val qb = emb0.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), explode(expr(toBlocks)).as("s"))
+      .select(col("q_id"), col("s.block").as("block"), col("s.bv").as("qv"))
+      .withColumn("qn2", expr("vec_dot(qv, qv)"))
+    val dtab = broadcast(qb.join(refit, "block")
+      .select(col("q_id"), col("block"), col("cid"),
+        (col("qn2") - lit(2.0) * expr("vec_dot(qv, cv)") + col("cn2"))
+          .as("dd")))
+    val scored = codes.join(dtab, Seq("block", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("dd")).as("adist"))
+      .filter(col("nb") === lit(nBlocks.toLong))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    // compressed-domain SHORTLIST, then exact re-rank (the standard PQ
+    // deployment shape: ADC prunes N to `shortlist` rows per query, the
+    // exact distance runs only on the survivors) — the re-rank join is
+    // (queries x shortlist)-sized, never corpus-sized
+    val short = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val exact = Tables(s, d, "embeddings")
+      .select(col("vec_id"), expr(quant).as("ev"))
+      .withColumn("en2", dot("ev", "ev"))
+    val qx = broadcast(exact.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("ev").as("qv"),
+        col("en2").as("qn2")))
+    val rer = short.join(exact, "vec_id").join(qx, "q_id")
+      .withColumn("cos_sim",
+        expr("vec_dot(qv, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    rer.withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
       .orderBy("q_id", "rnk")
   }
 }

@@ -393,6 +393,64 @@ object Multimodal {
         |ORDER BY doc_id""".stripMargin
     },
 
+    // ------------------------------------------------------------------
+    // q283: AUDIO HEADROOM / CLIPPING AUDIT — the gain-normalization
+    // census a speech pipeline runs before training: per clip, the
+    // share of samples at or beyond the |v| ≥ 1900 policy threshold,
+    // the exact peak, the exact int64 energy Σv², and the squared crest
+    // factor peak²·n/Σv² (the dynamics number that separates speech
+    // from tone/noise). Decode is the real WAV codec at the
+    // per-partition boundary (q172's posture); the oracle replays the
+    // synthesis recurrence in closed form, so a hash match proves the
+    // decode visited every sample and thresholded it correctly. The
+    // derived ratios are single IEEE chains over exact integers.
+    QueryDef.sql("q283_audio_clipping") { (s, d) =>
+      audioClippingAudit(s, d)
+        .select(col("doc_id"), col("n_samples"), col("peak"),
+          col("n_clipped"),
+          expr("CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)")
+            .as("clip_share"),
+          col("sum_sq"),
+          expr("CASE WHEN sum_sq = 0 THEN NULL ELSE " +
+            "(CAST(peak AS DOUBLE) * CAST(peak AS DOUBLE) * " +
+            "CAST(n_samples AS DOUBLE)) / CAST(sum_sq AS DOUBLE) END")
+            .as("crest_sq"))
+        .orderBy("doc_id")
+    } {
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    CAST(1 + n % 2 AS INT) AS channels,
+        |    CAST(100 + (n * 3) % 900 AS BIGINT) AS n_frames
+        |  FROM base),
+        |st AS (
+        |  SELECT doc_id, n_frames * channels AS n_samples,
+        |    LIST_MAX(LIST_TRANSFORM(RANGE(0, n_frames * channels),
+        |      i -> ABS((n + i * 7) % 4001 - 2000))) AS peak,
+        |    LIST_SUM(LIST_TRANSFORM(RANGE(0, n_frames * channels),
+        |      i -> CASE WHEN ABS((n + i * 7) % 4001 - 2000) >= 1900
+        |        THEN 1 ELSE 0 END)) AS n_clipped,
+        |    LIST_SUM(LIST_TRANSFORM(RANGE(0, n_frames * channels),
+        |      i -> ((n + i * 7) % 4001 - 2000)
+        |        * ((n + i * 7) % 4001 - 2000))) AS sum_sq
+        |  FROM p)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(peak AS BIGINT) AS peak,
+        |  CAST(n_clipped AS BIGINT) AS n_clipped,
+        |  CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)
+        |    AS clip_share,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  CASE WHEN sum_sq = 0 THEN NULL ELSE
+        |    (CAST(peak AS DOUBLE) * CAST(peak AS DOUBLE)
+        |      * CAST(n_samples AS DOUBLE)) / CAST(sum_sq AS DOUBLE) END
+        |    AS crest_sq
+        |FROM st
+        |ORDER BY doc_id""".stripMargin
+    },
+
     QueryDef.sql("q158_image_raster_dedup")(imageRasterDedup) {
       """WITH base AS (
         |  SELECT doc_id,
@@ -706,6 +764,46 @@ object Multimodal {
       }
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** q283's per-doc headroom row (exact integer stats; the derived
+    * ratios are appended as single IEEE chains in the QueryDef).
+    */
+  final case class ClipStats(doc_id: Long, n_samples: Long, peak: Long,
+      n_clipped: Long, sum_sq: Long)
+
+  /** q283's body: decode the real WAV container and audit headroom —
+    * samples at or beyond the |v| ≥ 1900 policy threshold (the
+    * clipping-risk census a speech pipeline runs before gain
+    * normalization), the exact peak, and the exact int64 energy Σv²
+    * (crest-factor input). Same per-partition codec boundary as
+    * q172/q203; one row per clip crosses the shuffle.
+    */
+  def audioClippingAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import javax.sound.sampled._
+    synthWavRecords(s, d)
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.blob))
+          val body = ais.readAllBytes()
+          ais.close()
+          var (n, peak, nclip, sumsq) = (0L, 0L, 0L, 0L)
+          var i = 0
+          while (i + 1 < body.length) {
+            val v = ((body(i) & 0xff) | (body(i + 1) << 8)).toShort.toLong
+            val a = math.abs(v)
+            n += 1L
+            if (a > peak) peak = a
+            if (a >= 1900L) nclip += 1L
+            sumsq += v * v
+            i += 2
+          }
+          ClipStats(r.doc_id, n, peak, nclip, sumsq)
+        }
+      }
+      .toDF()
   }
 
   /** q203's per-doc audio feature row. */

@@ -3084,6 +3084,75 @@ object Events {
          |  $SampleSizeExpr AS n_per_arm
          |FROM px
          |ORDER BY rel_mde""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q280: ATTRIBUTION-WINDOW SENSITIVITY — how much revenue moves
+    // between channels when the lookback changes? q153 commits to 7
+    // days; every ads-measurement migration asks "what would 1 / 7 / 28
+    // days report", and the deltas ARE the negotiation. The expensive
+    // part — the per-purchase last non-purchase touch — is computed
+    // ONCE in the q153 window; the three candidate windows ride a
+    // 3-row explode per purchase (the q229 posture: never three window
+    // passes). Revenue is exact cents; output is (window × channel)
+    // bounded.
+    QueryDef.sql("q280_attribution_windows") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"),
+          expr("unix_micros(cast(ts AS timestamp))").as("ts_us"))
+        .withColumn("prev_type", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .withColumn("prev_ts_us", last(
+          when(col("event_type") =!= "purchase", col("ts_us")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("cents"), col("ts_us"), col("prev_type"),
+          col("prev_ts_us"),
+          explode(expr("array(1L, 7L, 28L)")).as("window_days"))
+        .withColumn("channel",
+          when(col("prev_type").isNotNull &&
+            col("ts_us") - col("prev_ts_us") <=
+              col("window_days") * lit(86400000000L),
+            col("prev_type")).otherwise(lit("organic")))
+        .groupBy(col("window_days"), col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("attributed_cents"))
+        .orderBy("window_days", "channel")
+    } {
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS ts_us
+        |  FROM events),
+        |attrib AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER w AS prev_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |        THEN ts_us END IGNORE NULLS) OVER w AS prev_ts_us
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT wd.window_days,
+        |    CASE WHEN prev_type IS NOT NULL
+        |        AND ts_us - prev_ts_us <= wd.window_days * 86400000000
+        |      THEN prev_type ELSE 'organic' END AS channel,
+        |    cents
+        |  FROM attrib,
+        |    (SELECT UNNEST([1, 7, 28]) AS window_days) wd
+        |  WHERE event_type = 'purchase')
+        |SELECT CAST(window_days AS BIGINT) AS window_days, channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS attributed_cents
+        |FROM p GROUP BY window_days, channel
+        |ORDER BY window_days, channel""".stripMargin
     }
   )
 

@@ -137,6 +137,67 @@ object Graph {
   val queries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // q279: COMMON-NEIGHBOR LINK PREDICTION — "customers who bought X
+    // and Y also bought…" as graph completion: the top-20 NON-edges
+    // ranked by shared-neighbor count, with the neighborhood-Jaccard
+    // tie-breaker (cn / (deg_a + deg_b − cn) — exact ints, ONE
+    // division). Wedges expand per CENTER over its sorted neighbor list
+    // (the q152/edges in-buffer posture — one keyed shuffle, a < b by
+    // construction), with centers capped at degree ≤ 64: a super-hub
+    // center certifies almost nothing about its neighbor pairs (it
+    // makes everyone 'similar') while costing deg² wedge rows — the
+    // same principled hub cut as the q136/q146 prefix family. Degrees
+    // for the Jaccard still count ALL edges. Existing edges leave via
+    // one anti join; top-20 is a distributed partial top-k
+    // (TakeOrderedAndProject), never a global sort.
+    QueryDef.sql("q279_link_prediction") { (s, d) =>
+      val e = edges(s, d)
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val cand = e
+        .groupBy(col("src").as("c"))
+        .agg(sort_array(collect_list(col("dst"))).as("ns"))
+        .filter(size(col("ns")) <= 64)
+        .select(explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)), y ->
+            |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+        .join(e.select(col("src").as("a"), col("dst").as("b")),
+          Seq("a", "b"), "left_anti")
+      cand
+        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+        .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+          expr("CAST(cn AS DOUBLE) / CAST(deg_a + deg_b - cn AS DOUBLE)")
+            .as("jaccard"))
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(20)
+    } {
+      s"""WITH $EdgeSql,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |cand AS (
+         |  SELECT w1.dst AS a, w2.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM edges w1
+         |  JOIN edges w2 ON w1.src = w2.src AND w1.dst < w2.dst
+         |  JOIN deg dc ON dc.node = w1.src AND dc.deg <= 64
+         |  GROUP BY w1.dst, w2.dst),
+         |ne AS (
+         |  SELECT c.* FROM cand c
+         |  LEFT JOIN edges x ON x.src = c.a AND x.dst = c.b
+         |  WHERE x.src IS NULL)
+         |SELECT ne.a, ne.b, ne.cn, da.deg AS deg_a, db.deg AS deg_b,
+         |  CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE)
+         |    AS jaccard
+         |FROM ne
+         |JOIN deg da ON da.node = ne.a
+         |JOIN deg db ON db.node = ne.b
+         |ORDER BY cn DESC, a, b
+         |LIMIT 20""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q144: CO-PURCHASE PAGERANK — authority ranking over the item
     // co-occurrence graph (crawl-prioritization / popularity-debiasing
     // input: which items are central to purchase behavior, not merely

@@ -1201,6 +1201,74 @@ object StreamOps {
       }
   }
 
+  /** One closed session of the live capped sessionizer — q263's twin. */
+  final case class CappedSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, break_reason: String)
+
+  final case class CappedState(start: Long, last: Long, n: Long,
+      pending: Seq[(Long, Long)])
+
+  /** Streaming capped sessionization — q263's live twin: sessions close
+    * on the 30-min inactivity gap OR 4 h after they STARTED (the
+    * polling-client cap), the same self-referential chain as the batch
+    * fold. Events buffer per user until the watermark finalizes them
+    * (the funnelProgress posture), then replay in (ts, event_id) order
+    * through the identical break rules; an OPEN session also closes via
+    * event-time timeout once the watermark passes its last event + gap —
+    * sound early emission, because any still-admissible event would
+    * gap-break it anyway (the closedSessions argument). Emitted
+    * sessions carry their break reason ('gap' / 'cap' / 'timeout'), so
+    * downstream `groupBy(break_reason).count()` IS the q263 knob-tuning
+    * census, continuously maintained. State per user: three longs plus
+    * the lateness-bounded buffer.
+    */
+  def cappedSessions(events: DataFrame, timeCol: String, keyCol: String,
+      watermarkDelay: String, gapUs: Long = 1800000000L,
+      capUs: Long = 14400000000L): Dataset[CappedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($keyCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($keyCol AS bigint)"), col(timeCol),
+        col("event_id"),
+        expr(s"unix_micros(cast($timeCol AS timestamp))"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CappedState, CappedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[CappedState]) =>
+          val st0 = state.getOption.getOrElse(CappedState(-1L, -1L, 0L, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++ rows.map(r => (r._4, r._3))
+          val (ready, hold) = pending.partition(_._1 <= wm * 1000L)
+          var (start, last, n) = (st0.start, st0.last, st0.n)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CappedSession]
+          def close(reason: String): Unit = {
+            out += CappedSession(user, start, last, n, reason)
+            n = 0L
+          }
+          ready.sortBy(identity).foreach { case (tus, _) =>
+            if (n == 0L) { start = tus; last = tus; n = 1L }
+            else if (tus - last > gapUs) { close("gap"); start = tus; last = tus; n = 1L }
+            else if (tus - start > capUs) { close("cap"); start = tus; last = tus; n = 1L }
+            else { last = tus; n += 1L }
+          }
+          // watermark past last+gap: no admissible event can extend it
+          if (n > 0L && hold.isEmpty && wm * 1000L > last + gapUs)
+            close("timeout")
+          if (n == 0L && hold.isEmpty) state.remove()
+          else {
+            state.update(CappedState(start, last, n, hold))
+            val next =
+              if (hold.nonEmpty) hold.map(_._1).min / 1000L
+              else (last + gapUs) / 1000L + 1L
+            state.setTimeoutTimestamp(math.max(next, wm + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** One kept (non-suppressed) event of the live cooldown dedup —
     * q260's twin.
     */

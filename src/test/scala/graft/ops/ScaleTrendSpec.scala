@@ -265,6 +265,14 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     assertTrend("q200_quantile_normalization", "documents")
   }
 
+  test("q277 PQ-ADC search scales sub-quadratically in embeddings") {
+    // codebook training, encoding and the ADC table-lookup shuffle are
+    // all linear in vectors; a regression to a vector×vector join (or a
+    // lost shortlist cut making the exact re-rank corpus-sized) trips
+    // this
+    assertTrend("q277_pq_adc_topk", "embeddings")
+  }
+
   test("q162 recursive reachability scales sub-quadratically in lineitem") {
     // one keyed frontier join per BFS level; losing the depth predicate
     // or re-scanning the whole accumulated walk set per level (instead

@@ -1056,6 +1056,52 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == exp)
   }
 
+  test("cappedSessions closes on gap, cap, and timeout with the batch break rules") {
+    import spark.implicits._
+    def mTs(min: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0).plusMinutes(min.toLong))
+    def us(min: Int): Long = mTs(0).getTime * 1000L + min.toLong * 60000000L
+    // u1: s1 = 0,10,20 (gap-broken by the 40-min jump to 60); s2 = every
+    // 25 min from 60 to 285 (10 events) — the event at 310 sits 250 min
+    // after s2's START (> 240 cap) though only 25 min after its last
+    // event, so ONLY the cap rule breaks it (the self-referential case);
+    // s3 = 310, closed by timeout. u2: one event, closed by timeout.
+    val u1 = Seq(0, 10, 20) ++ (60 to 285 by 25) :+ 310
+    val fixture = u1.map(m => (1L, m)) :+ ((2L, 5))
+    val rows = new scala.util.Random(5).shuffle(
+      fixture.zipWithIndex.map { case ((u, m), i) =>
+        (mTs(m), u, 5000L + i)
+      })
+    val input = MemoryStream[(Timestamp, Long, Long)](spark)
+    val out = StreamOps.cappedSessions(
+      input.toDF().toDF("ts", "user_id", "event_id"),
+      "ts", "user_id", watermarkDelay = "10 minutes").toDF()
+    spark.sql("DROP TABLE IF EXISTS cs_sink")
+    val q = out.writeStream.format("memory").queryName("cs_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((mTs(24 * 60), 99L, 9999L))
+      q.processAllAvailable()
+      input.addData((mTs(25 * 60), 99L, 9998L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the flush user (99) needs a further trigger after the watermark
+    // passes its gap — like the dailyChecksum flush, it correctly stays
+    // open at the final watermark and is excluded from the assertion
+    val got = spark.table("cs_sink")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .filter(_._1 < 90L).toSet
+    val exp = Set(
+      (1L, us(0), us(20), 3L, "gap"),
+      (1L, us(60), us(285), 10L, "cap"),
+      (1L, us(310), us(310), 1L, "timeout"),
+      (2L, us(5), us(5), 1L, "timeout"))
+    assert(got == exp)
+  }
+
   test("rollingCorrelation finalizes dense days with the batch exact-moment frame") {
     import spark.implicits._
     def dTs(day: Int, hour: Int): Timestamp =
