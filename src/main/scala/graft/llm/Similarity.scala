@@ -64,6 +64,60 @@ object Similarity {
   final val ExactTruthSampleTarget: Long = 20000
 
   val queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q286: EMBEDDING DIMENSION-MOMENT AUDIT — per-coordinate mean and
+    // variance over the corpus, plus the max/min variance ratio: the
+    // whitening/centering pre-check every similarity stack should run
+    // (a dominating dimension silently owns the cosine; a near-constant
+    // one wastes index bits — this is the number that justifies q220's
+    // truncation or a PCA). Coordinates ride the 1e3 integer grid so
+    // Σx and Σx² are EXACT int64 to ~1e9 vectors; mean and variance are
+    // single shared IEEE chains with products in double. Shape: one
+    // posexplode + a 64-group keyed agg (partials collapse map-side to
+    // 64×partitions rows); the ratio is a broadcast of the two-value
+    // rollup over the 64-row relation.
+    QueryDef.sql("q286_embedding_moments") { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+        .select(posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000.0) AS long))"))
+          .as(Seq("dim", "x")))
+      val moments = emb.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mean"),
+          expr(DimVarExpr).as("variance"))
+      val bounds = moments.agg(max(col("variance")).as("max_var"),
+        min(col("variance")).as("min_var"))
+      moments.crossJoin(broadcast(bounds))
+        .select(col("dim"), col("n"), col("mean"), col("variance"),
+          expr("CASE WHEN min_var <= 0.0 THEN NULL " +
+            "ELSE max_var / min_var END").as("variance_ratio"))
+        .orderBy("dim")
+    } {
+      s"""WITH e AS (
+         |  SELECT UNNEST(v) AS x, generate_subscripts(v, 1) - 1 AS dim
+         |  FROM (SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+         |    FROM embeddings) t),
+         |m AS (
+         |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM e GROUP BY dim),
+         |mm AS (
+         |  SELECT CAST(dim AS BIGINT) AS dim, n,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    $DimVarExpr AS variance
+         |  FROM m),
+         |b AS (SELECT MAX(variance) AS max_var, MIN(variance) AS min_var
+         |      FROM mm)
+         |SELECT dim, n, mean, variance,
+         |  CASE WHEN min_var <= 0.0 THEN NULL
+         |    ELSE max_var / min_var END AS variance_ratio
+         |FROM mm CROSS JOIN b
+         |ORDER BY dim""".stripMargin
+    },
 
     // ------------------------------------------------------------------
     // q154: DOMINANT PRINCIPAL COMPONENT via distributed POWER ITERATION
@@ -1819,6 +1873,14 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos_sim"))
       .orderBy("q_id", "rnk")
   }
+
+  /** q286's population variance (n·Σx² − (Σx)²)/n², products in double —
+    * the int64 form overflows past ~2e6 vectors on the 1e3 grid.
+    */
+  private def DimVarExpr: String =
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
 
   /** q277's PQ-ADC search (see the registration comment). Unit-sphere
     * integer quantization — floor(x/‖x‖·10⁴) — makes L2 ranking equal

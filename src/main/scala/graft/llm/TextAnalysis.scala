@@ -80,6 +80,45 @@ object TextAnalysis {
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
+    // q285: CONSTRAINED TOP-K SELECTION — "the best 20 documents, but at
+    // most 3 per source": every curation run applies a diversity cap so
+    // one prolific feed can't monopolize the budget, and the naive
+    // global-sort-then-dedupe formulation breaks at corpus scale. Shape:
+    // the per-source rank is a KEYED window (distributed, map-side
+    // WindowGroupLimit prunes each source to 3 rows before any
+    // exchange), and the global top-20 over the ≤ 3·|sources| survivors
+    // is a distributed partial top-k (TakeOrderedAndProject) — no global
+    // sort anywhere. The score is the SHARED q32 quality expression
+    // (one definition per engine side, zero drift).
+    QueryDef.sql("q285_constrained_topk") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          qualityScore.as("quality_score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      scored.withColumn("src_rank", row_number().over(w))
+        .filter(col("src_rank") <= 3)
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("source"), col("src_rank"),
+          col("quality_score"))
+    } {
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, $qualityScoreSql AS quality_score
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source, quality_score,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS src_rank
+         |  FROM scored)
+         |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+         |  quality_score
+         |FROM ranked WHERE src_rank <= 3
+         |ORDER BY quality_score DESC, doc_id
+         |LIMIT 20""".stripMargin
+    },
+    // ------------------------------------------------------------------
     // q30: corpus statistics per language tag.
     QueryDef.sql("q30_language_stats") { (s, d) =>
       val docs = Tables(s, d, "documents")

@@ -3479,6 +3479,100 @@ object Stats {
          |  $Eta2Expr AS weekday_eta2
          |FROM cb CROSS JOIN gl CROSS JOIN fd
          |ORDER BY wd""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q284: HIERARCHICAL CHECKSUM TREE — q261 compares replicas day by
+    // day; at years of retention that is thousands of comparisons per
+    // sync. The Merkle posture fixes it: day / week / month levels of
+    // (count, order-free md5-id-hash sum), so two replicas binary-search
+    // divergence top-down (month differs → its weeks → its days) in
+    // O(log) comparisons. Checksum sums are ASSOCIATIVE, so the tree is
+    // one day-keyed fact aggregation and a calendar-sized 3-row explode
+    // re-aggregated (the q245 lesson: never three scans, never a union
+    // of re-planned aggregates). All exact int64.
+    QueryDef.sql("q284_checksum_tree") { (s, d) =>
+      val day = Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"),
+          graft.Ids.hash("event_id").as("h"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("ck"))
+      day.select(explode(expr(
+          "array(named_struct('level', 'day', 'bucket', day), " +
+            "named_struct('level', 'week', 'bucket', " +
+            "date_add(DATE '1970-01-01', " +
+            "CAST((datediff(day, DATE '1970-01-01') div 7) * 7 AS INT))), " +
+            "named_struct('level', 'month', 'bucket', trunc(day, 'MM')))"))
+          .as("x"), col("n"), col("ck"))
+        .groupBy(col("x.level").as("level"), col("x.bucket").as("bucket"))
+        .agg(sum(col("n")).as("n_rows"), sum(col("ck")).as("checksum"))
+        .orderBy("level", "bucket")
+    } {
+      s"""WITH day AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(${graft.Ids.hashSql("event_id")}) AS BIGINT) AS ck
+         |  FROM events GROUP BY 1),
+         |x AS (
+         |  SELECT n, ck, UNNEST([
+         |    {'level': 'day', 'bucket': day},
+         |    {'level': 'week', 'bucket': DATE '1970-01-01'
+         |      + CAST(((day - DATE '1970-01-01') // 7) * 7 AS INTEGER)},
+         |    {'level': 'month',
+         |     'bucket': CAST(date_trunc('month', day) AS DATE)}],
+         |    recursive := true)
+         |  FROM day)
+         |SELECT level, bucket, CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  CAST(SUM(ck) AS BIGINT) AS checksum
+         |FROM x GROUP BY level, bucket
+         |ORDER BY level, bucket""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q287: DISCOUNT LIFT TABLE — does a discount move quantity? Per
+    // discount band (exact percent points), the order-line volume and
+    // quantity lift vs the no-discount baseline — the
+    // price-sensitivity census a merchandising warehouse publishes.
+    // Quantities are integral doubles → exact int64 sums; the lift is
+    // cross-multiplied exact integers in ONE shared IEEE chain
+    // (sumq_band · n_base) / (n_band · sumq_base), products in double
+    // so petabyte row counts can't overflow. One scan, one ≤11-group
+    // agg, a broadcast of the baseline row.
+    QueryDef.sql("q287_discount_lift") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("disc_pct"),
+          expr("CAST(ROUND(l_quantity) AS BIGINT)").as("qty"))
+      val bands = li.groupBy(col("disc_pct"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+      val base = bands.filter(col("disc_pct") === 0L)
+        .select(col("n_items").as("n_base"), col("sum_qty").as("sumq_base"))
+      bands.crossJoin(broadcast(base))
+        .select(col("disc_pct"), col("n_items"),
+          expr("CAST(sum_qty AS DOUBLE) / CAST(n_items AS DOUBLE)")
+            .as("avg_qty"),
+          expr("(CAST(sum_qty AS DOUBLE) * CAST(n_base AS DOUBLE)) / " +
+            "(CAST(n_items AS DOUBLE) * CAST(sumq_base AS DOUBLE))")
+            .as("qty_lift_vs_no_discount"))
+        .orderBy("disc_pct")
+    } {
+      """WITH li AS (
+        |  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+        |    CAST(ROUND(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |bands AS (
+        |  SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(qty) AS BIGINT) AS sum_qty
+        |  FROM li GROUP BY disc_pct),
+        |base AS (
+        |  SELECT n_items AS n_base, sum_qty AS sumq_base
+        |  FROM bands WHERE disc_pct = 0)
+        |SELECT disc_pct, n_items,
+        |  CAST(sum_qty AS DOUBLE) / CAST(n_items AS DOUBLE) AS avg_qty,
+        |  (CAST(sum_qty AS DOUBLE) * CAST(n_base AS DOUBLE))
+        |    / (CAST(n_items AS DOUBLE) * CAST(sumq_base AS DOUBLE))
+        |    AS qty_lift_vs_no_discount
+        |FROM bands CROSS JOIN base
+        |ORDER BY disc_pct""".stripMargin
     }
   )
 
