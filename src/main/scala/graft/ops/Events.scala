@@ -2874,6 +2874,82 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q288: PEAK CONCURRENCY (sweep line) — the capacity number every
+    // serving platform sizes against: the maximum number of
+    // SIMULTANEOUSLY open user sessions, per day. Sessions are q19's
+    // 30-min-gap intervals (keyed lag + running flag-sum windows — all
+    // user-partitioned); each interval becomes a +1 at its start and a
+    // −1 one µs after its end, and the concurrency curve is the running
+    // sum of deltas in global time order — computed by the TWO-PASS
+    // frozen range shuffle (globalOrderedCumsum), so no single task
+    // ever sorts the corpus (the q102 posture). Boundary rule: a
+    // session ending exactly when another starts still overlaps it
+    // (+1 sorts before −1 at equal instants). Per-day peak is one keyed
+    // max over the delta points.
+    QueryDef.sql("q288_peak_concurrency") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val sess = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"))
+        .withColumn("news", when(col("tus") - lag(col("tus"), 1).over(wo) >
+          lit(1800000000L), 1L).otherwise(
+          when(lag(col("tus"), 1).over(wo).isNull, 1L).otherwise(0L)))
+        .withColumn("sid", sum(col("news")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("tus")).as("sstart"), max(col("tus")).as("send"))
+      val deltas = sess.select(col("user_id"), col("sstart"),
+        explode(expr("array(named_struct('t', sstart, 'dlt', 1L), " +
+          "named_struct('t', send + 1L, 'dlt', -1L))")).as("x"))
+        .select(col("x.t").as("t"), col("x.dlt").as("dlt"),
+          col("user_id"), col("sstart"))
+      val cum = Scale.globalOrderedCumsum(deltas, "dlt", "conc", "rnk",
+        col("t").asc, col("dlt").desc, col("user_id").asc,
+        col("sstart").asc)
+      cum.groupBy(expr("CAST(to_date(timestamp_micros(t)) AS date)")
+          .as("day"))
+        .agg(max(col("conc")).as("peak_concurrency"),
+          count(lit(1)).as("n_boundary_points"))
+        .orderBy("day")
+    } {
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |fl AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN LAG(tus) OVER w IS NULL THEN 1
+        |      WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
+        |      ELSE 0 END AS news
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sid AS (
+        |  SELECT user_id, tus,
+        |    SUM(news) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM fl),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(tus) AS sstart, MAX(tus) AS send
+        |  FROM sid GROUP BY user_id, sid),
+        |deltas AS (
+        |  SELECT t, dlt, user_id, sstart FROM (
+        |    SELECT user_id, sstart, UNNEST([
+        |      {'t': sstart, 'dlt': 1},
+        |      {'t': send + 1, 'dlt': -1}], recursive := true)
+        |    FROM sess) u),
+        |cum AS (
+        |  SELECT t, CAST(SUM(dlt) OVER (ORDER BY t, dlt DESC, user_id,
+        |    sstart ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS conc
+        |  FROM deltas)
+        |SELECT CAST(make_timestamp(t) AS DATE) AS day,
+        |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(COUNT(*) AS BIGINT) AS n_boundary_points
+        |FROM cum GROUP BY 1
+        |ORDER BY day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q273: RFM SEGMENTATION — the classic customer-value census:
     // recency (days since last purchase vs the corpus high-water day),
     // frequency (purchase count) and monetary (exact cents) per user,

@@ -3529,6 +3529,128 @@ object Stats {
     },
 
     // ------------------------------------------------------------------
+    // q289: BLOOM-FILTER SIZING ADVISOR — q85 prunes a join through a
+    // Bloom filter; this computes what that filter should COST before
+    // anyone builds it: for each join-key candidate, the exact NDV and
+    // the optimal (m bits, k hashes, MiB) at 1% and 0.01% target FPR.
+    // The transcendental constants (−ln p / ln²2 bits per element and
+    // the derived integer k) are SHORTEST-ROUND-TRIP LITERALS — no libm
+    // at query time, both engines parse identical doubles. One exact
+    // multi-distinct aggregate per table (the q274 shared-scan
+    // discipline); the sizing table is candidates × 2 planner rows.
+    QueryDef.sql("q289_bloom_sizing_advisor") { (s, d) =>
+      val li = Tables(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("d_part"),
+        countDistinct(col("l_suppkey")).as("d_supp"))
+      val o = Tables(s, d, "orders").agg(
+        countDistinct(col("o_custkey")).as("d_cust"))
+      li.crossJoin(broadcast(o))
+        .select(explode(expr(
+          """array(
+            |  named_struct('key_col', 'lineitem.l_partkey', 'ndv', d_part),
+            |  named_struct('key_col', 'lineitem.l_suppkey', 'ndv', d_supp),
+            |  named_struct('key_col', 'orders.o_custkey', 'ndv', d_cust))"""
+            .stripMargin)).as("x"))
+        .select(col("x.key_col").as("key_col"), col("x.ndv").as("ndv"),
+          explode(expr(
+            "array(named_struct('fpr', 0.01D, 'bpe', 9.585058377367439D, " +
+              "'k', 7L), " +
+              "named_struct('fpr', 0.0001D, 'bpe', 19.170116754734877D, " +
+              "'k', 13L))")).as("t"))
+        .select(col("key_col"), col("ndv"), col("t.fpr").as("target_fpr"),
+          expr("CAST(CEIL(CAST(ndv AS DOUBLE) * t.bpe) AS BIGINT)")
+            .as("m_bits"),
+          col("t.k").as("k_hashes"),
+          expr("CAST(CEIL(CAST(ndv AS DOUBLE) * t.bpe) AS DOUBLE) / 8388608.0D").as("mib"))
+        .orderBy("key_col", "target_fpr")
+    } {
+      """WITH li AS (
+        |  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_part,
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_supp
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_cust
+        |  FROM orders),
+        |cand AS (
+        |  SELECT key_col, ndv FROM li CROSS JOIN o,
+        |  LATERAL (SELECT UNNEST([
+        |    {'key_col': 'lineitem.l_partkey', 'ndv': d_part},
+        |    {'key_col': 'lineitem.l_suppkey', 'ndv': d_supp},
+        |    {'key_col': 'orders.o_custkey', 'ndv': d_cust}],
+        |    recursive := true)) u),
+        |t AS (
+        |  SELECT * FROM (SELECT UNNEST([
+        |    {'fpr': 0.01::DOUBLE, 'bpe': 9.585058377367439::DOUBLE,
+        |     'k': 7::BIGINT},
+        |    {'fpr': 0.0001::DOUBLE, 'bpe': 19.170116754734877::DOUBLE,
+        |     'k': 13::BIGINT}], recursive := true)) v)
+        |SELECT key_col, ndv, fpr AS target_fpr,
+        |  CAST(CEIL(CAST(ndv AS DOUBLE) * bpe) AS BIGINT) AS m_bits,
+        |  k AS k_hashes,
+        |  CEIL(CAST(ndv AS DOUBLE) * bpe) / 8388608.0 AS mib
+        |FROM cand CROSS JOIN t
+        |ORDER BY key_col, target_fpr""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q290: RANK MOVERS REPORT — the week's top-20 parts by shipped
+    // quantity, each with its rank LAST week and the delta (NULL = new
+    // entry): the "movers and shakers" report every merchandising
+    // dashboard leads with. Scale shape: both rank relations are
+    // rank-filtered keyed windows, which Spark executes as
+    // WindowGroupLimit — each task keeps only its local top-N per week
+    // BEFORE the exchange, so no week is ever fully sorted in one task
+    // (the q175/q207 plan posture); the previous-week lookup joins
+    // top-20 against top-200 on (part, week−1) — both dimension-bounded
+    // relations. Quantities are exact int64.
+    QueryDef.sql("q290_rank_movers") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wq = Tables(s, d, "lineitem")
+        .select(expr("datediff(to_date(l_shipdate), DATE '1970-01-01') div 7")
+          .as("wk"), col("l_partkey").as("part"),
+          expr("CAST(ROUND(l_quantity) AS BIGINT)").as("qty"))
+        .groupBy(col("wk"), col("part"))
+        .agg(sum(col("qty")).as("q"))
+      def ranked(depth: Int) = wq.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("wk"))
+            .orderBy(col("q").desc, col("part"))))
+        .filter(col("rnk") <= depth)
+      val cur = ranked(20)
+        .select(col("wk"), col("part"), col("q"), col("rnk").as("cur_rank"))
+      val prev = ranked(200)
+        .select((col("wk") + 1L).as("wk"), col("part"),
+          col("rnk").as("prev_rank"))
+      cur.join(prev, Seq("wk", "part"), "left_outer")
+        .select(col("wk"), col("part"), col("q"),
+          col("cur_rank").cast("long").as("cur_rank"),
+          col("prev_rank").cast("long").as("prev_rank"),
+          (col("prev_rank").cast("long") - col("cur_rank").cast("long"))
+            .as("rank_delta"))
+        .orderBy("wk", "cur_rank")
+    } {
+      """WITH wq AS (
+        |  SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+        |    l_partkey AS part,
+        |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT wk, part, q,
+        |    ROW_NUMBER() OVER (PARTITION BY wk ORDER BY q DESC, part)
+        |      AS rnk
+        |  FROM wq),
+        |cur AS (SELECT wk, part, q, rnk AS cur_rank FROM r WHERE rnk <= 20),
+        |prev AS (
+        |  SELECT wk + 1 AS wk, part, rnk AS prev_rank
+        |  FROM r WHERE rnk <= 200)
+        |SELECT cur.wk, cur.part, cur.q,
+        |  CAST(cur_rank AS BIGINT) AS cur_rank,
+        |  CAST(prev_rank AS BIGINT) AS prev_rank,
+        |  CAST(prev_rank - cur_rank AS BIGINT) AS rank_delta
+        |FROM cur LEFT JOIN prev ON cur.wk = prev.wk AND cur.part = prev.part
+        |ORDER BY cur.wk, cur_rank""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q287: DISCOUNT LIFT TABLE — does a discount move quantity? Per
     // discount band (exact percent points), the order-line volume and
     // quantity lift vs the no-discount baseline — the

@@ -1201,6 +1201,89 @@ object StreamOps {
       }
   }
 
+  /** One finalized week of the live distribution-drift monitor —
+    * q275's twin.
+    */
+  final case class WeekDrift(wk: Long, n_prev: Long, n_cur: Long,
+      tv_distance: Double)
+
+  final case class DriftState(lastFinal: Long, prevWk: Long,
+      prevHist: Seq[Long], pending: Map[Long, Seq[Long]])
+
+  /** Streaming weekly TV-distance drift — q275's live twin: per week, a
+    * 20-band purchase-value histogram accumulates as bounded state (20
+    * longs per open week); when the watermark passes a week boundary the
+    * week finalizes and its total-variation distance against the
+    * PREVIOUS finalized non-empty week emits — exactly the batch
+    * algebra (Σ|c_cur·n_prev − c_prev·n_cur| cross-multiplied exact
+    * ints, one terminal division), with the batch's adjacency contract:
+    * an empty week breaks the chain (no emission across it), matching
+    * q275's grid join on wk = wk−1. The pager fires one watermark-delay
+    * after a drifted week closes instead of at the next batch audit.
+    */
+  def weeklyTvDrift(events: DataFrame, timeCol: String, typeCol: String,
+      valueCol: String, watermarkDelay: String): Dataset[WeekDrift] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 604800000000.0) AS BIGINT)"),
+        expr(s"CASE WHEN $typeCol = 'purchase' THEN " +
+          s"least(CAST(ROUND($valueCol * 100) AS BIGINT) div 2000, 19) " +
+          "ELSE CAST(-1 AS BIGINT) END"))
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[DriftState, WeekDrift](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[DriftState]) =>
+          val st0 = state.getOption
+            .getOrElse(DriftState(Long.MinValue, Long.MinValue, Nil, Map.empty))
+          var pending = st0.pending
+          rows.foreach { r =>
+            if (r._3 >= 0L) {
+              val h = pending.getOrElse(r._2, Seq.fill(20)(0L)).toArray
+              h(r._3.toInt) += 1L
+              pending = pending.updated(r._2, h.toSeq)
+            }
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val finalUpTo = math.floorDiv(wmMs, 604800000L) - 1L
+          val start =
+            if (st0.lastFinal != Long.MinValue) st0.lastFinal
+            else if (pending.nonEmpty) pending.keys.min - 1L
+            else Long.MinValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[WeekDrift]
+          var (prevWk, prevHist) = (st0.prevWk, st0.prevHist)
+          var wk = start
+          if (start != Long.MinValue) {
+            while (wk < finalUpTo) {
+              wk += 1L
+              val hist = pending.getOrElse(wk, Seq.fill(20)(0L))
+              pending = pending - wk
+              val n = hist.sum
+              if (n > 0L) {
+                if (prevWk == wk - 1L) {
+                  val np = prevHist.sum
+                  val num = hist.zip(prevHist)
+                    .map { case (c, pc) => math.abs(c * np - pc * n) }.sum
+                  out += WeekDrift(wk, np, n,
+                    num.toDouble / (2.0 * np.toDouble * n.toDouble))
+                }
+                prevWk = wk
+                prevHist = hist
+              }
+              // empty week: the adjacency chain breaks (batch contract)
+            }
+          }
+          state.update(DriftState(
+            if (wk == Long.MinValue) st0.lastFinal else wk,
+            prevWk, prevHist, pending))
+          state.setTimeoutTimestamp(wmMs + 60000L)
+          out.iterator
+      }
+  }
+
   /** One closed session of the live capped sessionizer — q263's twin. */
   final case class CappedSession(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long, break_reason: String)

@@ -1056,6 +1056,56 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == exp)
   }
 
+  test("weeklyTvDrift finalizes adjacent weeks with the batch cross-multiplied TV") {
+    import spark.implicits._
+    val day0 = java.time.LocalDate.ofEpochDay(2820L * 7) // a week boundary
+    def wTs(week: Int, day: Int): Timestamp =
+      Timestamp.valueOf(day0.plusDays(week * 7L + day).atTime(12, 0))
+    // weeks 0,1 populated; week 2 EMPTY (chain must break); week 3
+    // populated (no emission for it — its previous week is empty)
+    val bandCounts: Map[Int, Seq[(Double, Int)]] = Map(
+      0 -> Seq((5.0, 3), (25.0, 2), (45.0, 1)), // bands 0,1,2
+      1 -> Seq((5.0, 1), (25.0, 4)),            // bands 0,1
+      3 -> Seq((45.0, 2)))                       // band 2
+    val rows = new scala.util.Random(9).shuffle(
+      bandCounts.toSeq.flatMap { case (w, vs) =>
+        vs.flatMap { case (v, c) =>
+          (1 to c).map(i => (wTs(w, i % 6), "purchase", v))
+        }
+      }) :+ ((wTs(0, 2), "view", 999.0)) // non-purchase rows are ignored
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val out = StreamOps.weeklyTvDrift(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "event_type",
+      "value", watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS tv_sink")
+    val q = out.writeStream.format("memory").queryName("tv_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((wTs(6, 1), "flush", 0.0))
+      q.processAllAvailable()
+      input.addData((wTs(7, 1), "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tv_sink")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // batch replay: only week 1 emits (week 0 has no predecessor; week 2
+    // is empty; week 3's predecessor is empty)
+    def hist(w: Int): Seq[Long] = {
+      val h = Array.fill(20)(0L)
+      bandCounts.getOrElse(w, Nil).foreach { case (v, c) =>
+        h((math.round(v * 100) / 2000).toInt min 19) += c.toLong
+      }
+      h.toSeq
+    }
+    val (h0, h1) = (hist(0), hist(1))
+    val (n0, n1) = (h0.sum, h1.sum)
+    val num = h1.zip(h0).map { case (c, pc) => math.abs(c * n0 - pc * n1) }.sum
+    val exp = Seq((2821L, n0, n1, num.toDouble / (2.0 * n0.toDouble * n1.toDouble)))
+    assert(got == exp)
+  }
+
   test("cappedSessions closes on gap, cap, and timeout with the batch break rules") {
     import spark.implicits._
     def mTs(min: Int): Timestamp =
