@@ -2874,6 +2874,117 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q292: REPEAT-PURCHASE INTERVAL HISTOGRAM — the inter-purchase-gap
+    // census behind every retention/replenishment model: days between a
+    // user's consecutive purchases (ONE keyed lag — join-free), bucketed
+    // to a domain-bounded 0..30 / 31+ histogram with the cumulative
+    // share. The cumulative window runs over ≤ 32 histogram rows (the
+    // q165 calendar posture — domain-bounded, never corpus-bounded);
+    // shares are single divisions of exact int64.
+    QueryDef.sql("q292_repeat_purchase_intervals") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val gaps = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(wo))
+        .filter(col("prev").isNotNull)
+        .select(least(expr("(tus - prev) div 86400000000"), lit(31L))
+          .as("gap_days"))
+      val hist = gaps.groupBy(col("gap_days")).agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum(col("n")).as("n_total"))
+      val wcum = Window.orderBy(col("gap_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("n")).over(wcum))
+        .select(col("gap_days"), col("n"),
+          expr("CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)").as("share"),
+          expr("CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE)")
+            .as("cumulative_share"))
+        .orderBy("gap_days")
+    } {
+      """WITH pv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |g0 AS (
+        |  SELECT tus - LAG(tus) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS gap
+        |  FROM pv),
+        |g AS (
+        |  -- filter BEFORE LEAST: DuckDB's LEAST skips NULLs, so a NULL
+        |  -- first-purchase gap would otherwise collapse to bucket 31
+        |  SELECT LEAST(gap // 86400000000, 31) AS gap_days
+        |  FROM g0 WHERE gap IS NOT NULL),
+        |hist AS (
+        |  SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM g GROUP BY gap_days),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM hist)
+        |SELECT gap_days, n,
+        |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |  CAST(CAST(SUM(n) OVER (ORDER BY gap_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS DOUBLE) / CAST(n_total AS DOUBLE) AS cumulative_share
+        |FROM hist CROSS JOIN tot
+        |ORDER BY gap_days""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q293: NEW vs RETURNING REVENUE SPLIT per week — the growth
+    // accounting every revenue dashboard opens with: weekly purchase
+    // cents split between users in their FIRST purchase week and
+    // returning users, with the new-revenue share. First-week is one
+    // user-keyed min; the split is count arithmetic on exact cents —
+    // two keyed aggs and a broadcast-sized week relation, no window.
+    QueryDef.sql("q293_new_vs_returning") { (s, d) =>
+      val pv = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("wk"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val uw = pv.groupBy(col("user_id"), col("wk"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("fwk"))
+      uw.join(first, "user_id")
+        .withColumn("is_new", (col("wk") === col("fwk")).cast("long"))
+        .groupBy(col("wk"))
+        .agg(sum(col("is_new")).as("n_new_users"),
+          sum(lit(1L) - col("is_new")).as("n_returning_users"),
+          sum(col("is_new") * col("c")).as("new_cents"),
+          sum((lit(1L) - col("is_new")) * col("c")).as("returning_cents"))
+        .select(col("wk"), col("n_new_users"), col("n_returning_users"),
+          col("new_cents"), col("returning_cents"),
+          expr("CAST(new_cents AS DOUBLE) / " +
+            "CAST(new_cents + returning_cents AS DOUBLE)").as("new_share"))
+        .orderBy("wk")
+    } {
+      """WITH pv AS (
+        |  SELECT user_id,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |uw AS (
+        |  SELECT user_id, wk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS c
+        |  FROM pv GROUP BY user_id, wk),
+        |f AS (SELECT user_id, MIN(wk) AS fwk FROM uw GROUP BY user_id),
+        |j AS (
+        |  SELECT uw.wk, CASE WHEN uw.wk = f.fwk THEN 1 ELSE 0 END AS
+        |    is_new, uw.c
+        |  FROM uw JOIN f ON uw.user_id = f.user_id)
+        |SELECT wk,
+        |  CAST(SUM(is_new) AS BIGINT) AS n_new_users,
+        |  CAST(SUM(1 - is_new) AS BIGINT) AS n_returning_users,
+        |  CAST(SUM(is_new * c) AS BIGINT) AS new_cents,
+        |  CAST(SUM((1 - is_new) * c) AS BIGINT) AS returning_cents,
+        |  CAST(SUM(is_new * c) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE) AS new_share
+        |FROM j GROUP BY wk
+        |ORDER BY wk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q288: PEAK CONCURRENCY (sweep line) — the capacity number every
     // serving platform sizes against: the maximum number of
     // SIMULTANEOUSLY open user sessions, per day. Sessions are q19's

@@ -19,6 +19,90 @@ object Relational {
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
+    // q291: ORDER LEAD-TIME PERCENTILES — the fulfillment SLA report:
+    // days from order placement to line shipment, per order priority
+    // (exact integer days through one FK-keyed join), with engine-exact
+    // P50/P87.5 (binary-exact fractions on integer data — the q57
+    // contract) and the mean as one division of exact int64. Scale
+    // caveat (q57's, documented there): per-group exact percentile
+    // buffers one PRIORITY per aggregation buffer — at extreme scale
+    // swap in the q102 two-pass machinery per group; the join itself is
+    // one keyed shuffle either way.
+    QueryDef.sql("q291_lead_time_percentiles") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("odate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("ship"), col("odate")).cast("long").as("lead_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("CAST(SUM(lead_days) AS DOUBLE) / COUNT(*)").as("mean_days"),
+          expr("percentile(lead_days, 0.5)").as("p50"),
+          expr("percentile(lead_days, 0.875)").as("p875"))
+        .orderBy("o_orderpriority")
+    } {
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(CAST(SUM(lead_days) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |    AS mean_days,
+        |  QUANTILE_CONT(lead_days, 0.5) AS p50,
+        |  QUANTILE_CONT(lead_days, 0.875) AS p875
+        |FROM (
+        |  SELECT o.o_orderpriority,
+        |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+        |      AS BIGINT) AS lead_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) t
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q294: SUPPLIER CONCENTRATION (HHI) per brand — the
+    // supply-chain-risk census: the Herfindahl–Hirschman index of
+    // supplier shipment shares within each part brand, plus the top
+    // supplier's share. HHI = Σc² / (Σc)² — the numerator is exact
+    // int64 over per-(brand, supplier) counts (valid to ~3e9 lines per
+    // cell), the denominator a double product, ONE division; the top
+    // share is a max over the same relation. Shape: one fact pass keyed
+    // by (brand, supplier) after a broadcast dimension join; everything
+    // downstream is brand×supplier bounded.
+    QueryDef.sql("q294_supplier_hhi") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      val p = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val cell = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey"))
+        .agg(count(lit(1)).as("c"))
+      cell.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("c")).as("n_lines"),
+          sum(col("c") * col("c")).as("sumsq"), max(col("c")).as("maxc"))
+        .select(col("p_brand"), col("n_suppliers"), col("n_lines"),
+          expr("CAST(sumsq AS DOUBLE) / " +
+            "(CAST(n_lines AS DOUBLE) * CAST(n_lines AS DOUBLE))").as("hhi"),
+          expr("CAST(maxc AS DOUBLE) / CAST(n_lines AS DOUBLE)")
+            .as("top_supplier_share"))
+        .orderBy("p_brand")
+    } {
+      """WITH cell AS (
+        |  SELECT p.p_brand, l.l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand, l.l_suppkey)
+        |SELECT p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(c) AS BIGINT) AS n_lines,
+        |  CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE)
+        |    / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+        |      * CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)) AS hhi,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+        |    AS top_supplier_share
+        |FROM cell GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q01: full-scan hash aggregation with multiple measures (TPC-H Q1
     // flavor). Map-side partial agg + 2-phase final agg; only the six
     // referenced columns are read from parquet (column pruning).
