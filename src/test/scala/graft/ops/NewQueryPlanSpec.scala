@@ -609,4 +609,59 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
         s"a q258 scan reads more than its one profiled column: $r")
     }
   }
+
+  test("q277's ADC join broadcasts the distance table and never cartesians the corpus") {
+    val p = plan("q277_pq_adc_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"q277 must never pair corpus rows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the queries×blocks×codes distance table must broadcast:\n$p")
+  }
+
+  test("q279's candidate generation never plans a cartesian product") {
+    val p = plan("q279_link_prediction")
+    assert(!p.contains("CartesianProduct"),
+      s"wedges must expand in-buffer per center, never via a product:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"existing edges must leave via one anti join:\n$p")
+  }
+
+  test("q288's concurrency windows are all keyed (user or two-pass pid)") {
+    val df = graft.SparkEntry.queries("q288_peak_concurrency")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("user_id") || w.contains("__pid"),
+        s"a q288 window is neither user-keyed nor two-pass-keyed:\n$w")
+    }
+    graft.Checkpoints.release(df)
+  }
+
+  test("q273's quintile machinery never plans an unkeyed window (no NTILE shortcut)") {
+    val df = graft.SparkEntry.queries("q273_rfm_segmentation")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("__pid"),
+        s"a q273 window does not partition by the two-pass key:\n$w")
+    }
+    graft.Checkpoints.release(df)
+  }
+
+  test("q285's per-source cut prunes map-side and the global cut is a partial top-k") {
+    val p = plan("q285_constrained_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"the src_rank <= 3 filter must push into WindowGroupLimit:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the global top-20 must be a distributed partial top-k:\n$p")
+  }
+
+  test("q290's weekly rank cuts push into WindowGroupLimit") {
+    val p = plan("q290_rank_movers")
+    assert(p.contains("WindowGroupLimit"),
+      s"both rnk filters must prune each week map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
