@@ -80,6 +80,143 @@ object TextAnalysis {
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
+    // q295: FORMAT CENSUS — the instruction-tuning mix question: what
+    // SHAPE of text does each source carry? Per source: the share of
+    // docs containing a question mark (dialog/QA signal), containing
+    // digits, "shouty" docs (>20% uppercase letters), and the mean word
+    // length — the structural fingerprint that separates prose, code,
+    // tables and templates before any model-based classifier runs. All
+    // predicates are position/char-class checks shared across engines
+    // (RE2-class patterns, the q82 contract); counts exact, shares
+    // single divisions. One scan, one source-keyed agg.
+    QueryDef.sql("q295_format_census") { (s, d) =>
+      val docs = Tables(s, d, "documents")
+        .select(col("source"),
+          (instr(col("text"), "?") > 0).cast("long").as("has_q"),
+          col("text").rlike("[0-9]").cast("long").as("has_digit"),
+          expr("length(regexp_replace(text, '[^A-Z]', ''))").as("n_upper"),
+          expr("length(regexp_replace(text, '[^A-Za-z]', ''))").as("n_alpha"),
+          expr("length(regexp_replace(text, ' ', ''))").as("n_nonspace"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("shouty",
+          (col("n_upper") * 5L > col("n_alpha")).cast("long"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("has_q")).as("n_question"),
+          sum(col("has_digit")).as("n_digit"),
+          sum(col("shouty")).as("n_shouty"),
+          sum(col("n_nonspace")).as("sum_chars"),
+          sum(col("n_tok")).as("sum_tok"))
+        .select(col("source"), col("n_docs"),
+          expr("CAST(n_question AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+            .as("question_share"),
+          expr("CAST(n_digit AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+            .as("digit_share"),
+          expr("CAST(n_shouty AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+            .as("shouty_share"),
+          expr("CAST(sum_chars AS DOUBLE) / CAST(sum_tok AS DOUBLE)")
+            .as("mean_word_len"))
+        .orderBy("source")
+    } {
+      """WITH f AS (
+        |  SELECT source,
+        |    CASE WHEN POSITION('?' IN text) > 0 THEN 1 ELSE 0 END AS has_q,
+        |    CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+        |      AS has_digit,
+        |    LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+        |    LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |    LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n_tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, has_q, has_digit,
+        |    CASE WHEN n_upper * 5 > n_alpha THEN 1 ELSE 0 END AS shouty,
+        |    n_nonspace, n_tok
+        |  FROM f)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(has_q) AS DOUBLE) / COUNT(*) AS question_share,
+        |  CAST(SUM(has_digit) AS DOUBLE) / COUNT(*) AS digit_share,
+        |  CAST(SUM(shouty) AS DOUBLE) / COUNT(*) AS shouty_share,
+        |  CAST(CAST(SUM(n_nonspace) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) AS mean_word_len
+        |FROM g GROUP BY source
+        |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q296: SOURCE-VOCABULARY DIVERGENCE (total variation) — how far
+    // each source's unigram distribution sits from the corpus's: the
+    // mixture diagnostic that catches a template/boilerplate feed
+    // before it skews training (TV, not KL — no logarithms, so both
+    // engines stay exact). Shares quantize to an integer 1e-12 grid
+    // (ONE deterministic round per (source, token) — both engines round
+    // half away from zero on positives), and the identity
+    // TV = ½[Σ_{t∈s}(|g_s−g_g| − g_g) + Σ_all g_g] keeps the work on
+    // each source's OWN vocabulary — the missing-token mass folds into
+    // one corpus constant, so no source×vocab grid ever materializes.
+    QueryDef.sql("q296_source_vocab_tv") { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val st = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val gt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cg"))
+      val gTot = gt.agg(sum(col("cg")).as("n_g"))
+      val grid = st.join(srcTot, "source")
+        .join(gt, "tok").crossJoin(broadcast(gTot))
+        .withColumn("gs", expr(
+          "CAST(ROUND((CAST(c AS DOUBLE) * 1e12) / CAST(n_s AS DOUBLE)) AS BIGINT)"))
+        .withColumn("gg", expr(
+          "CAST(ROUND((CAST(cg AS DOUBLE) * 1e12) / CAST(n_g AS DOUBLE)) AS BIGINT)"))
+      // Σ_all g_g — the corpus grid mass (≈1e12 up to rounding)
+      val gmass = gt.crossJoin(broadcast(gTot))
+        .select(expr(
+          "CAST(ROUND((CAST(cg AS DOUBLE) * 1e12) / CAST(n_g AS DOUBLE)) AS BIGINT)")
+          .as("gg"))
+        .agg(sum(col("gg")).as("gmass"))
+      grid.groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"), max(col("n_s")).as("n_tokens"),
+          sum(abs(col("gs") - col("gg")) - col("gg")).as("own_mass"))
+        .crossJoin(broadcast(gmass))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          expr("CAST(own_mass + gmass AS DOUBLE) / 2e12").as("tv_vs_corpus"))
+        .orderBy("source")
+    } {
+      """WITH toks AS (
+        |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY source, tok),
+        |srct AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+        |  FROM st GROUP BY source),
+        |gt AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cg FROM toks GROUP BY tok),
+        |gtot AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_g FROM gt),
+        |grid AS (
+        |  SELECT st.source,
+        |    CAST(ROUND((CAST(c AS DOUBLE) * 1e12) / CAST(n_s AS DOUBLE))
+        |      AS BIGINT) AS gs,
+        |    CAST(ROUND((CAST(cg AS DOUBLE) * 1e12) / CAST(n_g AS DOUBLE))
+        |      AS BIGINT) AS gg,
+        |    n_s
+        |  FROM st JOIN srct USING (source) JOIN gt USING (tok)
+        |  CROSS JOIN gtot),
+        |gmass AS (
+        |  SELECT CAST(SUM(CAST(ROUND((CAST(cg AS DOUBLE) * 1e12)
+        |    / CAST(n_g AS DOUBLE)) AS BIGINT)) AS BIGINT) AS gmass
+        |  FROM gt CROSS JOIN gtot)
+        |SELECT source, MAX(n_s) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(CAST(SUM(ABS(gs - gg) - gg) AS BIGINT) + MAX(gmass)
+        |    AS DOUBLE) / 2e12 AS tv_vs_corpus
+        |FROM grid CROSS JOIN gmass
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q285: CONSTRAINED TOP-K SELECTION — "the best 20 documents, but at
     // most 3 per source": every curation run applies a diversity cap so
     // one prolific feed can't monopolize the budget, and the naive

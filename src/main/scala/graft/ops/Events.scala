@@ -2874,6 +2874,56 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q297: INCREMENTAL-REFRESH COST ADVISOR — a rolling 7-day metric
+    // view can refresh two ways: rescan the trailing window (full) or
+    // apply the new day and retract the expiring one (incremental, the
+    // q205 maintenance algebra). This prices both PER DAY from the
+    // daily rollup alone — window_rows vs day_rows + expiring_rows —
+    // and reports the savings ratio, the number that decides the
+    // refresh strategy (and whether q205's delta pipeline is worth its
+    // complexity) for each day's actual volume mix. One fact pass to
+    // the day rollup; everything downstream is calendar-bounded window
+    // arithmetic over that rollup.
+    QueryDef.sql("q297_incremental_refresh_advisor") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("epoch", datediff(col("day"), expr("DATE '1970-01-01'")))
+      // calendar-bounded series: single-task windows over ≤365 rows/yr
+      val w7 = Window.orderBy(col("epoch")).rangeBetween(-6, 0)
+      val exp7 = Window.orderBy(col("epoch")).rangeBetween(-7, -7)
+      daily
+        .withColumn("window_rows", sum(col("n")).over(w7))
+        .withColumn("expiring_rows",
+          coalesce(sum(col("n")).over(exp7), lit(0L)))
+        .select(col("day"), col("n").as("new_rows"), col("window_rows"),
+          col("expiring_rows"),
+          (col("n") + col("expiring_rows")).as("incremental_rows"),
+          expr("CAST(n + expiring_rows AS DOUBLE) / " +
+            "CAST(window_rows AS DOUBLE)").as("incremental_cost_share"))
+        .orderBy("day")
+    } {
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS epoch
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT day, n,
+        |    CAST(SUM(n) OVER (ORDER BY epoch RANGE BETWEEN 6 PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS window_rows,
+        |    COALESCE(CAST(SUM(n) OVER (ORDER BY epoch RANGE BETWEEN
+        |      7 PRECEDING AND 7 PRECEDING) AS BIGINT), 0) AS expiring_rows
+        |  FROM daily)
+        |SELECT day, n AS new_rows, window_rows, expiring_rows,
+        |  n + expiring_rows AS incremental_rows,
+        |  CAST(n + expiring_rows AS DOUBLE) / CAST(window_rows AS DOUBLE)
+        |    AS incremental_cost_share
+        |FROM r
+        |ORDER BY day""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q292: REPEAT-PURCHASE INTERVAL HISTOGRAM — the inter-purchase-gap
     // census behind every retention/replenishment model: days between a
     // user's consecutive purchases (ONE keyed lag — join-free), bucketed
