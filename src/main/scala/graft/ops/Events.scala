@@ -2874,6 +2874,141 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q298: FUNNEL REGRESSION TEST — did this week's funnel ACTUALLY get
+    // worse, or is it noise? Per week and stage (view→click,
+    // click→purchase, presence-based within the week), the conversion
+    // rate vs the PREVIOUS week with the two-proportion z (q199's
+    // pooled-SE chain verbatim) — the monitor that stops teams from
+    // reacting to every wiggle. One fact pass to weekly user flags;
+    // stages ride a 2-row explode; the week-over-week meet is a
+    // calendar-bounded self-join; exact integer counts into one shared
+    // IEEE chain.
+    QueryDef.sql("q298_funnel_regression") { (s, d) =>
+      val flags = Tables(s, d, "events")
+        .groupBy(expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+          .as("wk"), col("user_id"))
+        .agg(max((col("event_type") === "view").cast("long")).as("v"),
+          max((col("event_type") === "click").cast("long")).as("c"),
+          max((col("event_type") === "purchase").cast("long")).as("p"))
+      val wkStage = flags.groupBy(col("wk"))
+        .agg(sum(col("v")).as("b1"), sum(col("v") * col("c")).as("x1"),
+          sum(col("v") * col("c")).as("b2"),
+          sum(col("v") * col("c") * col("p")).as("x2"))
+        .select(col("wk"), explode(expr(
+          "array(named_struct('stage', 'view_to_click', 'base', b1, 'conv', x1), " +
+            "named_struct('stage', 'click_to_purchase', 'base', b2, 'conv', x2))"))
+          .as("s"))
+        .select(col("wk"), col("s.stage").as("stage"),
+          col("s.base").as("base"), col("s.conv").as("conv"))
+      val prev = wkStage.select((col("wk") + 1L).as("wk"), col("stage"),
+        col("base").as("base_prev"), col("conv").as("conv_prev"))
+      wkStage.join(prev, Seq("wk", "stage"))
+        .filter(col("base") > 0L && col("base_prev") > 0L)
+        .select(col("wk"), col("stage"), col("base_prev"), col("conv_prev"),
+          col("base").as("base_cur"), col("conv").as("conv_cur"),
+          expr("CAST(conv_prev AS DOUBLE) / CAST(base_prev AS DOUBLE)")
+            .as("rate_prev"),
+          expr("CAST(conv AS DOUBLE) / CAST(base AS DOUBLE)").as("rate_cur"),
+          expr(FunnelZExpr).as("z_stat"))
+        .orderBy("wk", "stage")
+    } {
+      s"""WITH flags AS (
+         |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         |    user_id,
+         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+         |  FROM events GROUP BY 1, 2),
+         |wkagg AS (
+         |  SELECT wk, CAST(SUM(v) AS BIGINT) AS b1,
+         |    CAST(SUM(v * c) AS BIGINT) AS x1,
+         |    CAST(SUM(v * c) AS BIGINT) AS b2,
+         |    CAST(SUM(v * c * p) AS BIGINT) AS x2
+         |  FROM flags GROUP BY wk),
+         |ws AS (
+         |  SELECT wk, stage, base, conv FROM (
+         |    SELECT wk, UNNEST([
+         |      {'stage': 'view_to_click', 'base': b1, 'conv': x1},
+         |      {'stage': 'click_to_purchase', 'base': b2, 'conv': x2}],
+         |      recursive := true)
+         |    FROM wkagg) u),
+         |j AS (
+         |  SELECT a.wk, a.stage,
+         |    b.base AS base_prev, b.conv AS conv_prev,
+         |    a.base AS base_cur, a.conv AS conv_cur,
+         |    a.base AS base, a.conv AS conv
+         |  FROM ws a JOIN ws b ON a.wk = b.wk + 1 AND a.stage = b.stage
+         |  WHERE a.base > 0 AND b.base > 0)
+         |SELECT wk, stage, base_prev, conv_prev, base_cur, conv_cur,
+         |  CAST(conv_prev AS DOUBLE) / CAST(base_prev AS DOUBLE)
+         |    AS rate_prev,
+         |  CAST(conv AS DOUBLE) / CAST(base AS DOUBLE) AS rate_cur,
+         |  $FunnelZExpr AS z_stat
+         |FROM j
+         |ORDER BY wk, stage""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q299: COHORT LTV TRIANGLE — cumulative revenue per first-purchase
+    // cohort by week age: the lifetime-value curve that prices
+    // acquisition (and the triangle every payback-period model reads
+    // off). Cohort assignment is one user-keyed min; the triangle is a
+    // (cohort, age) agg — calendar²-bounded regardless of corpus size —
+    // with one cohort-keyed running sum. Exact cents throughout; the
+    // per-user average is the single terminal division.
+    QueryDef.sql("q299_cohort_ltv") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pv = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("wk"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val first = pv.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      val cohortSize = first.groupBy(col("cohort"))
+        .agg(countDistinct(col("user_id")).as("cohort_users"))
+      val tri = pv.join(first, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+        .agg(countDistinct(col("user_id")).as("active_users"),
+          sum(col("cents")).as("cents"))
+      val wc = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tri.join(broadcast(cohortSize), "cohort")
+        .withColumn("cum_cents", sum(col("cents")).over(wc))
+        .select(col("cohort"), col("age"), col("cohort_users"),
+          col("active_users"), col("cents"), col("cum_cents"),
+          expr("CAST(cum_cents AS DOUBLE) / CAST(cohort_users AS DOUBLE)")
+            .as("cum_cents_per_user"))
+        .orderBy("cohort", "age")
+    } {
+      """WITH pv AS (
+        |  SELECT user_id,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM pv GROUP BY user_id),
+        |cs AS (
+        |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        |  FROM f GROUP BY cohort),
+        |tri AS (
+        |  SELECT f.cohort, pv.wk - f.cohort AS age,
+        |    CAST(COUNT(DISTINCT pv.user_id) AS BIGINT) AS active_users,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM pv JOIN f ON pv.user_id = f.user_id
+        |  GROUP BY f.cohort, pv.wk - f.cohort),
+        |c AS (
+        |  SELECT tri.*, cs.cohort_users,
+        |    CAST(SUM(cents) OVER (PARTITION BY tri.cohort ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM tri JOIN cs USING (cohort))
+        |SELECT cohort, age, cohort_users, active_users, cents, cum_cents,
+        |  CAST(cum_cents AS DOUBLE) / CAST(cohort_users AS DOUBLE)
+        |    AS cum_cents_per_user
+        |FROM c
+        |ORDER BY cohort, age""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q297: INCREMENTAL-REFRESH COST ADVISOR — a rolling 7-day metric
     // view can refresh two ways: rescan the trailing window (full) or
     // apply the new day and retract the expiring one (incremental, the
@@ -3392,6 +3527,20 @@ object Events {
         |ORDER BY window_days, channel""".stripMargin
     }
   )
+
+  /** q298's two-proportion z over (base_prev, conv_prev, base, conv) —
+    * q199's pooled-SE chain, NULL on a degenerate pooled rate.
+    */
+  private def FunnelZExpr: String =
+    "CASE WHEN CAST(conv_prev + conv AS DOUBLE) / " +
+      "CAST(base_prev + base AS DOUBLE) IN (0.0, 1.0) THEN NULL ELSE " +
+      "(CAST(conv AS DOUBLE) / CAST(base AS DOUBLE) - " +
+      "CAST(conv_prev AS DOUBLE) / CAST(base_prev AS DOUBLE)) / " +
+      "SQRT((CAST(conv_prev + conv AS DOUBLE) / " +
+      "CAST(base_prev + base AS DOUBLE)) * " +
+      "(1.0 - CAST(conv_prev + conv AS DOUBLE) / " +
+      "CAST(base_prev + base AS DOUBLE)) * " +
+      "(1.0 / CAST(base AS DOUBLE) + 1.0 / CAST(base_prev AS DOUBLE))) END"
 
   /** q276's closed-form per-arm size: 2(z_a+z_b)^2*p(1-p)/(p*rel)^2, one
     * shared IEEE chain (z's are shortest-round-trip doubles for alpha=0.05

@@ -656,6 +656,86 @@ object Extended {
     },
 
     // ------------------------------------------------------------------
+    // q301: SUBJECT-ACCESS EXPORT — the GDPR/CCPA right-of-access
+    // manifest: for ONE subject, every table holding their rows, with
+    // row counts and an order-free content checksum (the receipt both
+    // the requester and the deletion pipeline — q139 — verify against).
+    // The subject here is derived deterministically (md5-min purchaser)
+    // so the oracle can replay it; in production it is an input
+    // parameter and the derivation scan disappears. Each table's slice
+    // is one keyed lookup (partition-prunable / bloom-prunable at
+    // scale); lineitem routes through the subject's orders — the same
+    // FK walk the deletion propagation uses. The union branches scan
+    // DIFFERENT tables, so no shared aggregate is re-planned.
+    QueryDef.sql("q301_subject_access_export") { (s, d) =>
+      val target = graft.Checkpoints.checkpoint(
+        Tables(s, d, "events")
+          .select(col("user_id"), graft.Ids.hash("user_id").as("h"))
+          .orderBy(col("h"), col("user_id")).limit(1)
+          .select(col("user_id").as("subject")))
+      def slice(df: org.apache.spark.sql.DataFrame, table: String,
+          keyCol: String, idHash: org.apache.spark.sql.Column) =
+        df.crossJoin(broadcast(target))
+          .filter(col(keyCol) === col("subject"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(idHash), lit(0L)).as("checksum"))
+          .select(lit(table).as("table_name"), col("n_rows"),
+            col("checksum"))
+      val ev = slice(Tables(s, d, "events"), "events", "user_id",
+        graft.Ids.hash("event_id"))
+      val cu = slice(Tables(s, d, "customer"), "customer", "c_custkey",
+        graft.Ids.hash("c_custkey"))
+      val or = slice(Tables(s, d, "orders"), "orders", "o_custkey",
+        graft.Ids.hash("o_orderkey"))
+      val li = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders").crossJoin(broadcast(target))
+            .filter(col("o_custkey") === col("subject"))
+            .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(graft.Ids.hash(
+            "concat(cast(l_orderkey AS string), ':', cast(l_linenumber AS string))")),
+            lit(0L)).as("checksum"))
+        .select(lit("lineitem").as("table_name"), col("n_rows"),
+          col("checksum"))
+      ev.unionByName(cu).unionByName(or).unionByName(li)
+        .orderBy("table_name")
+    } {
+      s"""WITH subject AS (
+         |  SELECT user_id AS s FROM (
+         |    SELECT user_id, ${graft.Ids.hashSql("user_id")} AS h
+         |    FROM events)
+         |  ORDER BY h, user_id LIMIT 1),
+         |ev AS (
+         |  SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT)
+         |      AS n_rows,
+         |    COALESCE(CAST(SUM(${graft.Ids.hashSql("event_id")})
+         |      AS BIGINT), 0) AS checksum
+         |  FROM events, subject WHERE user_id = s),
+         |cu AS (
+         |  SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+         |    COALESCE(CAST(SUM(${graft.Ids.hashSql("c_custkey")})
+         |      AS BIGINT), 0)
+         |  FROM customer, subject WHERE c_custkey = s),
+         |orr AS (
+         |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         |    COALESCE(CAST(SUM(${graft.Ids.hashSql("o_orderkey")})
+         |      AS BIGINT), 0)
+         |  FROM orders, subject WHERE o_custkey = s),
+         |li AS (
+         |  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         |    COALESCE(CAST(SUM(${graft.Ids.hashSql(
+               "(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))")}
+         |      ) AS BIGINT), 0)
+         |  FROM lineitem
+         |  WHERE l_orderkey IN (
+         |    SELECT o_orderkey FROM orders, subject WHERE o_custkey = s))
+         |SELECT * FROM ev UNION ALL SELECT * FROM cu
+         |UNION ALL SELECT * FROM orr UNION ALL SELECT * FROM li
+         |ORDER BY table_name""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q249: SCHEMA-DRIFT CENSUS — when did a producer add or drop a
     // field? Semi-structured payloads (events.props) rot silently: a
     // new app version ships an extra key, a migration renames one, and

@@ -103,6 +103,94 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // q300: INVOICE RECONCILIATION — does the order header's total match
+    // the recomputed sum of its lines? The billing-integrity audit every
+    // finance warehouse runs nightly: per order status, how many orders
+    // disagree and by how much. Line amounts are ONE shared IEEE chain
+    // (price·(1−disc)·(1+tax)) rounded to cents per LINE (the invoicing
+    // convention — and the rounding point both engines share), summed
+    // exactly; the header rounds once. One FK-keyed shuffle; everything
+    // above it is status-bounded. On this synthetic fixture the headers
+    // are independent of the lines, so the audit reports near-total
+    // mismatch — the MACHINERY is the deliverable, and the oracle
+    // hash-pins every count and cent of it.
+    QueryDef.sql("q300_invoice_reconciliation") { (s, d) =>
+      val lines = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(ROUND(l_extendedprice * (1.0 - l_discount) * " +
+            "(1.0 + l_tax) * 100) AS BIGINT)").as("line_cents"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("line_cents")).as("lines_cents"))
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("hdr_cents"))
+        .join(lines, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("diff", col("hdr_cents") - col("lines_cents"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("diff") =!= 0L, 1L).otherwise(0L)).as("n_mismatched"),
+          max(abs(col("diff"))).as("max_abs_diff_cents"),
+          sum(abs(col("diff"))).as("total_abs_diff_cents"))
+        .orderBy("o_orderstatus")
+    } {
+      """WITH lines AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+        |      * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS lines_cents
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (
+        |  SELECT o.o_orderstatus,
+        |    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) - lines_cents
+        |      AS diff
+        |  FROM orders o JOIN lines l ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN diff <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatched,
+        |  CAST(MAX(ABS(diff)) AS BIGINT) AS max_abs_diff_cents,
+        |  CAST(SUM(ABS(diff)) AS BIGINT) AS total_abs_diff_cents
+        |FROM j GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q302: DEAD-STOCK CENSUS — catalog items that never shipped, per
+    // brand: the slow-mover report behind every inventory clearance
+    // decision (and the catalog-coverage sanity check for any
+    // recommendation index built on co-purchases — q279's universe
+    // excludes exactly these). One anti join from the part dimension
+    // against the fact key (bloom-prunable at scale), one brand agg;
+    // exact counts, one division.
+    QueryDef.sql("q302_dead_stock") { (s, d) =>
+      val sold = Tables(s, d, "lineitem").select(col("l_partkey")).distinct()
+      val p = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val dead = p.join(sold, col("p_partkey") === col("l_partkey"),
+          "left_anti")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_never_sold"))
+      p.groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+        .join(dead, Seq("p_brand"), "left_outer")
+        .select(col("p_brand"), col("n_parts"),
+          coalesce(col("n_never_sold"), lit(0L)).as("n_never_sold"),
+          expr("CAST(COALESCE(n_never_sold, 0) AS DOUBLE) / " +
+            "CAST(n_parts AS DOUBLE)").as("dead_share"))
+        .orderBy("p_brand")
+    } {
+      """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+        |dead AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_never_sold
+        |  FROM part p LEFT JOIN sold s ON p.p_partkey = s.l_partkey
+        |  WHERE s.l_partkey IS NULL GROUP BY p_brand),
+        |tot AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY p_brand)
+        |SELECT tot.p_brand, n_parts,
+        |  COALESCE(n_never_sold, 0) AS n_never_sold,
+        |  CAST(COALESCE(n_never_sold, 0) AS DOUBLE)
+        |    / CAST(n_parts AS DOUBLE) AS dead_share
+        |FROM tot LEFT JOIN dead ON tot.p_brand = dead.p_brand
+        |ORDER BY tot.p_brand""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q01: full-scan hash aggregation with multiple measures (TPC-H Q1
     // flavor). Map-side partial agg + 2-phase final agg; only the six
     // referenced columns are read from parquet (column pruning).
