@@ -182,6 +182,63 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q305: SHINGLE-SIZE ADVISOR — the parameter table behind q24/q25/
+    // q136's fixed shingle width: for k ∈ {2,3,5}, the corpus shingle
+    // instance count, distinct count, duplicated-instance share and
+    // mean document frequency. Small k → hot shingles (prefix filters
+    // lose selectivity, LSH buckets overflow); large k → near-dup
+    // recall collapses; this measures the elbow on YOUR corpus instead
+    // of guessing (the q267 posture, but data-driven). ONE scan: the
+    // (k, position) fan-out happens in-buffer per document (bounded by
+    // 3× token count), shingles travel as md5 digests, and everything
+    // downstream is a (k, digest)-keyed shrinking agg.
+    QueryDef.sql("q305_shingle_size_advisor") { (s, d) =>
+      val sh = Tables(s, d, "documents")
+        .select(expr("split(text, ' ')").as("toks"))
+        .select(explode(expr(
+          """flatten(transform(array(2, 3, 5), k ->
+            |  transform(sequence(0, greatest(size(toks) - k, 0)),
+            |    i -> named_struct('k', CAST(k AS BIGINT),
+            |      'sh', md5(array_join(slice(toks, i + 1, k), ' '))))))"""
+            .stripMargin)).as("x"))
+        .select(col("x.k").as("k"), col("x.sh").as("sh"))
+      sh.groupBy(col("k"), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col("k"))
+        .agg(sum(col("c")).as("n_shingles"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("k"), col("n_shingles"), col("n_distinct"),
+          expr("CAST(n_shingles - n_distinct AS DOUBLE) / " +
+            "CAST(n_shingles AS DOUBLE)").as("dup_share"),
+          expr("CAST(n_shingles AS DOUBLE) / CAST(n_distinct AS DOUBLE)")
+            .as("mean_df"))
+        .orderBy("k")
+    } {
+      """WITH t AS (
+        |  SELECT STRING_SPLIT(text, ' ') AS toks,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+        |ks AS (SELECT UNNEST([2, 3, 5]) AS k),
+        |pos AS (
+        |  SELECT k, toks,
+        |    UNNEST(generate_series(0, GREATEST(n - k, 0))) AS i
+        |  FROM t CROSS JOIN ks),
+        |sh AS (
+        |  SELECT CAST(k AS BIGINT) AS k,
+        |    MD5(ARRAY_TO_STRING(list_slice(toks, i + 1, i + k), ' '))
+        |      AS sh
+        |  FROM pos),
+        |cnt AS (
+        |  SELECT k, sh, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM sh GROUP BY k, sh)
+        |SELECT k, CAST(SUM(c) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE)
+        |    / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS dup_share,
+        |  CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_df
+        |FROM cnt GROUP BY k
+        |ORDER BY k""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q282: DEDUP ROI ESTIMATE — the storage/compute case for running
     // the q23 pass at all, priced per source: documents that would DROP
     // under the canonical keep-min rule (q68's policy over q23's

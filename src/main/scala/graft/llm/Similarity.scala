@@ -65,6 +65,70 @@ object Similarity {
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
+    // q303: FISHER SEPARABILITY per dimension — which embedding
+    // coordinates actually separate the labels? The classic
+    // feature-selection ratio SSB/SSW (between-class over within-class
+    // variance) per dimension, the number that justifies q220's
+    // truncation order and picks projection dims for a linear probe.
+    // Moments are exact int64 on the 1e3 grid per (dim, label); the
+    // only order-sensitive term (Σ_l sx_l²/n_l) rides an ordered label
+    // fold (the q269 posture — labels are a bounded set), so both
+    // engines add the same ~10 doubles in the same sequence. One
+    // posexplode pass, a (dim × label)-keyed agg, then dim-bounded
+    // arithmetic.
+    QueryDef.sql("q303_fisher_separability") { (s, d) =>
+      val e = Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS double) * 1000.0) AS long))"))
+          .as(Seq("dim", "x")))
+      val byLab = e.groupBy(col("dim"), col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("contrib", expr(
+          "(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"))
+      byLab.groupBy(col("dim"))
+        .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx_all"),
+          sum(col("sxx")).as("sxx_all"),
+          count(lit(1)).as("n_labels"),
+          expr("aggregate(transform(sort_array(collect_list(" +
+            "struct(label, contrib))), x -> x.contrib), 0.0D, " +
+            "(acc, v) -> acc + v)").as("f"))
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          col("n_labels"),
+          expr(FisherExpr).as("fisher_ratio"))
+        .orderBy("dim")
+    } {
+      s"""WITH e AS (
+         |  SELECT label, UNNEST(v) AS x, generate_subscripts(v, 1) - 1
+         |      AS dim
+         |  FROM (SELECT label, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+         |    FROM embeddings) t),
+         |bl AS (
+         |  SELECT dim, label, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM e GROUP BY dim, label),
+         |cb AS (
+         |  SELECT dim, label, n, sx, sxx,
+         |    (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |      AS contrib
+         |  FROM bl),
+         |g AS (
+         |  SELECT CAST(dim AS BIGINT) AS dim,
+         |    CAST(SUM(n) AS BIGINT) AS n,
+         |    CAST(SUM(sx) AS BIGINT) AS sx_all,
+         |    CAST(SUM(sxx) AS BIGINT) AS sxx_all,
+         |    CAST(COUNT(*) AS BIGINT) AS n_labels,
+         |    LIST_REDUCE(LIST(contrib ORDER BY label),
+         |      (acc, v) -> acc + v) AS f
+         |  FROM cb GROUP BY dim)
+         |SELECT dim, n, n_labels, $FisherExpr AS fisher_ratio
+         |FROM g
+         |ORDER BY dim""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q286: EMBEDDING DIMENSION-MOMENT AUDIT — per-coordinate mean and
     // variance over the corpus, plus the max/min variance ratio: the
     // whitening/centering pre-check every similarity stack should run
@@ -1873,6 +1937,15 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos_sim"))
       .orderBy("q_id", "rnk")
   }
+
+  /** q303's SSB/SSW from (n, sx_all, sxx_all, f = Σ_l sx_l²/n_l):
+    * SSB = f − sx²/n, SSW = sxx − f; NULL on zero within-class
+    * variance. Products in double (the q286 overflow argument).
+    */
+  private def FisherExpr: String =
+    "CASE WHEN CAST(sxx_all AS DOUBLE) - f <= 0.0 THEN NULL ELSE " +
+      "(f - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) / (CAST(sxx_all AS DOUBLE) - f) END"
 
   /** q286's population variance (n·Σx² − (Σx)²)/n², products in double —
     * the int64 form overflows past ~2e6 vectors on the 1e3 grid.

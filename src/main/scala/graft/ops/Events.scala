@@ -2874,6 +2874,66 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q304: POINT-IN-TIME SNAPSHOTS — "what did the book look like on
+    // these dates": per reference date (the fixture span's quartiles —
+    // deterministic integer date arithmetic), each user's LATEST gauge
+    // value at or before that instant, aggregated to the snapshot
+    // census. This is q212's point-in-time join turned into the
+    // balance-sheet aggregate every finance/inventory close runs.
+    // Latest-at is one keyed max of a (tus, event_id, cents) struct —
+    // no window, no self-join; the date explode is ≤3× and the struct
+    // max's lexicographic order IS the as-of rule. Exact cents.
+    QueryDef.sql("q304_point_in_time_snapshots") { (s, d) =>
+      val pv = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"),
+          to_date(col("ts")).as("day"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val span = pv.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr(
+          """transform(sequence(1, 3), k -> date_add(d0,
+            |  CAST(k * datediff(d1, d0) div 4 AS INT)))""".stripMargin))
+          .as("ref_date"))
+      pv.crossJoin(broadcast(span))
+        .filter(col("day") <= col("ref_date"))
+        .groupBy(col("ref_date"), col("user_id"))
+        .agg(max(struct(col("tus"), col("event_id"), col("cents")))
+          .getField("cents").as("latest_cents"))
+        .groupBy(col("ref_date"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("latest_cents")).as("total_cents"))
+        .select(col("ref_date"), col("n_users"), col("total_cents"),
+          expr("CAST(total_cents AS DOUBLE) / CAST(n_users AS DOUBLE)")
+            .as("mean_cents"))
+        .orderBy("ref_date")
+    } {
+      """WITH pv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |span AS (
+        |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM pv),
+        |refs AS (
+        |  SELECT d0 + CAST(k * (d1 - d0) // 4 AS INTEGER) AS ref_date
+        |  FROM span, (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS k) g),
+        |latest AS (
+        |  SELECT r.ref_date, user_id,
+        |    MAX(struct_pack(tus := tus, event_id := event_id,
+        |      cents := cents)) AS m
+        |  FROM pv CROSS JOIN refs r
+        |  WHERE day <= r.ref_date
+        |  GROUP BY r.ref_date, user_id)
+        |SELECT ref_date, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(m['cents']) AS BIGINT) AS total_cents,
+        |  CAST(CAST(SUM(m['cents']) AS BIGINT) AS DOUBLE) / COUNT(*)
+        |    AS mean_cents
+        |FROM latest GROUP BY ref_date
+        |ORDER BY ref_date""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q298: FUNNEL REGRESSION TEST — did this week's funnel ACTUALLY get
     // worse, or is it noise? Per week and stage (view→click,
     // click→purchase, presence-based within the week), the conversion
