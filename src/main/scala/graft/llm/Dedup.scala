@@ -182,6 +182,56 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q308: DUPLICATE-CLUSTER SIZE HISTOGRAM — the shape of the
+    // duplication, not just its volume: how many q23 digest groups have
+    // 2, 3, …, 10+ copies, each band's document mass, and the largest
+    // cluster's share of all duplicated docs. A boilerplate/empty-doc
+    // pathology shows up as ONE giant cluster (fix the extractor); true
+    // mirroring shows up as many pairs (run the dedup) — this histogram
+    // is how you tell. Digest-keyed single shuffle (the q23 shape),
+    // then a ≤10-band census; exact ints, one division.
+    QueryDef.sql("q308_dup_cluster_histogram") { (s, d) =>
+      val groups = Tables(s, d, "documents")
+        .withColumn("canon_key", md5(array_join(sort_array(tokenSet), " ")))
+        .groupBy(col("canon_key")).agg(count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1L)
+      val tot = groups.agg(sum(col("n_copies")).as("dup_docs"),
+        max(col("n_copies")).as("max_cluster"))
+      groups
+        .withColumn("band", least(col("n_copies"), lit(10L)))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("n_copies")).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n_clusters"), col("n_docs"),
+          expr("CAST(n_docs AS DOUBLE) / CAST(dup_docs AS DOUBLE)")
+            .as("doc_share"),
+          expr("CAST(max_cluster AS DOUBLE) / CAST(dup_docs AS DOUBLE)")
+            .as("largest_cluster_share"))
+        .orderBy("band")
+    } {
+      """WITH g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_copies
+        |  FROM documents
+        |  GROUP BY MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+        |    STRING_SPLIT(text, ' '))), ' '))
+        |  HAVING COUNT(*) > 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_copies) AS BIGINT) AS dup_docs,
+        |    CAST(MAX(n_copies) AS BIGINT) AS max_cluster
+        |  FROM g)
+        |SELECT LEAST(n_copies, 10) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_copies) AS DOUBLE) / CAST(dup_docs AS DOUBLE)
+        |    AS doc_share,
+        |  CAST(max_cluster AS DOUBLE) / CAST(dup_docs AS DOUBLE)
+        |    AS largest_cluster_share
+        |FROM g CROSS JOIN tot
+        |GROUP BY LEAST(n_copies, 10), dup_docs, max_cluster
+        |ORDER BY band""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q305: SHINGLE-SIZE ADVISOR — the parameter table behind q24/q25/
     // q136's fixed shingle width: for k ∈ {2,3,5}, the corpus shingle
     // instance count, distinct count, duplicated-instance share and

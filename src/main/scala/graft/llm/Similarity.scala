@@ -65,6 +65,56 @@ object Similarity {
 
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
+    // q307: EMBEDDING COVERAGE AUDIT — every embedding job drops rows
+    // (codec failures, length caps, OOM retries), and every downstream
+    // similarity query silently inherits the holes. Per source: docs
+    // without an embedding, embeddings without a doc (the orphan
+    // direction — a stale index serving deleted rows), and coverage
+    // share. One full-outer keyed join of the two id sets, then
+    // source-bounded count arithmetic (orphans carry no source — they
+    // report under 'ORPHANED'). The cross-modality twin of q137's
+    // referential-integrity audit.
+    QueryDef.sql("q307_embedding_coverage") { (s, d) =>
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+      val vecs = Tables(s, d, "embeddings").select(col("vec_id"))
+      docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+        .select(
+          coalesce(col("source"), lit("ORPHANED")).as("source"),
+          col("doc_id").isNotNull.cast("long").as("has_doc"),
+          col("vec_id").isNotNull.cast("long").as("has_vec"))
+        .groupBy(col("source"))
+        .agg(sum(col("has_doc")).as("n_docs"),
+          sum(col("has_doc") * col("has_vec")).as("n_embedded"),
+          sum(col("has_doc") * (lit(1L) - col("has_vec")))
+            .as("n_missing_embedding"),
+          sum((lit(1L) - col("has_doc")) * col("has_vec"))
+            .as("n_orphan_embeddings"))
+        .withColumn("coverage",
+          when(col("n_docs") === 0L, lit(null).cast("double"))
+            .otherwise(expr(
+              "CAST(n_embedded AS DOUBLE) / CAST(n_docs AS DOUBLE)")))
+        .orderBy("source")
+    } {
+      """WITH j AS (
+        |  SELECT COALESCE(d.source, 'ORPHANED') AS source,
+        |    CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS has_doc,
+        |    CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_vec
+        |  FROM documents d FULL OUTER JOIN embeddings e
+        |    ON d.doc_id = e.vec_id)
+        |SELECT source, CAST(SUM(has_doc) AS BIGINT) AS n_docs,
+        |  CAST(SUM(has_doc * has_vec) AS BIGINT) AS n_embedded,
+        |  CAST(SUM(has_doc * (1 - has_vec)) AS BIGINT)
+        |    AS n_missing_embedding,
+        |  CAST(SUM((1 - has_doc) * has_vec) AS BIGINT)
+        |    AS n_orphan_embeddings,
+        |  CASE WHEN SUM(has_doc) = 0 THEN NULL
+        |    ELSE CAST(SUM(has_doc * has_vec) AS DOUBLE)
+        |      / CAST(SUM(has_doc) AS DOUBLE) END AS coverage
+        |FROM j GROUP BY source
+        |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q303: FISHER SEPARABILITY per dimension — which embedding
     // coordinates actually separate the labels? The classic
     // feature-selection ratio SSB/SSW (between-class over within-class

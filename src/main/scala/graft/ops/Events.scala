@@ -2874,6 +2874,106 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q306: QUANTILE TREATMENT EFFECT — A/B readouts on heavy-tailed
+    // spend metrics mislead at the mean (one whale flips the sign);
+    // the distributional readout compares QUANTILES between arms. Arms
+    // are the library md5 split (q53's recipe — the assignment a real
+    // experiment would reuse); per arm, exact P50/P87.5 of purchase
+    // cents at binary-exact fractions (the q57 contract), and the
+    // per-quantile arm difference. Median-shift vs mean-shift is the
+    // robustness check q199 cannot give. One scan, two arm-keyed
+    // exact-percentile aggs (q57's scale caveat applies per arm).
+    QueryDef.sql("q306_quantile_treatment_effect") { (s, d) =>
+      val arms = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(pmod(graft.Ids.hash("user_id"), lit(2L)).as("arm"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.875)").as("p875"))
+      val a = arms.filter(col("arm") === 0L)
+        .select(col("n").as("n_a"), col("p50").as("p50_a"),
+          col("p875").as("p875_a"))
+      val b = arms.filter(col("arm") === 1L)
+        .select(col("n").as("n_b"), col("p50").as("p50_b"),
+          col("p875").as("p875_b"))
+      a.crossJoin(broadcast(b))
+        .select(col("n_a"), col("n_b"), col("p50_a"), col("p50_b"),
+          (col("p50_b") - col("p50_a")).as("qte_p50"),
+          col("p875_a"), col("p875_b"),
+          (col("p875_b") - col("p875_a")).as("qte_p875"))
+    } {
+      s"""WITH pv AS (
+         |  SELECT (${graft.Ids.hashSql("user_id")} % 2) AS arm,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |arms AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         |    QUANTILE_CONT(cents, 0.5) AS p50,
+         |    QUANTILE_CONT(cents, 0.875) AS p875
+         |  FROM pv GROUP BY arm)
+         |SELECT a.n AS n_a, b.n AS n_b, a.p50 AS p50_a, b.p50 AS p50_b,
+         |  b.p50 - a.p50 AS qte_p50,
+         |  a.p875 AS p875_a, b.p875 AS p875_b,
+         |  b.p875 - a.p875 AS qte_p875
+         |FROM (SELECT * FROM arms WHERE arm = 0) a
+         |CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q309: SEASONALITY-ADJUSTED ANOMALY FLAGS — q272 measures the
+    // weekday profile; this APPLIES it: a day is anomalous when its
+    // volume breaks 2× (or ½×) its weekday's own mean — the comparison
+    // that stops Monday from paging just for not being Saturday. The
+    // flag is an exact CROSS-MULTIPLIED integer test (c·n_w vs 2·S_w —
+    // no double threshold can drift between engines); the reported
+    // ratio is the single terminal division. Leave-one-out is
+    // deliberately NOT applied (the weekday mean includes the day
+    // itself — documented, consistent on both engines). The 3 most
+    // extreme days always surface (with the exact flag), so a healthy
+    // corpus reports its worst ratio instead of an empty relation.
+    // Calendar-bounded after the one fact pass.
+    QueryDef.sql("q309_seasonal_anomalies") { (s, d) =>
+      val daily = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("wd", expr("datediff(day, DATE '1970-01-01') % 7"))
+      val byWd = daily.groupBy(col("wd"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s_w"))
+      daily.join(broadcast(byWd), "wd")
+        .select(col("day"), col("wd"), col("c"),
+          expr("(CAST(c AS DOUBLE) * CAST(n_days AS DOUBLE)) / " +
+            "CAST(s_w AS DOUBLE)").as("ratio_to_weekday_mean"),
+          (col("c") * col("n_days") > lit(2L) * col("s_w") ||
+            lit(2L) * col("c") * col("n_days") < col("s_w"))
+            .as("is_anomaly"))
+        // always surface the 3 most extreme days (flag still exact):
+        // a healthy corpus reports "nothing anomalous, worst was 1.04x"
+        // instead of an empty relation
+        .orderBy(abs(col("ratio_to_weekday_mean") - 1.0).desc, col("day"))
+        .limit(3)
+    } {
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS wd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |bywd AS (
+        |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS s_w
+        |  FROM daily GROUP BY wd)
+        |SELECT day, daily.wd, c,
+        |  (CAST(c AS DOUBLE) * CAST(n_days AS DOUBLE))
+        |    / CAST(s_w AS DOUBLE) AS ratio_to_weekday_mean,
+        |  (c * n_days > 2 * s_w OR 2 * c * n_days < s_w) AS is_anomaly
+        |FROM daily JOIN bywd ON daily.wd = bywd.wd
+        |ORDER BY ABS((CAST(c AS DOUBLE) * CAST(n_days AS DOUBLE))
+        |    / CAST(s_w AS DOUBLE) - 1.0) DESC, day
+        |LIMIT 3""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q304: POINT-IN-TIME SNAPSHOTS — "what did the book look like on
     // these dates": per reference date (the fixture span's quartiles —
     // deterministic integer date arithmetic), each user's LATEST gauge
