@@ -2874,6 +2874,131 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q310: ERROR-RECOVERY LATENCY — the user-facing MTTR: for every
+    // error event, the time until that user's next NON-error event
+    // (one keyed scan-forward window, join-free), summarized as exact
+    // global P50/P87.5 through Scale.exactQuantiles — the two-pass
+    // frozen range shuffle, so the corpus-scale distribution is never
+    // buffered in one task (the q102 posture; binary-exact fractions
+    // keep both engines bit-identical on integer µs). Errors with no
+    // later activity are right-censored and reported separately — a
+    // recovery metric that silently drops them overstates health.
+    QueryDef.sql("q310_error_recovery_latency") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // running frame over the REVERSED order, not an
+      // unbounded-FOLLOWING frame: WindowExec re-scans following frames
+      // per row (the q182 O(n²) trap, SCALING.md); a descending running
+      // min computes incrementally
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"))
+      val rec = ev
+        .withColumn("next_ok", min(
+          when(col("event_type") =!= "error", col("tus"))).over(wo))
+        .filter(col("event_type") === "error")
+        .select((col("next_ok") - col("tus")).as("rec_us"))
+      val counts = rec.agg(count(lit(1)).as("n_errors"),
+        sum(col("rec_us").isNull.cast("long")).as("n_censored"))
+      val qs = Scale.exactQuantiles(
+        rec.filter(col("rec_us").isNotNull), "rec_us", Seq(0.5, 0.875))
+      val p50 = qs.filter(col("p") === 0.5)
+        .select(col("quantile").as("p50_us"))
+      val p875 = qs.filter(col("p") === 0.875)
+        .select(col("quantile").as("p875_us"))
+      counts.crossJoin(broadcast(p50)).crossJoin(broadcast(p875))
+        .select(col("n_errors"), col("n_censored"),
+          expr("CAST(n_censored AS DOUBLE) / CAST(n_errors AS DOUBLE)")
+            .as("censored_share"),
+          col("p50_us"), col("p875_us"))
+    } {
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |r AS (
+        |  SELECT
+        |    MIN(CASE WHEN event_type <> 'error' THEN tus END)
+        |      OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - tus AS rec_us,
+        |    event_type
+        |  FROM ev),
+        |e AS (SELECT rec_us FROM r WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_errors,
+        |    CAST(SUM(CASE WHEN rec_us IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_censored
+        |  FROM e),
+        |q AS (
+        |  SELECT QUANTILE_CONT(rec_us, 0.5) AS p50_us,
+        |    QUANTILE_CONT(rec_us, 0.875) AS p875_us
+        |  FROM e WHERE rec_us IS NOT NULL)
+        |SELECT n_errors, n_censored,
+        |  CAST(n_censored AS DOUBLE) / CAST(n_errors AS DOUBLE)
+        |    AS censored_share,
+        |  p50_us, p875_us
+        |FROM c CROSS JOIN q""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q311: HOURLY CONVERSION PROFILE — when does the funnel actually
+    // convert? Per hour of day (UTC, engine-neutral integer
+    // arithmetic): views, views converted within one hour (q22's
+    // interval-join semantics, credited to the VIEW's hour), and the
+    // rate — the dayparting input for spend pacing and the load-shape
+    // prior for q288's capacity number. The interval join is
+    // user-keyed with a ±1h band; hours are 24 groups; exact counts,
+    // one division.
+    QueryDef.sql("q311_hourly_conversion_profile") { (s, d) =>
+      val ev = Tables(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+          expr("unix_micros(cast(ts AS timestamp))").as("v_tus"))
+        .withColumn("hod", expr("CAST((v_tus div 3600000000) % 24 AS BIGINT)"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"),
+          expr("unix_micros(cast(ts AS timestamp))").as("b_tus"))
+      val conv = views.join(buys,
+          col("v_user") === col("b_user") &&
+            col("b_tus") > col("v_tus") &&
+            col("b_tus") <= col("v_tus") + lit(3600000000L))
+        .select(col("v_id"), col("hod")).distinct()
+        .groupBy(col("hod")).agg(count(lit(1)).as("n_converted"))
+      views.groupBy(col("hod")).agg(count(lit(1)).as("n_views"))
+        .join(conv, Seq("hod"), "left_outer")
+        .select(col("hod"), col("n_views"),
+          coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+          expr("CAST(COALESCE(n_converted, 0) AS DOUBLE) / " +
+            "CAST(n_views AS DOUBLE)").as("conversion_rate"))
+        .orderBy("hod")
+    } {
+      """WITH v AS (
+        |  SELECT user_id AS v_user, event_id AS v_id,
+        |    epoch_us(ts) AS v_tus,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod
+        |  FROM events WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT user_id AS b_user, epoch_us(ts) AS b_tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_converted FROM (
+        |    SELECT DISTINCT v_id, hod
+        |    FROM v JOIN b ON v_user = b_user
+        |      AND b_tus > v_tus AND b_tus <= v_tus + 3600000000) t
+        |  GROUP BY hod),
+        |vh AS (
+        |  SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_views
+        |  FROM v GROUP BY hod)
+        |SELECT vh.hod, n_views, COALESCE(n_converted, 0) AS n_converted,
+        |  CAST(COALESCE(n_converted, 0) AS DOUBLE)
+        |    / CAST(n_views AS DOUBLE) AS conversion_rate
+        |FROM vh LEFT JOIN conv ON vh.hod = conv.hod
+        |ORDER BY vh.hod""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q306: QUANTILE TREATMENT EFFECT — A/B readouts on heavy-tailed
     // spend metrics mislead at the mean (one whale flips the sign);
     // the distributional readout compares QUANTILES between arms. Arms
