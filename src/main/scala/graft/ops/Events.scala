@@ -2874,6 +2874,57 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q313: REVENUE GROWTH DECOMPOSITION — the FP&A bridge: each week's
+    // revenue delta split into the VOLUME effect (more purchases at
+    // last week's average ticket) and the PRICE/MIX effect (this week's
+    // volume at the change in average ticket) — the first question any
+    // revenue review asks of a move. Weekly counts and cents are exact
+    // int64; the two effects are shared IEEE chains off those exact
+    // operands (the delta itself stays exact); weeks meet in a
+    // calendar-bounded self-join (q275's posture).
+    QueryDef.sql("q313_growth_decomposition") { (s, d) =>
+      val wk = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+          .as("wk"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"))
+      val prev = wk.select((col("wk") + 1L).as("wk"),
+        col("n").as("n_prev"), col("cents").as("cents_prev"))
+      wk.join(prev, "wk")
+        .select(col("wk"), col("n_prev"), col("n").as("n_cur"),
+          col("cents_prev"), col("cents").as("cents_cur"),
+          (col("cents") - col("cents_prev")).as("delta_cents"),
+          expr("CAST(n - n_prev AS DOUBLE) * " +
+            "(CAST(cents_prev AS DOUBLE) / CAST(n_prev AS DOUBLE))")
+            .as("volume_effect"),
+          expr("CAST(n AS DOUBLE) * " +
+            "(CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) - " +
+            "CAST(cents_prev AS DOUBLE) / CAST(n_prev AS DOUBLE))")
+            .as("price_effect"))
+        .orderBy("wk")
+    } {
+      """WITH wk AS (
+        |  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT a.wk, b.n AS n_prev, a.n AS n_cur,
+        |  b.cents AS cents_prev, a.cents AS cents_cur,
+        |  a.cents - b.cents AS delta_cents,
+        |  CAST(a.n - b.n AS DOUBLE)
+        |    * (CAST(b.cents AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    AS volume_effect,
+        |  CAST(a.n AS DOUBLE)
+        |    * (CAST(a.cents AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.cents AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    AS price_effect
+        |FROM wk a JOIN wk b ON a.wk = b.wk + 1
+        |ORDER BY a.wk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q310: ERROR-RECOVERY LATENCY — the user-facing MTTR: for every
     // error event, the time until that user's next NON-error event
     // (one keyed scan-forward window, join-free), summarized as exact

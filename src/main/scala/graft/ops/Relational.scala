@@ -103,6 +103,88 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // q312: LEAD-TIME VARIANCE SPLIT — is fulfillment latency a
+    // SUPPLIER problem or ambient noise? Eta² of q291's lead days
+    // between suppliers (the share of variance the supplier identity
+    // explains — high means fix vendors, low means fix the process),
+    // plus the slowest suppliers by exact mean with their volume.
+    // Order-free exactness trick: the one fractional per-group term
+    // (S_g²/n_g) quantizes to an integer micro-grid with ONE
+    // deterministic rounding per supplier, so the cross-supplier sum is
+    // exact int64 in ANY order — no ordered fold needed even over an
+    // unbounded supplier dimension (upgrades the q269/q272 posture).
+    // One FK-keyed shuffle + a supplier-keyed agg; top-5 is a
+    // distributed partial top-k.
+    QueryDef.sql("q312_leadtime_variance_split") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          to_date(col("l_shipdate")).as("ship"))
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+      val lead = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          datediff(col("ship"), col("odate")).cast("long").as("ld"))
+      val bySupp = lead.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_g"), sum(col("ld")).as("s_g"),
+          sum(col("ld") * col("ld")).as("q_g"))
+        .withColumn("contrib", expr(
+          "CAST(ROUND((CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) * 1e6) / " +
+            "CAST(n_g AS DOUBLE)) AS BIGINT)"))
+      val glob = bySupp.agg(sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("sx"), sum(col("q_g")).as("q"),
+        sum(col("contrib")).as("f6"), count(lit(1)).as("n_suppliers"))
+        .select(col("n"), col("n_suppliers"),
+          expr(LeadEta2Expr).as("supplier_eta2"))
+      import org.apache.spark.sql.expressions.Window
+      val top = bySupp
+        .select(col("l_suppkey"), col("n_g"),
+          expr("CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)").as("mean_days"))
+        .orderBy(col("mean_days").desc, col("l_suppkey")).limit(5)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("mean_days").desc, col("l_suppkey"))))
+      top.crossJoin(broadcast(glob))
+        .select(col("rnk"), col("l_suppkey"), col("n_g").as("n_lines"),
+          col("mean_days"), col("n"), col("n_suppliers"),
+          col("supplier_eta2"))
+        .orderBy("rnk")
+    } {
+      s"""WITH lead AS (
+         |  SELECT l.l_suppkey,
+         |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+         |      AS BIGINT) AS ld
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |bys AS (
+         |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_g,
+         |    CAST(SUM(ld) AS BIGINT) AS s_g,
+         |    CAST(SUM(ld * ld) AS BIGINT) AS q_g
+         |  FROM lead GROUP BY l_suppkey),
+         |cb AS (
+         |  SELECT *, CAST(ROUND((CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+         |    * 1e6) / CAST(n_g AS DOUBLE)) AS BIGINT) AS contrib
+         |  FROM bys),
+         |gb AS (
+         |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         |    CAST(SUM(s_g) AS BIGINT) AS sx,
+         |    CAST(SUM(q_g) AS BIGINT) AS q,
+         |    CAST(SUM(contrib) AS BIGINT) AS f6,
+         |    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+         |  FROM cb),
+         |ge AS (SELECT n, n_suppliers, $LeadEta2Expr AS supplier_eta2
+         |       FROM gb),
+         |top AS (
+         |  SELECT l_suppkey, n_g,
+         |    CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_days,
+         |    ROW_NUMBER() OVER (ORDER BY CAST(s_g AS DOUBLE)
+         |      / CAST(n_g AS DOUBLE) DESC, l_suppkey) AS rnk
+         |  FROM bys)
+         |SELECT rnk, l_suppkey, n_g AS n_lines, mean_days,
+         |  n, n_suppliers, supplier_eta2
+         |FROM top CROSS JOIN ge
+         |WHERE rnk <= 5
+         |ORDER BY rnk""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q300: INVOICE RECONCILIATION — does the order header's total match
     // the recomputed sum of its lines? The billing-integrity audit every
     // finance warehouse runs nightly: per order status, how many orders
@@ -858,4 +940,16 @@ object Relational {
       |  WHERE l2.l_partkey = l.l_partkey)
       |GROUP BY p.p_brand
       |ORDER BY p.p_brand""".stripMargin
+
+  /** q312's eta² from (n, sx, q, f6 = Σ round(1e6·S_g²/n_g)):
+    * (F − sx²/n)/(Q − sx²/n) with F = f6/1e6; NULL on zero total
+    * variance. Products in double (the q286 overflow argument).
+    */
+  private def LeadEta2Expr: String =
+    "CASE WHEN CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+      "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) <= 0.0 THEN NULL ELSE " +
+      "(CAST(f6 AS DOUBLE) / 1e6 - CAST(sx AS DOUBLE) * " +
+      "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "(CAST(q AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+      "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) END"
 }

@@ -1201,6 +1201,66 @@ object StreamOps {
       }
   }
 
+  /** One finalized day of the live seasonal-anomaly pager — q309's
+    * twin.
+    */
+  final case class SeasonalAlert(day: String, wd: Long, n: Long,
+      ratio_to_weekday_mean: Double, is_anomaly: Boolean)
+
+  /** Streaming seasonality-adjusted anomaly pager — q309's live twin,
+    * and the model-in-the-loop streaming shape: the weekday profile is
+    * TRAINED in batch (q272/q309's exact (n_days, s_w) pairs, passed in
+    * as a 7-row model — in production, refreshed on whatever cadence
+    * the batch pipeline runs) and the stream only keeps one counter per
+    * open day. When the watermark closes a day, the batch twin's exact
+    * cross-multiplied 2× test fires against the day's own weekday mean
+    * — Monday pages only for not being MONDAY. Day keys are engine-
+    * neutral epoch arithmetic; the model rides the closure (7 longs),
+    * never a join.
+    */
+  def seasonalAnomalyAlerts(events: DataFrame, timeCol: String,
+      typeCol: String, weekdayModel: Map[Long, (Long, Long)],
+      watermarkDelay: String): Dataset[SeasonalAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(weekdayModel.nonEmpty, "weekday model must not be empty")
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      // the purchase filter runs INSIDE the state function: Catalyst
+      // pushes deterministic filters below EventTimeWatermark, so a
+      // pre-filter would freeze the watermark whenever only other-type
+      // traffic flows (SCALING.md's round-8 streaming trap)
+      .select(col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
+        (col(typeCol) === "purchase").cast("long"))
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, SeasonalAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (day, rows, state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          rows.foreach(r => n += r._3)
+          val wmMs = state.getCurrentWatermarkMs()
+          val dayEndMs = (day + 1L) * 86400000L
+          if (wmMs >= dayEndMs) {
+            state.remove()
+            val wd = ((day % 7L) + 7L) % 7L
+            weekdayModel.get(wd) match {
+              case Some((nDays, sw)) if n > 0L && nDays > 0L && sw > 0L =>
+                val anomalous = n * nDays > 2L * sw || 2L * n * nDays < sw
+                Iterator(SeasonalAlert(
+                  java.time.LocalDate.ofEpochDay(day).toString, wd, n,
+                  (n.toDouble * nDays.toDouble) / sw.toDouble, anomalous))
+              case _ => Iterator.empty
+            }
+          } else {
+            state.update(n)
+            state.setTimeoutTimestamp(math.max(wmMs + 60000L, dayEndMs + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One finalized week of the live distribution-drift monitor —
     * q275's twin.
     */

@@ -1056,6 +1056,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == exp)
   }
 
+  test("seasonalAnomalyAlerts fires the batch 2x weekday test on finalized days") {
+    import spark.implicits._
+    val day0 = java.time.LocalDate.ofEpochDay(2821L * 7) // wd 0
+    def dTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(day0.plusDays(day.toLong).atTime(hour, 0))
+    // model: weekday 0 mean 4 (n_days=2, s_w=8), weekday 1 mean 10
+    val model = Map(0L -> (2L, 8L), 1L -> (2L, 20L))
+    // day 0 (wd 0): 9 purchases -> 9*2 > 2*8 -> anomaly (ratio 2.25)
+    // day 1 (wd 1): 10 purchases -> exactly the mean -> healthy
+    // day 7 (wd 0): 1 purchase -> 2*1*2 < 8 -> anomaly (ratio 0.25)
+    val rows = new scala.util.Random(4).shuffle(
+      (1 to 9).map(i => (dTs(0, 1 + i % 20), "purchase")) ++
+        (1 to 10).map(i => (dTs(1, 1 + i % 20), "purchase")) ++
+        Seq((dTs(7, 5), "purchase"), (dTs(0, 6), "view")))
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamOps.seasonalAnomalyAlerts(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      model, watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS sa_sink")
+    val q = out.writeStream.format("memory").queryName("sa_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((dTs(10, 12), "flush"))
+      q.processAllAvailable()
+      input.addData((dTs(11, 12), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sa_sink")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    val exp = Set(
+      (day0.toString, 0L, 9L, 2.25, true),
+      (day0.plusDays(1).toString, 1L, 10L, 1.0, false),
+      (day0.plusDays(7).toString, 0L, 1L, 0.25, true))
+    assert(got == exp)
+  }
+
   test("weeklyTvDrift finalizes adjacent weeks with the batch cross-multiplied TV") {
     import spark.implicits._
     val day0 = java.time.LocalDate.ofEpochDay(2820L * 7) // a week boundary
