@@ -2874,6 +2874,138 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q314: SEGMENT BEHAVIOR PROFILE — the flagship `entry` join as a
+    // registered, oracle-checked operator: events enriched with the
+    // customer dimension (broadcast — never a shuffled fact-dimension
+    // join), rolled up per market segment into the engagement/monetize
+    // profile (users, events/user, purchases, exact cents, cents per
+    // purchase). Exact counts; ratios are single divisions.
+    QueryDef.sql("q314_segment_behavior") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum((col("event_type") === "purchase").cast("long"))
+            .as("n_purchases"),
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("purchase_cents"))
+        .select(col("c_mktsegment"), col("n_users"), col("n_events"),
+          col("n_purchases"), col("purchase_cents"),
+          expr("CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE)")
+            .as("events_per_user"),
+          expr("CASE WHEN n_purchases = 0 THEN NULL ELSE " +
+            "CAST(purchase_cents AS DOUBLE) / CAST(n_purchases AS DOUBLE) END")
+            .as("cents_per_purchase"))
+        .orderBy("c_mktsegment")
+    } {
+      """SELECT c.c_mktsegment,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN e.event_type = 'purchase'
+        |    THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END)
+        |    AS BIGINT) AS purchase_cents,
+        |  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT e.user_id)
+        |    AS events_per_user,
+        |  CASE WHEN SUM(CASE WHEN e.event_type = 'purchase' THEN 1
+        |      ELSE 0 END) = 0 THEN NULL
+        |    ELSE CAST(SUM(CASE WHEN e.event_type = 'purchase'
+        |      THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END)
+        |      AS DOUBLE)
+        |      / SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    END AS cents_per_purchase
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q315: EXACT MULTI-TOUCH ATTRIBUTION — q153/q280 give the last
+    // touch everything; linear attribution splits each purchase's cents
+    // EQUALLY across every touch in its 7-day lookback — and does it in
+    // EXACT INTEGER CENTS via largest-remainder apportionment (cents
+    // div k to every touch, +1 cent to the cents-mod-k most recent —
+    // the q210 integer-apportionment posture), so the attributed totals
+    // conserve the revenue to the cent and no engine can drift a
+    // floating credit. Touchless purchases credit 'organic' in full.
+    // Shape: one user-keyed interval join (7-day band), one
+    // per-purchase window over its bounded touch fan-out, one channel
+    // agg.
+    QueryDef.sql("q315_multitouch_attribution") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(cast(ts AS timestamp))").as("tus"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+          col("tus").as("b_tus"), col("cents").as("b_cents"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+          col("event_type").as("channel"), col("tus").as("t_tus"))
+      val joined = buys.join(touches,
+        col("b_user") === col("t_user") &&
+          col("t_tus") < col("b_tus") &&
+          col("t_tus") >= col("b_tus") - lit(604800000000L), "left_outer")
+      val wp = Window.partitionBy(col("b_id"))
+      val wr = wp.orderBy(col("t_tus").desc, col("t_id").desc)
+      val credited = joined
+        .withColumn("k", count(col("t_id")).over(wp))
+        .withColumn("rnk", row_number().over(wr))
+        .withColumn("channel2",
+          when(col("k") === 0L, lit("organic")).otherwise(col("channel")))
+        .withColumn("credit",
+          when(col("k") === 0L, col("b_cents")).otherwise(
+            expr("b_cents div k") +
+              when(col("rnk") <= expr("b_cents % k"), 1L).otherwise(0L)))
+      credited.groupBy(col("channel2").as("channel"))
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit")).as("attributed_cents"))
+        .orderBy("channel")
+    } {
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id AS b_user, event_id AS b_id, tus AS b_tus,
+        |    cents AS b_cents
+        |  FROM ev WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS t_user, event_id AS t_id,
+        |    event_type AS channel, tus AS t_tus
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT b.*, t.t_id, t.channel, t.t_tus
+        |  FROM b LEFT JOIN t ON b_user = t_user
+        |    AND t_tus < b_tus AND t_tus >= b_tus - 604800000000),
+        |w AS (
+        |  SELECT *,
+        |    COUNT(t_id) OVER (PARTITION BY b_id) AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY b_id
+        |      ORDER BY t_tus DESC, t_id DESC) AS rnk
+        |  FROM j),
+        |cr AS (
+        |  SELECT CASE WHEN k = 0 THEN 'organic' ELSE channel END
+        |      AS channel,
+        |    CASE WHEN k = 0 THEN b_cents
+        |      ELSE b_cents // k
+        |        + CASE WHEN rnk <= b_cents % k THEN 1 ELSE 0 END END
+        |      AS credit
+        |  FROM w)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(credit) AS BIGINT) AS attributed_cents
+        |FROM cr GROUP BY channel
+        |ORDER BY channel""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q313: REVENUE GROWTH DECOMPOSITION — the FP&A bridge: each week's
     // revenue delta split into the VOLUME effect (more purchases at
     // last week's average ticket) and the PRICE/MIX effect (this week's

@@ -1830,4 +1830,19 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
       if (se != 0.0 && math.abs(z) > 1.96) 1L else 0L)))
     assert(na + nb == perUser.size.toLong)
   }
+
+  test("q315 multi-touch attribution conserves revenue to the cent") {
+    // largest-remainder apportionment must hand out EXACTLY each
+    // purchase's cents — the invariant that makes integer multi-touch
+    // auditable (a floating split drifts by ulps and never reconciles)
+    val attributed = graft.SparkEntry
+      .queries("q315_multitouch_attribution")(spark, d)
+      .agg(sum(col("attributed_cents"))).collect().head.getLong(0)
+    val total = graft.Tables(spark, d, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")))
+      .collect().head.getLong(0)
+    assert(attributed == total,
+      s"attributed $attributed cents != purchase total $total cents")
+  }
 }
