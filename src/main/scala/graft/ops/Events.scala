@@ -2874,6 +2874,56 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q316: CHURN-RISK CENSUS — per market segment, users whose last
+    // activity is ≥ 28 days behind the corpus high-water mark (the
+    // at-risk definition every retention program starts from), with the
+    // churned share and the median staleness of the churned. Exact
+    // integer day arithmetic against one broadcast high-water row; the
+    // per-user reduction is one keyed max; the segment census is
+    // dimension-bounded. Median staleness rides the q57 exact contract
+    // (integer days, binary-exact fraction).
+    QueryDef.sql("q316_churn_census") { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val hwm = ev.agg(max(col("day")).as("maxday"))
+      val users = ev.crossJoin(broadcast(hwm))
+        .groupBy(col("user_id"))
+        .agg(datediff(max(col("maxday")), max(col("day"))).cast("long")
+          .as("stale_days"))
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      users.join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum((col("stale_days") >= 28L).cast("long")).as("n_churned"),
+          expr("percentile(CASE WHEN stale_days >= 28 THEN stale_days END, 0.5)")
+            .as("churned_median_stale_days"))
+        .select(col("c_mktsegment"), col("n_users"), col("n_churned"),
+          expr("CAST(n_churned AS DOUBLE) / CAST(n_users AS DOUBLE)")
+            .as("churned_share"),
+          col("churned_median_stale_days"))
+        .orderBy("c_mktsegment")
+    } {
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |hwm AS (SELECT MAX(day) AS maxday FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(MAX(h.maxday) - MAX(day) AS BIGINT) AS stale_days
+        |  FROM ev CROSS JOIN hwm h GROUP BY user_id)
+        |SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN stale_days >= 28 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned,
+        |  CAST(SUM(CASE WHEN stale_days >= 28 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS churned_share,
+        |  QUANTILE_CONT(CASE WHEN stale_days >= 28 THEN stale_days END,
+        |    0.5) AS churned_median_stale_days
+        |FROM u JOIN customer c ON u.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q314: SEGMENT BEHAVIOR PROFILE — the flagship `entry` join as a
     // registered, oracle-checked operator: events enriched with the
     // customer dimension (broadcast — never a shuffled fact-dimension

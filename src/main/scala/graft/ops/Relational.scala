@@ -103,6 +103,74 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // q317: BRAND CROSS-SHOPPING MATRIX — the assortment-planning twin
+    // of q279's item graph, at BRAND grain: the top-10 brand pairs by
+    // shared customers, with the lift vs independence (shared·N /
+    // (cust_a·cust_b) — cross-multiplied exact integers in one IEEE
+    // chain). Pairs expand per customer over the sorted distinct brand
+    // list (≤25 brands → ≤300 pairs per customer, in-buffer, a<b by
+    // construction — never a customer×customer or brand-postings
+    // self-join); everything downstream is brands²-bounded. Top-10 is
+    // a distributed partial top-k.
+    QueryDef.sql("q317_brand_crossshop") { (s, d) =>
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      val cb = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+        .distinct()
+      val brandCust = cb.groupBy(col("brand")).agg(count(lit(1)).as("n_cust"))
+      val nAll = cb.select(col("cust")).distinct().agg(count(lit(1)).as("n"))
+      val pairs = cb.groupBy(col("cust"))
+        .agg(sort_array(collect_list(col("brand"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)), y ->
+            |    struct(x AS a, y AS b))))""".stripMargin)).as("e"))
+        .groupBy(col("e.a").as("brand_a"), col("e.b").as("brand_b"))
+        .agg(count(lit(1)).as("shared_customers"))
+      pairs
+        .join(brandCust.select(col("brand").as("brand_a"),
+          col("n_cust").as("cust_a")), "brand_a")
+        .join(brandCust.select(col("brand").as("brand_b"),
+          col("n_cust").as("cust_b")), "brand_b")
+        .crossJoin(broadcast(nAll))
+        .select(col("brand_a"), col("brand_b"), col("shared_customers"),
+          col("cust_a"), col("cust_b"),
+          expr("(CAST(shared_customers AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+            "(CAST(cust_a AS DOUBLE) * CAST(cust_b AS DOUBLE))").as("lift"))
+        .orderBy(col("shared_customers").desc, col("brand_a"), col("brand_b"))
+        .limit(10)
+    } {
+      """WITH cb AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS brand
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey),
+        |bc AS (
+        |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |  FROM cb GROUP BY brand),
+        |na AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n FROM cb),
+        |pairs AS (
+        |  SELECT x.brand AS brand_a, y.brand AS brand_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared_customers
+        |  FROM cb x JOIN cb y ON x.cust = y.cust AND x.brand < y.brand
+        |  GROUP BY x.brand, y.brand)
+        |SELECT brand_a, brand_b, shared_customers,
+        |  a.n_cust AS cust_a, b.n_cust AS cust_b,
+        |  (CAST(shared_customers AS DOUBLE) * CAST(n AS DOUBLE))
+        |    / (CAST(a.n_cust AS DOUBLE) * CAST(b.n_cust AS DOUBLE))
+        |    AS lift
+        |FROM pairs
+        |JOIN bc a ON a.brand = brand_a
+        |JOIN bc b ON b.brand = brand_b
+        |CROSS JOIN na
+        |ORDER BY shared_customers DESC, brand_a, brand_b
+        |LIMIT 10""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q312: LEAD-TIME VARIANCE SPLIT — is fulfillment latency a
     // SUPPLIER problem or ambient noise? Eta² of q291's lead days
     // between suppliers (the share of variance the supplier identity
