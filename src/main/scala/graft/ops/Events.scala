@@ -2874,6 +2874,57 @@ object Events {
          |FROM y""".stripMargin
     },
     // ------------------------------------------------------------------
+    // q318: COHORT HALF-LIFE — the single retention number leadership
+    // asks for: per first-purchase cohort, the week age at which active
+    // purchasers first drop to half the cohort (NULL = hasn't halved in
+    // the observed window — reported, not dropped). Derived from q299's
+    // calendar²-bounded triangle with an exact cross-multiplied test
+    // (2·active ≤ cohort — no fractional threshold); the half-life is
+    // one keyed min over the triangle.
+    QueryDef.sql("q318_cohort_half_life") { (s, d) =>
+      val pv = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("wk"))
+      val first = pv.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      val cohortSize = first.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val tri = pv.join(first, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+        .agg(countDistinct(col("user_id")).as("active"))
+      tri.join(broadcast(cohortSize), "cohort")
+        .groupBy(col("cohort"))
+        .agg(max(col("cohort_users")).as("cohort_users"),
+          max(col("age")).as("max_age_observed"),
+          min(when(col("age") > 0L &&
+            col("active") * 2L <= col("cohort_users"), col("age")))
+            .as("half_life_weeks"))
+        .orderBy("cohort")
+    } {
+      """WITH pv AS (
+        |  SELECT user_id,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM pv GROUP BY user_id),
+        |cs AS (
+        |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        |  FROM f GROUP BY cohort),
+        |tri AS (
+        |  SELECT f.cohort, pv.wk - f.cohort AS age,
+        |    CAST(COUNT(DISTINCT pv.user_id) AS BIGINT) AS active
+        |  FROM pv JOIN f ON pv.user_id = f.user_id
+        |  GROUP BY f.cohort, pv.wk - f.cohort)
+        |SELECT tri.cohort,
+        |  CAST(MAX(cohort_users) AS BIGINT) AS cohort_users,
+        |  CAST(MAX(age) AS BIGINT) AS max_age_observed,
+        |  CAST(MIN(CASE WHEN age > 0 AND active * 2 <= cohort_users
+        |    THEN age END) AS BIGINT) AS half_life_weeks
+        |FROM tri JOIN cs USING (cohort)
+        |GROUP BY tri.cohort
+        |ORDER BY tri.cohort""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q316: CHURN-RISK CENSUS — per market segment, users whose last
     // activity is ≥ 28 days behind the corpus high-water mark (the
     // at-risk definition every retention program starts from), with the

@@ -103,6 +103,44 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // q319: BASKET-SIZE HISTOGRAM — the order-line count distribution
+    // (capped band 10+), with shares and the max observed basket: the
+    // cost model behind every basket-local pair expansion in this
+    // library (q145 rules, q152 triangles, q317 cross-shop all pay
+    // Σ L² — this is the L distribution that bounds them). One
+    // order-keyed count + a ≤10-band census; exact ints, single
+    // divisions.
+    QueryDef.sql("q319_basket_size_histogram") { (s, d) =>
+      val sizes = Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("L"))
+      val tot = sizes.agg(count(lit(1)).as("n_orders"),
+        max(col("L")).as("max_basket"),
+        sum(col("L") * col("L")).as("sum_l2"))
+      sizes.withColumn("band", least(col("L"), lit(10L)))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n"),
+          expr("CAST(n AS DOUBLE) / CAST(n_orders AS DOUBLE)").as("share"),
+          col("max_basket"), col("sum_l2"))
+        .orderBy("band")
+    } {
+      """WITH sz AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS L
+        |  FROM lineitem GROUP BY l_orderkey),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(MAX(L) AS BIGINT) AS max_basket,
+        |    CAST(SUM(L * L) AS BIGINT) AS sum_l2
+        |  FROM sz)
+        |SELECT LEAST(L, 10) AS band, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(n_orders AS DOUBLE) AS share,
+        |  max_basket, sum_l2
+        |FROM sz CROSS JOIN tot
+        |GROUP BY LEAST(L, 10), n_orders, max_basket, sum_l2
+        |ORDER BY band""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q317: BRAND CROSS-SHOPPING MATRIX — the assortment-planning twin
     // of q279's item graph, at BRAND grain: the top-10 brand pairs by
     // shared customers, with the lift vs independence (shared·N /
