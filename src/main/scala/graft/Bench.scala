@@ -92,22 +92,33 @@ object Bench {
     // reps makes round-over-round comparisons self-describing (a min-of-5
     // artifact is not comparable to a single-shot one under host load)
     val ps = probes.map(f3).mkString("[", ",", "]")
+    // the long per-query line is "total_detail", NOT "total": a consumer
+    // matching "metric":"total" in the log tail must find exactly ONE
+    // line — the short, never-truncated summary below
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"probe_series":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"probe_series":$ps,"sf":"$sfDir"}"""
     println(line)
     // Short summary line AFTER the big one: the driver keeps only a log
     // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
     // capture and loses its "metric":"total" HEAD (BENCH_r07/r08 recorded
-    // parsed:null). This line is <300 bytes and always survives the tail.
+    // parsed:null). This line is <300 bytes and always survives the tail,
+    // and is the ONLY line carrying "metric":"total".
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"probe_series":$ps,"sf":"$sfDir"}""")
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
-    // 11 per-query entries) — the file survives regardless of log size
+    // 11 per-query entries) — the file survives regardless of log size.
+    // Default output is BENCH_ROUND.json, deliberately DECOUPLED from the
+    // committed scaling-pair artifacts (BENCH_SELF.json / BENCH_SELF_SF1
+    // .json): pair artifacts are immutable once cited by SCALING.md's
+    // exponent table, so an un-parameterized round-end run must never
+    // overwrite them (observed r9: the driver's round-end refresh clobbered
+    // the working-tree BENCH_SELF.json). Pair runs pass
+    // SPARK_GRAFT_BENCH_OUT explicitly.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")), line + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_ROUND.json")), line + "\n")
     catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write BENCH_SELF.json: $e") }
+      System.err.println(s"[bench] could not write bench artifact: $e") }
     spark.stop()
   }
 }

@@ -487,11 +487,12 @@ object Similarity {
     // product-quantization codebook, completing the compressed-domain
     // ANN path (LSH probes buckets, IVF probes clusters; PQ scans
     // EVERYTHING but in 4 bytes/vector): vectors are unit-sphere
-    // quantized (cosine ranking ≡ L2 ranking), encoded per 16-dim block
-    // against an exact-integer-trained codebook (q211's seed+refit
-    // machinery — deterministic centroids, no FP mean drift), and each
-    // query scores candidates by Asymmetric Distance Computation — a
-    // 4-entry table lookup per vector, never a 64-dim dot. The distance
+    // quantized (cosine ranking ≡ L2 ranking), encoded per 8-dim block
+    // (8 blocks × 32 codes over the 64 dims) against an exact-integer-
+    // trained codebook (q211's seed+refit machinery — deterministic
+    // centroids, no FP mean drift), and each query scores candidates by
+    // Asymmetric Distance Computation — 8 table lookups per vector
+    // (one 32-entry table per block), never a 64-dim dot. The distance
     // table is queries×blocks×codes rows (broadcast-sized); the only
     // corpus-scale shuffle is the (query, vector) partial-aggregated
     // block sum; the ADC ranking prunes to a 100-row shortlist per
@@ -2079,7 +2080,7 @@ object Similarity {
     }
     val codes = assign(refit).select(col("vec_id"), col("block"), col("cid"))
     // ADC distance table: query blocks × refit codebook — a
-    // (n_queries × 4 × nSeeds)-row broadcast
+    // (n_queries × nBlocks × nSeeds)-row broadcast (5 × 8 × 32 here)
     val qb = emb0.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), explode(expr(toBlocks)).as("s"))
       .select(col("q_id"), col("s.block").as("block"), col("s.bv").as("qv"))

@@ -3030,11 +3030,15 @@ object Events {
     // q315: EXACT MULTI-TOUCH ATTRIBUTION — q153/q280 give the last
     // touch everything; linear attribution splits each purchase's cents
     // EQUALLY across every touch in its 7-day lookback — and does it in
-    // EXACT INTEGER CENTS via largest-remainder apportionment (cents
-    // div k to every touch, +1 cent to the cents-mod-k most recent —
-    // the q210 integer-apportionment posture), so the attributed totals
-    // conserve the revenue to the cent and no engine can drift a
-    // floating credit. Touchless purchases credit 'organic' in full.
+    // EXACT INTEGER CENTS via largest-remainder apportionment (FLOOR
+    // division of cents by k to every touch, +1 cent to the pmod(cents,
+    // k) most recent — the q210 integer-apportionment posture). Floor
+    // div + pmod (not `div`/`%`, which truncate toward zero on BOTH
+    // engines) keep the conservation identity k·q + r = cents exact for
+    // NEGATIVE cents too (refund events), so the attributed totals
+    // conserve the revenue to the cent for any sign and no engine can
+    // drift a floating credit. Touchless purchases credit 'organic' in
+    // full.
     // Shape: one user-keyed interval join (7-day band), one
     // per-purchase window over its bounded touch fan-out, one channel
     // agg.
@@ -3063,8 +3067,8 @@ object Events {
           when(col("k") === 0L, lit("organic")).otherwise(col("channel")))
         .withColumn("credit",
           when(col("k") === 0L, col("b_cents")).otherwise(
-            expr("b_cents div k") +
-              when(col("rnk") <= expr("b_cents % k"), 1L).otherwise(0L)))
+            expr("b_cents div k - (CASE WHEN b_cents % k < 0 THEN 1 ELSE 0 END)") +
+              when(col("rnk") <= expr("pmod(b_cents, k)"), 1L).otherwise(0L)))
       credited.groupBy(col("channel2").as("channel"))
         .agg(count(lit(1)).as("n_credits"),
           sum(col("credit")).as("attributed_cents"))
@@ -3097,8 +3101,9 @@ object Events {
         |      AS channel,
         |    CASE WHEN k = 0 THEN b_cents
         |      ELSE b_cents // k
-        |        + CASE WHEN rnk <= b_cents % k THEN 1 ELSE 0 END END
-        |      AS credit
+        |        - (CASE WHEN b_cents % k < 0 THEN 1 ELSE 0 END)
+        |        + CASE WHEN rnk <= ((b_cents % k) + k) % k THEN 1 ELSE 0 END
+        |      END AS credit
         |  FROM w)
         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
         |  CAST(SUM(credit) AS BIGINT) AS attributed_cents
@@ -3782,7 +3787,7 @@ object Events {
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |fl AS (
-        |  SELECT user_id, tus,
+        |  SELECT user_id, event_id, tus,
         |    CASE WHEN LAG(tus) OVER w IS NULL THEN 1
         |      WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
         |      ELSE 0 END AS news
@@ -3790,7 +3795,7 @@ object Events {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
         |sid AS (
         |  SELECT user_id, tus,
-        |    SUM(news) OVER (PARTITION BY user_id ORDER BY tus
+        |    SUM(news) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM fl),
         |sess AS (

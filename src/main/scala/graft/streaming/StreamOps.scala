@@ -1463,8 +1463,12 @@ object StreamOps {
           val out = ready.sortBy(identity).flatMap { case (tus, id) =>
             if (tus >= lastKept + cooldownUs) {
               lastKept = tus
-              Some(KeptEvent(user, etype, id,
-                new java.sql.Timestamp(tus / 1000L)))
+              // rebuild the event time at FULL µs precision: the
+              // Timestamp(ms) constructor alone would truncate
+              // sub-millisecond event times relative to the input
+              val ts = new java.sql.Timestamp(Math.floorDiv(tus, 1000L))
+              ts.setNanos((Math.floorMod(tus, 1000000L) * 1000L).toInt)
+              Some(KeptEvent(user, etype, id, ts))
             } else None
           }
           state.update(CooldownState(lastKept, hold))
@@ -1553,6 +1557,302 @@ object StreamOps {
             if (day == Long.MinValue) st0.lastDay else day, window, pending))
           state.setTimeoutTimestamp(wmMs + 60000L)
           out.iterator
+      }
+  }
+
+  /** One resolved error-recovery episode — q310's live twin output. */
+  final case class Recovery(user_id: Long, error_event_id: Long,
+      rec_us: Long)
+
+  final case class RecoveryState(openErrors: List[(Long, Long)],
+      pending: List[(Long, Long, Boolean)])
+
+  /** Streaming error-recovery latency — q310's live twin: the batch
+    * query reports the MTTR distribution after the fact; this emits
+    * each user's recovery time THE MOMENT the recovery happens. Events
+    * buffer until the watermark (the q260 replay posture) and fold in
+    * (tus, event_id) order: an error event opens an episode; the first
+    * later NON-error event for that user resolves every open episode at
+    * once (rec_us = ok_tus − err_tus — exactly the batch window's
+    * "min non-error tus over later rows", including the 0-µs same-
+    * instant case the event_id tie-break orders). Errors with no later
+    * activity stay open — the batch's right-censored rows: a stream
+    * cannot pronounce "never recovered", only "not yet", so censoring
+    * is a read of the open-state size, not an output row. State per
+    * user is the open-episode list (bounded by the longest consecutive
+    * error run — fixture-wise a handful; a pathological all-error user
+    * is a pager-storm upstream, not a state-store problem) plus the
+    * lateness-bounded buffer. The downstream quantile read is a
+    * windowed agg over this op's output, distribution-friendly.
+    */
+  def recoveryLatency(events: DataFrame, timeCol: String, userCol: String,
+      typeCol: String, watermarkDelay: String): Dataset[Recovery] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($userCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($userCol AS bigint)"), col(timeCol),
+        col("event_id"),
+        expr(s"unix_micros(cast($timeCol AS timestamp))"),
+        (col(typeCol) === "error").as("is_error"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RecoveryState, Recovery](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[RecoveryState]) =>
+          val st0 = state.getOption.getOrElse(RecoveryState(Nil, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val pending = st0.pending ++ rows.map(r => (r._4, r._3, r._5))
+          val (ready, hold) = pending.partition(_._1 <= wm * 1000L)
+          var open = st0.openErrors
+          val out = ready.sortBy(r => (r._1, r._2)).flatMap {
+            case (tus, id, isError) =>
+              if (isError) { open = (tus, id) :: open; Nil }
+              else {
+                // resolve EVERY open episode: the batch window gives each
+                // error its own next-ok distance, so consecutive errors
+                // all resolve against the same recovery event
+                val resolved = open.sortBy(identity).map { case (etus, eid) =>
+                  Recovery(user, eid, tus - etus)
+                }
+                open = Nil
+                resolved
+              }
+          }
+          state.update(RecoveryState(open, hold))
+          val next = if (hold.nonEmpty) hold.map(_._1).min / 1000L else wm + 60000L
+          state.setTimeoutTimestamp(math.max(next, wm + 1L))
+          out.iterator
+      }
+  }
+
+  /** One finalized day of the planner-stats staleness monitor — q271's
+    * live twin output. `misestimate_factor` is None until the stream
+    * has seen a purchase (the batch divides by npurch_cur, undefined
+    * at 0).
+    */
+  final case class StalenessPoint(day: String, n_cur: Long,
+      npurch_cur: Long, count_growth: Double, est_purchase_rows: Double,
+      actual_purchase_rows: Long, misestimate_factor: Option[Double],
+      analyze_due: Boolean)
+
+  final case class StalenessState(lastDay: Long, nCum: Long, pCum: Long,
+      pending: Map[Long, (Long, Long)])
+
+  /** Streaming planner-stats staleness monitor — q271's live twin: the
+    * batch query asks "how stale are the table stats right now" with a
+    * synthetic half-corpus cutoff; the live monitor takes the REAL
+    * stats snapshot (nOld rows, npurchOld purchases — what ANALYZE
+    * recorded) as parameters and re-prices them against the growing
+    * corpus, one row per finalized day (watermark past day end, the
+    * dailyQuantileMonitor posture): cumulative count growth, the
+    * selectivity-estimate row count the old stats would hand the
+    * planner, the actual, and their ratio — plus the `analyze_due`
+    * flag when growth crosses the re-analyze threshold every warehouse
+    * autovacuum runs on. All monitored fields are exact int64 folds
+    * (one IEEE division per emitted field, same algebra as the batch);
+    * the twin deliberately drops q271's ndv_user axis — exact distinct
+    * over an unbounded stream is unbounded state by definition, and the
+    * house sketch path for that axis is `kmvDistinctSketch`. The series
+    * is global (one row per calendar day), so the single group is the
+    * correct parallelism, not a bottleneck; state is the cumulative
+    * pair plus the lateness-bounded open-day counts. Silent days emit
+    * too — staleness keeps growing precisely when nothing arrives.
+    */
+  def statsStalenessMonitor(events: DataFrame, timeCol: String,
+      typeCol: String, watermarkDelay: String, nOld: Long,
+      npurchOld: Long, growthThreshold: Double): Dataset[StalenessPoint] = {
+    require(nOld > 0 && npurchOld >= 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
+        (col(typeCol) === "purchase").cast("long"))
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[StalenessState, StalenessPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[StalenessState]) =>
+          val st0 = state.getOption
+            .getOrElse(StalenessState(Long.MinValue, 0L, 0L, Map.empty))
+          var pending = st0.pending
+          rows.foreach { r =>
+            val (n0, p0) = pending.getOrElse(r._2, (0L, 0L))
+            pending = pending.updated(r._2, (n0 + 1L, p0 + r._3))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val finalUpTo = math.floorDiv(wmMs, 86400000L) - 1L
+          val start =
+            if (st0.lastDay != Long.MinValue) st0.lastDay
+            else if (pending.nonEmpty) pending.keys.min - 1L
+            else Long.MinValue
+          var (nCum, pCum, day) = (st0.nCum, st0.pCum, start)
+          val out = scala.collection.mutable.ArrayBuffer.empty[StalenessPoint]
+          if (start != Long.MinValue) {
+            while (day < finalUpTo) {
+              day += 1L
+              val (n, p) = pending.getOrElse(day, (0L, 0L))
+              pending = pending - day
+              nCum += n; pCum += p
+              val growth = nCum.toDouble / nOld.toDouble
+              val est = npurchOld.toDouble * nCum.toDouble / nOld.toDouble
+              out += StalenessPoint(
+                java.time.LocalDate.ofEpochDay(day).toString, nCum, pCum,
+                growth, est, pCum,
+                if (pCum == 0L) None else Some(est / pCum.toDouble),
+                growth >= growthThreshold)
+            }
+          }
+          state.update(StalenessState(
+            if (day == Long.MinValue) st0.lastDay else day,
+            nCum, pCum, pending))
+          state.setTimeoutTimestamp(wmMs + 60000L)
+          out.iterator
+      }
+  }
+
+  /** One finalized user session at µs resolution — q288's stage-1
+    * output (and the delta-topic payload between the two stages).
+    */
+  final case class FinalSession(user_id: Long, sstart_us: Long,
+      send_us: Long, sstart_ts: java.sql.Timestamp)
+
+  final case class USessions(sessions: List[(Long, Long)])
+
+  /** Stage 1 of q288's live twin: per-user sessionization at µs
+    * resolution with q288's EXACT break rule (a gap is a break only
+    * when STRICTLY greater than `gapUs` — `tus − lag > gap`, so two
+    * events exactly gap apart share a session), emitting each session
+    * once the watermark proves no on-time event can extend it
+    * (wm > send + gap). An arrival may extend a session backwards or
+    * bridge two open ones — the interval-merge handles both (the
+    * closedSessions posture, µs-exact). State per user is the open-
+    * session interval list, bounded by the lateness window.
+    *
+    * q288 needs a GLOBAL running sum over all users' session
+    * boundaries; chaining two flatMapGroupsWithState ops in one query
+    * is rejected by Spark's UnsupportedOperationChecker, and that
+    * matches production shape anyway: the sessionizer writes a
+    * compacted delta topic, the concurrency folder (concurrencyPeaks)
+    * consumes it — exactly this two-stage split.
+    */
+  def sessionDeltas(events: DataFrame, timeCol: String, userCol: String,
+      gapUs: Long, watermarkDelay: String): Dataset[FinalSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($userCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($userCol AS bigint)"),
+        col(timeCol),
+        expr(s"unix_micros(cast($timeCol AS timestamp))"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[USessions, FinalSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[USessions]) =>
+          val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+          val arrivals = rows.map(r => (r._3, r._3)).toList
+          // merge old + new intervals within gap (INCLUSIVE: the batch
+          // breaks only on tus − lag > gap)
+          val merged = (existing ++ arrivals).sortBy(identity)
+            .foldLeft(List.empty[(Long, Long)]) { (acc, s) =>
+              acc match {
+                case h :: t if s._1 - h._2 <= gapUs =>
+                  (h._1, math.max(h._2, s._2)) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // close rule: on-time events have tus ≥ wm, and an event can
+          // only merge when tus ≤ send + gap — so wm > send + gap is final
+          val (closed, open) = merged.partition(s => s._2 + gapUs < wmUs)
+          if (open.nonEmpty) {
+            state.update(USessions(open))
+            state.setTimeoutTimestamp((open.map(_._2).min + gapUs) / 1000L + 1L)
+          } else state.remove()
+          closed.sortBy(identity).iterator.map { case (a, b) =>
+            val ts = new java.sql.Timestamp(Math.floorDiv(a, 1000L))
+            ts.setNanos((Math.floorMod(a, 1000000L) * 1000L).toInt)
+            FinalSession(user, a, b, ts)
+          }
+      }
+  }
+
+  /** One finalized day of the live peak-concurrency monitor — q288's
+    * twin output (same columns as the batch row).
+    */
+  final case class DayPeak(day: String, peak_concurrency: Long,
+      n_boundary_points: Long)
+
+  final case class ConcState(conc: Long,
+      days: Map[Long, (Long, Long)],
+      pending: List[(Long, Long, Long, Long)])
+
+  /** Stage 2 of q288's live twin: the global sweep line. Consumes
+    * stage-1 sessions (the delta topic), explodes each into q288's +1
+    * at sstart / −1 at send+1 boundary points, buffers them until the
+    * watermark and folds in the batch's EXACT global order
+    * (t asc, +1 before −1, user asc, sstart asc — a session ending
+    * exactly when another starts still overlaps it), maintaining the
+    * running concurrency across days (the curve never resets) and each
+    * open day's (peak, boundary-point count). A day emits once the
+    * watermark passes its end. Finality argument: stage 2 watermarks on
+    * the session START column — any not-yet-arrived on-time session has
+    * sstart ≥ wm, and both its deltas sit at t ≥ sstart, so every
+    * buffered point below the watermark is final. The stage-2
+    * watermark delay must therefore cover the longest session span +
+    * gap + the stage-1 delay (production bounds the span with q263's
+    * duration cap, which makes this a constant). The series is global
+    * (one row per calendar day) — the single group is the correct
+    * parallelism; state is the running counter, the open days' pairs,
+    * and the lateness-bounded point buffer.
+    */
+  def concurrencyPeaks(sessions: DataFrame,
+      watermarkDelay: String): Dataset[DayPeak] = {
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    sessions
+      .withWatermark("sstart_ts", watermarkDelay)
+      .select(col("sstart_ts"), col("user_id"), col("sstart_us"),
+        col("send_us"))
+      .as[(java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[ConcState, DayPeak](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[ConcState]) =>
+          val st0 = state.getOption
+            .getOrElse(ConcState(0L, Map.empty, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val pending = st0.pending ++ rows.flatMap { r =>
+            List((r._3, 1L, r._2, r._3), (r._4 + 1L, -1L, r._2, r._3))
+          }
+          val (ready, hold) = pending.partition(_._1 < wmUs)
+          var conc = st0.conc
+          var days = st0.days
+          ready.sortBy { case (t, dlt, u, ss) => (t, -dlt, u, ss) }
+            .foreach { case (t, dlt, _, _) =>
+              conc += dlt
+              val day = Math.floorDiv(t, 86400000000L)
+              val (pk, n) = days.getOrElse(day, (Long.MinValue, 0L))
+              days = days.updated(day, (math.max(pk, conc), n + 1L))
+            }
+          // a day is final once the watermark passes its end: every
+          // point with t < wm was ready above, and no future point can
+          // land below the watermark
+          val (done, still) = days.partition {
+            case (day, _) => (day + 1L) * 86400000000L <= wmUs
+          }
+          state.update(ConcState(conc, still, hold))
+          val next = if (hold.nonEmpty) hold.map(_._1).min / 1000L
+            else wmUs / 1000L + 60000L
+          state.setTimeoutTimestamp(math.max(next, wmUs / 1000L + 1L))
+          done.toSeq.sortBy(_._1).iterator.map { case (day, (pk, n)) =>
+            DayPeak(java.time.LocalDate.ofEpochDay(day).toString, pk, n)
+          }
       }
   }
 }

@@ -1241,4 +1241,181 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(got == exp)
   }
+
+  test("recoveryLatency resolves each error to the batch next-ok distance on shuffled arrivals") {
+    import spark.implicits._
+    def hTs(hours: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0).plusHours(hours.toLong))
+    // u1: error@0 resolved by view@1 (1h); consecutive errors @2,@3 BOTH
+    // resolved by purchase@5 (3h, 2h — the batch window gives each its
+    // own distance); trailing error@6 right-censored (never emitted).
+    // u2: error and view at the SAME instant — id tie-break resolves it
+    // at 0 µs; a view at the same instant with a LOWER id than a later
+    // error must NOT resolve it (order is (tus, id) asc).
+    val fixture = Seq(
+      (1L, "error", 0, 1L), (1L, "view", 1, 2L),
+      (1L, "error", 2, 3L), (1L, "error", 3, 4L), (1L, "purchase", 5, 5L),
+      (1L, "error", 6, 6L),
+      (2L, "error", 1, 10L), (2L, "view", 1, 11L),
+      (2L, "view", 2, 20L), (2L, "error", 2, 21L), (2L, "view", 3, 22L))
+    val rows = new scala.util.Random(7).shuffle(
+      fixture.map { case (u, t, h, id) => (hTs(h), u, t, id) })
+    val input = MemoryStream[(Timestamp, Long, String, Long)](spark)
+    val out = StreamOps.recoveryLatency(
+      input.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+      "ts", "user_id", "event_type", watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS rl_sink")
+    val q = out.writeStream.format("memory").queryName("rl_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((hTs(240), 99L, "view", 9999L))
+      q.processAllAvailable()
+      input.addData((hTs(264), 99L, "view", 9998L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rl_sink")
+      .as[(Long, Long, Long)].collect().toSet
+    val H = 3600000000L
+    assert(got == Set(
+      (1L, 1L, 1L * H), (1L, 3L, 3L * H), (1L, 4L, 2L * H),
+      (2L, 10L, 0L), (2L, 21L, 1L * H)))
+  }
+
+  test("statsStalenessMonitor re-prices the frozen stats per finalized day") {
+    import spark.implicits._
+    def dTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, hour, 0).plusDays(day.toLong))
+    // per-day (events, purchases): day 2 fully silent — staleness keeps
+    // growing precisely when nothing arrives, so silent days emit too
+    val plan = Map(0 -> (4, 1), 1 -> (6, 3), 3 -> (10, 2))
+    val rows = new scala.util.Random(5).shuffle(plan.toSeq.flatMap {
+      case (d, (n, p)) =>
+        (1 to p).map(i => (dTs(d, 1 + i % 20), "purchase")) ++
+          (1 to (n - p)).map(i => (dTs(d, 2 + i % 20), "view"))
+    })
+    val (nOld, pOld, thr) = (5L, 2L, 3.0)
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamOps.statsStalenessMonitor(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      watermarkDelay = "1 hour", nOld, pOld, thr).toDF()
+    spark.sql("DROP TABLE IF EXISTS ss_sink")
+    val q = out.writeStream.format("memory").queryName("ss_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((dTs(6, 12), "flush"))
+      q.processAllAvailable()
+      input.addData((dTs(7, 12), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss_sink")
+      .as[(String, Long, Long, Double, Double, Long, Option[Double], Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    // batch replay: cumulative fold day 0..6 (the day-6 flush event
+    // itself counts toward n_cur — it is a row in the table)
+    val dense = (0 to 6).map(d =>
+      if (d == 6) (1, 0) else plan.getOrElse(d, (0, 0)))
+    var (nc, pc) = (0L, 0L)
+    val exp = (0 to 6).map { d =>
+      nc += dense(d)._1; pc += dense(d)._2
+      val growth = nc.toDouble / nOld.toDouble
+      val est = pOld.toDouble * nc.toDouble / nOld.toDouble
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong).toString,
+        nc, pc, growth, est, pc,
+        if (pc == 0L) None else Some(est / pc.toDouble), growth >= thr)
+    }
+    assert(got == exp)
+  }
+
+  test("sessionDeltas + concurrencyPeaks reproduce the batch sweep-line daily peaks") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mTs(day: Int, min: Int): Timestamp =
+      new Timestamp(base + day * 86400000L + min * 60000L)
+    def us(day: Int, min: Int): Long =
+      (base + day * 86400000L + min * 60000L) * 1000L
+    // u1: 0,10 then 50 (40-min gap > 30 breaks); u2: 5,20,45 one session;
+    // u4: 100,130 — exactly 30 min apart: q288 breaks only on gap > 30,
+    // so ONE session (the inclusive boundary closedSessions would split);
+    // u3 entirely on day 1 (carry-over running sum across days)
+    val fixture = Seq(
+      (1L, 0, 0), (1L, 0, 10), (1L, 0, 50),
+      (2L, 0, 5), (2L, 0, 20), (2L, 0, 45),
+      (4L, 0, 100), (4L, 0, 130),
+      (3L, 1, 600), (3L, 1, 605))
+    val rows = new scala.util.Random(9).shuffle(
+      fixture.map { case (u, d, m) => (mTs(d, m), u) })
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamOps.sessionDeltas(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gapUs = 1800000000L, watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS sd_sink")
+    val q = out.writeStream.format("memory").queryName("sd_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((mTs(3, 720), 99L))
+      q.processAllAvailable()
+      input.addData((mTs(4, 720), 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sd_sink")
+      .as[(Long, Long, Long, Timestamp)].collect().toSet
+    val expSessions = Set(
+      (1L, us(0, 0), us(0, 10)), (1L, us(0, 50), us(0, 50)),
+      (2L, us(0, 5), us(0, 45)), (4L, us(0, 100), us(0, 130)),
+      (3L, us(1, 600), us(1, 605)),
+      (99L, us(3, 720), us(3, 720))) // the day-3 flush session finalizes
+    assert(sessions.map(s => (s._1, s._2, s._3)) == expSessions)
+
+    // stage 2: feed the finalized sessions (the delta topic) shuffled in
+    // ONE batch, then two far-future flush sessions to drive the
+    // watermark past every fixture day (the first flush's day finalizes
+    // under the second; the last flush's own day stays open)
+    val sess2 = new scala.util.Random(13).shuffle(expSessions.toSeq)
+      .map { case (u, a, b) => (new Timestamp(a / 1000L), u, a, b) }
+    val input2 = MemoryStream[(Timestamp, Long, Long, Long)](spark)
+    val out2 = StreamOps.concurrencyPeaks(
+      input2.toDF().toDF("sstart_ts", "user_id", "sstart_us", "send_us"),
+      watermarkDelay = "2 hours").toDF()
+    spark.sql("DROP TABLE IF EXISTS cp_sink")
+    val q2 = out2.writeStream.format("memory").queryName("cp_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input2.addData(sess2: _*)
+      q2.processAllAvailable()
+      input2.addData((mTs(6, 720), 99L, us(6, 720), us(6, 720)))
+      q2.processAllAvailable()
+      input2.addData((mTs(8, 720), 99L, us(8, 720), us(8, 720)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.table("cp_sink")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // batch replay: q288's sweep line over the same sessions — +1 at
+    // sstart, −1 at send+1, global (t, dlt desc, user, sstart) order,
+    // running sum never resets, per-day max + point count. The day-6
+    // flush finalizes under the day-8 flush's watermark, so it's part
+    // of the expectation; the day-8 flush's own day stays open.
+    val deltas = (expSessions + ((99L, us(6, 720), us(6, 720)))).toSeq
+      .flatMap { case (u, a, b) =>
+        Seq((a, 1L, u, a), (b + 1L, -1L, u, a)) }
+    var conc = 0L
+    var days = Map.empty[Long, (Long, Long)]
+    deltas.sortBy { case (t, dlt, u, ss) => (t, -dlt, u, ss) }.foreach {
+      case (t, dlt, _, _) =>
+        conc += dlt
+        val day = Math.floorDiv(t, 86400000000L)
+        val (pk, n) = days.getOrElse(day, (Long.MinValue, 0L))
+        days = days.updated(day, (math.max(pk, conc), n + 1L))
+    }
+    val exp = days.toSeq.sortBy(_._1).map { case (d, (pk, n)) =>
+      (java.time.LocalDate.ofEpochDay(d).toString, pk, n) }
+    assert(got == exp)
+  }
 }
