@@ -269,6 +269,26 @@ object Gates {
     },
 
     // ------------------------------------------------------------------
+    // q321: composed IVF→PQ-ADC→re-rank recall gate for q320, against
+    // the same exact q27 cosine top-10 truth. The composition's recall
+    // is bounded above by the IVF routing recall (q110's floor 0.4 at
+    // nprobe=4 of 16 cells) times the PQ shortlist recall WITHIN the
+    // routed candidates (near 1 at shortlist=100 over ~25% of a fixture
+    // corpus) — the floor sits below the measured minimum with margin.
+    // A geometry mismatch between the stages (router trained in the raw
+    // domain, scorer in the unit-sphere domain) mis-routes magnitude
+    // outliers and trips this before it ships.
+    QueryDef.sql("q321_ivf_pq_recall_gate") { (s, d) =>
+      val truth = defOf(Similarity.queries, "q27_cosine_topk")
+        .run(s, d).select("q_id", "neighbor_id")
+      val found = Similarity.ivfPqRerank(s, d).select("q_id", "neighbor_id")
+      recallRow(truth, found, Seq("q_id", "neighbor_id"), floor = 0.35)
+    } {
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+         |FROM (${defOf(Similarity.queries, "q27_cosine_topk").oracle.get})""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q111: embedding near-dup LSH gate for q50, against q49's exact
     // pair truth (oracle-computable): the LSH path must produce NO false
     // positives (same exact-cosine verification → subset) and keep

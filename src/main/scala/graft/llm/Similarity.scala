@@ -501,6 +501,16 @@ object Similarity {
     QueryDef.noOracle("q277_pq_adc_topk")((s, d) => pqAdcTopk(s, d)),
 
     // ------------------------------------------------------------------
+    // q320: IVF → PQ-ADC → EXACT RE-RANK — the composed production
+    // retrieval stack (see ivfPqRerank's Scaladoc): q75's coarse router
+    // prunes to nprobe/coarseK of the corpus, q277's ADC scores only
+    // those candidates from compressed codes, the exact re-rank
+    // finishes the shortlist. Both stages share the unit-sphere integer
+    // geometry; recall vs the exact q27 top-k is gated in q321;
+    // broadcast-only-joins + no-cartesian plan-pinned.
+    QueryDef.noOracle("q320_ann_ivf_pq_rerank")((s, d) => ivfPqRerank(s, d)),
+
+    // ------------------------------------------------------------------
     // q72: INT8 QUANTIZATION AUDIT — the storage side of similarity at
     // scale: per-vector symmetric int8 quantization (scale = max |x|,
     // code = floor(x·127/scale + 0.5)) shrinks an embedding store 4×,
@@ -1745,6 +1755,18 @@ object Similarity {
     // that through ivfOpen's persisted-assignment handle instead.
     val emb = Tables(s, d, "embeddings").select(col("vec_id"), expr(quant).as("v"))
       .persist()
+    val cs = coarseCentroidsFrom(emb, k, lloydIters)
+    emb.unpersist()
+    cs
+  }
+
+  /** The [[ivfBuild]] training loop over an arbitrary integer-grid
+    * (vec_id, v) relation — shared by the raw-domain IVF (q75) and the
+    * unit-sphere composed path (q320), whose coarse router must score
+    * in the SAME geometry its ADC stage ranks in.
+    */
+  private def coarseCentroidsFrom(emb: DataFrame, k: Int,
+      lloydIters: Int): Array[Seq[Double]] = {
     val n = emb.count()
     val stride = math.max(1L, n / k)
     // init: up to k deterministically-spread vectors (vec_id stride — no
@@ -1775,7 +1797,6 @@ object Similarity {
       }
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
     }
-    emb.unpersist()
     centroids
   }
 
@@ -2006,33 +2027,43 @@ object Similarity {
       "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
 
-  /** q277's PQ-ADC search (see the registration comment). Unit-sphere
-    * integer quantization — floor(x/‖x‖·10⁴) — makes L2 ranking equal
-    * cosine ranking up to the 1e-4 grid, and keeps the q211 training
-    * algebra EXACT (integer block vectors, integer centroid means →
-    * bit-deterministic codebook and distances; vec_dot products of
-    * ≤1e8-magnitude operands are exact in double). 32 codes per 8-dim block (8×5 bits) with two exact Lloyd sweeps —
-    * the measured recall floor is gated in q278. At 100 TB: codes are one narrow pass over the corpus
-    * (broadcast codebook, no shuffle); ADC pays queries×N partial-agg
-    * rows into one keyed shuffle — linear per query batch.
+  /** Unit-sphere integer quantization — floor(x/‖x‖·10⁴): the shared
+    * domain of the compressed-similarity family (q277 ADC, q320
+    * IVF→ADC→re-rank). L2 ranking equals cosine ranking up to the 1e-4
+    * grid, and every downstream training mean / distance is exact
+    * (integer-valued doubles; vec_dot products of ≤1e8-magnitude
+    * operands are exact in double). Zero vectors leave (cosine-
+    * undefined, q103's hygiene case).
     */
-  def pqAdcTopk(s: SparkSession, d: String, k: Int = 10,
-      nSeeds: Int = 32, nBlocks: Int = 8, refits: Int = 2,
-      shortlist: Int = 100): DataFrame = {
-    val bDim = 64 / nBlocks
-    graft.functions.VectorFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
-    val emb0 = Tables(s, d, "embeddings")
+  private def unitQuant(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
       .select(col("vec_id"), expr(quant).as("v0"))
       .withColumn("n0", dot("v0", "v0"))
       .filter(col("n0") > 0.0)
       .select(col("vec_id"), expr(
         "transform(v0, x -> cast(floor(x / sqrt(n0) * 10000.0) AS double))")
         .as("v"))
-    val toBlocks =
-      s"""transform(sequence(0, ${nBlocks - 1}), b ->
-        |  named_struct('block', CAST(b AS BIGINT),
-        |               'bv', slice(v, b * $bDim + 1, $bDim)))""".stripMargin
+
+  /** The `v` column split into nBlocks contiguous sub-vectors. */
+  private def toBlocksExpr(nBlocks: Int): String = {
+    val bDim = 64 / nBlocks
+    s"""transform(sequence(0, ${nBlocks - 1}), b ->
+      |  named_struct('block', CAST(b AS BIGINT),
+      |               'bv', slice(v, b * $bDim + 1, $bDim)))""".stripMargin
+  }
+
+  /** q211's exact-integer PQ training over a unit-sphere corpus:
+    * deterministic md5-spread seeds, `refits` Lloyd sweeps whose means
+    * are (block, cid, pos)-keyed exact-integer aggregates over the
+    * frozen previous assignment (checkpointed — no recursive re-plan),
+    * argmin assignment with the cid tie-break (collect_list
+    * order-proof). Returns (codes: vec_id × block → cid;
+    * codebook: block × cid → cv, cn2). Shared by q277 and q320.
+    */
+  private def pqModel(emb0: DataFrame, nSeeds: Int, nBlocks: Int,
+      refits: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val toBlocks = toBlocksExpr(nBlocks)
     val blocks = emb0
       .select(col("vec_id"), explode(expr(toBlocks)).as("s"))
       .select(col("vec_id"), col("s.block").as("block"), col("s.bv").as("bv"))
@@ -2048,7 +2079,7 @@ object Similarity {
       collect_list(expr("named_struct('cid', cid, 'cv', cv, 'cn2', cn2)"))
         .as("cents")))
     // argmin fold with the q211 cid tie-break — collect_list order-proof
-    def assign(cents: DataFrame) =
+    def assignPq(cents: DataFrame) =
       blocks.join(centRows(cents), "block")
         .withColumn("best", expr(
           """aggregate(cents,
@@ -2076,33 +2107,35 @@ object Similarity {
     // Lloyd sweeps: each refit is (block, cid, pos)-keyed exact-integer
     // means over the frozen previous assignment
     val refit = (1 to refits).foldLeft(seeds) { case (cb, _) =>
-      refitFrom(graft.Checkpoints.checkpoint(assign(cb)))
+      refitFrom(graft.Checkpoints.checkpoint(assignPq(cb)))
     }
-    val codes = assign(refit).select(col("vec_id"), col("block"), col("cid"))
-    // ADC distance table: query blocks × refit codebook — a
-    // (n_queries × nBlocks × nSeeds)-row broadcast (5 × 8 × 32 here)
+    val codes = assignPq(refit).select(col("vec_id"), col("block"), col("cid"))
+    (codes, refit)
+  }
+
+  /** The queries × blocks ADC distance table against a PQ codebook — a
+    * (n_queries × nBlocks × nSeeds)-row broadcast. Shared by q277/q320.
+    */
+  private def adcTable(emb0: DataFrame, refit: DataFrame,
+      nBlocks: Int): DataFrame = {
     val qb = emb0.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), explode(expr(toBlocks)).as("s"))
+      .select(col("vec_id").as("q_id"), explode(expr(toBlocksExpr(nBlocks))).as("s"))
       .select(col("q_id"), col("s.block").as("block"), col("s.bv").as("qv"))
       .withColumn("qn2", expr("vec_dot(qv, qv)"))
-    val dtab = broadcast(qb.join(refit, "block")
+    broadcast(qb.join(refit, "block")
       .select(col("q_id"), col("block"), col("cid"),
         (col("qn2") - lit(2.0) * expr("vec_dot(qv, cv)") + col("cn2"))
           .as("dd")))
-    val scored = codes.join(dtab, Seq("block", "cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(count(lit(1)).as("nb"), sum(col("dd")).as("adist"))
-      .filter(col("nb") === lit(nBlocks.toLong))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("vec_id"))
-    // compressed-domain SHORTLIST, then exact re-rank (the standard PQ
-    // deployment shape: ADC prunes N to `shortlist` rows per query, the
-    // exact distance runs only on the survivors) — the re-rank join is
-    // (queries x shortlist)-sized, never corpus-sized
-    val short = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= shortlist)
-      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** Exact cosine re-rank of a (q_id, vec_id) shortlist — the terminal
+    * stage of every compressed-domain search: the shortlist join is
+    * (queries × shortlist)-sized, never corpus-sized. Shared by
+    * q277/q320.
+    */
+  private def exactRerank(s: SparkSession, d: String, short: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exact = Tables(s, d, "embeddings")
       .select(col("vec_id"), expr(quant).as("ev"))
       .withColumn("en2", dot("ev", "ev"))
@@ -2119,5 +2152,98 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         col("cos_sim"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** q277's PQ-ADC search (see the registration comment). Unit-sphere
+    * integer quantization via [[unitQuant]] keeps the q211 training
+    * algebra exact (bit-deterministic codebook and distances); 32 codes
+    * per 8-dim block with two exact Lloyd sweeps — the measured recall
+    * floor is gated in q278. At 100 TB: codes are one narrow pass over
+    * the corpus (broadcast codebook, no shuffle); ADC pays queries×N
+    * partial-agg rows into one keyed shuffle — linear per query batch.
+    */
+  def pqAdcTopk(s: SparkSession, d: String, k: Int = 10,
+      nSeeds: Int = 32, nBlocks: Int = 8, refits: Int = 2,
+      shortlist: Int = 100): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val emb0 = unitQuant(s, d)
+    val (codes, refit) = pqModel(emb0, nSeeds, nBlocks, refits)
+    val dtab = adcTable(emb0, refit, nBlocks)
+    val scored = codes.join(dtab, Seq("block", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("dd")).as("adist"))
+      .filter(col("nb") === lit(nBlocks.toLong))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    // compressed-domain SHORTLIST, then exact re-rank (the standard PQ
+    // deployment shape: ADC prunes N to `shortlist` rows per query, the
+    // exact distance runs only on the survivors)
+    val short = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    exactRerank(s, d, short, k)
+  }
+
+  /** q320: the PRODUCTION retrieval stack — IVF shortlist → PQ-ADC scan
+    * → exact re-rank, composed. q75 proves the coarse router and q277
+    * proves the compressed scorer; a real 100 TB deployment runs them
+    * together: the router prunes the corpus to ~nprobe/coarseK of its
+    * clusters, ADC scores ONLY those candidates from 4-byte-per-vector
+    * codes (never touching full vectors), and the exact re-rank
+    * finishes the ≤`shortlist`-per-query survivors. Both stages score
+    * in the SAME unit-sphere integer geometry ([[unitQuant]]), so the
+    * router's L2 cells are exactly the cosine cells ADC ranks in — a
+    * raw-domain router over a normalized scorer would mis-route
+    * magnitude outliers. Everything model-sized broadcasts (coarse
+    * centroids as two flat literals, the ADC distance table, the query
+    * block vectors); the per-batch corpus-scale work is ONE candidate
+    * shuffle keyed on vec_id — plan-pinned broadcast-only-joins +
+    * no-cartesian in NewQueryPlanSpec; recall vs the exact q27 ranking
+    * gated in q321.
+    */
+  def ivfPqRerank(s: SparkSession, d: String, k: Int = 10,
+      coarseK: Int = 16, nprobe: Int = 4, nSeeds: Int = 32,
+      nBlocks: Int = 8, refits: Int = 2,
+      shortlist: Int = 100): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val emb0 = unitQuant(s, d)
+    // coarse router trained in the unit-sphere domain (one exact Lloyd
+    // sweep — the router only needs cells, not converged centroids)
+    val cs = coarseCentroidsFrom(emb0, coarseK, 1)
+    val kEff = cs.length
+    val assigned = assign(emb0, cs)
+    // PQ codebook + codes over the same domain
+    val (codes, refit) = pqModel(emb0, nSeeds, nBlocks, refits)
+    // each query probes its nprobe best cells (model is a broadcast
+    // literal — same probe plan as ivfQueryFrom)
+    val probes = withModel(
+      emb0.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")), cs)
+      .withColumn("scores", array(scoreStructs("qv", kEff): _*))
+      .withColumn("probe", explode(expr(
+        s"slice(transform(array_sort($reverseByScore), p -> p.cid), 1, ${math.min(nprobe, kEff)})")))
+      .select(col("q_id"), col("probe"))
+    // candidates: the probed cells only — the IVF prune (broadcast the
+    // queries×nprobe probe list onto the assignment)
+    val cand = assigned.join(broadcast(probes), col("cid") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    // ADC-score ONLY the candidates: per-candidate block codes meet the
+    // broadcast distance table on (q_id, block, cid)
+    val dtab = adcTable(emb0, refit, nBlocks)
+    val scored = cand.join(codes, "vec_id")
+      .join(dtab, Seq("q_id", "block", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("dd")).as("adist"))
+      .filter(col("nb") === lit(nBlocks.toLong))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val short = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    exactRerank(s, d, short, k)
   }
 }

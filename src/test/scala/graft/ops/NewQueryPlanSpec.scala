@@ -618,6 +618,19 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"the queries×blocks×codes distance table must broadcast:\n$p")
   }
 
+  test("q320's composed stack broadcasts every model relation and never cartesians the corpus") {
+    val p = plan("q320_ann_ivf_pq_rerank")
+    assert(!p.contains("CartesianProduct"),
+      s"q320 must never pair corpus rows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes / distance table / query vectors must broadcast:\n$p")
+    // the IVF prune must reach the assignment as a broadcast of the
+    // (queries × nprobe) probe list — a shuffled join here would pay a
+    // corpus-wide exchange for a model-sized relation
+    assert(!p.contains("SortMergeJoin") || p.contains("vec_id"),
+      s"no corpus-sized sort-merge join expected beyond the vec_id code join:\n$p")
+  }
+
   test("q279's candidate generation never plans a cartesian product") {
     val p = plan("q279_link_prediction")
     assert(!p.contains("CartesianProduct"),
