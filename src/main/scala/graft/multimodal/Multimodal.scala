@@ -50,6 +50,20 @@ object Multimodal {
       n_frames: Int,
       header_checksum: Long)
 
+  /** ImageIO's default stream cache backs every read/write with a TEMP
+    * FILE (FileCache*ImageStream in java.io.tmpdir): at sf0.1 the codec
+    * family paid ~120k tmp-file create/delete cycles per q149 run,
+    * making the measured time hostage to /tmp and page-cache state —
+    * the round-9 round-end artifact read q149 at 3.5× its committed
+    * same-code pair value. These rasters are ≤80×80, so the in-memory
+    * stream cache is strictly better. The setter is a JVM-global static
+    * boolean write (idempotent, ~free); it is called at every codec
+    * boundary so executor JVMs are covered in any deployment, not just
+    * local mode.
+    */
+  private[multimodal] def imageIoInMemory(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   object MediaCodec {
     /** STUB: stands in for an image/audio/video decoder (none available in
       * this container). Derives deterministic fake dimensions from the blob
@@ -78,6 +92,7 @@ object Multimodal {
       * documented honest stand-in.
       */
     def decode(r: MediaRecord): MediaFeatures = {
+      imageIoInMemory()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(r.blob))
       try {
@@ -598,6 +613,7 @@ object Multimodal {
       .mapPartitions { it =>
         // encode stage: one ByteArrayOutputStream per row, ImageIO's
         // writer registry is JVM-static (the "codec init" analog)
+        imageIoInMemory()
         it.map { r =>
           val n = r.blob.length
           val img = new java.awt.image.BufferedImage(
@@ -692,6 +708,7 @@ object Multimodal {
       y += 1
     }
     img.setRGB(0, 0, w, h, px, 0, w)
+    imageIoInMemory()
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     MediaRecord(docId, "image/png", bos.toByteArray)
@@ -860,6 +877,7 @@ object Multimodal {
     mediaRecords(s, d)
       .mapPartitions(_.map(r => gradientPng(r.doc_id, r.blob.length)))
       .mapPartitions { it =>
+        imageIoInMemory()
         it.map { r =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.blob))
@@ -889,6 +907,7 @@ object Multimodal {
 
   /** Decode a PNG blob back to (width, height, packed-RGB pixels). */
   private def decodeRaster(r: MediaRecord): (Int, Int, Array[Int]) = {
+    imageIoInMemory()
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.blob))
     val (w, h) = (img.getWidth, img.getHeight)
@@ -1054,6 +1073,7 @@ object Multimodal {
         it.map { r => gradientPng(r.doc_id, r.blob.length) }
       }
       .mapPartitions { it =>
+        imageIoInMemory()
         it.map { r =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.blob))
