@@ -289,6 +289,29 @@ object Gates {
     },
 
     // ------------------------------------------------------------------
+    // q328: nprobe TUNING CURVE for the q320 stack — recall and
+    // candidate-volume flags at nprobe ∈ {1,2,4,8}, all sweep levels
+    // measured in ONE corpus pass (candidates carry their probe rank;
+    // see Similarity.nprobeSweep). Each row is the oracle-checkable
+    // contract: truth size, recall ≥ the per-level measured floor
+    // (0.08/0.2/0.35/0.35 — below the sf0.001/0.01/0.1 minima with
+    // margin; sf0.01 measures 0.34 at nprobe=1 rising to 0.84 at
+    // nprobe=8), and candidate-count monotonicity (more probes can only
+    // widen the scan — a routing regression that loses candidates trips
+    // it). Measured recall VALUES at sf0.01 are pinned in LlmSpec.
+    QueryDef.sql("q328_ann_nprobe_advisor") { (s, d) =>
+      Similarity.nprobeSweep(s, d)
+    } {
+      s"""WITH t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
+         |  FROM (${defOf(Similarity.queries, "q27_cosine_topk").oracle.get}))
+         |SELECT CAST(p AS BIGINT) AS nprobe, n_truth,
+         |  TRUE AS recall_ok, TRUE AS cand_nondecreasing
+         |FROM t, (SELECT UNNEST([1, 2, 4, 8]) AS p) g
+         |ORDER BY nprobe""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q111: embedding near-dup LSH gate for q50, against q49's exact
     // pair truth (oracle-computable): the LSH path must produce NO false
     // positives (same exact-cosine verification → subset) and keep

@@ -2203,6 +2203,103 @@ object Similarity {
     * no-cartesian in NewQueryPlanSpec; recall vs the exact q27 ranking
     * gated in q321.
     */
+  /** q328: the nprobe TUNING CURVE of the composed stack — recall vs
+    * candidate volume at nprobe ∈ {1, 2, 4, 8} measured in ONE corpus
+    * pass (the q305/q267 "parameters are measured, not folklore"
+    * posture): probes carry their RANK, every candidate carries the
+    * rank of the probe that found it, and each sweep level is a filter
+    * on that rank — so the expensive parts (coarse assignment, PQ
+    * codes, ADC scoring) run once, and only the shortlist windows and
+    * the (queries × shortlist) re-ranks multiply by the 4 levels. The
+    * registered row per level reports the oracle-checkable CONTRACT
+    * (truth size, measured-floor recall flag, candidate monotonicity);
+    * the measured recall VALUES are pinned in LlmSpec. Floors hold at
+    * sf0.001/0.01/0.1.
+    */
+  def nprobeSweep(s: SparkSession, d: String, k: Int = 10,
+      coarseK: Int = 16, nSeeds: Int = 32, nBlocks: Int = 8,
+      refits: Int = 2, shortlist: Int = 100,
+      floors: Map[Long, Double] = Map(1L -> 0.08, 2L -> 0.2,
+        4L -> 0.35, 8L -> 0.35)): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val emb0 = unitQuant(s, d)
+    val cs = coarseCentroidsFrom(emb0, coarseK, 1)
+    val kEff = cs.length
+    val assigned = assign(emb0, cs)
+    val (codes, refit) = pqModel(emb0, nSeeds, nBlocks, refits)
+    val maxP = math.min(8, kEff)
+    val probes = withModel(
+      emb0.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")), cs)
+      .withColumn("scores", array(scoreStructs("qv", kEff): _*))
+      .withColumn("pp", explode(expr(
+        s"transform(slice(transform(array_sort($reverseByScore), p -> p.cid), 1, $maxP), " +
+          "(c, i) -> named_struct('probe', c, 'prank', CAST(i + 1 AS BIGINT)))")))
+      .select(col("q_id"), col("pp.probe").as("probe"),
+        col("pp.prank").as("prank"))
+    // a vector lives in exactly one cell, so each (q, vec) matches at
+    // most one probe row — prank needs no dedup
+    val cand = assigned.join(broadcast(probes), col("cid") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("prank"))
+    val dtab = adcTable(emb0, refit, nBlocks)
+    val scored = cand.join(codes, "vec_id")
+      .join(dtab, Seq("q_id", "block", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(min(col("prank")).as("prank"), count(lit(1)).as("nb"),
+        sum(col("dd")).as("adist"))
+      .filter(col("nb") === lit(nBlocks.toLong))
+    val leveled = scored
+      .select(col("*"), explode(typedLit(Seq(1L, 2L, 4L, 8L))).as("nprobe"))
+      .filter(col("prank") <= col("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    val short = leveled.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist)
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+    val exact = Tables(s, d, "embeddings")
+      .select(col("vec_id"), expr(quant).as("ev"))
+      .withColumn("en2", dot("ev", "ev"))
+    val qx = broadcast(exact.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("ev").as("qv2"),
+        col("en2").as("qn2")))
+    val w2 = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val found = short.join(exact, "vec_id").join(qx, "q_id")
+      .withColumn("cos_sim",
+        expr("vec_dot(qv2, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("q_id"), col("vec_id").as("neighbor_id"))
+    // exact truth: the q27 brute force, inline (queries broadcast)
+    val truth = exact.join(broadcast(qx), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        expr("vec_dot(qv2, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = found.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    val cands = leveled.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
+    val floorExpr = "CASE nprobe " + floors.toSeq.sortBy(_._1).map {
+      case (p, f) => s"WHEN $p THEN ${f}D" }.mkString(" ") + " END"
+    val base = nt.select(
+      explode(typedLit(Seq(1L, 2L, 4L, 8L))).as("nprobe"), col("n_truth"))
+    base.join(hits, Seq("nprobe"), "left_outer")
+      .join(cands, Seq("nprobe"), "left_outer")
+      .withColumn("nc", coalesce(col("n_cand"), lit(0L)))
+      .select(col("nprobe"), col("n_truth"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") >=
+          col("n_truth").cast("double") * expr(floorExpr)).as("recall_ok"),
+        (col("nc") >= coalesce(lag(col("nc"), 1)
+          .over(Window.orderBy(col("nprobe"))), lit(0L)))
+          .as("cand_nondecreasing"))
+      .orderBy("nprobe")
+  }
+
   def ivfPqRerank(s: SparkSession, d: String, k: Int = 10,
       coarseK: Int = 16, nprobe: Int = 4, nSeeds: Int = 32,
       nBlocks: Int = 8, refits: Int = 2,

@@ -141,6 +141,293 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // q322: ORDER-TO-SHIP CYCLE TIME — the fulfillment SLA number: per
+    // order priority, exact P50/P87.5 of days from order date to the
+    // LAST line shipment (the customer-visible completion). Quantiles
+    // are exact order statistics over the per-(priority, lag-day) value
+    // HISTOGRAM (b_k = smallest lag whose cumulative count reaches
+    // ⌈n·k/8⌉ — QUANTILE_DISC integer arithmetic, the q273 posture),
+    // with the cumulative walk a PRIORITY-KEYED window over ≤ days
+    // histogram rows — never a row-level sort. Orders with no shipped
+    // lines are out of the population by the join (their cycle time is
+    // undefined, not zero). Two orderkey-keyed shuffles + one bounded
+    // histogram.
+    QueryDef.sql("q322_order_cycle_time") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val shipped = Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+      val lagrel = shipped.join(Tables(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(col("last_ship"), to_date(col("o_orderdate")))
+            .cast("long").as("lag"))
+      val hist = lagrel.groupBy(col("prio"), col("lag"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("prio")).orderBy(col("lag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = lagrel.groupBy(col("prio")).agg(count(lit(1)).as("n"))
+      val ks = n.select(col("prio").as("kprio"), col("n"),
+          explode(typedLit(Seq(4L, 7L))).as("k"))
+        .withColumn("t", expr("(n * k + 7) div 8"))
+      val bounds = cum.join(broadcast(ks),
+          col("prio") === col("kprio") && col("cum") >= col("t"))
+        .groupBy(col("prio"), col("k")).agg(min(col("lag")).as("b"))
+        .groupBy(col("prio"))
+        .agg(max(when(col("k") === 4L, col("b"))).as("p50_days"),
+          max(when(col("k") === 7L, col("b"))).as("p875_days"))
+      n.join(bounds, "prio")
+        .select(col("prio"), col("n").as("n_orders"),
+          col("p50_days"), col("p875_days"))
+        .orderBy("prio")
+    } {
+      """WITH shipped AS (
+        |  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        |  FROM lineitem GROUP BY l_orderkey),
+        |lag AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(last_ship - CAST(o_orderdate AS DATE) AS BIGINT) AS lag
+        |  FROM shipped JOIN orders ON l_orderkey = o_orderkey),
+        |hist AS (
+        |  SELECT prio, lag, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lag GROUP BY prio, lag),
+        |cum AS (
+        |  SELECT prio, lag,
+        |    CAST(SUM(c) OVER (PARTITION BY prio ORDER BY lag) AS BIGINT)
+        |      AS cum
+        |  FROM hist),
+        |n AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lag GROUP BY prio),
+        |ks AS (
+        |  SELECT prio AS kprio, n, k, (n * k + 7) // 8 AS t
+        |  FROM n, (SELECT UNNEST([4, 7]) AS k) g),
+        |b AS (
+        |  SELECT prio, k, CAST(MIN(lag) AS BIGINT) AS b
+        |  FROM cum JOIN ks ON prio = kprio AND cum >= t
+        |  GROUP BY prio, k),
+        |bp AS (
+        |  SELECT prio,
+        |    MAX(CASE WHEN k = 4 THEN b END) AS p50_days,
+        |    MAX(CASE WHEN k = 7 THEN b END) AS p875_days
+        |  FROM b GROUP BY prio)
+        |SELECT n.prio, n.n AS n_orders, p50_days, p875_days
+        |FROM n JOIN bp ON n.prio = bp.prio
+        |ORDER BY n.prio""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q323: SUPPLIER RETURN EXPOSURE — the vendor-quality leaderboard:
+    // per supplier, returned-line share and the exact returned revenue
+    // (cents), top-10 by exposure with a deterministic suppkey
+    // tie-break. One supplier-keyed agg over lineitem; the supplier
+    // dimension broadcasts; top-10 is a TakeOrdered, never a global
+    // sort.
+    QueryDef.sql("q323_supplier_return_exposure") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (col("l_returnflag") === "R").cast("long").as("ret"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val per = li.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("ret")).as("n_returned"),
+          sum(when(col("ret") === 1L, col("cents")).otherwise(0L))
+            .as("returned_cents"))
+      per.join(broadcast(Tables(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_lines"),
+          col("n_returned"),
+          expr("CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)")
+            .as("return_share"),
+          col("returned_cents"))
+        .orderBy(col("returned_cents").desc, col("s_suppkey"))
+        .limit(10)
+    } {
+      """WITH per AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returned,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS returned_cents
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, n_lines, n_returned,
+        |  CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |    AS return_share,
+        |  returned_cents
+        |FROM per JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY returned_cents DESC, s_suppkey
+        |LIMIT 10""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q324: SPLIT-SHIPMENT RATE — how often an order ships in more than
+    // one wave, per priority, with the exact total span (first→last
+    // ship day) those split orders impose: the fulfillment-cost and
+    // customer-experience number behind "ship complete" policies. One
+    // orderkey-keyed agg (distinct ship days per order are in-group),
+    // then a 5-group census; exact int sums, single divisions, NULL avg
+    // when a priority has no splits.
+    QueryDef.sql("q324_split_shipment_rate") { (s, d) =>
+      val per = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sday"))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("sday")).as("waves"),
+          datediff(max(col("sday")), min(col("sday"))).cast("long")
+            .as("span"))
+      val joined = per.join(Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("waves") > 1L).cast("long")).as("n_split"),
+          sum(when(col("waves") > 1L, col("span")).otherwise(0L))
+            .as("split_span_days"))
+        .select(col("prio"), col("n_orders"), col("n_split"),
+          expr("CAST(n_split AS DOUBLE) / CAST(n_orders AS DOUBLE)")
+            .as("split_share"),
+          col("split_span_days"),
+          expr("CASE WHEN n_split = 0 THEN NULL ELSE " +
+            "CAST(split_span_days AS DOUBLE) / CAST(n_split AS DOUBLE) END")
+            .as("avg_split_span_days"))
+        .orderBy("prio")
+    } {
+      """WITH per AS (
+        |  SELECT l_orderkey,
+        |    CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+        |      AS waves,
+        |    CAST(MAX(CAST(l_shipdate AS DATE))
+        |      - MIN(CAST(l_shipdate AS DATE)) AS BIGINT) AS span
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority AS prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN waves > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split,
+        |  CAST(SUM(CASE WHEN waves > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS split_share,
+        |  CAST(SUM(CASE WHEN waves > 1 THEN span ELSE 0 END) AS BIGINT)
+        |    AS split_span_days,
+        |  CASE WHEN SUM(CASE WHEN waves > 1 THEN 1 ELSE 0 END) = 0
+        |    THEN NULL
+        |    ELSE CAST(SUM(CASE WHEN waves > 1 THEN span ELSE 0 END)
+        |      AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN waves > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS avg_split_span_days
+        |FROM per JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY prio""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q326: DISCOUNT-DEPTH AUDIT — what each discount band actually
+    // moves: lines, units, exact gross cents and exact net revenue (in
+    // CENTI-CENTS: gross_cents × (100 − depth) — pure int64, conserved
+    // to the hundredth of a cent), plus each band's share of total net.
+    // Band = round(discount·100), an 11-value dictionary (the fixture's
+    // discount grid — no .5 ties, so both engines' round agree). One
+    // scan, one ≤11-group agg, totals via a broadcast.
+    QueryDef.sql("q326_discount_depth_audit") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("band"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val per = li.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("units"),
+          sum(col("cents")).as("gross_cents"),
+          sum(col("cents") * (lit(100L) - col("band")))
+            .as("net_centicents"))
+      val tot = per.agg(sum(col("net_centicents")).as("total_net"))
+      per.crossJoin(broadcast(tot))
+        .select(col("band"), col("n_lines"), col("units"),
+          col("gross_cents"), col("net_centicents"),
+          expr("CAST(net_centicents AS DOUBLE) / CAST(total_net AS DOUBLE)")
+            .as("net_share"))
+        .orderBy("band")
+    } {
+      """WITH li AS (
+        |  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS band,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(qty) AS BIGINT) AS units,
+        |    CAST(SUM(cents) AS BIGINT) AS gross_cents,
+        |    CAST(SUM(cents * (100 - band)) AS BIGINT) AS net_centicents
+        |  FROM li GROUP BY band),
+        |tot AS (SELECT CAST(SUM(net_centicents) AS BIGINT) AS total_net
+        |  FROM per)
+        |SELECT band, n_lines, units, gross_cents, net_centicents,
+        |  CAST(net_centicents AS DOUBLE) / CAST(total_net AS DOUBLE)
+        |    AS net_share
+        |FROM per CROSS JOIN tot
+        |ORDER BY band""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q327: DEAD-STOCK CENSUS — per brand, the parts with NO shipment
+    // in the trailing 90 days of the corpus window (including parts
+    // never shipped at all — the anti join catches both), their share
+    // of the catalog, and the exact retail cents parked in them: the
+    // working-capital number behind every markdown decision. The
+    // recent-part set is a corpus-keyed distinct bounded by the part
+    // dimension; the census is one anti join + two ≤brands-group aggs;
+    // the high-water mark broadcasts (never a per-row subquery).
+    QueryDef.sql("q327_dead_stock_census") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), to_date(col("l_shipdate")).as("sday"))
+      val hwm = li.agg(max(col("sday")).as("maxday"))
+      val recent = li.crossJoin(broadcast(hwm))
+        .filter(col("sday") > date_sub(col("maxday"), 90))
+        .select(col("l_partkey")).distinct()
+      val part = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").as("rcents"))
+      val dead = part.join(recent,
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_dead"),
+          sum(col("rcents")).as("dead_retail_cents"))
+      part.groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+        .join(dead, Seq("p_brand"), "left_outer")
+        .select(col("p_brand"), col("n_parts"),
+          coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+          expr("CAST(COALESCE(n_dead, 0) AS DOUBLE) / CAST(n_parts AS DOUBLE)")
+            .as("dead_share"),
+          coalesce(col("dead_retail_cents"), lit(0L))
+            .as("dead_retail_cents"))
+        .orderBy("p_brand")
+    } {
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS sday
+        |  FROM lineitem),
+        |hwm AS (SELECT MAX(sday) AS maxday FROM li),
+        |recent AS (
+        |  SELECT DISTINCT l_partkey
+        |  FROM li CROSS JOIN hwm WHERE sday > maxday - 90),
+        |part0 AS (
+        |  SELECT p_partkey, p_brand,
+        |    CAST(ROUND(p_retailprice * 100) AS BIGINT) AS rcents
+        |  FROM part),
+        |dead AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_dead,
+        |    CAST(SUM(rcents) AS BIGINT) AS dead_retail_cents
+        |  FROM part0 WHERE p_partkey NOT IN (SELECT l_partkey FROM recent)
+        |  GROUP BY p_brand),
+        |cat AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |  FROM part0 GROUP BY p_brand)
+        |SELECT cat.p_brand, n_parts,
+        |  CAST(COALESCE(n_dead, 0) AS BIGINT) AS n_dead,
+        |  CAST(COALESCE(n_dead, 0) AS DOUBLE) / CAST(n_parts AS DOUBLE)
+        |    AS dead_share,
+        |  CAST(COALESCE(dead_retail_cents, 0) AS BIGINT)
+        |    AS dead_retail_cents
+        |FROM cat LEFT JOIN dead ON cat.p_brand = dead.p_brand
+        |ORDER BY cat.p_brand""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
     // q317: BRAND CROSS-SHOPPING MATRIX — the assortment-planning twin
     // of q279's item graph, at BRAND grain: the top-10 brand pairs by
     // shared customers, with the lift vs independence (shared·N /

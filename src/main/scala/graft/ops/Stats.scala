@@ -3695,8 +3695,92 @@ object Stats {
         |    AS qty_lift_vs_no_discount
         |FROM bands CROSS JOIN base
         |ORDER BY disc_pct""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q325: PRICE-ELASTICITY SCREEN — per brand, the correlation between
+    // weekly realized unit price and weekly volume: the first-pass
+    // merchandising question (q287 measures lift per DISCOUNT band;
+    // this reads the price→volume relationship off the observed weekly
+    // series). Weekly operands are exact int64 (qty; unit price as
+    // cents·10 div qty — floor division, identical truncation on both
+    // engines for positive operands); Pearson moments are exact int64
+    // sums over ≤ calendar-bounded weeks per brand (OVERFLOW CONTRACT:
+    // per-(brand, week) quantity < ~3e9 keeps Σy², the widest moment,
+    // inside int64 at any corpus scale — a per-group bound, like
+    // Det.csum's); r is one shared IEEE chain, NULL on degenerate
+    // variance. Two keyed aggs (lineitem → brand-week → brand), the
+    // part dimension broadcasts.
+    QueryDef.sql("q325_price_elasticity") { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_partkey"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') div 7 AS BIGINT)")
+            .as("wk"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val p = broadcast(Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand")))
+      val wkrel = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("wk"))
+        .agg(sum(col("qty")).as("x"), sum(col("cents")).as("c"))
+        .withColumn("y", expr("(c * 10) div x"))
+      val mom = wkrel.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x")).as("sum_qty"))
+      mom.select(col("p_brand"), col("n").as("n_weeks"), col("sum_qty"),
+          expr(ElasticityCorrExpr).as("price_volume_corr"))
+        .orderBy("p_brand")
+    } {
+      s"""WITH li AS (
+         |  SELECT l_partkey,
+         |    CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7
+         |      AS BIGINT) AS wk,
+         |    CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |wkrel AS (
+         |  SELECT p_brand, wk, CAST(SUM(qty) AS BIGINT) AS x,
+         |    CAST(SUM(cents) AS BIGINT) AS c
+         |  FROM li JOIN part ON l_partkey = p_partkey
+         |  GROUP BY p_brand, wk),
+         |w2 AS (SELECT p_brand, x, (c * 10) // x AS y FROM wkrel),
+         |mom AS (
+         |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x) AS BIGINT) AS sum_qty
+         |  FROM w2 GROUP BY p_brand)
+         |SELECT p_brand, n AS n_weeks, sum_qty,
+         |  $ElasticityCorrSql AS price_volume_corr
+         |FROM mom
+         |ORDER BY p_brand""".stripMargin
     }
   )
+
+  // q325's Pearson r off exact int64 moments: every product of sums runs
+  // in DOUBLE (identical IEEE chain on both engines — the q272 posture);
+  // NULL when either variance is degenerate. defs, not vals: `val
+  // queries` above interpolates the oracle EAGERLY at object init, and
+  // a val declared after it would interpolate as "null" (the
+  // RegistrySpec init-order trap).
+  private def ElasticityCorrExpr: String =
+    "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0 THEN NULL " +
+      "ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END"
+
+  private def ElasticityCorrSql: String = ElasticityCorrExpr
 
   /** q125's sketch size. 256 keeps the estimation path (n > k) exercised
     * at the sf0.01 correctness gate (~1.6k user-days/segment) while the

@@ -162,6 +162,31 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(q75 == composed, "q75 must equal ivfQuery over a fresh ivfBuild model")
   }
 
+  test("composed IVF->PQ-ADC->rerank stack: measured recall across the nprobe sweep") {
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    val exact = graft.SparkEntry.queries("q27_cosine_topk")(spark, d01)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfPqRerank(spark, d01, nprobe = nprobe)
+        .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r8 = recallAt(8)
+    info(f"sf0.01 composed recall@10: nprobe=1 -> $r1%.2f, nprobe=8 -> $r8%.2f")
+    // q328's registered floors are 0.08/0.2/0.35/0.35; these pins hold
+    // the measured VALUES (the advisor row only carries the flags)
+    assert(r1 >= 0.08, s"composed recall@10 $r1 below floor at nprobe=1")
+    assert(r8 >= 0.35, s"composed recall@10 $r8 below floor at nprobe=8")
+    // the sweep's contract row agrees with the per-level floors
+    val sweep = Similarity.nprobeSweep(spark, d01)
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(sweep.map(_._1) == Seq(1L, 2L, 4L, 8L))
+    assert(sweep.forall(_._3), s"a sweep level broke its recall floor: $sweep")
+    assert(sweep.forall(_._4), "candidate volume must be non-decreasing in nprobe")
+  }
+
   test("IvfIndex handle: zero source scans per query batch after the cache fills") {
     import spark.implicits._
     val d01 = "/root/testdata/sf0.01"
