@@ -2115,10 +2115,12 @@ object Similarity {
 
   /** The queries × blocks ADC distance table against a PQ codebook — a
     * (n_queries × nBlocks × nSeeds)-row broadcast. Shared by q277/q320.
+    * `queries` is a (vec_id, v) relation already pruned to the query
+    * batch (model-sized).
     */
-  private def adcTable(emb0: DataFrame, refit: DataFrame,
+  private def adcTableFrom(queries: DataFrame, refit: DataFrame,
       nBlocks: Int): DataFrame = {
-    val qb = emb0.filter(col("vec_id") < 5)
+    val qb = queries
       .select(col("vec_id").as("q_id"), explode(expr(toBlocksExpr(nBlocks))).as("s"))
       .select(col("q_id"), col("s.block").as("block"), col("s.bv").as("qv"))
       .withColumn("qn2", expr("vec_dot(qv, qv)"))
@@ -2127,6 +2129,11 @@ object Similarity {
         (col("qn2") - lit(2.0) * expr("vec_dot(qv, cv)") + col("cn2"))
           .as("dd")))
   }
+
+  private def adcTable(emb0: DataFrame, refit: DataFrame,
+      nBlocks: Int): DataFrame =
+    adcTableFrom(emb0.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("v")), refit, nBlocks)
 
   /** Exact cosine re-rank of a (q_id, vec_id) shortlist — the terminal
     * stage of every compressed-domain search: the shortlist join is
@@ -2342,5 +2349,105 @@ object Similarity {
       .filter(col("rnk") <= shortlist)
       .select(col("q_id"), col("vec_id"))
     exactRerank(s, d, short, k)
+  }
+
+  /** Build + persist the composed IVF/PQ index as a first-class handle —
+    * the amortized half of the q320 deployment, mirroring [[ivfOpen]]:
+    * the expensive build (coarse training, coarse assignment, PQ
+    * training, corpus encoding) runs ONCE; every [[AnnIndex.query]]
+    * batch then plans entirely over two persisted relations — the
+    * code table (vec_id × block → PQ code, carrying the coarse cell:
+    * ~nBlocks small ints per vector, the compressed corpus) and the
+    * exact-vector relation for the re-rank — plus three model-sized
+    * broadcasts (coarse centroids, codebook, query block table). The
+    * parquet source is scanned exactly once per index lifetime, never
+    * per batch (spec-pinned: a post-build batch's plan contains NO
+    * source relation). Release with [[AnnIndex.close]].
+    */
+  def annOpen(s: SparkSession, d: String, coarseK: Int = 16,
+      nSeeds: Int = 32, nBlocks: Int = 8, refits: Int = 2): AnnIndex = {
+    graft.functions.VectorFunctions.register(s)
+    val emb0 = unitQuant(s, d)
+    val cs = coarseCentroidsFrom(emb0, coarseK, 1)
+    val assigned = assign(emb0, cs)
+      .select(col("vec_id"), col("v"), col("cid").as("ccid"))
+      .persist()
+    val (codes, refit) = pqModel(emb0, nSeeds, nBlocks, refits)
+    val codesRel = assigned.select(col("vec_id"), col("ccid"))
+      .join(codes, "vec_id").persist()
+    // the query batch is model-sized; persisting it off `assigned`
+    // keeps per-batch planning source-free
+    val queryRel = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("v")).persist()
+    val refitRel = refit.persist()
+    val exactRel = Tables(s, d, "embeddings")
+      .select(col("vec_id"), expr(quant).as("ev"))
+      .withColumn("en2", dot("ev", "ev")).persist()
+    // materialize the caches now: the build is the expensive step by
+    // contract, and the first query batch should already be cheap
+    Seq(codesRel, queryRel, refitRel, exactRel).foreach(_.count())
+    assigned.unpersist()
+    new AnnIndex(cs, queryRel, codesRel, refitRel, exactRel, nBlocks)
+  }
+
+  /** Handle returned by [[annOpen]]: coarse model + persisted compressed
+    * corpus + codebook + exact vectors, with an explicit release.
+    */
+  final class AnnIndex private[Similarity] (
+      val centroids: Array[Seq[Double]],
+      private val queryRel: DataFrame,
+      private val codesRel: DataFrame,
+      private val refitRel: DataFrame,
+      private val exactRel: DataFrame,
+      nBlocks: Int) extends AutoCloseable {
+
+    /** One probe batch — the q320 plan over the persisted relations:
+      * broadcast probe list prunes the code table to the routed cells,
+      * ADC scores them against the broadcast distance table, exact
+      * re-rank finishes the shortlist. Agrees row-for-row with the
+      * un-cached [[ivfPqRerank]] at the same parameters (spec-pinned).
+      */
+    def query(nprobe: Int = 4, k: Int = 10,
+        shortlist: Int = 100): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val kEff = centroids.length
+      val probes = withModel(
+        queryRel.select(col("vec_id").as("q_id"), col("v").as("qv")),
+        centroids)
+        .withColumn("scores", array(scoreStructs("qv", kEff): _*))
+        .withColumn("probe", explode(expr(
+          s"slice(transform(array_sort($reverseByScore), p -> p.cid), 1, ${math.min(nprobe, kEff)})")))
+        .select(col("q_id"), col("probe"))
+      val dtab = adcTableFrom(queryRel, refitRel, nBlocks)
+      val scored = codesRel.join(broadcast(probes), col("ccid") === col("probe"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(dtab, Seq("q_id", "block", "cid"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(count(lit(1)).as("nb"), sum(col("dd")).as("adist"))
+        .filter(col("nb") === lit(nBlocks.toLong))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adist").asc, col("vec_id"))
+      val short = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= shortlist)
+        .select(col("q_id"), col("vec_id"))
+      val qx = broadcast(exactRel.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("ev").as("qv"),
+          col("en2").as("qn2")))
+      val rer = short.join(exactRel, "vec_id").join(qx, "q_id")
+        .withColumn("cos_sim",
+          expr("vec_dot(qv, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
+      val w2 = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      rer.withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy("q_id", "rnk")
+    }
+
+    override def close(): Unit = {
+      Seq(queryRel, codesRel, refitRel, exactRel).foreach(_.unpersist())
+      ()
+    }
   }
 }

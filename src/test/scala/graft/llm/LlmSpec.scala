@@ -217,6 +217,33 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     } finally idx.close()
   }
 
+  test("AnnIndex handle: composed-stack batches are source-free and agree with ivfPqRerank") {
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    val idx = Similarity.annOpen(spark, d01)
+    try {
+      val batch = idx.query(nprobe = 4)
+      // build already materialized every cache, so even the FIRST batch
+      // must plan source-free (the IvfIndex test's stricter form)
+      val opt = batch.queryExecution.optimizedPlan
+      val cached = opt.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+      val sources = opt.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+      assert(cached.nonEmpty, s"batch must read the persisted code table:\n$opt")
+      assert(sources.isEmpty, s"a post-build batch re-scanned the source corpus:\n$opt")
+      // row-for-row agreement with the un-cached registered q320 path
+      val got = batch.select($"q_id", $"rnk", $"neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val direct = Similarity.ivfPqRerank(spark, d01, nprobe = 4)
+        .select($"q_id", $"rnk", $"neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == direct, "handle and un-cached composed paths must agree")
+      // a second batch at a different nprobe still answers sanely
+      assert(idx.query(nprobe = 8).limit(1).count() == 1L)
+    } finally idx.close()
+  }
+
   test("embedding near-dup LSH: precision 1 vs exact truth, measurable recall") {
     import spark.implicits._
     val truth = Similarity.embeddingNearDupExact(spark, d)
