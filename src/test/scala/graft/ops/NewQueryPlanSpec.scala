@@ -618,6 +618,41 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"the queries×blocks×codes distance table must broadcast:\n$p")
   }
 
+  test("q322's quantile walk rides priority-keyed windows only") {
+    val p = plan("q322_order_cycle_time")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.contains("prio"),
+        s"a q322 window is not priority-keyed:\n$w")
+    }
+    assert(!p.contains("CartesianProduct"), s"q322 planned a cartesian:\n$p")
+  }
+
+  test("q323 broadcasts the supplier dimension and top-10s without a global sort") {
+    val p = plan("q323_supplier_return_exposure")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the supplier dimension must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a distributed partial top-k, not a global sort:\n$p")
+  }
+
+  test("q325 broadcasts the part dimension and never cartesians") {
+    val p = plan("q325_price_elasticity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dimension must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q325 planned a cartesian:\n$p")
+  }
+
+  test("q327's dead-stock prune is one anti join with a broadcast high-water mark") {
+    val p = plan("q327_dead_stock_census")
+    assert(p.contains("LeftAnti"),
+      s"recent parts must leave via one anti join:\n$p")
+    // the hwm scalar rides a broadcast nested-loop (1-row relation);
+    // the only allowed cartesian-ish node is that broadcast
+    assert(!p.contains("CartesianProduct"), s"q327 planned a cartesian:\n$p")
+  }
+
   test("q320's composed stack broadcasts every model relation and never cartesians the corpus") {
     val p = plan("q320_ann_ivf_pq_rerank")
     assert(!p.contains("CartesianProduct"),
