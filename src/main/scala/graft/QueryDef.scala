@@ -29,10 +29,23 @@ object QueryDef {
   *
   * A plain `SUM(double)` is order-dependent, and Spark's partitioned
   * aggregation will not add in DuckDB's order. We instead compute each row's
-  * value in double (bit-identical IEEE arithmetic on both engines), round it
-  * into an exact DECIMAL(18,6), sum exactly (order-free), and cast the total
-  * back to double. Ties in the double→decimal rounding cannot occur at scale
-  * 6 (no binary double lands exactly on an odd multiple of 5e-7).
+  * value in double (bit-identical IEEE arithmetic on both engines),
+  * FLOOR-quantize it onto the 1e-6 grid, sum exactly in DECIMAL(18,6)
+  * (order-free), and cast the total back to double.
+  *
+  * Why floor, not a rounding cast: the engines' double→DECIMAL casts
+  * round DIFFERENT things — Spark rounds the exact binary expansion
+  * (BigDecimal HALF_UP), DuckDB rounds the SHORTEST DECIMAL string. For
+  * inputs that are exact small rationals (ratios like 1 − ssq/n²), true
+  * scale-6 ties occur (e.g. 0.7790625: binary expansion …624999…, shortest
+  * string …625) and the two casts disagree — observed as a q238 hash
+  * mismatch at sf0.1 that sf0.01 never exposed. `floor(x·1e6)` of the
+  * identical double involves no rounding mode at all, is the identity on
+  * every exact-scale-≤6 input (all money columns), and the subsequent
+  * grid-point→DECIMAL cast is ≥5e-7 from any boundary — unambiguous on
+  * both engines. Grid fidelity holds for per-row |x| < ~9e9 (x·1e6 must
+  * stay inside 2^53), with orders of magnitude of headroom over every
+  * summed measure here.
   */
 /** The single md5-derived 32-bit id-hash recipe every deterministic
   * bucketing in the library derives from (train/val/test split, strata,
@@ -79,12 +92,25 @@ object Ids {
 object Det {
   private val D = DecimalType(18, 6)
 
-  /** Order-insensitive, engine-exact sum of a double expression. */
-  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  /** Order-insensitive, engine-exact sum of a double expression
+    * (tie-free floor quantization onto the 1e-6 grid — see the object
+    * Scaladoc).
+    */
+  def dsum(c: Column): Column =
+    sum((floor(c * lit(1e6)) / lit(1e6)).cast(D)).cast("double")
 
-  /** DuckDB fragment equivalent to [[dsum]]. */
+  /** DuckDB fragment equivalent to [[dsum]]. The final decimal→double
+    * cast routes through a string/strtod (the q154 HUGEINT precedent):
+    * DuckDB's direct DECIMAL→DOUBLE computes on the SCALED int64, which
+    * past 2^53 scaled units (totals ≥ ~9.0e9 at scale 6) is not
+    * correctly rounded, while Spark's BigDecimal path is — observed as
+    * a 1-ulp q38/q45 global-cell mismatch at sf0.1. The type spells
+    * STRING, not VARCHAR: several queries run this fragment VERBATIM on
+    * Spark too (dialect-shared SQL), and Spark rejects an unsized
+    * VARCHAR while both engines accept STRING.
+    */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(FLOOR(($expr) * 1e6) / 1e6 AS DECIMAL(18,6))) AS STRING) AS DOUBLE)"
 
   /** Order-insensitive mean: exact sum divided by count as double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))

@@ -1279,9 +1279,9 @@ object Relational {
     * keys from the full list), proven equivalent by the hash-match.
     */
   private def GroupByAllSql: String =
-    """SELECT o_orderpriority, o_orderstatus,
+    s"""SELECT o_orderpriority, o_orderstatus,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |  ${graft.Det.dsumSql("o_totalprice")}
       |    AS total_value
       |FROM orders
       |GROUP BY ALL

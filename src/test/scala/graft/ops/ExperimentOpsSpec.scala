@@ -1110,8 +1110,9 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     val cells = graft.SparkEntry.queries("q143_chi2_independence")(spark, d)
       .select($"chi2_cell").as[Double].collect()
     // same grid: the total is the Det-decimal sum of q143's cells
-    val detSum = cells.map(x => BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    // (tie-free FLOOR quantization onto the 1e-6 grid — Det's contract)
+    val detSum = (BigDecimal(cells.map(x => math.floor(x * 1e6).toLong).sum) /
+      BigDecimal(1000000)).toDouble
     assert(chi2 == detSum)
     assert(v == math.sqrt(chi2 / (n.toDouble * math.min(r - 1, c - 1).toDouble)))
     assert(v >= 0.0 && v <= 1.0)
