@@ -33,19 +33,24 @@ object QueryDef {
   * FLOOR-quantize it onto the 1e-6 grid, sum exactly in DECIMAL(18,6)
   * (order-free), and cast the total back to double.
   *
-  * Why floor, not a rounding cast: the engines' double→DECIMAL casts
-  * round DIFFERENT things — Spark rounds the exact binary expansion
-  * (BigDecimal HALF_UP), DuckDB rounds the SHORTEST DECIMAL string. For
-  * inputs that are exact small rationals (ratios like 1 − ssq/n²), true
-  * scale-6 ties occur (e.g. 0.7790625: binary expansion …624999…, shortest
-  * string …625) and the two casts disagree — observed as a q238 hash
-  * mismatch at sf0.1 that sf0.01 never exposed. `floor(x·1e6)` of the
-  * identical double involves no rounding mode at all, is the identity on
-  * every exact-scale-≤6 input (all money columns), and the subsequent
-  * grid-point→DECIMAL cast is ≥5e-7 from any boundary — unambiguous on
-  * both engines. Grid fidelity holds for per-row |x| < ~9e9 (x·1e6 must
-  * stay inside 2^53), with orders of magnitude of headroom over every
-  * summed measure here.
+  * Why `floor(x·1e6 + 0.5)`, not a rounding cast: the engines'
+  * double→DECIMAL casts round DIFFERENT things — Spark rounds the exact
+  * binary expansion (BigDecimal HALF_UP), DuckDB rounds the SHORTEST
+  * DECIMAL string. For inputs that are exact small rationals (ratios
+  * like 1 − ssq/n²), true scale-6 ties occur (e.g. 0.7790625: binary
+  * expansion …624999…, shortest string …625) and the two casts
+  * disagree — observed as a q238 hash mismatch at sf0.1 that sf0.01
+  * never exposed. `floor(x·1e6 + 0.5)` is a pure IEEE chain (multiply,
+  * add, floor — no engine rounding mode anywhere), so both engines
+  * compute the identical result even on would-be ties, and unlike a
+  * bare `floor(x·1e6)` it IS the identity on every exact-scale-≤6
+  * input: a money value like 2.01 has x·1e6 = 2009999.999…, which bare
+  * floor truncates to 2009999 (a systematic −1e-6/row bias on ~half of
+  * all scale-2 inputs) while the +0.5 form recovers 2010000. The
+  * subsequent grid-point→DECIMAL cast is ≥5e-7 from any boundary —
+  * unambiguous on both engines. Grid fidelity holds for per-row
+  * |x| < ~9e9 (x·1e6 must stay inside 2^53), with orders of magnitude
+  * of headroom over every summed measure here.
   */
 /** The single md5-derived 32-bit id-hash recipe every deterministic
   * bucketing in the library derives from (train/val/test split, strata,
@@ -93,11 +98,11 @@ object Det {
   private val D = DecimalType(18, 6)
 
   /** Order-insensitive, engine-exact sum of a double expression
-    * (tie-free floor quantization onto the 1e-6 grid — see the object
-    * Scaladoc).
+    * (tie-free nearest-grid quantization onto the 1e-6 grid via
+    * `floor(x·1e6 + 0.5)` — see the object Scaladoc).
     */
   def dsum(c: Column): Column =
-    sum((floor(c * lit(1e6)) / lit(1e6)).cast(D)).cast("double")
+    sum((floor(c * lit(1e6) + lit(0.5)) / lit(1e6)).cast(D)).cast("double")
 
   /** DuckDB fragment equivalent to [[dsum]]. The final decimal→double
     * cast routes through a string/strtod (the q154 HUGEINT precedent):
@@ -110,7 +115,7 @@ object Det {
     * VARCHAR while both engines accept STRING.
     */
   def dsumSql(expr: String): String =
-    s"CAST(CAST(SUM(CAST(FLOOR(($expr) * 1e6) / 1e6 AS DECIMAL(18,6))) AS STRING) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(FLOOR(($expr) * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6))) AS STRING) AS DOUBLE)"
 
   /** Order-insensitive mean: exact sum divided by count as double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))

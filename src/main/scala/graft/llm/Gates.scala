@@ -281,7 +281,11 @@ object Gates {
     QueryDef.sql("q321_ivf_pq_recall_gate") { (s, d) =>
       val truth = defOf(Similarity.queries, "q27_cosine_topk")
         .run(s, d).select("q_id", "neighbor_id")
-      val found = Similarity.ivfPqRerank(s, d).select("q_id", "neighbor_id")
+      // gates the SHARED deployed model — the very artifact q320 serves
+      // (one training job for q320/q321/q328, pinned via annBuilds);
+      // query() ≡ ivfPqRerank row-for-row is itself spec-pinned
+      val found = Similarity.annShared(s, d).query()
+        .select("q_id", "neighbor_id")
       recallRow(truth, found, Seq("q_id", "neighbor_id"), floor = 0.35)
     } {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
@@ -290,23 +294,28 @@ object Gates {
 
     // ------------------------------------------------------------------
     // q328: nprobe TUNING CURVE for the q320 stack — recall and
-    // candidate-volume flags at nprobe ∈ {1,2,4,8}, all sweep levels
-    // measured in ONE corpus pass (candidates carry their probe rank;
-    // see Similarity.nprobeSweep). Each row is the oracle-checkable
-    // contract: truth size, recall ≥ the per-level measured floor
-    // (0.08/0.2/0.35/0.35 — below the sf0.001/0.01/0.1 minima with
-    // margin; sf0.01 measures 0.34 at nprobe=1 rising to 0.84 at
-    // nprobe=8), and candidate-count monotonicity (more probes can only
-    // widen the scan — a routing regression that loses candidates trips
-    // it). Measured recall VALUES at sf0.01 are pinned in LlmSpec.
+    // candidate-volume contract at nprobe ∈ {1,2,4,8}, all sweep levels
+    // measured in ONE pass over the SHARED deployed model's code table
+    // (candidates carry their probe rank; see AnnIndex.sweep — q320/
+    // q321/q328 ride one training job, pinned via annBuilds). Each row
+    // is the oracle-checkable contract: truth size, recall ≥ the
+    // per-level measured floor (0.08/0.2/0.35/0.35 — below the
+    // sf0.001/0.01/0.1 minima with margin; sf0.01 measures 0.34 at
+    // nprobe=1 rising to 0.84 at nprobe=8), and cand_rank — the level's
+    // rank ordered by (candidate volume, nprobe), which the oracle pins
+    // to the nprobe order 1..4: equal IFF candidate volume is
+    // non-decreasing in nprobe, so a routing regression that loses
+    // candidates hash-mismatches on a NON-constant oracle column.
+    // Measured recall VALUES at sf0.01 are pinned in LlmSpec.
     QueryDef.sql("q328_ann_nprobe_advisor") { (s, d) =>
-      Similarity.nprobeSweep(s, d)
+      Similarity.annShared(s, d).sweep()
     } {
       s"""WITH t AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
          |  FROM (${defOf(Similarity.queries, "q27_cosine_topk").oracle.get}))
          |SELECT CAST(p AS BIGINT) AS nprobe, n_truth,
-         |  TRUE AS recall_ok, TRUE AS cand_nondecreasing
+         |  TRUE AS recall_ok,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY p) AS BIGINT) AS cand_rank
          |FROM t, (SELECT UNNEST([1, 2, 4, 8]) AS p) g
          |ORDER BY nprobe""".stripMargin
     },

@@ -249,39 +249,21 @@ object Similarity {
     // partial agg — the all-reduce shape); v itself is 64 rows,
     // broadcast back. Magnitude contract (ANSI aborts, never wraps):
     // |v₃| ≤ (N·dims·X²)³ must stay under 10³⁸ — at X = 256, dims = 64
-    // that admits N up to ~10⁶ vectors; beyond that a production run
-    // inserts a fixed power-of-two right-shift per sweep (documented
-    // here, not needed at fixture scales). Oracle detail: DuckDB's
-    // direct HUGEINT→DOUBLE cast is NOT correctly rounded for >64-bit
-    // magnitudes (measured 1-ulp drift vs Spark's BigInteger cast, which
-    // is), so the oracle routes the final cast through VARCHAR — strtod
-    // rounds correctly — making both engines' only inexact step the
-    // same correctly-rounded cast + one division.
+    // the unshifted path (registered here, shiftBits = 0 — the oracle
+    // replays it exactly) admits N up to ~10⁶ vectors; a production run
+    // at larger N passes shiftBits > 0 to powerIterationPca, which
+    // floor-divides v by 2^shiftBits after each non-final sweep —
+    // admitting N up to ~2^shiftBits·10⁶ (shiftBits = 30 covers 10⁹+)
+    // at a ≲2^shiftBits/|v| relative perturbation of the loadings
+    // (spec-pinned ≈-equal to the unshifted path at fixture scale).
+    // Oracle detail: DuckDB's direct HUGEINT→DOUBLE cast is NOT
+    // correctly rounded for >64-bit magnitudes (measured 1-ulp drift vs
+    // Spark's BigInteger cast, which is), so the oracle routes the
+    // final cast through VARCHAR — strtod rounds correctly — making
+    // both engines' only inexact step the same correctly-rounded cast +
+    // one division.
     QueryDef.sql("q154_power_iteration_pca") { (s, d) =>
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val ex = graft.Checkpoints.checkpoint(
-        Tables(s, d, "embeddings")
-          .select(col("vec_id"), posexplode(expr(
-            "transform(embedding, x -> cast(floor(cast(x AS double) * 256.0) AS bigint))"))
-            .as(Seq("c", "xc"))))
-      var dv = ex.groupBy(col("vec_id"))
-        .agg(sum(col("xc")).cast(dec).as("dv"))
-      var v: DataFrame = null
-      for (it <- 1 to 3) {
-        v = graft.Checkpoints.checkpoint(
-          ex.join(dv, "vec_id")
-            .groupBy(col("c"))
-            .agg(sum(col("dv") * col("xc")).cast(dec).as("v")))
-        if (it < 3)
-          dv = ex.join(broadcast(v), "c")
-            .groupBy(col("vec_id"))
-            .agg(sum(col("v") * col("xc")).cast(dec).as("dv"))
-      }
-      val m = broadcast(v.agg(max(abs(col("v"))).as("m")))
-      v.crossJoin(m)
-        .select(col("c").as("component"),
-          (col("v").cast("double") / col("m").cast("double")).as("loading"))
-        .orderBy("component")
+      powerIterationPca(s, d)
     } {
       """WITH ex AS (
         |  SELECT vec_id, c - 1 AS c,
@@ -507,8 +489,14 @@ object Similarity {
     // those candidates from compressed codes, the exact re-rank
     // finishes the shortlist. Both stages share the unit-sphere integer
     // geometry; recall vs the exact q27 top-k is gated in q321;
-    // broadcast-only-joins + no-cartesian plan-pinned.
-    QueryDef.noOracle("q320_ann_ivf_pq_rerank")((s, d) => ivfPqRerank(s, d)),
+    // broadcast-only-joins + no-cartesian plan-pinned. Deploys via the
+    // SHARED per-(session, corpus) trained model (annShared) — q320,
+    // q321 and q328 ride ONE build (spec-pinned via annBuilds), the
+    // amortized build-once/query-many path the AnnIndex API advertises;
+    // query() is spec-pinned row-for-row equal to the un-cached
+    // ivfPqRerank at the same parameters.
+    QueryDef.noOracle("q320_ann_ivf_pq_rerank")((s, d) =>
+      annShared(s, d).query()),
 
     // ------------------------------------------------------------------
     // q72: INT8 QUANTIZATION AUDIT — the storage side of similarity at
@@ -1744,6 +1732,57 @@ object Similarity {
     * At 100 TB: train on a sample, k ~ sqrt(N), per-cluster candidate
     * lists stay ~N/k.
     */
+  /** q154's distributed power iteration (see the registration comment),
+    * parameterized by the per-sweep magnitude guard. `shiftBits = 0`
+    * (the registered, oracle-replayed form) keeps every sweep exact in
+    * decimal(38,0); its ANSI contract |v₃| ≤ (N·dims·X²)³ < 10³⁸ admits
+    * N ≈ 10⁶ vectors at X = 256, dims = 64. `shiftBits > 0`
+    * floor-divides v by 2^shiftBits after each NON-final sweep, cutting
+    * each sweep's growth by the same factor — the bound becomes
+    * (N·dims·X²/2^shiftBits)²·(N·dims·X²) < 10³⁸, so shiftBits = 30
+    * admits N ≈ 10⁹ with room to spare. The loadings are scale-free
+    * (final normalization divides by max |v|), so the shift's only
+    * effect is the dropped low bits: a ≤ 2^shiftBits absolute
+    * perturbation per element before the next sweep, i.e.
+    * ~2^shiftBits/|v| relative — negligible whenever the shift is
+    * actually needed (|v| ≥ 10³⁰ at the point the unshifted contract
+    * binds). The floor-division rides Spark's decimal divide (result
+    * rescaled to 6 fractional digits, HALF_UP, then floor) — a further
+    * ≤ 1-grid-unit slack, deterministic within Spark; the shifted form
+    * has no cross-engine oracle and is spec-pinned ≈-equal to the
+    * unshifted path at fixture scale (LlmSpec).
+    */
+  def powerIterationPca(s: SparkSession, d: String,
+      shiftBits: Int = 0): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ex = graft.Checkpoints.checkpoint(
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x AS double) * 256.0) AS bigint))"))
+          .as(Seq("c", "xc"))))
+    var dv = ex.groupBy(col("vec_id"))
+      .agg(sum(col("xc")).cast(dec).as("dv"))
+    var v: DataFrame = null
+    for (it <- 1 to 3) {
+      var vNext = ex.join(dv, "vec_id")
+        .groupBy(col("c"))
+        .agg(sum(col("dv") * col("xc")).cast(dec).as("v"))
+      if (shiftBits > 0 && it < 3)
+        vNext = vNext.select(col("c"),
+          floor(col("v") / lit(BigDecimal(2).pow(shiftBits))).cast(dec).as("v"))
+      v = graft.Checkpoints.checkpoint(vNext)
+      if (it < 3)
+        dv = ex.join(broadcast(v), "c")
+          .groupBy(col("vec_id"))
+          .agg(sum(col("v") * col("xc")).cast(dec).as("dv"))
+    }
+    val m = broadcast(v.agg(max(abs(col("v"))).as("m")))
+    v.crossJoin(m)
+      .select(col("c").as("component"),
+        (col("v").cast("double") / col("m").cast("double")).as("loading"))
+      .orderBy("component")
+  }
+
   def ivfBuild(s: SparkSession, d: String, k: Int = 16,
       lloydIters: Int = 1): Array[Seq[Double]] = {
     graft.functions.VectorFunctions.register(s)
@@ -2209,104 +2248,13 @@ object Similarity {
     * shuffle keyed on vec_id — plan-pinned broadcast-only-joins +
     * no-cartesian in NewQueryPlanSpec; recall vs the exact q27 ranking
     * gated in q321.
+    *
+    * This un-cached form re-trains the model per call — it exists as
+    * the parameter-exploration path and the agreement pin for
+    * [[AnnIndex.query]]; the REGISTERED q320/q321/q328 all deploy one
+    * shared trained model via [[annShared]] (spec-pinned: one build
+    * serves all three).
     */
-  /** q328: the nprobe TUNING CURVE of the composed stack — recall vs
-    * candidate volume at nprobe ∈ {1, 2, 4, 8} measured in ONE corpus
-    * pass (the q305/q267 "parameters are measured, not folklore"
-    * posture): probes carry their RANK, every candidate carries the
-    * rank of the probe that found it, and each sweep level is a filter
-    * on that rank — so the expensive parts (coarse assignment, PQ
-    * codes, ADC scoring) run once, and only the shortlist windows and
-    * the (queries × shortlist) re-ranks multiply by the 4 levels. The
-    * registered row per level reports the oracle-checkable CONTRACT
-    * (truth size, measured-floor recall flag, candidate monotonicity);
-    * the measured recall VALUES are pinned in LlmSpec. Floors hold at
-    * sf0.001/0.01/0.1.
-    */
-  def nprobeSweep(s: SparkSession, d: String, k: Int = 10,
-      coarseK: Int = 16, nSeeds: Int = 32, nBlocks: Int = 8,
-      refits: Int = 2, shortlist: Int = 100,
-      floors: Map[Long, Double] = Map(1L -> 0.08, 2L -> 0.2,
-        4L -> 0.35, 8L -> 0.35)): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
-    val emb0 = unitQuant(s, d)
-    val cs = coarseCentroidsFrom(emb0, coarseK, 1)
-    val kEff = cs.length
-    val assigned = assign(emb0, cs)
-    val (codes, refit) = pqModel(emb0, nSeeds, nBlocks, refits)
-    val maxP = math.min(8, kEff)
-    val probes = withModel(
-      emb0.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv")), cs)
-      .withColumn("scores", array(scoreStructs("qv", kEff): _*))
-      .withColumn("pp", explode(expr(
-        s"transform(slice(transform(array_sort($reverseByScore), p -> p.cid), 1, $maxP), " +
-          "(c, i) -> named_struct('probe', c, 'prank', CAST(i + 1 AS BIGINT)))")))
-      .select(col("q_id"), col("pp.probe").as("probe"),
-        col("pp.prank").as("prank"))
-    // a vector lives in exactly one cell, so each (q, vec) matches at
-    // most one probe row — prank needs no dedup
-    val cand = assigned.join(broadcast(probes), col("cid") === col("probe"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("prank"))
-    val dtab = adcTable(emb0, refit, nBlocks)
-    val scored = cand.join(codes, "vec_id")
-      .join(dtab, Seq("q_id", "block", "cid"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(min(col("prank")).as("prank"), count(lit(1)).as("nb"),
-        sum(col("dd")).as("adist"))
-      .filter(col("nb") === lit(nBlocks.toLong))
-    val leveled = scored
-      .select(col("*"), explode(typedLit(Seq(1L, 2L, 4L, 8L))).as("nprobe"))
-      .filter(col("prank") <= col("nprobe"))
-    val w = Window.partitionBy(col("nprobe"), col("q_id"))
-      .orderBy(col("adist").asc, col("vec_id"))
-    val short = leveled.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= shortlist)
-      .select(col("nprobe"), col("q_id"), col("vec_id"))
-    val exact = Tables(s, d, "embeddings")
-      .select(col("vec_id"), expr(quant).as("ev"))
-      .withColumn("en2", dot("ev", "ev"))
-    val qx = broadcast(exact.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("ev").as("qv2"),
-        col("en2").as("qn2")))
-    val w2 = Window.partitionBy(col("nprobe"), col("q_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    val found = short.join(exact, "vec_id").join(qx, "q_id")
-      .withColumn("cos_sim",
-        expr("vec_dot(qv2, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
-      .withColumn("rnk", row_number().over(w2))
-      .filter(col("rnk") <= k)
-      .select(col("nprobe"), col("q_id"), col("vec_id").as("neighbor_id"))
-    // exact truth: the q27 brute force, inline (queries broadcast)
-    val truth = exact.join(broadcast(qx), col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim",
-        expr("vec_dot(qv2, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
-      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"))
-    val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val hits = found.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
-    val cands = leveled.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
-    val floorExpr = "CASE nprobe " + floors.toSeq.sortBy(_._1).map {
-      case (p, f) => s"WHEN $p THEN ${f}D" }.mkString(" ") + " END"
-    val base = nt.select(
-      explode(typedLit(Seq(1L, 2L, 4L, 8L))).as("nprobe"), col("n_truth"))
-    base.join(hits, Seq("nprobe"), "left_outer")
-      .join(cands, Seq("nprobe"), "left_outer")
-      .withColumn("nc", coalesce(col("n_cand"), lit(0L)))
-      .select(col("nprobe"), col("n_truth"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") >=
-          col("n_truth").cast("double") * expr(floorExpr)).as("recall_ok"),
-        (col("nc") >= coalesce(lag(col("nc"), 1)
-          .over(Window.orderBy(col("nprobe"))), lit(0L)))
-          .as("cand_nondecreasing"))
-      .orderBy("nprobe")
-  }
-
   def ivfPqRerank(s: SparkSession, d: String, k: Int = 10,
       coarseK: Int = 16, nprobe: Int = 4, nSeeds: Int = 32,
       nBlocks: Int = 8, refits: Int = 2,
@@ -2387,7 +2335,42 @@ object Similarity {
     // contract, and the first query batch should already be cheap
     Seq(codesRel, queryRel, refitRel, exactRel).foreach(_.count())
     assigned.unpersist()
+    annBuildCount.incrementAndGet()
     new AnnIndex(cs, queryRel, codesRel, refitRel, exactRel, nBlocks)
+  }
+
+  /** How many composed-index builds ([[annOpen]]) have run in this JVM —
+    * the spec hook that pins "q320 + q321 + q328 share ONE training
+    * job" (LlmSpec): retraining an identical default-parameter codebook
+    * per registry entry measured ~19 s/bench (~6.5% of the whole suite)
+    * and misrepresented the amortized build-once path this API
+    * advertises.
+    */
+  private val annBuildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  def annBuilds: Long = annBuildCount.get()
+
+  /** The per-(session, corpus-dir) DEFAULT-parameter composed index the
+    * registered q320 / q321 / q328 deploy against — one [[annOpen]]
+    * build per session per corpus, exactly the production shape (build
+    * once, query many). The handle's persisted relations are
+    * session-bounded by construction here (Verify/Bench/test sessions
+    * are short-lived and the cached relations are a compressed
+    * re-expression of one embeddings table — ~nBlocks small ints + one
+    * int vector per row); parameterized callers own their lifecycle via
+    * [[annOpen]]/[[AnnIndex.close]] instead.
+    */
+  private val sharedAnn = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), AnnIndex]()
+
+  def annShared(s: SparkSession, d: String): AnnIndex =
+    sharedAnn.computeIfAbsent((s, d), _ => annOpen(s, d))
+
+  /** Drop (and release) the shared index for one (session, dir) — test
+    * hygiene for the one-build-serves-three pin; harmless if absent.
+    */
+  def annSharedEvict(s: SparkSession, d: String): Unit = {
+    val idx = sharedAnn.remove((s, d))
+    if (idx != null) idx.close()
   }
 
   /** Handle returned by [[annOpen]]: coarse model + persisted compressed
@@ -2443,6 +2426,98 @@ object Similarity {
         .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
           col("cos_sim"))
         .orderBy("q_id", "rnk")
+    }
+
+    /** q328: the nprobe TUNING CURVE of the composed stack — recall vs
+      * candidate volume at nprobe ∈ {1, 2, 4, 8} measured in ONE pass
+      * over the persisted code table (the q305/q267 "parameters are
+      * measured, not folklore" posture): probes carry their RANK, every
+      * candidate carries the rank of the probe that found it, and each
+      * sweep level is a filter on that rank — so the expensive parts
+      * (coarse assignment, PQ codes, ADC scoring) run once, and only
+      * the shortlist windows and the (queries × shortlist) re-ranks
+      * multiply by the 4 levels. The registered row per level reports
+      * the oracle-checkable CONTRACT: truth size, the measured-floor
+      * recall flag, and `cand_rank` — the level's rank when levels are
+      * ordered by (candidate volume, nprobe), which the oracle pins to
+      * 1..4: it equals the nprobe order IFF candidate volume is
+      * non-decreasing in nprobe, so a routing regression that loses
+      * candidates hash-mismatches (a non-constant oracle column, unlike
+      * a boolean flag). The measured recall VALUES are pinned in
+      * LlmSpec. Floors hold at sf0.001/0.01/0.1.
+      */
+    def sweep(k: Int = 10, shortlist: Int = 100,
+        floors: Map[Long, Double] = Map(1L -> 0.08, 2L -> 0.2,
+          4L -> 0.35, 8L -> 0.35)): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val kEff = centroids.length
+      val maxP = math.min(8, kEff)
+      val probes = withModel(
+        queryRel.select(col("vec_id").as("q_id"), col("v").as("qv")),
+        centroids)
+        .withColumn("scores", array(scoreStructs("qv", kEff): _*))
+        .withColumn("pp", explode(expr(
+          s"transform(slice(transform(array_sort($reverseByScore), p -> p.cid), 1, $maxP), " +
+            "(c, i) -> named_struct('probe', c, 'prank', CAST(i + 1 AS BIGINT)))")))
+        .select(col("q_id"), col("pp.probe").as("probe"),
+          col("pp.prank").as("prank"))
+      val dtab = adcTableFrom(queryRel, refitRel, nBlocks)
+      // a vector lives in exactly one cell, so each (q, vec) matches at
+      // most one probe row — min(prank) is that single row's rank
+      val scored = codesRel
+        .join(broadcast(probes), col("ccid") === col("probe"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(dtab, Seq("q_id", "block", "cid"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(min(col("prank")).as("prank"), count(lit(1)).as("nb"),
+          sum(col("dd")).as("adist"))
+        .filter(col("nb") === lit(nBlocks.toLong))
+      val leveled = scored
+        .select(col("*"), explode(typedLit(Seq(1L, 2L, 4L, 8L))).as("nprobe"))
+        .filter(col("prank") <= col("nprobe"))
+      val w = Window.partitionBy(col("nprobe"), col("q_id"))
+        .orderBy(col("adist").asc, col("vec_id"))
+      val short = leveled.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= shortlist)
+        .select(col("nprobe"), col("q_id"), col("vec_id"))
+      val qx = broadcast(exactRel.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("ev").as("qv2"),
+          col("en2").as("qn2")))
+      val w2 = Window.partitionBy(col("nprobe"), col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val found = short.join(exactRel, "vec_id").join(qx, "q_id")
+        .withColumn("cos_sim",
+          expr("vec_dot(qv2, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= k)
+        .select(col("nprobe"), col("q_id"), col("vec_id").as("neighbor_id"))
+      // exact truth: the q27 brute force over the persisted exact
+      // relation (queries broadcast)
+      val truth = exactRel.join(broadcast(qx), col("vec_id") =!= col("q_id"))
+        .withColumn("cos_sim",
+          expr("vec_dot(qv2, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val hits = found.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+      val cands = leveled.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
+      val floorExpr = "CASE nprobe " + floors.toSeq.sortBy(_._1).map {
+        case (p, f) => s"WHEN $p THEN ${f}D" }.mkString(" ") + " END"
+      val base = nt.select(
+        explode(typedLit(Seq(1L, 2L, 4L, 8L))).as("nprobe"), col("n_truth"))
+      // cand_rank's 4-row unkeyed window is the contract relation itself
+      base.join(hits, Seq("nprobe"), "left_outer")
+        .join(cands, Seq("nprobe"), "left_outer")
+        .withColumn("nc", coalesce(col("n_cand"), lit(0L)))
+        .select(col("nprobe"), col("n_truth"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") >=
+            col("n_truth").cast("double") * expr(floorExpr)).as("recall_ok"),
+          row_number().over(Window.orderBy(col("nc"), col("nprobe")))
+            .cast("long").as("cand_rank"))
+        .orderBy("nprobe")
     }
 
     override def close(): Unit = {

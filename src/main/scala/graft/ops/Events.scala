@@ -2230,15 +2230,19 @@ object Events {
           "CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE)"))
         .withColumn("scripted",
           (col("diversity") < 0.30) || (col("top_share") > 0.85))
-      // averages ride a FLOOR-quantized 1e-6 grid, not Det.davg: the
+      // averages ride a nearest-grid 1e-6 quantization, not Det.davg: the
       // per-user values are exact small rationals (1 − ssq/n², cmax/n)
       // that routinely land ON the scale-6 rounding boundary (e.g.
       // 0.7790625), and there Spark's cast (HALF_UP on the exact binary
       // expansion) and DuckDB's cast (half-up on the SHORTEST DECIMAL
       // string) disagree — observed at sf0.1, invisible at sf0.01.
-      // floor(v·1e6) of the identical double is rounding-mode-free.
+      // floor(v·1e6 + 0.5) of the identical double is rounding-mode-free
+      // (pure IEEE chain, same result on both engines) and — unlike bare
+      // floor(v·1e6), which biases each row down by up to 1e-6 — keeps
+      // the quantized average a true nearest-grid mean that the min/max
+      // columns bracket.
       def floorAvg(c: org.apache.spark.sql.Column) =
-        sum(floor(c * lit(1e6)).cast("long")).cast("double") /
+        sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") /
           lit(1e6) / count(lit(1))
       perUser.groupBy(col("k").as("n_action_types"))
         .agg(
@@ -2267,11 +2271,11 @@ object Events {
          |SELECT k AS n_action_types, COUNT(*) AS n_users,
          |  CAST(SUM(CASE WHEN diversity < 0.30 OR top_share > 0.85
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_scripted,
-         |  CAST(SUM(CAST(FLOOR(diversity * 1e6) AS BIGINT)) AS DOUBLE)
+         |  CAST(SUM(CAST(FLOOR(diversity * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
          |    / 1e6 / COUNT(*) AS avg_diversity,
          |  MIN(diversity) AS min_diversity,
          |  MAX(diversity) AS max_diversity,
-         |  CAST(SUM(CAST(FLOOR(top_share * 1e6) AS BIGINT)) AS DOUBLE)
+         |  CAST(SUM(CAST(FLOOR(top_share * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
          |    / 1e6 / COUNT(*) AS avg_top_share
          |FROM p GROUP BY k
          |ORDER BY n_action_types""".stripMargin

@@ -936,7 +936,9 @@ object StreamOps {
       .withWatermark(timeCol, watermarkDelay)
       .select(expr(s"pmod($shardCol, 5)").cast("long"), col(timeCol),
         expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 3600000000.0) AS BIGINT)"),
-        (col(typeCol) === "error").cast("long"))
+        // coalesce: a NULL event_type must decode as false, not NPE in the
+        // primitive-tuple deserializer
+        coalesce(col(typeCol) === "error", lit(false)).cast("long"))
       .as[(Long, java.sql.Timestamp, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[BurnState, BurnAlert](
@@ -1115,7 +1117,7 @@ object StreamOps {
       .select(expr(s"CAST(to_date($timeCol) AS string)"),
         col(timeCol),
         expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)"),
-        (col(typeCol) === "purchase").as("is_purchase"))
+        coalesce(col(typeCol) === "purchase", lit(false)).as("is_purchase"))
       .as[(String, java.sql.Timestamp, Long, Boolean)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Map[Long, Long], DayQuantiles](
@@ -1232,7 +1234,7 @@ object StreamOps {
       // traffic flows (SCALING.md's round-8 streaming trap)
       .select(col(timeCol),
         expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
-        (col(typeCol) === "purchase").cast("long"))
+        coalesce(col(typeCol) === "purchase", lit(false)).cast("long"))
       .as[(java.sql.Timestamp, Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, SeasonalAlert](
@@ -1507,8 +1509,8 @@ object StreamOps {
       .withWatermark(timeCol, watermarkDelay)
       .select(col(timeCol),
         expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
-        (col(typeCol) === "view").cast("long"),
-        (col(typeCol) === "purchase").cast("long"))
+        coalesce(col(typeCol) === "view", lit(false)).cast("long"),
+        coalesce(col(typeCol) === "purchase", lit(false)).cast("long"))
       .as[(java.sql.Timestamp, Long, Long, Long)]
       .groupByKey(_ => 0)
       .flatMapGroupsWithState[CorrState, RollingCorr](
@@ -1595,7 +1597,7 @@ object StreamOps {
       .select(expr(s"try_cast($userCol AS bigint)"), col(timeCol),
         col("event_id"),
         expr(s"unix_micros(cast($timeCol AS timestamp))"),
-        (col(typeCol) === "error").as("is_error"))
+        coalesce(col(typeCol) === "error", lit(false)).as("is_error"))
       .as[(Long, java.sql.Timestamp, Long, Long, Boolean)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RecoveryState, Recovery](
@@ -1670,7 +1672,7 @@ object StreamOps {
       .withWatermark(timeCol, watermarkDelay)
       .select(col(timeCol),
         expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
-        (col(typeCol) === "purchase").cast("long"))
+        coalesce(col(typeCol) === "purchase", lit(false)).cast("long"))
       .as[(java.sql.Timestamp, Long, Long)]
       .groupByKey(_ => 0)
       .flatMapGroupsWithState[StalenessState, StalenessPoint](

@@ -180,11 +180,46 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(r1 >= 0.08, s"composed recall@10 $r1 below floor at nprobe=1")
     assert(r8 >= 0.35, s"composed recall@10 $r8 below floor at nprobe=8")
     // the sweep's contract row agrees with the per-level floors
-    val sweep = Similarity.nprobeSweep(spark, d01)
-      .as[(Long, Long, Boolean, Boolean)].collect().toSeq.sortBy(_._1)
+    val sweep = Similarity.annShared(spark, d01).sweep()
+      .as[(Long, Long, Boolean, Long)].collect().toSeq.sortBy(_._1)
     assert(sweep.map(_._1) == Seq(1L, 2L, 4L, 8L))
     assert(sweep.forall(_._3), s"a sweep level broke its recall floor: $sweep")
-    assert(sweep.forall(_._4), "candidate volume must be non-decreasing in nprobe")
+    // cand_rank = rank by (candidate volume, nprobe); equal to the
+    // nprobe order iff candidate volume is non-decreasing in nprobe
+    assert(sweep.map(_._4) == Seq(1L, 2L, 3L, 4L),
+      s"candidate volume must be non-decreasing in nprobe: $sweep")
+  }
+
+  test("q154 magnitude guard: right-shifted power iteration tracks the exact path") {
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    val base = Similarity.powerIterationPca(spark, d01)
+      .as[(Long, Double)].collect().toMap
+    val shifted = Similarity.powerIterationPca(spark, d01, shiftBits = 8)
+      .as[(Long, Double)].collect().toMap
+    assert(base.keySet == shifted.keySet)
+    assert(base.size == 64)
+    val maxDiff = base.keys.map(c => math.abs(base(c) - shifted(c))).max
+    info(f"max |loading delta| at shiftBits=8: $maxDiff%.2e")
+    // the shift drops ≤2^8 per element per sweep — far below the sweep
+    // magnitudes even at sf0.01, and the final normalization is
+    // scale-free; at the N where a shift is NEEDED (|v| ≥ 1e30) the
+    // relative perturbation is smaller still
+    assert(maxDiff <= 1e-3, s"shifted loadings drifted: $maxDiff")
+  }
+
+  test("q320/q321/q328 deploy ONE shared trained model (a single annOpen build)") {
+    // the registered trio must ride the amortized build-once path the
+    // AnnIndex API advertises — retraining an identical codebook per
+    // registry entry measured ~19 s/bench before the share
+    val d01 = "/root/testdata/sf0.01"
+    Similarity.annSharedEvict(spark, d01)
+    val before = Similarity.annBuilds
+    assert(graft.SparkEntry.queries("q320_ann_ivf_pq_rerank")(spark, d01).count() > 0)
+    assert(graft.SparkEntry.queries("q321_ivf_pq_recall_gate")(spark, d01).count() > 0)
+    assert(graft.SparkEntry.queries("q328_ann_nprobe_advisor")(spark, d01).count() == 4)
+    assert(Similarity.annBuilds - before == 1L,
+      s"the q320/q321/q328 trio trained ${Similarity.annBuilds - before} models; must be 1")
   }
 
   test("IvfIndex handle: zero source scans per query batch after the cache fills") {
