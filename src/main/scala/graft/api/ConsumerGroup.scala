@@ -22,18 +22,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   *
   * NOT carried over (documented divergences, SURVEY.md §7.4):
   * `ClientID`/aliveness/leader election — the Spark driver is the single
-  * planner, so there is no client-side group membership; `MarkRecord`/
-  * `Commit`/`CommitConfig` — the offset WAL commits transactionally per
-  * micro-batch, a strict upgrade from the reference's at-least-once
-  * periodic commit; `EFOMode` — push transport has no micro-batch analog.
+  * planner, so there is no client-side group membership; `EFOMode` —
+  * push transport has no micro-batch analog.
+  *
+  * Carried over as an OPT-IN: `MarkRecord`/`Commit`/`CommitConfig`
+  * (`kinesumer.go:746-804`, `kinesumer.go:85-95`). The DEFAULT
+  * (`commit = None`) keeps the offset WAL's transactional per-batch
+  * commit — exactly-once source progress, a strict upgrade over the
+  * reference's periodic commit. `commit = Some(CommitConfig(...))`
+  * switches to the reference's at-least-once semantics for consumers
+  * that RELY on replay-since-last-commit (side-effecting apps that
+  * dedupe downstream and want the app — not the engine — to own the
+  * durable resume point): the app marks consumed records with
+  * [[ConsumerGroup.markRecord]], [[ConsumerGroup.commit]] persists the
+  * marks (or a ticker does, when `auto` — `commitPeriodically`,
+  * `kinesumer.go:731-744`), and a restart resumes AFTER the last
+  * COMMITTED mark per (stream, shard), re-delivering everything since —
+  * exactly the reference's replay window.
   */
+final case class CommitConfig(auto: Boolean = true, intervalMs: Long = 5000L)
+
 final case class ConsumerConfig(
     app: String,
     logRoot: String,
     checkpointRoot: String,
     scanLimit: Long = 2000L,
     scanIntervalMs: Long = 100L,
-    startFromLatest: Boolean = false) {
+    startFromLatest: Boolean = false,
+    commit: Option[CommitConfig] = None) {
   require(app.nonEmpty, "app must be set") // ≈ kinesumer.go:189-193
 }
 
@@ -86,15 +102,118 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     * record channel returned by `Consume` (`kinesumer.go:346-370`); attach
     * any sink/transformation.
     */
-  def consume(streams: Seq[String]): DataFrame = {
+  def consume(streams: Seq[String]): DataFrame =
+    consumeFrom(streams,
+      if (cfg.startFromLatest) "latest" else "trim_horizon")
+
+  private def consumeFrom(streams: Seq[String], startingPosition: String): DataFrame = {
     require(streams.nonEmpty, "at least one stream")
     spark.readStream
       .format("graft.source.ShardedStreamProvider")
       .option("path", cfg.logRoot)
       .option("streams", streams.mkString(","))
-      .option("startingPosition", if (cfg.startFromLatest) "latest" else "trim_horizon")
+      .option("startingPosition", startingPosition)
       .option("maxRecordsPerShardPerBatch", cfg.scanLimit)
       .load()
+  }
+
+  // ------------------------------------------------------------------
+  // Manual-commit (at-least-once) parity mode — active iff cfg.commit is
+  // set. ≈ k.offsets / MarkRecord / Commit (`kinesumer.go:146,746-804`).
+
+  /** The app's un-committed consume marks, per (stream, shard) —
+    * OVERWRITE semantics like the reference's `offsets.Store`
+    * (`kinesumer.go:764`): the resume point is whatever was marked last,
+    * not a max (marking out of order moves it backwards there too).
+    */
+  private val marks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+  private var ticker: Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  /** `MarkRecord` (`kinesumer.go:746-764`): declare `sequenceNumber` of
+    * (stream, shardId) consumed. Durable only after [[commit]]. A mark
+    * on a stream this consumer is not consuming is reported through
+    * [[errors]] and ignored — the reference's `ErrInvalidStream` path
+    * (`sendOrDiscardError`, here lossless).
+    */
+  def markRecord(stream: String, shardId: String, sequenceNumber: Long): Unit = {
+    require(cfg.commit.nonEmpty,
+      "markRecord requires the manual-commit mode (ConsumerConfig.commit)")
+    if (!active.exists(_._2.contains(stream)))
+      errorQueue.add(s"markRecord: not consuming stream '$stream'")
+    else marks.put((stream, shardId), sequenceNumber)
+  }
+
+  /** `Commit` (`kinesumer.go:766-792`): persist the current marks MERGED
+    * over the last committed positions (the reference's per-shard
+    * DynamoDB updates leave unmarked shards at their old checkpoint).
+    * No-op when nothing was marked since the last call — the reference's
+    * `len(checkpoints) == 0` early return. Durability: versioned file +
+    * atomic rename (the WAL pattern), so a crash mid-commit leaves the
+    * previous commit intact.
+    */
+  def commit(): Unit = synchronized {
+    require(cfg.commit.nonEmpty,
+      "commit requires the manual-commit mode (ConsumerConfig.commit)")
+    if (!marks.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val fresh = marks.asScala.toMap.groupBy(_._1._1).map { case (stream, m) =>
+        stream -> m.map { case ((_, shard), seq) => shard -> seq }.toMap
+      }
+      val prev = committedMarks()
+      val merged = (prev.keySet ++ fresh.keySet).map { stream =>
+        stream -> (prev.getOrElse(stream, Map.empty) ++
+          fresh.getOrElse(stream, Map.empty))
+      }.toMap
+      persistMarks(merged)
+      marks.clear()
+    }
+  }
+
+  private def manualDir =
+    new org.apache.hadoop.fs.Path(s"${cfg.checkpointRoot}/${cfg.app}/manual")
+
+  private def manualFs =
+    manualDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedVersions(): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val fs = manualFs
+    if (!fs.exists(manualDir)) Seq.empty
+    else fs.listStatus(manualDir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("offsets-") && n.endsWith(".json"))
+        scala.util.Try(n.stripPrefix("offsets-").stripSuffix(".json").toLong)
+          .toOption.map(_ -> st.getPath)
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** Last committed per-(stream, shard) positions; empty before the
+    * first [[commit]].
+    */
+  private[api] def committedMarks(): Map[String, Map[String, Long]] =
+    committedVersions().lastOption.map { case (_, p) =>
+      val in = manualFs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      graft.source.ShardedStreamOffset.fromJson(txt).positions
+    }.getOrElse(Map.empty)
+
+  private def persistMarks(m: Map[String, Map[String, Long]]): Unit = {
+    val fs = manualFs
+    fs.mkdirs(manualDir)
+    val versions = committedVersions()
+    val next = versions.lastOption.map(_._1 + 1).getOrElse(0L)
+    val tmp = new org.apache.hadoop.fs.Path(manualDir, s".offsets-$next.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(graft.source.ShardedStreamOffset(m).json()
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(manualDir, s"offsets-$next.json"))
+    // bounded history: the latest is the checkpoint, one older kept as
+    // the crash-window fallback
+    versions.dropRight(1).foreach { case (_, p) => fs.delete(p, false) }
   }
 
   /** Start consuming with a per-batch callback (≈ the application loop
@@ -111,14 +230,46 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     */
   def start(streams: Seq[String])(onBatch: BatchFn): StreamingQuery = synchronized {
     require(active.isEmpty, "consumer already started; use refresh() to change streams")
-    val q = consume(streams).writeStream
+    // Manual-commit mode: the APP's commit — not the engine's offset
+    // WAL — owns the durable resume point, so each start gets a FRESH
+    // Spark checkpoint and begins AFTER the last committed mark
+    // (`AFTER_SEQUENCE_NUMBER`, `kinesumer.go:716-718`); everything
+    // since the last Commit re-delivers — the reference's replay window.
+    val (ckLoc, src) = cfg.commit match {
+      case None =>
+        (s"${cfg.checkpointRoot}/${cfg.app}/main", consume(streams))
+      case Some(_) =>
+        val committed = committedMarks()
+        val pos =
+          if (committed.nonEmpty)
+            "at_sequence:" + graft.source.ShardedStreamOffset(committed).json()
+          else if (cfg.startFromLatest) "latest"
+          else "trim_horizon"
+        (s"${cfg.checkpointRoot}/${cfg.app}/manual/spark-${java.util.UUID.randomUUID()}",
+          consumeFrom(streams, pos))
+    }
+    val q = src.writeStream
       .queryName(s"${cfg.app}-consumer")
-      .option("checkpointLocation", s"${cfg.checkpointRoot}/${cfg.app}/main")
+      .option("checkpointLocation", ckLoc)
       .trigger(Trigger.ProcessingTime(cfg.scanIntervalMs))
       .foreachBatch { (df: DataFrame, batchId: Long) => onBatch(df, batchId) }
       .start()
     owned.add(q.runId)
     active = Some((q, streams, onBatch))
+    // ≈ commitPeriodically (`kinesumer.go:731-744`): CommitConfig.auto
+    // commits the marks on a ticker; manual (`auto = false`) leaves
+    // Commit to the app
+    cfg.commit.filter(_.auto).foreach { cc =>
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, s"${cfg.app}-commit-ticker")
+          t.setDaemon(true)
+          t
+        })
+      ex.scheduleAtFixedRate(() => commit(), cc.intervalMs, cc.intervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      ticker = Some(ex)
+    }
     q
   }
 
@@ -131,8 +282,14 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
       throw new IllegalStateException("consumer not started"))
     q.stop()
     awaitQuietly(q)
+    stopTicker()
     active = None
     start(streams)(onBatch)
+  }
+
+  private def stopTicker(): Unit = {
+    ticker.foreach(_.shutdownNow())
+    ticker = None
   }
 
   /** Block until all currently-available records are processed (test aid —
@@ -222,6 +379,10 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
   def close(): Unit = synchronized {
     active.foreach { case (q, _, _) => q.stop(); awaitQuietly(q) }
     harvest()
+    stopTicker()
+    // ≈ the reference's Close waiting out the last sync job
+    // (`kinesumer.go:866-867`): marks made before shutdown are committed
+    if (cfg.commit.nonEmpty && !marks.isEmpty) commit()
     active = None
     spark.streams.removeListener(listener)
   }

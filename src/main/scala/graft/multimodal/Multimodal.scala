@@ -17,12 +17,18 @@ object Multimodal {
   /** The binary envelope: what a real pipeline would carry per media blob. */
   final case class MediaRecord(doc_id: Long, media_type: String, blob: Array[Byte])
 
-  /** One sampled frame of a media blob (the 1→N decode shape). */
-  final case class Frame(
+  /** One sampled frame of a decoded multi-frame container (the 1→N
+    * video-decode shape): the container's frame count plus the sampled
+    * frame's raster-level channel sums.
+    */
+  final case class SampledFrame(
       doc_id: Long,
+      n_frames: Int,
       frame_index: Int,
-      byte_offset: Int,
-      frame_checksum: Long)
+      width: Int,
+      height: Int,
+      sum_red: Long,
+      sum_green: Long)
 
   /** Metadata of a resized blob (the 1→1 transform shape). */
   final case class ResizedMeta(
@@ -130,21 +136,6 @@ object Multimodal {
       MediaRecord(r.doc_id, r.media_type + s";resized=1/$factor", out)
     }
 
-    /** STUB frame sampler (1 blob → N frames): evenly-spaced byte offsets
-      * stand in for video frame extraction; each "frame" carries a
-      * checksum of its 8-byte window. Deterministic, so oracle-verifiable.
-      */
-    def sampleFramesStub(r: MediaRecord): Seq[Frame] = {
-      val n = r.blob.length
-      val frames = 1 + n % 8
-      val stride = math.max(1, n / frames)
-      (0 until frames).map { i =>
-        val off = i * stride
-        val checksum = r.blob.iterator.slice(off, math.min(n, off + 8))
-          .map(b => (b & 0xffL)).sum
-        Frame(r.doc_id, i, off, checksum)
-      }
-    }
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -177,31 +168,41 @@ object Multimodal {
     // integer arithmetic on the byte length — possible only because the
     // stub is deterministic.
     // ------------------------------------------------------------------
-    // q44: 1→N frame sampling (the video-decode shape): typed flatMap via
-    // mapPartitions emits one row per sampled frame with evenly-spaced
-    // byte offsets and per-window checksums (stub sampler, real plumbing).
+    // q44: REAL 1→N VIDEO FRAME SAMPLING, oracle-verified — a
+    // deterministic multi-frame (animated) GIF is synthesized per doc
+    // through the real javax.imageio GIF SEQUENCE writer, then the real
+    // GIF reader counts its frames (getNumImages(true) — a genuine
+    // container scan), samples the video-thumbnail triple {first,
+    // middle, last}, decodes each sampled frame with read(i) and
+    // traverses every pixel for channel sums. Frame count, dimensions
+    // and sums exist ONLY inside the container bytes; the oracle
+    // predicts them in closed form from the generator (frames are
+    // two-color indexed rasters — bit-lossless GIF round-trip by
+    // construction), so the hash match proves the multi-frame codec
+    // path end-to-end. This de-stubs the former byte-offset sampler the
+    // way q171 de-stubbed q51's resize claim.
     QueryDef.sql("q44_frame_samples")(frameSamples) {
-      // Byte-faithful oracle: lengths and checksums are over UTF-8 bytes
-      // (OCTET_LENGTH + hex-pair extraction), exactly like the Spark stub
-      // over the blob — no ASCII-only assumption.
       """WITH m AS (
-        |  SELECT doc_id, HEX(ENCODE(text)) AS h,
-        |    CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n,
-        |    1 + CAST(OCTET_LENGTH(ENCODE(text)) AS INT) % 8 AS frames
+        |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n
         |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    8 + n % 24 AS w, 8 + (n * 3) % 24 AS h, 1 + n % 8 AS nf
+        |  FROM m),
         |f AS (
-        |  SELECT doc_id, h, n,
-        |    GREATEST(1, n // frames) AS stride,
-        |    UNNEST(GENERATE_SERIES(0, frames - 1)) AS fi
-        |  FROM m)
-        |SELECT doc_id,
+        |  SELECT DISTINCT doc_id, n, w, h, nf, fi FROM (
+        |    SELECT doc_id, n, w, h, nf,
+        |      UNNEST([0, nf // 2, nf - 1]) AS fi
+        |    FROM p) t)
+        |SELECT doc_id, CAST(nf AS INT) AS n_frames,
         |  CAST(fi AS INT) AS frame_index,
-        |  CAST(fi * stride AS INT) AS byte_offset,
-        |  CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
-        |         GENERATE_SERIES(CAST(fi * stride AS INT) + 1,
-        |                         LEAST(n, CAST(fi * stride AS INT) + 8)),
-        |         j -> CAST(('0x' || SUBSTRING(h, 2 * j - 1, 2)) AS INT))), 0)
-        |       AS BIGINT) AS frame_checksum
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST((w // 2) * h * ((n + 31 * fi) % 256)
+        |     + (w - w // 2) * h * ((n * 7 + 13 * fi) % 256) AS BIGINT)
+        |    AS sum_red,
+        |  CAST((w // 2) * h * ((n * 3 + 17 * fi) % 256)
+        |     + (w - w // 2) * h * ((n + 5 * fi) % 256) AS BIGINT)
+        |    AS sum_green
         |FROM f
         |ORDER BY doc_id, frame_index""".stripMargin
     },
@@ -567,10 +568,107 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Deterministic multi-frame (animated) GIF synthesizer — q44's
+    * fixture, the video analog of [[gradientPng]]: `1 + n % 8` frames of
+    * `(8 + n % 24) × (8 + 3n % 24)` pixels, frame `f` a two-color
+    * vertical split (left half color A(f), right half color B(f), both
+    * closed-form in (n, f)). Frames are TYPE_BYTE_INDEXED over an
+    * EXPLICIT 2-entry IndexColorModel: the JDK GIF writer re-palettizes
+    * non-indexed input through a fixed 216-color web palette (lossy —
+    * the raster oracle would see quantized channels), while an indexed
+    * raster's palette is written verbatim, making the GIF round-trip
+    * bit-lossless by construction. Written through the real
+    * `javax.imageio` GIF SEQUENCE writer (prepareWriteSequence /
+    * writeToSequence), so the blob is a genuine multi-frame container —
+    * the frame count exists only inside its bytes.
+    */
+  private def animatedGif(docId: Long, n: Int): MediaRecord = {
+    imageIoInMemory()
+    val w = 8 + n % 24
+    val h = 8 + (n * 3) % 24
+    val nf = 1 + n % 8
+    val wl = w / 2
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(((n + 31 * f) % 256).toByte, ((n * 7 + 13 * f) % 256).toByte),
+          Array(((n * 3 + 17 * f) % 256).toByte, ((n + 5 * f) % 256).toByte),
+          Array(((n + f) % 256).toByte, ((n * 11 + f) % 256).toByte))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, if (x < wl) 0 else 1)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    MediaRecord(docId, "image/gif", bos.toByteArray)
+  }
+
+  /** q44's body: synthesized animated GIF → REAL multi-frame decode →
+    * thumbnail-style frame sampling. The reader counts frames with
+    * `getNumImages(true)` (a genuine container scan — seekForwardOnly
+    * must be off) and samples the classic video-thumbnail triple
+    * {first, middle, last} (deduped when the clip is short); each
+    * sampled frame is decoded with `read(i)` and traversed
+    * pixel-by-pixel for channel sums. Frame count, dimensions and sums
+    * all exist only inside the container bytes — the oracle predicts
+    * them closed-form from the generator, so a hash match proves the
+    * real multi-frame codec path end-to-end (the q149/q171 pattern).
+    * Same per-partition codec boundary as every other real codec here.
+    */
   def frameSamples(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaRecords(s, d)
-      .mapPartitions(_.flatMap(MediaCodec.sampleFramesStub))
+      .mapPartitions(_.map(r => animatedGif(r.doc_id, r.blob.length)))
+      .mapPartitions { it =>
+        imageIoInMemory()
+        it.flatMap { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.blob))
+          val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+          try {
+            reader.setInput(iis)
+            val nf = reader.getNumImages(true)
+            Seq(0, nf / 2, nf - 1).distinct.sorted.map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var (sr, sg) = (0L, 0L)
+              var i = 0
+              while (i < px.length) {
+                sr += (px(i) >> 16) & 0xff
+                sg += (px(i) >> 8) & 0xff
+                i += 1
+              }
+              SampledFrame(r.doc_id, nf, f, w, h, sr, sg)
+            }
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }
       .toDF()
       .orderBy("doc_id", "frame_index")
   }
