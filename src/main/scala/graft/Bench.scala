@@ -47,7 +47,10 @@ object Bench {
     // per-query numbers can be confidence-banded post hoc.
     val probeFn = SparkEntry.queries.get("q02_filter_project")
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probeOffsets = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val runStart = System.nanoTime()
     def probe(): Unit = probeFn.foreach { fn =>
+      probeOffsets += (System.nanoTime() - runStart) / 1e9
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
@@ -55,10 +58,17 @@ object Bench {
     }
     probe()
     var sinceProbe = 0
+    // run-order host-burst forensics (round 11: the round-10 driver-vs-
+    // pair swings were contiguous execution windows hit by multi-minute
+    // host bursts — see SCALING.md): queries whose reps disagree by >2×
+    // are re-measured once more and recorded with their run offset, so a
+    // reader can align them against the probe series post hoc.
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results = names.map { case (name, fn) =>
       sinceProbe += 1
-      if (sinceProbe >= 25) { sinceProbe = 0; probe() }
-      val times = (1 to reps).map { _ =>
+      if (sinceProbe >= 12) { sinceProbe = 0; probe() }
+      val qOffset = (System.nanoTime() - runStart) / 1e9
+      def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink: executes the complete plan (final sorts and projections
         // included) — a bare count() would let Catalyst prune them
@@ -74,6 +84,15 @@ object Bench {
         // failed queries record -1, not their elapsed time: a failure must
         // never be indistinguishable from a fast success in BENCH output
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      var times = (1 to reps).map(_ => once())
+      // adaptive extra rep: >2× rep disagreement means at least one rep
+      // ran inside a host burst — one more sample rescues queries at a
+      // burst BOUNDARY (a query fully inside a burst stays slow and is
+      // named in `suspect` for post-hoc confidence banding)
+      if (reps > 1 && !times.contains(-1.0) && times.max > 2.0 * times.min) {
+        suspects += name -> qOffset
+        times = times :+ once()
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
@@ -92,11 +111,14 @@ object Bench {
     // reps makes round-over-round comparisons self-describing (a min-of-5
     // artifact is not comparable to a single-shot one under host load)
     val ps = probes.map(f3).mkString("[", ",", "]")
+    val po = probeOffsets.map(f3).mkString("[", ",", "]")
+    val su = suspects.map { case (k, off) => s"\"" + k + "\":" + f3(off) }
+      .mkString("{", ",", "}")
     // the long per-query line is "total_detail", NOT "total": a consumer
     // matching "metric":"total" in the log tail must find exactly ONE
     // line — the short, never-truncated summary below
     val line =
-      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"probe_series":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"probe_series":$ps,"probe_offsets":$po,"suspect":$su,"sf":"$sfDir"}"""
     println(line)
     // Short summary line AFTER the big one: the driver keeps only a log
     // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
@@ -104,7 +126,7 @@ object Bench {
     // parsed:null). This line is <300 bytes and always survives the tail,
     // and is the ONLY line carrying "metric":"total".
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"probe_series":$ps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"probe_series":$ps,"sf":"$sfDir"}""")
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
     // 11 per-query entries) — the file survives regardless of log size.

@@ -615,7 +615,10 @@ object Events {
     // summed in decimal(38) — int64 would overflow at corpus row counts
     // (6e11 rows × ~1e13 µs max gap) — then ONE huge-int→double cast
     // and two divisions, correctly rounded from identical exact
-    // operands on both engines.
+    // operands on both engines. Bound audit (round 11): the global sum
+    // 6e11 · 1e13 = 6e24 sits 13 orders of magnitude under 10³⁸, and
+    // the per-(from,to) group sums are smaller still — no shift path
+    // needed at any realistic corpus.
     QueryDef.sql("q140_transition_gap_profile") { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables(s, d, "events")
@@ -857,6 +860,9 @@ object Events {
     // overflows int64 at month-scale gaps), and the single terminal
     // division runs on identical correctly-rounded casts (the oracle
     // routes its wide-int casts through VARCHAR — the q154 lesson).
+    // Bound audit (round 11): per-row cents·µs ≤ 1e7·1e13 = 1e20, so a
+    // per-user sum reaches 10³⁸ only past 1e18 purchase rows per user —
+    // unreachable; no shift path needed.
     // One user-keyed window + one keyed aggregation; cohort-bounded
     // output (q139's posture).
     QueryDef.sql("q164_twap_per_user") { (s, d) =>

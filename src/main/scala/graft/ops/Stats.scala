@@ -1272,6 +1272,9 @@ object Stats {
     // counts), and the single terminal division runs on correctly-
     // rounded casts (oracle routes wide ints through VARCHAR — the q154
     // lesson). One keyed window + one keyed agg on the priority key.
+    // Bound audit (round 11): Σ r·x ≤ n²·max(x); at 1.5e11 orders
+    // (~3e10 per priority) and 1e7 max cents that is ~9e27 — ten orders
+    // of magnitude under 10³⁸; no shift path needed.
     QueryDef.sql("q180_gini_concentration") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val wide = org.apache.spark.sql.types.DecimalType(38, 0)

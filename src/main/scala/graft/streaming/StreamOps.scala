@@ -1716,6 +1716,178 @@ object StreamOps {
       }
   }
 
+  /** One weekday row of the live seasonality profile — q272's twin
+    * emits the FULL updated profile (one row per weekday seen so far)
+    * after every finalized active day, tagged with that day.
+    */
+  final case class WeekdayProfileRow(day: String, wd: Long, n_days: Long,
+      total: Long, seasonal_index: Double, weekday_eta2: Option[Double])
+
+  final case class WeekdayProfileState(lastDay: Long, qAll: Long,
+      byWd: Map[Long, (Long, Long)], pending: Map[Long, Long])
+
+  /** Streaming weekday-seasonality profile — q272's live twin: the
+    * batch query decomposes daily purchase volume into per-weekday
+    * seasonal indices plus the seasonal-strength eta² in one pass; the
+    * live monitor maintains the SAME sufficient statistics — per-weekday
+    * (n_days, Σc) and the global Σc² — folding each day in as the
+    * watermark finalizes it (the dailyQuantileMonitor posture), and
+    * emits the updated profile snapshot after every finalized ACTIVE
+    * day (days without purchases are absent from the batch's daily
+    * relation, so they change nothing and emit nothing — silent days
+    * are the q271 twin's concern, not this one's). The arithmetic
+    * replays the batch chain exactly: weekday = epoch-day mod 7
+    * (locale-free), contribs fold in weekday order, one IEEE
+    * multiply/divide chain per emitted field — so the last snapshot is
+    * BIT-EQUAL to the batch q272 over the finalized prefix
+    * (spec-pinned on a shuffled-arrival fixture). State is 7 weekday
+    * pairs + one long + the lateness-bounded open-day counts; the
+    * series is global, so the single group is the correct parallelism.
+    */
+  def weekdayProfileMonitor(events: DataFrame, timeCol: String,
+      typeCol: String, watermarkDelay: String): Dataset[WeekdayProfileRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      // purchase filter INSIDE the state fold: a pre-filter would freeze
+      // the watermark whenever only other-type traffic flows
+      .select(col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
+        coalesce(col(typeCol) === "purchase", lit(false)).cast("long"))
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[WeekdayProfileState, WeekdayProfileRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[WeekdayProfileState]) =>
+          val st0 = state.getOption
+            .getOrElse(WeekdayProfileState(Long.MinValue, 0L, Map.empty, Map.empty))
+          var pending = st0.pending
+          rows.foreach { r =>
+            if (r._3 > 0L && r._2 > st0.lastDay)
+              pending = pending.updated(r._2, pending.getOrElse(r._2, 0L) + r._3)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val finalUpTo = math.floorDiv(wmMs, 86400000L) - 1L
+          var (byWd, qAll, lastDay) = (st0.byWd, st0.qAll, st0.lastDay)
+          val out = scala.collection.mutable.ArrayBuffer.empty[WeekdayProfileRow]
+          pending.keys.filter(_ <= finalUpTo).toSeq.sorted.foreach { day =>
+            val c = pending(day)
+            pending = pending - day
+            lastDay = math.max(lastDay, day)
+            // epoch-day mod 7 — identical to the batch's
+            // datediff(day, DATE '1970-01-01') % 7 (0 = Thursday)
+            val wd = math.floorMod(day, 7L)
+            val (nd0, t0) = byWd.getOrElse(wd, (0L, 0L))
+            byWd = byWd.updated(wd, (nd0 + 1L, t0 + c))
+            qAll += c * c
+            // snapshot: the exact batch algebra over the updated stats
+            val nAll = byWd.valuesIterator.map(_._1).sum
+            val sAll = byWd.valuesIterator.map(_._2).sum
+            val f = byWd.toSeq.sortBy(_._1).foldLeft(0.0) {
+              case (acc, (_, (nd, tot))) =>
+                acc + (tot.toDouble * tot.toDouble) / nd.toDouble
+            }
+            val denom = nAll.toDouble * qAll.toDouble - sAll.toDouble * sAll.toDouble
+            val eta2 =
+              if (denom <= 0.0) None
+              else Some((nAll.toDouble * f - sAll.toDouble * sAll.toDouble) / denom)
+            val dayStr = java.time.LocalDate.ofEpochDay(day).toString
+            byWd.toSeq.sortBy(_._1).foreach { case (w, (nd, tot)) =>
+              out += WeekdayProfileRow(dayStr, w, nd, tot,
+                (tot.toDouble * nAll.toDouble) / (nd.toDouble * sAll.toDouble),
+                eta2)
+            }
+          }
+          state.update(WeekdayProfileState(lastDay, qAll, byWd, pending))
+          state.setTimeoutTimestamp(wmMs + 60000L)
+          out.iterator
+      }
+  }
+
+  /** One finalized (user, week) purchase split — q293's stage-1 output:
+    * whether that week was the user's FIRST active week, with their
+    * purchase count and cents for the week.
+    */
+  final case class UserWeekSplit(user_id: Long, wk: Long, is_new: Long,
+      n: Long, cents: Long)
+
+  final case class UserWeekState(fwk: Long,
+      pending: Map[Long, (Long, Long)])
+
+  /** Stage 1 of q293's live twin — per-user new-vs-returning weekly
+    * finalization: the batch query joins each (user, week) revenue row
+    * against the user's first active week; the live form keeps exactly
+    * that per user — the first FINALIZED active week (weeks finalize in
+    * watermark order, so no earlier week can appear later) plus the
+    * lateness-bounded open-week sums — and emits one labeled row per
+    * (user, week) as the watermark passes the week's end. Downstream,
+    * the weekly dashboard row is one keyed aggregation over this delta
+    * topic ([[weeklySplitOf]] — the q288 two-stage shape); the spec pins
+    * the composition bit-equal to the batch q293 on a shuffled-arrival
+    * fixture. State per user: one long + open weeks. Weeks are the
+    * batch's floor(epoch-day / 7) — locale-free.
+    */
+  def userWeekSplits(events: DataFrame, timeCol: String, userCol: String,
+      typeCol: String, valueCol: String,
+      watermarkDelay: String): Dataset[UserWeekSplit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($userCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($userCol AS bigint)"), col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 604800000000.0) AS BIGINT)"),
+        // non-purchase rows ride through for watermark progress only and
+        // may carry NULL value — decode as 0, never NPE
+        coalesce(expr(s"CAST(ROUND($valueCol * 100) AS BIGINT)"), lit(0L)),
+        coalesce(col(typeCol) === "purchase", lit(false)))
+      .as[(Long, java.sql.Timestamp, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserWeekState, UserWeekSplit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[UserWeekState]) =>
+          val st0 = state.getOption.getOrElse(UserWeekState(Long.MinValue, Map.empty))
+          var pending = st0.pending
+          rows.foreach { r =>
+            if (r._5) {
+              val (n0, c0) = pending.getOrElse(r._3, (0L, 0L))
+              pending = pending.updated(r._3, (n0 + 1L, c0 + r._4))
+            }
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val finalUpTo = math.floorDiv(wmMs, 604800000L) - 1L
+          var fwk = st0.fwk
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserWeekSplit]
+          pending.keys.filter(_ <= finalUpTo).toSeq.sorted.foreach { wk =>
+            val (n, c) = pending(wk)
+            pending = pending - wk
+            val isNew = if (fwk == Long.MinValue) { fwk = wk; 1L } else 0L
+            out += UserWeekSplit(user, wk, isNew, n, c)
+          }
+          state.update(UserWeekState(fwk, pending))
+          state.setTimeoutTimestamp(wmMs + 60000L)
+          out.iterator
+      }
+  }
+
+  /** Stage 2 of q293's twin: the weekly dashboard aggregation over the
+    * stage-1 delta topic — usable as a batch query over the sink (the
+    * spec's form) or as a streaming aggregation. Algebra is the batch
+    * q293's verbatim (exact int64 sums, one terminal IEEE division).
+    */
+  def weeklySplitOf(splits: DataFrame): DataFrame =
+    splits.groupBy(col("wk"))
+      .agg(sum(col("is_new")).as("n_new_users"),
+        sum(lit(1L) - col("is_new")).as("n_returning_users"),
+        sum(col("is_new") * col("cents")).as("new_cents"),
+        sum((lit(1L) - col("is_new")) * col("cents")).as("returning_cents"))
+      .select(col("wk"), col("n_new_users"), col("n_returning_users"),
+        col("new_cents"), col("returning_cents"),
+        expr("CAST(new_cents AS DOUBLE) / " +
+          "CAST(new_cents + returning_cents AS DOUBLE)").as("new_share"))
+      .orderBy("wk")
+
   /** One finalized user session at µs resolution — q288's stage-1
     * output (and the delta-topic payload between the two stages).
     */

@@ -1110,8 +1110,9 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     val cells = graft.SparkEntry.queries("q143_chi2_independence")(spark, d)
       .select($"chi2_cell").as[Double].collect()
     // same grid: the total is the Det-decimal sum of q143's cells
-    // (tie-free FLOOR quantization onto the 1e-6 grid — Det's contract)
-    val detSum = (BigDecimal(cells.map(x => math.floor(x * 1e6).toLong).sum) /
+    // (tie-free nearest-grid floor(x·1e6 + 0.5) quantization — Det's
+    // contract since the round-11 bias fix)
+    val detSum = (BigDecimal(cells.map(x => math.floor(x * 1e6 + 0.5).toLong).sum) /
       BigDecimal(1000000)).toDouble
     assert(chi2 == detSum)
     assert(v == math.sqrt(chi2 / (n.toDouble * math.min(r - 1, c - 1).toDouble)))

@@ -1284,6 +1284,115 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       (2L, 10L, 0L), (2L, 21L, 1L * H)))
   }
 
+  test("weekdayProfileMonitor's final snapshot is bit-equal to the batch q272 algebra") {
+    import spark.implicits._
+    def dTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, hour, 0).plusDays(day.toLong))
+    // purchase counts over 10 calendar days (two Mondays etc.), with a
+    // silent day 4 (absent from the batch's daily relation) and
+    // non-purchase noise that must not enter the profile
+    val plan = Map(0 -> 4, 1 -> 6, 2 -> 3, 3 -> 5, 5 -> 2, 6 -> 7,
+      7 -> 1, 8 -> 9, 9 -> 2)
+    val rows = new scala.util.Random(11).shuffle(plan.toSeq.flatMap {
+      case (d, n) =>
+        (1 to n).map(i => (dTs(d, 1 + i % 20), "purchase")) ++
+          Seq((dTs(d, 3), "view"))
+    })
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamOps.weekdayProfileMonitor(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS wp_sink")
+    val q = out.writeStream.format("memory").queryName("wp_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((dTs(30, 12), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lastDay = java.time.LocalDate.of(2024, 1, 1).plusDays(9).toString
+    val got = spark.table("wp_sink")
+      .filter(col("day") === lastDay)
+      .as[(String, Long, Long, Long, Double, Option[Double])]
+      .collect().toSeq.sortBy(_._2)
+    // batch q272 algebra replayed over the full plan (epoch-day mod 7,
+    // weekday-ordered contrib fold, identical IEEE chains)
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val byWd = plan.toSeq.map { case (d, n) => (math.floorMod(epoch0 + d, 7L), n.toLong) }
+      .groupBy(_._1).map { case (w, xs) => w -> (xs.size.toLong, xs.map(_._2).sum) }
+    val (nAll, sAll) = (byWd.values.map(_._1).sum, byWd.values.map(_._2).sum)
+    val qAll = plan.values.map(n => n.toLong * n.toLong).sum
+    val f = byWd.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, (nd, tot))) =>
+      acc + (tot.toDouble * tot.toDouble) / nd.toDouble }
+    val denom = nAll.toDouble * qAll.toDouble - sAll.toDouble * sAll.toDouble
+    val eta2 = if (denom <= 0.0) None
+      else Some((nAll.toDouble * f - sAll.toDouble * sAll.toDouble) / denom)
+    val exp = byWd.toSeq.sortBy(_._1).map { case (w, (nd, tot)) =>
+      (lastDay, w, nd, tot,
+        (tot.toDouble * nAll.toDouble) / (nd.toDouble * sAll.toDouble), eta2)
+    }
+    assert(got == exp)
+    // every finalized active day snapshots: 9 active days, profile rows
+    // grow with the number of weekdays seen so far
+    val snapshots = spark.table("wp_sink").select("day").distinct().count()
+    assert(snapshots == 9L, "one snapshot per finalized ACTIVE day (silent day 4 emits nothing)")
+  }
+
+  test("userWeekSplits + weeklySplitOf reproduce the batch q293 new-vs-returning split") {
+    import spark.implicits._
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay // a Monday
+    def wTs(week: Int, day: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDate.ofEpochDay(epoch0 + week * 7L + day)
+        .atTime(10, 0))
+    // (user, week, cents): u1 new in wk0, returns wk1+wk2; u2 new in
+    // wk1 only; u3 new in wk2; u4 new in wk0, skips wk1, returns wk2
+    val fixture = Seq(
+      (1L, 0, 500L), (1L, 0, 250L), (1L, 1, 100L), (1L, 2, 400L),
+      (2L, 1, 900L),
+      (3L, 2, 300L), (3L, 2, 299L),
+      (4L, 0, 1000L), (4L, 2, 50L))
+    // day offset capped at 2: epoch weeks are Thursday-based and
+    // 2024-01-01 sits 4 days into its epoch week, so offsets ≤ 2 keep
+    // every row inside the intended week bucket
+    val rows = new scala.util.Random(13).shuffle(fixture.map {
+      case (u, w, c) => (wTs(w, (c % 3L).toInt), u, "purchase", c.toDouble / 100.0)
+    } :+ ((wTs(0, 2), 9L, "view", 0.0)))
+    val input = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val out = StreamOps.userWeekSplits(
+      input.toDF().toDF("ts", "user_id", "event_type", "value"),
+      "ts", "user_id", "event_type", "value", watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS uw_sink")
+    val q = out.writeStream.format("memory").queryName("uw_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((wTs(5, 0), 9L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // stage 2 over the delta topic = the weekly dashboard rows
+    val got = StreamOps.weeklySplitOf(spark.table("uw_sink"))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // batch q293 algebra replayed inline: per (user, week) sums joined
+    // against the user's min week
+    val uw = fixture.groupBy(t => (t._1, t._2)).map { case ((u, w), xs) =>
+      (u, w.toLong, xs.size.toLong, xs.map(_._3).sum) }.toSeq
+    val first = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val wk0 = epoch0 / 7L
+    val exp = uw.groupBy(_._2).toSeq.sortBy(_._1).map { case (w, xs) =>
+      val nNew = xs.count(x => first(x._1) == w).toLong
+      val newC = xs.filter(x => first(x._1) == w).map(_._4).sum
+      val retC = xs.filter(x => first(x._1) != w).map(_._4).sum
+      (wk0 + w, nNew, xs.size.toLong - nNew, newC, retC,
+        newC.toDouble / (newC + retC).toDouble)
+    }
+    assert(got == exp)
+    // the view-only user never produces a split row
+    assert(spark.table("uw_sink").filter(col("user_id") === 9L).count() == 0L)
+  }
+
   test("statsStalenessMonitor re-prices the frozen stats per finalized day") {
     import spark.implicits._
     def dTs(day: Int, hour: Int): Timestamp =
