@@ -261,7 +261,10 @@ object Gates {
     QueryDef.sql("q278_pq_adc_recall_gate") { (s, d) =>
       val truth = defOf(Similarity.queries, "q27_cosine_topk")
         .run(s, d).select("q_id", "neighbor_id")
-      val found = Similarity.pqAdcTopk(s, d).select("q_id", "neighbor_id")
+      // gates the SHARED deployed model (one PQ training per session per
+      // corpus across q277/q278/q320/q321/q328 — annBuilds spec-pinned)
+      val found = Similarity.annShared(s, d).adcTopk()
+        .select("q_id", "neighbor_id")
       recallRow(truth, found, Seq("q_id", "neighbor_id"), floor = 0.55)
     } {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok

@@ -480,7 +480,11 @@ object Similarity {
     // block sum; the ADC ranking prunes to a 100-row shortlist per
     // query that an exact re-rank finishes (the standard PQ deployment
     // shape). Recall vs the exact q27 ranking is gated in q278.
-    QueryDef.noOracle("q277_pq_adc_topk")((s, d) => pqAdcTopk(s, d)),
+    // Deploys via the SHARED per-(session, corpus) trained model
+    // (annShared, same codebook parameters) — the PQ family trains once
+    // alongside q320/q321/q328; adcTopk ≡ pqAdcTopk is spec-pinned.
+    QueryDef.noOracle("q277_pq_adc_topk")((s, d) =>
+      annShared(s, d).adcTopk()),
 
     // ------------------------------------------------------------------
     // q320: IVF → PQ-ADC → EXACT RE-RANK — the composed production
@@ -2405,6 +2409,43 @@ object Similarity {
       val scored = codesRel.join(broadcast(probes), col("ccid") === col("probe"))
         .filter(col("vec_id") =!= col("q_id"))
         .join(dtab, Seq("q_id", "block", "cid"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(count(lit(1)).as("nb"), sum(col("dd")).as("adist"))
+        .filter(col("nb") === lit(nBlocks.toLong))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adist").asc, col("vec_id"))
+      val short = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= shortlist)
+        .select(col("q_id"), col("vec_id"))
+      val qx = broadcast(exactRel.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("ev").as("qv"),
+          col("en2").as("qn2")))
+      val rer = short.join(exactRel, "vec_id").join(qx, "q_id")
+        .withColumn("cos_sim",
+          expr("vec_dot(qv, ev)") / (sqrt(col("qn2")) * sqrt(col("en2"))))
+      val w2 = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      rer.withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cos_sim"))
+        .orderBy("q_id", "rnk")
+    }
+
+    /** q277's un-routed PQ-ADC search over the persisted code table —
+      * the whole-corpus compressed scan (no IVF prune), sharing this
+      * handle's one trained codebook: ADC scores EVERY code row against
+      * the broadcast distance table, prunes to the shortlist, exact
+      * re-rank finishes. Agrees row-for-row with the un-cached
+      * [[pqAdcTopk]] at the same parameters (spec-pinned) — the
+      * registered q277/q278 ride this so the PQ family trains once per
+      * (session, corpus) alongside q320/q321/q328.
+      */
+    def adcTopk(k: Int = 10, shortlist: Int = 100): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val dtab = adcTableFrom(queryRel, refitRel, nBlocks)
+      val scored = codesRel.drop("ccid").join(dtab, Seq("block", "cid"))
+        .filter(col("vec_id") =!= col("q_id"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(count(lit(1)).as("nb"), sum(col("dd")).as("adist"))
         .filter(col("nb") === lit(nBlocks.toLong))

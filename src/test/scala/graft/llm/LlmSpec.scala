@@ -208,18 +208,21 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(maxDiff <= 1e-3, s"shifted loadings drifted: $maxDiff")
   }
 
-  test("q320/q321/q328 deploy ONE shared trained model (a single annOpen build)") {
-    // the registered trio must ride the amortized build-once path the
-    // AnnIndex API advertises — retraining an identical codebook per
-    // registry entry measured ~19 s/bench before the share
+  test("q277/q278/q320/q321/q328 deploy ONE shared trained model (a single annOpen build)") {
+    // the registered compressed-search family must ride the amortized
+    // build-once path the AnnIndex API advertises — retraining an
+    // identical codebook per registry entry measured ~24 s/bench before
+    // the share (the trio ~19 s + the q277/q278 pair ~5 s)
     val d01 = "/root/testdata/sf0.01"
     Similarity.annSharedEvict(spark, d01)
     val before = Similarity.annBuilds
     assert(graft.SparkEntry.queries("q320_ann_ivf_pq_rerank")(spark, d01).count() > 0)
     assert(graft.SparkEntry.queries("q321_ivf_pq_recall_gate")(spark, d01).count() > 0)
     assert(graft.SparkEntry.queries("q328_ann_nprobe_advisor")(spark, d01).count() == 4)
+    assert(graft.SparkEntry.queries("q277_pq_adc_topk")(spark, d01).count() > 0)
+    assert(graft.SparkEntry.queries("q278_pq_adc_recall_gate")(spark, d01).count() == 1)
     assert(Similarity.annBuilds - before == 1L,
-      s"the q320/q321/q328 trio trained ${Similarity.annBuilds - before} models; must be 1")
+      s"the ANN family trained ${Similarity.annBuilds - before} models; must be 1")
   }
 
   test("IvfIndex handle: zero source scans per query batch after the cache fills") {
@@ -276,6 +279,14 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
       assert(got == direct, "handle and un-cached composed paths must agree")
       // a second batch at a different nprobe still answers sanely
       assert(idx.query(nprobe = 8).limit(1).count() == 1L)
+      // the un-routed compressed scan over the same handle equals the
+      // un-cached q277 path (one shared codebook serves both families)
+      val adc = idx.adcTopk().select($"q_id", $"rnk", $"neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val adcDirect = Similarity.pqAdcTopk(spark, d01)
+        .select($"q_id", $"rnk", $"neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(adc == adcDirect, "handle adcTopk and un-cached pqAdcTopk must agree")
     } finally idx.close()
   }
 
