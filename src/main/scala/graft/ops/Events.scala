@@ -1165,28 +1165,38 @@ object Events {
     // observation) carry the nearest value. Scaffold = days ×
     // priorities (broadcast-sized above one span agg); the as-of
     // brackets are two ignore-nulls windows keyed by priority over the
-    // scaffold-sized relation — never the fact table.
+    // scaffold-sized relation — never the fact table. The daily rollup
+    // is FROZEN (localCheckpoint) before fan-out: three consumers
+    // (span, priority list, scaffold join) would otherwise re-derive it
+    // — three fact scans at warehouse scale. And the next-observation
+    // bracket runs as a running frame over the REVERSED ordering, not a
+    // CURRENT→UNBOUNDED-FOLLOWING frame: WindowExec re-scans following
+    // frames per row (O(rows²) per partition — the q182 skyline lesson),
+    // while both running frames here are incremental O(rows).
     QueryDef.sql("q176_gap_interpolation") { (s, d) =>
-      val daily = Tables(s, d, "orders")
-        .select(col("o_orderpriority").as("prio"),
-          expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
-        .groupBy(col("prio"), col("day"))
-        .agg(count(lit(1)).as("n"))
+      val daily = graft.Checkpoints.checkpoint(
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
+          .groupBy(col("prio"), col("day"))
+          .agg(count(lit(1)).as("n")))
       val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
         .crossJoin(daily.select(col("prio")).distinct())
       val joined = grid.join(daily, Seq("prio", "day"), "left_outer")
       val wPrev = Window.partitionBy(col("prio")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      val wNext = Window.partitionBy(col("prio")).orderBy(col("day"))
-        .rowsBetween(0, Window.unboundedFollowing)
+      // nearest observation at day ≥ current: running last over the
+      // day-DESC ordering (incremental), ≡ first over CURRENT→FOLLOWING
+      val wNextR = Window.partitionBy(col("prio")).orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       joined
         .withColumn("pv", last(col("n"), ignoreNulls = true).over(wPrev))
         .withColumn("pd", last(when(col("n").isNotNull, col("day")),
           ignoreNulls = true).over(wPrev))
-        .withColumn("nv", first(col("n"), ignoreNulls = true).over(wNext))
-        .withColumn("nd", first(when(col("n").isNotNull, col("day")),
-          ignoreNulls = true).over(wNext))
+        .withColumn("nv", last(col("n"), ignoreNulls = true).over(wNextR))
+        .withColumn("nd", last(when(col("n").isNotNull, col("day")),
+          ignoreNulls = true).over(wNextR))
         .withColumn("filled",
           when(col("n").isNotNull, col("n").cast("double"))
             .when(col("pv").isNull, col("nv").cast("double"))

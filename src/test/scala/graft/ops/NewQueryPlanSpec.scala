@@ -673,6 +673,15 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q176's bracket windows are both incremental (no following frame)") {
+    // WindowExec re-scans a CURRENT→UNBOUNDED-FOLLOWING frame per row
+    // (O(rows²) per partition — the q182 skyline lesson); the next-
+    // observation bracket must ride the reversed-order running frame
+    val p = plan("q176_gap_interpolation")
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"q176 planned a following frame:\n$p")
+  }
+
   test("q279's candidate generation never plans a cartesian product") {
     val p = plan("q279_link_prediction")
     assert(!p.contains("CartesianProduct"),
