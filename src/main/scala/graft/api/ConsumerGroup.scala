@@ -319,11 +319,19 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     case None => Map.empty
     case Some((q, streams, _)) =>
       val progress = Option(q.lastProgress)
+      // in manual-commit mode the engine WAL lives in a fresh per-start
+      // directory and does NOT define the durable resume point — the
+      // app's committed marks do, so the pre-first-trigger fallback
+      // reads those instead of the (absent) main WAL
       val committed: Map[String, Map[String, Long]] = progress
         .flatMap(p => p.sources.headOption)
         .flatMap(s => Option(s.endOffset))
-        .orElse(walCommittedOffsetJson())
         .map(graft.source.ShardedStreamOffset.fromJson(_).positions)
+        .orElse {
+          if (cfg.commit.nonEmpty) Some(committedMarks())
+          else walCommittedOffsetJson()
+            .map(graft.source.ShardedStreamOffset.fromJson(_).positions)
+        }
         .getOrElse(Map.empty)
       streams.flatMap { stream =>
         val shards = graft.source.ShardedStreamLog.listShards(cfg.logRoot, stream).keys

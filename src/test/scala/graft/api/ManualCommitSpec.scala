@@ -154,6 +154,34 @@ class ManualCommitSpec extends AnyFunSuite with SparkTestSession {
     cg.close()
   }
 
+  test("lag() in manual mode reads the app-committed marks before the first trigger") {
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 9L).map(rec))
+    val cfg = ConsumerConfig(app = "mc8", logRoot = root, checkpointRoot = ck,
+      commit = Some(CommitConfig(auto = false)))
+    val cg1 = new ConsumerGroup(spark, cfg)
+    cg1.start(Seq("events")) { (_, _) => () }
+    cg1.processAllAvailable()
+    cg1.markRecord("events", "shard-0", 4L)
+    cg1.commit()
+    cg1.close()
+    // restart; batch 0 is held open on a latch so lastProgress stays
+    // null — lag() must fall back to the APP's committed marks (the
+    // durable resume point here), not the absent main WAL (which would
+    // report the whole log as backlog)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val cg2 = new ConsumerGroup(spark, cfg)
+    cg2.start(Seq("events")) { (_, _) =>
+      gate.await(20, java.util.concurrent.TimeUnit.SECONDS); () }
+    try {
+      assert(cg2.lag() == Map(("events", "shard-0") -> 5L),
+        "pre-first-trigger lag must measure from the committed mark (seq 4)")
+    } finally {
+      gate.countDown()
+      cg2.close()
+    }
+  }
+
   test("manual-commit APIs require the opt-in mode") {
     val (root, ck) = newEnv()
     val cfg = ConsumerConfig(app = "mc7", logRoot = root, checkpointRoot = ck)
