@@ -240,9 +240,16 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
         (s"${cfg.checkpointRoot}/${cfg.app}/main", consume(streams))
       case Some(_) =>
         val committed = committedMarks()
+        // a refresh carries the old query's processed offsets on top of
+        // the committed marks (per shard, the carry is always ≥ the
+        // committed mark — it reflects completed batches)
+        val base = (committed.keySet ++ refreshCarry.keySet).map { st =>
+          st -> (committed.getOrElse(st, Map.empty) ++
+            refreshCarry.getOrElse(st, Map.empty))
+        }.toMap
         val pos =
-          if (committed.nonEmpty)
-            "at_sequence:" + graft.source.ShardedStreamOffset(committed).json()
+          if (base.nonEmpty)
+            "at_sequence:" + graft.source.ShardedStreamOffset(base).json()
           else if (cfg.startFromLatest) "latest"
           else "trim_horizon"
         (s"${cfg.checkpointRoot}/${cfg.app}/manual/spark-${java.util.UUID.randomUUID()}",
@@ -280,12 +287,31 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
   def refresh(streams: Seq[String]): StreamingQuery = synchronized {
     val (q, _, onBatch) = active.getOrElse(
       throw new IllegalStateException("consumer not started"))
+    // Manual-commit mode: the reference's Refresh keeps its in-memory
+    // shard iterators, so a stream-set swap does NOT rewind consumption
+    // (`kinesumer.go:817-831` — only a PROCESS restart replays since the
+    // last commit). Capture the running query's last completed end
+    // offsets and carry them into the restart; a batch in flight at
+    // stop() re-runs (at-least-once, as everywhere in this mode).
+    refreshCarry =
+      if (cfg.commit.isEmpty) Map.empty
+      else Option(q.lastProgress)
+        .flatMap(p => p.sources.headOption)
+        .flatMap(s => Option(s.endOffset))
+        .map(graft.source.ShardedStreamOffset.fromJson(_).positions)
+        .getOrElse(Map.empty)
     q.stop()
     awaitQuietly(q)
     stopTicker()
     active = None
-    start(streams)(onBatch)
+    try start(streams)(onBatch)
+    finally refreshCarry = Map.empty
   }
+
+  /** Within-process processed offsets carried across a manual-mode
+    * [[refresh]] (set only for the duration of the restart).
+    */
+  private var refreshCarry: Map[String, Map[String, Long]] = Map.empty
 
   private def stopTicker(): Unit = {
     ticker.foreach(_.shutdownNow())

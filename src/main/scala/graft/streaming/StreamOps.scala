@@ -1812,7 +1812,7 @@ object StreamOps {
   final case class UserWeekSplit(user_id: Long, wk: Long, is_new: Long,
       n: Long, cents: Long)
 
-  final case class UserWeekState(fwk: Long,
+  final case class UserWeekState(fwk: Long, lastWk: Long,
       pending: Map[Long, (Long, Long)])
 
   /** Stage 1 of q293's live twin — per-user new-vs-returning weekly
@@ -1847,10 +1847,15 @@ object StreamOps {
       .flatMapGroupsWithState[UserWeekState, UserWeekSplit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[UserWeekState]) =>
-          val st0 = state.getOption.getOrElse(UserWeekState(Long.MinValue, Map.empty))
+          val st0 = state.getOption
+            .getOrElse(UserWeekState(Long.MinValue, Long.MinValue, Map.empty))
           var pending = st0.pending
           rows.foreach { r =>
-            if (r._5) {
+            // drop rows for weeks this key already finalized: a
+            // beyond-watermark straggler would otherwise re-open the
+            // week and emit a DUPLICATE split row (the lastDay guard
+            // every finalizing twin carries)
+            if (r._5 && r._3 > st0.lastWk) {
               val (n0, c0) = pending.getOrElse(r._3, (0L, 0L))
               pending = pending.updated(r._3, (n0 + 1L, c0 + r._4))
             }
@@ -1858,14 +1863,16 @@ object StreamOps {
           val wmMs = state.getCurrentWatermarkMs()
           val finalUpTo = math.floorDiv(wmMs, 604800000L) - 1L
           var fwk = st0.fwk
+          var lastWk = st0.lastWk
           val out = scala.collection.mutable.ArrayBuffer.empty[UserWeekSplit]
           pending.keys.filter(_ <= finalUpTo).toSeq.sorted.foreach { wk =>
             val (n, c) = pending(wk)
             pending = pending - wk
+            lastWk = math.max(lastWk, wk)
             val isNew = if (fwk == Long.MinValue) { fwk = wk; 1L } else 0L
             out += UserWeekSplit(user, wk, isNew, n, c)
           }
-          state.update(UserWeekState(fwk, pending))
+          state.update(UserWeekState(fwk, lastWk, pending))
           state.setTimeoutTimestamp(wmMs + 60000L)
           out.iterator
       }

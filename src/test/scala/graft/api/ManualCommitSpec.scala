@@ -182,6 +182,32 @@ class ManualCommitSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("refresh in manual mode does not rewind (Refresh keeps its position, only restarts replay)") {
+    // the reference's Refresh keeps in-memory shard iterators — a
+    // stream-set swap never re-delivers; only a PROCESS restart replays
+    // since the last commit (kinesumer.go:817-831)
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 4L).map(rec))
+    val cfg = ConsumerConfig(app = "mc9", logRoot = root, checkpointRoot = ck,
+      commit = Some(CommitConfig(auto = false)))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val cg = new ConsumerGroup(spark, cfg)
+    cg.start(Seq("events")) { (df, _) =>
+      df.select("sequence_number").collect()
+        .foreach(r => seen.add(r.getString(0).toLong))
+    }
+    cg.processAllAvailable()
+    assert(seen.asScala.toSeq.sorted == (0L to 4L))
+    // no commit before the refresh — the carry, not the commit, must
+    // hold the position
+    cg.refresh(Seq("events"))
+    ShardedStreamLog.append(root, "events", "shard-0", (5L to 6L).map(rec))
+    cg.processAllAvailable()
+    cg.close()
+    assert(seen.asScala.toSeq.sorted == (0L to 6L),
+      s"refresh must neither replay nor lose records: ${seen.asScala.toSeq.sorted}")
+  }
+
   test("manual-commit APIs require the opt-in mode") {
     val (root, ck) = newEnv()
     val cfg = ConsumerConfig(app = "mc7", logRoot = root, checkpointRoot = ck)
