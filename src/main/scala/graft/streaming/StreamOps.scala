@@ -1895,6 +1895,91 @@ object StreamOps {
           "CAST(new_cents + returning_cents AS DOUBLE)").as("new_share"))
       .orderBy("wk")
 
+  /** One finalized inter-purchase gap — q292's stage-1 output: the
+    * day-bucketed (capped) gap that ended at purchase `event_id`.
+    */
+  final case class GapSample(user_id: Long, event_id: Long, gap_days: Long)
+
+  final case class GapState(prevTus: Long, prevId: Long, hasPrev: Boolean,
+      pending: List[(Long, Long)])
+
+  /** Stage 1 of q292's live twin — per-user inter-purchase gap
+    * finalization: purchases buffer per user until the watermark
+    * finalizes them (the recoveryLatency posture), then replay in
+    * (event-time, event_id) order against the last finalized purchase,
+    * emitting each gap day-bucketed and capped at `capDays` (q292's
+    * open-tail bucket) the moment it can no longer change. The repeat-
+    * interval dashboard row is one aggregation over this delta topic
+    * ([[intervalHistogramOf]], the q288/q293 two-stage shape) —
+    * spec-pinned bit-equal to the batch q292 on a shuffled-arrival
+    * fixture. State per user: the last finalized purchase plus the
+    * lateness-bounded buffer; beyond-watermark stragglers older than
+    * the finalized frontier are dropped (they are unplaceable in an
+    * already-emitted gap sequence — the lastDay guard in gap form).
+    */
+  def purchaseGaps(events: DataFrame, timeCol: String, userCol: String,
+      typeCol: String, watermarkDelay: String,
+      capDays: Long = 31L): Dataset[GapSample] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($userCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($userCol AS bigint)"), col(timeCol),
+        expr(s"unix_micros(cast($timeCol AS timestamp))"),
+        col("event_id"),
+        coalesce(col(typeCol) === "purchase", lit(false)))
+      .as[(Long, java.sql.Timestamp, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapSample](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[GapState]) =>
+          val st0 = state.getOption
+            .getOrElse(GapState(Long.MinValue, Long.MinValue, false, Nil))
+          val fresh = rows.filter(r => r._5 &&
+            (!st0.hasPrev || r._3 > st0.prevTus)).map(r => (r._3, r._4))
+          val pending = st0.pending ++ fresh
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = pending.partition(_._1 <= wm * 1000L)
+          var (ptus, pid, has) = (st0.prevTus, st0.prevId, st0.hasPrev)
+          val out = ready.sortBy(identity).flatMap { case (tus, id) =>
+            val o =
+              if (has)
+                Some(GapSample(user, id,
+                  math.min(math.floorDiv(tus - ptus, 86400000000L), capDays)))
+              else None
+            ptus = tus; pid = id; has = true
+            o
+          }
+          state.update(GapState(ptus, pid, has, hold))
+          val next = if (hold.nonEmpty) hold.map(_._1).min / 1000L else wm + 60000L
+          state.setTimeoutTimestamp(math.max(next, wm + 1L))
+          out.iterator
+      }
+  }
+
+  /** Stage 2 of q292's twin: the interval histogram with shares and the
+    * cumulative distribution over the stage-1 delta topic — usable as a
+    * batch query over the sink (the spec's form) or a streaming
+    * aggregation. Algebra is the batch q292's verbatim (exact int64
+    * histogram, terminal IEEE divisions; the cumulative window runs
+    * over ≤ capDays+1 rows).
+    */
+  def intervalHistogramOf(gaps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = gaps.groupBy(col("gap_days")).agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("n_total"))
+    val wcum = Window.orderBy(col("gap_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .select(col("gap_days"), col("n"),
+        expr("CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)").as("share"),
+        expr("CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE)")
+          .as("cumulative_share"))
+      .orderBy("gap_days")
+  }
+
   /** One finalized user session at µs resolution — q288's stage-1
     * output (and the delta-topic payload between the two stages).
     */

@@ -1393,6 +1393,58 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.table("uw_sink").filter(col("user_id") === 9L).count() == 0L)
   }
 
+  test("purchaseGaps + intervalHistogramOf reproduce the batch q292 interval histogram") {
+    import spark.implicits._
+    def dTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, hour, 0).plusDays(day.toLong))
+    // per-user purchase days: u1 gaps 1,2,40(caps to 31); u2 gaps 0 (two
+    // same-day purchases) and 3; u3 single purchase (no gap); views ride
+    // along for watermark progress only
+    val fixture = Seq(
+      (1L, 0, 9, "purchase", 100L), (1L, 1, 9, "purchase", 101L),
+      (1L, 3, 9, "purchase", 102L), (1L, 43, 9, "purchase", 103L),
+      (2L, 0, 10, "purchase", 200L), (2L, 0, 15, "purchase", 201L),
+      (2L, 3, 15, "purchase", 202L),
+      (3L, 5, 12, "purchase", 300L),
+      (1L, 2, 1, "view", 900L))
+    val rows = new scala.util.Random(17).shuffle(fixture.map {
+      case (u, d0, h, t, id) => (dTs(d0, h), u, t, id) })
+    val input = MemoryStream[(Timestamp, Long, String, Long)](spark)
+    val out = StreamOps.purchaseGaps(
+      input.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+      "ts", "user_id", "event_type", watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS pg_sink")
+    val q = out.writeStream.format("memory").queryName("pg_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((dTs(60, 12), 9L, "view", 9999L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val samples = spark.table("pg_sink")
+      .as[(Long, Long, Long)].collect().toSet
+    // each gap finalizes against the previous purchase in event order
+    assert(samples == Set(
+      (1L, 101L, 1L), (1L, 102L, 2L), (1L, 103L, 31L),
+      (2L, 201L, 0L), (2L, 202L, 3L)),
+      s"got $samples")
+    // stage 2 = the batch q292 histogram algebra over the delta topic
+    val got = StreamOps.intervalHistogramOf(spark.table("pg_sink"))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val gaps = samples.toSeq.map(_._3)
+    val hist = gaps.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+      .toSeq.sortBy(_._1)
+    val nTot = gaps.size.toLong
+    var cum = 0L
+    val exp = hist.map { case (g, n) =>
+      cum += n
+      (g, n, n.toDouble / nTot.toDouble, cum.toDouble / nTot.toDouble)
+    }
+    assert(got == exp)
+  }
+
   test("statsStalenessMonitor re-prices the frozen stats per finalized day") {
     import spark.implicits._
     def dTs(day: Int, hour: Int): Timestamp =
