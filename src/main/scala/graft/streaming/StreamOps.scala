@@ -1895,6 +1895,49 @@ object StreamOps {
           "CAST(new_cents + returning_cents AS DOUBLE)").as("new_share"))
       .orderBy("wk")
 
+  /** q299's twin as a SECOND consumer of [[userWeekSplits]]'s delta
+    * topic — the production pattern where one finalized stream feeds
+    * many dashboards: each user's cohort is the week their is_new flag
+    * fired, and the LTV triangle is the (cohort, age) rollup of the
+    * per-(user, week) cents with the running cumulative per-user value.
+    * Algebra is the batch q299's verbatim: the splits are already one
+    * row per (user, week), so the distinct-user counts collapse to
+    * plain counts of identical value; the cumulative window runs per
+    * cohort over ≤ ages rows. Spec-pinned bit-equal to the batch q299
+    * replayed inline on a shuffled-arrival fixture.
+    */
+  def cohortLtvOf(splits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // JOIN-FREE single-lineage shape (and no self-join: a delta topic
+    // read back from a memory sink is a View leaf DeduplicateRelations
+    // cannot re-instance, so the batch q299's pv⋈first form would not
+    // resolve here): the cohort is a user-keyed window min over the
+    // is_new week, each user's is_new row lands exactly in its cohort's
+    // age-0 cell — so cohort size is a cohort-window sum of the per-cell
+    // new-user counts — and the LTV accumulation is the running frame.
+    val wcoh = Window.partitionBy(col("user_id"))
+    val withC = splits
+      .withColumn("cohort",
+        min(when(col("is_new") === 1L, col("wk"))).over(wcoh))
+      .withColumn("age", col("wk") - col("cohort"))
+    val tri = withC.groupBy(col("cohort"), col("age"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        sum(col("cents")).as("cents"),
+        countDistinct(when(col("is_new") === 1L, col("user_id")))
+          .as("new_in_cell"))
+    val wsz = Window.partitionBy(col("cohort"))
+    val wc = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri
+      .withColumn("cohort_users", sum(col("new_in_cell")).over(wsz))
+      .withColumn("cum_cents", sum(col("cents")).over(wc))
+      .select(col("cohort"), col("age"), col("cohort_users"),
+        col("active_users"), col("cents"), col("cum_cents"),
+        expr("CAST(cum_cents AS DOUBLE) / CAST(cohort_users AS DOUBLE)")
+          .as("cum_cents_per_user"))
+      .orderBy("cohort", "age")
+  }
+
   /** One finalized inter-purchase gap — q292's stage-1 output: the
     * day-bucketed (capped) gap that ended at purchase `event_id`.
     */

@@ -1391,6 +1391,23 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == exp)
     // the view-only user never produces a split row
     assert(spark.table("uw_sink").filter(col("user_id") === 9L).count() == 0L)
+    // SECOND consumer of the same delta topic: the q299 LTV triangle —
+    // cohort = the week is_new fired; cells and the cumulative
+    // per-user value replay the batch algebra bit-for-bit
+    val ltv = StreamOps.cohortLtvOf(spark.table("uw_sink"))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val cohortOf = first // user -> first week (the batch's min-week)
+    val sizes = cohortOf.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val cells = uw.groupBy(x => (cohortOf(x._1), x._2 - cohortOf(x._1))).toSeq
+      .sortBy(_._1).map { case ((c, a), xs) =>
+        (c, a, xs.map(_._1).distinct.size.toLong, xs.map(_._4).sum) }
+    var cumBy = Map.empty[Long, Long]
+    val expLtv = cells.map { case (c, a, au, cents) =>
+      val cum = cumBy.getOrElse(c, 0L) + cents
+      cumBy = cumBy.updated(c, cum)
+      (wk0 + c, a, sizes(c), au, cents, cum, cum.toDouble / sizes(c).toDouble)
+    }
+    assert(ltv == expLtv)
   }
 
   test("purchaseGaps + intervalHistogramOf reproduce the batch q292 interval histogram") {
