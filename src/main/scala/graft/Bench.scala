@@ -92,10 +92,56 @@ object Bench {
       // named in `suspect` for post-hoc confidence banding)
       if (reps > 1 && !times.contains(-1.0) && times.max > 2.0 * times.min) {
         suspects += name -> qOffset
-        times = times :+ once()
+        val errsBefore = errors
+        val extra = once()
+        // the rescue sample must only ever IMPROVE the row: if just the
+        // extra rep fails (-1), keep the base reps' min and drop its
+        // error entry — all measured reps succeeded
+        if (extra >= 0) times = times :+ extra else errors = errsBefore
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
+    // End-of-suite isolated adjudication (closes the probe blind spot: the
+    // ~12-query probe cadence missed q229/q230/q233 in r11): any query
+    // whose min-of-reps exceeds 1.8× its committed scaling-pair time
+    // (BENCH_SELF.json, same sf) is re-run ONCE here, far from its
+    // original execution window. Both numbers land in the artifact —
+    // isolated ≈ pair reads as a host burst; isolated still high reads as
+    // a genuine regression to root-cause. The 0.25 s absolute-excess floor
+    // keeps ms-scale noise from triggering re-runs of trivial queries.
+    val pair: (String, Map[String, Double]) = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PAIR", "BENCH_SELF.json"))
+      if (!java.nio.file.Files.isReadable(p)) ("", Map.empty)
+      else try {
+        val txt = java.nio.file.Files.readString(p)
+        val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        val qStart = txt.indexOf("\"queries\":{")
+        val qs =
+          if (qStart < 0) Map.empty[String, Double]
+          else {
+            val body = txt.substring(qStart + "\"queries\":{".length,
+              txt.indexOf("}", qStart)) // flat numeric object: first } ends it
+            "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        (sf, qs)
+      } catch { case scala.util.control.NonFatal(_) => ("", Map.empty) }
+    }
+    val isolated: Map[String, Double] =
+      if (pair._1 != sfDir) Map.empty
+      else names.flatMap { case (name, fn) =>
+        val t = results(name)
+        val base = pair._2.getOrElse(name, -1.0)
+        if (t > 0 && base > 0 && t > 1.8 * base && t - base > 0.25) {
+          val t0 = System.nanoTime()
+          val ok = try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          } catch { case _: Throwable => false }
+          if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+        } else None
+      }.toMap
     // 3-decimal (ms-resolution) values: full-precision doubles made the
     // 170-query line ~6.3 KB and overflowed the driver's log-tail JSON
     // capture (BENCH_r07 recorded parsed:null). -1 failure markers kept.
@@ -114,11 +160,13 @@ object Bench {
     val po = probeOffsets.map(f3).mkString("[", ",", "]")
     val su = suspects.map { case (k, off) => s"\"" + k + "\":" + f3(off) }
       .mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     // the long per-query line is "total_detail", NOT "total": a consumer
     // matching "metric":"total" in the log tail must find exactly ONE
     // line — the short, never-truncated summary below
     val line =
-      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"queries":$qs,"errors":$es,"probe_series":$ps,"probe_offsets":$po,"suspect":$su,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"queries":$qs,"errors":$es,"probe_series":$ps,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
     println(line)
     // Short summary line AFTER the big one: the driver keeps only a log
     // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
@@ -126,7 +174,7 @@ object Bench {
     // parsed:null). This line is <300 bytes and always survives the tail,
     // and is the ONLY line carrying "metric":"total".
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"probe_series":$ps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"probe_series":$ps,"sf":"$sfDir"}""")
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
     // 11 per-query entries) — the file survives regardless of log size.
@@ -141,6 +189,18 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_ROUND.json")), line + "\n")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write bench artifact: $e") }
+    // per-round history: BENCH_ROUND.json is OVERWRITTEN every round, which
+    // made round-over-round per-query diffs impossible once a driver log
+    // tail truncated (r10). Appending each full-detail line (ts-stamped) to
+    // a committed journal keeps every round's per-query numbers diffable.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),
+      line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not append bench history: $e") }
     spark.stop()
   }
 }

@@ -157,7 +157,8 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
       "commit requires the manual-commit mode (ConsumerConfig.commit)")
     if (!marks.isEmpty) {
       import scala.jdk.CollectionConverters._
-      val fresh = marks.asScala.toMap.groupBy(_._1._1).map { case (stream, m) =>
+      val snapshot = marks.asScala.toMap
+      val fresh = snapshot.groupBy(_._1._1).map { case (stream, m) =>
         stream -> m.map { case ((_, shard), seq) => shard -> seq }.toMap
       }
       val prev = committedMarks()
@@ -166,7 +167,14 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
           fresh.getOrElse(stream, Map.empty))
       }.toMap
       persistMarks(merged)
-      marks.clear()
+      // remove ONLY what this commit persisted (value-conditional remove):
+      // a markRecord landing between the snapshot and here — the app's
+      // foreachBatch thread racing the auto-commit ticker — replaces the
+      // value and survives for the NEXT commit. A plain clear() would drop
+      // it, silently regressing the durable resume point behind the app's
+      // last mark; the reference never deletes offsets (`kinesumer.go:764`
+      // Store-only), so its commit point can't regress either.
+      snapshot.foreach { case (k, v) => marks.remove(k, v) }
     }
   }
 
@@ -261,6 +269,15 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
       .trigger(Trigger.ProcessingTime(cfg.scanIntervalMs))
       .foreachBatch { (df: DataFrame, batchId: Long) => onBatch(df, batchId) }
       .start()
+    // manual mode gets a FRESH ephemeral Spark checkpoint per start (the
+    // app's committed marks are the durable state, not the engine WAL) —
+    // once the replacement query is running, the superseded directory is
+    // dead weight; without this delete a periodically-refreshing consumer
+    // accumulates spark-<UUID> dirs under checkpointRoot without bound
+    if (cfg.commit.nonEmpty) {
+      dropEphemeralCk()
+      ephemeralCk = Some(ckLoc)
+    }
     owned.add(q.runId)
     active = Some((q, streams, onBatch))
     // ≈ commitPeriodically (`kinesumer.go:731-744`): CommitConfig.auto
@@ -312,6 +329,22 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     * [[refresh]] (set only for the duration of the restart).
     */
   private var refreshCarry: Map[String, Map[String, Long]] = Map.empty
+
+  /** The manual-mode ephemeral Spark checkpoint dir of the CURRENT query;
+    * deleted when superseded by a refresh's replacement query or on close
+    * (it is never resumed — each start mints a fresh one).
+    */
+  private var ephemeralCk: Option[String] = None
+
+  private def dropEphemeralCk(): Unit = {
+    ephemeralCk.foreach { loc =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort GC
+    }
+    ephemeralCk = None
+  }
 
   private def stopTicker(): Unit = {
     ticker.foreach(_.shutdownNow())
@@ -417,6 +450,7 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     // ≈ the reference's Close waiting out the last sync job
     // (`kinesumer.go:866-867`): marks made before shutdown are committed
     if (cfg.commit.nonEmpty && !marks.isEmpty) commit()
+    dropEphemeralCk() // the stopped query's checkpoint is never resumed
     active = None
     spark.streams.removeListener(listener)
   }

@@ -2366,8 +2366,16 @@ object Similarity {
   private val sharedAnn = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), AnnIndex]()
 
-  def annShared(s: SparkSession, d: String): AnnIndex =
+  def annShared(s: SparkSession, d: String): AnnIndex = {
+    // lazy dead-session sweep: a long-lived JVM that creates and stops
+    // several sessions (test suites, notebook restarts) must not retain
+    // handles keyed by stopped sessions forever. Their persisted blocks
+    // died with the context, so dropping the map entry is the whole
+    // cleanup (close() would try to touch the stopped context).
+    val it = sharedAnn.keySet().iterator()
+    while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
     sharedAnn.computeIfAbsent((s, d), _ => annOpen(s, d))
+  }
 
   /** Drop (and release) the shared index for one (session, dir) — test
     * hygiene for the one-build-serves-three pin; harmless if absent.

@@ -73,6 +73,77 @@ object ShardedStreamLog {
   def isClosed(root: String, stream: String, shard: String): Boolean =
     Files.exists(shardDir(root, stream, shard).resolve("_CLOSED"))
 
+  // -------------------------------------------------------------------
+  // Shard lineage. Kinesis shards carry ParentShardId/AdjacentParentShardId
+  // set at creation and immutable for the shard's lifetime; a consumer
+  // honoring the service contract must not serve a child's records until
+  // every parent's tail is drained. The reference ignores lineage entirely
+  // (`/root/reference/kinesumer.go:314` TODO — it can lose closed-shard
+  // tails outright, SURVEY §2.3); here lineage is a `_PARENTS` marker file
+  // (one parent shard id per line) written when a reshard creates the
+  // child, and the source's offset planner enforces the ordering.
+
+  /** Record `shard` as the child of `parents` (split: one parent; merge:
+    * two). Lineage is immutable — a second declaration must agree.
+    */
+  def declareParents(root: String, stream: String, shard: String,
+      parents: Seq[String]): Unit = {
+    require(parents.nonEmpty && !parents.contains(shard),
+      s"shard $stream/$shard lineage must name other shards")
+    val dir = shardDir(root, stream, shard)
+    Files.createDirectories(dir)
+    val f = dir.resolve("_PARENTS")
+    if (Files.exists(f)) {
+      val prior = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq
+      require(prior == parents,
+        s"shard $stream/$shard lineage already declared as $prior")
+    } else
+      Files.write(f, parents.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE)
+  }
+
+  /** Split `parent` into `children`: close the parent, create the children
+    * with lineage — the UpdateShardCount/SplitShard analog.
+    */
+  def splitShard(root: String, stream: String, parent: String,
+      children: Seq[String]): Unit = {
+    closeShard(root, stream, parent)
+    children.foreach(declareParents(root, stream, _, Seq(parent)))
+  }
+
+  /** Merge `parents` into `child`: close both parents, create the child
+    * with two-parent lineage — the MergeShards analog.
+    */
+  def mergeShards(root: String, stream: String, parents: Seq[String],
+      child: String): Unit = {
+    parents.foreach(closeShard(root, stream, _))
+    declareParents(root, stream, child, parents)
+  }
+
+  /** Cached lineage lookups: lineage is set at shard creation and
+    * immutable (the Kinesis contract declareParents enforces), so a
+    * positive result never changes; a shard seen WITHOUT lineage stays
+    * parentless for its lifetime too — recreating a shard dir under a
+    * live consumer is outside the log's contract (the index layer
+    * already only best-efforts that case). The cache keeps per-trigger
+    * planning at zero lineage stat calls after the first discovery even
+    * at 10k shards.
+    */
+  private val lineageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Parent shard ids of `shard` (empty for an original shard). */
+  def parents(root: String, stream: String, shard: String): Seq[String] = {
+    val dir = shardDir(root, stream, shard)
+    lineageCache.computeIfAbsent(dir.toAbsolutePath.toString, _ => {
+      val f = dir.resolve("_PARENTS")
+      if (!Files.exists(f)) Seq.empty
+      else new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq
+    })
+  }
+
   /** Discover a stream's shards, sorted — shard discovery ≈ the reference's
     * paginated ListShards (`/root/reference/kinesumer.go:305-344`), except
     * closed shards stay visible so their tails can drain.

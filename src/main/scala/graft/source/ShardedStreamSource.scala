@@ -37,6 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - closed shards drain to their last record and only then stop being
   *     planned — fixing the reference's closed-shard tail loss
   *     (SURVEY.md §2.3)
+  *   - shard lineage: a child shard created by a split/merge
+  *     (`ShardedStreamLog.splitShard`/`mergeShards`) is not served until
+  *     every parent's tail is drained — the Kinesis
+  *     ParentShardId/AdjacentParentShardId ordering contract the
+  *     reference leaves as a TODO (`kinesumer.go:314`)
   *
   * Usage:
   * {{{
@@ -196,11 +201,30 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
       val known = startPos.getOrElse(s, Map.empty[String, Long])
       val discovered = ShardedStreamLog.listShards(root, s)
       val maxSeqs = probeHeads(s, discovered.map(_._1))
+      // parent→child ordering on reshard (the Kinesis lineage contract;
+      // the reference ignores lineage outright — `kinesumer.go:314` TODO):
+      // a child shard's offset may only advance once EVERY parent still
+      // present in the log is closed AND fully consumed as of this batch's
+      // START offsets. A parent that drains within THIS batch therefore
+      // releases its children at the NEXT trigger — parent-tail and
+      // child-head records can never land in the same or out-of-order
+      // batches. A parent absent from discovery was GC'd after draining
+      // (vanished shards keep their checkpoint entry below, so it cannot
+      // simply be "not yet seen"). Restart-safe: the gate reads only the
+      // checkpointed start offsets, so a WAL resume mid-reshard re-applies
+      // the same ordering.
+      def parentDrained(p: String): Boolean =
+        discovered.get(p) match {
+          case None => true
+          case Some(closed) => closed && known.getOrElse(p, -1L) >= maxSeqs(p)
+        }
       val next = discovered.map { case (sh, _) =>
         // unknown (newly discovered) shards read from the beginning, so a
         // reshard never loses records (unlike the reference — SURVEY §2.3)
         val from = known.getOrElse(sh, -1L)
-        sh -> math.max(from, math.min(maxSeqs(sh), from + maxPerShard))
+        val released = ShardedStreamLog.parents(root, s, sh).forall(parentDrained)
+        sh -> (if (released) math.max(from, math.min(maxSeqs(sh), from + maxPerShard))
+               else from)
       }.toMap
       // shards that vanished from disk keep their checkpoint entry
       s -> (known ++ next)

@@ -545,6 +545,19 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(q > -1.0 && q <= 1.0)
   }
 
+  test("q157 + q217 deploy ONE shared LPA assignment (a single three-sweep build)") {
+    // the communities and their modularity must grade the identical frozen
+    // assignment without re-running the three propagation sweeps per
+    // consumer — q217 re-ran them before the share and was the slowest
+    // bench query two rounds straight (8.85 s driver vs 3.73 s pair in r11)
+    graft.ops.Graph.lpaEvict(spark, d)
+    val before = graft.ops.Graph.lpaBuilds
+    assert(graft.SparkEntry.queries("q157_label_propagation")(spark, d).count() > 0)
+    assert(graft.SparkEntry.queries("q217_modularity_score")(spark, d).count() > 0)
+    assert(graft.ops.Graph.lpaBuilds - before == 1L,
+      s"the LPA family ran ${graft.ops.Graph.lpaBuilds - before} three-sweep builds; must be 1")
+  }
+
   test("q218 SQL owners agree with ShardAssignment.split and its goldens") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q218_shard_rebalance_plan")(spark, d)

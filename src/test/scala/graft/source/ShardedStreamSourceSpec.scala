@@ -360,6 +360,126 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(secs2 < 1.0, f"hot trigger planning took $secs2%.2f s at 5k shards")
   }
 
+  test("split lineage: children are planned only after the parent's tail drains") {
+    // extends the reference's reshard test (`kinesumer_test.go:255-316`)
+    // with the ordering Kinesis actually contracts (ParentShardId): no
+    // child record in a batch at or before the parent's last record. The
+    // reference ignores lineage (`kinesumer.go:314` TODO).
+    val (root, _, _) = freshDirs()
+    ShardedStreamLog.append(root, "events", "parent", (0L to 9L).map(rec(_)))
+    ShardedStreamLog.splitShard(root, "events", "parent", Seq("child-0", "child-1"))
+    ShardedStreamLog.append(root, "events", "child-0", (0L to 3L).map(rec(_)))
+    ShardedStreamLog.append(root, "events", "child-1", (0L to 2L).map(rec(_)))
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", root, "streams", "events",
+        "maxRecordsPerShardPerBatch", "4"))
+    val mb = new ShardedStreamMicroBatch(opts)
+    val limit = mb.getDefaultReadLimit
+    var cur = mb.initialOffset()
+    var parentDoneBatch = -1
+    var childFirstBatch = Int.MaxValue
+    var served = Map.empty[String, Long].withDefaultValue(-1L)
+    for (batch <- 0 until 8) {
+      val end = mb.latestOffset(cur, limit)
+      mb.planInputPartitions(cur, end).map(_.asInstanceOf[ShardedStreamPartition])
+        .foreach { p =>
+          served += p.shard -> math.max(served(p.shard), p.untilSeq)
+          if (p.shard == "parent" && p.untilSeq == 9L) parentDoneBatch = batch
+          if (p.shard.startsWith("child")) childFirstBatch = math.min(childFirstBatch, batch)
+        }
+      cur = end
+    }
+    // the 10-record parent drains over batches 0..2 (cap 4); children must
+    // first appear strictly AFTER the batch that served the parent's tail
+    assert(parentDoneBatch >= 0, "parent tail was never planned")
+    assert(childFirstBatch > parentDoneBatch,
+      s"child planned in batch $childFirstBatch, parent tail in $parentDoneBatch")
+    // nothing lost on either side of the ordering gate
+    assert(served("parent") == 9L && served("child-0") == 3L && served("child-1") == 2L)
+  }
+
+  test("merge lineage: the child waits for BOTH parents; restart mid-reshard keeps the gate") {
+    val (root, _, _) = freshDirs()
+    ShardedStreamLog.append(root, "events", "p0", (0L to 7L).map(rec(_)))
+    ShardedStreamLog.append(root, "events", "p1", (0L to 1L).map(rec(_)))
+    ShardedStreamLog.mergeShards(root, "events", Seq("p0", "p1"), "m0")
+    ShardedStreamLog.append(root, "events", "m0", (0L to 2L).map(rec(_)))
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", root, "streams", "events",
+        "maxRecordsPerShardPerBatch", "4"))
+    def shardsIn(mb: ShardedStreamMicroBatch,
+        start: org.apache.spark.sql.connector.read.streaming.Offset,
+        end: org.apache.spark.sql.connector.read.streaming.Offset): Set[String] =
+      mb.planInputPartitions(start, end)
+        .map(_.asInstanceOf[ShardedStreamPartition].shard).toSet
+    val mb1 = new ShardedStreamMicroBatch(opts)
+    val limit = mb1.getDefaultReadLimit
+    val o0 = mb1.initialOffset()
+    val o1 = mb1.latestOffset(o0, limit)
+    // batch 0: p1 drains fully (2 ≤ cap), p0 only to seq 3 — m0 must wait
+    assert(shardsIn(mb1, o0, o1) == Set("p0", "p1"))
+    // WAL-restart mid-reshard: a FRESH MicroBatchStream resuming from the
+    // checkpointed offset must re-apply the same ordering (the gate reads
+    // only start offsets + on-disk lineage, never planner memory)
+    val mb2 = new ShardedStreamMicroBatch(opts)
+    val o1r = ShardedStreamOffset.fromJson(o1.asInstanceOf[ShardedStreamOffset].json())
+    val o2 = mb2.latestOffset(o1r, limit)
+    assert(shardsIn(mb2, o1r, o2) == Set("p0"), "m0 must stay gated after restart")
+    val o3 = mb2.latestOffset(o2, limit)
+    // p0's tail (seq 7) was served in the o2 batch; m0 is released only now
+    assert(shardsIn(mb2, o2, o3) == Set("m0"))
+    val endPos = o3.asInstanceOf[ShardedStreamOffset].positions("events")
+    assert(endPos("p0") == 7L && endPos("p1") == 1L && endPos("m0") == 2L)
+  }
+
+  test("split lineage end-to-end: batch ordering holds through a running query") {
+    val (root, ck, _) = freshDirs()
+    ShardedStreamLog.append(root, "events", "parent", (0L to 6L).map(rec(_)))
+    ShardedStreamLog.splitShard(root, "events", "parent", Seq("c0"))
+    ShardedStreamLog.append(root, "events", "c0", (0L to 4L).map(rec(_)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = spark.readStream
+      .format("graft.source.ShardedStreamProvider")
+      .option("path", root)
+      .option("streams", "events")
+      .option("maxRecordsPerShardPerBatch", 3)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select("shard_id", "sequence_number").collect()
+          .map(r => (id, r.getString(0), r.getString(1).toLong))
+        seen.synchronized { seen ++= rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val all = seen.synchronized(seen.toSeq)
+    val parentTailBatch = all.filter(_._2 == "parent").map(_._1).max
+    val childBatches = all.filter(_._2 == "c0").map(_._1)
+    assert(childBatches.nonEmpty && childBatches.min > parentTailBatch,
+      s"child first at batch ${childBatches.min}, parent tail at $parentTailBatch")
+    assert(all.filter(_._2 == "parent").map(_._3).sorted == (0L to 6L))
+    assert(all.filter(_._2 == "c0").map(_._3).sorted == (0L to 4L))
+  }
+
+  test("lineage declarations are immutable and self-referencing lineage is rejected") {
+    val (root, _, _) = freshDirs()
+    ShardedStreamLog.append(root, "events", "a", Seq(rec(0)))
+    ShardedStreamLog.splitShard(root, "events", "a", Seq("b"))
+    assert(ShardedStreamLog.parents(root, "events", "b") == Seq("a"))
+    assert(ShardedStreamLog.parents(root, "events", "a").isEmpty)
+    // re-declaring the same lineage is idempotent; a different one is not
+    ShardedStreamLog.declareParents(root, "events", "b", Seq("a"))
+    intercept[IllegalArgumentException] {
+      ShardedStreamLog.declareParents(root, "events", "b", Seq("z"))
+    }
+    intercept[IllegalArgumentException] {
+      ShardedStreamLog.declareParents(root, "events", "c", Seq("c"))
+    }
+  }
+
   test("closed shard rejects further appends") {
     val (root, _, _) = freshDirs()
     ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(0)))
