@@ -1346,6 +1346,110 @@ object StreamOps {
       }
   }
 
+  /** One drift-episode page of the live CUSUM change-point pager —
+    * q195's twin. `s_scaled` is the exact n-scaled CUSUM statistic at
+    * the paging day (the batch's integer `s`); `cusum` = s/nd in order
+    * units.
+    */
+  final case class CusumAlert(key: String, day: String, n: Long,
+      s_scaled: Long, cusum: Double)
+
+  final case class CusumState(lastFinal: Long, p: Long, minP: Long,
+      inEpisode: Boolean, pending: Map[Long, Long])
+
+  /** Streaming CUSUM drift pager — q195's live twin. The batch q195
+    * scans the whole series against its own mean; the pager runs the
+    * SAME one-sided recurrence causally, against a reference mean
+    * TRAINED in batch (q195's exact per-key `(n_days, total)` pairs —
+    * the rational mean total/nd, the q309 model-in-the-loop posture).
+    * Per key the state is four longs plus the open-day counters: when
+    * the watermark closes a day, every day up to it finalizes DENSELY
+    * (silent days count 0 — the batch's q165 grid fill), the exact
+    * integer recurrence advances (P += c·nd − total; S = P − min P,
+    * all int64, the batch's n-scaled running-min identity), and the
+    * pager emits ONE alert per sustained drift episode: the first
+    * finalized day with S > nd·threshold pages, the episode then
+    * holds the pager silent until S returns to the threshold or below,
+    * re-arming it. The one division (S/nd, back to order units)
+    * happens at emission — the statistic itself never leaves int64.
+    */
+  def cusumDriftPager(events: DataFrame, timeCol: String, keyCol: String,
+      model: Map[String, (Long, Long)], threshold: Long,
+      watermarkDelay: String): Dataset[CusumAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(model.nonEmpty, "trained (n_days, total) model must not be empty")
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      // keys outside the model still flow (their rows advance the
+      // watermark); the state fn drops them — a pre-filter could freeze
+      // the watermark when only unmodeled traffic flows (SCALING.md's
+      // round-8 streaming trap)
+      .select(col(timeCol),
+        col(keyCol).cast("string"),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"))
+      .as[(java.sql.Timestamp, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[CusumState, CusumAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[CusumState]) =>
+          model.get(key) match {
+            case None =>
+              // unmodeled key: consume and keep no state
+              rows.foreach(_ => ())
+              if (state.exists) state.remove()
+              Iterator.empty
+            case Some((nd, total)) =>
+              val st0 = state.getOption
+                .getOrElse(CusumState(Long.MinValue, 0L, 0L, false, Map.empty))
+              var pending = st0.pending
+              rows.foreach { r =>
+                pending = pending.updated(r._3, pending.getOrElse(r._3, 0L) + 1L)
+              }
+              val wmMs = state.getCurrentWatermarkMs()
+              val finalUpTo = math.floorDiv(wmMs, 86400000L) - 1L
+              // dense finalization starts at the key's first OBSERVED day
+              val start =
+                if (st0.lastFinal != Long.MinValue) st0.lastFinal
+                else if (pending.nonEmpty) pending.keys.min - 1L
+                else Long.MinValue
+              val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlert]
+              var (p, minP, inEpisode) = (st0.p, st0.minP, st0.inEpisode)
+              var day = start
+              if (start != Long.MinValue) {
+                while (day < finalUpTo) {
+                  day += 1L
+                  val c = pending.getOrElse(day, 0L)
+                  pending = pending - day
+                  p += c * nd - total
+                  if (p < minP) minP = p
+                  val s = p - minP
+                  if (s > nd * threshold) {
+                    if (!inEpisode) {
+                      inEpisode = true
+                      out += CusumAlert(key,
+                        java.time.LocalDate.ofEpochDay(day).toString, c, s,
+                        s.toDouble / nd.toDouble)
+                    }
+                  } else inEpisode = false
+                }
+              }
+              // anchor lastFinal only once a day actually finalized: until
+              // then the dense-grid start re-derives from pending each
+              // trigger, so an admissible late row for an EARLIER day can
+              // still pull the anchor back (after finalization the
+              // watermark already bounds what can arrive)
+              val newLast =
+                if (st0.lastFinal != Long.MinValue) day
+                else if (start != Long.MinValue && day > start) day
+                else Long.MinValue
+              state.update(CusumState(newLast, p, minP, inEpisode, pending))
+              state.setTimeoutTimestamp(wmMs + 60000L)
+              out.iterator
+          }
+      }
+  }
+
   /** One closed session of the live capped sessionizer — q263's twin. */
   final case class CappedSession(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long, break_reason: String)

@@ -127,6 +127,78 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     } finally cg.close()
   }
 
+  test("multi-app isolation: concurrent groups namespace WAL and lag by app (statemodel pk-prefix parity)") {
+    // the reference namespaces ALL state by app (`statemodel.go:24-26,
+    // 35-37,55-57` pk prefixes): two groups with different app names over
+    // the SAME log + checkpoint root must hold independent WALs and
+    // non-interfering lag, and a group REUSING an app name shares that
+    // app's WAL (resume, not replay)
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 9L).map(rec))
+    val seenA = new ConcurrentLinkedQueue[Long]()
+    val seenB = new ConcurrentLinkedQueue[Long]()
+    val cgA = new ConsumerGroup(spark, ConsumerConfig("appA", root, ck))
+    val cgB = new ConsumerGroup(spark, ConsumerConfig("appB", root, ck))
+    cgA.start(Seq("events")) { (df, _) =>
+      df.select("sequence_number").collect()
+        .foreach(r => seenA.add(r.getString(0).toLong))
+    }
+    cgB.start(Seq("events")) { (df, _) =>
+      df.select("sequence_number").collect()
+        .foreach(r => seenB.add(r.getString(0).toLong))
+    }
+    cgA.processAllAvailable()
+    cgB.processAllAvailable()
+    assert(seenA.asScala.toSeq.sorted == (0L to 9L))
+    assert(seenB.asScala.toSeq.sorted == (0L to 9L))
+    // one WAL per app on disk
+    assert(new java.io.File(s"$ck/appA/main/offsets").isDirectory)
+    assert(new java.io.File(s"$ck/appB/main/offsets").isDirectory)
+    // B stops; a tail lands; only A advances — and each group's lag
+    // reports ITS OWN committed progress, not the other's
+    cgB.close()
+    ShardedStreamLog.append(root, "events", "shard-0", (10L to 14L).map(rec))
+    cgA.processAllAvailable()
+    assert(cgA.lag().values.sum == 0L, "A drained the tail")
+    assert(seenA.asScala.toSeq.sorted == (0L to 14L))
+    assert(seenB.asScala.toSeq.sorted == (0L to 9L), "stopped B must not see the tail")
+    cgA.close()
+    // same app name → same WAL: resumes after B's committed point with
+    // neither replay nor loss (A's further progress must not bleed in)
+    val cgB2 = new ConsumerGroup(spark, ConsumerConfig("appB", root, ck))
+    cgB2.start(Seq("events")) { (df, _) =>
+      df.select("sequence_number").collect()
+        .foreach(r => seenB.add(r.getString(0).toLong))
+    }
+    cgB2.processAllAvailable()
+    cgB2.close()
+    assert(seenB.asScala.toSeq.sorted == (0L to 14L),
+      "same-app restart must resume B's own WAL exactly-once")
+  }
+
+  test("multi-app isolation: manual-commit mark stores are per-app") {
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 4L).map(rec))
+    val mc = Some(CommitConfig(auto = false))
+    val cgC = new ConsumerGroup(spark, ConsumerConfig("appC", root, ck, commit = mc))
+    val cgD = new ConsumerGroup(spark, ConsumerConfig("appD", root, ck, commit = mc))
+    cgC.start(Seq("events"))((_, _) => ())
+    cgD.start(Seq("events"))((_, _) => ())
+    cgC.processAllAvailable()
+    cgD.processAllAvailable()
+    cgC.markRecord("events", "shard-0", 2L)
+    cgC.commit()
+    cgD.markRecord("events", "shard-0", 4L)
+    cgD.commit()
+    cgC.close()
+    cgD.close()
+    // independent mark stores, one directory per app
+    assert(cgC.committedMarks() == Map("events" -> Map("shard-0" -> 2L)))
+    assert(cgD.committedMarks() == Map("events" -> Map("shard-0" -> 4L)))
+    assert(new java.io.File(s"$ck/appC/manual").isDirectory)
+    assert(new java.io.File(s"$ck/appD/manual").isDirectory)
+  }
+
   test("empty app name is rejected (config validation parity)") {
     intercept[IllegalArgumentException] {
       ConsumerConfig(app = "", logRoot = "/tmp", checkpointRoot = "/tmp")

@@ -1510,6 +1510,63 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == exp)
   }
 
+  test("cusumDriftPager replays the batch q195 recurrence bit-exactly and pages once per episode") {
+    import spark.implicits._
+    def dTs(day: Int, i: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDate.ofEpochDay(day.toLong)
+        .atTime(1, 1 + (i % 50)))
+    // trained model (q195's exact per-key pair): nd=10 days, total=20
+    // orders → rational mean 2/day; page when S/nd > threshold=2
+    val model = Map("1-URGENT" -> (10L, 20L))
+    // day plan with a surge (d2-d3), a silent recovery (d4-d5 absent →
+    // zero-filled), and a SECOND surge (d7): two episodes, two pages
+    val plan = Map(0 -> 2, 1 -> 2, 2 -> 5, 3 -> 5, 6 -> 2, 7 -> 6, 8 -> 2)
+    val rows = new scala.util.Random(17).shuffle(plan.toSeq.flatMap {
+      case (d, n) => (1 to n).map(i => (dTs(d, i), "1-URGENT"))
+    })
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamOps.cusumDriftPager(
+      input.toDF().toDF("ts", "prio"), "ts", "prio", model,
+      threshold = 2L, watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS cu_sink")
+    val q = out.writeStream.format("memory").queryName("cu_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // unmodeled key: advances the watermark past every plan day but
+      // must never page or fail the state function
+      input.addData((dTs(30, 1), "9-UNMODELED"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cu_sink")
+      .as[(String, String, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    // batch q195 recurrence replayed inline over the dense day grid
+    // (0..28 finalized by the day-30 sentinel): P += c·nd − total,
+    // S = P − min P — exact int64 all the way, one terminal division
+    val (nd, total) = model("1-URGENT")
+    var (p, minP, inEpisode) = (0L, 0L, false)
+    val exp = (0 to 28).flatMap { d =>
+      val c = plan.getOrElse(d, 0).toLong
+      p += c * nd - total
+      if (p < minP) minP = p
+      val s = p - minP
+      if (s > nd * 2L) {
+        val fire = !inEpisode
+        inEpisode = true
+        if (fire) Some(("1-URGENT",
+          java.time.LocalDate.ofEpochDay(d.toLong).toString, c, s,
+          s.toDouble / nd.toDouble))
+        else None
+      } else { inEpisode = false; None }
+    }
+    assert(got == exp)
+    // the fixture's two surges page exactly twice, at their FIRST days
+    assert(got.map(_._2) == Seq("1970-01-03", "1970-01-08"))
+    assert(got.map(_._4) == Seq(30L, 60L), "exact n-scaled statistics")
+    assert(spark.table("cu_sink").filter(col("key") === "9-UNMODELED").count() == 0L)
+  }
+
   test("sessionDeltas + concurrencyPeaks reproduce the batch sweep-line daily peaks") {
     import spark.implicits._
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
