@@ -1001,6 +1001,117 @@ object Dedup {
         |  FROM (SELECT COUNT(*) AS sz FROM docs GROUP BY norm_digest))
         |SELECT * FROM r UNION ALL SELECT * FROM n
         |ORDER BY digest""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q329: SPAN-REMOVAL PLAN — the removal half of Lee et al.'s
+    // ExactSubstr dedup (q126 finds the pair evidence; this prices the
+    // CUT): every token position covered by a 5-gram that occurs ≥ 2
+    // times ANYWHERE in the corpus (cross-doc or within-doc — the paper
+    // removes both) is "duplicated"; overlapping/adjacent duplicated
+    // grams merge into maximal spans (gaps-and-islands per doc), and the
+    // plan reports, per source, how many docs are affected and what
+    // fraction of their token mass span-removal would cut. This is the
+    // go/no-go relation a curation team reads before running destructive
+    // span dedup.
+    //
+    // Shape at 100 TB: shingling is linear in tokens; gram multiplicity
+    // is a WINDOW count over the gram key (q76's one-scan posture — an
+    // agg+join-back would plan the explode subtree twice; a corpus-hot
+    // gram costs one skewed window key, never a pair fan-out — and
+    // UNLIKE q126 this never expands postings into pairs at all); the
+    // island windows partition on doc_id (doc-length bounded); the
+    // totals scan is column-pruned (source, text). All-integer span
+    // arithmetic; the one double is a final ratio of exact int64s.
+    QueryDef.sql("q329_span_removal_plan") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        // barrier: materialize toks once before the 5-reference transform
+        // (q114's posture)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(toks) - 4),
+            |  i -> named_struct('pos', i,
+            |    'g', cast(conv(substring(md5(
+            |           concat_ws(' ', slice(toks, i, 5))), 1, 15), 16, 10) AS bigint)))"""
+            .stripMargin)).as("sh"))
+        .select(col("doc_id"), col("source"),
+          col("sh.pos").as("pos"), col("sh.g").as("g"))
+      val dup = sh
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("occ") >= 2)
+        .withColumn("end", col("pos") + lit(4))
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = dup
+        .withColumn("prev_end", max(col("end")).over(wPrev))
+        .withColumn("brk",
+          when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("brk")).over(wCum))
+        .groupBy(col("doc_id"), col("source"), col("isl"))
+        .agg((max(col("end")) - min(col("pos")) + 1).as("span_tokens"))
+      val perDoc = spans.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("span_tokens")).as("dup_tokens"),
+          max(col("span_tokens")).as("doc_max_span"))
+      val totals = Tables(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("total_tokens"))
+      totals.join(perDoc, Seq("source"), "left")
+        .groupBy(col("source"), col("n_docs"), col("total_tokens"))
+        .agg(count(col("doc_id")).as("affected_docs"),
+          coalesce(sum(col("dup_tokens")), lit(0L)).as("dup_span_tokens"),
+          coalesce(max(col("doc_max_span")), lit(0L)).as("max_span"))
+        .withColumn("removal_share",
+          col("dup_span_tokens").cast("double") / col("total_tokens").cast("double"))
+        .select("source", "n_docs", "total_tokens", "affected_docs",
+          "dup_span_tokens", "max_span", "removal_share")
+        .orderBy("source")
+    } {
+      """WITH t AS (
+        |  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 5),
+        |sh AS (
+        |  SELECT doc_id, source, i AS pos, i + 4 AS pend,
+        |    CAST(('0x' || SUBSTRING(MD5(
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |      toks[i+3] || ' ' || toks[i+4]), 1, 15)) AS BIGINT) AS g
+        |  FROM (SELECT doc_id, source, toks,
+        |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS i FROM t)),
+        |occ AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+        |dup AS (SELECT sh.* FROM sh JOIN occ USING (g)),
+        |isl AS (
+        |  SELECT doc_id, source, pos, pend,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM (SELECT *, MAX(pend) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |        FROM dup)),
+        |spans AS (
+        |  SELECT doc_id, source, isl, MAX(pend) - MIN(pos) + 1 AS span_tokens
+        |  FROM isl GROUP BY doc_id, source, isl),
+        |perdoc AS (
+        |  SELECT doc_id, source, SUM(span_tokens) AS dup_tokens,
+        |    MAX(span_tokens) AS doc_max_span
+        |  FROM spans GROUP BY doc_id, source),
+        |tot AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT t.source, t.n_docs, t.total_tokens,
+        |  CAST(COUNT(p.doc_id) AS BIGINT) AS affected_docs,
+        |  CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_span_tokens,
+        |  CAST(COALESCE(MAX(p.doc_max_span), 0) AS BIGINT) AS max_span,
+        |  CAST(COALESCE(SUM(p.dup_tokens), 0) AS DOUBLE)
+        |    / CAST(t.total_tokens AS DOUBLE) AS removal_share
+        |FROM tot t LEFT JOIN perdoc p ON t.source = p.source
+        |GROUP BY t.source, t.n_docs, t.total_tokens
+        |ORDER BY t.source""".stripMargin
     }
   )
 

@@ -1772,6 +1772,147 @@ object Pipeline {
         |      AS DOUBLE)
         |    / CAST(SUM(n_test_ev) AS DOUBLE) AS leakage_rate
         |FROM pu""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q330: DSIR IMPORTANCE WEIGHTS — Data Selection with Importance
+    // Resampling (Xie et al., NeurIPS'23): score every pool document by
+    // how target-like its hashed-n-gram feature distribution is, so the
+    // pool can be resampled toward a target domain. Features are hashed
+    // unigram buckets (the library-wide md5 recipe, mod 512 — collision
+    // folding is PART of the estimator, exactly as in the paper); the
+    // target model counts tokens from the target slice (lang = 'en'
+    // here), the raw model from the whole pool, both Laplace-smoothed.
+    // The canonical score is Σ log(p_target/p_raw); transcendentals are
+    // not bit-reproducible across engines (q114's precedent), so the
+    // score here is the MEAN LIKELIHOOD RATIO over the doc's tokens —
+    // every step is exact int64 counts, IEEE multiply/divide of those
+    // counts, and a csum — engine-exact and therefore oracle-hashable,
+    // with the same >1 ⇔ "more target-like than the pool average at the
+    // bucket level" read that thresholded selection needs.
+    //
+    // Shape at 100 TB: one tokenize+explode scan builds BOTH models via
+    // conditional aggregation (512-row result); the probe pass re-scans
+    // tokens and joins the BROADCAST model + totals — zero corpus-sized
+    // shuffles before the per-doc keyed agg. csum bound: ratio ≤
+    // ~(rtot+B)/(ttot+B) ≈ 1/target-share; per-doc Σratio·1e6 must stay
+    // under 2^63 — holds for docs < ~1e6 tokens even at a 1e-6 target
+    // share; revisit for longer docs with rarer targets.
+    QueryDef.sql("q330_dsir_importance") { (s, d) =>
+      val B = 512
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b",
+          expr(s"cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint) % $B"))
+      val model = toks.groupBy(col("b"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+      val totals = model.agg(sum(col("ct")).as("ttot"), sum(col("cr")).as("rtot"))
+      val perDoc = toks
+        .join(broadcast(model), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .withColumn("ratio",
+          ((col("ct").cast("double") + lit(1.0)) *
+            (col("rtot").cast("double") + lit(B.toDouble))) /
+            ((col("cr").cast("double") + lit(1.0)) *
+              (col("ttot").cast("double") + lit(B.toDouble))))
+        .groupBy(col("doc_id"), col("source"))
+        .agg((graft.Det.csum(col("ratio"), 6) / count(lit(1))).as("w"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (graft.Det.csum(col("w"), 6) / count(lit(1))).as("mean_weight"),
+          sum(when(col("w") > 1.0, 1L).otherwise(0L)).as("n_target_like"))
+        .orderBy("source")
+    } {
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(('0x' || SUBSTRING(MD5(tok), 1, 8)) AS BIGINT) % 512 AS b
+         |  FROM (SELECT doc_id, source, lang,
+         |          UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)),
+         |model AS (
+         |  SELECT b,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    COUNT(*) AS cr
+         |  FROM tk GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS ttot,
+         |    CAST(SUM(cr) AS BIGINT) AS rtot FROM model),
+         |perdoc AS (
+         |  SELECT doc_id, source,
+         |    (${graft.Det.csumSql(
+             "((CAST(ct AS DOUBLE) + 1.0) * (CAST(rtot AS DOUBLE) + 512.0))" +
+               " / ((CAST(cr AS DOUBLE) + 1.0) * (CAST(ttot AS DOUBLE) + 512.0))",
+             6)} / COUNT(*)) AS w
+         |  FROM tk JOIN model USING (b) CROSS JOIN tot
+         |  GROUP BY doc_id, source)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  (${graft.Det.csumSql("w", 6)} / COUNT(*)) AS mean_weight,
+         |  CAST(SUM(CASE WHEN w > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_target_like
+         |FROM perdoc GROUP BY source
+         |ORDER BY source""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q334: SPLIT × DUP-CLUSTER LEAKAGE AUDIT — a hash split (q53) is
+    // document-random, so an exact-duplicate cluster can straddle
+    // train/val/test: the copy in train makes the copy in test trivially
+    // predictable (the C4/Pile eval-contamination lesson; q70 audits
+    // leakage across SOURCES, q234 across TIME — this closes the split
+    // axis). Uses q53's EXACT split recipe (the shared [[splitCol]] —
+    // the audit and the splitter cannot drift apart) and q23's exact
+    // digest. Per split: docs, docs inside any duplicate cluster, docs
+    // inside a STRADDLING cluster (the leak), and the leak rate.
+    //
+    // Shape at 100 TB: one scan → (digest, split) keyed counts (shrinks
+    // to distinct digests immediately; raw text never leaves the first
+    // projection); cluster size and split-spread come from windows over
+    // the digest key (≤ 3 rows per digest — never a re-agg + join-back
+    // that would re-derive the relation); per-split rollup. All-integer
+    // flags; the one double is a final ratio of exact int64s.
+    QueryDef.sql("q334_split_cluster_leakage") { (s, d) =>
+      val perDgSplit = Tables(s, d, "documents")
+        .select(md5(col("text")).as("dg"), splitCol.as("split"))
+        .groupBy(col("dg"), col("split"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dg"))
+      perDgSplit
+        .withColumn("members", sum(col("c")).over(w))
+        .withColumn("n_splits", count(lit(1)).over(w))
+        .groupBy(col("split"))
+        .agg(sum(col("c")).as("n_docs"),
+          sum(when(col("members") >= 2, col("c")).otherwise(0L))
+            .as("docs_in_dup_clusters"),
+          sum(when(col("members") >= 2 && col("n_splits") >= 2, col("c"))
+            .otherwise(0L)).as("docs_leaking"))
+        .withColumn("leak_rate",
+          col("docs_leaking").cast("double") / col("n_docs").cast("double"))
+        .orderBy("split")
+    } {
+      s"""WITH b AS (
+         |  SELECT MD5(text) AS dg,
+         |    CASE WHEN $IdBucketSql < 80 THEN 'train'
+         |         WHEN $IdBucketSql < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |ds AS (
+         |  SELECT dg, split, COUNT(*) AS c FROM b GROUP BY dg, split),
+         |e AS (
+         |  SELECT split, c,
+         |    SUM(c) OVER (PARTITION BY dg) AS members,
+         |    COUNT(*) OVER (PARTITION BY dg) AS n_splits
+         |  FROM ds)
+         |SELECT split,
+         |  CAST(SUM(c) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN members >= 2 THEN c ELSE 0 END) AS BIGINT)
+         |    AS docs_in_dup_clusters,
+         |  CAST(SUM(CASE WHEN members >= 2 AND n_splits >= 2 THEN c ELSE 0 END)
+         |    AS BIGINT) AS docs_leaking,
+         |  CAST(SUM(CASE WHEN members >= 2 AND n_splits >= 2 THEN c ELSE 0 END)
+         |      AS DOUBLE)
+         |    / CAST(SUM(c) AS DOUBLE) AS leak_rate
+         |FROM e GROUP BY split
+         |ORDER BY split""".stripMargin
     }
   )
 }

@@ -63,6 +63,12 @@ object Similarity {
     */
   final val ExactTruthSampleTarget: Long = 20000
 
+  /** Fixed probe-set size for the q331 kNN leave-one-out eval — large
+    * enough for stable per-class accuracy, small enough that the
+    * broadcast probe scan stays linear in the corpus forever.
+    */
+  final val KnnEvalQueryTarget: Long = 64
+
   val queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q307: EMBEDDING COVERAGE AUDIT — every embedding job drops rows
@@ -1285,6 +1291,90 @@ object Similarity {
          |FROM tf JOIN tt ON tf.a_id = tt.a_id AND tf.vec_id = tt.vec_id
          |GROUP BY tf.a_id
          |ORDER BY tf.a_id""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q331: kNN LEAVE-ONE-OUT LABEL ACCURACY — the standard "is this
+    // embedding space any good for this labeling" eval: hold each probe
+    // vector out, find its 10 nearest neighbors by cosine among everyone
+    // else, majority-vote their labels, and score the vote against the
+    // probe's own label, per class. Complements q116/q216 (centroid
+    // classifier): kNN measures LOCAL structure where centroids measure
+    // global separation — a space can pass one and fail the other.
+    //
+    // VALIDATOR POSTURE (q49's contract): the probe set is a FIXED-SIZE
+    // md5-bucket sample ([[KnnEvalQueryTarget]] vectors — the full set
+    // whenever the corpus is smaller), so cost stays linear in the corpus
+    // no matter how big it grows; content-independent membership keeps
+    // the accuracy estimate unbiased. Probes broadcast; the corpus scans
+    // ONCE; the top-k rank filter compiles to WindowGroupLimit (partial
+    // per-partition top-10 per probe BEFORE the shuffle), so the probe
+    // windows never sort corpus-sized partitions. Ties: cosine ties break
+    // on vec_id, vote ties on (count desc, label asc) — deterministic on
+    // both engines; quantized-integer dots keep every cosine bit-equal.
+    QueryDef.sql("q331_knn_loo_accuracy") { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val k = 10
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), expr(quant).as("v"))
+        .withColumn("norm2", dot("v", "v"))
+      val n = Tables(s, d, "embeddings").count()
+      val q = emb.filter(sampleKeep(n, KnnEvalQueryTarget))
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("norm2").as("qn2"))
+      val pairs = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos_sim",
+          dot("qv", "v") / (sqrt(col("qn2")) * sqrt(col("norm2"))))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val votes = pairs.withColumn("r", row_number().over(wTop))
+        .filter(col("r") <= k)
+        .groupBy(col("q_id"), col("q_label"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val wVote = Window.partitionBy(col("q_id"))
+        .orderBy(col("cnt").desc, col("label"))
+      votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+        .groupBy(col("q_label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast("double") / col("n_queries").cast("double"))
+        .withColumnRenamed("q_label", "label")
+        .orderBy("label")
+    } {
+      s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |e AS (SELECT vec_id, label, $quantSql AS v FROM embeddings),
+         |nn AS (
+         |  SELECT vec_id, label, v, list_dot_product(v, v) AS norm2 FROM e),
+         |q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, v AS qv, norm2 AS qn2
+         |  FROM nn, cnt WHERE ${sampleKeepSql("vec_id", KnnEvalQueryTarget)}),
+         |top AS (
+         |  SELECT q_id, q_label, label FROM (
+         |    SELECT q.q_id, q.q_label, c.label,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_dot_product(q.qv, c.v)
+         |                   / (SQRT(q.qn2) * SQRT(c.norm2)) DESC,
+         |                 c.vec_id) AS r
+         |    FROM q JOIN nn c ON c.vec_id <> q.q_id)
+         |  WHERE r <= 10),
+         |votes AS (
+         |  SELECT q_id, q_label, label, COUNT(*) AS cnt2
+         |  FROM top GROUP BY q_id, q_label, label),
+         |pred AS (
+         |  SELECT q_id, q_label, label FROM (
+         |    SELECT q_id, q_label, label,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY cnt2 DESC, label) AS vr
+         |    FROM votes)
+         |  WHERE vr = 1)
+         |SELECT q_label AS label, COUNT(*) AS n_queries,
+         |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM pred GROUP BY q_label ORDER BY label""".stripMargin
     }
   )
 

@@ -1472,6 +1472,154 @@ object TextAnalysis {
         |    AS lift
         |FROM pairs CROSS JOIN tot
         |ORDER BY tok_a, tok_b""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q332: BOILERPLATE EDGE AUDIT — scraped corpora carry shared
+    // headers and footers (nav bars, license blurbs, template lead-ins)
+    // that general n-gram stats (q76) dilute across the whole doc body:
+    // the operational signal is docs from one SOURCE sharing their first
+    // or last 8 tokens verbatim. Per (source, edge∈{prefix,suffix}):
+    // docs measured, distinct edge values, shared groups (≥ 2 docs),
+    // docs inside shared groups, and the largest group — the relation a
+    // curation team reads to decide which sources need template
+    // stripping before dedup (a shared header inflates MinHash sims
+    // corpus-wide).
+    //
+    // Shape at 100 TB: ONE corpus scan — both edge digests computed in
+    // one projection, unpivoted via explode to (source, edge, dg) rows,
+    // then two shrinking keyed aggs; no windows, no joins. All-integer.
+    QueryDef.sql("q332_boilerplate_edge_audit") { (s, d) =>
+      val edges = Tables(s, d, "documents")
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("source"), explode(array(
+          struct(lit("prefix").as("edge"),
+            md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("dg")),
+          struct(lit("suffix").as("edge"),
+            md5(concat_ws(" ", slice(col("toks"), -8, 8))).as("dg"))))
+          .as("e"))
+        .select(col("source"), col("e.edge").as("edge"), col("e.dg").as("dg"))
+      edges.groupBy(col("source"), col("edge"), col("dg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"), col("edge"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_distinct_edges"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_shared_groups"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L))
+            .as("docs_in_shared"),
+          max(col("c")).as("max_group"))
+        .orderBy("source", "edge")
+    } {
+      """WITH w AS (
+        |  SELECT source, STRING_SPLIT(text, ' ') AS toks FROM documents
+        |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 8),
+        |e AS (
+        |  SELECT source, 'prefix' AS edge,
+        |    MD5(ARRAY_TO_STRING(toks[1:8], ' ')) AS dg FROM w
+        |  UNION ALL
+        |  SELECT source, 'suffix',
+        |    MD5(ARRAY_TO_STRING(toks[LEN(toks)-7:LEN(toks)], ' ')) FROM w),
+        |g AS (
+        |  SELECT source, edge, dg, COUNT(*) AS c
+        |  FROM e GROUP BY source, edge, dg)
+        |SELECT source, edge,
+        |  CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_distinct_edges,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_groups,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |    AS docs_in_shared,
+        |  MAX(c) AS max_group
+        |FROM g GROUP BY source, edge
+        |ORDER BY source, edge""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q333: TOP-N-GRAM CHARACTER FRACTION — the remaining Gopher
+    // repetition rules (Rae et al., Gopher App. A1.1): per doc and per
+    // n ∈ {2,3,4}, the fraction of the doc's characters contained in its
+    // MOST FREQUENT n-gram (occurrences × n-gram characters / doc
+    // characters, overlapping occurrences counted), rolled up per
+    // language with the paper's thresholds (20% / 18% / 16%) as
+    // integer cross-multiplied flags. q69 covers the single-word rule;
+    // this closes the phrase-level family a template-spam source trips.
+    //
+    // Shape at 100 TB: ONE scan — the three gram streams come out of one
+    // flatten-transform explode; per-(doc, n, gram) keyed counts shrink
+    // immediately; the top-1 rank filter compiles to WindowGroupLimit
+    // (map-side top-1 per (doc, n) before the shuffle); per-lang rollup.
+    // Flags are exact integers; the reported mean fraction is one IEEE
+    // division per doc under a csum-quantized average.
+    QueryDef.sql("q333_top_ngram_fraction") { (s, d) =>
+      val grams = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+        // barrier: materialize toks once before the 3-way transform
+        // (q114's posture)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), explode(expr(
+          """flatten(transform(array(2, 3, 4), n ->
+            |  transform(sequence(1, size(toks) - n + 1),
+            |    i -> named_struct('n', n,
+            |      'g', concat_ws(' ', slice(toks, i, n))))))""".stripMargin))
+          .as("e"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("e.n").as("n"), col("e.g").as("g"))
+      val counts = grams
+        .groupBy(col("doc_id"), col("lang"), col("n_chars"), col("n"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("n"))
+        .orderBy(col("cnt").desc, col("g"))
+      val thr = when(col("n") === 2, 20).when(col("n") === 3, 18).otherwise(16)
+      counts.withColumn("r", row_number().over(w)).filter(col("r") <= 1)
+        .withColumn("top_chars", col("cnt") * length(col("g")))
+        .groupBy(col("lang"), col("n"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.Det.davg(
+            col("top_chars").cast("double") / col("n_chars").cast("double"))
+            .as("avg_top_fraction"),
+          sum(when(col("top_chars") * 100 >= col("n_chars") * thr, 1L)
+            .otherwise(0L)).as("n_flagged"))
+        .orderBy("lang", "n")
+    } {
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars, STRING_SPLIT(text, ' ') AS toks
+         |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 4),
+         |g AS (
+         |  SELECT doc_id, lang, n_chars, 2 AS n,
+         |    ARRAY_TO_STRING(toks[i:i+1], ' ') AS g
+         |  FROM (SELECT doc_id, lang, n_chars, toks,
+         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, lang, n_chars, 3,
+         |    ARRAY_TO_STRING(toks[i:i+2], ' ')
+         |  FROM (SELECT doc_id, lang, n_chars, toks,
+         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i FROM t)
+         |  UNION ALL
+         |  SELECT doc_id, lang, n_chars, 4,
+         |    ARRAY_TO_STRING(toks[i:i+3], ' ')
+         |  FROM (SELECT doc_id, lang, n_chars, toks,
+         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 3)) AS i FROM t)),
+         |c AS (
+         |  SELECT doc_id, lang, n_chars, n, g, COUNT(*) AS cnt
+         |  FROM g GROUP BY doc_id, lang, n_chars, n, g),
+         |top AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+         |      ORDER BY cnt DESC, g) AS r FROM c)
+         |  WHERE r <= 1)
+         |SELECT lang, n, COUNT(*) AS n_docs,
+         |  ${graft.Det.davgSql(
+            "CAST(cnt * LENGTH(g) AS DOUBLE) / CAST(n_chars AS DOUBLE)")}
+         |    AS avg_top_fraction,
+         |  CAST(SUM(CASE WHEN cnt * LENGTH(g) * 100 >= n_chars *
+         |    (CASE WHEN n = 2 THEN 20 WHEN n = 3 THEN 18 ELSE 16 END)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM top GROUP BY lang, n
+         |ORDER BY lang, n""".stripMargin
     }
   )
 }

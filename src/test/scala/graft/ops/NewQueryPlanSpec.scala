@@ -728,4 +728,71 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"both rnk filters must prune each week map-side:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q329's gram multiplicity is a window, never a pair expansion") {
+    val p = plan("q329_span_removal_plan")
+    // q76's posture: the ≥2-occurrence test must ride a window over the
+    // gram key (one scan of the shingle subtree), and unlike q126 this
+    // operator NEVER expands postings into doc pairs — the only join is
+    // the source-keyed totals ⋈ perdoc rollup (20-row side)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"q329 should scan documents at most twice (shingles + totals), got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q329 planned a cartesian:\n$p")
+    // island windows must partition on doc_id (doc-length bounded), the
+    // df window on the gram key — no unpartitioned window anywhere
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty, s"q329 planned an unpartitioned window:\n$unpart")
+  }
+
+  test("q330's model probe joins are broadcast-only (512-row model)") {
+    val p = plan("q330_dsir_importance")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 512-bucket model must broadcast, never shuffle the token stream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q330 planned a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-model probe must be a broadcast hash join:\n$p")
+  }
+
+  test("q331's top-10 prunes map-side and the probe set broadcasts") {
+    val p = plan("q331_knn_loo_accuracy")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank<=10 filter must prune per-partition before the shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the fixed-size probe set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q331 planned a cartesian:\n$p")
+  }
+
+  test("q333's top-1 prunes map-side; all windows key on (doc, n)") {
+    val p = plan("q333_top_ngram_fraction")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"all three gram streams must come from ONE flatten explode, got $scans:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the top-1 rank filter must prune per-partition before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q333 planned a cartesian:\n$p")
+  }
+
+  test("q334 is one scan; cluster stats ride digest-keyed windows") {
+    val p = plan("q334_split_cluster_leakage")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"the digest relation must derive from ONE scan, got $scans:\n$p")
+    assert(!p.contains("Join"),
+      s"cluster size/spread must be windows over the digest key, not a " +
+        s"re-agg + join-back:\n$p")
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty, s"q334 planned an unpartitioned window:\n$unpart")
+  }
+
+  test("q332 is one scan, zero joins, zero windows") {
+    val p = plan("q332_boilerplate_edge_audit")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"both edge digests must come from ONE projection of one scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"q332 must not join:\n$p")
+    assert(!p.contains("WindowExec"), s"q332 must not window:\n$p")
+  }
 }
