@@ -4131,6 +4131,256 @@ object Events {
         |  CAST(SUM(cents) AS BIGINT) AS attributed_cents
         |FROM p GROUP BY window_days, channel
         |ORDER BY window_days, channel""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q335: BENJAMINI–HOCHBERG FDR OVER SEGMENT TESTS — running q199's
+    // z-test once per customer nation multiplies the false-positive rate
+    // by the segment count; the BH step-up procedure is the standard
+    // multiple-testing correction. p-values need Φ (a transcendental —
+    // not bit-reproducible cross-engine), so the p here is the
+    // DISTRIBUTION-FREE Chebyshev bound p = min(1, 1/z²): a valid
+    // conservative p-value under ANY null with a variance (P(|Z|≥t) ≤
+    // 1/t²), monotone in |z|, and pure IEEE arithmetic — the correction
+    // is exact, the individual p's deliberately conservative. BH at
+    // q = 0.10: rank tests by p ascending, reject ranks ≤ the largest i
+    // with p_(i) ≤ i·q/m (cross-multiplied: i·z² ≥ 10·m — one
+    // double×int compare, no division).
+    //
+    // Shape at 100 TB: one events scan → per-user keyed flag agg → one
+    // broadcast nation lookup → per-nation conditional sums (segment-
+    // count-sized from here on); the BH windows run over the TESTS
+    // relation (|nations| rows — a frozen dimension, q133's bounded-
+    // window posture).
+    QueryDef.sql("q335_bh_fdr_correction") { (s, d) =>
+      import graft.Ids
+      // "converted" = a HEAVY purchaser (≥ 14 purchases): q199's
+      // any-purchase flag saturates on this fixture (every exposed user
+      // converts → all z = 0); the heavy-buyer cut gives each nation a
+      // real proportion to test. Assignment is hash-random, so this is
+      // an A/A null — BH rejecting ~nothing IS the correct answer here
+      // (the constructed-effect case lives in ExperimentOpsSpec).
+      val flags = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("exposed"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 14L, 1L).otherwise(0L).as("converted"))
+        .filter(col("exposed") === 1L)
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val tests = flags
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          (Ids.hash("user_id") % 2 === 0).as("in_a"), col("converted"))
+        .groupBy(col("nationkey"))
+        .agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_a"), col("converted")).otherwise(0L)).as("x_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("in_a"), col("converted")).otherwise(0L)).as("x_b"))
+        .filter(col("n_a") > 0L && col("n_b") > 0L)
+      val pp = (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se = sqrt((pp * (lit(1.0) - pp)) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))
+      val scored = tests
+        .withColumn("z_stat",
+          when(se === 0.0, 0.0)
+            .otherwise((col("x_a").cast("double") / col("n_a").cast("double") -
+              col("x_b").cast("double") / col("n_b").cast("double")) / se))
+        .withColumn("z2", col("z_stat") * col("z_stat"))
+        .withColumn("p_cheb",
+          when(col("z2") === 0.0, 1.0).otherwise(least(lit(1.0), lit(1.0) / col("z2"))))
+      // the windows below are over the tests relation: |nations| rows
+      val wAll = Window.partitionBy()
+      val wRank = Window.orderBy(col("z2").desc, col("nationkey"))
+      scored
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("bh_rank", row_number().over(wRank))
+        .withColumn("pass",
+          when(col("bh_rank") * col("z2") >= col("m") * lit(10.0), 1L)
+            .otherwise(0L))
+        .withColumn("k",
+          max(when(col("pass") === 1L, col("bh_rank")).otherwise(0L)).over(wAll))
+        .select(col("nationkey"), col("n_a"), col("x_a"), col("n_b"),
+          col("x_b"), col("z_stat"), col("p_cheb"), col("bh_rank"),
+          when(col("bh_rank") <= col("k"), 1L).otherwise(0L).as("rejected"))
+        .orderBy("nationkey")
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS exposed,
+         |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted
+         |  FROM events GROUP BY user_id),
+         |armed AS (
+         |  SELECT c.c_nationkey AS nationkey,
+         |    ${graft.Ids.hashSql("user_id")} % 2 = 0 AS in_a, converted
+         |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey
+         |  WHERE exposed = 1),
+         |t AS (
+         |  SELECT nationkey,
+         |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT)
+         |      AS x_a,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN converted ELSE 0 END)
+         |      AS BIGINT) AS x_b
+         |  FROM armed GROUP BY nationkey
+         |  HAVING SUM(CASE WHEN in_a THEN 1 ELSE 0 END) > 0
+         |     AND SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) > 0),
+         |z AS (
+         |  SELECT *,
+         |    CASE WHEN se = 0.0 THEN 0.0
+         |         ELSE (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |             - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / se END
+         |      AS z_stat
+         |  FROM (SELECT t.*,
+         |          SQRT((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+         |              * (1.0 - CAST(x_a + x_b AS DOUBLE)
+         |                  / CAST(n_a + n_b AS DOUBLE)))
+         |            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         |            AS se
+         |        FROM t)),
+         |r AS (
+         |  SELECT nationkey, n_a, x_a, n_b, x_b, z_stat,
+         |    z_stat * z_stat AS z2,
+         |    CASE WHEN z_stat * z_stat = 0.0 THEN 1.0
+         |         ELSE LEAST(1.0, 1.0 / (z_stat * z_stat)) END AS p_cheb,
+         |    COUNT(*) OVER () AS m,
+         |    ROW_NUMBER() OVER (ORDER BY z_stat * z_stat DESC, nationkey)
+         |      AS bh_rank
+         |  FROM z),
+         |kk AS (
+         |  SELECT *,
+         |    MAX(CASE WHEN bh_rank * z2 >= m * 10.0 THEN bh_rank ELSE 0 END)
+         |      OVER () AS k
+         |  FROM r)
+         |SELECT nationkey, n_a, x_a, n_b, x_b, z_stat, p_cheb, bh_rank,
+         |  CAST(CASE WHEN bh_rank <= k THEN 1 ELSE 0 END AS BIGINT)
+         |    AS rejected
+         |FROM kk
+         |ORDER BY nationkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q336: CUPED VARIANCE REDUCTION — the industry-standard experiment
+    // sensitivity lever (Deng et al., WSDM'13): adjust each user's
+    // experiment-period metric Y by their PRE-period metric X,
+    // Ŷ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), shrinking metric
+    // variance by exactly the squared X–Y correlation without biasing
+    // the A−B difference (assignment is independent of X). Periods split
+    // at 2024-01-16 (q234's boundary); metric = purchase count; arms by
+    // the library id-hash. Every moment is an exact int64 sum; θ, the
+    // adjusted means, and the variance-reduction ratio are one fixed
+    // IEEE chain mirrored verbatim in the oracle — bit-equal.
+    //
+    // Shape at 100 TB: one events scan → per-user keyed conditional
+    // counts → ONE global 10-sum aggregate row → closed-form projection.
+    // Nothing after the per-user agg shuffles; nothing is driver-side.
+    // Overflow: Σxy ≤ users · (purchases/user)² — at 1e9 users × 1e3
+    // purchases/period it is 1e15 ≪ 2^63; revisit past 1e4/user.
+    QueryDef.sql("q336_cuped_adjustment") { (s, d) =>
+      import graft.Ids
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" &&
+            col("ts") < lit("2024-01-16").cast("timestamp"), 1L)
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-16").cast("timestamp"), 1L)
+            .otherwise(0L)).as("y"))
+        .select((Ids.hash("user_id") % 2 === 0).as("in_a"),
+          col("x"), col("y"))
+      val g = perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_a"), col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("in_a"), col("y")).otherwise(0L)).as("sy_a"))
+      val nD = col("n").cast("double")
+      val varX = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val varY = nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      val covXY = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val theta = when(varX === 0.0, 0.0).otherwise(covXY / varX)
+      val xbar = col("sx").cast("double") / nD
+      val nB = col("n") - col("n_a")
+      val meanYA = col("sy_a").cast("double") / col("n_a").cast("double")
+      val meanYB = (col("sy") - col("sy_a")).cast("double") / nB.cast("double")
+      val meanXA = col("sx_a").cast("double") / col("n_a").cast("double")
+      val meanXB = (col("sx") - col("sx_a")).cast("double") / nB.cast("double")
+      g.select(
+        col("n_a"), nB.as("n_b"),
+        meanYA.as("mean_y_a"), meanYB.as("mean_y_b"),
+        theta.as("theta"),
+        (meanYA - theta * (meanXA - xbar)).as("mean_y_adj_a"),
+        (meanYB - theta * (meanXB - xbar)).as("mean_y_adj_b"),
+        ((meanYA - theta * (meanXA - xbar)) -
+          (meanYB - theta * (meanXB - xbar))).as("diff_adj"),
+        when(varX === 0.0 || varY === 0.0, 0.0)
+          .otherwise((covXY * covXY) / (varX * varY)).as("var_reduction"))
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY user_id),
+         |armed AS (
+         |  SELECT ${graft.Ids.hashSql("user_id")} % 2 = 0 AS in_a, x, y
+         |  FROM pu),
+         |g AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |    CAST(SUM(CASE WHEN in_a THEN y ELSE 0 END) AS BIGINT) AS sy_a
+         |  FROM armed),
+         |f AS (
+         |  SELECT *,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_xy,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+         |    n - n_a AS n_b,
+         |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y_a,
+         |    CAST(sy - sy_a AS DOUBLE) / CAST(n - n_a AS DOUBLE) AS mean_y_b,
+         |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_x_a,
+         |    CAST(sx - sx_a AS DOUBLE) / CAST(n - n_a AS DOUBLE) AS mean_x_b
+         |  FROM g),
+         |f2 AS (
+         |  SELECT *,
+         |    CASE WHEN var_x = 0.0 THEN 0.0 ELSE cov_xy / var_x END AS theta
+         |  FROM f)
+         |SELECT n_a, CAST(n_b AS BIGINT) AS n_b, mean_y_a, mean_y_b, theta,
+         |  mean_y_a - theta * (mean_x_a - xbar) AS mean_y_adj_a,
+         |  mean_y_b - theta * (mean_x_b - xbar) AS mean_y_adj_b,
+         |  (mean_y_a - theta * (mean_x_a - xbar))
+         |    - (mean_y_b - theta * (mean_x_b - xbar)) AS diff_adj,
+         |  CASE WHEN var_x = 0.0 OR var_y = 0.0 THEN 0.0
+         |       ELSE (cov_xy * cov_xy) / (var_x * var_y) END AS var_reduction
+         |FROM f2""".stripMargin
     }
   )
 

@@ -1860,4 +1860,87 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(attributed == total,
       s"attributed $attributed cents != purchase total $total cents")
   }
+
+  /** Write an events+customer fixture: per user, one view plus
+    * `purchases(u)` purchase events at the given timestamp(s).
+    */
+  private def abFixture(
+      users: Seq[Long],
+      nation: Long => Long,
+      purchases: Long => Seq[String]): String = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("abfx").toString
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    var eid = 0L
+    val evRows = users.flatMap { u =>
+      val view = Row({ eid += 1; eid }, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        u, "view", 1.0, "{}")
+      val buys = purchases(u).map { day =>
+        Row({ eid += 1; eid }, java.sql.Timestamp.valueOf(s"$day 12:00:00"),
+          u, "purchase", 5.0, "{}")
+      }
+      view +: buys
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(evRows), evSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_nationkey", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(users.map(u => Row(u, nation(u)))), cSchema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("q335: BH rejects a constructed true effect and keeps the null segment") {
+    // nation 1 carries a MAXIMAL effect (arm A all heavy buyers, arm B
+    // none — arm computed from the library's own hash so the test
+    // controls the outcome); nation 2 is a uniform null. With m = 2 and
+    // the effect ranked first, rejection needs z² ≥ 20; the constructed
+    // z² is ~n/… far above it.
+    val users = (1L to 240L)
+    def armA(u: Long) = idHash(u) % 2 == 0
+    val dir = abFixture(
+      users,
+      nation = u => if (u <= 120) 1L else 2L,
+      purchases = u =>
+        if (u <= 120) { if (armA(u)) Seq.fill(14)("2024-01-10") else Seq("2024-01-10") }
+        else Seq.fill(14)("2024-01-10"))
+    val out = graft.SparkEntry.queries("q335_bh_fdr_correction")(spark, dir)
+      .collect().map(r => r.getAs[Long]("nationkey") -> r).toMap
+    assert(out(1L).getAs[Long]("rejected") === 1L,
+      s"the true effect must survive BH: ${out(1L)}")
+    assert(out(2L).getAs[Long]("rejected") === 0L,
+      s"the null segment must not be rejected: ${out(2L)}")
+    assert(out(1L).getAs[Long]("bh_rank") === 1L)
+    // arms partition the nation's exposed users
+    assert(out(1L).getAs[Long]("n_a") + out(1L).getAs[Long]("n_b") === 120L)
+  }
+
+  test("q336: a perfectly predictive covariate removes ALL variance and the arm gap") {
+    // y = x per user → θ = 1, every adjusted value collapses to x̄:
+    // var_reduction is exactly 1.0 and diff_adj exactly 0.0 (identical
+    // IEEE operands cancel bit-for-bit)
+    val users = (1L to 40L)
+    def k(u: Long) = (u % 7).toInt
+    val dir = abFixture(
+      users,
+      nation = _ => 1L,
+      purchases = u =>
+        Seq.fill(k(u))("2024-01-10") ++ Seq.fill(k(u))("2024-01-20"))
+    val r = graft.SparkEntry.queries("q336_cuped_adjustment")(spark, dir)
+      .collect()(0)
+    assert(r.getAs[Double]("theta") === 1.0, s"$r")
+    assert(r.getAs[Double]("var_reduction") === 1.0, s"$r")
+    assert(r.getAs[Double]("diff_adj") === 0.0, s"$r")
+    assert(r.getAs[Double]("mean_y_adj_a") === r.getAs[Double]("mean_y_adj_b"))
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 40L)
+  }
 }

