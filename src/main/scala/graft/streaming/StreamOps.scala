@@ -2268,4 +2268,131 @@ object StreamOps {
           }
       }
   }
+
+  /** One finalized A/B contribution delta — q199's stage-1 output: on
+    * the finalized `day` a user's experiment contribution changed by
+    * `dn` to their arm's denominator (newly exposed) and `dx` to its
+    * numerator (exposed ∧ purchased became true).
+    */
+  final case class AbDelta(day: Long, in_a: Boolean, dn: Long, dx: Long)
+
+  final case class AbUserState(inA: Boolean, hasView: Boolean,
+      hasPurchase: Boolean, lastDay: Long,
+      pending: Map[Long, (Boolean, Boolean)])
+
+  /** Stage 1 of q199's live twin — per-user exposure/conversion
+    * finalization: the batch z-test counts each user once (exposed =
+    * any view, converted = exposed ∧ any purchase, ORDER-FREE); the
+    * live form keeps exactly those two booleans per user plus the
+    * lateness-bounded open-day flags, folds days in watermark order,
+    * and emits a delta row ONLY when the user's (denominator,
+    * numerator) contribution changes — ≤ 2 rows per user lifetime, so
+    * the delta topic is user-bounded, not event-bounded. Arms ride the
+    * library id-hash as a column (content-independent, computed once,
+    * stored in state for timeout-only invocations). A beyond-watermark
+    * straggler for an already-finalized day is dropped by the lastDay
+    * guard every finalizing twin carries. Downstream, the daily
+    * dashboard is one keyed aggregation over this topic
+    * ([[abSnapshotOf]] — the q288/q293 two-stage shape); the spec pins
+    * the composed prefix snapshots bit-equal to the batch q199 replayed
+    * on each finalized prefix of a shuffled-arrival fixture.
+    */
+  def abDeltas(events: DataFrame, timeCol: String, userCol: String,
+      typeCol: String, watermarkDelay: String): Dataset[AbDelta] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .filter(expr(s"try_cast($userCol AS bigint)").isNotNull)
+      .select(expr(s"try_cast($userCol AS bigint)"), col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
+        graft.Ids.hash(userCol) % 2 === 0,
+        coalesce(col(typeCol) === "view", lit(false)),
+        coalesce(col(typeCol) === "purchase", lit(false)))
+      .as[(Long, java.sql.Timestamp, Long, Boolean, Boolean, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AbUserState, AbDelta](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[AbUserState]) =>
+          val st0 = state.getOption
+            .getOrElse(AbUserState(false, false, false, Long.MinValue, Map.empty))
+          var pending = st0.pending
+          var inA = st0.inA
+          var seeded = state.exists
+          rows.foreach { r =>
+            if (!seeded) { inA = r._4; seeded = true }
+            if ((r._5 || r._6) && r._3 > st0.lastDay) {
+              val (v0, p0) = pending.getOrElse(r._3, (false, false))
+              pending = pending.updated(r._3, (v0 || r._5, p0 || r._6))
+            }
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val finalUpTo = math.floorDiv(wmMs, 86400000L) - 1L
+          var hv = st0.hasView
+          var hp = st0.hasPurchase
+          var lastDay = st0.lastDay
+          val out = scala.collection.mutable.ArrayBuffer.empty[AbDelta]
+          pending.keys.filter(_ <= finalUpTo).toSeq.sorted.foreach { day =>
+            val (dv, dp) = pending(day)
+            pending = pending - day
+            lastDay = math.max(lastDay, day)
+            val (nhv, nhp) = (hv || dv, hp || dp)
+            val dn = (if (nhv) 1L else 0L) - (if (hv) 1L else 0L)
+            val dx = (if (nhv && nhp) 1L else 0L) - (if (hv && hp) 1L else 0L)
+            if (dn != 0L || dx != 0L) out += AbDelta(day, inA, dn, dx)
+            hv = nhv; hp = nhp
+          }
+          state.update(AbUserState(inA, hv, hp, lastDay, pending))
+          state.setTimeoutTimestamp(wmMs + 60000L)
+          out.iterator
+      }
+  }
+
+  /** Stage 2 of q199's twin: the daily experiment dashboard over the
+    * stage-1 delta topic — one snapshot row per finalized day with a
+    * transition, carrying the RUNNING arm counts and the z decision
+    * for the whole finalized prefix. The z chain is the batch q199's
+    * verbatim (pooled SE, one fixed IEEE tree), so each day's row is
+    * bit-equal to the batch query run over that prefix; days where an
+    * arm is still empty report z = 0 (the batch's degenerate-SE
+    * convention). The running sums ride an ordered window over the
+    * per-day delta relation — calendar-bounded (q165's day-grid
+    * posture), never event-sized.
+    */
+  def abSnapshotOf(deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = deltas.groupBy(col("day"))
+      .agg(
+        sum(when(col("in_a"), col("dn")).otherwise(0L)).as("dna"),
+        sum(when(col("in_a"), col("dx")).otherwise(0L)).as("dxa"),
+        sum(when(!col("in_a"), col("dn")).otherwise(0L)).as("dnb"),
+        sum(when(!col("in_a"), col("dx")).otherwise(0L)).as("dxb"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("n_a", sum(col("dna")).over(w))
+      .withColumn("x_a", sum(col("dxa")).over(w))
+      .withColumn("n_b", sum(col("dnb")).over(w))
+      .withColumn("x_b", sum(col("dxb")).over(w))
+    // ANSI guard: the empty-arm rows are discarded by the outer when(),
+    // but codegen's common-subexpression pass evaluates these divisions
+    // EAGERLY — clamp the denominators to 1 there (bit-identical to the
+    // batch chain whenever the arm is non-empty, which is the only case
+    // whose value survives)
+    val naD = greatest(col("n_a"), lit(1L)).cast("double")
+    val nbD = greatest(col("n_b"), lit(1L)).cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt((pp * (lit(1.0) - pp)) *
+      (lit(1.0) / naD + lit(1.0) / nbD))
+    val pa = col("x_a").cast("double") / naD
+    val pb = col("x_b").cast("double") / nbD
+    cum.select(col("day"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L || se === 0.0, 0.0)
+        .otherwise((pa - pb) / se).as("z_stat"),
+      when(col("n_a") > 0L && col("n_b") > 0L && se =!= 0.0 &&
+          abs((pa - pb) / se) > 1.96, 1L)
+        .otherwise(0L).as("significant"))
+      .orderBy("day")
+  }
 }

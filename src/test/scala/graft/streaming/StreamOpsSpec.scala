@@ -1653,4 +1653,78 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       (java.time.LocalDate.ofEpochDay(d).toString, pk, n) }
     assert(got == exp)
   }
+
+  test("abDeltas + abSnapshotOf replay batch q199 bit-equal on every finalized prefix") {
+    import spark.implicits._
+    def dTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, hour, 0).plusDays(day.toLong))
+    def idHash(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    // u1 view d0 then buy d2; u2 buys d1 BEFORE its view d4 (the
+    // contract is order-free); u3 view-only d3; u4 view+buy same day;
+    // u5 buys but is never exposed — must contribute nothing
+    val fixture = Seq(
+      (1L, 0, "view"), (1L, 2, "purchase"),
+      (2L, 1, "purchase"), (2L, 4, "view"),
+      (3L, 3, "view"),
+      (4L, 1, "view"), (4L, 1, "purchase"),
+      (5L, 2, "purchase"))
+    val rows = new scala.util.Random(23).shuffle(
+      fixture.map { case (u, d0, t) => (dTs(d0, 10), u, t) })
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamOps.abDeltas(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "user_id", "event_type", watermarkDelay = "1 hour").toDF()
+    spark.sql("DROP TABLE IF EXISTS ab_sink")
+    val q = out.writeStream.format("memory").queryName("ab_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // straggler BELOW the watermark for u1's already-finalized day —
+      // the lastDay guard must not double-count the exposure
+      input.addData((dTs(0, 9), 1L, "view"))
+      q.processAllAvailable()
+      input.addData((dTs(30, 12), 9L, "view")) // finalize everything
+      q.processAllAvailable()
+    } finally q.stop()
+    val snaps = StreamOps.abSnapshotOf(spark.table("ab_sink"))
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSeq
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    // inline batch q199 replay over the prefix ending at dayIncl
+    def batchAt(dayIncl: Long): (Long, Long, Long, Long, Double, Long) = {
+      val flags = fixture.filter(_._2 <= dayIncl).groupBy(_._1).toSeq
+        .map { case (u, xs) =>
+          (u, xs.exists(_._3 == "view"), xs.exists(_._3 == "purchase")) }
+        .filter(_._2)
+      val (a, b) = flags.partition { case (u, _, _) => idHash(u) % 2 == 0 }
+      val (na, xa) = (a.size.toLong, a.count(_._3).toLong)
+      val (nb, xb) = (b.size.toLong, b.count(_._3).toLong)
+      if (na == 0L || nb == 0L) (na, xa, nb, xb, 0.0, 0L)
+      else {
+        val pp = (xa + xb).toDouble / (na + nb).toDouble
+        val se = math.sqrt(
+          (pp * (1.0 - pp)) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+        val z = if (se == 0.0) 0.0
+          else (xa.toDouble / na.toDouble - xb.toDouble / nb.toDouble) / se
+        (na, xa, nb, xb, z,
+          if (se != 0.0 && math.abs(z) > 1.96) 1L else 0L)
+      }
+    }
+    // transition days: u1 exposed d0, u4 d1, u1 converts d2, u3 d3,
+    // u2 d4; u5 never appears
+    assert(snaps.map(_._1) == Seq(0, 1, 2, 3, 4).map(_ + epoch0),
+      s"snapshot days: ${snaps.map(_._1)}")
+    snaps.foreach { case (day, na, xa, nb, xb, z, sig) =>
+      val exp = batchAt(day - epoch0)
+      assert((na, xa, nb, xb, z, sig) == exp,
+        s"day $day: got ${(na, xa, nb, xb, z, sig)}, batch $exp")
+    }
+    // the final prefix covers all four exposed users exactly once
+    val last = snaps.last
+    assert(last._2 + last._4 == 4L)
+  }
 }
