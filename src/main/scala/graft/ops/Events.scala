@@ -4381,6 +4381,150 @@ object Events {
          |  CASE WHEN var_x = 0.0 OR var_y = 0.0 THEN 0.0
          |       ELSE (cov_xy * cov_xy) / (var_x * var_y) END AS var_reduction
          |FROM f2""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q337: SAMPLE-RATIO-MISMATCH GUARD — the #1 experiment trust check
+    // (run BEFORE reading any metric): a 50/50 assignment whose realized
+    // arm counts fail a chi-square goodness-of-fit test means the
+    // logging/assignment path is broken and every downstream readout is
+    // invalid. One chi² per nation PLUS the global cell via ROLLUP
+    // (χ² = (n_a−n_b)²/(n_a+n_b), 1 dof; flag at the 3.841 α=.05
+    // critical value). Counts are exact integers; χ² is one IEEE
+    // division of exact operands.
+    //
+    // Shape at 100 TB: one events scan → per-user keyed flag agg →
+    // broadcast nation lookup → ROLLUP over the nation key (Expand on
+    // the already user-sized relation, shrinking to |nations|+1 rows).
+    QueryDef.sql("q337_srm_check") { (s, d) =>
+      import graft.Ids
+      val flags = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("exposed"))
+        .filter(col("exposed") === 1L)
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val chi2 = (col("n_a") - col("n_b")).cast("double") *
+        (col("n_a") - col("n_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      flags
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          (Ids.hash("user_id") % 2 === 0).as("in_a"))
+        .rollup(col("nk"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+        .select(coalesce(col("nk"), lit(-1L)).as("nationkey"),
+          col("n_a"), col("n_b"), chi2.as("chi2"),
+          when(chi2 > 3.841, 1L).otherwise(0L).as("srm_flag"))
+        .orderBy("nationkey")
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id
+         |  FROM events GROUP BY user_id
+         |  HAVING MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1),
+         |armed AS (
+         |  SELECT c.c_nationkey AS nk,
+         |    ${graft.Ids.hashSql("user_id")} % 2 = 0 AS in_a
+         |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey),
+         |g AS (
+         |  SELECT COALESCE(nk, -1) AS nationkey,
+         |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM armed GROUP BY ROLLUP(nk))
+         |SELECT nationkey, n_a, n_b,
+         |  CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+         |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
+         |  CAST(CASE WHEN CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+         |      / CAST(n_a + n_b AS DOUBLE) > 3.841 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS srm_flag
+         |FROM g
+         |ORDER BY nationkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q338: DIFFERENCE-IN-DIFFERENCES — the observational complement to
+    // q336 (no randomized arms needed): for each market segment, compare
+    // its per-user purchase-count change across the 2024-01-16 boundary
+    // against the SAME change in the rest of the population; parallel
+    // trends turn the double difference into the segment's causal
+    // effect estimate. Control cells come from the broadcast global row
+    // (complement = total − segment — never a second scan or an
+    // anti-join). Every mean is a ratio of exact int64s; the DiD is one
+    // fixed IEEE chain mirrored verbatim.
+    //
+    // Shape at 100 TB: one events scan → per-user keyed pre/post counts
+    // → broadcast segment lookup → per-segment sums (|segments| rows) +
+    // ONE global row broadcast back. Nothing after the per-user agg is
+    // corpus-sized.
+    QueryDef.sql("q338_diff_in_diff") { (s, d) =>
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" &&
+            col("ts") < lit("2024-01-16").cast("timestamp"), 1L)
+            .otherwise(0L)).as("pre"),
+          sum(when(col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-16").cast("timestamp"), 1L)
+            .otherwise(0L)).as("post"))
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      // freeze the |segments|-row relation: both consumers (the global
+      // row and the output projection) read the frozen copy, so the
+      // events scan + per-user agg run ONCE (q114's posture)
+      val seg = graft.Checkpoints.checkpoint(perUser
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_t"),
+          sum(col("pre")).as("pre_t"), sum(col("post")).as("post_t")))
+      val tot = seg.agg(sum(col("n_t")).as("n"),
+        sum(col("pre_t")).as("sp"), sum(col("post_t")).as("spo"))
+      val nC = (col("n") - col("n_t"))
+      val preT = col("pre_t").cast("double") / col("n_t").cast("double")
+      val postT = col("post_t").cast("double") / col("n_t").cast("double")
+      val preC = (col("sp") - col("pre_t")).cast("double") / nC.cast("double")
+      val postC = (col("spo") - col("post_t")).cast("double") / nC.cast("double")
+      seg.crossJoin(broadcast(tot))
+        .select(col("c_mktsegment"), col("n_t"), nC.as("n_c"),
+          preT.as("pre_treated_mean"), postT.as("post_treated_mean"),
+          preC.as("pre_control_mean"), postC.as("post_control_mean"),
+          ((postT - preT) - (postC - preC)).as("did"))
+        .orderBy("c_mktsegment")
+    } {
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS post
+        |  FROM events GROUP BY user_id),
+        |seg AS (
+        |  SELECT c.c_mktsegment, COUNT(*) AS n_t,
+        |    CAST(SUM(pre) AS BIGINT) AS pre_t,
+        |    CAST(SUM(post) AS BIGINT) AS post_t
+        |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey
+        |  GROUP BY c.c_mktsegment),
+        |tot AS (
+        |  SELECT CAST(SUM(n_t) AS BIGINT) AS n,
+        |    CAST(SUM(pre_t) AS BIGINT) AS sp,
+        |    CAST(SUM(post_t) AS BIGINT) AS spo FROM seg)
+        |SELECT c_mktsegment, n_t, CAST(n - n_t AS BIGINT) AS n_c,
+        |  CAST(pre_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS pre_treated_mean,
+        |  CAST(post_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS post_treated_mean,
+        |  CAST(sp - pre_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)
+        |    AS pre_control_mean,
+        |  CAST(spo - post_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)
+        |    AS post_control_mean,
+        |  (CAST(post_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |    - CAST(pre_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |  - (CAST(spo - post_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)
+        |    - CAST(sp - pre_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) AS did
+        |FROM seg CROSS JOIN tot
+        |ORDER BY c_mktsegment""".stripMargin
     }
   )
 

@@ -1867,7 +1867,8 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
   private def abFixture(
       users: Seq[Long],
       nation: Long => Long,
-      purchases: Long => Seq[String]): String = {
+      purchases: Long => Seq[String],
+      segment: Long => String = _ => "SEG"): String = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("abfx").toString
@@ -1892,9 +1893,11 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val cSchema = StructType(Seq(
       StructField("c_custkey", LongType),
-      StructField("c_nationkey", LongType)))
+      StructField("c_nationkey", LongType),
+      StructField("c_mktsegment", StringType)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(users.map(u => Row(u, nation(u)))), cSchema)
+      spark.sparkContext.parallelize(
+        users.map(u => Row(u, nation(u), segment(u)))), cSchema)
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     dir
   }
@@ -1942,5 +1945,49 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Double]("diff_adj") === 0.0, s"$r")
     assert(r.getAs[Double]("mean_y_adj_a") === r.getAs[Double]("mean_y_adj_b"))
     assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 40L)
+  }
+
+  test("q337: a constructed 40-vs-2 imbalance trips SRM; a balanced nation doesn't") {
+    // arms come from the library hash, so the test SELECTS user ids by
+    // their hash parity: nation 1 gets 40 A-arm + 2 B-arm users
+    // (chi2 = 38²/42 ≈ 34.4 ≫ 3.841), nation 2 gets 10 + 10
+    def armA(u: Long) = idHash(u) % 2 == 0
+    val ids = (1L to 2000L)
+    val n1 = ids.filter(armA).take(40) ++ ids.filterNot(armA).take(2)
+    val n2 = ids.filter(u => armA(u) && !n1.contains(u)).take(10) ++
+      ids.filterNot(u => armA(u) || n1.contains(u)).take(10)
+    val dir = abFixture(
+      (n1 ++ n2).distinct,
+      nation = u => if (n1.contains(u)) 1L else 2L,
+      purchases = _ => Seq("2024-01-10"))
+    val out = graft.SparkEntry.queries("q337_srm_check")(spark, dir)
+      .collect().map(r => r.getAs[Long]("nationkey") -> r).toMap
+    assert(out(1L).getAs[Long]("srm_flag") === 1L, s"${out(1L)}")
+    assert(out(1L).getAs[Long]("n_a") === 40L)
+    assert(out(2L).getAs[Long]("srm_flag") === 0L, s"${out(2L)}")
+    // the ROLLUP global cell is present and sums both nations
+    assert(out(-1L).getAs[Long]("n_a") + out(-1L).getAs[Long]("n_b") === 62L)
+  }
+
+  test("q338: constructed parallel-trend violations recover the exact DiD") {
+    // segment X users: pre=1, post=5; segment Y users: pre=2, post=3 —
+    // DiD(X) = (5−1) − (3−2) = 3 exactly; DiD(Y) is its mirror −3
+    val users = (1L to 30L)
+    def seg(u: Long) = if (u <= 15) "X" else "Y"
+    val dir = abFixture(
+      users,
+      nation = _ => 1L,
+      purchases = u =>
+        if (seg(u) == "X") Seq.fill(1)("2024-01-10") ++ Seq.fill(5)("2024-01-20")
+        else Seq.fill(2)("2024-01-10") ++ Seq.fill(3)("2024-01-20"),
+      segment = seg)
+    val out = graft.SparkEntry.queries("q338_diff_in_diff")(spark, dir)
+      .collect().map(r => r.getAs[String]("c_mktsegment") -> r).toMap
+    assert(out("X").getAs[Double]("did") === 3.0, s"${out("X")}")
+    assert(out("Y").getAs[Double]("did") === -3.0, s"${out("Y")}")
+    assert(out("X").getAs[Long]("n_t") === 15L)
+    assert(out("X").getAs[Long]("n_c") === 15L)
+    assert(out("X").getAs[Double]("pre_treated_mean") === 1.0)
+    assert(out("X").getAs[Double]("post_control_mean") === 3.0)
   }
 }

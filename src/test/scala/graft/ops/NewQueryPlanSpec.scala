@@ -807,6 +807,27 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("WindowExec"), s"q336 must not window:\n$p")
   }
 
+  test("q337's rollup rides the user-sized relation with a broadcast lookup") {
+    val p = plan("q337_srm_check")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer→nation lookup must broadcast:\n$p")
+    assert(p.contains("Expand"), s"the ROLLUP global cell needs Expand:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q337 planned a shuffle join or cartesian:\n$p")
+  }
+
+  test("q338 freezes the segment relation: one events scan feeds both consumers") {
+    val p = plan("q338_diff_in_diff")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    // the frozen seg checkpoint replaces the second events scan; the
+    // remaining parquet scans are events + customer (the global row
+    // reads the frozen RDD, not the source)
+    assert(scans <= 2,
+      s"q338 must not re-derive the segment relation per consumer, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q338 planned a shuffle join or cartesian:\n$p")
+  }
+
   test("q332 is one scan, zero joins, zero windows") {
     val p = plan("q332_boilerplate_edge_audit")
     val scans = "Scan parquet".r.findAllIn(p).length
