@@ -2395,4 +2395,33 @@ object StreamOps {
         .otherwise(0L).as("significant"))
       .orderBy("day")
   }
+
+  /** q337's live global cell as a THIRD consumer of [[abDeltas]]'s
+    * topic (the one-finalized-stream-many-dashboards posture q299
+    * established): per finalized day with a transition, the running
+    * arm counts and the chi-square sample-ratio-mismatch check against
+    * the designed 50/50 — the trust pager that should fire BEFORE
+    * anyone reads [[abSnapshotOf]]'s metric row. The chi² chain is the
+    * batch q337's verbatim, so each day's row equals the batch global
+    * cell over that finalized prefix.
+    */
+  def srmMonitorOf(deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = deltas.groupBy(col("day"))
+      .agg(
+        sum(when(col("in_a"), col("dn")).otherwise(0L)).as("dna"),
+        sum(when(!col("in_a"), col("dn")).otherwise(0L)).as("dnb"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chi2 = (col("n_a") - col("n_b")).cast("double") *
+      (col("n_a") - col("n_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    daily
+      .withColumn("n_a", sum(col("dna")).over(w))
+      .withColumn("n_b", sum(col("dnb")).over(w))
+      .filter(col("n_a") + col("n_b") > 0L)
+      .select(col("day"), col("n_a"), col("n_b"), chi2.as("chi2"),
+        when(chi2 > 3.841, 1L).otherwise(0L).as("srm_flag"))
+      .orderBy("day")
+  }
 }

@@ -1726,5 +1726,18 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     // the final prefix covers all four exposed users exactly once
     val last = snaps.last
     assert(last._2 + last._4 == 4L)
+    // THIRD consumer of the same topic: the live SRM guard — each day's
+    // chi² equals the batch q337 global cell over that prefix
+    val srm = StreamOps.srmMonitorOf(spark.table("ab_sink"))
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(srm.map(_._1) == snaps.map(_._1))
+    srm.foreach { case (day, na, nb, chi2, flag) =>
+      val (ena, _, enb, _, _, _) = batchAt(day - epoch0)
+      assert((na, nb) == (ena, enb), s"day $day arm counts")
+      val expChi2 = (na - nb).toDouble * (na - nb).toDouble /
+        (na + nb).toDouble
+      assert(chi2 == expChi2, s"day $day chi2")
+      assert(flag == (if (expChi2 > 3.841) 1L else 0L))
+    }
   }
 }
