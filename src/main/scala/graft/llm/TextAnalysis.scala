@@ -1555,15 +1555,21 @@ object TextAnalysis {
       val grams = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 4)
+        // a doc participates in EVERY n it can form (a 2-token spam doc
+        // has a valid, probably-flagged top bigram); the per-n guard
+        // below empties the stream for n > size — a blanket size ≥ 4
+        // filter would silently drop short docs from the n=2/3 stats
+        .filter(size(col("toks")) >= 2)
         // barrier: materialize toks once before the 3-way transform
         // (q114's posture)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"), explode(expr(
           """flatten(transform(array(2, 3, 4), n ->
-            |  transform(sequence(1, size(toks) - n + 1),
-            |    i -> named_struct('n', n,
-            |      'g', concat_ws(' ', slice(toks, i, n))))))""".stripMargin))
+            |  if(size(toks) >= n,
+            |    transform(sequence(1, size(toks) - n + 1),
+            |      i -> named_struct('n', n,
+            |        'g', concat_ws(' ', slice(toks, i, n)))),
+            |    array())))""".stripMargin))
           .as("e"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("e.n").as("n"), col("e.g").as("g"))
@@ -1587,22 +1593,25 @@ object TextAnalysis {
     } {
       s"""WITH t AS (
          |  SELECT doc_id, lang, n_chars, STRING_SPLIT(text, ' ') AS toks
-         |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 4),
+         |  FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
          |g AS (
          |  SELECT doc_id, lang, n_chars, 2 AS n,
          |    ARRAY_TO_STRING(toks[i:i+1], ' ') AS g
          |  FROM (SELECT doc_id, lang, n_chars, toks,
-         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i FROM t)
+         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i FROM t
+         |        WHERE LEN(toks) >= 2)
          |  UNION ALL
          |  SELECT doc_id, lang, n_chars, 3,
          |    ARRAY_TO_STRING(toks[i:i+2], ' ')
          |  FROM (SELECT doc_id, lang, n_chars, toks,
-         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i FROM t)
+         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i FROM t
+         |        WHERE LEN(toks) >= 3)
          |  UNION ALL
          |  SELECT doc_id, lang, n_chars, 4,
          |    ARRAY_TO_STRING(toks[i:i+3], ' ')
          |  FROM (SELECT doc_id, lang, n_chars, toks,
-         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 3)) AS i FROM t)),
+         |          UNNEST(GENERATE_SERIES(1, LEN(toks) - 3)) AS i FROM t
+         |        WHERE LEN(toks) >= 4)),
          |c AS (
          |  SELECT doc_id, lang, n_chars, n, g, COUNT(*) AS cnt
          |  FROM g GROUP BY doc_id, lang, n_chars, n, g),

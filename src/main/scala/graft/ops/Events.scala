@@ -4317,17 +4317,26 @@ object Events {
       val theta = when(varX === 0.0, 0.0).otherwise(covXY / varX)
       val xbar = col("sx").cast("double") / nD
       val nB = col("n") - col("n_a")
-      val meanYA = col("sy_a").cast("double") / col("n_a").cast("double")
-      val meanYB = (col("sy") - col("sy_a")).cast("double") / nB.cast("double")
-      val meanXA = col("sx_a").cast("double") / col("n_a").cast("double")
-      val meanXB = (col("sx") - col("sx_a")).cast("double") / nB.cast("double")
+      // degenerate-arm guard (q199's se===0 / q325's NULL convention):
+      // if the id-hash lands every user in one arm, the other arm's
+      // means are undefined — NULL, never a cross-engine inf/NaN split.
+      // greatest(…,1) keeps the eager divisions ANSI-safe.
+      val oneArm = col("n_a") === 0L || nB === 0L
+      val naD = greatest(col("n_a"), lit(1L)).cast("double")
+      val nbD = greatest(nB, lit(1L)).cast("double")
+      val meanYA = col("sy_a").cast("double") / naD
+      val meanYB = (col("sy") - col("sy_a")).cast("double") / nbD
+      val meanXA = col("sx_a").cast("double") / naD
+      val meanXB = (col("sx") - col("sx_a")).cast("double") / nbD
+      def armed(c: org.apache.spark.sql.Column) =
+        when(oneArm, lit(null).cast("double")).otherwise(c)
       g.select(
         col("n_a"), nB.as("n_b"),
-        meanYA.as("mean_y_a"), meanYB.as("mean_y_b"),
+        armed(meanYA).as("mean_y_a"), armed(meanYB).as("mean_y_b"),
         theta.as("theta"),
-        (meanYA - theta * (meanXA - xbar)).as("mean_y_adj_a"),
-        (meanYB - theta * (meanXB - xbar)).as("mean_y_adj_b"),
-        ((meanYA - theta * (meanXA - xbar)) -
+        armed(meanYA - theta * (meanXA - xbar)).as("mean_y_adj_a"),
+        armed(meanYB - theta * (meanXB - xbar)).as("mean_y_adj_b"),
+        armed((meanYA - theta * (meanXA - xbar)) -
           (meanYB - theta * (meanXB - xbar))).as("diff_adj"),
         when(varX === 0.0 || varY === 0.0, 0.0)
           .otherwise((covXY * covXY) / (varX * varY)).as("var_reduction"))
@@ -4364,20 +4373,31 @@ object Events {
          |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_xy,
          |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
          |    n - n_a AS n_b,
-         |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_y_a,
-         |    CAST(sy - sy_a AS DOUBLE) / CAST(n - n_a AS DOUBLE) AS mean_y_b,
-         |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_x_a,
-         |    CAST(sx - sx_a AS DOUBLE) / CAST(n - n_a AS DOUBLE) AS mean_x_b
+         |    CAST(sy_a AS DOUBLE) / CAST(GREATEST(n_a, 1) AS DOUBLE)
+         |      AS mean_y_a,
+         |    CAST(sy - sy_a AS DOUBLE) / CAST(GREATEST(n - n_a, 1) AS DOUBLE)
+         |      AS mean_y_b,
+         |    CAST(sx_a AS DOUBLE) / CAST(GREATEST(n_a, 1) AS DOUBLE)
+         |      AS mean_x_a,
+         |    CAST(sx - sx_a AS DOUBLE) / CAST(GREATEST(n - n_a, 1) AS DOUBLE)
+         |      AS mean_x_b,
+         |    (n_a = 0 OR n - n_a = 0) AS one_arm
          |  FROM g),
          |f2 AS (
          |  SELECT *,
          |    CASE WHEN var_x = 0.0 THEN 0.0 ELSE cov_xy / var_x END AS theta
          |  FROM f)
-         |SELECT n_a, CAST(n_b AS BIGINT) AS n_b, mean_y_a, mean_y_b, theta,
-         |  mean_y_a - theta * (mean_x_a - xbar) AS mean_y_adj_a,
-         |  mean_y_b - theta * (mean_x_b - xbar) AS mean_y_adj_b,
-         |  (mean_y_a - theta * (mean_x_a - xbar))
-         |    - (mean_y_b - theta * (mean_x_b - xbar)) AS diff_adj,
+         |SELECT n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CASE WHEN one_arm THEN NULL ELSE mean_y_a END AS mean_y_a,
+         |  CASE WHEN one_arm THEN NULL ELSE mean_y_b END AS mean_y_b,
+         |  theta,
+         |  CASE WHEN one_arm THEN NULL
+         |    ELSE mean_y_a - theta * (mean_x_a - xbar) END AS mean_y_adj_a,
+         |  CASE WHEN one_arm THEN NULL
+         |    ELSE mean_y_b - theta * (mean_x_b - xbar) END AS mean_y_adj_b,
+         |  CASE WHEN one_arm THEN NULL
+         |    ELSE (mean_y_a - theta * (mean_x_a - xbar))
+         |      - (mean_y_b - theta * (mean_x_b - xbar)) END AS diff_adj,
          |  CASE WHEN var_x = 0.0 OR var_y = 0.0 THEN 0.0
          |       ELSE (cov_xy * cov_xy) / (var_x * var_y) END AS var_reduction
          |FROM f2""".stripMargin
@@ -4482,15 +4502,24 @@ object Events {
       val tot = seg.agg(sum(col("n_t")).as("n"),
         sum(col("pre_t")).as("sp"), sum(col("post_t")).as("spo"))
       val nC = (col("n") - col("n_t"))
+      // degenerate-control guard (the q325 NULL convention): with a
+      // single segment the complement is empty — report NULL, never a
+      // cross-engine inf/NaN split. greatest(…,1) keeps the eagerly-
+      // evaluated division ANSI-safe on the guarded rows.
+      val nCD = greatest(nC, lit(1L)).cast("double")
+      val noControl = col("n") === col("n_t")
       val preT = col("pre_t").cast("double") / col("n_t").cast("double")
       val postT = col("post_t").cast("double") / col("n_t").cast("double")
-      val preC = (col("sp") - col("pre_t")).cast("double") / nC.cast("double")
-      val postC = (col("spo") - col("post_t")).cast("double") / nC.cast("double")
+      val preC = (col("sp") - col("pre_t")).cast("double") / nCD
+      val postC = (col("spo") - col("post_t")).cast("double") / nCD
+      def guarded(c: org.apache.spark.sql.Column) =
+        when(noControl, lit(null).cast("double")).otherwise(c)
       seg.crossJoin(broadcast(tot))
         .select(col("c_mktsegment"), col("n_t"), nC.as("n_c"),
           preT.as("pre_treated_mean"), postT.as("post_treated_mean"),
-          preC.as("pre_control_mean"), postC.as("post_control_mean"),
-          ((postT - preT) - (postC - preC)).as("did"))
+          guarded(preC).as("pre_control_mean"),
+          guarded(postC).as("post_control_mean"),
+          guarded((postT - preT) - (postC - preC)).as("did"))
         .orderBy("c_mktsegment")
     } {
       """WITH pu AS (
@@ -4515,14 +4544,19 @@ object Events {
         |SELECT c_mktsegment, n_t, CAST(n - n_t AS BIGINT) AS n_c,
         |  CAST(pre_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS pre_treated_mean,
         |  CAST(post_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS post_treated_mean,
-        |  CAST(sp - pre_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)
-        |    AS pre_control_mean,
-        |  CAST(spo - post_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)
-        |    AS post_control_mean,
-        |  (CAST(post_t AS DOUBLE) / CAST(n_t AS DOUBLE)
-        |    - CAST(pre_t AS DOUBLE) / CAST(n_t AS DOUBLE))
-        |  - (CAST(spo - post_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)
-        |    - CAST(sp - pre_t AS DOUBLE) / CAST(n - n_t AS DOUBLE)) AS did
+        |  CASE WHEN n = n_t THEN NULL
+        |    ELSE CAST(sp - pre_t AS DOUBLE)
+        |      / CAST(GREATEST(n - n_t, 1) AS DOUBLE) END AS pre_control_mean,
+        |  CASE WHEN n = n_t THEN NULL
+        |    ELSE CAST(spo - post_t AS DOUBLE)
+        |      / CAST(GREATEST(n - n_t, 1) AS DOUBLE) END AS post_control_mean,
+        |  CASE WHEN n = n_t THEN NULL
+        |    ELSE (CAST(post_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(pre_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |    - (CAST(spo - post_t AS DOUBLE)
+        |        / CAST(GREATEST(n - n_t, 1) AS DOUBLE)
+        |      - CAST(sp - pre_t AS DOUBLE)
+        |        / CAST(GREATEST(n - n_t, 1) AS DOUBLE)) END AS did
         |FROM seg CROSS JOIN tot
         |ORDER BY c_mktsegment""".stripMargin
     }

@@ -2304,11 +2304,18 @@ object StreamOps {
     events
       .withWatermark(timeCol, watermarkDelay)
       .filter(expr(s"try_cast($userCol AS bigint)").isNotNull)
-      .select(expr(s"try_cast($userCol AS bigint)"), col(timeCol),
-        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)"),
-        graft.Ids.hash(userCol) % 2 === 0,
-        coalesce(col(typeCol) === "view", lit(false)),
-        coalesce(col(typeCol) === "purchase", lit(false)))
+      .select(expr(s"try_cast($userCol AS bigint)").as("uid"), col(timeCol),
+        expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)")
+          .as("_day"),
+        col(typeCol).as("_type"))
+      // arm = the library id-hash of the CANONICAL bigint id (the same
+      // value the state groups by and batch q199 hashes) — hashing the
+      // raw input string would give "07" and "7" different arms while
+      // they share one state
+      .select(col("uid"), col(timeCol), col("_day"),
+        graft.Ids.hash("uid") % 2 === 0,
+        coalesce(col("_type") === "view", lit(false)),
+        coalesce(col("_type") === "purchase", lit(false)))
       .as[(Long, java.sql.Timestamp, Long, Boolean, Boolean, Boolean)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AbUserState, AbDelta](
@@ -2343,7 +2350,12 @@ object StreamOps {
             hv = nhv; hp = nhp
           }
           state.update(AbUserState(inA, hv, hp, lastDay, pending))
-          state.setTimeoutTimestamp(wmMs + 60000L)
+          // re-arm a timeout ONLY while days are still open: a drained
+          // user needs no wake-up (new events re-enter state on arrival),
+          // and an unconditional re-arm would re-invoke and rewrite EVERY
+          // user ever seen on every watermark advance — O(total users)
+          // per micro-batch forever
+          if (pending.nonEmpty) state.setTimeoutTimestamp(wmMs + 60000L)
           out.iterator
       }
   }

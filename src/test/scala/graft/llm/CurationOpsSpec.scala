@@ -143,6 +143,18 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     out.values.foreach(r => assert(r.getAs[Long]("n_flagged") === 1L, s"$r"))
   }
 
+  test("q333: a 2-token doc joins the n=2 stats and skips n=3/4") {
+    // "buy now": its only bigram covers 100% of its characters — it must
+    // trip the 20% flag, not be silently dropped by a blanket length cut
+    val d = docsDir(Seq((1L, "buy now", "en", "s1")))
+    val out = graft.SparkEntry.queries("q333_top_ngram_fraction")(spark, d)
+      .collect().map(r => r.getAs[Int]("n") -> r).toMap
+    assert(out.keySet === Set(2), s"got ${out.keySet}")
+    assert(out(2).getAs[Long]("n_docs") === 1L)
+    assert(math.abs(out(2).getAs[Double]("avg_top_fraction") - 1.0) < 1e-6)
+    assert(out(2).getAs[Long]("n_flagged") === 1L)
+  }
+
   test("q334: an exact-dup pair straddling splits is counted as leaking") {
     // find two doc ids the SHARED split recipe sends to different splits,
     // using the library's own bucket hash (the audit must agree with q53)

@@ -804,7 +804,7 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans === 1, s"q336 should scan events once, got $scans:\n$p")
     assert(!p.contains("Join"), s"q336 must not join:\n$p")
-    assert(!p.contains("WindowExec"), s"q336 must not window:\n$p")
+    assert(!p.contains("Window"), s"q336 must not window:\n$p")
   }
 
   test("q337's rollup rides the user-sized relation with a broadcast lookup") {
@@ -834,6 +834,8 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(scans === 1,
       s"both edge digests must come from ONE projection of one scan, got $scans:\n$p")
     assert(!p.contains("Join"), s"q332 must not join:\n$p")
-    assert(!p.contains("WindowExec"), s"q332 must not window:\n$p")
+    // the node prints as "Window", never "WindowExec" — match what the
+    // plan string actually contains
+    assert(!p.contains("Window"), s"q332 must not window:\n$p")
   }
 }
