@@ -102,4 +102,58 @@ class CurationPropertySpec extends AnyFunSuite with SparkTestSession {
       assert(got == exp, s"seed $seed: got $got, brute-force $exp")
     }
   }
+
+  /** The library id-hash, re-derived from first principles (MessageDigest,
+    * not Spark expressions) — first 8 md5 hex digits of the id string.
+    */
+  private def idHash(id: Long): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+
+  test("q334 split-leakage audit equals an independent md5-split brute force") {
+    // duplicate-heavy corpora: few distinct texts over many doc ids, so
+    // clusters straddle the hash split often
+    val gen: Gen[List[(Long, String)]] = for {
+      nDocs <- Gen.choose(4, 30)
+      docs <- Gen.listOfN(nDocs, Gen.oneOf("t1", "t2", "t3", "a b c"))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong * 7L, t) }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    (1L to 8L).foreach { seed =>
+      val docs = sample(gen, seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"leakprop$seed").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (id, t) =>
+          Row(id, t, "en", "s1", t.length.toLong)
+        }),
+        schema).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // brute force: split by the md5 bucket, cluster by exact text
+      def splitOf(id: Long): String = {
+        val b = idHash(id) % 100
+        if (b < 80) "train" else if (b < 90) "val" else "test"
+      }
+      val byText = docs.groupBy(_._2)
+      val exp = docs.groupBy(d => splitOf(d._1)).map { case (sp, xs) =>
+        val inDup = xs.count(d => byText(d._2).size >= 2)
+        val leaking = xs.count { d =>
+          val cluster = byText(d._2)
+          cluster.size >= 2 && cluster.map(c => splitOf(c._1)).distinct.size >= 2
+        }
+        sp -> (xs.size.toLong, inDup.toLong, leaking.toLong)
+      }
+      val got = graft.SparkEntry.queries("q334_split_cluster_leakage")(spark, dir)
+        .collect().map { r =>
+          r.getAs[String]("split") -> (
+            r.getAs[Long]("n_docs"),
+            r.getAs[Long]("docs_in_dup_clusters"),
+            r.getAs[Long]("docs_leaking"))
+        }.toMap
+      assert(got == exp, s"seed $seed: got $got, brute-force $exp")
+    }
+  }
 }
