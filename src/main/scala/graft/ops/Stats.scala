@@ -3762,6 +3762,49 @@ object Stats {
          |  $ElasticityCorrSql AS price_volume_corr
          |FROM mom
          |ORDER BY p_brand""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q339: l-DIVERSITY AUDIT — the homogeneity-attack check k-anonymity
+    // (q177) misses: a quasi-identifier class can be large (k-anonymous)
+    // while every member shares ONE sensitive value, so membership alone
+    // leaks it. Per QI class (nation, segment), the count of DISTINCT
+    // sensitive values (the balance band q177 treats as a third QI);
+    // per nation: classes below l = 3, rows exposed in them, and the
+    // worst class. All-integer — exact on both engines.
+    //
+    // Shape at 100 TB: one dimension scan → (QI, sensitive) keyed
+    // two-level distinct agg (the q177/q197 posture) → nation-sized
+    // rollup. Nothing corpus-sized after the first agg.
+    QueryDef.sql("q339_l_diversity") { (s, d) =>
+      val classes = Tables(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("bal_band")).as("l"))
+      classes.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_diversity"),
+          sum(when(col("l") < 3, col("sz")).otherwise(0L))
+            .as("n_rows_at_risk"),
+          min(col("l")).as("min_diversity"))
+        .orderBy("c_nationkey")
+    } {
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    COUNT(*) AS sz,
+        |    COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT c_nationkey,
+        |  COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity,
+        |  CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(MIN(l) AS BIGINT) AS min_diversity
+        |FROM cls GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
     }
   )
 

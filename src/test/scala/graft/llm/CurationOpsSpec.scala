@@ -179,6 +179,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.get("val").forall(_.getAs[Long]("docs_leaking") === 0L))
   }
 
+  test("q339: a k-anonymous but homogeneous class is flagged low-diversity") {
+    // segment A: 6 customers, ALL in balance band 2 — k-anonymous at
+    // k=6 yet l=1 (membership leaks the balance); segment B: bands
+    // 1/2/3 → l=3, clean
+    val dir = java.nio.file.Files.createTempDirectory("ldiv").toString
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_nationkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType)))
+    val rows =
+      (1L to 6L).map(i => Row(i, 1L, "A", 2500.0)) ++
+        Seq(Row(7L, 1L, "B", 1500.0), Row(8L, 1L, "B", 2500.0),
+          Row(9L, 1L, "B", 3500.0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = graft.SparkEntry.queries("q339_l_diversity")(spark, dir)
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_classes") === 2L)
+    assert(r.getAs[Long]("n_low_diversity") === 1L, s"$r")
+    assert(r.getAs[Long]("n_rows_at_risk") === 6L, s"$r")
+    assert(r.getAs[Long]("min_diversity") === 1L, s"$r")
+  }
+
   test("q332: three docs sharing a verbatim 8-token header form one prefix group") {
     val header = toks("h", 8)
     val d = docsDir(Seq(
