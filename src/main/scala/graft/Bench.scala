@@ -56,7 +56,22 @@ object Bench {
       catch { case _: Throwable => () }
       probes += (System.nanoTime() - t0) / 1e9
     }
-    probe()
+    // Boot fingerprint + probe calibration (round-12 verdict: the final
+    // pair straddled a host reboot and boots differ 2.5-3× on
+    // shuffle-heavy sf1 queries; the adjudication lived in prose).
+    // Recording the boot id and a 3-sample calibration constant makes
+    // cross-boot comparisons machine-detectable: same boot_id → absolute
+    // seconds comparable; different → compare only via probe_cal ratio.
+    def procLine(path: String): String =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().next().trim finally src.close()
+      } catch { case _: Throwable => "" }
+    val bootId = procLine("/proc/sys/kernel/random/boot_id")
+    val uptimeSec = procLine("/proc/uptime").split(" ").headOption
+      .filter(_.nonEmpty).getOrElse("-1")
+    probe(); probe(); probe()
+    val probeCal = if (probes.isEmpty) -1.0 else probes.take(3).min
     var sinceProbe = 0
     // run-order host-burst forensics (round 11: the round-10 driver-vs-
     // pair swings were contiguous execution windows hit by multi-minute
@@ -109,12 +124,15 @@ object Bench {
     // isolated ≈ pair reads as a host burst; isolated still high reads as
     // a genuine regression to root-cause. The 0.25 s absolute-excess floor
     // keeps ms-scale noise from triggering re-runs of trivial queries.
+    var pairBootId = ""
     val pair: (String, Map[String, Double]) = {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_PAIR", "BENCH_SELF.json"))
       if (!java.nio.file.Files.isReadable(p)) ("", Map.empty)
       else try {
         val txt = java.nio.file.Files.readString(p)
+        pairBootId = "\"boot_id\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
         val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse("")
         val qStart = txt.indexOf("\"queries\":{")
@@ -162,11 +180,18 @@ object Bench {
       .mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // "same"/"cross" labels whether the adjudication baseline (the pair
+    // artifact) was measured on THIS boot — a cross-boot baseline makes
+    // absolute-seconds comparisons unreliable (compare probe_cal ratios
+    // instead); "unknown" = no readable pair or no boot id on either side
+    val pairBoot =
+      if (bootId.isEmpty || pairBootId.isEmpty) "unknown"
+      else if (bootId == pairBootId) "same" else "cross"
     // the long per-query line is "total_detail", NOT "total": a consumer
     // matching "metric":"total" in the log tail must find exactly ONE
     // line — the short, never-truncated summary below
     val line =
-      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"queries":$qs,"errors":$es,"probe_series":$ps,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"pair_boot":"$pairBoot","queries":$qs,"errors":$es,"probe_series":$ps,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
     println(line)
     // Short summary line AFTER the big one: the driver keeps only a log
     // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
@@ -174,7 +199,7 @@ object Bench {
     // parsed:null). This line is <300 bytes and always survives the tail,
     // and is the ONLY line carrying "metric":"total".
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"probe_series":$ps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"boot_id":"$bootId","probe_cal":${f3(probeCal)},"pair_boot":"$pairBoot","probe_series":$ps,"sf":"$sfDir"}""")
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
     // 11 per-query entries) — the file survives regardless of log size.

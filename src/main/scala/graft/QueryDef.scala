@@ -123,10 +123,19 @@ object Det {
   def davgSql(expr: String): String = s"(${dsumSql(expr)} / COUNT(*))"
 
   /** Cent-scaled exact long sum for doubles with ≤ `scale` decimal places
-    * and bounded magnitude: Σ round(x·10^scale) as int64, then one
+    * and bounded magnitude: Σ floor(x·10^scale + 0.5) as int64, then one
     * long→double cast (single IEEE rounding, identical on both engines —
     * unlike wide decimal→double casts, which can double-round).
     * ~3× cheaper than [[dsum]] (no 128-bit decimal accumulation).
+    *
+    * Quantization is the same TIE-FREE floor-shift [[dsum]] uses, not
+    * built-in round(): round() splits across engines on exact .5 scaled
+    * ties (Spark half-up via a decimal string, DuckDB half-even), and
+    * while on-grid inputs never hit a tie, callers that feed ARBITRARY
+    * doubles (e.g. q330's likelihood ratios) can — N+0.5 at 1e6 scale is
+    * exactly representable. floor(x·f + 0.5) is a single IEEE add+floor,
+    * bit-identical on both engines for every double, and agrees with
+    * round() everywhere the on-grid contract held.
     *
     * OVERFLOW CONTRACT (ANSI mode aborts rather than wraps): the bound
     * binds PER AGGREGATION GROUP — partial sums per partition are always
@@ -144,7 +153,7 @@ object Det {
     */
   def csum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
-    (sum(round(c * f).cast("long")).cast("double")) / f
+    (sum(floor(c * f + lit(0.5)).cast("long")).cast("double")) / f
   }
 
   /** DuckDB fragment equivalent to [[csum]]. DuckDB's SUM(BIGINT) widens
@@ -153,6 +162,6 @@ object Det {
     */
   def csumSql(expr: String, scale: Int = 2): String = {
     val f = s"1e$scale"
-    s"(CAST(CAST(SUM(CAST(ROUND(($expr) * $f) AS BIGINT)) AS BIGINT) AS DOUBLE) / $f)"
+    s"(CAST(CAST(SUM(CAST(FLOOR(($expr) * $f + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / $f)"
   }
 }

@@ -3,6 +3,7 @@ package graft.llm
 import graft.{Det, QueryDef, Tables}
 import graft.Det.{dsum, dsumSql}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators: corpus language stats, stopword-based
@@ -1629,6 +1630,86 @@ object TextAnalysis {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
          |FROM top GROUP BY lang, n
          |ORDER BY lang, n""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q340: STUTTER-RUN AUDIT — maximal runs of identical CONSECUTIVE
+    // tokens ("the the the"), the signature of degenerate-decoding /
+    // template-stamping text that per-doc frequency rules (q69) cannot
+    // see: a 3-token run in a 500-token doc never trips a count
+    // threshold, yet marks exactly the repetition loops you exclude
+    // from pretraining. Classic gaps-and-islands: a run boundary is a
+    // token ≠ its predecessor; run_id = running boundary count; run
+    // length = island size. Per lang: docs with a ≥3-run, token mass
+    // inside ≥2-runs (the removable stutter), worst run.
+    //
+    // Shape at 100 TB: ONE tokenize scan → per-doc ordered windows
+    // (partitions are doc-sized — bounded by max doc length, never
+    // corpus-keyed) → (doc, run)-keyed count → per-doc agg → |lang|-row
+    // rollup. Every stage after the explode shrinks; no joins at all.
+    QueryDef.sql("q340_stutter_runs") { (s, d) =>
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = toks
+        // first token of a doc: lag is NULL → NULL === tok is NULL →
+        // otherwise(1): a new run, as it must be
+        .withColumn("chg",
+          when(lag(col("tok"), 1).over(w) === col("tok"), 0L).otherwise(1L))
+        .withColumn("run_id", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("lang"), col("run_id"))
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("len")).as("n_toks"),
+          max(col("len")).as("max_run"),
+          sum(when(col("len") >= 2L, col("len")).otherwise(0L))
+            .as("stutter_toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("max_run") >= 3L, 1L).otherwise(0L))
+            .as("n_stutter_docs"),
+          max(col("max_run")).as("max_run"),
+          sum(col("stutter_toks")).as("stutter_tokens"),
+          sum(col("n_toks")).as("total_tokens"))
+        .orderBy("lang")
+    } {
+      """WITH s AS (
+        |  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, UNNEST(ts) AS tok,
+        |    UNNEST(GENERATE_SERIES(1, LEN(ts))) AS pos
+        |  FROM s),
+        |b AS (
+        |  SELECT doc_id, lang, pos,
+        |    CASE WHEN LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      = tok THEN 0 ELSE 1 END AS chg
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM b),
+        |rl AS (
+        |  SELECT doc_id, lang, run_id, COUNT(*) AS len
+        |  FROM r GROUP BY doc_id, lang, run_id),
+        |pd AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(len) AS BIGINT) AS n_toks,
+        |    MAX(len) AS max_run,
+        |    CAST(SUM(CASE WHEN len >= 2 THEN len ELSE 0 END) AS BIGINT)
+        |      AS stutter_toks
+        |  FROM rl GROUP BY doc_id, lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stutter_docs,
+        |  MAX(max_run) AS max_run,
+        |  CAST(SUM(stutter_toks) AS BIGINT) AS stutter_tokens,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        |FROM pd GROUP BY lang
+        |ORDER BY lang""".stripMargin
     }
   )
 }

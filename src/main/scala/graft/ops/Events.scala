@@ -4435,6 +4435,11 @@ object Events {
         .rollup(col("nk"))
         .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
           sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+        // degenerate-input guard: over ZERO exposed users Spark's rollup
+        // emits no rows while DuckDB's GROUP BY ROLLUP still emits the
+        // grand-total grouping-set row (NULL counts, NULL χ²) — filter
+        // the empty cell on BOTH engines so the row sets agree
+        .filter(col("n_a") + col("n_b") > 0L)
         .select(coalesce(col("nk"), lit(-1L)).as("nationkey"),
           col("n_a"), col("n_b"), chi2.as("chi2"),
           when(chi2 > 3.841, 1L).otherwise(0L).as("srm_flag"))
@@ -4453,7 +4458,8 @@ object Events {
          |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
          |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_b
-         |  FROM armed GROUP BY ROLLUP(nk))
+         |  FROM armed GROUP BY ROLLUP(nk)
+         |  HAVING COUNT(*) > 0)
          |SELECT nationkey, n_a, n_b,
          |  CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
          |    / CAST(n_a + n_b AS DOUBLE) AS chi2,
@@ -4559,6 +4565,313 @@ object Events {
         |        / CAST(GREATEST(n - n_t, 1) AS DOUBLE)) END AS did
         |FROM seg CROSS JOIN tot
         |ORDER BY c_mktsegment""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q341: GROUP-SEQUENTIAL STOPPING AUDIT — the "peeking" guard: a
+    // team reading the daily dashboard (q199 / the live abSnapshotOf)
+    // every day runs MANY correlated tests, so the nominal 1.96 cut
+    // inflates false positives severalfold; group-sequential monitoring
+    // replays the daily looks per nation and applies a fixed
+    // conservative boundary |z| > 2.5 (z² > 6.25, the
+    // Pocock-style constant-boundary discipline) to report WHEN each
+    // nation's experiment could have legitimately stopped — and whether
+    // the naive daily reader would have been fooled earlier. Per
+    // nation: looks taken, both-arm looks, first boundary-crossing day
+    // (NULL = never), and the final z.
+    //
+    // Shape at 100 TB: one events scan → per-user keyed (exposure day,
+    // conversion day) → broadcast nation lookup → one explode to ≤ 2
+    // contribution rows per user → (nation, day)-keyed deltas →
+    // cumulative windows and the final agg both ride the
+    // |nations|×|days| relation (calendar-bounded, the q165 posture).
+    QueryDef.sql("q341_sequential_stopping") { (s, d) =>
+      import graft.Ids
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view",
+            date_trunc("day", col("ts")))).as("e_day"),
+          min(when(col("event_type") === "purchase",
+            date_trunc("day", col("ts")))).as("b_day"))
+        .filter(col("e_day").isNotNull)
+        // the conversion contribution lands when BOTH flags hold
+        // (order-free, q199's contract): max(exposure day, first buy day)
+        .withColumn("x_day",
+          when(col("b_day").isNotNull, greatest(col("e_day"), col("b_day"))))
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val contrib = perUser
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          (Ids.hash("user_id") % 2 === 0).as("in_a"),
+          explode(array(
+            struct(col("e_day").as("day"), lit(1L).as("dn"),
+              when(col("x_day") === col("e_day"), 1L).otherwise(0L).as("dx")),
+            struct(when(col("x_day") > col("e_day"), col("x_day")).as("day"),
+              lit(0L).as("dn"), lit(1L).as("dx")))).as("c"))
+        .filter(col("c.day").isNotNull)
+        .select(col("nationkey"), col("in_a"),
+          col("c.day").as("day"), col("c.dn").as("dn"), col("c.dx").as("dx"))
+      val daily = contrib.groupBy(col("nationkey"), col("day"))
+        .agg(
+          sum(when(col("in_a"), col("dn")).otherwise(0L)).as("dna"),
+          sum(when(col("in_a"), col("dx")).otherwise(0L)).as("dxa"),
+          sum(when(!col("in_a"), col("dn")).otherwise(0L)).as("dnb"),
+          sum(when(!col("in_a"), col("dx")).otherwise(0L)).as("dxb"))
+      val wCum = Window.partitionBy(col("nationkey")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("n_a", sum(col("dna")).over(wCum))
+        .withColumn("x_a", sum(col("dxa")).over(wCum))
+        .withColumn("n_b", sum(col("dnb")).over(wCum))
+        .withColumn("x_b", sum(col("dxb")).over(wCum))
+      // ANSI guard: empty-arm rows are z = 0 by the outer when(), but
+      // codegen evaluates the divisions eagerly — clamp denominators
+      val naD = greatest(col("n_a"), lit(1L)).cast("double")
+      val nbD = greatest(col("n_b"), lit(1L)).cast("double")
+      val pp = (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se = sqrt((pp * (lit(1.0) - pp)) * (lit(1.0) / naD + lit(1.0) / nbD))
+      val z = when(col("n_a") === 0L || col("n_b") === 0L || se === 0.0, 0.0)
+        .otherwise((col("x_a").cast("double") / naD -
+          col("x_b").cast("double") / nbD) / se)
+      cum
+        .withColumn("z_stat", z)
+        .withColumn("z2", col("z_stat") * col("z_stat"))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_looks"),
+          sum(when(col("n_a") > 0L && col("n_b") > 0L, 1L).otherwise(0L))
+            .as("n_two_arm_looks"),
+          min(when(col("z2") > 6.25, col("day"))).as("first_cross_day"),
+          max(when(col("z2") > 6.25, 1L).otherwise(0L)).as("crossed"),
+          max_by(col("z_stat"), col("day")).as("z_final"))
+        .orderBy("nationkey")
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    MIN(CASE WHEN event_type = 'view'
+         |      THEN DATE_TRUNC('day', ts) END) AS e_day,
+         |    MIN(CASE WHEN event_type = 'purchase'
+         |      THEN DATE_TRUNC('day', ts) END) AS b_day
+         |  FROM events GROUP BY user_id
+         |  HAVING MIN(CASE WHEN event_type = 'view'
+         |    THEN DATE_TRUNC('day', ts) END) IS NOT NULL),
+         |k AS (
+         |  SELECT c.c_nationkey AS nationkey,
+         |    ${graft.Ids.hashSql("user_id")} % 2 = 0 AS in_a, e_day,
+         |    CASE WHEN b_day IS NOT NULL
+         |      THEN GREATEST(e_day, b_day) END AS x_day
+         |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey),
+         |contrib AS (
+         |  SELECT nationkey, in_a, e_day AS day, 1 AS dn,
+         |    CASE WHEN x_day = e_day THEN 1 ELSE 0 END AS dx FROM k
+         |  UNION ALL
+         |  SELECT nationkey, in_a, x_day, 0, 1 FROM k
+         |  WHERE x_day > e_day),
+         |daily AS (
+         |  SELECT nationkey, day,
+         |    CAST(SUM(CASE WHEN in_a THEN dn ELSE 0 END) AS BIGINT) AS dna,
+         |    CAST(SUM(CASE WHEN in_a THEN dx ELSE 0 END) AS BIGINT) AS dxa,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN dn ELSE 0 END) AS BIGINT)
+         |      AS dnb,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN dx ELSE 0 END) AS BIGINT)
+         |      AS dxb
+         |  FROM contrib GROUP BY nationkey, day),
+         |cum AS (
+         |  SELECT nationkey, day,
+         |    SUM(dna) OVER w AS n_a, SUM(dxa) OVER w AS x_a,
+         |    SUM(dnb) OVER w AS n_b, SUM(dxb) OVER w AS x_b
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY nationkey ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING)),
+         |looks AS (
+         |  SELECT nationkey, day, n_a, n_b,
+         |    CASE WHEN n_a = 0 OR n_b = 0 OR se = 0.0 THEN 0.0
+         |      ELSE (CAST(x_a AS DOUBLE) / CAST(GREATEST(n_a, 1) AS DOUBLE)
+         |          - CAST(x_b AS DOUBLE) / CAST(GREATEST(n_b, 1) AS DOUBLE))
+         |        / se END AS z_stat
+         |  FROM (SELECT *,
+         |      SQRT(((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |          * (1.0 - CAST(x_a + x_b AS DOUBLE)
+         |              / CAST(n_a + n_b AS DOUBLE)))
+         |        * (1.0 / CAST(GREATEST(n_a, 1) AS DOUBLE)
+         |          + 1.0 / CAST(GREATEST(n_b, 1) AS DOUBLE))) AS se
+         |    FROM cum))
+         |SELECT nationkey, COUNT(*) AS n_looks,
+         |  CAST(SUM(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_two_arm_looks,
+         |  MIN(CASE WHEN z_stat * z_stat > 6.25 THEN day END)
+         |    AS first_cross_day,
+         |  CAST(MAX(CASE WHEN z_stat * z_stat > 6.25 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS crossed,
+         |  MAX_BY(z_stat, day) AS z_final
+         |FROM looks GROUP BY nationkey
+         |ORDER BY nationkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q342: QUANTILE TREATMENT EFFECT — mean differences (q199/q336)
+    // hide where in the distribution an effect lives and are dominated
+    // by heavy buyers; the median shift per arm is the robust
+    // complement (the Lehmann QTE at τ=0.5). Per nation: exact LOWER
+    // MEDIAN of per-user purchase counts in each arm (the k-th order
+    // statistic at k = ⌊(n+1)/2⌋ — deterministic under ties, since the
+    // VALUE at a rank is well-defined however row_number breaks ties)
+    // and their difference.
+    //
+    // Shape at 100 TB: one events scan → per-user keyed counts →
+    // broadcast nation join → per-(nation, arm) ordered window. The
+    // window partitions are users-per-(nation, arm) — the exact-order-
+    // statistic cost; at extreme scale the two-pass q102 global-quantile
+    // recipe is the approximate path, this is the exact auditor.
+    QueryDef.sql("q342_quantile_treatment_effect") { (s, d) =>
+      import graft.Ids
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("exposed"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .filter(col("exposed") === 1L)
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val keyed = perUser
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          (Ids.hash("user_id") % 2 === 0).as("in_a"), col("y"))
+      val wArm = Window.partitionBy(col("nationkey"), col("in_a"))
+      val med = keyed
+        .withColumn("rn", row_number().over(wArm.orderBy(col("y"))))
+        .withColumn("n", count(lit(1)).over(wArm))
+        .filter(col("rn") ===
+          floor((col("n") + lit(1L)).cast("double") / lit(2.0)).cast("long"))
+      med.groupBy(col("nationkey"))
+        .agg(
+          max(when(col("in_a"), col("n"))).as("n_a"),
+          max(when(col("in_a"), col("y"))).as("med_a"),
+          max(when(!col("in_a"), col("n"))).as("n_b"),
+          max(when(!col("in_a"), col("y"))).as("med_b"))
+        .filter(col("n_a").isNotNull && col("n_b").isNotNull)
+        .select(col("nationkey"), col("n_a"), col("med_a"), col("n_b"),
+          col("med_b"), (col("med_a") - col("med_b")).as("qte"))
+        .orderBy("nationkey")
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY user_id
+         |  HAVING MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1),
+         |k AS (
+         |  SELECT c.c_nationkey AS nationkey,
+         |    ${graft.Ids.hashSql("user_id")} % 2 = 0 AS in_a, y
+         |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey),
+         |r AS (
+         |  SELECT nationkey, in_a, y,
+         |    ROW_NUMBER() OVER (PARTITION BY nationkey, in_a ORDER BY y)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY nationkey, in_a) AS n
+         |  FROM k),
+         |m AS (
+         |  SELECT * FROM r
+         |  WHERE rn = CAST(FLOOR(CAST(n + 1 AS DOUBLE) / 2.0) AS BIGINT)),
+         |p AS (
+         |  SELECT nationkey,
+         |    MAX(CASE WHEN in_a THEN n END) AS n_a,
+         |    MAX(CASE WHEN in_a THEN y END) AS med_a,
+         |    MAX(CASE WHEN NOT in_a THEN n END) AS n_b,
+         |    MAX(CASE WHEN NOT in_a THEN y END) AS med_b
+         |  FROM m GROUP BY nationkey)
+         |SELECT nationkey, n_a, med_a, n_b, med_b,
+         |  CAST(med_a - med_b AS BIGINT) AS qte
+         |FROM p
+         |WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+         |ORDER BY nationkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q343: VALUE-DISTRIBUTION DRIFT — the two-sample chi-square
+    // homogeneity test per event_type across the 2024-01-16 boundary
+    // (q338's split): did the SHAPE of the value distribution move, not
+    // just its mean (q195's CUSUM watches the mean; a price-mix shift
+    // with a constant mean is invisible there)? Values bucket into
+    // seven fixed-width bins (50-wide, last open-ended) — fixed edges,
+    // so the statistic is reproducible and mergeable across partitions;
+    // χ² = Σ_b (n₁ᵦN₂ − n₂ᵦN₁)² / (N₁N₂(n₁ᵦ+n₂ᵦ)), each term one IEEE
+    // chain over exact int64 counts (products computed in double — the
+    // int64 cross-product would overflow at ~1e12 rows), summed with
+    // the order-insensitive [[Det.dsum]]. Flag at 12.592 (χ²₀.₀₅, 6
+    // dof, the full 7-bucket case; read n_buckets for degenerate
+    // slices).
+    //
+    // Shape at 100 TB: one events scan → (event_type, bucket)-keyed
+    // conditional counts (map-side combine to ≤ 7·|types| cells) →
+    // windows and the final agg ride the cell relation.
+    QueryDef.sql("q343_value_drift_chi2") { (s, d) =>
+      val cells = Tables(s, d, "events")
+        .select(col("event_type"),
+          least(floor(col("value") / lit(50.0)), lit(6.0)).cast("long")
+            .as("b"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("pre"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("pre"), 1L).otherwise(0L)).as("n2"))
+      val wT = Window.partitionBy(col("event_type"))
+      val d1 = col("n1").cast("double")
+      val d2 = col("n2").cast("double")
+      val dN1 = col("nn1").cast("double")
+      val dN2 = col("nn2").cast("double")
+      val num = (d1 * dN2 - d2 * dN1) * (d1 * dN2 - d2 * dN1)
+      val term = when(col("nn1") === 0L || col("nn2") === 0L, 0.0)
+        .otherwise(num / (dN1 * dN2 * (d1 + d2)))
+      cells
+        .withColumn("nn1", sum(col("n1")).over(wT))
+        .withColumn("nn2", sum(col("n2")).over(wT))
+        .withColumn("term", term)
+        .groupBy(col("event_type"))
+        .agg(max(col("nn1")).as("n_pre"), max(col("nn2")).as("n_post"),
+          count(lit(1)).as("n_buckets"),
+          Det.dsum(col("term")).as("chi2"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          col("n_buckets"), col("chi2"),
+          when(col("chi2") > 12.592, 1L).otherwise(0L).as("drift_flag"))
+        .orderBy("event_type")
+    } {
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |    CAST(LEAST(FLOOR(value / 50.0), 6.0) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM events
+         |  GROUP BY event_type, CAST(LEAST(FLOOR(value / 50.0), 6.0)
+         |    AS BIGINT)),
+         |t AS (
+         |  SELECT event_type, n1, n2,
+         |    CAST(SUM(n1) OVER (PARTITION BY event_type) AS BIGINT) AS nn1,
+         |    CAST(SUM(n2) OVER (PARTITION BY event_type) AS BIGINT) AS nn2
+         |  FROM cells),
+         |terms AS (
+         |  SELECT event_type, nn1, nn2,
+         |    CASE WHEN nn1 = 0 OR nn2 = 0 THEN 0.0
+         |      ELSE (CAST(n1 AS DOUBLE) * CAST(nn2 AS DOUBLE)
+         |          - CAST(n2 AS DOUBLE) * CAST(nn1 AS DOUBLE))
+         |        * (CAST(n1 AS DOUBLE) * CAST(nn2 AS DOUBLE)
+         |          - CAST(n2 AS DOUBLE) * CAST(nn1 AS DOUBLE))
+         |        / (CAST(nn1 AS DOUBLE) * CAST(nn2 AS DOUBLE)
+         |          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) END AS term
+         |  FROM t)
+         |SELECT event_type,
+         |  MAX(nn1) AS n_pre, MAX(nn2) AS n_post,
+         |  COUNT(*) AS n_buckets,
+         |  ${graft.Det.dsumSql("term")} AS chi2,
+         |  CAST(CASE WHEN ${graft.Det.dsumSql("term")} > 12.592
+         |    THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+         |FROM terms GROUP BY event_type
+         |ORDER BY event_type""".stripMargin
     }
   )
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -150,7 +150,7 @@ private[source] object StartPosition {
 }
 
 class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val root: String = {
     val p = options.get("path")
@@ -191,6 +191,42 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** `Trigger.AvailableNow` support (the standard backfill trigger —
+    * "drain everything available at query start, then stop"): Spark calls
+    * this once before the first trigger; the head sequence of every shard
+    * discovered RIGHT NOW is snapshotted, and for the rest of the run
+    * [[latestOffset(Offset,ReadLimit)*]] never plans past the snapshot —
+    * so the drain still honors `maxRecordsPerShardPerBatch` across as
+    * many batches as the backlog needs, then makes no further progress
+    * and the engine terminates the query. Records appended after query
+    * start — including records of shards CREATED mid-drain by a reshard
+    * (absent from the snapshot, clamped to no-advance) — are left for
+    * the next run; the parent→child lineage gate below keeps operating
+    * on the live log, so a mid-drain split can still release a child
+    * only after its parent's tail is fully consumed, and a child whose
+    * parent cannot finish draining within the snapshot simply stays
+    * gated until a later run. The snapshot is driver-side state, not
+    * checkpoint state: a restarted query re-prepares its own snapshot,
+    * which is exactly AvailableNow's restart contract.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(streams.map { s =>
+      s -> probeHeads(s, ShardedStreamLog.listShards(root, s).map(_._1))
+    }.toMap)
+  }
+
+  @volatile private var availableNowCap: Option[Map[String, Map[String, Long]]] = None
+
+  /** Progress-reporting hook: under AvailableNow, the prepared snapshot
+    * (the offset the drain converges to); otherwise the live heads.
+    */
+  override def reportLatestOffset(): Offset = availableNowCap match {
+    case Some(cap) => ShardedStreamOffset(cap)
+    case None => ShardedStreamOffset(streams.map { s =>
+      s -> probeHeads(s, ShardedStreamLog.listShards(root, s).map(_._1))
+    }.toMap)
+  }
+
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
@@ -201,6 +237,14 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
       val known = startPos.getOrElse(s, Map.empty[String, Long])
       val discovered = ShardedStreamLog.listShards(root, s)
       val maxSeqs = probeHeads(s, discovered.map(_._1))
+      // AvailableNow clamp: a shard may not advance past its snapshotted
+      // head; a shard with no snapshot entry (created after prepare) may
+      // not advance at all this run
+      val capS = availableNowCap.map(_.getOrElse(s, Map.empty[String, Long]))
+      def servedHead(sh: String): Long = capS match {
+        case Some(c) => math.min(maxSeqs(sh), c.getOrElse(sh, -1L))
+        case None => maxSeqs(sh)
+      }
       // parent→child ordering on reshard (the Kinesis lineage contract;
       // the reference ignores lineage outright — `kinesumer.go:314` TODO):
       // a child shard's offset may only advance once EVERY parent still
@@ -223,7 +267,7 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
         // reshard never loses records (unlike the reference — SURVEY §2.3)
         val from = known.getOrElse(sh, -1L)
         val released = ShardedStreamLog.parents(root, s, sh).forall(parentDrained)
-        sh -> (if (released) math.max(from, math.min(maxSeqs(sh), from + maxPerShard))
+        sh -> (if (released) math.max(from, math.min(servedHead(sh), from + maxPerShard))
                else from)
       }.toMap
       // shards that vanished from disk keep their checkpoint entry

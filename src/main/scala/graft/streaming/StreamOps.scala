@@ -2272,13 +2272,17 @@ object StreamOps {
   /** One finalized A/B contribution delta — q199's stage-1 output: on
     * the finalized `day` a user's experiment contribution changed by
     * `dn` to their arm's denominator (newly exposed) and `dx` to its
-    * numerator (exposed ∧ purchased became true).
+    * numerator (exposed ∧ converted became true). `nation` is the
+    * user's static dimension key (−1 when [[abDeltas]] runs without a
+    * lookup) so per-nation consumers ([[abNationSnapshotOf]]) can ride
+    * the same topic as the global ones.
     */
-  final case class AbDelta(day: Long, in_a: Boolean, dn: Long, dx: Long)
+  final case class AbDelta(day: Long, nation: Long, in_a: Boolean,
+      dn: Long, dx: Long)
 
-  final case class AbUserState(inA: Boolean, hasView: Boolean,
-      hasPurchase: Boolean, lastDay: Long,
-      pending: Map[Long, (Boolean, Boolean)])
+  final case class AbUserState(inA: Boolean, nation: Long, hasView: Boolean,
+      purchases: Long, lastDay: Long,
+      pending: Map[Long, (Boolean, Long)])
 
   /** Stage 1 of q199's live twin — per-user exposure/conversion
     * finalization: the batch z-test counts each user once (exposed =
@@ -2296,18 +2300,54 @@ object StreamOps {
     * ([[abSnapshotOf]] — the q288/q293 two-stage shape); the spec pins
     * the composed prefix snapshots bit-equal to the batch q199 replayed
     * on each finalized prefix of a shuffled-arrival fixture.
+    *
+    * Two generalization knobs (defaults reproduce q199 exactly):
+    * `users` — a static (user, nation) lookup broadcast-joined in
+    * (inner, the batch customer-join semantics) so each delta carries
+    * the user's static dimension key and [[abNationSnapshotOf]] can run
+    * the per-nation BH-corrected dashboard off the same topic; and
+    * `convertAtPurchases` — conversion as a cumulative purchase-count
+    * threshold (1 = q199's any-purchase; 14 = q335's heavy-buyer cut).
+    * Conversion stays monotone under any threshold, so the ≤ 2 delta
+    * rows per user lifetime contract is unchanged; the purchase counter
+    * folds in finalized-day order, counting only in-watermark events
+    * (the same straggler contract as the flags).
     */
   def abDeltas(events: DataFrame, timeCol: String, userCol: String,
-      typeCol: String, watermarkDelay: String): Dataset[AbDelta] = {
+      typeCol: String, watermarkDelay: String,
+      users: Option[DataFrame] = None,
+      convertAtPurchases: Long = 1L): Dataset[AbDelta] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val typed = events
       .withWatermark(timeCol, watermarkDelay)
       .filter(expr(s"try_cast($userCol AS bigint)").isNotNull)
+      // drop irrelevant traffic BEFORE the stateful stage: a user whose
+      // events are all non-view/non-purchase can never change the
+      // experiment counts, but without this filter groupByKey would
+      // still materialize (and forever retain) an empty state entry per
+      // such user — state would grow with irrelevant-traffic
+      // cardinality, not experiment cardinality
+      .filter(col(typeCol) === "view" || col(typeCol) === "purchase")
       .select(expr(s"try_cast($userCol AS bigint)").as("uid"), col(timeCol),
         expr(s"CAST(floor(unix_micros(cast($timeCol AS timestamp)) / 86400000000.0) AS BIGINT)")
           .as("_day"),
         col(typeCol).as("_type"))
+    // the static user→nation dimension rides a broadcast stream-static
+    // join (the batch queries' customer join, same inner semantics:
+    // users absent from the lookup contribute nothing — which makes the
+    // srm/snapshot prefix equalities EXACT, not modulo-join); without a
+    // lookup every user lands in nation −1 and the per-nation consumers
+    // degenerate to the global ones
+    val dim = users match {
+      case Some(u) =>
+        val cols = u.columns
+        typed.join(
+          broadcast(u.select(col(cols(0)).cast("bigint").as("uid"),
+            col(cols(1)).cast("bigint").as("_nation"))), Seq("uid"))
+      case None => typed.withColumn("_nation", lit(-1L))
+    }
+    dim
       // arm = the library id-hash of the CANONICAL bigint id (the same
       // value the state groups by and batch q199 hashes) — hashing the
       // raw input string would give "07" and "7" different arms while
@@ -2315,41 +2355,47 @@ object StreamOps {
       .select(col("uid"), col(timeCol), col("_day"),
         graft.Ids.hash("uid") % 2 === 0,
         coalesce(col("_type") === "view", lit(false)),
-        coalesce(col("_type") === "purchase", lit(false)))
-      .as[(Long, java.sql.Timestamp, Long, Boolean, Boolean, Boolean)]
+        coalesce(col("_type") === "purchase", lit(false)),
+        col("_nation"))
+      .as[(Long, java.sql.Timestamp, Long, Boolean, Boolean, Boolean, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[AbUserState, AbDelta](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state: GroupState[AbUserState]) =>
           val st0 = state.getOption
-            .getOrElse(AbUserState(false, false, false, Long.MinValue, Map.empty))
+            .getOrElse(AbUserState(false, -1L, false, 0L, Long.MinValue, Map.empty))
           var pending = st0.pending
           var inA = st0.inA
+          var nation = st0.nation
           var seeded = state.exists
           rows.foreach { r =>
-            if (!seeded) { inA = r._4; seeded = true }
+            if (!seeded) { inA = r._4; nation = r._7; seeded = true }
             if ((r._5 || r._6) && r._3 > st0.lastDay) {
-              val (v0, p0) = pending.getOrElse(r._3, (false, false))
-              pending = pending.updated(r._3, (v0 || r._5, p0 || r._6))
+              val (v0, p0) = pending.getOrElse(r._3, (false, 0L))
+              pending = pending.updated(r._3,
+                (v0 || r._5, p0 + (if (r._6) 1L else 0L)))
             }
           }
           val wmMs = state.getCurrentWatermarkMs()
           val finalUpTo = math.floorDiv(wmMs, 86400000L) - 1L
           var hv = st0.hasView
-          var hp = st0.hasPurchase
+          var np = st0.purchases
           var lastDay = st0.lastDay
           val out = scala.collection.mutable.ArrayBuffer.empty[AbDelta]
           pending.keys.filter(_ <= finalUpTo).toSeq.sorted.foreach { day =>
             val (dv, dp) = pending(day)
             pending = pending - day
             lastDay = math.max(lastDay, day)
-            val (nhv, nhp) = (hv || dv, hp || dp)
+            val hp = np >= convertAtPurchases
+            val nhv = hv || dv
+            val nnp = np + dp
+            val nhp = nnp >= convertAtPurchases
             val dn = (if (nhv) 1L else 0L) - (if (hv) 1L else 0L)
             val dx = (if (nhv && nhp) 1L else 0L) - (if (hv && hp) 1L else 0L)
-            if (dn != 0L || dx != 0L) out += AbDelta(day, inA, dn, dx)
-            hv = nhv; hp = nhp
+            if (dn != 0L || dx != 0L) out += AbDelta(day, nation, inA, dn, dx)
+            hv = nhv; np = nnp
           }
-          state.update(AbUserState(inA, hv, hp, lastDay, pending))
+          state.update(AbUserState(inA, nation, hv, np, lastDay, pending))
           // re-arm a timeout ONLY while days are still open: a drained
           // user needs no wake-up (new events re-enter state on arrival),
           // and an unconditional re-arm would re-invoke and rewrite EVERY
@@ -2414,8 +2460,15 @@ object StreamOps {
     * arm counts and the chi-square sample-ratio-mismatch check against
     * the designed 50/50 — the trust pager that should fire BEFORE
     * anyone reads [[abSnapshotOf]]'s metric row. The chi² chain is the
-    * batch q337's verbatim, so each day's row equals the batch global
-    * cell over that finalized prefix.
+    * batch q337's verbatim; each day's row equals the batch global
+    * cell over that finalized prefix MODULO q337's customer join — the
+    * batch query inner-joins customer (dropping exposed users with no
+    * customer row) while this stream counts every exposed user on the
+    * topic, so exact equality holds precisely when all event users
+    * exist in customer (true of the testdata generator, and the
+    * precondition the StreamOpsSpec pin runs under) — or
+    * unconditionally when [[abDeltas]] is fed the `users` lookup, which
+    * reproduces the batch join inside the topic itself.
     */
   def srmMonitorOf(deltas: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2435,5 +2488,112 @@ object StreamOps {
       .select(col("day"), col("n_a"), col("n_b"), chi2.as("chi2"),
         when(chi2 > 3.841, 1L).otherwise(0L).as("srm_flag"))
       .orderBy("day")
+  }
+
+  /** The FOURTH consumer of [[abDeltas]]'s topic: the per-nation live
+    * experiment dashboard with the q335 Benjamini–Hochberg step-up — the
+    * corrected readout a live operator should act on. [[abSnapshotOf]]
+    * reports one UNCORRECTED global z; the batch q199/q335 pair reports
+    * per-nation tests with BH multiple-testing control, so a reader
+    * acting on the global row can contradict the corrected batch
+    * decision. This closes that gap live: for each finalized day with a
+    * transition anywhere, the running per-nation arm counts, z, the
+    * distribution-free Chebyshev p = min(1, 1/z²), and the BH step-up
+    * at α = 0.1 over that day's |nations|-row test set — the EXACT q335
+    * chain (same filter, same IEEE tree, same tie-break), so each day's
+    * rows are bit-equal to batch q335 over that finalized prefix
+    * (feed [[abDeltas]] the customer lookup and `convertAtPurchases =
+    * 14` for literal q335 parity; the spec pins it).
+    *
+    * Scale shape: the delta topic is user-bounded; everything past the
+    * per-(day, nation) agg rides day×|nations|-sized relations — the
+    * cumulative window is per-nation over the day grid, and the BH
+    * windows are per-day over |nations| rows. The day grid is a cross
+    * join of two tiny relations (calendar × dimension), never
+    * event-sized.
+    */
+  def abNationSnapshotOf(deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // freeze the (day × nation)-sized daily relation: three consumers
+    // below (day list, nation list, the join-back) — the freeze runs the
+    // delta scan ONCE and gives the analyzer a cloneable leaf for the
+    // self-joins (q338's frozen-relation posture)
+    val daily = graft.Checkpoints.checkpoint(
+      deltas.groupBy(col("day"), col("nation"))
+        .agg(
+          sum(when(col("in_a"), col("dn")).otherwise(0L)).as("dna"),
+          sum(when(col("in_a"), col("dx")).otherwise(0L)).as("dxa"),
+          sum(when(!col("in_a"), col("dn")).otherwise(0L)).as("dnb"),
+          sum(when(!col("in_a"), col("dx")).otherwise(0L)).as("dxb")))
+    // a nation with no transition on day D still contributes its running
+    // counts to day D's BH family — materialize the (day × nation) grid
+    // and zero-fill, then cumulate per nation
+    val grid = daily.select(col("day")).distinct()
+      .crossJoin(daily.select(col("nation")).distinct())
+    val wCum = Window.partitionBy(col("nation")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(daily, Seq("day", "nation"), "left")
+      .na.fill(0L, Seq("dna", "dxa", "dnb", "dxb"))
+      .withColumn("n_a", sum(col("dna")).over(wCum))
+      .withColumn("x_a", sum(col("dxa")).over(wCum))
+      .withColumn("n_b", sum(col("dnb")).over(wCum))
+      .withColumn("x_b", sum(col("dxb")).over(wCum))
+      // q335's test-family membership: both arms non-empty
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt((pp * (lit(1.0) - pp)) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    val wDay = Window.partitionBy(col("day"))
+    val wRank = Window.partitionBy(col("day"))
+      .orderBy(col("z2").desc, col("nation"))
+    cum
+      .withColumn("z_stat",
+        when(se === 0.0, 0.0)
+          .otherwise((col("x_a").cast("double") / col("n_a").cast("double") -
+            col("x_b").cast("double") / col("n_b").cast("double")) / se))
+      .withColumn("z2", col("z_stat") * col("z_stat"))
+      .withColumn("p_cheb",
+        when(col("z2") === 0.0, 1.0)
+          .otherwise(least(lit(1.0), lit(1.0) / col("z2"))))
+      .withColumn("m", count(lit(1)).over(wDay))
+      .withColumn("bh_rank", row_number().over(wRank))
+      .withColumn("pass",
+        when(col("bh_rank") * col("z2") >= col("m") * lit(10.0), 1L)
+          .otherwise(0L))
+      .withColumn("k",
+        max(when(col("pass") === 1L, col("bh_rank")).otherwise(0L)).over(wDay))
+      .select(col("day"), col("nation").as("nationkey"), col("n_a"),
+        col("x_a"), col("n_b"), col("x_b"), col("z_stat"), col("p_cheb"),
+        col("bh_rank"),
+        when(col("bh_rank") <= col("k"), 1L).otherwise(0L).as("rejected"))
+      .orderBy("day", "nationkey")
+  }
+
+  /** The FIFTH consumer of [[abDeltas]]'s topic: the live
+    * group-sequential stopping monitor — batch q341's streaming twin.
+    * Reading the daily dashboard every day is MANY correlated tests;
+    * this reports, per nation, the first finalized day whose running z
+    * legitimately clears the fixed conservative boundary (|z| > 2.5 by
+    * default, z² > 6.25 — the same Pocock-style constant q341
+    * documents), i.e. the earliest day the experiment could have
+    * stopped. Rides [[abNationSnapshotOf]]'s per-day look relation;
+    * cumulative counts only change on a nation's own transition days,
+    * so the first clearing look always coincides with a transition day
+    * — the reported day equals batch q341's `first_cross_day` over the
+    * finalized prefix (the spec twin-pins it). Nations that never
+    * cross simply have no row: absence IS the "keep running" signal.
+    */
+  def sequentialStopOf(deltas: DataFrame,
+      boundaryZ2: Double = 6.25): DataFrame = {
+    abNationSnapshotOf(deltas)
+      .withColumn("z2", col("z_stat") * col("z_stat"))
+      .filter(col("z2") > boundaryZ2)
+      .groupBy(col("nationkey"))
+      .agg(min(col("day")).as("first_cross_day"),
+        min_by(col("z_stat"), col("day")).as("z_at_cross"))
+      .orderBy("nationkey")
   }
 }

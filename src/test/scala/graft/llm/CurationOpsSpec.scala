@@ -223,4 +223,20 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(suf.getAs[Long]("n_shared_groups") === 0L,
       s"all suffixes are distinct: $suf")
   }
+
+  test("q340: constructed stutter runs measure exactly; alternation is run-free") {
+    val d = docsDir(Seq(
+      (1L, "a a a b c", "en", "s1"),       // one 3-run: stutter mass 3
+      (2L, "x y x y x", "en", "s1"),       // alternating: NO run ≥ 2
+      (3L, "m m n n n n o", "en", "s1")))  // runs of 2 and 4: mass 6
+    val out = graft.SparkEntry.queries("q340_stutter_runs")(spark, d)
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_stutter_docs") === 2L, s"docs 1 and 3 only: $r")
+    assert(r.getAs[Long]("max_run") === 4L, s"$r")
+    assert(r.getAs[Long]("stutter_tokens") === 9L, s"3 + 2 + 4: $r")
+    assert(r.getAs[Long]("total_tokens") === 17L, s"$r")
+  }
 }

@@ -1990,4 +1990,148 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out("X").getAs[Double]("pre_treated_mean") === 1.0)
     assert(out("X").getAs[Double]("post_control_mean") === 3.0)
   }
+
+  test("q341 sequential looks match a per-day replay bit-exactly") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q341_sequential_stopping")(spark, d)
+      .select($"nationkey", $"n_looks", $"n_two_arm_looks",
+        $"first_cross_day", $"crossed", $"z_final")
+      .as[(Long, Long, Long, Option[java.sql.Timestamp], Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    val ev = graft.Tables(spark, d, "events")
+      .select($"user_id", $"event_type", $"ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val nat = spark.read.parquet(s"$d/customer.parquet")
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    def day(t: java.sql.Timestamp): java.time.LocalDate =
+      t.toLocalDateTime.toLocalDate
+    val perUser = ev.groupBy(_._1).iterator.flatMap { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(e => day(e._3))
+      val buys = es.filter(_._2 == "purchase").map(e => day(e._3))
+      if (views.isEmpty) None
+      else {
+        val eDay = views.min(Ordering.by((x: java.time.LocalDate) => x.toEpochDay))
+        val xDay = if (buys.isEmpty) None else {
+          val bDay = buys.min(Ordering.by((x: java.time.LocalDate) => x.toEpochDay))
+          Some(if (bDay.isAfter(eDay)) bDay else eDay)
+        }
+        nat.get(u).map(n => (n, idHash(u) % 2 == 0, eDay, xDay))
+      }
+    }.toSeq
+    val exp = perUser.groupBy(_._1).map { case (nk, us) =>
+      // (day → (dna, dxa, dnb, dxb))
+      var daily = Map.empty[java.time.LocalDate, (Long, Long, Long, Long)]
+      def add(dy: java.time.LocalDate, a: Boolean, dn: Long, dx: Long): Unit = {
+        val (p, q, r, s) = daily.getOrElse(dy, (0L, 0L, 0L, 0L))
+        daily = daily.updated(dy,
+          if (a) (p + dn, q + dx, r, s) else (p, q, r + dn, s + dx))
+      }
+      us.foreach { case (_, a, eDay, xDay) =>
+        add(eDay, a, 1L, if (xDay.contains(eDay)) 1L else 0L)
+        xDay.filter(_.isAfter(eDay)).foreach(add(_, a, 0L, 1L))
+      }
+      var (na, xa, nb, xb) = (0L, 0L, 0L, 0L)
+      var looks = 0L; var twoArm = 0L; var firstCross: Option[java.time.LocalDate] = None
+      var crossed = 0L; var zFinal = 0.0
+      daily.keys.toSeq.sortBy(_.toEpochDay).foreach { dy =>
+        val (p, q, r, s) = daily(dy)
+        na += p; xa += q; nb += r; xb += s
+        looks += 1
+        if (na > 0 && nb > 0) twoArm += 1
+        val naD = math.max(na, 1L).toDouble
+        val nbD = math.max(nb, 1L).toDouble
+        val pp = (xa + xb).toDouble / (na + nb).toDouble
+        val se = math.sqrt((pp * (1.0 - pp)) * (1.0 / naD + 1.0 / nbD))
+        val z = if (na == 0L || nb == 0L || se == 0.0) 0.0
+          else (xa.toDouble / naD - xb.toDouble / nbD) / se
+        if (z * z > 6.25) { crossed = 1L; if (firstCross.isEmpty) firstCross = Some(dy) }
+        zFinal = z
+      }
+      (nk, looks, twoArm,
+        firstCross.map(dy => java.sql.Timestamp.valueOf(dy.atStartOfDay)),
+        crossed, zFinal)
+    }.toSeq.sortBy(_._1)
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("q342 medians are the exact per-arm order statistics") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q342_quantile_treatment_effect")(spark, d)
+      .select($"nationkey", $"n_a", $"med_a", $"n_b", $"med_b", $"qte")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val nat = spark.read.parquet(s"$d/customer.parquet")
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    val perUser = ev.groupBy(_._1).iterator.collect {
+      case (u, es) if es.exists(_._2 == "view") && nat.contains(u) =>
+        (nat(u), idHash(u) % 2 == 0, es.count(_._2 == "purchase").toLong)
+    }.toSeq
+    def lowerMedian(ys: Seq[Long]): Long = {
+      val s = ys.sorted
+      s(((s.size + 1) / 2) - 1)
+    }
+    val exp = perUser.groupBy(_._1).toSeq.flatMap { case (nk, us) =>
+      val (a, b) = us.partition(_._2)
+      if (a.isEmpty || b.isEmpty) None
+      else Some((nk, a.size.toLong, lowerMedian(a.map(_._3)),
+        b.size.toLong, lowerMedian(b.map(_._3)),
+        lowerMedian(a.map(_._3)) - lowerMedian(b.map(_._3))))
+    }.sortBy(_._1)
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("q343 χ² matches a quantized-sum replay; a constructed mix shift trips the flag") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q343_value_drift_chi2")(spark, d)
+      .select($"event_type", $"n_pre", $"n_post", $"n_buckets", $"chi2",
+        $"drift_flag")
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    val ev = graft.Tables(spark, d, "events")
+      .select($"event_type", $"value", $"ts")
+      .as[(String, Double, java.sql.Timestamp)].collect()
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val exp = ev.groupBy(_._1).toSeq.map { case (t, es) =>
+      val cells = es.groupBy(e => math.min(math.floor(e._2 / 50.0), 6.0).toLong)
+        .map { case (b, xs) =>
+          b -> (xs.count(_._3.before(cut)).toLong,
+            xs.count(!_._3.before(cut)).toLong)
+        }
+      val nn1 = cells.values.map(_._1).sum
+      val nn2 = cells.values.map(_._2).sum
+      // Det.dsum replay: quantize each term to the 1e-6 grid, sum the
+      // grid units exactly, one final decimal→double conversion
+      val units = cells.values.map { case (n1, n2) =>
+        val term = if (nn1 == 0L || nn2 == 0L) 0.0
+          else {
+            val d1 = n1.toDouble; val d2 = n2.toDouble
+            val dn1 = nn1.toDouble; val dn2 = nn2.toDouble
+            (d1 * dn2 - d2 * dn1) * (d1 * dn2 - d2 * dn1) /
+              (dn1 * dn2 * (d1 + d2))
+          }
+        BigInt(math.floor(term * 1e6 + 0.5).toLong)
+      }.sum
+      val chi2 = (BigDecimal(units) / BigDecimal(1000000)).toDouble
+      (t, nn1, nn2, cells.size.toLong, chi2,
+        if (chi2 > 12.592) 1L else 0L)
+    }.sortBy(_._1)
+    assert(got == exp)
+    // constructed shift: pre mass in bucket 0, post mass in bucket 6 —
+    // the chi² must saturate and trip
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    (1L to 200L).map { i =>
+      val pre = i <= 100
+      (i, if (pre) java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+          else java.sql.Timestamp.valueOf("2024-01-25 10:00:00"),
+        i, "click", if (pre) 10.0 else 310.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val trip = graft.SparkEntry.queries("q343_value_drift_chi2")(spark, dir)
+      .collect()(0)
+    assert(trip.getAs[Long]("drift_flag") === 1L, s"$trip")
+    assert(trip.getAs[Long]("n_buckets") === 2L, s"$trip")
+    assert(trip.getAs[Double]("chi2") === 200.0, s"total separation = N: $trip")
+  }
 }

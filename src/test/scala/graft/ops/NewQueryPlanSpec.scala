@@ -838,4 +838,56 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     // plan string actually contains
     assert(!p.contains("Window"), s"q332 must not window:\n$p")
   }
+
+  // ---------------------------------------------------------------- r13
+
+  test("q340 is one scan, join-free; every window keys on doc_id") {
+    val p = plan("q340_stutter_runs")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"q340 should tokenize in ONE scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"q340 must not join:\n$p")
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty,
+      s"q340's run windows must partition by doc_id (doc-length bounded):\n$unpart")
+  }
+
+  test("q341's nation lookup broadcasts; cumulative windows key on nation") {
+    val p = plan("q341_sequential_stopping")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer→nation lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q341 planned a shuffle join or cartesian:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"q341 is one events scan + the broadcast lookup, got $scans:\n$p")
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty,
+      s"q341's look series must cumulate per nation, never globally:\n$unpart")
+  }
+
+  test("q342's nation lookup broadcasts; order statistics key on (nation, arm)") {
+    val p = plan("q342_quantile_treatment_effect")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer→nation lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q342 planned a shuffle join or cartesian:\n$p")
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty,
+      s"q342's rank windows must partition by (nation, arm) — a global " +
+        s"sort would single-task the corpus:\n$unpart")
+  }
+
+  test("q343 is one scan, join-free; χ² terms ride the cell relation") {
+    val p = plan("q343_value_drift_chi2")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"q343 should scan events once, got $scans:\n$p")
+    assert(!p.contains("Join"), s"q343 must not join:\n$p")
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty,
+      s"q343's totals window must partition by event_type:\n$unpart")
+  }
 }

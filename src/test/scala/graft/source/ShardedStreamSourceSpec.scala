@@ -488,4 +488,83 @@ class ShardedStreamSourceSpec extends AnyFunSuite with SparkTestSession {
       ShardedStreamLog.append(root, "events", "shard-0", Seq(rec(1)))
     }
   }
+
+  test("Trigger.AvailableNow drains the backlog in capped batches, then self-terminates") {
+    val (root, ck, out) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 24L).map(rec(_)))
+    val q = spark.readStream
+      .format("graft.source.ShardedStreamProvider")
+      .option("path", root)
+      .option("streams", "events")
+      .option("maxRecordsPerShardPerBatch", 10L)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must stop on its own")
+    assert(outRows(out).map(_._3) == (0L to 24L))
+    // the drain still honors the per-shard admission cap: 10+10+5 → ≥3 batches
+    val batches = new java.io.File(s"$ck/offsets").list()
+    assert(batches != null && batches.count(!_.startsWith(".")) >= 3,
+      s"expected a multi-batch capped drain, saw ${batches.mkString(",")}")
+  }
+
+  test("AvailableNow: mid-drain split terminates; deferred data is exactly-once, parent before child") {
+    // the backfill contract under a live reshard: the AvailableNow run
+    // drains exactly the records that existed at query start (over several
+    // capped batches), ignores the tail + child shards a mid-drain split
+    // creates, and STOPS; a later run picks those up exactly-once with the
+    // lineage gate still ordering parent tail strictly before child heads.
+    val (root, ck, _) = freshDirs()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 39L).map(rec(_)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val didSplit = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink = (df: org.apache.spark.sql.DataFrame, id: Long) => {
+      val rows = df.select("shard_id", "sequence_number").collect()
+        .map(r => (id, r.getString(0), r.getString(1).toLong))
+      seen.synchronized { seen ++= rows }
+      if (id == 1L && didSplit.compareAndSet(false, true)) {
+        // mid-drain: a post-start tail, then a split with child data
+        ShardedStreamLog.append(root, "events", "shard-0", (40L to 44L).map(rec(_)))
+        ShardedStreamLog.splitShard(root, "events", "shard-0", Seq("shard-1", "shard-2"))
+        ShardedStreamLog.append(root, "events", "shard-1", (0L to 2L).map(rec(_)))
+        ShardedStreamLog.append(root, "events", "shard-2", (0L to 1L).map(rec(_)))
+      }
+      ()
+    }
+    def stream() = spark.readStream
+      .format("graft.source.ShardedStreamProvider")
+      .option("path", root)
+      .option("streams", "events")
+      .option("maxRecordsPerShardPerBatch", 10L)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch(sink)
+    val q1 = stream().trigger(Trigger.AvailableNow()).start()
+    assert(q1.awaitTermination(120000),
+      "AvailableNow must terminate despite the mid-drain reshard")
+    val run1 = seen.synchronized(seen.toSeq)
+    assert(run1.map(r => (r._2, r._3)).sorted ==
+      (0L to 39L).map(("shard-0", _)).sorted,
+      "run 1 must serve exactly the query-start snapshot, nothing after it")
+    // run 2 (a normal incremental run over the SAME checkpoint) drains the
+    // deferred tail first, then the children — no replays, no losses
+    val q2 = stream().trigger(Trigger.ProcessingTime(50)).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = seen.synchronized(seen.toSeq)
+    assert(all.map(r => (r._2, r._3)).sorted == (
+      (0L to 44L).map(("shard-0", _)) ++
+        (0L to 2L).map(("shard-1", _)) ++ (0L to 1L).map(("shard-2", _))).sorted,
+      "across both runs every record is served exactly once")
+    val run2 = all.drop(run1.size)
+    val parentTailBatch = run2.filter(_._2 == "shard-0").map(_._1).max
+    val childFirstBatch =
+      run2.filter(r => r._2 == "shard-1" || r._2 == "shard-2").map(_._1).min
+    assert(childFirstBatch > parentTailBatch,
+      s"children first at batch $childFirstBatch, parent tail at $parentTailBatch")
+  }
 }

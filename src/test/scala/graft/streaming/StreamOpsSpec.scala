@@ -1740,4 +1740,176 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       assert(flag == (if (expChi2 > 3.841) 1L else 0L))
     }
   }
+
+  test("abNationSnapshotOf replays the q335 per-nation BH chain bit-equal on every finalized prefix") {
+    import spark.implicits._
+    def dTs(day: Int, hour: Int = 10): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, hour, 0).plusDays(day.toLong))
+    def idHash(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    // static dimension: nation 10 = {u1,u2,u3,u11}, nation 20 =
+    // {u4,u5,u6,u9}; u7 has NO lookup row (the batch inner join drops
+    // it — so must the topic)
+    val nationOf = Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 11L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L, 9L -> 20L)
+    val lookup = nationOf.toSeq.toDF("cust", "nat")
+    // conversion = q335's heavy-buyer cut, scaled to the fixture: ≥ 2
+    // purchases. u2 converts but is never exposed (contributes nothing);
+    // u9 is exposed but buys once (never converts); u4 buys pre-exposure
+    // (order-free contract); u7 would convert but has no customer row.
+    val fixture = Seq(
+      (1L, 0, "view"), (1L, 1, "purchase"), (1L, 2, "purchase"),
+      (2L, 0, "purchase"), (2L, 0, "purchase"),
+      (3L, 1, "view"),
+      (11L, 1, "view"), (11L, 1, "purchase"), (11L, 1, "purchase"),
+      (4L, 1, "purchase"), (4L, 2, "view"), (4L, 3, "purchase"),
+      (5L, 0, "view"), (5L, 0, "purchase"), (5L, 0, "purchase"),
+      (6L, 3, "view"),
+      (9L, 0, "view"), (9L, 2, "purchase"),
+      (7L, 0, "view"), (7L, 1, "purchase"), (7L, 2, "purchase"))
+    val rows = new scala.util.Random(41).shuffle(
+      fixture.map { case (u, d0, t) => (dTs(d0), u, t) })
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamOps.abDeltas(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "user_id", "event_type", watermarkDelay = "1 hour",
+      users = Some(lookup), convertAtPurchases = 2L).toDF()
+    spark.sql("DROP TABLE IF EXISTS abn_sink")
+    val q = out.writeStream.format("memory").queryName("abn_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // u7 only advances the watermark: it has no lookup row, so it must
+      // finalize everyone else without ever appearing in a delta
+      input.addData((dTs(30), 7L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val deltas = spark.table("abn_sink")
+    assert(deltas.filter(col("nation") === -1L ||
+      !col("nation").isin(10L, 20L)).count() == 0L,
+      "every delta must carry a joined nation key")
+    val snaps = StreamOps.abNationSnapshotOf(deltas)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Int, Long)]
+      .collect().toSeq
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    // inline batch q335 replay (nation tests + BH step-up at α=0.1 on
+    // Chebyshev p) over the prefix ending at dayIncl
+    def batchAt(dayIncl: Long): Seq[(Long, Long, Long, Long, Long, Double, Double, Int, Long)] = {
+      val perUser = fixture.filter(_._2 <= dayIncl).groupBy(_._1).toSeq
+        .flatMap { case (u, xs) =>
+          nationOf.get(u).map { nat =>
+            (u, nat, xs.exists(_._3 == "view"),
+              xs.count(_._3 == "purchase") >= 2) }
+        }
+        .filter(_._3)
+      val tests = perUser.groupBy(_._2).toSeq.flatMap { case (nat, us) =>
+        val (a, b) = us.partition { case (u, _, _, _) => idHash(u) % 2 == 0 }
+        val (na, xa) = (a.size.toLong, a.count(_._4).toLong)
+        val (nb, xb) = (b.size.toLong, b.count(_._4).toLong)
+        if (na == 0L || nb == 0L) None else Some((nat, na, xa, nb, xb))
+      }
+      val scored = tests.map { case (nat, na, xa, nb, xb) =>
+        val pp = (xa + xb).toDouble / (na + nb).toDouble
+        val se = math.sqrt(
+          (pp * (1.0 - pp)) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+        val z = if (se == 0.0) 0.0
+          else (xa.toDouble / na.toDouble - xb.toDouble / nb.toDouble) / se
+        val z2 = z * z
+        val p = if (z2 == 0.0) 1.0 else math.min(1.0, 1.0 / z2)
+        (nat, na, xa, nb, xb, z, z2, p)
+      }
+      val m = scored.size
+      val ranked = scored.sortBy { case (nat, _, _, _, _, _, z2, _) => (-z2, nat) }
+        .zipWithIndex.map { case (t, i) => (t, i + 1) }
+      val k = ranked.collect {
+        case ((_, _, _, _, _, _, z2, _), r) if r * z2 >= m * 10.0 => r
+      }.foldLeft(0)(math.max)
+      ranked.map { case ((nat, na, xa, nb, xb, z, _, p), r) =>
+        (nat, na, xa, nb, xb, z, p, r, if (r <= k) 1L else 0L)
+      }.sortBy(_._1)
+    }
+    // transition days: d0 (u1,u5,u9 exposed), d1 (u3, u11), d2 (u1
+    // converts, u4 exposed), d3 (u4 converts, u6 exposed)
+    val snapDays = snaps.map(_._1).distinct.sorted
+    assert(snapDays == Seq(0L, 1L, 2L, 3L).map(_ + epoch0),
+      s"snapshot days: $snapDays")
+    snapDays.foreach { day =>
+      val got = snaps.filter(_._1 == day)
+        .map(s => (s._2, s._3, s._4, s._5, s._6, s._7, s._8, s._9, s._10))
+        .sortBy(_._1)
+      val exp = batchAt(day - epoch0)
+      assert(got == exp, s"day $day:\n got  $got\n want $exp")
+    }
+    // day 0: nation 10 is A-only (u1) → filtered; only nation 20 tests
+    assert(snaps.filter(_._1 == epoch0).map(_._2) == Seq(20L))
+    // final prefix: both nations test, 7 exposed users total (u7 absent)
+    val lastRows = snaps.filter(_._1 == epoch0 + 3)
+    assert(lastRows.map(r => r._3 + r._5).sum == 7L)
+  }
+
+  test("sequentialStopOf twin-pins batch q341's first crossing day") {
+    import spark.implicits._
+    def dTs(day: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 10, 0)
+        .plusDays(day.toLong))
+    def idHash(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    // nation 10: a REAL effect — every A-arm user converts on its
+    // exposure day, no B user ever does; users arrive spread over five
+    // days, so the running z crosses the |z| > 2.5 boundary on some
+    // mid-experiment day. nation 20: an A/A null that never crosses.
+    val users = (1L to 40L)
+    val events = users.flatMap { u =>
+      val d0 = (u % 5L).toInt
+      val base = Seq((dTs(d0), u, "view"))
+      if (u <= 30 && idHash(u) % 2 == 0) base :+ ((dTs(d0), u, "purchase"))
+      else base
+    } :+ ((dTs(30), 999L, "view")) // watermark push; no customer row
+    val dir = java.nio.file.Files.createTempDirectory("seqstop").toString
+    events.zipWithIndex.map { case ((t, u, ty), i) =>
+      (i.toLong, t, u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // users 1-30 → nation 10 (the effect), 31-40 → nation 20 (the null:
+    // nobody purchases there, both arms at p = 0 → z = 0 forever)
+    users.map(u => (u, if (u <= 30) 10L else 20L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val batch = graft.SparkEntry.queries("q341_sequential_stopping")(spark, dir)
+      .select($"nationkey", $"first_cross_day", $"crossed")
+      .as[(Long, Option[Timestamp], Long)].collect().toSeq
+    val expCross = batch.collect { case (nk, Some(t), 1L) =>
+      nk -> t.toLocalDateTime.toLocalDate.toEpochDay }.toMap
+    assert(expCross.contains(10L), s"fixture must cross in nation 10: $batch")
+    assert(!expCross.contains(20L), s"the null nation must not cross: $batch")
+    // live twin: same events through the delta topic with the same
+    // customer lookup
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamOps.abDeltas(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "user_id", "event_type", watermarkDelay = "1 hour",
+      users = Some(spark.read.parquet(s"$dir/customer.parquet"))).toDF()
+    spark.sql("DROP TABLE IF EXISTS seq_sink")
+    val q = out.writeStream.format("memory").queryName("seq_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two rounds: the corpus, then the far-future pusher — watermarks
+      // only advance BETWEEN batches, so finalization needs a successor
+      input.addData(new scala.util.Random(7).shuffle(events.dropRight(1)): _*)
+      q.processAllAvailable()
+      input.addData(events.last)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = StreamOps.sequentialStopOf(spark.table("seq_sink"))
+      .select(col("nationkey"), col("first_cross_day"))
+      .as[(Long, Long)].collect().toMap
+    assert(live == expCross,
+      s"live stop days $live must equal batch q341's $expCross")
+  }
 }
