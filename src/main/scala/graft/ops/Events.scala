@@ -4711,14 +4711,18 @@ object Events {
     },
 
     // ------------------------------------------------------------------
-    // q342: QUANTILE TREATMENT EFFECT — mean differences (q199/q336)
-    // hide where in the distribution an effect lives and are dominated
-    // by heavy buyers; the median shift per arm is the robust
-    // complement (the Lehmann QTE at τ=0.5). Per nation: exact LOWER
-    // MEDIAN of per-user purchase counts in each arm (the k-th order
-    // statistic at k = ⌊(n+1)/2⌋ — deterministic under ties, since the
-    // VALUE at a rank is well-defined however row_number breaks ties)
-    // and their difference.
+    // q342: QUANTILE TREATMENT EFFECT, user grain — mean differences
+    // (q199/q336) hide where in the distribution an effect lives and
+    // are dominated by heavy buyers; the median shift per arm is the
+    // robust complement (the Lehmann QTE at τ=0.5). DISTINCT from
+    // q306, which reads the EVENT grain (per-purchase value cents,
+    // interpolated QUANTILE_CONT, one global row): this one is the
+    // per-USER metric (purchase count — the same unit the z-test and
+    // CUPED read), per NATION, and an EXACT order statistic. Per
+    // nation: exact LOWER MEDIAN of per-user purchase counts in each
+    // arm (the k-th order statistic at k = ⌊(n+1)/2⌋ — deterministic
+    // under ties, since the VALUE at a rank is well-defined however
+    // row_number breaks ties) and their difference.
     //
     // Shape at 100 TB: one events scan → per-user keyed counts →
     // broadcast nation join → per-(nation, arm) ordered window. The
@@ -4872,6 +4876,372 @@ object Events {
          |    THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
          |FROM terms GROUP BY event_type
          |ORDER BY event_type""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q344: WINSORIZED TREATMENT EFFECT — the industry-standard
+    // heavy-tail guard for metric readouts: cap each user's purchase
+    // count at their (nation, arm) cell's exact p90 order statistic
+    // (k = ⌈0.9·n⌉ — deterministic under ties, q342's argument), then
+    // compare winsorized arm means. One whale can no longer buy a
+    // significant readout. Per nation: raw and winsorized means per
+    // arm, both diffs, and the caps — the (raw − winsorized) gap is
+    // itself the outlier-influence diagnostic. Every mean is an exact
+    // int64 ratio (capped counts stay integers).
+    //
+    // Shape at 100 TB: one events scan → per-user keyed counts →
+    // broadcast nation join → per-(nation, arm) ordered window for the
+    // cap (q342's partition posture: users-per-cell, the exact-order-
+    // statistic cost) → one keyed agg to |nations| rows.
+    QueryDef.sql("q344_winsorized_effect") { (s, d) =>
+      import graft.Ids
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("exposed"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .filter(col("exposed") === 1L)
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val keyed = perUser
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          (Ids.hash("user_id") % 2 === 0).as("in_a"), col("y"))
+      val wArm = Window.partitionBy(col("nationkey"), col("in_a"))
+      // the cell's p90 cap = y at rank ⌈0.9 n⌉, broadcast back to every
+      // row of the cell by a max-over-partition window (rank-k value is
+      // unique per cell, so max(cap-candidate) IS the cap)
+      val capped = keyed
+        .withColumn("rn", row_number().over(wArm.orderBy(col("y"))))
+        .withColumn("n", count(lit(1)).over(wArm))
+        .withColumn("cap", max(when(col("rn") ===
+          ceil(col("n").cast("double") * lit(0.9)).cast("long"), col("y")))
+          .over(wArm))
+        .withColumn("yw", least(col("y"), col("cap")))
+      capped.groupBy(col("nationkey"))
+        .agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_a"), col("y")).otherwise(0L)).as("sy_a"),
+          sum(when(col("in_a"), col("yw")).otherwise(0L)).as("syw_a"),
+          max(when(col("in_a"), col("cap"))).as("cap_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("in_a"), col("y")).otherwise(0L)).as("sy_b"),
+          sum(when(!col("in_a"), col("yw")).otherwise(0L)).as("syw_b"),
+          max(when(!col("in_a"), col("cap"))).as("cap_b"))
+        .filter(col("n_a") > 0L && col("n_b") > 0L)
+        .select(col("nationkey"), col("n_a"), col("n_b"),
+          col("cap_a"), col("cap_b"),
+          (col("sy_a").cast("double") / col("n_a").cast("double"))
+            .as("mean_a"),
+          (col("sy_b").cast("double") / col("n_b").cast("double"))
+            .as("mean_b"),
+          (col("syw_a").cast("double") / col("n_a").cast("double"))
+            .as("wmean_a"),
+          (col("syw_b").cast("double") / col("n_b").cast("double"))
+            .as("wmean_b"),
+          (col("sy_a").cast("double") / col("n_a").cast("double") -
+            col("sy_b").cast("double") / col("n_b").cast("double"))
+            .as("diff_raw"),
+          (col("syw_a").cast("double") / col("n_a").cast("double") -
+            col("syw_b").cast("double") / col("n_b").cast("double"))
+            .as("diff_winsorized"))
+        .orderBy("nationkey")
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY user_id
+         |  HAVING MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1),
+         |k AS (
+         |  SELECT c.c_nationkey AS nationkey,
+         |    ${graft.Ids.hashSql("user_id")} % 2 = 0 AS in_a, y
+         |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey),
+         |r AS (
+         |  SELECT nationkey, in_a, y,
+         |    ROW_NUMBER() OVER (PARTITION BY nationkey, in_a ORDER BY y)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY nationkey, in_a) AS n
+         |  FROM k),
+         |cpd AS (
+         |  SELECT nationkey, in_a, y,
+         |    MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.9)
+         |      AS BIGINT) THEN y END)
+         |      OVER (PARTITION BY nationkey, in_a) AS cap
+         |  FROM r),
+         |w AS (
+         |  SELECT nationkey, in_a, y, cap, LEAST(y, cap) AS yw FROM cpd),
+         |p AS (
+         |  SELECT nationkey,
+         |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN in_a THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |    CAST(SUM(CASE WHEN in_a THEN yw ELSE 0 END) AS BIGINT)
+         |      AS syw_a,
+         |    MAX(CASE WHEN in_a THEN cap END) AS cap_a,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN y ELSE 0 END) AS BIGINT)
+         |      AS sy_b,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN yw ELSE 0 END) AS BIGINT)
+         |      AS syw_b,
+         |    MAX(CASE WHEN NOT in_a THEN cap END) AS cap_b
+         |  FROM w GROUP BY nationkey
+         |  HAVING SUM(CASE WHEN in_a THEN 1 ELSE 0 END) > 0
+         |     AND SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) > 0)
+         |SELECT nationkey, n_a, n_b, cap_a, cap_b,
+         |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         |  CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         |  CAST(syw_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS wmean_a,
+         |  CAST(syw_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS wmean_b,
+         |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |    - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff_raw,
+         |  CAST(syw_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |    - CAST(syw_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |    AS diff_winsorized
+         |FROM p
+         |ORDER BY nationkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q345: JACKKNIFE CONFIDENCE INTERVAL — the global heavy-buyer
+    // conversion-rate difference (q335's metric: ≥ 14 purchases —
+    // q199's any-purchase flag saturates on this fixture, leaving
+    // nothing to resample) with a leave-one-NATION-out jackknife: delete
+    // one nation's users at a time, recompute Δ = p_a − p_b, and read
+    // the variance of the pseudo-series — the distribution-free CI that
+    // respects clustering by geography (users within a nation are
+    // correlated; the binomial SE underestimates that). g pseudo-values
+    // from the |nations|-row count relation — the corpus is scanned
+    // once, the jackknife is pure arithmetic on exact int64 counts;
+    // pseudo-value moments go through the order-insensitive
+    // [[Det.dsum]]. Output: one row — Δ, jackknife SE, the ±2·SE CI,
+    // and g.
+    //
+    // Shape at 100 TB: one events scan → per-user keyed flags →
+    // broadcast nation join → |nations|-row counts; the leave-one-out
+    // series is that relation joined to its own one-row global sum
+    // (broadcast), never a second pass.
+    QueryDef.sql("q345_jackknife_ci") { (s, d) =>
+      import graft.Ids
+      val flags = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("exposed"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 14L, 1L).otherwise(0L).as("converted"))
+        .filter(col("exposed") === 1L)
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      // freeze the |nations|-row count relation: three consumers below
+      // (the totals row twice + the leave-one-out series) — the freeze
+      // runs the events scan ONCE (q338's posture)
+      val byNation = graft.Checkpoints.checkpoint(flags
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          (Ids.hash("user_id") % 2 === 0).as("in_a"), col("converted"))
+        .groupBy(col("nationkey"))
+        .agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("in_a"), col("converted")).otherwise(0L)).as("xa"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("in_a"), col("converted")).otherwise(0L)).as("xb")))
+      val tot = byNation.agg(sum(col("na")).as("tna"), sum(col("xa")).as("txa"),
+        sum(col("nb")).as("tnb"), sum(col("xb")).as("txb"))
+      // leave-one-out pseudo-values: Δ_(i) over the counts minus nation i
+      val loo = byNation.crossJoin(broadcast(tot))
+        .select(
+          ((col("txa") - col("xa")).cast("double") /
+            greatest(col("tna") - col("na"), lit(1L)).cast("double") -
+            (col("txb") - col("xb")).cast("double") /
+              greatest(col("tnb") - col("nb"), lit(1L)).cast("double"))
+            .as("delta_i"))
+      val g = loo.agg(
+        count(lit(1)).as("g"),
+        Det.dsum(col("delta_i")).as("sd"),
+        Det.dsum(col("delta_i") * col("delta_i")).as("sdd"))
+      g.crossJoin(broadcast(tot))
+        .select(
+          (col("txa").cast("double") / col("tna").cast("double") -
+            col("txb").cast("double") / col("tnb").cast("double"))
+            .as("delta"),
+          col("g"),
+          // var_jack = (g-1)/g · Σ(Δᵢ − Δ̄)² = (g-1)/g · (ΣΔᵢ² − (ΣΔᵢ)²/g);
+          // the greatest(…, 0) clamp absorbs the ε-negative a 1e-6
+          // quantized sdd can produce (sqrt(-ε) would hash as NaN)
+          sqrt(((col("g") - 1L).cast("double") / col("g").cast("double")) *
+            greatest(col("sdd") - col("sd") * col("sd") /
+              col("g").cast("double"), lit(0.0)))
+            .as("se_jack"))
+        .select(col("delta"), col("g"), col("se_jack"),
+          (col("delta") - lit(2.0) * col("se_jack")).as("ci_lo"),
+          (col("delta") + lit(2.0) * col("se_jack")).as("ci_hi"))
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted
+         |  FROM events GROUP BY user_id
+         |  HAVING MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1),
+         |bn AS (
+         |  SELECT c.c_nationkey AS nationkey,
+         |    CAST(SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 = 0
+         |      THEN converted ELSE 0 END) AS BIGINT) AS xa,
+         |    CAST(SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |    CAST(SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 <> 0
+         |      THEN converted ELSE 0 END) AS BIGINT) AS xb
+         |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey
+         |  GROUP BY c.c_nationkey),
+         |tot AS (
+         |  SELECT CAST(SUM(na) AS BIGINT) AS tna,
+         |    CAST(SUM(xa) AS BIGINT) AS txa,
+         |    CAST(SUM(nb) AS BIGINT) AS tnb,
+         |    CAST(SUM(xb) AS BIGINT) AS txb FROM bn),
+         |loo AS (
+         |  SELECT
+         |    CAST(txa - xa AS DOUBLE)
+         |        / CAST(GREATEST(tna - na, 1) AS DOUBLE)
+         |      - CAST(txb - xb AS DOUBLE)
+         |        / CAST(GREATEST(tnb - nb, 1) AS DOUBLE) AS delta_i
+         |  FROM bn CROSS JOIN tot),
+         |m AS (
+         |  SELECT COUNT(*) AS g,
+         |    ${graft.Det.dsumSql("delta_i")} AS sd,
+         |    ${graft.Det.dsumSql("delta_i * delta_i")} AS sdd
+         |  FROM loo)
+         |SELECT
+         |  CAST(txa AS DOUBLE) / CAST(tna AS DOUBLE)
+         |    - CAST(txb AS DOUBLE) / CAST(tnb AS DOUBLE) AS delta,
+         |  g,
+         |  SQRT((CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE))
+         |    * GREATEST(sdd - sd * sd / CAST(g AS DOUBLE), 0.0)) AS se_jack,
+         |  CAST(txa AS DOUBLE) / CAST(tna AS DOUBLE)
+         |    - CAST(txb AS DOUBLE) / CAST(tnb AS DOUBLE)
+         |    - 2.0 * SQRT((CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE))
+         |      * GREATEST(sdd - sd * sd / CAST(g AS DOUBLE), 0.0)) AS ci_lo,
+         |  CAST(txa AS DOUBLE) / CAST(tna AS DOUBLE)
+         |    - CAST(txb AS DOUBLE) / CAST(tnb AS DOUBLE)
+         |    + 2.0 * SQRT((CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE))
+         |      * GREATEST(sdd - sd * sd / CAST(g AS DOUBLE), 0.0)) AS ci_hi
+         |FROM m CROSS JOIN tot""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q346: EFFECT HETEROGENEITY (Cochran's Q + I²) — before reading
+    // q335's per-nation tests OR q345's pooled CI, decide which one is
+    // even meaningful: fixed-effect meta-analysis across nations with
+    // inverse-variance weights wᵢ = 1/varᵢ (unpooled two-proportion
+    // variance), weighted mean effect θ̄, Q = Σ wᵢ(θᵢ − θ̄)², and
+    // I² = max(0, (Q − (k−1))/Q) — the share of between-nation variance
+    // that is real heterogeneity rather than sampling noise. High I²
+    // says "the per-nation table is the readout"; low says "pool".
+    // Every wᵢ/θᵢ is one IEEE chain on exact int64 counts; the three
+    // weighted sums go through [[Det.dsum]]. Degenerate cells (an empty
+    // arm or a 0/1 proportion on both arms → varᵢ = 0) are excluded
+    // from the meta-set, k counts the included nations.
+    //
+    // Shape at 100 TB: one events scan → per-user flags → broadcast
+    // nation join → |nations|-row counts; everything after is
+    // arithmetic on that relation.
+    QueryDef.sql("q346_effect_heterogeneity") { (s, d) =>
+      import graft.Ids
+      val flags = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("exposed"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 14L, 1L).otherwise(0L).as("converted"))
+        .filter(col("exposed") === 1L)
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val byNation = flags
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          (Ids.hash("user_id") % 2 === 0).as("in_a"), col("converted"))
+        .groupBy(col("nationkey"))
+        .agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("in_a"), col("converted")).otherwise(0L)).as("xa"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("in_a"), col("converted")).otherwise(0L)).as("xb"))
+        .filter(col("na") > 0L && col("nb") > 0L)
+      val pa = col("xa").cast("double") / col("na").cast("double")
+      val pb = col("xb").cast("double") / col("nb").cast("double")
+      val vi = pa * (lit(1.0) - pa) / col("na").cast("double") +
+        pb * (lit(1.0) - pb) / col("nb").cast("double")
+      val scored = byNation
+        .withColumn("theta", pa - pb)
+        .withColumn("vi", vi)
+        .filter(col("vi") > 0.0)
+        .withColumn("w", lit(1.0) / col("vi"))
+      val m = scored.agg(
+        count(lit(1)).as("k"),
+        Det.dsum(col("w")).as("sw"),
+        Det.dsum(col("w") * col("theta")).as("swt"),
+        Det.dsum(col("w") * col("theta") * col("theta")).as("swtt"))
+      // Q = Σwθ² − (Σwθ)²/Σw (the one-pass identity); I² from Q and k
+      m.select(col("k"),
+          (col("swt") / col("sw")).as("theta_bar"),
+          (col("swtt") - col("swt") * col("swt") / col("sw")).as("q_stat"))
+        .select(col("k"), col("theta_bar"), col("q_stat"),
+          when(col("q_stat") <= 0.0 || col("k") <= 1L, 0.0)
+            .otherwise(greatest(lit(0.0),
+              (col("q_stat") - (col("k") - 1L).cast("double")) /
+                col("q_stat"))).as("i2"))
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted
+         |  FROM events GROUP BY user_id
+         |  HAVING MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1),
+         |bn AS (
+         |  SELECT c.c_nationkey AS nationkey,
+         |    CAST(SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 = 0
+         |      THEN converted ELSE 0 END) AS BIGINT) AS xa,
+         |    CAST(SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |    CAST(SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 <> 0
+         |      THEN converted ELSE 0 END) AS BIGINT) AS xb
+         |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey
+         |  GROUP BY c.c_nationkey
+         |  HAVING SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 = 0
+         |      THEN 1 ELSE 0 END) > 0
+         |    AND SUM(CASE WHEN ${graft.Ids.hashSql("user_id")} % 2 <> 0
+         |      THEN 1 ELSE 0 END) > 0),
+         |sc AS (
+         |  SELECT
+         |    CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+         |      - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS theta,
+         |    (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE))
+         |      * (1.0 - CAST(xa AS DOUBLE) / CAST(na AS DOUBLE))
+         |      / CAST(na AS DOUBLE)
+         |    + (CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+         |      * (1.0 - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+         |      / CAST(nb AS DOUBLE) AS vi
+         |  FROM bn),
+         |f AS (SELECT theta, 1.0 / vi AS w FROM sc WHERE vi > 0.0),
+         |m AS (
+         |  SELECT COUNT(*) AS k,
+         |    ${graft.Det.dsumSql("w")} AS sw,
+         |    ${graft.Det.dsumSql("w * theta")} AS swt,
+         |    ${graft.Det.dsumSql("w * theta * theta")} AS swtt
+         |  FROM f)
+         |SELECT k, swt / sw AS theta_bar,
+         |  swtt - swt * swt / sw AS q_stat,
+         |  CASE WHEN swtt - swt * swt / sw <= 0.0 OR k <= 1 THEN 0.0
+         |    ELSE GREATEST(0.0, ((swtt - swt * swt / sw)
+         |      - CAST(k - 1 AS DOUBLE)) / (swtt - swt * swt / sw)) END
+         |    AS i2
+         |FROM m""".stripMargin
     }
   )
 

@@ -2134,4 +2134,117 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(trip.getAs[Long]("n_buckets") === 2L, s"$trip")
     assert(trip.getAs[Double]("chi2") === 200.0, s"total separation = N: $trip")
   }
+
+  /** Det.dsum replay: 1e-6-grid quantized units summed exactly, one
+    * final decimal→double conversion.
+    */
+  private def dsumReplay(xs: Iterable[Double]): Double = {
+    val units = xs.map(x => BigInt(math.floor(x * 1e6 + 0.5).toLong)).sum
+    (BigDecimal(units) / BigDecimal(1000000)).toDouble
+  }
+
+  /** Per-user (nation, in_a, purchase-count) for exposed users with a
+    * customer row — the shared input of the q344/q345/q346 replays.
+    */
+  private def exposedUsers(convertAt: Long = 1L,
+      dir: String = d): Seq[(Long, Boolean, Long, Boolean)] = {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val nat = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    ev.groupBy(_._1).iterator.collect {
+      case (u, es) if es.exists(_._2 == "view") && nat.contains(u) =>
+        val y = es.count(_._2 == "purchase").toLong
+        (nat(u), idHash(u) % 2 == 0, y, y >= convertAt)
+    }.toSeq
+  }
+
+  test("q344 winsorized means cap at the exact per-cell p90 order statistic") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q344_winsorized_effect")(spark, d)
+      .select($"nationkey", $"n_a", $"n_b", $"cap_a", $"cap_b",
+        $"wmean_a", $"wmean_b", $"diff_raw", $"diff_winsorized")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq.sortBy(_._1)
+    val exp = exposedUsers().groupBy(_._1).toSeq.flatMap { case (nk, us) =>
+      val (a, b) = us.partition(_._2)
+      if (a.isEmpty || b.isEmpty) None
+      else {
+        def cell(ys: Seq[Long]): (Long, Long, Double, Double) = {
+          val s = ys.sorted
+          val cap = s(math.ceil(s.size * 0.9).toLong.toInt - 1)
+          val yw = ys.map(math.min(_, cap))
+          (ys.size.toLong, cap, ys.sum.toDouble / ys.size,
+            yw.sum.toDouble / ys.size)
+        }
+        val (na, capA, meanA, wmeanA) = cell(a.map(_._3))
+        val (nb, capB, meanB, wmeanB) = cell(b.map(_._3))
+        Some((nk, na, nb, capA, capB, wmeanA, wmeanB,
+          meanA - meanB, wmeanA - wmeanB))
+      }
+    }.sortBy(_._1)
+    assert(got == exp)
+    assert(got.nonEmpty)
+  }
+
+  test("q345 jackknife CI matches a leave-one-nation-out replay") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q345_jackknife_ci")(spark, d)
+      .select($"delta", $"g", $"se_jack", $"ci_lo", $"ci_hi")
+      .as[(Double, Long, Double, Double, Double)].collect().toSeq
+    assert(got.size == 1)
+    val byNation = exposedUsers(convertAt = 14L).groupBy(_._1).map { case (nk, us) =>
+      val (a, b) = us.partition(_._2)
+      (nk, a.size.toLong, a.count(_._4).toLong,
+        b.size.toLong, b.count(_._4).toLong)
+    }.toSeq
+    val (tna, txa) = (byNation.map(_._2).sum, byNation.map(_._3).sum)
+    val (tnb, txb) = (byNation.map(_._4).sum, byNation.map(_._5).sum)
+    val deltas = byNation.map { case (_, na, xa, nb, xb) =>
+      (txa - xa).toDouble / math.max(tna - na, 1L).toDouble -
+        (txb - xb).toDouble / math.max(tnb - nb, 1L).toDouble
+    }
+    val g = deltas.size.toLong
+    val sd = dsumReplay(deltas)
+    val sdd = dsumReplay(deltas.map(x => x * x))
+    val se = math.sqrt(((g - 1).toDouble / g.toDouble) *
+      math.max(sdd - sd * sd / g.toDouble, 0.0))
+    val delta = txa.toDouble / tna.toDouble - txb.toDouble / tnb.toDouble
+    assert(got.head == ((delta, g, se, delta - 2.0 * se, delta + 2.0 * se)))
+    assert(se > 0.0, "the fixture has cross-nation variation")
+  }
+
+  test("q346 Cochran's Q / I² match an inverse-variance replay") {
+    import spark.implicits._
+    // sf0.01: sf0.001's 15 users leave every nation cell with a
+    // degenerate 0/1 proportion (vi = 0 → empty meta-set, NULL row)
+    val d01 = "/root/testdata/sf0.01"
+    val got = graft.SparkEntry.queries("q346_effect_heterogeneity")(spark, d01)
+      .select($"k", $"theta_bar", $"q_stat", $"i2")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got.size == 1)
+    val cells = exposedUsers(convertAt = 14L, dir = d01).groupBy(_._1).toSeq
+      .flatMap { case (_, us) =>
+        val (a, b) = us.partition(_._2)
+        if (a.isEmpty || b.isEmpty) None
+        else {
+          val (na, xa) = (a.size.toLong, a.count(_._4).toLong)
+          val (nb, xb) = (b.size.toLong, b.count(_._4).toLong)
+          val pa = xa.toDouble / na.toDouble
+          val pb = xb.toDouble / nb.toDouble
+          val vi = pa * (1.0 - pa) / na.toDouble + pb * (1.0 - pb) / nb.toDouble
+          if (vi > 0.0) Some((pa - pb, 1.0 / vi)) else None
+        }
+      }
+    val k = cells.size.toLong
+    val sw = dsumReplay(cells.map(_._2))
+    val swt = dsumReplay(cells.map(c => c._2 * c._1))
+    val swtt = dsumReplay(cells.map(c => c._2 * c._1 * c._1))
+    val q = swtt - swt * swt / sw
+    val i2 = if (q <= 0.0 || k <= 1L) 0.0
+      else math.max(0.0, (q - (k - 1).toDouble) / q)
+    assert(got.head == ((k, swt / sw, q, i2)))
+    assert(k > 1L)
+  }
 }

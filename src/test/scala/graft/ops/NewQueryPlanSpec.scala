@@ -890,4 +890,38 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(unpart.isEmpty,
       s"q343's totals window must partition by event_type:\n$unpart")
   }
+
+  test("q344's lookup broadcasts; cap windows key on (nation, arm)") {
+    val p = plan("q344_winsorized_effect")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer→nation lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q344 planned a shuffle join or cartesian:\n$p")
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty,
+      s"q344's cap windows must partition by (nation, arm):\n$unpart")
+  }
+
+  test("q345 freezes the nation counts: the corpus is scanned once") {
+    val df = graft.SparkEntry.queries("q345_jackknife_ci")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // the frozen |nations|-row relation feeds the totals row (twice) and
+    // the leave-one-out series — no events re-scan per consumer
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"post-freeze consumers must read the checkpoint, got $scans scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q345 planned a shuffle join or cartesian:\n$p")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q346's lookup broadcasts and the meta-set is a keyed agg") {
+    val p = plan("q346_effect_heterogeneity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer→nation lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q346 planned a shuffle join or cartesian:\n$p")
+    assert(!p.contains("Window"), s"q346 needs no windows:\n$p")
+  }
 }
