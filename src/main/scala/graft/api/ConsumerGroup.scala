@@ -297,6 +297,41 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     q
   }
 
+  /** Backfill-then-stop: consume everything available RIGHT NOW in
+    * capped batches, invoke `onBatch` per micro-batch, and return when
+    * the backlog is drained — `Trigger.AvailableNow` over the SAME
+    * exactly-once checkpoint namespace [[start]] uses, so a subsequent
+    * `start` tails exactly after the drained records (the
+    * backfill-then-tail deployment). Records appended after the drain
+    * begins — including shards created by a mid-drain reshard — are
+    * left for the next run, with the parent→child lineage gate intact
+    * (see `ShardedStreamSource.prepareForTriggerAvailableNow`). Blocks
+    * up to `timeoutMs`; a drain that cannot finish in time is stopped
+    * and reported rather than left running. Default-commit mode only:
+    * in manual-commit parity mode the app's marks own the resume point
+    * and "drained" has no engine-side meaning.
+    */
+  def drain(streams: Seq[String], timeoutMs: Long = 600000L)(
+      onBatch: BatchFn): Unit = synchronized {
+    require(active.isEmpty, "consumer already started; drain() is a standalone backfill")
+    require(cfg.commit.isEmpty,
+      "drain() requires the default exactly-once commit mode")
+    val q = consume(streams).writeStream
+      .queryName(s"${cfg.app}-drain")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/${cfg.app}/main")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) => onBatch(df, batchId) }
+      .start()
+    owned.add(q.runId)
+    try {
+      if (!q.awaitTermination(timeoutMs)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"drain of ${streams.mkString(",")} did not finish in ${timeoutMs} ms")
+      }
+    } finally if (q.isActive) q.stop()
+  }
+
   /** Swap the consumed stream set at runtime — `Refresh`
     * (`kinesumer.go:817-831`): pause-the-world, swap, restart. The shared
     * checkpoint namespace preserves per-stream offsets across the swap.

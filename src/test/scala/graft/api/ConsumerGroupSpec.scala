@@ -49,6 +49,39 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     assert(seen.asScala.toSeq.sorted == (0L to 14L), "no replay, no loss")
   }
 
+  test("drain backfills exactly-once and a later start tails after it") {
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 24L).map(rec))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val batches = new ConcurrentLinkedQueue[Long]()
+    val cfg = ConsumerConfig(app = "bf1", logRoot = root, checkpointRoot = ck,
+      scanLimit = 10L)
+    val cg = new ConsumerGroup(spark, cfg)
+    cg.drain(Seq("events")) { (df, id) =>
+      batches.add(id)
+      df.select("sequence_number").collect()
+        .foreach(r => seen.add(r.getString(0).toLong))
+    }
+    // the backlog drained in scanLimit-capped batches, then stopped
+    assert(seen.asScala.toSeq.sorted == (0L to 24L))
+    assert(batches.asScala.toSet.size >= 3, s"capped drain: $batches")
+    // a second drain with nothing new is a no-op (exactly-once)
+    cg.drain(Seq("events")) { (df, _) =>
+      df.select("sequence_number").collect()
+        .foreach(r => seen.add(r.getString(0).toLong))
+    }
+    assert(seen.asScala.toSeq.sorted == (0L to 24L), "no replay")
+    // the tailing start picks up exactly the post-drain appends
+    ShardedStreamLog.append(root, "events", "shard-0", (25L to 29L).map(rec))
+    cg.start(Seq("events")) { (df, _) =>
+      df.select("sequence_number").collect()
+        .foreach(r => seen.add(r.getString(0).toLong))
+    }
+    cg.processAllAvailable()
+    cg.close()
+    assert(seen.asScala.toSeq.sorted == (0L to 29L), "backfill-then-tail")
+  }
+
   test("refresh swaps the stream set at runtime (Refresh parity)") {
     val (root, ck) = newEnv()
     ShardedStreamLog.append(root, "s1", "shard-0", (0L to 2L).map(rec))

@@ -156,4 +156,57 @@ class CurationPropertySpec extends AnyFunSuite with SparkTestSession {
       assert(got == exp, s"seed $seed: got $got, brute-force $exp")
     }
   }
+
+  test("q340 stutter runs match a brute-force run-length scan on random corpora") {
+    // tiny vocabulary → dense accidental runs; per-lang split exercises
+    // the rollup. The brute force is a direct linear run-length scan —
+    // independent of both engines' window/island algebra.
+    val gen: Gen[List[(Long, String, String)]] = for {
+      nDocs <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 30)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+        lang <- Gen.oneOf("en", "de")
+      } yield (toks.mkString(" "), lang))
+    } yield docs.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    for (seed <- 1L to 10L) {
+      val docs = sample(gen, seed)
+      val dir = java.nio.file.Files.createTempDirectory("stutterprop").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (id, t, l) =>
+          Row(id, t, l, "s1", t.length.toLong)
+        }),
+        schema).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val exp = docs.groupBy(_._3).map { case (lang, xs) =>
+        val perDoc = xs.map { case (_, t, _) =>
+          val toks = t.split(" ")
+          val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var cur = 1L
+          for (i <- 1 until toks.length) {
+            if (toks(i) == toks(i - 1)) cur += 1
+            else { runs += cur; cur = 1L }
+          }
+          runs += cur
+          (toks.length.toLong, runs.max, runs.filter(_ >= 2L).sum)
+        }
+        lang -> (xs.size.toLong,
+          perDoc.count(_._2 >= 3L).toLong,
+          perDoc.map(_._2).max,
+          perDoc.map(_._3).sum,
+          perDoc.map(_._1).sum)
+      }
+      val got = graft.SparkEntry.queries("q340_stutter_runs")(spark, dir)
+        .collect().map { r =>
+          r.getAs[String]("lang") -> (
+            r.getAs[Long]("n_docs"), r.getAs[Long]("n_stutter_docs"),
+            r.getAs[Long]("max_run"), r.getAs[Long]("stutter_tokens"),
+            r.getAs[Long]("total_tokens"))
+        }.toMap
+      assert(got == exp, s"seed $seed: got $got, brute-force $exp")
+    }
+  }
 }
