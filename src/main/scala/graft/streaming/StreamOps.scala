@@ -2596,4 +2596,86 @@ object StreamOps {
         min_by(col("z_stat"), col("day")).as("z_at_cross"))
       .orderBy("nationkey")
   }
+
+  /** Stage 1 of q343's live twin — finalized daily value-distribution
+    * cells: per (day, event_type, bucket) event counts, emitted once
+    * the watermark closes the day (plain windowed count, Append mode —
+    * no per-key user state; the distribution IS the aggregate).
+    * Buckets are q343's fixed 50-wide bins with the last open-ended:
+    * fixed edges make the cells mergeable across partitions and days.
+    */
+  def dailyValueCells(events: DataFrame, timeCol: String,
+      typeCol: String, valueCol: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(
+        window(col(timeCol), "1 day").as("w"),
+        col(typeCol).as("event_type"),
+        least(floor(col(valueCol) / lit(50.0)), lit(6.0)).cast("long")
+          .as("b"))
+      .agg(count(lit(1)).as("n"))
+      // the window struct must survive INTO the aggregate for watermark
+      // tracking; project the day start only after it
+      .select(col("w").getField("start").as("day"),
+        col("event_type"), col("b"), col("n"))
+
+  /** Stage 2 of q343's live twin: the running drift monitor over the
+    * stage-1 cell topic — per finalized day × event_type, the two-sample
+    * χ² of the CUMULATIVE value distribution before vs after the fixed
+    * `boundary` (batch q343's test, replayed on every finalized prefix:
+    * a day-D row equals batch q343 over events with day ≤ D — the spec
+    * pins it). Until the boundary passes, every cell is pre-only and
+    * the χ² is the degenerate 0 — the monitor only starts speaking
+    * once post-boundary days finalize, exactly like the batch query on
+    * a prefix that ends before the boundary.
+    *
+    * Scale shape: the cell topic is (days × types × 7)-sized; the day
+    * grid, cumulative windows, and per-(day, type) χ² aggregation all
+    * ride that calendar-bounded relation (the [[abNationSnapshotOf]]
+    * posture — checkpoint-frozen, scanned once).
+    */
+  def valueDriftMonitorOf(cells: DataFrame,
+      boundary: String = "2024-01-16"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.Checkpoints.checkpoint(
+      cells.groupBy(col("day"), col("event_type"), col("b"))
+        .agg(sum(col("n")).as("n"))
+        .withColumn("pre", col("day") < lit(boundary).cast("timestamp")))
+    val grid = daily.select(col("day")).distinct()
+      .crossJoin(daily.select(col("event_type"), col("b")).distinct())
+    val wCum = Window.partitionBy(col("event_type"), col("b"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(daily.select(col("day"), col("event_type"), col("b"),
+        when(col("pre"), col("n")).otherwise(0L).as("dn1"),
+        when(!col("pre"), col("n")).otherwise(0L).as("dn2")),
+        Seq("day", "event_type", "b"), "left")
+      .na.fill(0L, Seq("dn1", "dn2"))
+      .withColumn("n1", sum(col("dn1")).over(wCum))
+      .withColumn("n2", sum(col("dn2")).over(wCum))
+      // a bucket joins the test only once it has mass — batch parity
+      .filter(col("n1") + col("n2") > 0L)
+    val wDay = Window.partitionBy(col("day"), col("event_type"))
+    val d1 = col("n1").cast("double")
+    val d2 = col("n2").cast("double")
+    val dN1 = col("nn1").cast("double")
+    val dN2 = col("nn2").cast("double")
+    val num = (d1 * dN2 - d2 * dN1) * (d1 * dN2 - d2 * dN1)
+    val term = when(col("nn1") === 0L || col("nn2") === 0L, 0.0)
+      .otherwise(num / (dN1 * dN2 * (d1 + d2)))
+    cum
+      .withColumn("nn1", sum(col("n1")).over(wDay))
+      .withColumn("nn2", sum(col("n2")).over(wDay))
+      .withColumn("term", term)
+      .groupBy(col("day"), col("event_type"))
+      .agg(max(col("nn1")).as("n_pre"), max(col("nn2")).as("n_post"),
+        count(lit(1)).as("n_buckets"),
+        graft.Det.dsum(col("term")).as("chi2"))
+      .select(col("day"), col("event_type"), col("n_pre"), col("n_post"),
+        col("n_buckets"), col("chi2"),
+        when(col("chi2") > 12.592, 1L).otherwise(0L).as("drift_flag"))
+      .orderBy("day", "event_type")
+  }
 }

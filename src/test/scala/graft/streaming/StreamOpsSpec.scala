@@ -1912,4 +1912,82 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(live == expCross,
       s"live stop days $live must equal batch q341's $expCross")
   }
+
+  test("valueDriftMonitorOf replays batch q343's χ² on every finalized prefix") {
+    import spark.implicits._
+    def at(day: Int, hour: Int = 9): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, day, hour, 0))
+    // pre days (10/12/14): click mass in bucket 0, error mass split;
+    // post days (18/20): click mass migrates to bucket 6 — the mix
+    // shift q343 exists to catch. "error" stays stable (no drift).
+    val fixture: Seq[(Timestamp, String, Double)] =
+      Seq.fill(6)((at(10), "click", 10.0)) ++
+        Seq.fill(4)((at(12), "click", 20.0)) ++
+        Seq.fill(5)((at(14), "click", 30.0)) ++
+        Seq.fill(3)((at(10), "error", 10.0)) ++
+        Seq.fill(3)((at(12), "error", 310.0)) ++
+        Seq.fill(7)((at(18), "click", 310.0)) ++
+        Seq.fill(8)((at(20), "click", 320.0)) ++
+        Seq.fill(2)((at(18), "error", 10.0)) ++
+        Seq.fill(2)((at(20), "error", 310.0))
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val cells = StreamOps.dailyValueCells(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", watermarkDelay = "1 hour")
+    spark.sql("DROP TABLE IF EXISTS vd_sink")
+    val q = cells.writeStream.format("memory").queryName("vd_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(new scala.util.Random(13).shuffle(fixture): _*)
+      q.processAllAvailable()
+      input.addData((at(31, 12), "click", 1.0)) // watermark pusher
+      q.processAllAvailable()
+    } finally q.stop()
+    val mon = StreamOps.valueDriftMonitorOf(spark.table("vd_sink"))
+      .as[(Timestamp, String, Long, Long, Long, Double, Long)]
+      .collect().toSeq
+    val cut = Timestamp.valueOf("2024-01-16 00:00:00")
+    def dsumReplay(xs: Iterable[Double]): Double = {
+      val units = xs.map(x => BigInt(math.floor(x * 1e6 + 0.5).toLong)).sum
+      (BigDecimal(units) / BigDecimal(1000000)).toDouble
+    }
+    // inline batch q343 replay over the prefix of whole days ≤ dayIncl
+    def batchAt(dayIncl: Timestamp): Map[String, (Long, Long, Long, Double, Long)] =
+      fixture.filter(!_._1.toLocalDateTime.toLocalDate
+          .isAfter(dayIncl.toLocalDateTime.toLocalDate))
+        .groupBy(_._2).map { case (t, es) =>
+          val cellsB = es.groupBy(e => math.min(math.floor(e._3 / 50.0), 6.0).toLong)
+            .map { case (b, xs) =>
+              b -> (xs.count(_._1.before(cut)).toLong,
+                xs.count(!_._1.before(cut)).toLong) }
+          val nn1 = cellsB.values.map(_._1).sum
+          val nn2 = cellsB.values.map(_._2).sum
+          val chi2 = dsumReplay(cellsB.values.map { case (n1, n2) =>
+            if (nn1 == 0L || nn2 == 0L) 0.0
+            else {
+              val (a, b2, c, e2) =
+                (n1.toDouble, n2.toDouble, nn1.toDouble, nn2.toDouble)
+              (a * e2 - b2 * c) * (a * e2 - b2 * c) / (c * e2 * (a + b2))
+            }
+          })
+          t -> (nn1, nn2, cellsB.size.toLong, chi2,
+            if (chi2 > 12.592) 1L else 0L)
+        }
+    val days = mon.map(_._1).distinct.sorted(Ordering.by((t: Timestamp) => t.getTime))
+    assert(days.size == 5, s"five finalized event days: $days")
+    days.foreach { day =>
+      val got = mon.filter(_._1 == day)
+        .map(r => r._2 -> (r._3, r._4, r._5, r._6, r._7)).toMap
+      val exp = batchAt(day)
+      assert(got == exp, s"day $day:\n got  $got\n want $exp")
+    }
+    // before the boundary the monitor is silent about drift (χ² = 0);
+    // after the post-mass lands, click trips and error doesn't
+    val lastClick = mon.filter(r => r._1 == days.last && r._2 == "click").head
+    assert(lastClick._7 == 1L, s"click must trip on the final prefix: $lastClick")
+    val lastError = mon.filter(r => r._1 == days.last && r._2 == "error").head
+    assert(lastError._7 == 0L, s"error is stable: $lastError")
+    val firstDay = mon.filter(_._1 == days.head)
+    assert(firstDay.forall(_._6 == 0.0), "pre-boundary prefixes read χ² = 0")
+  }
 }
