@@ -316,7 +316,12 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     require(active.isEmpty, "consumer already started; drain() is a standalone backfill")
     require(cfg.commit.isEmpty,
       "drain() requires the default exactly-once commit mode")
-    val q = consume(streams).writeStream
+    // drain means BACKFILL: on a first-ever run start from the origin
+    // regardless of cfg.startFromLatest (which would initialize the
+    // fresh checkpoint at the live heads, drain zero records, and
+    // permanently mark the backlog consumed — the opposite of this
+    // method's contract). Once a checkpoint exists it wins, as always.
+    val q = consumeFrom(streams, "trim_horizon").writeStream
       .queryName(s"${cfg.app}-drain")
       .option("checkpointLocation", s"${cfg.checkpointRoot}/${cfg.app}/main")
       .trigger(Trigger.AvailableNow())

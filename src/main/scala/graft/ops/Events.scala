@@ -5015,9 +5015,9 @@ object Events {
     // correlated; the binomial SE underestimates that). g pseudo-values
     // from the |nations|-row count relation — the corpus is scanned
     // once, the jackknife is pure arithmetic on exact int64 counts;
-    // pseudo-value moments go through the order-insensitive
-    // [[Det.dsum]]. Output: one row — Δ, jackknife SE, the ±2·SE CI,
-    // and g.
+    // pseudo-value moments go through the order-insensitive fine-grid
+    // [[Det.csum]] (scale 12 — see the inline bound). Output: one row —
+    // Δ, jackknife SE, the ±2·SE CI, and g.
     //
     // Shape at 100 TB: one events scan → per-user keyed flags →
     // broadcast nation join → |nations|-row counts; the leave-one-out
@@ -5058,10 +5058,15 @@ object Events {
             (col("txb") - col("xb")).cast("double") /
               greatest(col("tnb") - col("nb"), lit(1L)).cast("double"))
             .as("delta_i"))
+      // pseudo-value moments at the 1e-12 grid (csum scale 12), NOT the
+      // 1e-6 dsum grid: at 1e6+ users the deltas differ by ~1e-4 and
+      // their centered square sum is ~1e-7 — a 1e-6 grid would bury the
+      // variance in quantization noise. Overflow headroom: |Δᵢ| ≤ 1 →
+      // per-term units ≤ 1e12, × |nations| ≈ 25 ≪ 2^63.
       val g = loo.agg(
         count(lit(1)).as("g"),
-        Det.dsum(col("delta_i")).as("sd"),
-        Det.dsum(col("delta_i") * col("delta_i")).as("sdd"))
+        Det.csum(col("delta_i"), 12).as("sd"),
+        Det.csum(col("delta_i") * col("delta_i"), 12).as("sdd"))
       g.crossJoin(broadcast(tot))
         .select(
           (col("txa").cast("double") / col("tna").cast("double") -
@@ -5111,8 +5116,8 @@ object Events {
          |  FROM bn CROSS JOIN tot),
          |m AS (
          |  SELECT COUNT(*) AS g,
-         |    ${graft.Det.dsumSql("delta_i")} AS sd,
-         |    ${graft.Det.dsumSql("delta_i * delta_i")} AS sdd
+         |    ${graft.Det.csumSql("delta_i", 12)} AS sd,
+         |    ${graft.Det.csumSql("delta_i * delta_i", 12)} AS sdd
          |  FROM loo)
          |SELECT
          |  CAST(txa AS DOUBLE) / CAST(tna AS DOUBLE)

@@ -218,14 +218,20 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
   @volatile private var availableNowCap: Option[Map[String, Map[String, Long]]] = None
 
   /** Progress-reporting hook: under AvailableNow, the prepared snapshot
-    * (the offset the drain converges to); otherwise the live heads.
+    * (the offset the drain converges to); otherwise the offset the LAST
+    * `latestOffset` planning pass produced — never a fresh
+    * shard-list/head-probe sweep of its own (this is called once per
+    * micro-batch for metrics, right after planning already swept the
+    * log; duplicating that I/O on the hot driver path buys nothing).
+    * Null until the first planning pass — "unknown", the interface's
+    * documented default.
     */
   override def reportLatestOffset(): Offset = availableNowCap match {
     case Some(cap) => ShardedStreamOffset(cap)
-    case None => ShardedStreamOffset(streams.map { s =>
-      s -> probeHeads(s, ShardedStreamLog.listShards(root, s).map(_._1))
-    }.toMap)
+    case None => lastPlanned.orNull
   }
+
+  @volatile private var lastPlanned: Option[ShardedStreamOffset] = None
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -233,7 +239,7 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startPos = start.asInstanceOf[ShardedStreamOffset].positions
-    ShardedStreamOffset(streams.map { s =>
+    val planned = ShardedStreamOffset(streams.map { s =>
       val known = startPos.getOrElse(s, Map.empty[String, Long])
       val discovered = ShardedStreamLog.listShards(root, s)
       val maxSeqs = probeHeads(s, discovered.map(_._1))
@@ -273,6 +279,8 @@ class ShardedStreamMicroBatch(options: CaseInsensitiveStringMap)
       // shards that vanished from disk keep their checkpoint entry
       s -> (known ++ next)
     }.toMap)
+    lastPlanned = Some(planned)
+    planned
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

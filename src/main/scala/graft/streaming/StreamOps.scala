@@ -2312,6 +2312,16 @@ object StreamOps {
     * rows per user lifetime contract is unchanged; the purchase counter
     * folds in finalized-day order, counting only in-watermark events
     * (the same straggler contract as the flags).
+    *
+    * STATE-SCHEMA MIGRATION NOTE: adding these knobs changed the
+    * [[AbUserState]]/[[AbDelta]] encodings (nation field; purchase
+    * COUNT where a boolean was stored). A checkpoint written by the
+    * previous shape cannot be resumed — Spark's state-store schema
+    * validation rejects it at restart. Upgrade path: stop the old
+    * query cleanly, start the new one with a FRESH checkpoint from a
+    * replayable position (the sharded-stream source's `at_sequence` /
+    * `at_timestamp` starts exist exactly for this), and let downstream
+    * consumers dedup on the (day, user-transition) contract.
     */
   def abDeltas(events: DataFrame, timeCol: String, userCol: String,
       typeCol: String, watermarkDelay: String,
@@ -2342,6 +2352,13 @@ object StreamOps {
     val dim = users match {
       case Some(u) =>
         val cols = u.columns
+        // exactly-two-column contract: the binding is positional (first
+        // = user key, second = nation), so a wider frame — say the full
+        // customer table — would silently cast a name column to null
+        // nations; make that a construction-time error instead
+        require(cols.length == 2,
+          s"users lookup must have exactly (user, nation) columns, got " +
+            s"${cols.mkString("[", ", ", "]")} — project it first")
         typed.join(
           broadcast(u.select(col(cols(0)).cast("bigint").as("uid"),
             col(cols(1)).cast("bigint").as("_nation"))), Seq("uid"))
@@ -2512,7 +2529,14 @@ object StreamOps {
     * join of two tiny relations (calendar × dimension), never
     * event-sized.
     */
-  def abNationSnapshotOf(deltas: DataFrame): DataFrame = {
+  /** The shared cumulative look-series core of the per-nation
+    * consumers: per (finalized day × nation) with both arms non-empty,
+    * the RUNNING arm counts over the day grid and the q335 z — what
+    * [[abNationSnapshotOf]] decorates with the BH step-up and
+    * [[sequentialStopOf]] thresholds directly (no discarded rank
+    * windows on the stopping path).
+    */
+  private def nationLookSeries(deltas: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // freeze the (day × nation)-sized daily relation: three consumers
     // below (day list, nation list, the join-back) — the freeze runs the
@@ -2526,8 +2550,8 @@ object StreamOps {
           sum(when(!col("in_a"), col("dn")).otherwise(0L)).as("dnb"),
           sum(when(!col("in_a"), col("dx")).otherwise(0L)).as("dxb")))
     // a nation with no transition on day D still contributes its running
-    // counts to day D's BH family — materialize the (day × nation) grid
-    // and zero-fill, then cumulate per nation
+    // counts to day D's test family — materialize the (day × nation)
+    // grid and zero-fill, then cumulate per nation
     val grid = daily.select(col("day")).distinct()
       .crossJoin(daily.select(col("nation")).distinct())
     val wCum = Window.partitionBy(col("nation")).orderBy(col("day"))
@@ -2546,14 +2570,18 @@ object StreamOps {
     val se = sqrt((pp * (lit(1.0) - pp)) *
       (lit(1.0) / col("n_a").cast("double") +
         lit(1.0) / col("n_b").cast("double")))
+    cum.withColumn("z_stat",
+      when(se === 0.0, 0.0)
+        .otherwise((col("x_a").cast("double") / col("n_a").cast("double") -
+          col("x_b").cast("double") / col("n_b").cast("double")) / se))
+  }
+
+  def abNationSnapshotOf(deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDay = Window.partitionBy(col("day"))
     val wRank = Window.partitionBy(col("day"))
       .orderBy(col("z2").desc, col("nation"))
-    cum
-      .withColumn("z_stat",
-        when(se === 0.0, 0.0)
-          .otherwise((col("x_a").cast("double") / col("n_a").cast("double") -
-            col("x_b").cast("double") / col("n_b").cast("double")) / se))
+    nationLookSeries(deltas)
       .withColumn("z2", col("z_stat") * col("z_stat"))
       .withColumn("p_cheb",
         when(col("z2") === 0.0, 1.0)
@@ -2588,10 +2616,9 @@ object StreamOps {
     */
   def sequentialStopOf(deltas: DataFrame,
       boundaryZ2: Double = 6.25): DataFrame = {
-    abNationSnapshotOf(deltas)
-      .withColumn("z2", col("z_stat") * col("z_stat"))
-      .filter(col("z2") > boundaryZ2)
-      .groupBy(col("nationkey"))
+    nationLookSeries(deltas)
+      .filter(col("z_stat") * col("z_stat") > boundaryZ2)
+      .groupBy(col("nation").as("nationkey"))
       .agg(min(col("day")).as("first_cross_day"),
         min_by(col("z_stat"), col("day")).as("z_at_cross"))
       .orderBy("nationkey")

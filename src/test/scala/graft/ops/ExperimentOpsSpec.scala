@@ -2205,9 +2205,13 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
       (txa - xa).toDouble / math.max(tna - na, 1L).toDouble -
         (txb - xb).toDouble / math.max(tnb - nb, 1L).toDouble
     }
+    // Det.csum(·, 12) replay: 1e-12-grid units summed as int64, one
+    // final long→double cast and division
+    def csum12(xs: Iterable[Double]): Double =
+      xs.map(x => math.floor(x * 1e12 + 0.5).toLong).sum.toDouble / 1e12
     val g = deltas.size.toLong
-    val sd = dsumReplay(deltas)
-    val sdd = dsumReplay(deltas.map(x => x * x))
+    val sd = csum12(deltas)
+    val sdd = csum12(deltas.map(x => x * x))
     val se = math.sqrt(((g - 1).toDouble / g.toDouble) *
       math.max(sdd - sd * sd / g.toDouble, 0.0))
     val delta = txa.toDouble / tna.toDouble - txb.toDouble / tnb.toDouble
