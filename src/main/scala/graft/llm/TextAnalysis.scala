@@ -1710,6 +1710,58 @@ object TextAnalysis {
         |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
         |FROM pd GROUP BY lang
         |ORDER BY lang""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q347: CONTEXT-LENGTH TRUNCATION-LOSS PLANNER — before fixing a
+    // training context length, price what each candidate DISCARDS: per
+    // source × L ∈ {64, 256, 1024} tokens, how many docs exceed L, how
+    // many tokens truncation throws away, and the lost share of the
+    // source's token mass. The complement of the packing ops (those
+    // optimize WITHIN a chosen L; this chooses L) and of q115 (which
+    // selects docs under a corpus budget; this cuts within docs).
+    // All-integer until the one terminal share division.
+    //
+    // Shape at 100 TB: one scan computing ONLY size(split(text)) per doc
+    // (tokens are never exploded), a 3-row broadcast lengths relation,
+    // one keyed agg to |sources|×3 rows.
+    QueryDef.sql("q347_truncation_loss") { (s, d) =>
+      val perDoc = Tables(s, d, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+      perDoc
+        .crossJoin(broadcast(s.range(1)
+          .select(explode(array(lit(64L), lit(256L), lit(1024L)))
+            .as("ctx_len"))))
+        .groupBy(col("source"), col("ctx_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > col("ctx_len"), 1L).otherwise(0L))
+            .as("docs_truncated"),
+          sum(col("n")).as("tokens_total"),
+          sum(greatest(col("n") - col("ctx_len"), lit(0L)))
+            .as("tokens_lost"))
+        .select(col("source"), col("ctx_len"), col("n_docs"),
+          col("docs_truncated"), col("tokens_total"), col("tokens_lost"),
+          (col("tokens_lost").cast("double") /
+            col("tokens_total").cast("double")).as("loss_share"))
+        .orderBy("source", "ctx_len")
+    } {
+      """WITH pd AS (
+        |  SELECT source,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ls AS (SELECT UNNEST([64, 256, 1024]) AS ctx_len)
+        |SELECT source, CAST(ctx_len AS BIGINT) AS ctx_len,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_truncated,
+        |  CAST(SUM(n) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(GREATEST(n - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+        |  CAST(SUM(GREATEST(n - ctx_len, 0)) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE) AS loss_share
+        |FROM pd CROSS JOIN ls
+        |GROUP BY source, ctx_len
+        |ORDER BY source, ctx_len""".stripMargin
     }
   )
 }

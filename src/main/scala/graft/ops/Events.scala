@@ -5247,6 +5247,136 @@ object Events {
          |      - CAST(k - 1 AS DOUBLE)) / (swtt - swt * swt / sw)) END
          |    AS i2
          |FROM m""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q348: PURCHASE GINI — revenue-concentration inequality per nation
+    // over per-user purchase counts: the standard complement to an HHI
+    // (q294 measures supplier concentration over shares; Gini reads the
+    // whole user distribution). Computed by the sorted-rank identity
+    // G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) — all-integer numerator and
+    // denominator, ONE terminal division; tie order is irrelevant (a
+    // tied block contributes x·Σi whatever the permutation, so
+    // row_number under ties cannot change the sum). NULL when a nation
+    // has zero purchases (undefined inequality, not 0).
+    //
+    // Shape at 100 TB: one events scan → per-user keyed counts →
+    // broadcast nation join → per-nation ordered window (users-per-
+    // nation partitions, the q342 exact-order-statistic posture) → one
+    // keyed agg to |nations| rows.
+    QueryDef.sql("q348_purchase_gini") { (s, d) =>
+      val perUser = Tables(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"))
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val wN = Window.partitionBy(col("nationkey"))
+      val ranked = perUser
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("c_nationkey").as("nationkey"), col("x"))
+        .withColumn("i",
+          row_number().over(wN.orderBy(col("x"))).cast("long"))
+      ranked.groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("total_purchases"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("nationkey"), col("n_users"), col("total_purchases"),
+          when(col("total_purchases") === 0L, lit(null).cast("double"))
+            .otherwise(
+              (lit(2.0) * col("six").cast("double") -
+                (col("n_users") + 1L).cast("double") *
+                  col("total_purchases").cast("double")) /
+                (col("n_users").cast("double") *
+                  col("total_purchases").cast("double"))).as("gini"))
+        .orderBy("nationkey")
+    } {
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM events GROUP BY user_id),
+         |r AS (
+         |  SELECT c.c_nationkey AS nationkey, x,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.c_nationkey ORDER BY x)
+         |      AS BIGINT) AS i
+         |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey)
+         |SELECT nationkey, COUNT(*) AS n_users,
+         |  CAST(SUM(x) AS BIGINT) AS total_purchases,
+         |  CASE WHEN SUM(x) = 0 THEN NULL
+         |    ELSE (2.0 * CAST(SUM(i * x) AS DOUBLE)
+         |        - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+         |      / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) END
+         |    AS gini
+         |FROM r GROUP BY nationkey
+         |ORDER BY nationkey""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q350: FANO BURSTINESS INDEX — variance-to-mean ratio of per-minute
+    // event counts per event_type over the DENSE minute grid (empty
+    // minutes count — a Poisson-uniform stream reads ≈ 1, clumped
+    // traffic reads ≫ 1). q92 flags WHICH windows burst; this is the
+    // one-number dispersion summary that says whether a type bursts at
+    // all. Fano = (m·Σc² − (Σc)²) / (m·Σc) over exact int64 sums (zeros
+    // contribute nothing to either sum, so only observed minutes are
+    // scanned; m comes from the global span), one fixed IEEE chain.
+    //
+    // Shape at 100 TB: one events scan → (type, minute)-keyed counts
+    // (map-side combine) → |types|-row moment agg + ONE broadcast
+    // global-span row.
+    QueryDef.sql("q350_fano_burstiness") { (s, d) =>
+      // freeze the (type × minute)-sized cell relation: both consumers
+      // (the span row and the moment agg) read the frozen copy — ONE
+      // events scan (q345's posture). The global span off the cells is
+      // the span off the events: min/max survive the grouping.
+      val cells = graft.Checkpoints.checkpoint(
+        Tables(s, d, "events")
+          .select(col("event_type"), date_trunc("minute", col("ts")).as("mi"))
+          .groupBy(col("event_type"), col("mi"))
+          .agg(count(lit(1)).as("c")))
+      val span = cells.agg(
+        ((unix_timestamp(max(col("mi"))) - unix_timestamp(min(col("mi"))))
+          / lit(60L)).cast("long").+(lit(1L)).as("m"))
+      val fano = (col("m").cast("double") * col("scc").cast("double") -
+        col("sc").cast("double") * col("sc").cast("double")) /
+        (col("m").cast("double") * col("sc").cast("double"))
+      cells.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"),
+          count(lit(1)).as("active_minutes"))
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), col("m").as("m_minutes"),
+          col("active_minutes"), col("sc").as("n_events"),
+          (col("sc").cast("double") / col("m").cast("double")).as("mean"),
+          fano.as("fano"),
+          when(fano > 1.5, 1L).otherwise(0L).as("bursty_flag"))
+        .orderBy("event_type")
+    } {
+      """WITH ev AS (
+        |  SELECT event_type, DATE_TRUNC('minute', ts) AS mi FROM events),
+        |cells AS (
+        |  SELECT event_type, mi, COUNT(*) AS c
+        |  FROM ev GROUP BY event_type, mi),
+        |span AS (
+        |  SELECT CAST((EPOCH(MAX(mi)) - EPOCH(MIN(mi))) / 60 + 1 AS BIGINT)
+        |    AS m FROM ev),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) AS BIGINT) AS scc,
+        |    COUNT(*) AS active_minutes
+        |  FROM cells GROUP BY event_type)
+        |SELECT event_type, m AS m_minutes, active_minutes,
+        |  sc AS n_events,
+        |  CAST(sc AS DOUBLE) / CAST(m AS DOUBLE) AS mean,
+        |  (CAST(m AS DOUBLE) * CAST(scc AS DOUBLE)
+        |    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    / (CAST(m AS DOUBLE) * CAST(sc AS DOUBLE)) AS fano,
+        |  CAST(CASE WHEN (CAST(m AS DOUBLE) * CAST(scc AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |      / (CAST(m AS DOUBLE) * CAST(sc AS DOUBLE)) > 1.5
+        |    THEN 1 ELSE 0 END AS BIGINT) AS bursty_flag
+        |FROM t CROSS JOIN span
+        |ORDER BY event_type""".stripMargin
     }
   )
 

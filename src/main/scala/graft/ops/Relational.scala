@@ -1246,7 +1246,92 @@ object Relational {
     QueryDef.sql("q223_bag_set_ops") { (s, d) =>
       Tables.registerViews(s, d)
       s.sql(BagSetOpsSql)
-    } { BagSetOpsSql }
+    } { BagSetOpsSql },
+
+    // ------------------------------------------------------------------
+    // q349: JOIN-SKEW PROFILER — the planner-facing fan-out census a
+    // salted join (q97) or AQE skew split needs as INPUT: per candidate
+    // join key of the fact table (l_orderkey, l_partkey), the exact
+    // key-count distribution summary — distinct keys, mean/max fan-out,
+    // exact p50/p99 fan-out (order statistics over the KEY-COUNT
+    // relation, q342's deterministic-rank argument), the max/mean skew
+    // factor, and the integer salt a ceil(max/p99) heuristic suggests
+    // (1 = no salting needed). q201 estimates a JOIN SIZE from moments;
+    // this profiles the SHAPE that decides the physical strategy.
+    //
+    // Shape at 100 TB: ONE lineitem scan exploding each row into its
+    // two (key-name, key) pairs → keyed counts (map-side combine; the
+    // relation shrinks to distinct keys immediately) → per-key-name
+    // windows over the key-count relation → 2-row summary.
+    QueryDef.sql("q349_join_skew_profile") { (s, d) =>
+      val keyed = Tables(s, d, "lineitem")
+        .select(explode(array(
+          struct(lit("l_orderkey").as("jk"), col("l_orderkey").as("k")),
+          struct(lit("l_partkey").as("jk"), col("l_partkey").as("k"))))
+          .as("e"))
+        .select(col("e.jk").as("jk"), col("e.k").as("k"))
+        .groupBy(col("jk"), col("k"))
+        .agg(count(lit(1)).as("c"))
+      val wJk = Window.partitionBy(col("jk"))
+      val ranked = keyed
+        .withColumn("rn", row_number().over(wJk.orderBy(col("c"))).cast("long"))
+        .withColumn("nk", count(lit(1)).over(wJk))
+        .withColumn("rows_total", sum(col("c")).over(wJk))
+        .withColumn("max_c", max(col("c")).over(wJk))
+      val p50 = max(when(col("rn") ===
+        floor((col("nk") + lit(1L)).cast("double") / lit(2.0)).cast("long"),
+        col("c")))
+      val p99 = max(when(col("rn") ===
+        ceil(col("nk").cast("double") * lit(0.99)).cast("long"), col("c")))
+      ranked.groupBy(col("jk"))
+        .agg(max(col("nk")).as("n_keys"), max(col("rows_total")).as("n_rows"),
+          max(col("max_c")).as("max_fanout"),
+          p50.as("p50_fanout"), p99.as("p99_fanout"))
+        .select(col("jk").as("join_key"), col("n_keys"), col("n_rows"),
+          (col("n_rows").cast("double") / col("n_keys").cast("double"))
+            .as("mean_fanout"),
+          col("p50_fanout"), col("p99_fanout"), col("max_fanout"),
+          (col("max_fanout").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double")).as("skew_factor"),
+          greatest(lit(1L),
+            ceil(col("max_fanout").cast("double") /
+              greatest(col("p99_fanout"), lit(1L)).cast("double"))
+              .cast("long")).as("suggested_salt"))
+        .orderBy("join_key")
+    } {
+      """WITH keyed AS (
+        |  SELECT jk, k, COUNT(*) AS c FROM (
+        |    SELECT 'l_orderkey' AS jk, l_orderkey AS k FROM lineitem
+        |    UNION ALL
+        |    SELECT 'l_partkey', l_partkey FROM lineitem)
+        |  GROUP BY jk, k),
+        |r AS (
+        |  SELECT jk, c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY jk ORDER BY c) AS BIGINT)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY jk) AS nk,
+        |    CAST(SUM(c) OVER (PARTITION BY jk) AS BIGINT) AS rows_total,
+        |    MAX(c) OVER (PARTITION BY jk) AS max_c
+        |  FROM keyed),
+        |p AS (
+        |  SELECT jk, MAX(nk) AS n_keys, MAX(rows_total) AS n_rows,
+        |    MAX(max_c) AS max_fanout,
+        |    MAX(CASE WHEN rn = CAST(FLOOR(CAST(nk + 1 AS DOUBLE) / 2.0)
+        |      AS BIGINT) THEN c END) AS p50_fanout,
+        |    MAX(CASE WHEN rn = CAST(CEIL(CAST(nk AS DOUBLE) * 0.99)
+        |      AS BIGINT) THEN c END) AS p99_fanout
+        |  FROM r GROUP BY jk)
+        |SELECT jk AS join_key, n_keys, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_fanout,
+        |  p50_fanout, p99_fanout, max_fanout,
+        |  CAST(max_fanout AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) AS skew_factor,
+        |  GREATEST(1, CAST(CEIL(CAST(max_fanout AS DOUBLE)
+        |    / CAST(GREATEST(p99_fanout, 1) AS DOUBLE)) AS BIGINT))
+        |    AS suggested_salt
+        |FROM p
+        |ORDER BY join_key""".stripMargin
+    }
   )
 
   /** q223's dialect-shared text. The two legs deliberately overlap:

@@ -2251,4 +2251,107 @@ class ExperimentOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got.head == ((k, swt / sw, q, i2)))
     assert(k > 1L)
   }
+
+  test("q348 Gini matches a sorted-rank replay; constructed extremes read 0 and (n-1)/n") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q348_purchase_gini")(spark, d)
+      .select($"nationkey", $"n_users", $"total_purchases", $"gini")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val nat = spark.read.parquet(s"$d/customer.parquet")
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    val perUser = ev.groupBy(_._1).iterator.collect {
+      case (u, es) if nat.contains(u) =>
+        (nat(u), es.count(_._2 == "purchase").toLong)
+    }.toSeq
+    def gini(xs: Seq[Long]): Option[Double] = {
+      val s0 = xs.sum
+      if (s0 == 0L) None
+      else {
+        val sorted = xs.sorted
+        val six = sorted.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+        Some((2.0 * six.toDouble - (xs.size + 1L).toDouble * s0.toDouble) /
+          (xs.size.toDouble * s0.toDouble))
+      }
+    }
+    val exp = perUser.groupBy(_._1).toSeq.map { case (nk, us) =>
+      (nk, us.size.toLong, us.map(_._2).sum, gini(us.map(_._2)))
+    }.sortBy(_._1)
+    assert(got == exp)
+    // constructed extremes: perfect equality → 0; one user owns all →
+    // (n−1)/n exactly
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    // nation 10 (u1-4): 3 purchases each — perfect equality. nation 20
+    // (u5-8): u5 owns all 12, u6-8 appear with a view only (a user must
+    // appear in events to be in the census — zero-event users are out
+    // of scope by construction, documented)
+    val evRows = (1L to 4L).flatMap(u => Seq.fill(3)((u, "purchase"))) ++
+      Seq.fill(12)((5L, "purchase")) ++ (6L to 8L).map(u => (u, "view"))
+    evRows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), u, t,
+        1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    (1L to 8L).map(u => (u, if (u <= 4) 10L else 20L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val ex = graft.SparkEntry.queries("q348_purchase_gini")(spark, dir)
+      .collect().map(r => r.getAs[Long]("nationkey") -> r).toMap
+    assert(ex(10L).getAs[Double]("gini") === 0.0, s"${ex(10L)}")
+    assert(ex(20L).getAs[Double]("gini") === 0.75, s"(n-1)/n = 3/4: ${ex(20L)}")
+  }
+
+  test("q349 fan-out profile matches a brute-force census") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q349_join_skew_profile")(spark, d)
+      .select($"join_key", $"n_keys", $"n_rows", $"mean_fanout",
+        $"p50_fanout", $"p99_fanout", $"max_fanout", $"skew_factor",
+        $"suggested_salt")
+      .as[(String, Long, Long, Double, Long, Long, Long, Double, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    def profile(keys: Seq[Long], name: String) = {
+      val cs = keys.groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+      val nk = cs.size.toLong
+      val p50 = cs(((nk + 1L) / 2L).toInt - 1)
+      val p99 = cs(math.ceil(nk * 0.99).toLong.toInt - 1)
+      val mx = cs.max
+      (name, nk, keys.size.toLong, keys.size.toDouble / nk.toDouble,
+        p50, p99, mx, mx.toDouble * nk.toDouble / keys.size.toDouble,
+        math.max(1L, math.ceil(mx.toDouble / math.max(p99, 1L).toDouble).toLong))
+    }
+    val exp = Seq(profile(li.map(_._1), "l_orderkey"),
+      profile(li.map(_._2), "l_partkey")).sortBy(_._1)
+    assert(got == exp)
+  }
+
+  test("q350 Fano reads ~1 on uniform arrivals and ≫1 on clumped ones") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q350_fano_burstiness")(spark, d)
+      .select($"event_type", $"m_minutes", $"n_events", $"fano")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._4 >= 0.0))
+    // constructed: "steady" = 1/minute over 60 minutes (variance 0 on
+    // the dense grid → Fano 0); "burst" = 60 events in one minute of
+    // the same hour (Fano = (60·3600−3600)/(60·60) = 59)
+    val dir = java.nio.file.Files.createTempDirectory("fano").toString
+    val rows =
+      (0 until 60).map(i => (java.sql.Timestamp.valueOf(
+        f"2024-01-05 10:$i%02d:30"), "steady")) ++
+        (0 until 60).map(_ => (java.sql.Timestamp.valueOf(
+          "2024-01-05 10:30:10"), "burst"))
+    rows.zipWithIndex.map { case ((t, ty), i) =>
+      (i.toLong, t, 1L, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = graft.SparkEntry.queries("q350_fano_burstiness")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(ex("steady").getAs[Long]("m_minutes") === 60L)
+    assert(ex("steady").getAs[Double]("fano") === 0.0, s"${ex("steady")}")
+    assert(ex("steady").getAs[Long]("bursty_flag") === 0L)
+    assert(ex("burst").getAs[Double]("fano") === 59.0, s"${ex("burst")}")
+    assert(ex("burst").getAs[Long]("bursty_flag") === 1L)
+  }
 }

@@ -924,4 +924,49 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"q346 planned a shuffle join or cartesian:\n$p")
     assert(!p.contains("Window"), s"q346 needs no windows:\n$p")
   }
+
+  test("q347 is one scan; the lengths relation broadcasts; tokens never explode") {
+    val p = plan("q347_truncation_loss")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"q347 should scan documents once, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 3-row lengths relation must broadcast:\n$p")
+    assert(!p.contains("Window"), s"q347 needs no windows:\n$p")
+  }
+
+  test("q348's lookup broadcasts; rank windows key on nation") {
+    val p = plan("q348_purchase_gini")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer→nation lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q348 planned a shuffle join or cartesian:\n$p")
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty,
+      s"q348's rank window must partition by nation:\n$unpart")
+  }
+
+  test("q349 is one fact scan; fan-out stats ride key-name windows") {
+    val p = plan("q349_join_skew_profile")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"both key streams must come from ONE exploded scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"q349 must not join:\n$p")
+    val unpart = p.linesIterator
+      .filter(_.contains("windowspecdefinition()")).toList
+    assert(unpart.isEmpty,
+      s"q349's distribution windows must partition by key name:\n$unpart")
+  }
+
+  test("q350 freezes the cell relation: one events scan, no windows") {
+    val df = graft.SparkEntry.queries("q350_fano_burstiness")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"post-freeze consumers must read the checkpoint, got $scans scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q350's span row must broadcast:\n$p")
+    assert(!p.contains("Window"), s"q350 needs no windows:\n$p")
+    graft.Checkpoints.release(df)
+  }
 }
