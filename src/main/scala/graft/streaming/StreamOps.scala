@@ -2624,6 +2624,50 @@ object StreamOps {
       .orderBy("nationkey")
   }
 
+  /** The SIXTH consumer of [[abDeltas]]'s topic: the live effect-
+    * heterogeneity monitor — batch q346's streaming twin. Per finalized
+    * day with a transition anywhere: Cochran's Q and I² over that day's
+    * per-nation cumulative effects with inverse-variance weights — the
+    * live answer to "is the per-nation dashboard ([[abNationSnapshotOf]])
+    * or the pooled readout the legitimate one RIGHT NOW?". The chain is
+    * batch q346's verbatim (unpooled variances, the one-pass Q identity,
+    * [[graft.Det.dsum]]'d weighted sums), so a day-D row equals batch
+    * q346 over that finalized prefix — feed [[abDeltas]] the customer
+    * lookup and `convertAtPurchases = 14` for literal parity (the spec
+    * pins it). Degenerate cells (0/1 proportions on both arms → vᵢ = 0)
+    * leave the day's meta-set exactly as in batch.
+    *
+    * Scale shape: rides the [[nationLookSeries]] day×|nations| relation;
+    * everything after is arithmetic and a per-day keyed agg.
+    */
+  def heterogeneityMonitorOf(deltas: DataFrame): DataFrame = {
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val vi = pa * (lit(1.0) - pa) / col("n_a").cast("double") +
+      pb * (lit(1.0) - pb) / col("n_b").cast("double")
+    nationLookSeries(deltas)
+      .withColumn("theta", pa - pb)
+      .withColumn("vi", vi)
+      .filter(col("vi") > 0.0)
+      .withColumn("w", lit(1.0) / col("vi"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("k"),
+        graft.Det.dsum(col("w")).as("sw"),
+        graft.Det.dsum(col("w") * col("theta")).as("swt"),
+        graft.Det.dsum(col("w") * col("theta") * col("theta")).as("swtt"))
+      .select(col("day"), col("k"),
+        (col("swt") / col("sw")).as("theta_bar"),
+        (col("swtt") - col("swt") * col("swt") / col("sw")).as("q_stat"),
+        when((col("swtt") - col("swt") * col("swt") / col("sw")) <= 0.0 ||
+            col("k") <= 1L, 0.0)
+          .otherwise(greatest(lit(0.0),
+            ((col("swtt") - col("swt") * col("swt") / col("sw")) -
+              (col("k") - 1L).cast("double")) /
+              (col("swtt") - col("swt") * col("swt") / col("sw"))))
+          .as("i2"))
+      .orderBy("day")
+  }
+
   /** Stage 1 of q343's live twin — finalized daily value-distribution
     * cells: per (day, event_type, bucket) event counts, emitted once
     * the watermark closes the day (plain windowed count, Append mode —

@@ -1913,6 +1913,98 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
       s"live stop days $live must equal batch q341's $expCross")
   }
 
+  test("heterogeneityMonitorOf replays batch q346's Q/I² on every finalized prefix") {
+    import spark.implicits._
+    def dTs(day: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 10, 0)
+        .plusDays(day.toLong))
+    def idHash(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    // arms (md5): A = {1,3,6,9,10}, B = {2,4,5,11,12}. nation 10 has a
+    // REAL effect (A converts, B doesn't); nation 20 is null (half of
+    // each arm converts); nation 30 is DEGENERATE (everyone converts →
+    // vᵢ = 0, excluded from the meta-set exactly as in batch).
+    val nationOf = Map(1L -> 10L, 3L -> 10L, 2L -> 10L, 11L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L, 9L -> 20L, 10L -> 30L, 12L -> 30L)
+    val viewDay = Map(1L -> 0, 3L -> 1, 11L -> 0, 2L -> 1, 4L -> 0,
+      5L -> 2, 6L -> 1, 9L -> 2, 10L -> 2, 12L -> 2)
+    val converts = Set(1L, 3L, 6L, 4L, 10L, 12L) // ≥14 purchases
+    val fixture: Seq[(Timestamp, Long, String)] = nationOf.keys.toSeq.sorted
+      .flatMap { u =>
+        val d0 = viewDay(u)
+        Seq((dTs(d0), u, "view")) ++
+          Seq.fill(if (converts(u)) 15 else 1)((dTs(d0), u, "purchase"))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("hetmon").toString
+    fixture.zipWithIndex.map { case ((t, u, ty), i) =>
+      (i.toLong, t, u, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    nationOf.toSeq.toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamOps.abDeltas(
+      input.toDF().toDF("ts", "user_id", "event_type"),
+      "ts", "user_id", "event_type", watermarkDelay = "1 hour",
+      users = Some(spark.read.parquet(s"$dir/customer.parquet")),
+      convertAtPurchases = 14L).toDF()
+    spark.sql("DROP TABLE IF EXISTS het_sink")
+    val q = out.writeStream.format("memory").queryName("het_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(new scala.util.Random(19).shuffle(fixture): _*)
+      q.processAllAvailable()
+      input.addData((dTs(30), 999L, "view")) // watermark pusher, no lookup
+      q.processAllAvailable()
+    } finally q.stop()
+    val mon = StreamOps.heterogeneityMonitorOf(spark.table("het_sink"))
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    def dsumReplay(xs: Iterable[Double]): Double = {
+      val units = xs.map(x => BigInt(math.floor(x * 1e6 + 0.5).toLong)).sum
+      (BigDecimal(units) / BigDecimal(1000000)).toDouble
+    }
+    // inline batch q346 replay over the prefix ending at dayIncl
+    def batchAt(dayIncl: Long): (Long, Double, Double, Double) = {
+      val cells = nationOf.keys.toSeq.filter(viewDay(_) <= dayIncl)
+        .map(u => (nationOf(u), idHash(u) % 2 == 0, converts(u)))
+        .groupBy(_._1).toSeq.flatMap { case (_, us) =>
+          val (a, b) = us.partition(_._2)
+          if (a.isEmpty || b.isEmpty) None
+          else {
+            val pa = a.count(_._3).toDouble / a.size.toDouble
+            val pb = b.count(_._3).toDouble / b.size.toDouble
+            val vi = pa * (1.0 - pa) / a.size + pb * (1.0 - pb) / b.size
+            if (vi > 0.0) Some((pa - pb, 1.0 / vi)) else None
+          }
+        }
+      val k = cells.size.toLong
+      val sw = dsumReplay(cells.map(_._2))
+      val swt = dsumReplay(cells.map(c => c._2 * c._1))
+      val swtt = dsumReplay(cells.map(c => c._2 * c._1 * c._1))
+      val qs = swtt - swt * swt / sw
+      val i2 = if (qs <= 0.0 || k <= 1L) 0.0
+        else math.max(0.0, (qs - (k - 1).toDouble) / qs)
+      (k, swt / sw, qs, i2)
+    }
+    assert(mon.nonEmpty)
+    mon.foreach { case (day, k, tb, qs, i2) =>
+      val exp = batchAt(day - epoch0)
+      assert((k, tb, qs, i2) == exp, s"day $day: got ${(k, tb, qs, i2)}, want $exp")
+    }
+    // the final prefix equals the REGISTERED batch q346 on the same dir
+    val batch = graft.SparkEntry.queries("q346_effect_heterogeneity")(spark, dir)
+      .select($"k", $"theta_bar", $"q_stat", $"i2")
+      .as[(Long, Double, Double, Double)].collect().head
+    val last = mon.last
+    assert((last._2, last._3, last._4, last._5) == batch,
+      s"final prefix ${(last._2, last._3, last._4, last._5)} vs batch $batch")
+    // the degenerate nation 30 never joins the meta-set
+    assert(mon.forall(_._2 <= 2L), s"k must exclude nation 30: $mon")
+  }
+
   test("valueDriftMonitorOf replays batch q343's χ² on every finalized prefix") {
     import spark.implicits._
     def at(day: Int, hour: Int = 9): Timestamp =
