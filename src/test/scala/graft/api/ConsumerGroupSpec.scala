@@ -82,6 +82,31 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     assert(seen.asScala.toSeq.sorted == (0L to 29L), "backfill-then-tail")
   }
 
+  test("drain backfills MULTIPLE streams; per-stream snapshots are independent") {
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "s1", "shard-0", (0L to 11L).map(rec))
+    ShardedStreamLog.append(root, "s2", "shard-0", (100L to 103L).map(rec))
+    val seen = new ConcurrentLinkedQueue[(String, Long)]()
+    val cg = new ConsumerGroup(spark, ConsumerConfig(app = "bf2",
+      logRoot = root, checkpointRoot = ck, scanLimit = 5L))
+    cg.drain(Seq("s1", "s2")) { (df, _) =>
+      df.select("stream", "sequence_number").collect()
+        .foreach(r => seen.add((r.getString(0), r.getString(1).toLong)))
+    }
+    assert(seen.asScala.toSeq.sorted ==
+      ((0L to 11L).map(("s1", _)) ++ (100L to 103L).map(("s2", _))).sorted,
+      "both streams drain to their own query-start heads")
+    // a tail appended AFTER the drain belongs to the next run only
+    ShardedStreamLog.append(root, "s2", "shard-0", (104L to 105L).map(rec))
+    cg.drain(Seq("s1", "s2")) { (df, _) =>
+      df.select("stream", "sequence_number").collect()
+        .foreach(r => seen.add((r.getString(0), r.getString(1).toLong)))
+    }
+    assert(seen.asScala.count(_._1 == "s1") == 12, "s1 must not replay")
+    assert(seen.asScala.toSeq.filter(_._1 == "s2").map(_._2).sorted ==
+      (100L to 105L), "s2 drains exactly the new tail")
+  }
+
   test("refresh swaps the stream set at runtime (Refresh parity)") {
     val (root, ck) = newEnv()
     ShardedStreamLog.append(root, "s1", "shard-0", (0L to 2L).map(rec))
