@@ -6,6 +6,16 @@ better), ~1 linear, > 1 super-linear. Small absolute times are noise-
 dominated, so queries under --floor seconds at the LARGE sf are reported
 but not flagged.
 
+Drift correction (self-adjudicating since round 14): each artifact
+carries `probe_cal`, the steady-state minimum of its interleaved fixed
+health probe (q02). When the two runs straddle a host-speed change
+(reboot, load shift), absolute seconds are not comparable; the corrected
+column rescales the hi run onto the lo run's effective speed,
+    t_hi' = t_hi * (cal_lo / cal_hi),
+and recomputes the exponent — the same ±log(cal_hi/cal_lo)/log(ratio)
+shift rounds 12-13 derived by hand in SCALING.md prose. Both columns are
+printed; same-boot pairs show them (near-)identical.
+
 Usage: scaling_report.py <bench_lo.json> <bench_hi.json> <ratio> [--floor 0.5]
 """
 import json
@@ -18,6 +28,11 @@ def main() -> int:
     floor = float(sys.argv[sys.argv.index("--floor") + 1]) if "--floor" in sys.argv else 0.5
     lo = json.load(open(lo_path))
     hi = json.load(open(hi_path))
+    cal_lo = lo.get("probe_cal", -1.0)
+    cal_hi = hi.get("probe_cal", -1.0)
+    drift = cal_lo / cal_hi if cal_lo > 0 and cal_hi > 0 else 1.0
+    same_boot = lo.get("boot_id", "?") == hi.get("boot_id", "??")
+    corr_shift = math.log(drift) / math.log(ratio)
     rows = []
     for q in sorted(set(lo["queries"]) & set(hi["queries"])):
         t_lo, t_hi = lo["queries"][q], hi["queries"][q]
@@ -27,22 +42,30 @@ def main() -> int:
         rows.append((q, t_lo, t_hi, math.log(t_hi / t_lo) / math.log(ratio)))
     rows.sort(key=lambda r: -(r[3] if r[3] is not None else 99))
     flagged = 0
-    print(f"| query | t@lo (s) | t@hi (s) | exponent |")
-    print(f"|---|---|---|---|")
+    print(f"probe_cal: lo {cal_lo:.3f}s, hi {cal_hi:.3f}s "
+          f"({'same' if same_boot else 'CROSS'} boot; hi-run speed factor "
+          f"{1 / drift:.2f}x of lo; corrected = raw {corr_shift:+.2f})")
+    print()
+    print(f"| query | t@lo (s) | t@hi (s) | exponent | corrected |")
+    print(f"|---|---|---|---|---|")
     for q, t_lo, t_hi, e in rows:
         if e is None:
-            print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | ERROR |")
+            print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | ERROR | ERROR |")
             flagged += 1
             continue
-        flag = " **super-linear**" if (e > 1.15 and t_hi >= floor) else ""
+        ec = e + corr_shift
+        # flag on the CORRECTED exponent: a host-drift artifact must not
+        # flag a query, and drift must not hide a real super-linearity
+        flag = " **super-linear**" if (ec > 1.15 and t_hi >= floor) else ""
         if flag:
             flagged += 1
-        print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {e:.2f}{flag} |")
+        print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {e:.2f} | {ec:.2f}{flag} |")
     tot_lo = sum(t for _, t, _, _ in rows if t > 0)
     tot_hi = sum(t for _, _, t, _ in rows if t > 0)
+    agg = math.log(tot_hi / tot_lo) / math.log(ratio)
     print(f"\ntotal: {tot_lo:.1f}s -> {tot_hi:.1f}s on a {ratio:.0f}x corpus "
-          f"(aggregate exponent {math.log(tot_hi / tot_lo) / math.log(ratio):.2f}); "
-          f"{flagged} queries flagged")
+          f"(aggregate exponent {agg:.2f} raw / {agg + corr_shift:.2f} "
+          f"drift-corrected); {flagged} queries flagged")
     return 0
 
 

@@ -71,7 +71,6 @@ object Bench {
     val uptimeSec = procLine("/proc/uptime").split(" ").headOption
       .filter(_.nonEmpty).getOrElse("-1")
     probe(); probe(); probe()
-    val probeCal = if (probes.isEmpty) -1.0 else probes.take(3).min
     var sinceProbe = 0
     // run-order host-burst forensics (round 11: the round-10 driver-vs-
     // pair swings were contiguous execution windows hit by multi-minute
@@ -160,6 +159,13 @@ object Bench {
           if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
         } else None
       }.toMap
+    // probe_cal = the FULL probe series' minimum, not the 3 startup
+    // samples': the startup probes run on a cold JVM (no JIT profiles for
+    // the probe plan yet), which biased the calibration constant high on
+    // exactly the cross-boot ratio comparisons it exists to stabilize.
+    // The min over the whole run (startup + every ~12-query interleave)
+    // is the steady-state floor of this boot's effective speed.
+    val probeCal = if (probes.isEmpty) -1.0 else probes.min
     // 3-decimal (ms-resolution) values: full-precision doubles made the
     // 170-query line ~6.3 KB and overflowed the driver's log-tail JSON
     // capture (BENCH_r07 recorded parsed:null). -1 failure markers kept.

@@ -150,6 +150,14 @@ object Det {
     * full table (small-integer measures like quantity stay safe even in
     * the global cell: 6e11 rows × 50 ≈ 3e13 — see q09), and price sums
     * in ≤3-way splits of lineitem.
+    *
+    * NEGATIVE-TIE NOTE: the floor-shift quantizer rounds an exact
+    * negative half-tie toward +∞ (floor(−100.5·f + 0.5)/f = −100), where
+    * the pre-round-13 round() path gave half-away-from-zero (−101).
+    * On-grid inputs (≤ `scale` decimals) never hit a tie, so every
+    * oracle-verified caller is unaffected; callers feeding ARBITRARY
+    * negative doubles get the engine-identical floor-shift convention,
+    * not round()'s.
     */
   def csum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)

@@ -42,6 +42,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   */
 final case class CommitConfig(auto: Boolean = true, intervalMs: Long = 5000L)
 
+/** What a [[ConsumerGroup.drain]] actually moved: per-stream drained
+  * record counts, per-stream distinct shards that yielded ≥ 1 record,
+  * and the micro-batch count. Streams that were fully caught-up report
+  * 0 — the caller can tell an empty backlog from a failed drain (which
+  * throws / lands in [[ConsumerGroup.errors]] instead).
+  */
+final case class DrainProgress(
+    records: Map[String, Long],
+    shards: Map[String, Long],
+    batches: Long) {
+  def totalRecords: Long = records.values.sum
+}
+
 final case class ConsumerConfig(
     app: String,
     logRoot: String,
@@ -310,9 +323,18 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     * and reported rather than left running. Default-commit mode only:
     * in manual-commit parity mode the app's marks own the resume point
     * and "drained" has no engine-side meaning.
+    *
+    * Returns per-stream progress — records drained, distinct shards
+    * that yielded data, micro-batch count. The reference's only
+    * observability is the lossy error channel (`kinesumer.go:833-844`);
+    * a backfill operator needs the positive signal too ("drained 0
+    * records" and "drain failed" are different states). Counting runs
+    * one keyed aggregate per micro-batch over the batch frame before
+    * the callback — bounded work, since a drain is by definition a
+    * bounded read.
     */
   def drain(streams: Seq[String], timeoutMs: Long = 600000L)(
-      onBatch: BatchFn): Unit = synchronized {
+      onBatch: BatchFn): DrainProgress = synchronized {
     require(active.isEmpty, "consumer already started; drain() is a standalone backfill")
     require(cfg.commit.isEmpty,
       "drain() requires the default exactly-once commit mode")
@@ -321,11 +343,28 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
     // fresh checkpoint at the live heads, drain zero records, and
     // permanently mark the backlog consumed — the opposite of this
     // method's contract). Once a checkpoint exists it wins, as always.
+    val recordCounts =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val shardSets =
+      new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = consumeFrom(streams, "trim_horizon").writeStream
       .queryName(s"${cfg.app}-drain")
       .option("checkpointLocation", s"${cfg.checkpointRoot}/${cfg.app}/main")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (df: DataFrame, batchId: Long) => onBatch(df, batchId) }
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        batches.incrementAndGet()
+        // count BEFORE the callback: a callback that throws still leaves
+        // the progress of every completed count visible to the caller
+        df.groupBy(org.apache.spark.sql.functions.col("stream"),
+            org.apache.spark.sql.functions.col("shard_id"))
+          .count().collect().foreach { r =>
+            val (st, sh, n) = (r.getString(0), r.getString(1), r.getLong(2))
+            recordCounts.merge(st, n, (a, b) => a + b)
+            shardSets.merge(st, Set(sh), (a, b) => a ++ b)
+          }
+        onBatch(df, batchId)
+      }
       .start()
     owned.add(q.runId)
     try {
@@ -334,7 +373,23 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
         throw new IllegalStateException(
           s"drain of ${streams.mkString(",")} did not finish in ${timeoutMs} ms")
       }
-    } finally if (q.isActive) q.stop()
+    } finally {
+      if (q.isActive) q.stop()
+      // harvest this query's failure directly, then DISOWN the runId:
+      // the listener's terminated event can arrive after drain() returns,
+      // and without the removal repeated drains in a long-lived group
+      // accumulate stale runIds in the listener-filter set forever
+      q.exception.foreach(e =>
+        if (reported.add(q.runId)) errorQueue.add(e.getMessage))
+      owned.remove(q.runId)
+    }
+    import scala.jdk.CollectionConverters._
+    DrainProgress(
+      records = streams.map(st =>
+        st -> recordCounts.getOrDefault(st, 0L)).toMap,
+      shards = streams.map(st =>
+        st -> shardSets.asScala.get(st).map(_.size.toLong).getOrElse(0L)).toMap,
+      batches = batches.get())
   }
 
   /** Swap the consumed stream set at runtime — `Refresh`

@@ -4745,10 +4745,11 @@ object Events {
         .join(broadcast(cust), col("user_id") === col("c_custkey"))
         .select(col("c_nationkey").as("nationkey"),
           (Ids.hash("user_id") % 2 === 0).as("in_a"), col("y"))
-      val wArm = Window.partitionBy(col("nationkey"), col("in_a"))
-      val med = keyed
-        .withColumn("rn", row_number().over(wArm.orderBy(col("y"))))
-        .withColumn("n", count(lit(1)).over(wArm))
+      // two-pass grouped rank (Scale.groupedRank): 25 nations × 2 arms
+      // would cap a plain keyed window at 50 tasks over the user-grain
+      // relation. The median reads the VALUE at a rank — tie-safe.
+      val med = graft.ops.Scale.groupedRank(
+        keyed, Seq("nationkey", "in_a"), "rn", Some("n"), col("y"))
         .filter(col("rn") ===
           floor((col("n") + lit(1L)).cast("double") / lit(2.0)).cast("long"))
       med.groupBy(col("nationkey"))
@@ -4909,28 +4910,38 @@ object Events {
         .join(broadcast(cust), col("user_id") === col("c_custkey"))
         .select(col("c_nationkey").as("nationkey"),
           (Ids.hash("user_id") % 2 === 0).as("in_a"), col("y"))
-      val wArm = Window.partitionBy(col("nationkey"), col("in_a"))
-      // the cell's p90 cap = y at rank ⌈0.9 n⌉, broadcast back to every
-      // row of the cell by a max-over-partition window (rank-k value is
-      // unique per cell, so max(cap-candidate) IS the cap)
-      val capped = keyed
-        .withColumn("rn", row_number().over(wArm.orderBy(col("y"))))
-        .withColumn("n", count(lit(1)).over(wArm))
-        .withColumn("cap", max(when(col("rn") ===
-          ceil(col("n").cast("double") * lit(0.9)).cast("long"), col("y")))
-          .over(wArm))
-        .withColumn("yw", least(col("y"), col("cap")))
-      capped.groupBy(col("nationkey"))
+      // two-pass grouped rank (Scale.groupedRank — a plain keyed window
+      // would cap at |nations|×2 tasks over the user-grain relation),
+      // then the winsorized sum by the RANK-RANGE identity instead of a
+      // cap broadcast-back window: with cap = y at rank k = ⌈0.9 n⌉,
+      // Σ min(y, cap) = Σ_{rn ≤ k} y + (n − k)·cap (rows at rn ≤ k have
+      // y ≤ cap; rows above have y ≥ cap — tie-invariant, since sums
+      // over rank ranges of ordered values don't depend on tie order).
+      // Everything lands in ONE keyed agg; k is recomputed from the
+      // per-arm count in the final select.
+      val k = ceil(col("n").cast("double") * lit(0.9)).cast("long")
+      val ranked = graft.ops.Scale.groupedRank(
+        keyed, Seq("nationkey", "in_a"), "rn", Some("n"), col("y"))
+      def kOf(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        ceil(n.cast("double") * lit(0.9)).cast("long")
+      def sywOf(sylow: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+          cap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sylow + (n - kOf(n)) * cap
+      ranked.groupBy(col("nationkey"))
         .agg(
           sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
           sum(when(col("in_a"), col("y")).otherwise(0L)).as("sy_a"),
-          sum(when(col("in_a"), col("yw")).otherwise(0L)).as("syw_a"),
-          max(when(col("in_a"), col("cap"))).as("cap_a"),
+          sum(when(col("in_a") && col("rn") <= k, col("y")).otherwise(0L))
+            .as("sylow_a"),
+          max(when(col("in_a") && col("rn") === k, col("y"))).as("cap_a"),
           sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
           sum(when(!col("in_a"), col("y")).otherwise(0L)).as("sy_b"),
-          sum(when(!col("in_a"), col("yw")).otherwise(0L)).as("syw_b"),
-          max(when(!col("in_a"), col("cap"))).as("cap_b"))
+          sum(when(!col("in_a") && col("rn") <= k, col("y")).otherwise(0L))
+            .as("sylow_b"),
+          max(when(!col("in_a") && col("rn") === k, col("y"))).as("cap_b"))
         .filter(col("n_a") > 0L && col("n_b") > 0L)
+        .withColumn("syw_a", sywOf(col("sylow_a"), col("n_a"), col("cap_a")))
+        .withColumn("syw_b", sywOf(col("sylow_b"), col("n_b"), col("cap_b")))
         .select(col("nationkey"), col("n_a"), col("n_b"),
           col("cap_a"), col("cap_b"),
           (col("sy_a").cast("double") / col("n_a").cast("double"))
@@ -5261,9 +5272,11 @@ object Events {
     // has zero purchases (undefined inequality, not 0).
     //
     // Shape at 100 TB: one events scan → per-user keyed counts →
-    // broadcast nation join → per-nation ordered window (users-per-
-    // nation partitions, the q342 exact-order-statistic posture) → one
-    // keyed agg to |nations| rows.
+    // broadcast nation join → the TWO-PASS grouped rank
+    // (Scale.groupedRank: 25 nations would cap a plain keyed window at
+    // 25 tasks over the user-grain relation; the range shuffle spreads
+    // each nation across the cluster) → one keyed agg to |nations|
+    // rows. Rank ties on x are value-safe here by the Σi·x identity.
     QueryDef.sql("q348_purchase_gini") { (s, d) =>
       val perUser = Tables(s, d, "events")
         .groupBy(col("user_id"))
@@ -5271,12 +5284,11 @@ object Events {
           .as("x"))
       val cust = Tables(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
-      val wN = Window.partitionBy(col("nationkey"))
-      val ranked = perUser
-        .join(broadcast(cust), col("user_id") === col("c_custkey"))
-        .select(col("c_nationkey").as("nationkey"), col("x"))
-        .withColumn("i",
-          row_number().over(wN.orderBy(col("x"))).cast("long"))
+      val ranked = graft.ops.Scale.groupedRank(
+        perUser
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .select(col("c_nationkey").as("nationkey"), col("x")),
+        Seq("nationkey"), "i", None, col("x"))
       ranked.groupBy(col("nationkey"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("x")).as("total_purchases"),

@@ -1261,8 +1261,14 @@ object Relational {
     //
     // Shape at 100 TB: ONE lineitem scan exploding each row into its
     // two (key-name, key) pairs → keyed counts (map-side combine; the
-    // relation shrinks to distinct keys immediately) → per-key-name
-    // windows over the key-count relation → 2-row summary.
+    // relation shrinks to distinct keys immediately) → the TWO-PASS
+    // grouped rank (Scale.groupedRank) over the key-count relation →
+    // 2-row summary. The key name has exactly 2 values, so a plain
+    // per-key-name window would sort the corpus-sized distinct-key
+    // relation in 2 tasks — the profiler you run ON the skewed table
+    // must not have a skew-shaped plan itself; groupedRank's range
+    // shuffle spreads each key name across the cluster and ranks
+    // compose via broadcast offsets.
     QueryDef.sql("q349_join_skew_profile") { (s, d) =>
       val keyed = Tables(s, d, "lineitem")
         .select(explode(array(
@@ -1272,20 +1278,18 @@ object Relational {
         .select(col("e.jk").as("jk"), col("e.k").as("k"))
         .groupBy(col("jk"), col("k"))
         .agg(count(lit(1)).as("c"))
-      val wJk = Window.partitionBy(col("jk"))
-      val ranked = keyed
-        .withColumn("rn", row_number().over(wJk.orderBy(col("c"))).cast("long"))
-        .withColumn("nk", count(lit(1)).over(wJk))
-        .withColumn("rows_total", sum(col("c")).over(wJk))
-        .withColumn("max_c", max(col("c")).over(wJk))
+      // rank ties on c are value-safe: p50/p99 read the VALUE at a rank,
+      // identical under any tie-break (Scale.groupedRank's contract)
+      val ranked = graft.ops.Scale.groupedRank(
+        keyed, Seq("jk"), "rn", Some("nk"), col("c"))
       val p50 = max(when(col("rn") ===
         floor((col("nk") + lit(1L)).cast("double") / lit(2.0)).cast("long"),
         col("c")))
       val p99 = max(when(col("rn") ===
         ceil(col("nk").cast("double") * lit(0.99)).cast("long"), col("c")))
       ranked.groupBy(col("jk"))
-        .agg(max(col("nk")).as("n_keys"), max(col("rows_total")).as("n_rows"),
-          max(col("max_c")).as("max_fanout"),
+        .agg(max(col("nk")).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_fanout"),
           p50.as("p50_fanout"), p99.as("p99_fanout"))
         .select(col("jk").as("join_key"), col("n_keys"), col("n_rows"),
           (col("n_rows").cast("double") / col("n_keys").cast("double"))
@@ -1331,6 +1335,32 @@ object Relational {
         |    AS suggested_salt
         |FROM p
         |ORDER BY join_key""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q351: AUTO-SALTED JOIN — the census (q349) and the remedy (q97)
+    // closed into ONE operator: Scale.autoSaltedJoin profiles the fact
+    // side's join-key fan-out (the q349 ceil(max/p99) heuristic over an
+    // exact two-pass rank) and salts only when the profile demands it.
+    // The oracle is the PLAIN join — the same answer-preservation
+    // contract q97 pins for a hand-chosen salt, now for the
+    // machine-chosen one; ScaleSpec pins the decision branches (uniform
+    // → plain plan, skewed → the exact golden salt assignment, the
+    // kinesumer_test.go:231-316 golden-split spirit).
+    QueryDef.sql("q351_auto_salted_join") { (s, d) =>
+      val joined = graft.ops.Scale.autoSaltedJoin(
+        Tables(s, d, "events"), Tables(s, d, "customer"),
+        "user_id", "c_custkey", col("event_id"))
+      joined.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Det.dsum(col("value")).as("total_value"))
+        .orderBy("c_nationkey")
+    } {
+      s"""SELECT c_nationkey, COUNT(*) AS n_events,
+         |  ${graft.Det.dsumSql("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin
     }
   )
 

@@ -32,6 +32,57 @@ object Scale {
       .drop("__salt")
   }
 
+  /** The q349 census' salt heuristic for ONE join key, as a driver-side
+    * decision value: ceil(max_fanout / p99_fanout) over the key-count
+    * relation, 1 when the top key is within ordinary-key range (no
+    * salting needed). p99 is the EXACT order statistic at rank
+    * ⌈0.99·n⌉ (q349's convention), computed by the two-pass
+    * [[globalRowNumber]] range-shuffle rank — the profiler input is the
+    * skewed table itself, so its own plan must not hinge on a
+    * single-task sort. Cost: one shrinking keyed count + the two-pass
+    * rank over the DISTINCT-key relation; the frozen snapshot is
+    * released before returning.
+    */
+  def suggestedSalt(df: DataFrame, key: String): Int = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val n = counts.count()
+    if (n == 0) 1
+    else {
+      val ranked = globalRowNumber(counts, "rn", col("c").asc, col(key).asc)
+      val k = math.ceil(0.99 * n).toLong
+      val row = ranked.agg(
+        max(col("c")).as("mx"),
+        max(when(col("rn") === k, col("c"))).as("p99")).head
+      graft.Checkpoints.release(ranked)
+      val p99 = math.max(row.getLong(1), 1L)
+      math.max(1L, math.ceil(row.getLong(0).toDouble / p99).toLong).toInt
+    }
+  }
+
+  /** Skew-adaptive equi-join — the census (q349) and the remedy
+    * ([[saltedJoin]], q97) closed into one operator: profile the left
+    * (large, potentially skewed) side's join-key fan-out, then salt
+    * with the suggested factor ONLY when the profile says the top key
+    * overwhelms an ordinary one (suggested salt > 1, capped at
+    * `saltCap` so a pathological profile cannot explode the right
+    * side's replication). A uniform fan-out plans the PLAIN join —
+    * answer-identical either way (q97's oracle argument), so the
+    * profile affects only the physical shape. Use when the key
+    * distribution is unknown at authoring time and AQE's skew split
+    * can't kick in (broadcast-ineligible dimension, pre-AQE
+    * materialization); the profile pass costs one keyed count over the
+    * fact side, the price of not guessing.
+    */
+  def autoSaltedJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      saltCol: Column, saltCap: Int = 64): DataFrame = {
+    require(saltCap > 0)
+    val s = math.min(suggestedSalt(left, leftKey), saltCap)
+    if (s <= 1) left.join(right, left(leftKey) === right(rightKey))
+    else saltedJoin(left, right, leftKey, rightKey, saltCol, s)
+  }
+
   /** Write `df` as a bucketed (and per-bucket sorted) table: rows are
     * hash-partitioned into `buckets` files per partition on `keys`, which
     * lets every later equi-join or aggregation on those keys skip its
@@ -178,6 +229,71 @@ object Scale {
         sum(col(valueCol).cast("long")).over(w) + col("__sbase"))
       .withColumn(rankName, row_number().over(w).cast("long") + col("__nbase"))
       .drop("__pid", "__sbase", "__nbase")
+  }
+
+  /** GROUPED row numbering at scale — [[globalRowNumber]]'s two-pass
+    * range-shuffle rank applied PER GROUP: `row_number() OVER
+    * (PARTITION BY groupCols ORDER BY order)` without a single task per
+    * group. A plain keyed window gives one task per group value, so a
+    * 2-value key (q349's join-key census) or a 25-nation partition caps
+    * the sort of a corpus-sized relation at 2- or 25-way parallelism —
+    * exactly the shape this helper exists to retire.
+    *
+    * Pass 1 range-repartitions on (groupCols ++ order): partitions hold
+    * disjoint (group, order) ranges, so a heavy group SPANS many
+    * partitions while ranks still compose across them. The per-(pid,
+    * group) cell counts (≤ partitions × |groups| rows — metadata-sized
+    * for the low-cardinality-group / large-group regime this serves)
+    * yield each cell's per-group offset via a prefix window over that
+    * tiny relation — never a driver collect. Pass 2 ranks within each
+    * (pid, group) cell — parallelism = occupied cells, i.e. cluster
+    * width even when ONE group holds all rows — and adds the
+    * broadcast-joined offset.
+    *
+    * Contracts: for exact row_number parity `order` must be a TOTAL
+    * order within a group (include a tie-break); callers that only read
+    * the VALUE at a rank (medians, winsorization caps, Gini's Σi·x) are
+    * tie-safe, because the value at rank k of a sorted multiset does
+    * not depend on how row_number broke ties. `countName`, when given,
+    * adds each group's total row count (the `COUNT(*) OVER (PARTITION
+    * BY groupCols)` companion every order-statistic picker needs).
+    * Group cardinality must be modest (the offsets relation is
+    * broadcast); the many-small-groups regime belongs to the plain
+    * keyed window, which is already parallel there. Storage: the ranged
+    * relation is a frozen snapshot (the [[globalOrderedCumsum]] freeze
+    * rationale — RangePartitioner boundaries are lineage-unstable);
+    * call `graft.Checkpoints.release(result)` after consuming.
+    */
+  def groupedRank(
+      df: DataFrame, groupCols: Seq[String], rankName: String,
+      countName: Option[String], order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty && order.nonEmpty)
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val gcols = groupCols.map(col)
+    val ranged = graft.Checkpoints.checkpoint(
+      df.repartitionByRange(parts, gcols ++ order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val cells = ranged.groupBy(col("__pid") +: gcols: _*)
+      .agg(count(lit(1)).as("__cn"))
+    // for a fixed group, pid order IS order-column order (range
+    // partitioning on group-then-order), so the prefix sum over earlier
+    // pids is exactly the rows ranking below this cell
+    val wPrefix = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets0 = cells
+      .withColumn("__nbase", coalesce(sum(col("__cn")).over(wPrefix), lit(0L)))
+    val offsets = countName match {
+      case Some(n) => offsets0
+        .withColumn(n, sum(col("__cn")).over(Window.partitionBy(gcols: _*)))
+        .drop("__cn")
+      case None => offsets0.drop("__cn")
+    }
+    val wCell = Window.partitionBy(col("__pid") +: gcols: _*).orderBy(order: _*)
+    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(rankName, row_number().over(wCell).cast("long") + col("__nbase"))
+      .drop("__pid", "__nbase")
   }
 
   /** EXACT global quantiles at any scale — the scale-correct answer to

@@ -2280,9 +2280,23 @@ object StreamOps {
   final case class AbDelta(day: Long, nation: Long, in_a: Boolean,
       dn: Long, dx: Long)
 
-  final case class AbUserState(inA: Boolean, nation: Long, hasView: Boolean,
-      purchases: Long, lastDay: Long,
+  /** Per-user A/B state. `ver` is the STATE-SCHEMA VERSION, checked on
+    * every read: a checkpoint written by a different encoding fails
+    * with an actionable message naming both versions, instead of (at
+    * best) Spark's generic state-schema rejection or (at worst — a
+    * semantic change that happens to keep the same field layout) silent
+    * misreads. History: v1 = pre-round-13 (no nation; hasPurchase
+    * boolean), v2 = round 13 (nation key; purchase COUNT for the
+    * convertAtPurchases threshold), v3 = this versioned layout. v1/v2
+    * checkpoints are not resumable — restart from a fresh checkpoint
+    * and replay the topic (pre-release policy; the version field is
+    * what turns the next bump into a readable error).
+    */
+  final case class AbUserState(ver: Int, inA: Boolean, nation: Long,
+      hasView: Boolean, purchases: Long, lastDay: Long,
       pending: Map[Long, (Boolean, Long)])
+
+  object AbUserState { val Version = 3 }
 
   /** Stage 1 of q199's live twin — per-user exposure/conversion
     * finalization: the batch z-test counts each user once (exposed =
@@ -2380,7 +2394,12 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state: GroupState[AbUserState]) =>
           val st0 = state.getOption
-            .getOrElse(AbUserState(false, -1L, false, 0L, Long.MinValue, Map.empty))
+            .getOrElse(AbUserState(AbUserState.Version, false, -1L, false,
+              0L, Long.MinValue, Map.empty))
+          require(st0.ver == AbUserState.Version,
+            s"AbUserState v${st0.ver} checkpoint cannot be resumed by this " +
+              s"build (expects v${AbUserState.Version}); start from a fresh " +
+              "checkpoint and replay the source")
           var pending = st0.pending
           var inA = st0.inA
           var nation = st0.nation
@@ -2412,7 +2431,8 @@ object StreamOps {
             if (dn != 0L || dx != 0L) out += AbDelta(day, nation, inA, dn, dx)
             hv = nhv; np = nnp
           }
-          state.update(AbUserState(inA, nation, hv, np, lastDay, pending))
+          state.update(AbUserState(AbUserState.Version, inA, nation, hv, np,
+            lastDay, pending))
           // re-arm a timeout ONLY while days are still open: a drained
           // user needs no wake-up (new events re-enter state on arrival),
           // and an unconditional re-arm would re-invoke and rewrite EVERY

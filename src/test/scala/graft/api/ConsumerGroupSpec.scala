@@ -57,7 +57,7 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     val cfg = ConsumerConfig(app = "bf1", logRoot = root, checkpointRoot = ck,
       scanLimit = 10L)
     val cg = new ConsumerGroup(spark, cfg)
-    cg.drain(Seq("events")) { (df, id) =>
+    val p1 = cg.drain(Seq("events")) { (df, id) =>
       batches.add(id)
       df.select("sequence_number").collect()
         .foreach(r => seen.add(r.getString(0).toLong))
@@ -65,12 +65,19 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     // the backlog drained in scanLimit-capped batches, then stopped
     assert(seen.asScala.toSeq.sorted == (0L to 24L))
     assert(batches.asScala.toSet.size >= 3, s"capped drain: $batches")
+    // the progress surface agrees with what the callback saw, across
+    // the capped multi-batch drain
+    assert(p1.records == Map("events" -> 25L), s"progress: $p1")
+    assert(p1.shards == Map("events" -> 1L), s"progress: $p1")
+    assert(p1.batches >= 3L, s"progress: $p1")
     // a second drain with nothing new is a no-op (exactly-once)
-    cg.drain(Seq("events")) { (df, _) =>
+    val p2 = cg.drain(Seq("events")) { (df, _) =>
       df.select("sequence_number").collect()
         .foreach(r => seen.add(r.getString(0).toLong))
     }
     assert(seen.asScala.toSeq.sorted == (0L to 24L), "no replay")
+    assert(p2.totalRecords == 0L && p2.records == Map("events" -> 0L),
+      s"a caught-up drain reports zero drained records: $p2")
     // the tailing start picks up exactly the post-drain appends
     ShardedStreamLog.append(root, "events", "shard-0", (25L to 29L).map(rec))
     cg.start(Seq("events")) { (df, _) =>
@@ -89,19 +96,23 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     val seen = new ConcurrentLinkedQueue[(String, Long)]()
     val cg = new ConsumerGroup(spark, ConsumerConfig(app = "bf2",
       logRoot = root, checkpointRoot = ck, scanLimit = 5L))
-    cg.drain(Seq("s1", "s2")) { (df, _) =>
+    val p1 = cg.drain(Seq("s1", "s2")) { (df, _) =>
       df.select("stream", "sequence_number").collect()
         .foreach(r => seen.add((r.getString(0), r.getString(1).toLong)))
     }
     assert(seen.asScala.toSeq.sorted ==
       ((0L to 11L).map(("s1", _)) ++ (100L to 103L).map(("s2", _))).sorted,
       "both streams drain to their own query-start heads")
+    assert(p1.records == Map("s1" -> 12L, "s2" -> 4L), s"progress: $p1")
+    assert(p1.shards == Map("s1" -> 1L, "s2" -> 1L), s"progress: $p1")
     // a tail appended AFTER the drain belongs to the next run only
     ShardedStreamLog.append(root, "s2", "shard-0", (104L to 105L).map(rec))
-    cg.drain(Seq("s1", "s2")) { (df, _) =>
+    val p2 = cg.drain(Seq("s1", "s2")) { (df, _) =>
       df.select("stream", "sequence_number").collect()
         .foreach(r => seen.add((r.getString(0), r.getString(1).toLong)))
     }
+    assert(p2.records == Map("s1" -> 0L, "s2" -> 2L),
+      s"per-stream progress distinguishes caught-up from drained: $p2")
     assert(seen.asScala.count(_._1 == "s1") == 12, "s1 must not replay")
     assert(seen.asScala.toSeq.filter(_._1 == "s2").map(_._2).sorted ==
       (100L to 105L), "s2 drains exactly the new tail")

