@@ -2769,4 +2769,83 @@ object StreamOps {
         when(col("chi2") > 12.592, 1L).otherwise(0L).as("drift_flag"))
       .orderBy("day", "event_type")
   }
+
+  /** Stage 1 of q350's live twin — finalized per-minute event-type
+    * cells: (minute, type) counts emitted once the watermark closes the
+    * minute (plain windowed count, Append mode — the [[dailyValueCells]]
+    * posture: no keyed user state; the distribution IS the aggregate).
+    * The cell topic is minutes × types — calendar-bounded, the unit
+    * batch q350's Fano reads.
+    */
+  def minuteCells(events: DataFrame, timeCol: String, typeCol: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), "1 minute").as("w"),
+        col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w").getField("start").as("mi"), col("event_type"), col("c"))
+
+  /** Stage 2 of q350's live twin: the running burstiness pager over the
+    * stage-1 minute-cell topic — per finalized day × event_type, batch
+    * q350's Fano index (variance-to-mean of per-minute counts over the
+    * DENSE minute grid) of the CUMULATIVE prefix: a day-D row equals
+    * batch q350 over events with minute-day ≤ D (the spec pins it, the
+    * [[valueDriftMonitorOf]] replay posture). q92's live windows flag
+    * WHICH windows burst as they close; this is the one-number
+    * dispersion monitor that says whether a type has gone bursty AT ALL
+    * — the drift/burst/heterogeneity live-monitor family's last member.
+    *
+    * Scale shape: the cell topic is calendar-bounded; the daily moment
+    * relation (days × types) carries everything. The one
+    * unpartitioned window — the running global minute span — runs over
+    * the |days|-sized relation (bounded at ~365 rows/year at ANY corpus
+    * scale; same posture as batch q350's single span row), and the m·Σc²
+    * moment identity means empty minutes are never materialized.
+    */
+  def burstinessMonitorOf(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.Checkpoints.checkpoint(
+      cells.groupBy(col("mi"), col("event_type"))
+        .agg(sum(col("c")).as("c"))
+        .withColumn("day", date_trunc("day", col("mi"))))
+    // per-(day, type) finalized moments; zeros (absent types) join via
+    // the day × type grid so every finalized day reports every type
+    // seen so far (batch parity: a type present in the prefix reports)
+    val dm = daily.groupBy(col("day"), col("event_type"))
+      .agg(sum(col("c")).as("dsc"), sum(col("c") * col("c")).as("dscc"),
+        count(lit(1)).as("dact"))
+    val grid = daily.select(col("day")).distinct()
+      .crossJoin(daily.select(col("event_type")).distinct())
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(dm, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("dsc", "dscc", "dact"))
+      .withColumn("sc", sum(col("dsc")).over(wCum))
+      .withColumn("scc", sum(col("dscc")).over(wCum))
+      .withColumn("active_minutes", sum(col("dact")).over(wCum))
+      .filter(col("sc") > 0L)
+    // running global minute span per finalized day — |days|-sized
+    val spanDaily = daily.groupBy(col("day"))
+      .agg(min(col("mi")).as("dmin"), max(col("mi")).as("dmax"))
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val span = spanDaily
+      .withColumn("m",
+        ((unix_timestamp(max(col("dmax")).over(wDays)) -
+          unix_timestamp(min(col("dmin")).over(wDays))) / lit(60L))
+          .cast("long").+(lit(1L)))
+      .select(col("day"), col("m"))
+    val fano = (col("m").cast("double") * col("scc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double")) /
+      (col("m").cast("double") * col("sc").cast("double"))
+    cum.join(broadcast(span), "day")
+      .select(col("day"), col("event_type"), col("m").as("m_minutes"),
+        col("active_minutes"), col("sc").as("n_events"),
+        (col("sc").cast("double") / col("m").cast("double")).as("mean"),
+        fano.as("fano"),
+        when(fano > 1.5, 1L).otherwise(0L).as("bursty_flag"))
+      .orderBy("day", "event_type")
+  }
 }

@@ -2082,4 +2082,68 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestSession {
     val firstDay = mon.filter(_._1 == days.head)
     assert(firstDay.forall(_._6 == 0.0), "pre-boundary prefixes read χ² = 0")
   }
+
+  test("burstinessMonitorOf replays batch q350's Fano on every finalized prefix") {
+    import spark.implicits._
+    def at(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, day, 9, minute))
+    // "tick" is uniform (one event per minute — Fano stays near/below 1
+    // on the dense grid); "burst" clumps its mass into a single minute
+    // per active day (Fano ≫ 1). Day 11 has no burst events at all —
+    // the grid must still report burst's unchanged cumulative row.
+    val fixture: Seq[(Timestamp, String)] =
+      (0 until 10).map(i => (at(10, i), "tick")) ++
+        Seq.fill(12)((at(10, 5), "burst")) ++
+        (0 until 10).map(i => (at(11, i), "tick")) ++
+        (0 until 5).map(i => (at(12, i), "tick")) ++
+        Seq.fill(15)((at(12, 2), "burst"))
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val cells = StreamOps.minuteCells(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      watermarkDelay = "1 hour")
+    spark.sql("DROP TABLE IF EXISTS fano_sink")
+    val q = cells.writeStream.format("memory").queryName("fano_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // arrival-shuffled replay: finalized cells must not depend on order
+      input.addData(new scala.util.Random(29).shuffle(fixture): _*)
+      q.processAllAvailable()
+      input.addData((at(31, 0), "tick")) // watermark pusher
+      q.processAllAvailable()
+    } finally q.stop()
+    val mon = StreamOps.burstinessMonitorOf(spark.table("fano_sink"))
+      .as[(Timestamp, String, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    // inline batch q350 replay over the prefix of whole days ≤ dayIncl —
+    // the IDENTICAL moment/span/Fano chain, so doubles are bit-equal
+    def batchAt(dayIncl: Timestamp): Map[String, (Long, Long, Long, Double, Double, Long)] = {
+      val pre = fixture.filter(!_._1.toLocalDateTime.toLocalDate
+        .isAfter(dayIncl.toLocalDateTime.toLocalDate))
+      val cellsB = pre.groupBy(identity).map { case ((ts, t), xs) =>
+        (ts, t, xs.size.toLong) }.toSeq
+      val mins = cellsB.map(_._1.getTime)
+      val m = (mins.max - mins.min) / 60000L + 1L
+      cellsB.groupBy(_._2).map { case (t, cs) =>
+        val sc = cs.map(_._3).sum
+        val scc = cs.map(c => c._3 * c._3).sum
+        val fano = (m.toDouble * scc.toDouble - sc.toDouble * sc.toDouble) /
+          (m.toDouble * sc.toDouble)
+        t -> (m, cs.size.toLong, sc, sc.toDouble / m.toDouble, fano,
+          if (fano > 1.5) 1L else 0L)
+      }
+    }
+    val days = mon.map(_._1).distinct.sorted(Ordering.by((t: Timestamp) => t.getTime))
+    assert(days.size == 3, s"three finalized event days: $days")
+    days.foreach { day =>
+      val got = mon.filter(_._1 == day)
+        .map(r => r._2 -> (r._3, r._4, r._5, r._6, r._7, r._8)).toMap
+      val exp = batchAt(day)
+      assert(got == exp, s"day $day:\n got  $got\n want $exp")
+    }
+    // the pager's verdict: burst trips, tick never does
+    val lastBurst = mon.filter(r => r._1 == days.last && r._2 == "burst").head
+    assert(lastBurst._8 == 1L, s"burst must page on the final prefix: $lastBurst")
+    assert(mon.filter(_._2 == "tick").forall(_._8 == 0L),
+      "uniform traffic must never page")
+  }
 }
