@@ -508,13 +508,32 @@ object Extended {
     // it. The tie-broken ORDER BY makes tile membership deterministic;
     // aggregates are exact cents.
     QueryDef.sql("q198_ntile_deciles") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("cents"), col("o_orderkey"))
-      Tables(s, d, "orders")
-        .select(col("o_orderpriority"), col("o_orderkey"),
-          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
-        .withColumn("tile", ntile(10).over(w).cast("long"))
+      // two-pass grouped rank (Scale.groupedRank — 5 priorities would
+      // cap a plain keyed NTILE window at 5 tasks over the full orders
+      // table), with NTILE(k) recomposed from (rank, group count) by the
+      // standard's fill rule — the first (n mod k) tiles take
+      // ⌈n/k⌉ rows, the rest ⌊n/k⌋: with q = n div k and rem = n mod k,
+      //   tile(r) = ⌈r/(q+1)⌉                    for r ≤ (q+1)·rem
+      //           = rem + ⌈(r − (q+1)·rem)/q⌉    otherwise
+      // (all integer `div` arithmetic — no FP anywhere near a tile
+      // boundary; n < k degenerates to tile = r, one row per tile,
+      // exactly NTILE's rule). The oracle keeps DuckDB's built-in NTILE,
+      // so the hash-match proves the recomposition IS the standard.
+      val ranked = graft.ops.Scale.groupedRank(
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents")),
+        Seq("o_orderpriority"), "r", Some("n"),
+        col("cents"), col("o_orderkey"))
+      ranked
+        .withColumn("tile",
+          when(expr("n div 10") === 0L, col("r"))
+            .otherwise(when(
+              col("r") <= (expr("n div 10") + lit(1L)) * expr("n % 10"),
+              expr("(r - 1) div ((n div 10) + 1)") + lit(1L))
+              .otherwise(expr("n % 10") +
+                expr("(r - 1 - ((n div 10) + 1) * (n % 10)) div (n div 10)") +
+                lit(1L))).cast("long"))
         .groupBy(col("o_orderpriority"), col("tile"))
         .agg(count(lit(1)).as("n_orders"),
           (min(col("cents")).cast("double") / 100.0).as("lo_value"),

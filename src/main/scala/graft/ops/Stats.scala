@@ -1276,13 +1276,14 @@ object Stats {
     // (~3e10 per priority) and 1e7 max cents that is ~9e27 — ten orders
     // of magnitude under 10³⁸; no shift path needed.
     QueryDef.sql("q180_gini_concentration") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val wide = org.apache.spark.sql.types.DecimalType(38, 0)
-      val w = Window.partitionBy(col("prio")).orderBy(col("xc"), col("o_orderkey"))
-      Tables(s, d, "orders")
-        .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
-          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("xc"))
-        .withColumn("r", row_number().over(w).cast("long"))
+      // two-pass grouped rank (Scale.groupedRank): 5 priorities would
+      // cap a plain keyed window at 5 tasks over the full orders table
+      graft.ops.Scale.groupedRank(
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+            expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("xc")),
+        Seq("prio"), "r", None, col("xc"), col("o_orderkey"))
         .groupBy(col("prio"))
         .agg(
           count(lit(1)).as("n_orders"),

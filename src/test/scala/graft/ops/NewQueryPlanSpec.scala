@@ -418,8 +418,7 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("q178/q180 windows key on their group columns, never SinglePartition") {
-    for ((q, key) <- Seq("q178_max_drawdown" -> "user_id",
-        "q180_gini_concentration" -> "prio")) {
+    for ((q, key) <- Seq("q178_max_drawdown" -> "user_id")) {
       val p = plan(q)
       val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
       assert(windows.nonEmpty, s"$q expected a window:\n$p")
@@ -428,6 +427,13 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
       assert(!p.contains("Exchange SinglePartition"),
         s"$q must never collapse to one task:\n$p")
     }
+    // q180 graduated to the two-pass grouped rank (5 priorities would
+    // cap the keyed window at 5 tasks over the full orders table)
+    assertTwoPassRank("q180_gini_concentration")
+  }
+
+  test("q198's NTILE rides the two-pass grouped rank") {
+    assertTwoPassRank("q198_ntile_deciles")
   }
 
   test("q181 expands outer products map-side: one scan, zero joins") {
