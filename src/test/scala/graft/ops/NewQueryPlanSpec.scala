@@ -969,6 +969,19 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assertTwoPassRank("q349_join_skew_profile")
   }
 
+  test("q351's auto-salted join broadcasts its dimension, never a cartesian") {
+    // whichever branch the profile picks (the fixture decides), the
+    // customer side must broadcast — salting replicates it ×salt, still
+    // dimension-sized — and nothing may degrade to a cartesian; the
+    // decision-branch behavior itself is pinned in ScaleSpec
+    val df = graft.SparkEntry.queries("q351_auto_salted_join")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"q351's dimension join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q351 planned a shuffle join or cartesian:\n$p")
+  }
+
   test("q350 freezes the cell relation: one events scan, no windows") {
     val df = graft.SparkEntry.queries("q350_fano_burstiness")(spark, d)
     val p = df.queryExecution.executedPlan.toString

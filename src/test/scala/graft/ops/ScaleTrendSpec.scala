@@ -273,6 +273,22 @@ class ScaleTrendSpec extends AnyFunSuite with SparkTestSession {
     assertTrend("q277_pq_adc_topk", "embeddings")
   }
 
+  test("q349 join-skew profiler scales sub-quadratically in lineitem") {
+    // the two-pass grouped rank is two balanced shuffles + a broadcast
+    // join-back over the distinct-key relation; a regression back to a
+    // per-key-name window (2 tasks sort everything) or a non-broadcast
+    // offsets join shows up here as super-linear wall-clock growth
+    assertTrend("q349_join_skew_profile", "lineitem")
+  }
+
+  test("q351 auto-salted join scales sub-quadratically in events") {
+    // the fan-out profile is a shrinking keyed count + a two-pass rank
+    // over DISTINCT keys; the join is one shuffle (salted or not). A
+    // profile that loses the distinct shrink (ranking the raw fact) or
+    // a salt explosion beyond the cap trips this
+    assertTrend("q351_auto_salted_join", "events")
+  }
+
   test("q162 recursive reachability scales sub-quadratically in lineitem") {
     // one keyed frontier join per BFS level; losing the depth predicate
     // or re-scanning the whole accumulated walk set per level (instead
