@@ -354,6 +354,67 @@ object Scale {
       .orderBy("p")
   }
 
+  /** EXACT per-GROUP quantiles at any scale — [[exactQuantiles]]' grouped
+    * sibling, closing the caveat q57 documents: Spark's exact
+    * `percentile` buffers and sorts EVERY value of a group inside ONE
+    * aggregation buffer, which cannot hold a corpus-scale group (and a
+    * keyed rank window would sort each group in one task). Here the R-7
+    * order statistics per group come from [[groupedRank]]'s two-pass
+    * frozen range shuffle: rank every row within its group (cluster-wide
+    * parallelism even for a dominant group), build the tiny group ×
+    * fraction endpoint relation (|groups|·|fractions| rows — the
+    * [[groupedRank]] modest-group-cardinality contract), broadcast-join
+    * it back as a FILTER (≤ 2 rows survive per endpoint — never a row
+    * multiplier), and fold x_lo + (x_hi − x_lo)·frac.
+    *
+    * Semantics match `percentile(v, p)` per group (R-7, null values
+    * excluded): a group whose values are ALL null yields one row per
+    * fraction with a NULL quantile — the group-universe left join keeps
+    * it, exactly like the global operator's empty-input contract.
+    * Exactness argument is q57/q102's: h = (n−1)p + 1 and the
+    * interpolation are exact IEEE for practical fractions on
+    * integer-valued data. Output: groupCols ++ (p, quantile), ordered.
+    * Storage: call `graft.Checkpoints.release(result)` after consuming.
+    */
+  def groupedQuantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p >= 0 && p <= 1),
+      s"fractions must be within [0, 1] (got $fractions)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val base = df.select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
+    val ranked = groupedRank(
+      base.filter(col("__v").isNotNull),
+      groupCols, "__rnk", Some("__n"), col("__v").asc)
+    // group universe INCLUDING all-null groups, with n = 0 for them
+    val groupsDf = base.groupBy(gcols: _*)
+      .agg(count(col("__v")).as("__n0"))
+    val fr = groupsDf
+      .crossJoin(broadcast(fractions.toDF("p")))
+      .withColumn("__h", (col("__n0") - 1) * col("p") + 1)
+      .withColumn("__lo", floor(col("__h")).cast("long"))
+      .withColumn("__hi", ceil(col("__h")).cast("long"))
+      .withColumn("__w", col("__h") - col("__lo"))
+      .drop("__n0")
+    val picked = ranked
+      .join(broadcast(fr.withColumnsRenamed(
+        groupCols.map(g => g -> s"__g_$g").toMap)),
+        groupCols.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
+          (col("__rnk") === col("__lo") || col("__rnk") === col("__hi")))
+      .groupBy(gcols :+ col("p") :+ col("__w"): _*)
+      .agg(
+        min(when(col("__rnk") === col("__lo"), col("__v"))).as("__vlo"),
+        min(when(col("__rnk") === col("__hi"), col("__v"))).as("__vhi"))
+    fr.select(gcols :+ col("p") :+ col("__w"): _*)
+      .join(picked, groupCols :+ "p" :+ "__w", "left_outer")
+      .withColumn("quantile",
+        col("__vlo") + (col("__vhi") - col("__vlo")) * col("__w"))
+      .select(gcols :+ col("p") :+ col("quantile"): _*)
+      .orderBy(gcols :+ col("p"): _*)
+  }
+
   /** Key-skew profiler — the diagnostic that picks between a plain join,
     * AQE's skew splitting, and [[saltedJoin]]: exact per-key counts, the
     * global key statistics, and the top-k heavy hitters, each with its

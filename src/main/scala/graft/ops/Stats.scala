@@ -147,8 +147,10 @@ object Stats {
     // in binary, so the doubles are bit-equal. Exact percentile sorts
     // per group — the distributed shape holds because group count is
     // small and per-group data shuffles to its own aggregation buffer;
-    // for corpus-scale distributions use approx_percentile (q67) or the
-    // exact two-pass Scale.exactQuantiles (q102).
+    // for corpus-scale distributions use approx_percentile (q67), the
+    // exact two-pass Scale.exactQuantiles (q102), or — when the groups
+    // themselves are corpus-sized — Scale.groupedQuantiles (round 14),
+    // which ranks each group cluster-wide and never buffers one.
     QueryDef.sql("q57_quantity_percentiles") { (s, d) =>
       Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -465,6 +465,49 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.forall(_.isNullAt(1)), "all-null input must yield NULL quantiles")
   }
 
+  test("groupedQuantiles equals per-group percentile, without its single buffer") {
+    import spark.implicits._
+    val fractions = Seq(0.25, 0.5, 0.75)
+    // integer-valued doubles (cents): the documented exactness contract —
+    // percentile's two-sided weighting and the operator's R-7 fold agree
+    // bit-for-bit exactly there (q57/q102's argument); off-grid inputs
+    // differ in ULPs between ANY two interpolation orderings
+    val ord = graft.Tables(spark, d, "orders")
+      .select($"o_orderpriority".as("g"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").cast("double").as("v"))
+    val expected = ord.groupBy($"g")
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.75))").as("qs"))
+      .select($"g", posexplode($"qs"))
+      .select($"g", element_at(lit(fractions.toArray), $"pos" + 1).as("p"),
+        $"col".as("quantile"))
+      .as[(String, Double, Double)].collect().toSet
+    val got = Scale.groupedQuantiles(ord.toDF(), Seq("g"), "v", fractions)
+    val gotSet = got.as[(String, Double, Double)].collect().toSet
+    assert(gotSet == expected)
+    // the data-sized rank window must ride the two-pass __pid key
+    val plan = got.queryExecution.executedPlan.toString
+    val rankWindows = plan.linesIterator
+      .filter(l => l.contains("row_number") && l.contains("windowspecdefinition"))
+      .toList
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__pid")),
+      s"groupedQuantiles' rank must partition by the two-pass key:\n$rankWindows")
+    assert(!plan.contains("Exchange SinglePartition") || plan.contains("noop"),
+      s"no single-task stage:\n$plan")
+    graft.Checkpoints.release(got)
+  }
+
+  test("groupedQuantiles matches percentile's per-group NULL semantics") {
+    import spark.implicits._
+    // group "b" has ONLY null values; percentile reports NULL for it,
+    // and so must the grouped operator — one row per fraction, null
+    // quantile, the group never silently vanishing
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", None), ("b", None)).toDF("g", "v")
+    val got = Scale.groupedQuantiles(df, Seq("g"), "v", Seq(0.5))
+      .as[(String, Double, Option[Double])].collect().toSet
+    assert(got == Set(("a", 0.5, Some(2.0)), ("b", 0.5, None)))
+  }
+
   test("q147: z-order files bound BOTH dimension spans; linear bounds only one") {
     import spark.implicits._
     val rows = graft.SparkEntry.queries("q147_zorder_layout_audit")(spark, d)
