@@ -30,9 +30,21 @@ def main() -> int:
     hi = json.load(open(hi_path))
     cal_lo = lo.get("probe_cal", -1.0)
     cal_hi = hi.get("probe_cal", -1.0)
-    drift = cal_lo / cal_hi if cal_lo > 0 and cal_hi > 0 else 1.0
+    # probe_cal semantics changed in round 14 (full-series min, tagged
+    # probe_cal_kind="series_min") from the untagged 3-sample cold-start
+    # min. Mixing kinds would fabricate a JIT-warmup-sized drift on a
+    # same-speed pair, so the correction only applies when both artifacts
+    # carry the SAME kind; otherwise warn and report raw == corrected.
+    kind_lo = lo.get("probe_cal_kind", "startup3")
+    kind_hi = hi.get("probe_cal_kind", "startup3")
+    comparable = cal_lo > 0 and cal_hi > 0 and kind_lo == kind_hi
+    drift = cal_lo / cal_hi if comparable else 1.0
     same_boot = lo.get("boot_id", "?") == hi.get("boot_id", "??")
     corr_shift = math.log(drift) / math.log(ratio)
+    if not comparable:
+        print(f"WARNING: probe_cal kinds differ or are missing "
+              f"(lo {kind_lo}, hi {kind_hi}) — drift correction skipped, "
+              f"corrected column equals raw")
     rows = []
     for q in sorted(set(lo["queries"]) & set(hi["queries"])):
         t_lo, t_hi = lo["queries"][q], hi["queries"][q]
@@ -43,8 +55,9 @@ def main() -> int:
     rows.sort(key=lambda r: -(r[3] if r[3] is not None else 99))
     flagged = 0
     print(f"probe_cal: lo {cal_lo:.3f}s, hi {cal_hi:.3f}s "
-          f"({'same' if same_boot else 'CROSS'} boot; hi-run speed factor "
-          f"{1 / drift:.2f}x of lo; corrected = raw {corr_shift:+.2f})")
+          f"({'same' if same_boot else 'CROSS'} boot; hi probe TIME "
+          f"{1 / drift:.2f}x of lo — above 1 means the hi run saw a slower "
+          f"host; corrected = raw {corr_shift:+.2f})")
     print()
     print(f"| query | t@lo (s) | t@hi (s) | exponent | corrected |")
     print(f"|---|---|---|---|---|")

@@ -196,8 +196,11 @@ object Bench {
     // the long per-query line is "total_detail", NOT "total": a consumer
     // matching "metric":"total" in the log tail must find exactly ONE
     // line — the short, never-truncated summary below
+    // probe_cal_kind versions the calibration semantics (round 14 moved
+    // from an untagged 3-sample cold-start min to the full-series min);
+    // scaling_report refuses to cross-correct artifacts of different kinds
     val line =
-      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"pair_boot":"$pairBoot","queries":$qs,"errors":$es,"probe_series":$ps,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","pair_boot":"$pairBoot","queries":$qs,"errors":$es,"probe_series":$ps,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
     println(line)
     // Short summary line AFTER the big one: the driver keeps only a log
     // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
@@ -205,7 +208,7 @@ object Bench {
     // parsed:null). This line is <300 bytes and always survives the tail,
     // and is the ONLY line carrying "metric":"total".
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"boot_id":"$bootId","probe_cal":${f3(probeCal)},"pair_boot":"$pairBoot","probe_series":$ps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"boot_id":"$bootId","probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","pair_boot":"$pairBoot","probe_series":$ps,"sf":"$sfDir"}""")
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
     // 11 per-query entries) — the file survives regardless of log size.

@@ -354,16 +354,25 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         batches.incrementAndGet()
-        // count BEFORE the callback: a callback that throws still leaves
-        // the progress of every completed count visible to the caller
-        df.groupBy(org.apache.spark.sql.functions.col("stream"),
-            org.apache.spark.sql.functions.col("shard_id"))
-          .count().collect().foreach { r =>
-            val (st, sh, n) = (r.getString(0), r.getString(1), r.getLong(2))
-            recordCounts.merge(st, n, (a, b) => a + b)
-            shardSets.merge(st, Set(sh), (a, b) => a ++ b)
-          }
-        onBatch(df, batchId)
+        // persist the batch frame: the count action and the caller's own
+        // actions otherwise EACH re-read the batch's log segments from
+        // the source (every foreachBatch action re-executes the batch
+        // plan) — on a multi-TB backfill that doubles the read I/O.
+        // Progress is a SUCCESS-path return value: if the callback
+        // throws, the query fails and drain() propagates the exception
+        // (the partial tallies are not surfaced — resumption accounting
+        // belongs to the checkpoint, which is exact regardless).
+        df.persist()
+        try {
+          df.groupBy(org.apache.spark.sql.functions.col("stream"),
+              org.apache.spark.sql.functions.col("shard_id"))
+            .count().collect().foreach { r =>
+              val (st, sh, n) = (r.getString(0), r.getString(1), r.getLong(2))
+              recordCounts.merge(st, n, (a, b) => a + b)
+              shardSets.merge(st, Set(sh), (a, b) => a ++ b)
+            }
+          onBatch(df, batchId)
+        } finally df.unpersist()
       }
       .start()
     owned.add(q.runId)

@@ -4918,12 +4918,13 @@ object Events {
       // y ≤ cap; rows above have y ≥ cap — tie-invariant, since sums
       // over rank ranges of ordered values don't depend on tie order).
       // Everything lands in ONE keyed agg; k is recomputed from the
-      // per-arm count in the final select.
-      val k = ceil(col("n").cast("double") * lit(0.9)).cast("long")
+      // per-arm count in the final select through the SAME kOf — one
+      // definition of the winsorization threshold, used everywhere.
       val ranked = graft.ops.Scale.groupedRank(
         keyed, Seq("nationkey", "in_a"), "rn", Some("n"), col("y"))
       def kOf(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         ceil(n.cast("double") * lit(0.9)).cast("long")
+      val k = kOf(col("n"))
       def sywOf(sylow: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
           cap: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         sylow + (n - kOf(n)) * cap

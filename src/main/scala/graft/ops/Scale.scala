@@ -35,21 +35,30 @@ object Scale {
   /** The q349 census' salt heuristic for ONE join key, as a driver-side
     * decision value: ceil(max_fanout / p99_fanout) over the key-count
     * relation, 1 when the top key is within ordinary-key range (no
-    * salting needed). p99 is the EXACT order statistic at rank
-    * ⌈0.99·n⌉ (q349's convention), computed by the two-pass
-    * [[globalRowNumber]] range-shuffle rank — the profiler input is the
-    * skewed table itself, so its own plan must not hinge on a
-    * single-task sort. Cost: one shrinking keyed count + the two-pass
-    * rank over the DISTINCT-key relation; the frozen snapshot is
-    * released before returning.
+    * salting needed). The reference rank is ⌈0.99·n⌉ CLIPPED to n−1:
+    * for n < 100 distinct keys the unclipped q349 convention gives
+    * rank n — the maximum itself — so max/p99 would read 1 on exactly
+    * the classic low-cardinality hot-key shape (50 keys, one holding
+    * 99% of rows) that salting exists to fix; the clip makes the
+    * reference the largest NON-max key there while changing nothing
+    * for n ≥ 101 (q349 the census still REPORTS the unclipped
+    * statistic — this is the decision rule, not the report). A
+    * single-key relation (n = 1) has no ordinary-key reference and
+    * returns 1 — callers joining on a known-constant key should pass
+    * an explicit factor to [[saltedJoin]]. The rank is the EXACT order
+    * statistic via the two-pass [[globalRowNumber]] range-shuffle
+    * rank — the profiler input is the skewed table itself, so its own
+    * plan must not hinge on a single-task sort. Cost: one shrinking
+    * keyed count + the two-pass rank over the DISTINCT-key relation;
+    * the frozen snapshot is released before returning.
     */
   def suggestedSalt(df: DataFrame, key: String): Int = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
     val n = counts.count()
-    if (n == 0) 1
+    if (n <= 1) 1
     else {
       val ranked = globalRowNumber(counts, "rn", col("c").asc, col(key).asc)
-      val k = math.ceil(0.99 * n).toLong
+      val k = math.min(math.ceil(0.99 * n).toLong, n - 1)
       val row = ranked.agg(
         max(col("c")).as("mx"),
         max(when(col("rn") === k, col("c"))).as("p99")).head

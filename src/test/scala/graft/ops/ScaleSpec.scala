@@ -43,6 +43,17 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
       .select(when($"id" < 900, 0L).otherwise($"id" - 899).as("k"),
         $"id".as("tag")).toDF()
     assert(Scale.suggestedSalt(skewed, "k") === 900)
+    // the sub-100-key shape (review finding): with 50 distinct keys the
+    // unclipped ⌈0.99·n⌉ rank IS the max itself and skew became
+    // undetectable; the n−1 clip makes the reference the largest
+    // ordinary key, so the classic low-cardinality hot key still salts
+    val lowCard = spark.range(0, 1000)
+      .select(when($"id" < 951, 0L).otherwise($"id" - 950).as("k"),
+        $"id".as("tag")).toDF()
+    assert(Scale.suggestedSalt(lowCard, "k") === 951)
+    // no ordinary-key reference at n = 1: the ratio heuristic abstains
+    val single = spark.range(0, 100).select(lit(7L).as("k"), $"id".as("tag")).toDF()
+    assert(Scale.suggestedSalt(single, "k") === 1)
     val auto = Scale.autoSaltedJoin(skewed, dim, "k", "dk", col("tag"), saltCap = 8)
     assert(auto.queryExecution.executedPlan.toString.contains("__salt"),
       "the skewed profile must take the salted branch")
