@@ -527,13 +527,7 @@ object Extended {
         col("cents"), col("o_orderkey"))
       ranked
         .withColumn("tile",
-          when(expr("n div 10") === 0L, col("r"))
-            .otherwise(when(
-              col("r") <= (expr("n div 10") + lit(1L)) * expr("n % 10"),
-              expr("(r - 1) div ((n div 10) + 1)") + lit(1L))
-              .otherwise(expr("n % 10") +
-                expr("(r - 1 - ((n div 10) + 1) * (n % 10)) div (n div 10)") +
-                lit(1L))).cast("long"))
+          graft.ops.Scale.ntileFromRank(10, col("r"), col("n")))
         .groupBy(col("o_orderpriority"), col("tile"))
         .agg(count(lit(1)).as("n_orders"),
           (min(col("cents")).cast("double") / 100.0).as("lo_value"),

@@ -363,6 +363,35 @@ object Scale {
       .orderBy("p")
   }
 
+  /** NTILE(k) recomposed from a row number and its group count — the
+    * standard's fill rule (the first n mod k tiles take ⌈n/k⌉ rows, the
+    * rest ⌊n/k⌋) in pure integer `div` arithmetic, no FP anywhere near
+    * a tile boundary: with q = n div k and rem = n mod k,
+    *   tile(r) = ⌈r/(q+1)⌉                    for r ≤ (q+1)·rem
+    *           = rem + ⌈(r − (q+1)·rem)/q⌉    otherwise,
+    * and n < k degenerates to tile = r (one row per tile — NTILE's
+    * rule). This is what lets an NTILE ride [[groupedRank]] instead of
+    * a one-task-per-group window (q198); equality with Spark's own
+    * `ntile` across every (n, k) shape is spec-pinned, and q198's
+    * DuckDB hash-match pins it cross-engine. `r` must be a valid
+    * 1-based row_number over the tile order; `n` the group's row count.
+    */
+  def ntileFromRank(k: Int, r: Column, n: Column): Column = {
+    require(k > 0)
+    // `div` = Spark's IntegralDivide — exact int64 division; a double
+    // `/` + floor would go wrong past 2^53, i.e. exactly at the group
+    // sizes this operator exists for
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val q = idiv(n, lit(k.toLong))
+    val rem = n % lit(k.toLong)
+    when(q === 0L, r)
+      .otherwise(when(r <= (q + lit(1L)) * rem,
+        idiv(r - lit(1L), q + lit(1L)) + lit(1L))
+        .otherwise(rem + idiv(r - lit(1L) - (q + lit(1L)) * rem, q) +
+          lit(1L)))
+      .cast("long")
+  }
+
   /** EXACT per-GROUP quantiles at any scale — [[exactQuantiles]]' grouped
     * sibling, closing the caveat q57 documents: Spark's exact
     * `percentile` buffers and sorts EVERY value of a group inside ONE

@@ -75,6 +75,36 @@ class GroupedRankPropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("groupedQuantiles equals a brute-force R-7 per group (10 seeded corpora)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fractions = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    for (seed <- 21L to 30L) {
+      val rows = sample(corpusGen, seed)
+      val truth = sortedByGroup(rows)
+      // brute-force R-7 on integer values: h = (n−1)p + 1, x_lo + (x_hi −
+      // x_lo)·(h − ⌊h⌋) — the operator's documented fold, recomputed in
+      // plain Scala over the sorted multiset
+      def r7(vs: Vector[Long], p: Double): Double = {
+        val h = (vs.size - 1) * p + 1
+        val lo = math.floor(h).toInt
+        val hi = math.ceil(h).toInt
+        vs(lo - 1) + (vs(hi - 1) - vs(lo - 1)) * (h - lo)
+      }
+      val df = rows.toDF("g", "v", "id").repartition(1 + (seed % 3).toInt)
+      val got = Scale.groupedQuantiles(df, Seq("g"), "v", fractions)
+      val gotRows = got.as[(Long, Double, Double)].collect()
+      assert(gotRows.length == truth.size * fractions.size,
+        s"seed $seed: one row per (group, fraction)")
+      gotRows.foreach { case (g, p, quant) =>
+        val want = r7(truth(g), p)
+        assert(quant == want,
+          s"seed $seed group $g p=$p: got $quant, brute force says $want")
+      }
+      graft.Checkpoints.release(got)
+    }
+  }
+
   test("groupedRank under a total order equals the keyed window row-for-row (10 seeded corpora)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

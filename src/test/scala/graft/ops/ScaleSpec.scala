@@ -507,6 +507,29 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     graft.Checkpoints.release(got)
   }
 
+  test("ntileFromRank equals Spark's ntile for every (n, k) shape, including n < k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // exhaustive over the boundary shapes: n from 1 (degenerate: one row
+    // per tile) through n < k, n = k, n barely over k, to n ≫ k with and
+    // without a remainder — the fixture-backed q198 never exercises
+    // n < k, so this spec owns that branch
+    for (k <- Seq(3, 10); n <- Seq(1, 2, 7, 9, 10, 11, 25, 100, 101)) {
+      val df = spark.range(1, n + 1).select($"id".as("r"))
+        .withColumn("n", lit(n.toLong))
+        .withColumn("g", lit(1))
+      val w = Window.partitionBy($"g").orderBy($"r")
+      val got = df
+        .withColumn("tile", Scale.ntileFromRank(k, $"r", $"n"))
+        .withColumn("want", ntile(k).over(w).cast("long"))
+        .select($"r", $"tile", $"want")
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (r, tile, want) =>
+        assert(tile == want, s"n=$n k=$k rank $r: got tile $tile, ntile says $want")
+      }
+    }
+  }
+
   test("groupedQuantiles matches percentile's per-group NULL semantics") {
     import spark.implicits._
     // group "b" has ONLY null values; percentile reports NULL for it,
