@@ -1258,6 +1258,10 @@ object Relational {
     // factor, and the integer salt a ceil(max/p99) heuristic suggests
     // (1 = no salting needed). q201 estimates a JOIN SIZE from moments;
     // this profiles the SHAPE that decides the physical strategy.
+    // NOTE: the census REPORTS the unclipped ⌈0.99·n⌉ statistic
+    // (oracle-pinned); the DECISION rule Scale.suggestedSalt applies
+    // additionally clips that rank to n−1 so sub-100-key universes
+    // still expose their hot key (see its scaladoc).
     //
     // Shape at 100 TB: ONE lineitem scan exploding each row into its
     // two (key-name, key) pairs → keyed counts (map-side combine; the
