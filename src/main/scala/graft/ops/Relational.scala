@@ -1274,38 +1274,8 @@ object Relational {
     // shuffle spreads each key name across the cluster and ranks
     // compose via broadcast offsets.
     QueryDef.sql("q349_join_skew_profile") { (s, d) =>
-      val keyed = Tables(s, d, "lineitem")
-        .select(explode(array(
-          struct(lit("l_orderkey").as("jk"), col("l_orderkey").as("k")),
-          struct(lit("l_partkey").as("jk"), col("l_partkey").as("k"))))
-          .as("e"))
-        .select(col("e.jk").as("jk"), col("e.k").as("k"))
-        .groupBy(col("jk"), col("k"))
-        .agg(count(lit(1)).as("c"))
-      // rank ties on c are value-safe: p50/p99 read the VALUE at a rank,
-      // identical under any tie-break (Scale.groupedRank's contract)
-      val ranked = graft.ops.Scale.groupedRank(
-        keyed, Seq("jk"), "rn", Some("nk"), col("c"))
-      val p50 = max(when(col("rn") ===
-        floor((col("nk") + lit(1L)).cast("double") / lit(2.0)).cast("long"),
-        col("c")))
-      val p99 = max(when(col("rn") ===
-        ceil(col("nk").cast("double") * lit(0.99)).cast("long"), col("c")))
-      ranked.groupBy(col("jk"))
-        .agg(max(col("nk")).as("n_keys"), sum(col("c")).as("n_rows"),
-          max(col("c")).as("max_fanout"),
-          p50.as("p50_fanout"), p99.as("p99_fanout"))
-        .select(col("jk").as("join_key"), col("n_keys"), col("n_rows"),
-          (col("n_rows").cast("double") / col("n_keys").cast("double"))
-            .as("mean_fanout"),
-          col("p50_fanout"), col("p99_fanout"), col("max_fanout"),
-          (col("max_fanout").cast("double") * col("n_keys").cast("double") /
-            col("n_rows").cast("double")).as("skew_factor"),
-          greatest(lit(1L),
-            ceil(col("max_fanout").cast("double") /
-              greatest(col("p99_fanout"), lit(1L)).cast("double"))
-              .cast("long")).as("suggested_salt"))
-        .orderBy("join_key")
+      graft.ops.Scale.fanoutCensus(
+        Tables(s, d, "lineitem"), Seq("l_orderkey", "l_partkey"))
     } {
       """WITH keyed AS (
         |  SELECT jk, k, COUNT(*) AS c FROM (

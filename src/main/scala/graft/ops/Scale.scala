@@ -68,6 +68,51 @@ object Scale {
     }
   }
 
+  /** Join-key fan-out census for ARBITRARY candidate keys — q349's
+    * relation as a reusable operator: per key column, the exact
+    * key-count distribution summary (distinct keys, row count,
+    * mean/p50/p99/max fan-out, skew factor, and the raw ⌈0.99·n⌉-rank
+    * salt suggestion — [[suggestedSalt]] is the clipped DECISION form).
+    * One pass over `df` exploding each row into its |keys| (name, key)
+    * pairs → keyed counts (map-side combine shrinks to distinct keys
+    * immediately) → the two-pass [[groupedRank]] over the key-count
+    * relation (|keys| groups would otherwise cap the sort at |keys|
+    * tasks) → |keys| summary rows. Keys are read as int64 (cast), the
+    * join-key domain every fixture and fact schema here uses.
+    */
+  def fanoutCensus(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    val keyed = df
+      .select(explode(array(keys.map(k =>
+        struct(lit(k).as("jk"), col(k).cast("long").as("k"))): _*)).as("e"))
+      .select(col("e.jk").as("jk"), col("e.k").as("k"))
+      .groupBy(col("jk"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    // rank ties on c are value-safe: p50/p99 read the VALUE at a rank,
+    // identical under any tie-break (groupedRank's contract)
+    val ranked = groupedRank(keyed, Seq("jk"), "rn", Some("nk"), col("c"))
+    val p50 = max(when(col("rn") ===
+      floor((col("nk") + lit(1L)).cast("double") / lit(2.0)).cast("long"),
+      col("c")))
+    val p99 = max(when(col("rn") ===
+      ceil(col("nk").cast("double") * lit(0.99)).cast("long"), col("c")))
+    ranked.groupBy(col("jk"))
+      .agg(max(col("nk")).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_fanout"),
+        p50.as("p50_fanout"), p99.as("p99_fanout"))
+      .select(col("jk").as("join_key"), col("n_keys"), col("n_rows"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("mean_fanout"),
+        col("p50_fanout"), col("p99_fanout"), col("max_fanout"),
+        (col("max_fanout").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"),
+        greatest(lit(1L),
+          ceil(col("max_fanout").cast("double") /
+            greatest(col("p99_fanout"), lit(1L)).cast("double"))
+            .cast("long")).as("suggested_salt"))
+      .orderBy("join_key")
+  }
+
   /** Skew-adaptive equi-join — the census (q349) and the remedy
     * ([[saltedJoin]], q97) closed into one operator: profile the left
     * (large, potentially skewed) side's join-key fan-out, then salt

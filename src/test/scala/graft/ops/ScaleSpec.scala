@@ -507,6 +507,28 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     graft.Checkpoints.release(got)
   }
 
+  test("fanoutCensus profiles arbitrary key sets against hand-computed truth") {
+    import spark.implicits._
+    // 12 rows; four key columns spanning the census shapes: one constant
+    // key (everything is fan-out), a balanced 3-key split, an all-unique
+    // key, and a skewed 4-key split (one key holding 9 of 12 rows)
+    val df = spark.range(0, 12).select(
+      lit(1L).as("a"), ($"id" % 3).as("b"), $"id".as("c"),
+      when($"id" < 9, 0L).otherwise($"id" - 8).as("dk")).toDF()
+    val census = Scale.fanoutCensus(df, Seq("a", "b", "c", "dk"))
+    val got = census
+      .as[(String, Long, Long, Double, Long, Long, Long, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == ("a", 1L, 12L, 12.0, 12L, 12L, 12L, 1.0, 1L))
+    assert(got("b") == ("b", 3L, 12L, 4.0, 4L, 4L, 4L, 1.0, 1L))
+    assert(got("c") == ("c", 12L, 12L, 1.0, 1L, 1L, 1L, 1.0, 1L))
+    // skewed: counts [1,1,1,9] — p50 at rank ⌊5/2⌋=2 is 1, p99 at rank
+    // ⌈3.96⌉=4 is the max (the census reports the unclipped statistic),
+    // skew = 9·4/12 = 3, suggested_salt = ⌈9/9⌉ = 1
+    assert(got("dk") == ("dk", 4L, 12L, 3.0, 1L, 9L, 9L, 3.0, 1L))
+    graft.Checkpoints.release(census)
+  }
+
   test("ntileFromRank equals Spark's ntile for every (n, k) shape, including n < k") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
