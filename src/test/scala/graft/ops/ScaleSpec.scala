@@ -552,6 +552,33 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ntileFromRank stays exact past 2^53, where FP division goes wrong") {
+    import spark.implicits._
+    // group sizes beyond double precision: a floor(a / b.toDouble) path
+    // can land one tile off at these magnitudes; integer `div` cannot.
+    // Expected tiles computed with BigInt — independent arithmetic.
+    val k = 10
+    val n = (1L << 55) + 7L // 36 quadrillion rows, rem = n % 10 ≠ 0
+    val q = n / k
+    val rem = n % k
+    def want(r: Long): Long = {
+      val (rb, qb, remb) = (BigInt(r), BigInt(q), BigInt(rem))
+      if (rb <= (qb + 1) * remb) ((rb - 1) / (qb + 1) + 1).toLong
+      else (remb + (rb - 1 - (qb + 1) * remb) / qb + 1).toLong
+    }
+    // probe ranks straddling every dangerous boundary: tile edges around
+    // the rem cutoff, the exact cutoff, and the extremes
+    val probes = Seq(1L, q, q + 1, (q + 1) * rem - 1, (q + 1) * rem,
+      (q + 1) * rem + 1, (q + 1) * rem + q, (q + 1) * rem + q + 1, n)
+    val df = probes.toDF("r").withColumn("n", lit(n))
+    val got = df.withColumn("tile", Scale.ntileFromRank(k, $"r", $"n"))
+      .select($"r", $"tile").as[(Long, Long)].collect().toMap
+    probes.foreach { r =>
+      assert(got(r) == want(r),
+        s"rank $r of $n: got tile ${got(r)}, BigInt arithmetic says ${want(r)}")
+    }
+  }
+
   test("groupedQuantiles matches percentile's per-group NULL semantics") {
     import spark.implicits._
     // group "b" has ONLY null values; percentile reports NULL for it,
