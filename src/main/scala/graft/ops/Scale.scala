@@ -77,14 +77,41 @@ object Scale {
     * pairs → keyed counts (map-side combine shrinks to distinct keys
     * immediately) → the two-pass [[groupedRank]] over the key-count
     * relation (|keys| groups would otherwise cap the sort at |keys|
-    * tasks) → |keys| summary rows. Keys are read as int64 (cast), the
-    * join-key domain every fixture and fact schema here uses.
+    * tasks) → |keys| summary rows. An all-integral key set is read as
+    * int64 (the join-key domain every fixture fact schema uses); other
+    * atomic types keep their identity via an injective string rendering
+    * (see the body note); non-atomic key columns are rejected.
     */
   def fanoutCensus(df: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty)
+    // Key representation: an all-integral key set keeps the native int64
+    // domain (the join-key shape every fixture fact schema uses — the
+    // cheapest shuffle key). Any other ATOMIC type is rendered to its
+    // string form (hex for binary) — injective per column, so the
+    // grouped counts equal native grouping — instead of the previous
+    // cast("long"), which silently turned a string key into one NULL
+    // key and reported a plausible-looking but wrong census
+    // (max_fanout = table size). Non-atomic keys are rejected: a
+    // join-key census over an array/struct column has no meaning here.
+    import org.apache.spark.sql.types._
+    val integral = keys.forall(k => df.schema(k).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    def rep(k: String): Column =
+      if (integral) col(k).cast("long")
+      else df.schema(k).dataType match {
+        case BinaryType => hex(col(k))
+        case _: ArrayType | _: MapType | _: StructType =>
+          throw new IllegalArgumentException(
+            s"fanoutCensus: key column $k has non-atomic type " +
+              s"${df.schema(k).dataType.simpleString}; a join-key census " +
+              "is defined over atomic key types only")
+        case _ => col(k).cast("string")
+      }
     val keyed = df
       .select(explode(array(keys.map(k =>
-        struct(lit(k).as("jk"), col(k).cast("long").as("k"))): _*)).as("e"))
+        struct(lit(k).as("jk"), rep(k).as("k"))): _*)).as("e"))
       .select(col("e.jk").as("jk"), col("e.k").as("k"))
       .groupBy(col("jk"), col("k"))
       .agg(count(lit(1)).as("c"))
@@ -313,41 +340,180 @@ object Scale {
     * BY groupCols)` companion every order-statistic picker needs).
     * Group cardinality must be modest (the offsets relation is
     * broadcast); the many-small-groups regime belongs to the plain
-    * keyed window, which is already parallel there. Storage: the ranged
+    * keyed window, which is already parallel there — ENFORCED: the plan
+    * raises an actionable error past [[DefaultMaxCells]] cells (an
+    * overload takes an explicit ceiling). NULL group values are real
+    * groups (null-safe join-back), matching the keyed window it
+    * replaces. Storage: the ranged
     * relation is a frozen snapshot (the [[globalOrderedCumsum]] freeze
     * rationale — RangePartitioner boundaries are lineage-unstable);
     * call `graft.Checkpoints.release(result)` after consuming.
     */
   def groupedRank(
       df: DataFrame, groupCols: Seq[String], rankName: String,
-      countName: Option[String], order: Column*): DataFrame = {
+      countName: Option[String], order: Column*): DataFrame =
+    twoPassGrouped(df, groupCols, order, None, Some(rankName), countName,
+      DefaultMaxCells)
+
+  /** [[groupedRank]] with an explicit offsets-relation ceiling — see
+    * [[DefaultMaxCells]] for what the ceiling protects.
+    */
+  def groupedRank(
+      df: DataFrame, groupCols: Seq[String], rankName: String,
+      countName: Option[String], maxCells: Long, order: Column*): DataFrame =
+    twoPassGrouped(df, groupCols, order, None, Some(rankName), countName,
+      maxCells)
+
+  /** GROUPED ordered prefix sum at scale — [[globalOrderedCumsum]]'s
+    * per-group sibling, by the same per-(pid, group) cell-offset trick
+    * [[groupedRank]] uses: `SUM(valueCol) OVER (PARTITION BY groupCols
+    * ORDER BY order ROWS UNBOUNDED PRECEDING)` without one task per
+    * group value. A per-lang running token sum over a whole corpus is
+    * the motivating shape (q71's packing stage): a plain keyed window
+    * caps its parallelism at |langs| tasks each summing a corpus.
+    *
+    * Pass 1 range-partitions on (groupCols ++ order) and aggregates each
+    * (pid, group) cell's value sum + row count; the per-group prefix
+    * over earlier pids (a window over the metadata-sized cell relation)
+    * is each cell's starting offset. Pass 2 runs the running sum within
+    * each cell — parallelism = occupied cells — and adds the
+    * broadcast-joined offset. `rankName`, when given, also emits the
+    * per-group row number (one window serves both).
+    *
+    * Contracts are [[groupedRank]]'s (total order within a group for
+    * exact parity, modest group cardinality guarded by
+    * [[DefaultMaxCells]], NULL group values kept via the null-safe
+    * join-back, release the frozen snapshot after consuming) plus
+    * [[globalOrderedCumsum]]'s value contract: `valueCol` must be
+    * EXACT-typed — sums accumulate as int64, and the overflow bound
+    * binds per GROUP total.
+    */
+  def groupedOrderedCumsum(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      cumName: String, rankName: Option[String], order: Column*): DataFrame =
+    twoPassGrouped(df, groupCols, order, Some((valueCol, cumName)), rankName,
+      None, DefaultMaxCells)
+
+  /** Ceiling on the per-(partition, group) offsets relation the grouped
+    * two-pass operators broadcast: |occupied cells| ≤ shuffle.partitions
+    * × |groups|. At the default (2^20 rows ≈ tens of MB of (pid, group,
+    * offset) triples) the broadcast is safely driver- and
+    * executor-resident; past it the caller is in the many-small-groups
+    * regime, where the plain keyed window is already parallel and is
+    * the documented tool — the operators COUNT the cell relation
+    * exactly and FALL BACK to that plain keyed window (logged to
+    * stderr) instead of the broadcast OOM / silent plan inversion a
+    * breach used to produce. The count is free of extra passes: the
+    * cell relation is checkpointed anyway so the broadcast side reads
+    * ≤ cells rows rather than re-aggregating the frozen snapshot, and
+    * counting that checkpoint is a metadata-sized job.
+    */
+  val DefaultMaxCells: Long = 1L << 20
+
+  /** The shared two-pass range-shuffle core behind [[groupedRank]] and
+    * [[groupedOrderedCumsum]] — one frozen range repartition on
+    * (groupCols ++ order), per-(pid, group) cell aggregates, per-group
+    * prefix offsets over the cell relation, and a broadcast join-back.
+    *
+    * Freeze rationale (why the eager checkpoint cannot be skipped even
+    * for a deterministic one-scan input): the cell relation and the
+    * join-back consume the SAME range shuffle twice. Unfrozen, the two
+    * consumers are two physical exchange instances whose
+    * RangePartitioner boundaries are SAMPLED INDEPENDENTLY — only
+    * Spark's ReuseExchange optimization happens to unify identical
+    * subtrees, and it is an optimization, not a contract (AQE
+    * re-planning can split them again). Misaligned boundaries silently
+    * corrupt every offset, so correctness must not hinge on a rule
+    * firing; the checkpoint pins one physical set of partitions for
+    * both passes and fails loudly if a block is lost.
+    */
+  private def twoPassGrouped(
+      df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      cum: Option[(String, String)], rankName: Option[String],
+      countName: Option[String], maxCells: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty && order.nonEmpty)
+    require(maxCells > 0)
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val gcols = groupCols.map(col)
+    val outCols =
+      (df.columns.toSeq ++ countName ++ cum.map(_._2) ++ rankName).map(col)
     val ranged = graft.Checkpoints.checkpoint(
       df.repartitionByRange(parts, gcols ++ order: _*)
         .withColumn("__pid", spark_partition_id()))
-    val cells = ranged.groupBy(col("__pid") +: gcols: _*)
-      .agg(count(lit(1)).as("__cn"))
-    // for a fixed group, pid order IS order-column order (range
-    // partitioning on group-then-order), so the prefix sum over earlier
-    // pids is exactly the rows ranking below this cell
-    val wPrefix = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets0 = cells
-      .withColumn("__nbase", coalesce(sum(col("__cn")).over(wPrefix), lit(0L)))
-    val offsets = countName match {
-      case Some(n) => offsets0
-        .withColumn(n, sum(col("__cn")).over(Window.partitionBy(gcols: _*)))
-        .drop("__cn")
-      case None => offsets0.drop("__cn")
+    val cellAggs = count(lit(1)).as("__cn") +:
+      cum.toSeq.map { case (v, _) => sum(col(v).cast("long")).as("__cs") }
+    // the cell relation is checkpointed too: the broadcast side then
+    // reads ≤ cells rows instead of re-aggregating the frozen snapshot,
+    // and its exact count enforces the broadcast contract (one
+    // metadata-sized job — see [[DefaultMaxCells]])
+    val cells = graft.Checkpoints.checkpoint(
+      ranged.groupBy(col("__pid") +: gcols: _*)
+        .agg(cellAggs.head, cellAggs.tail: _*))
+    val nCells = cells.count()
+    if (nCells > maxCells) {
+      // many-small-groups regime: the offsets relation would not
+      // broadcast. The plain keyed window is the documented — and
+      // already parallel — plan there; fall back to it, loudly.
+      graft.Checkpoints.release(cells)
+      graft.Checkpoints.release(ranged)
+      System.err.println(
+        s"[graft.Scale] grouped two-pass on (${groupCols.mkString(", ")}): " +
+          s"$nCells (pid, group) cells > maxCells=$maxCells — many small " +
+          "groups; falling back to the plain keyed window (parallel in " +
+          "this regime)")
+      val wPlain = Window.partitionBy(gcols: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCountP = countName.fold(df) { n =>
+        df.withColumn(n,
+          count(lit(1)).over(Window.partitionBy(gcols: _*)))
+      }
+      val withCumP = cum.fold(withCountP) { case (v, cn) =>
+        withCountP.withColumn(cn, sum(col(v).cast("long")).over(wPlain))
+      }
+      val withRankP = rankName.fold(withCumP) { rn =>
+        withCumP.withColumn(rn, row_number().over(wPlain).cast("long"))
+      }
+      withRankP.select(outCols: _*)
+    } else {
+      // for a fixed group, pid order IS order-column order (range
+      // partitioning on group-then-order), so the prefix over earlier
+      // pids is exactly the rows/mass ranking below this cell
+      val wPrefix = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withBases = cells
+        .withColumn("__nbase",
+          coalesce(sum(col("__cn")).over(wPrefix), lit(0L)))
+      val withSum = cum.fold(withBases) { _ =>
+        withBases.withColumn("__sbase",
+          coalesce(sum(col("__cs")).over(wPrefix), lit(0L)))
+      }
+      val withCount = countName.fold(withSum) { n =>
+        withSum.withColumn(n,
+          sum(col("__cn")).over(Window.partitionBy(gcols: _*)))
+      }
+      // join-back under NULL-SAFE group equality: a NULL group value is
+      // a real group to the keyed window this operator replaces, and a
+      // plain equi-join would silently drop its rows
+      val off = withCount.drop("__cn", "__cs").withColumnsRenamed(
+        ("__pid" +: groupCols).map(c => c -> s"__off_$c").toMap)
+      val cond = (col("__pid") === col("__off___pid")) &&
+        groupCols.map(g => col(g) <=> col(s"__off_$g")).reduce(_ && _)
+      val wCell = Window.partitionBy(col("__pid") +: gcols: _*)
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val joined = ranged.join(broadcast(off), cond)
+      val withCum = cum.fold(joined) { case (v, cn) =>
+        joined.withColumn(cn,
+          sum(col(v).cast("long")).over(wCell) + col("__sbase"))
+      }
+      val withRank = rankName.fold(withCum) { rn =>
+        withCum.withColumn(rn,
+          row_number().over(wCell).cast("long") + col("__nbase"))
+      }
+      withRank.select(outCols: _*)
     }
-    val wCell = Window.partitionBy(col("__pid") +: gcols: _*).orderBy(order: _*)
-    ranged.join(broadcast(offsets), "__pid" +: groupCols)
-      .withColumn(rankName, row_number().over(wCell).cast("long") + col("__nbase"))
-      .drop("__pid", "__nbase")
   }
 
   /** EXACT global quantiles at any scale — the scale-correct answer to
@@ -457,41 +623,55 @@ object Scale {
     * Exactness argument is q57/q102's: h = (n−1)p + 1 and the
     * interpolation are exact IEEE for practical fractions on
     * integer-valued data. Output: groupCols ++ (p, quantile), ordered.
-    * Storage: call `graft.Checkpoints.release(result)` after consuming.
+    * Repeated fractions are deduplicated (one row per distinct (group,
+    * fraction)). NULL group values are real groups, as in
+    * [[groupedRank]]. Storage: call `graft.Checkpoints.release(result)`
+    * after consuming.
+    *
+    * ONE source pass: values are ranked WITH their nulls (ascending
+    * order sorts nulls first, so the j-th non-null value of a group
+    * sits at rank nulls + j), and the group universe, null counts, and
+    * totals all come from the one frozen snapshot — no second scan of
+    * the input for the group relation.
     */
   def groupedQuantiles(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       fractions: Seq[Double]): DataFrame = {
-    require(fractions.nonEmpty && fractions.forall(p => p >= 0 && p <= 1),
+    val fracs = fractions.distinct
+    require(fracs.nonEmpty && fracs.forall(p => p >= 0 && p <= 1),
       s"fractions must be within [0, 1] (got $fractions)")
     val spark = df.sparkSession
     import spark.implicits._
     val gcols = groupCols.map(col)
     val base = df.select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
-    val ranked = groupedRank(
-      base.filter(col("__v").isNotNull),
-      groupCols, "__rnk", Some("__n"), col("__v").asc)
-    // group universe INCLUDING all-null groups, with n = 0 for them
-    val groupsDf = base.groupBy(gcols: _*)
-      .agg(count(col("__v")).as("__n0"))
-    val fr = groupsDf
-      .crossJoin(broadcast(fractions.toDF("p")))
+    val ranked = groupedRank(base, groupCols, "__rnk", None, col("__v").asc)
+    // group universe (including all-null groups) + the null prefix each
+    // group's R-7 endpoints must skip — read off the frozen snapshot
+    val gstats = ranked.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__tot"), count(col("__v")).as("__n0"))
+    val fr = gstats
+      .withColumn("__nulls", col("__tot") - col("__n0"))
+      .crossJoin(broadcast(fracs.toDF("p")))
       .withColumn("__h", (col("__n0") - 1) * col("p") + 1)
-      .withColumn("__lo", floor(col("__h")).cast("long"))
-      .withColumn("__hi", ceil(col("__h")).cast("long"))
-      .withColumn("__w", col("__h") - col("__lo"))
-      .drop("__n0")
+      .withColumn("__w", col("__h") - floor(col("__h")))
+      .withColumn("__lo", floor(col("__h")).cast("long") + col("__nulls"))
+      .withColumn("__hi", ceil(col("__h")).cast("long") + col("__nulls"))
+      .drop("__tot", "__n0", "__nulls")
     val picked = ranked
       .join(broadcast(fr.withColumnsRenamed(
         groupCols.map(g => g -> s"__g_$g").toMap)),
-        groupCols.map(g => col(g) === col(s"__g_$g")).reduce(_ && _) &&
+        groupCols.map(g => col(g) <=> col(s"__g_$g")).reduce(_ && _) &&
           (col("__rnk") === col("__lo") || col("__rnk") === col("__hi")))
-      .groupBy(gcols :+ col("p") :+ col("__w"): _*)
+      .groupBy(gcols :+ col("p"): _*)
       .agg(
         min(when(col("__rnk") === col("__lo"), col("__v"))).as("__vlo"),
         min(when(col("__rnk") === col("__hi"), col("__v"))).as("__vhi"))
+    val pk = picked.withColumnsRenamed(
+      (groupCols.map(g => g -> s"__p_$g") :+ ("p" -> "__p_p")).toMap)
     fr.select(gcols :+ col("p") :+ col("__w"): _*)
-      .join(picked, groupCols :+ "p" :+ "__w", "left_outer")
+      .join(broadcast(pk),
+        groupCols.map(g => col(g) <=> col(s"__p_$g")).reduce(_ && _) &&
+          col("p") === col("__p_p"), "left_outer")
       .withColumn("quantile",
         col("__vlo") + (col("__vhi") - col("__vlo")) * col("__w"))
       .select(gcols :+ col("p") :+ col("quantile"): _*)

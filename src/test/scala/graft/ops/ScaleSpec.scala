@@ -507,6 +507,134 @@ class ScaleSpec extends AnyFunSuite with SparkTestSession {
     graft.Checkpoints.release(got)
   }
 
+  test("groupedRank past maxCells falls back to the plain keyed window, answer-identical") {
+    import spark.implicits._
+    // 2000 distinct single-row-ish groups with parts=4 → thousands of
+    // cells; maxCells=64 forces the many-small-groups fallback
+    val df = spark.range(0, 4000)
+      .select($"id", ($"id" % 2000).as("g"), ($"id" % 7).as("v")).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v", $"id")
+    val expected = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")))
+      .select($"id", $"rk", $"n").as[(Long, Long, Long)].collect().toSet
+    val got = Scale.groupedRank(df, Seq("g"), "rk", Some("n"), 64L, $"v", $"id")
+    assert(got.select($"id", $"rk", $"n")
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    // the fallback IS the plain keyed window: no two-pass machinery
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("__pid") && !plan.contains("ExistingRDD"),
+      s"fallback must not build the two-pass plan:\n$plan")
+    // schema parity with the two-pass branch (column names AND order)
+    val twoPass = Scale.groupedRank(df, Seq("g"), "rk", Some("n"), $"v", $"id")
+    assert(got.columns.toSeq == twoPass.columns.toSeq)
+    graft.Checkpoints.release(twoPass)
+  }
+
+  test("grouped two-pass operators keep NULL group values (null-safe join-back)") {
+    import spark.implicits._
+    // a NULL group is a real group to the keyed window; the old
+    // equi-join-back would silently drop its rows
+    val df = spark.range(0, 600)
+      .select($"id",
+        when($"id" % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("g"), ($"id" % 3).cast("string"))).as("g"),
+        ($"id" % 13).as("v")).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v", $"id")
+    val expRank = df.withColumn("rk", row_number().over(w).cast("long"))
+      .select($"id", $"rk").as[(Long, Long)].collect().toSet
+    val gotRank = Scale.groupedRank(df, Seq("g"), "rk", None, $"v", $"id")
+    assert(gotRank.select($"id", $"rk")
+      .as[(Long, Long)].collect().toSet == expRank)
+    graft.Checkpoints.release(gotRank)
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val expCum = df.withColumn("c", sum($"v").over(wRun))
+      .select($"id", $"c").as[(Long, Long)].collect().toSet
+    val gotCum = Scale.groupedOrderedCumsum(
+      df, Seq("g"), "v", "c", None, $"v", $"id")
+    assert(gotCum.select($"id", $"c")
+      .as[(Long, Long)].collect().toSet == expCum)
+    graft.Checkpoints.release(gotCum)
+  }
+
+  test("groupedOrderedCumsum matches the keyed running sum, in parallel") {
+    import spark.implicits._
+    // skewed groups (one group holds ~90% of rows) + a rank request:
+    // both outputs must equal the keyed window's, and the running-sum
+    // window must ride the two-pass __pid key
+    val df = spark.range(0, 9000)
+      .select($"id",
+        when($"id" % 10 === 0, $"id" % 3 + 10).otherwise(lit(0L)).as("g"),
+        ($"id" % 11).as("v")).toDF()
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v", $"id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v", $"id")
+    val expected = df
+      .withColumn("c", sum($"v").over(wRun))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .select($"id", $"c", $"rk").as[(Long, Long, Long)].collect().toSet
+    val got = Scale.groupedOrderedCumsum(
+      df, Seq("g"), "v", "c", Some("rk"), $"v", $"id")
+    assert(got.select($"id", $"c", $"rk")
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    val plan = got.queryExecution.executedPlan.toString
+    val dataWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition") &&
+        (l.contains("row_number") || l.contains("sum")))
+      .toList
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("__pid")),
+      s"the running-sum/rank windows lost the two-pass key:\n$dataWindows")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the offsets join-back must broadcast:\n$plan")
+    graft.Checkpoints.release(got)
+  }
+
+  test("groupedQuantiles deduplicates repeated fractions and scans its input once") {
+    import spark.implicits._
+    val df = spark.range(0, 500)
+      .select(($"id" % 4).as("g"), ($"id" % 97).cast("double").as("v")).toDF()
+    val got = Scale.groupedQuantiles(df, Seq("g"), "v", Seq(0.5, 0.25, 0.5))
+    val rows = got.collect()
+    // one row per (group, DISTINCT fraction)
+    assert(rows.length == 4 * 2)
+    // the rank, the group universe, and the null counts all come from
+    // the one frozen snapshot: nothing re-reads the source
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet") && !plan.contains("LocalTableScan [g"),
+      s"groupedQuantiles must not re-scan its input for the group universe:\n$plan")
+    graft.Checkpoints.release(got)
+  }
+
+  test("fanoutCensus keeps non-integral key identity instead of nulling it") {
+    import spark.implicits._
+    // the old cast("long") turned every string key into ONE null key —
+    // max_fanout = table size, a plausible-looking but wrong census
+    val df = spark.range(0, 12).select(
+      concat(lit("k"), ($"id" % 3).cast("string")).as("s"),
+      ($"id" % 4).as("i")).toDF()
+    val census = Scale.fanoutCensus(df, Seq("s", "i"))
+    val got = census
+      .as[(String, Long, Long, Double, Long, Long, Long, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("s") == ("s", 3L, 12L, 4.0, 4L, 4L, 4L, 1.0, 1L))
+    assert(got("i") == ("i", 4L, 12L, 3.0, 3L, 3L, 3L, 1.0, 1L))
+    graft.Checkpoints.release(census)
+    val bad = intercept[IllegalArgumentException] {
+      Scale.fanoutCensus(
+        df.select(array($"i").as("arr"), $"i"), Seq("arr", "i"))
+    }
+    assert(bad.getMessage.contains("non-atomic"))
+  }
+
   test("fanoutCensus profiles arbitrary key sets against hand-computed truth") {
     import spark.implicits._
     // 12 rows; four key columns spanning the census shapes: one constant
