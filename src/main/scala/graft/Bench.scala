@@ -31,7 +31,11 @@ object Bench {
     // plans, not first-run JVM costs. Warmup failures are ignored here;
     // the timed pass records them.
     if (new java.io.File(warmDir).isDirectory) names.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
+      try {
+        val df = fn(spark, warmDir)
+        try df.write.format("noop").mode("overwrite").save()
+        finally Checkpoints.release(df)
+      }
       catch { case _: Throwable => () }
     }
     // minimal JVM/codegen/session warmup even without a warmup dataset,
@@ -52,7 +56,11 @@ object Bench {
     def probe(): Unit = probeFn.foreach { fn =>
       probeOffsets += (System.nanoTime() - runStart) / 1e9
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try {
+        val df = fn(spark, sfDir)
+        try df.write.format("noop").mode("overwrite").save()
+        finally Checkpoints.release(df)
+      }
       catch { case _: Throwable => () }
       probes += (System.nanoTime() - t0) / 1e9
     }
@@ -85,9 +93,19 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink: executes the complete plan (final sorts and projections
-        // included) — a bare count() would let Catalyst prune them
+        // included) — a bare count() would let Catalyst prune them.
+        // Checkpoints.release after the write: without it, every rep of a
+        // two-pass-operator query pins a fresh frozen snapshot in executor
+        // storage for the rest of the session — accumulated storage
+        // pressure perturbs later timings at sf1+. The release (an async
+        // driver-side unpersist over the plan's graft-owned leaves) is
+        // inside the timed region; its cost is sub-ms.
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try {
+            val df = fn(spark, sfDir)
+            try { df.write.format("noop").mode("overwrite").save(); true }
+            finally Checkpoints.release(df)
+          }
           catch {
             case e: Throwable =>
               // strip quotes, backslashes and ALL control chars: any of
@@ -154,7 +172,9 @@ object Bench {
         if (t > 0 && base > 0 && t > 1.8 * base && t - base > 0.25) {
           val t0 = System.nanoTime()
           val ok = try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+            val df = fn(spark, sfDir)
+            try { df.write.format("noop").mode("overwrite").save(); true }
+            finally Checkpoints.release(df)
           } catch { case _: Throwable => false }
           if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
         } else None
@@ -227,6 +247,12 @@ object Bench {
     // made round-over-round per-query diffs impossible once a driver log
     // tail truncated (r10). Appending each full-detail line (ts-stamped) to
     // a committed journal keeps every round's per-query numbers diffable.
+    // Local-iteration runs that redirect the artifact OUT of the repo
+    // (SPARK_GRAFT_BENCH_OUT=/tmp/...) skip the journal: the committed
+    // history holds driver-round and pair runs, not sf0.001 smoke loops.
+    val localIteration = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .exists(_.contains(java.io.File.separator))
+    if (!localIteration)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),

@@ -22,6 +22,40 @@ object Checkpoints {
   /** RDD ids of checkpoints this library created and has not yet freed. */
   private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
+  /** RDD ids of SHARED checkpoints (memoized build-once relations — the
+    * LPA label assignment, the composed ANN index) that a consumer-level
+    * [[release]] must not tear down: the first consumer's release would
+    * otherwise kill the storage every later consumer's plan references
+    * (observed as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in q157 when the
+    * Verify harness began releasing per query). Pinned ids are freed
+    * only through [[releasePinned]] — the owning cache's evict path.
+    */
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Mark every graft-owned checkpoint leaf reachable from `ds` as
+    * shared/pinned — exempt from [[release]] until [[releasePinned]].
+    */
+  def pin[T](ds: Dataset[T]): Dataset[T] = {
+    ds.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD
+        if owned.contains(r.rdd.id) => pinned.add(r.rdd.id); ()
+      case _ => ()
+    }
+    ds
+  }
+
+  /** Unpin and free the graft-owned checkpoints reachable from `ds` —
+    * the shared-relation owner's evict path (idempotent).
+    */
+  def releasePinned(ds: Dataset[_]): Unit = {
+    ds.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        pinned.remove(r.rdd.id); ()
+      case _ => ()
+    }
+    release(ds)
+  }
+
   /** Eager `localCheckpoint` whose backing RDD is registered as
     * graft-owned — the only checkpoints [[release]] will free. All graft
     * operators (CC rounds, globalRowNumber's frozen ranges) checkpoint
@@ -45,7 +79,8 @@ object Checkpoints {
     */
   def release(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD if owned.remove(r.rdd.id) =>
+      case r: org.apache.spark.sql.execution.LogicalRDD
+        if !pinned.contains(r.rdd.id) && owned.remove(r.rdd.id) =>
         r.rdd.unpersist(false)
       case _ => ()
     }

@@ -22,8 +22,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // release graft-owned frozen snapshots once the result is
+        // written: the two-pass operators otherwise pin one corpus-
+        // projection-sized checkpoint PER QUERY in executor storage for
+        // the rest of the 350-query session (idempotent; frees only
+        // graft-created leaves)
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally Checkpoints.release(df)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

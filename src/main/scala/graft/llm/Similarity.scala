@@ -2464,7 +2464,16 @@ object Similarity {
     // cleanup (close() would try to touch the stopped context).
     val it = sharedAnn.keySet().iterator()
     while (it.hasNext) { if (it.next()._1.sparkContext.isStopped) it.remove() }
-    sharedAnn.computeIfAbsent((s, d), _ => annOpen(s, d))
+    sharedAnn.computeIfAbsent((s, d), _ => {
+      val idx = annOpen(s, d)
+      // PIN the index's graft-owned checkpoint leaves (the PQ refit
+      // rides one): the relations are persisted, but a consumer-level
+      // Checkpoints.release would free the underlying checkpoint and
+      // leave later consumers one cache eviction away from
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; annSharedEvict owns the free
+      idx.pinShared()
+      idx
+    })
   }
 
   /** Drop (and release) the shared index for one (session, dir) — test
@@ -2472,7 +2481,7 @@ object Similarity {
     */
   def annSharedEvict(s: SparkSession, d: String): Unit = {
     val idx = sharedAnn.remove((s, d))
-    if (idx != null) idx.close()
+    if (idx != null) { idx.unpinShared(); idx.close() }
   }
 
   /** Handle returned by [[annOpen]]: coarse model + persisted compressed
@@ -2663,5 +2672,17 @@ object Similarity {
       Seq(queryRel, codesRel, refitRel, exactRel).foreach(_.unpersist())
       ()
     }
+
+    /** Pin the graft-owned checkpoint leaves under the persisted
+      * relations — see [[annShared]]; the shared handle's storage must
+      * survive consumer-level releases.
+      */
+    private[Similarity] def pinShared(): Unit =
+      Seq(queryRel, codesRel, refitRel, exactRel)
+        .foreach(graft.Checkpoints.pin(_))
+
+    private[Similarity] def unpinShared(): Unit =
+      Seq(queryRel, codesRel, refitRel, exactRel)
+        .foreach(graft.Checkpoints.releasePinned)
   }
 }

@@ -157,7 +157,7 @@ object Graph {
   def lpaEvict(s: SparkSession, d: String): Unit = {
     val rel = sharedLabels.remove((s, d))
     if (rel != null)
-      try Checkpoints.release(rel)
+      try Checkpoints.releasePinned(rel)
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -178,6 +178,12 @@ object Graph {
         .withColumn("lbl", col("node"))
       val argmaxW = Window.partitionBy(col("dst"))
         .orderBy(col("n").desc, col("lbl").asc)
+      // free each sweep's snapshot once the next sweep has materialized
+      // off it — but ONLY the checkpoints this loop made: the seed
+      // projection before sweep 1 is a plain plan over `e`, and
+      // releasing it would transitively free the edges checkpoint the
+      // remaining sweeps still read
+      var prevCk: DataFrame = null
       for (_ <- 1 to 3) {
         labels = Checkpoints.checkpoint(
           e.join(labels, e("src") === labels("node"))
@@ -186,8 +192,14 @@ object Graph {
             .withColumn("rk", row_number().over(argmaxW))
             .filter(col("rk") === 1)
             .select(col("dst").as("node"), col("lbl")))
+        if (prevCk != null) Checkpoints.release(prevCk)
+        prevCk = labels
       }
-      labels
+      Checkpoints.release(e)
+      // PIN the memoized assignment: it is shared across q157/q217 (and
+      // any later consumer) — a per-query harness release must not tear
+      // it down under the next consumer; lpaEvict owns the real free
+      Checkpoints.pin(labels)
     })
   }
 

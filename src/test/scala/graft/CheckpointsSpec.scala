@@ -43,4 +43,37 @@ class CheckpointsSpec extends AnyFunSuite with SparkTestSession {
       case _ => ()
     }
   }
+
+  test("a PINNED shared checkpoint survives consumer releases; releasePinned frees it") {
+    import spark.implicits._
+    // the memoized build-once shape (LPA labels, the ANN index): the
+    // first consumer's harness-level release must not tear the shared
+    // storage down under the next consumer (the q157
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND regression)
+    val sharedRel = Checkpoints.pin(Checkpoints.checkpoint(Seq(7, 8).toDF("x")))
+    val id = checkpointRddId(sharedRel)
+    assert(spark.sparkContext.getPersistentRDDs.contains(id))
+    val consumer = sharedRel.select(org.apache.spark.sql.functions.col("x") * 2)
+    Checkpoints.release(consumer) // a per-query harness release
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "consumer release tore down a pinned shared checkpoint")
+    assert(sharedRel.count() == 2, "the shared relation must still be readable")
+    Checkpoints.releasePinned(sharedRel) // the owner's evict path
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "releasePinned left the shared checkpoint pinned")
+  }
+
+  test("the shared LPA assignment survives a consumer-level release (q157 regression)") {
+    val d = "/root/testdata/sf0.001"
+    graft.ops.Graph.lpaEvict(spark, d)
+    val q157 = graft.SparkEntry.queries("q157_label_propagation")
+    val first = q157(spark, d)
+    val n1 = first.count()
+    Checkpoints.release(first) // what Verify/Bench now do per query
+    val second = q157(spark, d)
+    assert(second.count() == n1,
+      "the second consumer must still read the memoized assignment")
+    Checkpoints.release(second)
+    graft.ops.Graph.lpaEvict(spark, d)
+  }
 }
