@@ -375,23 +375,20 @@ class ConsumerGroup(spark: SparkSession, cfg: ConsumerConfig) {
         } finally df.unpersist()
       }
       .start()
-    owned.add(q.runId)
+    // the drain query is deliberately never OWNED: drain() propagates
+    // any failure to the caller itself (awaitTermination throws), so an
+    // errors() enqueue — the async listener can fire before any
+    // post-hoc dedup mark here — would signal the same failure twice to
+    // a caller that both catches and polls. The owned-filter keeps
+    // errors() the listener channel for start()-mode queries only, and
+    // leaves no per-drain runId state behind.
     try {
       if (!q.awaitTermination(timeoutMs)) {
         q.stop()
         throw new IllegalStateException(
           s"drain of ${streams.mkString(",")} did not finish in ${timeoutMs} ms")
       }
-    } finally {
-      if (q.isActive) q.stop()
-      // harvest this query's failure directly, then DISOWN the runId:
-      // the listener's terminated event can arrive after drain() returns,
-      // and without the removal repeated drains in a long-lived group
-      // accumulate stale runIds in the listener-filter set forever
-      q.exception.foreach(e =>
-        if (reported.add(q.runId)) errorQueue.add(e.getMessage))
-      owned.remove(q.runId)
-    }
+    } finally if (q.isActive) q.stop()
     import scala.jdk.CollectionConverters._
     DrainProgress(
       records = streams.map(st =>

@@ -89,6 +89,27 @@ class ConsumerGroupSpec extends AnyFunSuite with SparkTestSession {
     assert(seen.asScala.toSeq.sorted == (0L to 29L), "backfill-then-tail")
   }
 
+  test("a drain failure signals ONCE: thrown to the caller, not also enqueued in errors()") {
+    val (root, ck) = newEnv()
+    ShardedStreamLog.append(root, "events", "shard-0", (0L to 4L).map(rec))
+    val cg = new ConsumerGroup(spark, ConsumerConfig(app = "bf-fail",
+      logRoot = root, checkpointRoot = ck))
+    val thrown = intercept[Exception] {
+      cg.drain(Seq("events")) { (df, _) =>
+        df.count()
+        throw new RuntimeException("boom: drain batch failure")
+      }
+    }
+    assert(thrown.getMessage != null)
+    // the failure already reached the caller via the throw; errors()
+    // stays the listener-only channel (start()-mode queries) — a caller
+    // that catches AND polls must not see the same failure twice
+    Thread.sleep(500) // give a late listener event the chance to misfire
+    assert(cg.errors().isEmpty,
+      "drain failure must not be double-signaled through errors()")
+    cg.close()
+  }
+
   test("drain backfills MULTIPLE streams; per-stream snapshots are independent") {
     val (root, ck) = newEnv()
     ShardedStreamLog.append(root, "s1", "shard-0", (0L to 11L).map(rec))
