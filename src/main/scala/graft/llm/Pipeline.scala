@@ -532,15 +532,22 @@ object Pipeline {
     // languages' virtual times. Output audits the first 200 slots: how
     // many slots each language got and when it first/last ran. sqrt and
     // the division are single IEEE ops — bit-equal across engines.
-    // Fully distributed: one count per lang (broadcast back), one
-    // per-lang window, one global top-k.
+    // SCALE SHAPE: the per-lang rank rides the two-pass
+    // Scale.groupedRank (its countName emits n_lang for free — no
+    // separate count/broadcast pass), so the corpus never sorts at
+    // |langs|-task parallelism; within a lang vt is strictly increasing
+    // in rank, so only ranks ≤ 200 can reach the global top-200 — the
+    // rank filter prunes the top-k input to ≤ 200·|langs| rows
+    // answer-identically, and the global top-k itself is a
+    // TakeOrderedAndProject (per-partition heaps), never a global sort.
     QueryDef.sql("q63_mixture_schedule") { (s, d) =>
       val docs = Tables(s, d, "documents")
-      val nl = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      docs.join(broadcast(nl), Seq("lang"))
-        .withColumn("rnk", row_number().over(w))
+      val ranked = graft.ops.Scale.groupedRank(
+        docs.select(col("doc_id"), col("lang")),
+        Seq("lang"), "rnk", Some("nl"), col("doc_id").asc)
+      ranked
         .withColumn("vt", col("rnk").cast("double") / sqrt(col("nl").cast("double")))
+        .filter(col("rnk") <= 200)
         .orderBy(col("vt"), col("lang"), col("doc_id"))
         .limit(200)
         .groupBy(col("lang"))
@@ -1153,16 +1160,25 @@ object Pipeline {
           md5(array_join(sort_array(array_distinct(col("tokens"))), " ")))
       val wCanon = Window.partitionBy(col("canon_key"))
         .orderBy(col("pass_q").desc, col("doc_id"))
-      val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base
+      // the packing running sum rides the two-pass
+      // Scale.groupedOrderedCumsum — a lang-keyed window would sum the
+      // whole corpus at |langs|-task parallelism (the canon window above
+      // stays keyed: canon_key is digest-valued, i.e. already parallel).
+      // Columns are pruned BEFORE the freeze so the frozen snapshot
+      // carries the per-doc stage flags, not the token arrays.
+      val staged = base
         .withColumn("is_canon", col("pass_q") && row_number().over(wCanon) === 1)
         .withColumn("keep", col("is_canon") && idBucket < 80)
         .withColumn("kept_tok", when(col("keep"), col("n_tok")).otherwise(lit(0)))
-        .withColumn("cum", sum(col("kept_tok")).over(wPack))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("pass_q"),
+          col("is_canon"), col("keep"), col("kept_tok"))
+      graft.ops.Scale
+        .groupedOrderedCumsum(staged, Seq("lang"), "kept_tok", "cum", None,
+          col("doc_id").asc)
         // concat (not concat_ws): NULL lang must propagate to a NULL key
         // exactly like the oracle's `||`, or a null-lang kept doc counts
-        // as a window on one engine only
+        // as a window on one engine only (the cumsum op itself keeps a
+        // NULL lang as a real group — its null-safe join-back contract)
         .withColumn("pack_key", when(col("keep"), concat(col("lang"), lit("|"),
           floor((col("cum") - col("n_tok")) / ContextTokens).cast("long").cast("string"))))
         .agg(
@@ -1388,36 +1404,36 @@ object Pipeline {
     // n_s maps to the global score at position ⌈r·N/n_s⌉. ALL-INTEGER:
     // ranks and positions are exact int64 (deterministic (score, doc_id)
     // tiebreak), so the lookup is an equi-join, not interpolation.
-    // SCALE SHAPE: the within-source rank is a KEYED window; the global
-    // position table is built from the DISTINCT-score relation (bounded
-    // cardinality — score vocab, not corpus size): cumulative counts over
-    // distinct scores, then each score's occupied position interval
-    // [cum−cnt+1, cum] exploded to individual positions. The explode
-    // totals N rows but is generated partition-parallel from the compact
-    // relation, and the lookup is a plain shuffle equi-join on int
-    // position — no global sort of the corpus, no single-partition
-    // window over N rows.
+    // SCALE SHAPE: the within-source rank rides the two-pass
+    // Scale.groupedRank (a source-keyed window would sort the corpus at
+    // |sources|-task parallelism); its countName emits n_s for free, so
+    // the per-source count join disappears, and the totals + position
+    // table are read off the SAME frozen snapshot — one source scan.
+    // The global position table is built from the DISTINCT-score
+    // relation (bounded cardinality — score vocab, not corpus size):
+    // cumulative counts over distinct scores, then each score's occupied
+    // position interval [cum−cnt+1, cum] exploded to individual
+    // positions. The explode totals N rows but is generated
+    // partition-parallel from the compact relation, and the lookup is a
+    // plain shuffle equi-join on int position — no global sort of the
+    // corpus, no single-partition window over N rows.
     QueryDef.sql("q200_quantile_normalization") { (s, d) =>
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"),
           col("n_chars").cast("long").as("score"))
-      val wSrc = Window.partitionBy(col("source"))
-        .orderBy(col("score"), col("doc_id"))
-      val ranked = docs
-        .withColumn("r", row_number().over(wSrc).cast("long"))
-      val perSrc = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_s"))
-      val tot = docs.agg(count(lit(1)).as("n_total"))
+      val ranked = graft.ops.Scale.groupedRank(
+        docs, Seq("source"), "r", Some("n_s"),
+        col("score").asc, col("doc_id").asc)
+      val tot = ranked.agg(count(lit(1)).as("n_total"))
       // distinct-score cumulative occupancy -> one row per global position
       val wScore = Window.orderBy(col("score"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      val positions = docs.groupBy(col("score"))
+      val positions = ranked.groupBy(col("score"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum(col("cnt")).over(wScore))
         .select(col("score").as("norm_score"),
           explode(expr("sequence(cum - cnt + 1, cum)")).as("pos"))
       ranked
-        .join(perSrc, "source")
         .crossJoin(broadcast(tot))
         // DIV, not `/`: Spark's Divide always yields double. OVERFLOW
         // CONTRACT: r·N < 2^63 holds while n_s·N < 9e18 — comfortable to
@@ -1565,12 +1581,20 @@ object Pipeline {
     // 1e3 chars; past that lift s1/s2 into DECIMAL(38,0) on both
     // engines. SCALE SHAPE: one stratum-keyed moment agg (rows =
     // strata), the apportionment entirely on that tiny relation, one
-    // broadcast join back, one stratum-keyed rank window for the draw.
+    // broadcast join back; the draw rank rides the two-pass
+    // Scale.groupedRank (a stratum-keyed window would sort the corpus
+    // at |strata|-task parallelism — `rn <= alloc` has no static bound,
+    // so no WindowGroupLimit prune applies), and the strata moments are
+    // read off the SAME frozen snapshot — the whole query scans the
+    // source once, at the freeze.
     QueryDef.sql("q210_neyman_allocation") { (s, d) =>
       val S = 100L
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("x"))
-      val strata = docs.groupBy(col("lang"))
+      val drawn = graft.ops.Scale.groupedRank(
+        docs, Seq("lang"), "rn", None,
+        graft.Ids.hash("doc_id"), col("doc_id"))
+      val strata = drawn.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("s1"),
           sum(col("x") * col("x")).as("s2"))
         .withColumn("wq", expr(
@@ -1586,10 +1610,7 @@ object Pipeline {
         .withColumn("alloc",
           col("base") + when(col("rr") <= col("r"), 1L).otherwise(0L))
         .select(col("lang"), col("n_docs"), col("wq"), col("alloc"))
-      val wDraw = Window.partitionBy(col("lang"))
-        .orderBy(graft.Ids.hash("doc_id"), col("doc_id"))
-      docs
-        .withColumn("rn", row_number().over(wDraw).cast("long"))
+      drawn
         .join(broadcast(alloc), "lang")
         .filter(col("rn") <= col("alloc"))
         .groupBy(col("lang"))

@@ -1067,22 +1067,32 @@ object TextAnalysis {
     // are pure int64 (Σd² < n³ — exact to ~2M docs/source, then lift
     // to DECIMAL(38)), and ρ = 1 − 6Σd²/(n(n²−1)) is one fixed IEEE
     // chain with the denominator's products taken in double over exact
-    // operands. SCALE SHAPE: two source-KEYED rank windows over one
-    // scored scan, one keyed shrink — no global sort anywhere.
+    // operands. SCALE SHAPE: Spearman needs BOTH per-source ranks, so
+    // the scored scan is MELTED into a (measure, value) relation and
+    // ONE two-pass Scale.groupedRank ranks both measures per source at
+    // cluster-wide parallelism — the previous two source-keyed windows
+    // capped each corpus sort at |sources| tasks. The per-doc regroup
+    // that re-pairs (rl, rq) is an ordinary hash shuffle (full
+    // parallelism), then one keyed shrink. Rank parity: within
+    // (source, measure) the melted order (value, doc_id) is exactly the
+    // keyed window's (len cast to double is exact below 2^53).
     QueryDef.sql("q222_spearman_quality_length") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val scored = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"), col("text"),
           col("n_chars").cast("long").as("len"))
         .withColumn("q", qualityScore)
         .drop("text")
-      val wLen = Window.partitionBy(col("source"))
-        .orderBy(col("len"), col("doc_id"))
-      val wQ = Window.partitionBy(col("source"))
-        .orderBy(col("q"), col("doc_id"))
-      scored
-        .withColumn("rl", row_number().over(wLen).cast("long"))
-        .withColumn("rq", row_number().over(wQ).cast("long"))
+      val melted = scored.select(col("source"), col("doc_id"),
+        explode(array(
+          struct(lit("l").as("m"), col("len").cast("double").as("v")),
+          struct(lit("q").as("m"), col("q").cast("double").as("v")))).as("e"))
+        .select(col("source"), col("doc_id"),
+          col("e.m").as("m"), col("e.v").as("v"))
+      val ranked = graft.ops.Scale.groupedRank(
+        melted, Seq("source", "m"), "r", None, col("v").asc, col("doc_id").asc)
+      ranked.groupBy(col("source"), col("doc_id"))
+        .agg(max(when(col("m") === "l", col("r"))).as("rl"),
+          max(when(col("m") === "q", col("r"))).as("rq"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum((col("rl") - col("rq")) * (col("rl") - col("rq")))
@@ -1762,6 +1772,40 @@ object TextAnalysis {
         |FROM pd CROSS JOIN ls
         |GROUP BY source, ctx_len
         |ORDER BY source, ctx_len""".stripMargin
+    },
+
+    // ------------------------------------------------------------------
+    // q352: PER-SOURCE LENGTH-QUANTILE PROFILE — the distribution
+    // report q347's context-length planner and q32's quality gates read
+    // against: exact R-7 quartiles (+ the 0.875 tail cut) of document
+    // length per source. Document length is an UNBOUNDED domain — the
+    // case Spark's exact `percentile` genuinely cannot hold at corpus
+    // scale (its counts-map aggregation buffer grows with the distinct
+    // values of a group; q57/q291's bounded domains never stress it) —
+    // so the order statistics ride Scale.groupedQuantiles: one frozen
+    // two-pass grouped rank at cluster-wide parallelism, the tiny
+    // (source × fraction) endpoint relation broadcast back as a filter.
+    // Exactness: n_chars is integer-valued and every fraction is a
+    // binary rational k/2^m, so h = (n−1)p + 1 and the interpolation
+    // are exact IEEE on both engines (q102's argument, per group).
+    QueryDef.sql("q352_source_length_quantiles") { (s, d) =>
+      graft.ops.Scale.groupedQuantiles(
+        Tables(s, d, "documents").select(col("source"), col("n_chars")),
+        Seq("source"), "n_chars", Seq(0.25, 0.5, 0.75, 0.875))
+    } {
+      """WITH q AS (
+        |  SELECT source,
+        |    QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+        |    QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.5) AS q2,
+        |    QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.75) AS q3,
+        |    QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.875) AS q4
+        |  FROM documents GROUP BY source)
+        |SELECT source, p, quantile FROM (
+        |  SELECT source, CAST(0.25 AS DOUBLE) AS p, q1 AS quantile FROM q
+        |  UNION ALL SELECT source, CAST(0.5 AS DOUBLE), q2 FROM q
+        |  UNION ALL SELECT source, CAST(0.75 AS DOUBLE), q3 FROM q
+        |  UNION ALL SELECT source, CAST(0.875 AS DOUBLE), q4 FROM q)
+        |ORDER BY source, p""".stripMargin
     }
   )
 }

@@ -993,4 +993,89 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), s"q350 needs no windows:\n$p")
     graft.Checkpoints.release(df)
   }
+
+  test("q222's Spearman ranks BOTH measures in one two-pass grouped rank") {
+    // the round-14 shape ran two source-keyed windows over the corpus —
+    // |sources|-task sorts; the melted (measure, value) relation ranks
+    // both at cluster width in one pass
+    assertTwoPassRank("q222_spearman_quality_length")
+  }
+
+  test("q63's per-lang schedule rank rides the two-pass grouped rank") {
+    assertTwoPassRank("q63_mixture_schedule")
+    // the global top-200 must be a distributed partial top-k, fed by the
+    // rank<=200 prune — never a global sort of the scheduled corpus
+    val df = graft.SparkEntry.queries("q63_mixture_schedule")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q63's top-200 must be a partial top-k:\n$p")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q210's draw rank rides the two-pass grouped rank; strata read the snapshot") {
+    // rn <= alloc carries no static bound, so no WindowGroupLimit prune
+    // applies — the keyed draw window was a |strata|-task corpus sort.
+    // assertTwoPassRank is not used verbatim: the largest-remainder
+    // apportionment legitimately runs ONE rank window over the
+    // aggregated ≤|strata|-row relation (ordered by rem — bounded by
+    // the stratum count, never data-sized); the DRAW rank over the
+    // corpus must carry the two-pass __pid key
+    val df = graft.SparkEntry.queries("q210_neyman_allocation")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"strata moments + draw must read the one frozen snapshot, got $scans scans:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q210's join-backs must broadcast:\n$p")
+    val rankWindows = p.linesIterator
+      .filter(l => l.contains("row_number") && l.contains("windowspecdefinition"))
+      .toList
+    val (apportion, draw) = rankWindows.partition(_.contains("rem#"))
+    assert(apportion.size <= 1, s"one apportionment window only:\n$apportion")
+    assert(draw.nonEmpty && draw.forall(_.contains("__pid")),
+      s"q210's draw rank lost the two-pass key:\n$draw")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q71's packing cumsum rides the two-pass grouped cumsum, tokens pruned pre-freeze") {
+    val df = graft.SparkEntry.queries("q71_pipeline_funnel")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"post-freeze consumers must read the checkpoint, got $scans scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q71's offsets join-back must broadcast:\n$p")
+    // the running sum must ride the two-pass __pid key (the canon-key
+    // window runs pre-freeze and is digest-keyed — not in this plan)
+    val sumWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("sum"))
+      .toList
+    assert(sumWindows.nonEmpty && sumWindows.forall(_.contains("__pid")),
+      s"q71's running sum lost the two-pass key:\n$sumWindows")
+    graft.Checkpoints.release(df)
+  }
+
+  test("q352's quantile ranks ride the two-pass grouped rank, one frozen scan") {
+    assertTwoPassRank("q352_source_length_quantiles")
+  }
+
+  test("q200's within-source rank rides the two-pass grouped rank, one frozen scan") {
+    // not assertTwoPassRank verbatim: the position LOOKUP is a corpus×
+    // positions equi-join on int position — both sides data-sized, so a
+    // shuffle join (SMJ/shuffled-hash) is the DESIGNED shape there, and
+    // only the rank must carry the two-pass key
+    val df = graft.SparkEntry.queries("q200_quantile_normalization")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"totals + position table must read the one frozen snapshot, got $scans scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q200 planned a cartesian:\n$p")
+    val rankWindows = p.linesIterator
+      .filter(l => l.contains("row_number") && l.contains("windowspecdefinition"))
+      .toList
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__pid")),
+      s"q200's within-source rank lost the two-pass key:\n$rankWindows")
+    graft.Checkpoints.release(df)
+  }
 }
