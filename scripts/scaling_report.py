@@ -45,6 +45,19 @@ def main() -> int:
         print(f"WARNING: probe_cal kinds differ or are missing "
               f"(lo {kind_lo}, hi {kind_hi}) — drift correction skipped, "
               f"corrected column equals raw")
+    # COMPUTE-probe correction (round 15): the scan probe misses
+    # compute-side host drift (observed: equal scan probes while the
+    # graph/codec families ran 1.3-3x slower). When both artifacts carry
+    # probe_cpu_cal, a second corrected column rescales by the
+    # pure-codegen kernel's drift; a row is flagged only if super-linear
+    # under EVERY available correction — a flag should survive both
+    # drift hypotheses, and the printed columns let a reader judge rows
+    # where the two corrections disagree.
+    cpu_lo = lo.get("probe_cpu_cal", -1.0)
+    cpu_hi = hi.get("probe_cpu_cal", -1.0)
+    cpu_comparable = cpu_lo > 0 and cpu_hi > 0
+    cpu_shift = (math.log(cpu_lo / cpu_hi) / math.log(ratio)
+                 if cpu_comparable else None)
     rows = []
     for q in sorted(set(lo["queries"]) & set(hi["queries"])):
         t_lo, t_hi = lo["queries"][q], hi["queries"][q]
@@ -58,27 +71,44 @@ def main() -> int:
           f"({'same' if same_boot else 'CROSS'} boot; hi probe TIME "
           f"{1 / drift:.2f}x of lo — above 1 means the hi run saw a slower "
           f"host; corrected = raw {corr_shift:+.2f})")
+    if cpu_comparable:
+        print(f"probe_cpu_cal: lo {cpu_lo:.3f}s, hi {cpu_hi:.3f}s "
+              f"(hi compute-kernel TIME {cpu_hi / cpu_lo:.2f}x of lo; "
+              f"corrected_cpu = raw {cpu_shift:+.2f}; flags require "
+              f"super-linearity under BOTH corrections)")
     print()
-    print(f"| query | t@lo (s) | t@hi (s) | exponent | corrected |")
-    print(f"|---|---|---|---|---|")
+    cpu_col = " corrected_cpu |" if cpu_comparable else ""
+    print(f"| query | t@lo (s) | t@hi (s) | exponent | corrected |{cpu_col}")
+    print(f"|---|---|---|---|---|{'---|' if cpu_comparable else ''}")
     for q, t_lo, t_hi, e in rows:
         if e is None:
-            print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | ERROR | ERROR |")
+            err_cpu = " ERROR |" if cpu_comparable else ""
+            print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | ERROR | ERROR |{err_cpu}")
             flagged += 1
             continue
         ec = e + corr_shift
-        # flag on the CORRECTED exponent: a host-drift artifact must not
-        # flag a query, and drift must not hide a real super-linearity
-        flag = " **super-linear**" if (ec > 1.15 and t_hi >= floor) else ""
-        if flag:
+        # flag on the CORRECTED exponent(s): a host-drift artifact must
+        # not flag a query, and drift must not hide a real
+        # super-linearity — with a cpu probe present, a flag must
+        # survive both drift hypotheses
+        is_flag = ec > 1.15 and t_hi >= floor
+        ecc = e + cpu_shift if cpu_comparable else None
+        if cpu_comparable:
+            is_flag = is_flag and ecc > 1.15
+        flag = " **super-linear**" if is_flag else ""
+        if is_flag:
             flagged += 1
-        print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {e:.2f} | {ec:.2f}{flag} |")
+        cpu_cell = f" {ecc:.2f} |" if cpu_comparable else ""
+        print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {e:.2f} "
+              f"| {ec:.2f}{flag} |{cpu_cell}")
     tot_lo = sum(t for _, t, _, _ in rows if t > 0)
     tot_hi = sum(t for _, _, t, _ in rows if t > 0)
     agg = math.log(tot_hi / tot_lo) / math.log(ratio)
+    cpu_agg = (f" / {agg + cpu_shift:.2f} cpu-corrected"
+               if cpu_comparable else "")
     print(f"\ntotal: {tot_lo:.1f}s -> {tot_hi:.1f}s on a {ratio:.0f}x corpus "
           f"(aggregate exponent {agg:.2f} raw / {agg + corr_shift:.2f} "
-          f"drift-corrected); {flagged} queries flagged")
+          f"drift-corrected{cpu_agg}); {flagged} queries flagged")
     return 0
 
 

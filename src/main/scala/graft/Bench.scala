@@ -51,6 +51,7 @@ object Bench {
     // per-query numbers can be confidence-banded post hoc.
     val probeFn = SparkEntry.queries.get("q02_filter_project")
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probesCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probeOffsets = scala.collection.mutable.ArrayBuffer.empty[Double]
     val runStart = System.nanoTime()
     def probe(): Unit = probeFn.foreach { fn =>
@@ -63,6 +64,20 @@ object Bench {
       }
       catch { case _: Throwable => () }
       probes += (System.nanoTime() - t0) / 1e9
+      // COMPUTE probe companion (round 15): the scan probe measures I/O
+      // + light predicate speed, and a compute-contended host window
+      // (CPU throttling, a sibling tenant) can leave it unchanged while
+      // shuffle/codegen-heavy queries run 1.3-3x slower — observed on
+      // the round-15 pair's hi half, where the scan probes matched
+      // round 14 but the graph/codec families did not. A fixed pure-
+      // codegen kernel (no I/O, no shuffle, SF-independent, fixed task
+      // count) makes that drift machine-readable for the next
+      // adjudication.
+      val t1 = System.nanoTime()
+      try spark.range(0L, 64000000L, 1L, 8)
+        .selectExpr("sum(xxhash64(id))").collect()
+      catch { case _: Throwable => () }
+      probesCpu += (System.nanoTime() - t1) / 1e9
     }
     // Boot fingerprint + probe calibration (round-12 verdict: the final
     // pair straddled a host reboot and boots differ 2.5-3× on
@@ -169,7 +184,11 @@ object Bench {
       else names.flatMap { case (name, fn) =>
         val t = results(name)
         val base = pair._2.getOrElse(name, -1.0)
-        if (t > 0 && base > 0 && t > 1.8 * base && t - base > 0.25) {
+        // 1.5x (was 1.8): the round-15 pair's q49 read 1.77x of its pair
+        // baseline — a genuine adjudication candidate that sat just
+        // under the old trigger; the isolated re-run is cheap relative
+        // to the forensic value of a far-from-window second sample
+        if (t > 0 && base > 0 && t > 1.5 * base && t - base > 0.25) {
           val t0 = System.nanoTime()
           val ok = try {
             val df = fn(spark, sfDir)
@@ -186,6 +205,7 @@ object Bench {
     // The min over the whole run (startup + every ~12-query interleave)
     // is the steady-state floor of this boot's effective speed.
     val probeCal = if (probes.isEmpty) -1.0 else probes.min
+    val probeCpuCal = if (probesCpu.isEmpty) -1.0 else probesCpu.min
     // 3-decimal (ms-resolution) values: full-precision doubles made the
     // 170-query line ~6.3 KB and overflowed the driver's log-tail JSON
     // capture (BENCH_r07 recorded parsed:null). -1 failure markers kept.
@@ -201,6 +221,7 @@ object Bench {
     // reps makes round-over-round comparisons self-describing (a min-of-5
     // artifact is not comparable to a single-shot one under host load)
     val ps = probes.map(f3).mkString("[", ",", "]")
+    val psCpu = probesCpu.map(f3).mkString("[", ",", "]")
     val po = probeOffsets.map(f3).mkString("[", ",", "]")
     val su = suspects.map { case (k, off) => s"\"" + k + "\":" + f3(off) }
       .mkString("{", ",", "}")
@@ -220,7 +241,7 @@ object Bench {
     // from an untagged 3-sample cold-start min to the full-series min);
     // scaling_report refuses to cross-correct artifacts of different kinds
     val line =
-      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","pair_boot":"$pairBoot","queries":$qs,"errors":$es,"probe_series":$ps,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","probe_cpu_cal":${f3(probeCpuCal)},"pair_boot":"$pairBoot","queries":$qs,"errors":$es,"probe_series":$ps,"probe_cpu_series":$psCpu,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
     println(line)
     // Short summary line AFTER the big one: the driver keeps only a log
     // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
@@ -228,7 +249,7 @@ object Bench {
     // parsed:null). This line is <300 bytes and always survives the tail,
     // and is the ONLY line carrying "metric":"total".
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"boot_id":"$bootId","probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","pair_boot":"$pairBoot","probe_series":$ps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"boot_id":"$bootId","probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","probe_cpu_cal":${f3(probeCpuCal)},"pair_boot":"$pairBoot","probe_series":$ps,"sf":"$sfDir"}""")
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
     // 11 per-query entries) — the file survives regardless of log size.
