@@ -101,8 +101,12 @@ def main() -> int:
         cpu_cell = f" {ecc:.2f} |" if cpu_comparable else ""
         print(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {e:.2f} "
               f"| {ec:.2f}{flag} |{cpu_cell}")
-    tot_lo = sum(t for _, t, _, _ in rows if t > 0)
-    tot_hi = sum(t for _, _, t, _ in rows if t > 0)
+    # totals over queries valid at BOTH scales only: a query that errored
+    # at one scale would otherwise contribute seconds to one side of the
+    # aggregate exponent and bias it sub-linear exactly when data is
+    # missing
+    tot_lo = sum(t_lo for _, t_lo, _, e in rows if e is not None)
+    tot_hi = sum(t_hi for _, _, t_hi, e in rows if e is not None)
     agg = math.log(tot_hi / tot_lo) / math.log(ratio)
     cpu_agg = (f" / {agg + cpu_shift:.2f} cpu-corrected"
                if cpu_comparable else "")

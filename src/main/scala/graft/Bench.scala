@@ -270,9 +270,16 @@ object Bench {
     // a committed journal keeps every round's per-query numbers diffable.
     // Local-iteration runs that redirect the artifact OUT of the repo
     // (SPARK_GRAFT_BENCH_OUT=/tmp/...) skip the journal: the committed
-    // history holds driver-round and pair runs, not sf0.001 smoke loops.
-    val localIteration = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .exists(_.contains(java.io.File.separator))
+    // history holds what landed in the repo (driver-round and pair
+    // runs), not sf0.001 smoke loops. The test is the resolved artifact
+    // PATH, not a separator heuristic — './BENCH_SELF.json' must still
+    // journal and '/tmp/x.json' must still skip.
+    val localIteration = {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_ROUND.json"))
+        .toAbsolutePath.normalize
+      !out.startsWith(java.nio.file.Paths.get("").toAbsolutePath.normalize)
+    }
     if (!localIteration)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

@@ -543,7 +543,13 @@ object Pipeline {
     QueryDef.sql("q63_mixture_schedule") { (s, d) =>
       val docs = Tables(s, d, "documents")
       val ranked = graft.ops.Scale.groupedRank(
-        docs.select(col("doc_id"), col("lang")),
+        // NULL-lang docs are excluded by CONTRACT (the oracle's
+        // JOIN ... USING (lang) never matches NULL): the pre-migration
+        // plan dropped them at its n_lang equi-join, and groupedRank's
+        // null-safe join-back would otherwise keep NULL as a real
+        // schedule group — filter explicitly to keep the semantics
+        docs.select(col("doc_id"), col("lang"))
+          .filter(col("lang").isNotNull),
         Seq("lang"), "rnk", Some("nl"), col("doc_id").asc)
       ranked
         .withColumn("vt", col("rnk").cast("double") / sqrt(col("nl").cast("double")))
@@ -1434,6 +1440,13 @@ object Pipeline {
         .select(col("score").as("norm_score"),
           explode(expr("sequence(cum - cnt + 1, cum)")).as("pos"))
       ranked
+        // NULL-source docs participate in the GLOBAL position table and
+        // totals (the oracle's occ/tot CTEs read ALL docs) but are
+        // excluded from the per-source normalization output (the
+        // oracle's per_src equi-join never matches NULL) — the
+        // pre-migration plan dropped them at its per-source count join,
+        // which countName replaced; keep that contract explicitly
+        .filter(col("source").isNotNull)
         .crossJoin(broadcast(tot))
         // DIV, not `/`: Spark's Divide always yields double. OVERFLOW
         // CONTRACT: r·N < 2^63 holds while n_s·N < 9e18 — comfortable to

@@ -102,6 +102,13 @@ object Scale {
       if (integral) col(k).cast("long")
       else df.schema(k).dataType match {
         case BinaryType => hex(col(k))
+        // add +0.0 first: Spark's grouping/join semantics normalize
+        // -0.0 to 0.0 (NormalizeFloatingNumbers), but their STRING
+        // forms differ — without the normalization the census would
+        // split one join key's fan-out across two rows and understate
+        // max_fanout for exactly the hot-key case it measures
+        case FloatType | DoubleType =>
+          (col(k).cast("double") + lit(0.0)).cast("string")
         case _: ArrayType | _: MapType | _: StructType =>
           throw new IllegalArgumentException(
             s"fanoutCensus: key column $k has non-atomic type " +
