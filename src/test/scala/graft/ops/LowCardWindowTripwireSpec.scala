@@ -48,7 +48,14 @@ class LowCardWindowTripwireSpec extends AnyFunSuite with SparkTestSession {
     "q54_context_packing" -> ("the GLOBAL-ORDER packing contract form: its header " +
       "documents q74's banded packedContexts as the production path and q71 " +
       "(two-pass) as the audited funnel; kept as the oracle-matched contract " +
-      "statement (llm/Pipeline.scala q54 header)")
+      "statement (llm/Pipeline.scala q54 header)"),
+    "q182_skyline_pareto" -> ("phase 2 of the two-phase skyline re-runs the " +
+      "dominance windows GLOBALLY over the phase-1 survivor union, which is " +
+      "bounded by <= 32 buckets x per-bucket skyline size (~log n each) — " +
+      "the documented Borzsonyi two-phase shape; the data-sized windows are " +
+      "the phase-1 BUCKETED ones, which pass (ops/Extended.scala q182 header). " +
+      "A filter is not statically grain-bounding, so the net cannot see the " +
+      "survivor bound")
   )
 
   private val factTables =
@@ -161,15 +168,21 @@ class LowCardWindowTripwireSpec extends AnyFunSuite with SparkTestSession {
       val df = graft.SparkEntry.queries(name)(spark, dSmall)
       val plan = df.queryExecution.optimizedPlan
       val hits = plan.collect {
+        // an EMPTY partition spec over fact-grain input is the worst
+        // case of the same family (Exchange SinglePartition — ONE task
+        // sorts the corpus); a dimension-valued key is its |dim|-task
+        // sibling. Both flag; bounded/aggregated inputs never do.
         case w: Window
-          if w.partitionSpec.nonEmpty &&
-            w.partitionSpec.forall(e =>
-              isDimensionValued(e, w.child).contains(true)) &&
+          if w.partitionSpec.forall(e =>
+            isDimensionValued(e, w.child).contains(true)) &&
             unboundedFactBelow(w.child) =>
-          val keys = w.partitionSpec.map(_.sql).mkString(", ")
+          val keys =
+            if (w.partitionSpec.isEmpty) "<empty — single-task global window>"
+            else w.partitionSpec.map(_.sql).mkString(", ")
           s"$name: window PARTITION BY ($keys) over a fact-grain input — " +
-            "a |dimension|-task sort at scale; ride Scale.groupedRank / " +
-            "groupedOrderedCumsum (or whitelist with a justification)"
+            "a |dimension|-task (or single-task) sort at scale; ride " +
+            "Scale.groupedRank / groupedOrderedCumsum / globalRowNumber " +
+            "(or whitelist with a justification)"
       }
       graft.Checkpoints.release(df)
       hits
