@@ -2,9 +2,11 @@
 """Local replica of the driver's t2 correctness gate: run each oracle SQL in
 DuckDB over the fixture parquet and compare to the Verify parquet dumps.
 Columns are sorted by name (like the driver); rows compared in output order.
-Usage: local_verify.py <sfDir> <outDir> [queryName ...]
+Usage: local_verify.py [--json ARTIFACT] <sfDir> <outDir> [queryName ...]
 With query names given, only those are checked (single-query iteration);
 otherwise every oracle entry must have a Spark dump present.
+--json writes a CORRECTNESS-style artifact (per-query rows/schema/hash
+booleans plus a status string) — used for the committed sf1 gate.
 """
 import json
 import sys
@@ -32,7 +34,7 @@ def dtype_family(dt) -> str:
     return "obj"
 
 
-def main(sf_dir: str, out_dir: str, only=None) -> int:
+def main(sf_dir: str, out_dir: str, only=None, json_out=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -45,6 +47,12 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         if missing:
             print(f"WARN: no oracle entry for {sorted(missing)}")
     n_fail = 0
+    report = {}
+
+    def record(name, rows=False, schema=False, values=False, detail=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": values, "detail": detail}
+
     for name in sorted(oracles):
         sql = oracles[name]
         try:
@@ -54,27 +62,32 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            record(name, detail=f"oracle error: {e}")
             n_fail += 1
             continue
         if wide:
             print(f"FAIL {name}: oracle emits wide types the driver hashes as "
                   f"float64 — CAST to BIGINT/DOUBLE: {wide}")
+            record(name, detail=f"wide oracle types: {wide}")
             n_fail += 1
             continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            record(name, detail=f"spark output missing: {e}")
             n_fail += 1
             continue
         exp = exp[sorted(exp.columns)].reset_index(drop=True)
         got = got[sorted(got.columns)].reset_index(drop=True)
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            record(name, detail=f"columns {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
             continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            record(name, schema=True, detail=f"rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
         # normalize timestamps to ns for comparison
@@ -89,6 +102,7 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
                 if dtype_family(exp[c].dtype) != dtype_family(got[c].dtype)]
         if mism:
             print(f"FAIL {name}: dtype family mismatch (oracle vs spark): {mism}")
+            record(name, rows=True, detail=f"dtype family mismatch: {mism}")
             n_fail += 1
             continue
         bad = None
@@ -106,12 +120,26 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         if bad:
             c, i, e, g = bad
             print(f"FAIL {name}: col {c} row {i}: oracle={e!r} spark={g!r}")
+            record(name, rows=True, schema=True,
+                   detail=f"col {c} row {i}: oracle={e!r} spark={g!r}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(exp)} rows)")
+            record(name, rows=True, schema=True, values=True)
     print(f"\n{len(oracles) - n_fail}/{len(oracles)} oracle queries pass")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf": sf_dir, "n_queries": len(oracles),
+                       "n_pass": len(oracles) - n_fail, "n_fail": n_fail,
+                       "queries": report}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:] or None))
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sys.exit(main(argv[0], argv[1], argv[2:] or None, json_out))

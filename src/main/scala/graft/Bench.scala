@@ -198,6 +198,21 @@ object Bench {
           if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
         } else None
       }.toMap
+    // Adjudicated per-query values (round-15 verdict): when the
+    // end-of-suite isolated re-run measured a SMALLER time than the
+    // in-suite min-of-reps, the `queries` map carries the adjudicated
+    // (isolated) value and the total sums the same numbers — downstream
+    // consumers (scaling_report, bench_diff, round-over-round judging)
+    // otherwise start from numbers this harness itself has already
+    // shown to be host bursts (r15: q196 read 9.8 s in-suite, 2.07 s
+    // isolated, and BENCH_ROUND carried the 9.8). The raw in-suite min
+    // survives per substituted query in the sibling `insuite` map;
+    // `isolated` keeps every re-run measurement, substituted or not.
+    val substituted = isolated.filter { case (n, t) =>
+      results.getOrElse(n, -1.0) > 0 && t > 0 && t < results(n)
+    }
+    val insuite = substituted.keys.map(n => n -> results(n)).toMap
+    val adjudicated = results ++ substituted
     // probe_cal = the FULL probe series' minimum, not the 3 startup
     // samples': the startup probes run on a cold JVM (no JIT profiles for
     // the probe plan yet), which biased the calibration constant high on
@@ -212,11 +227,13 @@ object Bench {
     def f3(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = adjudicated.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val ins = insuite.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = adjudicated.values.filter(_ >= 0).sum
     // per-query values are the MINIMUM over `reps` timed runs; recording
     // reps makes round-over-round comparisons self-describing (a min-of-5
     // artifact is not comparable to a single-shot one under host load)
@@ -241,7 +258,7 @@ object Bench {
     // from an untagged 3-sample cold-start min to the full-series min);
     // scaling_report refuses to cross-correct artifacts of different kinds
     val line =
-      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","probe_cpu_cal":${f3(probeCpuCal)},"pair_boot":"$pairBoot","queries":$qs,"errors":$es,"probe_series":$ps,"probe_cpu_series":$psCpu,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","probe_cpu_cal":${f3(probeCpuCal)},"pair_boot":"$pairBoot","queries":$qs,"insuite":$ins,"errors":$es,"probe_series":$ps,"probe_cpu_series":$psCpu,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
     println(line)
     // Short summary line AFTER the big one: the driver keeps only a log
     // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
@@ -274,16 +291,24 @@ object Bench {
     // runs), not sf0.001 smoke loops. The test is the resolved artifact
     // PATH, not a separator heuristic — './BENCH_SELF.json' must still
     // journal and '/tmp/x.json' must still skip.
+    // anchored to the resolved JOURNAL's parent directory, not the JVM
+    // cwd: a driver/pair run launched from outside the repo with
+    // SPARK_GRAFT_BENCH_OUT pointing at an in-repo artifact must still
+    // journal — the journal's own repo is the containment that matters
+    val historyPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"))
+      .toAbsolutePath.normalize
     val localIteration = {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_ROUND.json"))
         .toAbsolutePath.normalize
-      !out.startsWith(java.nio.file.Paths.get("").toAbsolutePath.normalize)
+      val repo = Option(historyPath.getParent)
+        .getOrElse(historyPath.getRoot)
+      !out.startsWith(repo)
     }
     if (!localIteration)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl")),
+      historyPath,
       line + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)

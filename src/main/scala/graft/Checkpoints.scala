@@ -61,8 +61,25 @@ object Checkpoints {
     * operators (CC rounds, globalRowNumber's frozen ranges) checkpoint
     * through here.
     */
-  def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
-    val ck = ds.localCheckpoint(true)
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] =
+    register(ds.localCheckpoint(true))
+
+  /** LAZY `localCheckpoint` (graft-owned like [[checkpoint]]): the
+    * snapshot materializes during the FIRST job that computes it
+    * instead of a dedicated eager pass — correct for ANY first action,
+    * because Spark's local-checkpoint finalization backfills partitions
+    * a partial action skipped (`LocalRDDCheckpointData.doCheckpoint`
+    * runs a fill-in job over missing partitions before truncating
+    * lineage). Use when the caller immediately runs a job over the
+    * result anyway (the two-pass operators' cell aggregation): the
+    * materialization rides that job for free. Until a first job runs,
+    * the freeze guarantee is pending — callers must not interleave
+    * other consumers before their first action.
+    */
+  def checkpointLazy[T](ds: Dataset[T]): Dataset[T] =
+    register(ds.localCheckpoint(false))
+
+  private def register[T](ck: Dataset[T]): Dataset[T] = {
     ck.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD => owned.add(r.rdd.id)
       case _ => ()
