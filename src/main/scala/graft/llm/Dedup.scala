@@ -243,13 +243,18 @@ object Dedup {
     // 3× token count), shingles travel as md5 digests, and everything
     // downstream is a (k, digest)-keyed shrinking agg.
     QueryDef.sql("q305_shingle_size_advisor") { (s, d) =>
+      // round 16 (guide §2.3 — shuffle fewer bytes): the grouping key is
+      // unhex(md5(...)) — the 16-byte binary digest instead of its
+      // 32-char hex rendering. unhex is injective on hex strings, so
+      // every distinct count below is IDENTICAL to grouping on the hex
+      // text (the oracle's MD5 string), at half the shuffle-key bytes.
       val sh = Tables(s, d, "documents")
         .select(expr("split(text, ' ')").as("toks"))
         .select(explode(expr(
           """flatten(transform(array(2, 3, 5), k ->
             |  transform(sequence(0, greatest(size(toks) - k, 0)),
             |    i -> named_struct('k', CAST(k AS BIGINT),
-            |      'sh', md5(array_join(slice(toks, i + 1, k), ' '))))))"""
+            |      'sh', unhex(md5(array_join(slice(toks, i + 1, k), ' ')))))))"""
             .stripMargin)).as("x"))
         .select(col("x.k").as("k"), col("x.sh").as("sh"))
       sh.groupBy(col("k"), col("sh")).agg(count(lit(1)).as("c"))
@@ -430,7 +435,7 @@ object Dedup {
       // freeze: the shingle relation feeds four consumers (df agg,
       // prefix rank, both verify legs) — without the checkpoint each
       // would re-tokenize and re-hash the corpus
-      val docs = graft.Checkpoints.checkpoint(
+      val docs = graft.Checkpoints.checkpointLazy(
         Tables(s, d, "documents")
           .withColumn("tokens", split(col("text"), " "))
           .select(col("doc_id"),
@@ -508,7 +513,7 @@ object Dedup {
     // counts over string shingles (the q136 hash-vs-string precedent).
     QueryDef.sql("q146_containment_join") { (s, d) =>
       graft.functions.SortedIntersectCount.register(s)
-      val docs = graft.Checkpoints.checkpoint(
+      val docs = graft.Checkpoints.checkpointLazy(
         Tables(s, d, "documents")
           .withColumn("tokens", split(col("text"), " "))
           .select(col("doc_id"),
@@ -1173,7 +1178,7 @@ object Dedup {
       lastCcLabels.foreach(graft.Checkpoints.release)
       lastCcLabels = None
     }
-    val e = graft.Checkpoints.checkpoint(
+    val e = graft.Checkpoints.checkpointLazy(
       edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
     if (e.count() <= smallGraphEdges) {
       val r = unionFind(e)
@@ -1311,8 +1316,11 @@ object Dedup {
     graft.functions.MinHashSigs.register(s)
     val sigs = docs
       .select(col("doc_id"), expr("minhash_sigs(shingles)").as("sigs"))
-      // plan barrier: materialize signatures once before the 8-band fan-out
-      // (prevents projection collapse from re-expanding the kernel per band)
+      // plan barrier: materialize signatures once before the 8-band fan-out.
+      // Round 16 TESTED removing this (the q41 precedent): here the
+      // optimizer DID re-expand the kernel (minhash_sigs x3 in the
+      // barrier-free plan) because the band struct extracts two fields
+      // of the generator output — the barrier is load-bearing; kept.
       .repartition(col("doc_id"))
     val bands = sigs
       .select(col("doc_id"), explode(expr(
@@ -1365,8 +1373,8 @@ object Dedup {
       .select(col("doc_id"), expr(
         "simhash64(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))")
         .as("simhash"))
-      // plan barrier: materialize the fingerprint before the band fan-out
-      .repartition(col("doc_id"))
+    // round 16: no barrier before the band fan-out (see minhashDedup —
+    // the kernel output is referenced as an attribute, computed once)
     val bands = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), expr(s"(simhash >> ${16 * b}) & 65535").as("bkey"))

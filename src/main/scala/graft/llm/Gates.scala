@@ -153,22 +153,30 @@ object Gates {
     // fixture SF (LlmSpec measures the same bound exhaustively at
     // sf0.001).
     QueryDef.sql("q107_minhash_recall_gate") { (s, d) =>
+      graft.functions.SortedIntersectCount.register(s)
+      // round 16: the all-pairs truth verify rides the early-exit
+      // sorted-merge kernel (q24's posture) instead of per-pair
+      // array_intersect hash sets — same md5-derived shingle hashes,
+      // sorted once per doc, and J ≥ 0.5 ⟺ 3·i ≥ na+nb, so the integer
+      // minRequired = ceil((na+nb)/3) decides the pair with no float
+      // compare; truth set identical (exact count when kept, -1 when
+      // provably below threshold).
       val docs = Tables(s, d, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .withColumn("sh", expr(
-          """transform(
+          """sort_array(transform(
             |  array_distinct(transform(sequence(0, size(toks) - 3),
             |    i -> concat_ws(' ', slice(toks, i + 1, 3)))),
-            |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10) AS bigint))""".stripMargin))
+            |  x -> cast(conv(substring(md5(x), 1, 15), 16, 10) AS bigint)))""".stripMargin))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       val truth = docs.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na"))
         .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")),
           col("doc_a") < col("doc_b"))
-        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-        .filter(col("i").cast("double") >=
-          lit(0.5) * (col("na") + col("nb") - col("i")).cast("double"))
+        .withColumn("i", expr(
+          "sorted_intersect_count_min(sa, sb, cast((na + nb + 2) DIV 3 AS int))"))
+        .filter(col("i") >= 0)
         .select("doc_a", "doc_b")
       val found = Dedup.minhashDedup(s, d)
         .filter(col("doc_a") < 500 && col("doc_b") < 500)

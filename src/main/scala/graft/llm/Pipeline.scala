@@ -322,7 +322,7 @@ object Pipeline {
     // freeze runs on source-cardinality rows — the q122 posture. All
     // integer arithmetic end-to-end.
     QueryDef.sql("q133_token_budget_waterfill") { (s, d) =>
-      val perSrc = graft.Checkpoints.checkpoint(
+      val perSrc = graft.Checkpoints.checkpointLazy(
         Tables(s, d, "documents")
           .groupBy(col("source"))
           .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens")))

@@ -958,7 +958,7 @@ object Similarity {
             .as("cv"))
           .withColumn("cn2", expr("vec_dot(cv, cv)"))
           .select(col("cid"), col("cv"), col("cn2"))
-      val a1 = graft.Checkpoints.checkpoint(assign(centRow(seeds)))
+      val a1 = graft.Checkpoints.checkpointLazy(assign(centRow(seeds)))
       val a2 = assign(centRow(refit(a1)))
       a2.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
@@ -1073,7 +1073,7 @@ object Similarity {
               |    ELSE acc END)""".stripMargin))
           .select(col("vec_id"), col("block"), col("bv"),
             col("best.cid").as("cid"), col("best.d").as("dist"))
-      val a1 = graft.Checkpoints.checkpoint(assign(seeds))
+      val a1 = graft.Checkpoints.checkpointLazy(assign(seeds))
       val refit = a1
         .select(col("block"), col("cid"), posexplode(col("bv")).as(Seq("pos", "val")))
         .groupBy(col("block"), col("cid"), col("pos"))
@@ -1493,7 +1493,7 @@ object Similarity {
     // corpus and re-run the argmax fold (release owned by the caller via
     // Checkpoints.release once consumed; Verify/Bench sessions are
     // short-lived)
-    val frozen = graft.Checkpoints.checkpoint(assigned)
+    val frozen = graft.Checkpoints.checkpointLazy(assigned)
     val a = frozen.select(col("cluster_id"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("norm2").as("na"))
     val b = frozen.select(col("cluster_id").as("cluster_b"),
@@ -1849,7 +1849,7 @@ object Similarity {
   def powerIterationPca(s: SparkSession, d: String,
       shiftBits: Int = 0): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ex = graft.Checkpoints.checkpoint(
+    val ex = graft.Checkpoints.checkpointLazy(
       Tables(s, d, "embeddings")
         .select(col("vec_id"), posexplode(expr(
           "transform(embedding, x -> cast(floor(cast(x AS double) * 256.0) AS bigint))"))
@@ -1864,7 +1864,7 @@ object Similarity {
       if (shiftBits > 0 && it < 3)
         vNext = vNext.select(col("c"),
           floor(col("v") / lit(BigDecimal(2).pow(shiftBits))).cast(dec).as("v"))
-      v = graft.Checkpoints.checkpoint(vNext)
+      v = graft.Checkpoints.checkpointLazy(vNext)
       if (it < 3)
         dv = ex.join(broadcast(v), "c")
           .groupBy(col("vec_id"))
@@ -2240,7 +2240,7 @@ object Similarity {
     // Lloyd sweeps: each refit is (block, cid, pos)-keyed exact-integer
     // means over the frozen previous assignment
     val refit = (1 to refits).foldLeft(seeds) { case (cb, _) =>
-      refitFrom(graft.Checkpoints.checkpoint(assignPq(cb)))
+      refitFrom(graft.Checkpoints.checkpointLazy(assignPq(cb)))
     }
     val codes = assignPq(refit).select(col("vec_id"), col("block"), col("cid"))
     (codes, refit)

@@ -378,9 +378,10 @@ object TextAnalysis {
         // DuckDB's GENERATE_SERIES) and element_at(toks, 2) then throws
         // under ANSI — filter them out before the transform
         .filter(size(col("toks")) >= 2)
-        // barrier: materialize the token array once (the bigram transform
-        // references it three times; CollapseProject would re-split per ref)
-        .repartition(col("toks"))
+        // round 16: no barrier — Spark 4's CollapseProject keeps a
+        // non-cheap multiply-referenced alias in its own Project (the
+        // split runs once per row; plan-verified), so the repartition
+        // bought nothing but a full exchange of the token arrays
         .select(explode(expr(
           """transform(sequence(1, size(toks) - 1),
             |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
@@ -662,10 +663,9 @@ object TextAnalysis {
       val toks = docs
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 5)
-        // barrier: materialize the token array once (the shingle
-        // transform references it per element; CollapseProject would
-        // otherwise inline a re-split per reference — see q41)
-        .repartition(col("doc_id"))
+        // round 16: no barrier (see q41 — CollapseProject keeps the
+        // split in one Project; the repartition was a pure extra
+        // exchange of the token arrays)
       val sh = toks.select(col("doc_id"), col("lang"),
         explode(array_distinct(expr(
           """transform(sequence(1, size(toks) - 4),
@@ -813,10 +813,7 @@ object TextAnalysis {
       val pairs = docs
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
-        // barrier: materialize the token array once (the bigram transform
-        // references it three times; CollapseProject would re-split per
-        // ref) — same posture as q41/q86
-        .repartition(col("doc_id"))
+        // round 16: no barrier (see q41)
         .select(col("doc_id"), col("lang"), explode(expr(
           """transform(sequence(1, size(toks) - 1),
             |  i -> named_struct('w1', element_at(toks, i),
@@ -852,7 +849,7 @@ object TextAnalysis {
       // release via Checkpoints.release (q78's posture). The alternative
       // single-pass shape (a lang-partitioned full-frame window) is the
       // 5-partition scale-killer this library bans.
-      val perDocF = graft.Checkpoints.checkpoint(perDoc)
+      val perDocF = graft.Checkpoints.checkpointLazy(perDoc)
       val perLang = perDocF.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           (Det.csum(col("doc_surprisal"), 6) / count(lit(1))).as("mean_surprisal"))
@@ -909,10 +906,7 @@ object TextAnalysis {
     // int64s. Shape at scale: each branch is explode → shrinking
     // (source, gram) partial agg → per-source totals (distinct counts
     // computed as the second level of the same agg — never a global
-    // distinct), joined on the tiny source key. The trigram branch
-    // repartitions on doc_id first — the materialization barrier that
-    // stops CollapseProject re-evaluating split() per element_at
-    // reference (q41/q86/q114's posture).
+    // distinct), joined on the tiny source key.
     QueryDef.sql("q117_source_ngram_diversity") { (s, d) =>
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
@@ -923,6 +917,9 @@ object TextAnalysis {
         .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct_tokens"))
       val tri = docs
         .filter(size(col("toks")) >= 3)
+        // barrier kept (round 16 TESTED removing it — unlike q41, the
+        // two-branch shared `docs` projection re-split per element_at
+        // here: split(text) x8 in the barrier-free plan)
         .repartition(col("doc_id"))
         .select(col("source"), explode(expr(
           """transform(sequence(1, size(toks) - 2),
@@ -1571,9 +1568,7 @@ object TextAnalysis {
         // below empties the stream for n > size — a blanket size ≥ 4
         // filter would silently drop short docs from the n=2/3 stats
         .filter(size(col("toks")) >= 2)
-        // barrier: materialize toks once before the 3-way transform
-        // (q114's posture)
-        .repartition(col("doc_id"))
+        // round 16: no barrier (see q41)
         .select(col("doc_id"), col("lang"), col("n_chars"), explode(expr(
           """flatten(transform(array(2, 3, 4), n ->
             |  if(size(toks) >= n,
@@ -1587,6 +1582,11 @@ object TextAnalysis {
       val counts = grams
         .groupBy(col("doc_id"), col("lang"), col("n_chars"), col("n"), col("g"))
         .agg(count(lit(1)).as("cnt"))
+      // top-1 stays a row_number window ON PURPOSE (round 16 tested the
+      // min(struct(-cnt, g)) aggregate form: struct-min plans as a
+      // SortAggregate with NO map-side partials, while the window +
+      // r <= 1 filter plans a WindowGroupLimit that prunes to one row
+      // per (doc, n) group BEFORE the exchange — the window wins)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"), col("n"))
         .orderBy(col("cnt").desc, col("g"))

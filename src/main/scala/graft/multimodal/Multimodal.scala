@@ -1093,7 +1093,7 @@ object Multimodal {
     * pins it against q158's exact groups instead.
     */
   def perceptualNearDup(s: SparkSession, d: String, maxHamming: Int): DataFrame = {
-    val keys = graft.Checkpoints.checkpoint(rasterKeys(s, d).toDF())
+    val keys = graft.Checkpoints.checkpointLazy(rasterKeys(s, d).toDF())
     bandedNearDupPairs(keys, maxHamming)
   }
 

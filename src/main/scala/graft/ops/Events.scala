@@ -1174,7 +1174,7 @@ object Events {
     // frames per row (O(rows²) per partition — the q182 skyline lesson),
     // while both running frames here are incremental O(rows).
     QueryDef.sql("q176_gap_interpolation") { (s, d) =>
-      val daily = graft.Checkpoints.checkpoint(
+      val daily = graft.Checkpoints.checkpointLazy(
         Tables(s, d, "orders")
           .select(col("o_orderpriority").as("prio"),
             expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").as("day"))
@@ -1382,7 +1382,7 @@ object Events {
       val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       val grid = span.select(explode(expr("sequence(lo, hi)")).as("day"))
         .crossJoin(daily.select(col("prio")).distinct())
-      val filled = graft.Checkpoints.checkpoint(
+      val filled = graft.Checkpoints.checkpointLazy(
         grid.join(daily, Seq("prio", "day"), "left_outer")
           .withColumn("c", coalesce(col("n"), lit(0L))))
       val w = Window.partitionBy(col("prio")).orderBy(col("day"))
@@ -4500,7 +4500,7 @@ object Events {
       // freeze the |segments|-row relation: both consumers (the global
       // row and the output projection) read the frozen copy, so the
       // events scan + per-user agg run ONCE (q114's posture)
-      val seg = graft.Checkpoints.checkpoint(perUser
+      val seg = graft.Checkpoints.checkpointLazy(perUser
         .join(broadcast(cust), col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_t"),
@@ -5050,7 +5050,7 @@ object Events {
       // freeze the |nations|-row count relation: three consumers below
       // (the totals row twice + the leave-one-out series) — the freeze
       // runs the events scan ONCE (q338's posture)
-      val byNation = graft.Checkpoints.checkpoint(flags
+      val byNation = graft.Checkpoints.checkpointLazy(flags
         .join(broadcast(cust), col("user_id") === col("c_custkey"))
         .select(col("c_nationkey").as("nationkey"),
           (Ids.hash("user_id") % 2 === 0).as("in_a"), col("converted"))
@@ -5343,7 +5343,7 @@ object Events {
       // (the span row and the moment agg) read the frozen copy — ONE
       // events scan (q345's posture). The global span off the cells is
       // the span off the events: min/max survive the grouping.
-      val cells = graft.Checkpoints.checkpoint(
+      val cells = graft.Checkpoints.checkpointLazy(
         Tables(s, d, "events")
           .select(col("event_type"), date_trunc("minute", col("ts")).as("mi"))
           .groupBy(col("event_type"), col("mi"))

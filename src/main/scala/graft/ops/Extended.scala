@@ -681,7 +681,7 @@ object Extended {
     // FK walk the deletion propagation uses. The union branches scan
     // DIFFERENT tables, so no shared aggregate is re-planned.
     QueryDef.sql("q301_subject_access_export") { (s, d) =>
-      val target = graft.Checkpoints.checkpoint(
+      val target = graft.Checkpoints.checkpointLazy(
         Tables(s, d, "events")
           .select(col("user_id"), graft.Ids.hash("user_id").as("h"))
           .orderBy(col("h"), col("user_id")).limit(1)

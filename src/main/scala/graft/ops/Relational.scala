@@ -441,25 +441,38 @@ object Relational {
       val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val p = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
-      val cb = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
-        .distinct()
-      val brandCust = cb.groupBy(col("brand")).agg(count(lit(1)).as("n_cust"))
-      val nAll = cb.select(col("cust")).distinct().agg(count(lit(1)).as("n"))
-      val pairs = cb.groupBy(col("cust"))
-        .agg(sort_array(collect_list(col("brand"))).as("bs"))
+      // ONE customer-keyed exchange feeds everything (round 16, guide
+      // §2.4): the former (cust, brand) DISTINCT exchange followed by a
+      // second cust-keyed exchange for the pair expansion is collapsed
+      // into one grouped relation — collect_set dedupes in the
+      // aggregation buffer, row count IS the distinct-customer count,
+      // and the per-brand customer counts come from an in-buffer
+      // explode. Frozen so its three consumers don't re-run the
+      // fact join (answer-identical: set semantics).
+      val cb = graft.Checkpoints.checkpointLazy(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(sort_array(collect_set(col("p_brand"))).as("bs")))
+      val brandCust = cb.select(explode(col("bs")).as("brand"))
+        .groupBy(col("brand")).agg(count(lit(1)).as("n_cust"))
+      val nAll = cb.agg(count(lit(1)).as("n"))
+      val pairs = cb
         .select(explode(expr(
           """flatten(transform(bs, (x, i) ->
             |  transform(slice(bs, i + 2, size(bs)), y ->
             |    struct(x AS a, y AS b))))""".stripMargin)).as("e"))
         .groupBy(col("e.a").as("brand_a"), col("e.b").as("brand_b"))
         .agg(count(lit(1)).as("shared_customers"))
+      // brandCust is brands-bounded (≤25 rows at any corpus scale) —
+      // broadcast explicitly: the frozen cb leaf carries no size
+      // statistics, so the planner would otherwise default these
+      // dimension joins to sort-merge (guide §3.1)
       pairs
-        .join(brandCust.select(col("brand").as("brand_a"),
-          col("n_cust").as("cust_a")), "brand_a")
-        .join(brandCust.select(col("brand").as("brand_b"),
-          col("n_cust").as("cust_b")), "brand_b")
+        .join(broadcast(brandCust.select(col("brand").as("brand_a"),
+          col("n_cust").as("cust_a"))), "brand_a")
+        .join(broadcast(brandCust.select(col("brand").as("brand_b"),
+          col("n_cust").as("cust_b"))), "brand_b")
         .crossJoin(broadcast(nAll))
         .select(col("brand_a"), col("brand_b"), col("shared_customers"),
           col("cust_a"), col("cust_b"),

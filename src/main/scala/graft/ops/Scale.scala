@@ -298,7 +298,16 @@ object Scale {
     require(order.nonEmpty)
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = graft.Checkpoints.checkpoint(
+    // LAZY freeze (round 16, guide §1.2/§2.4 — the twoPassGrouped job
+    // economics applied here too): the per-partition offset aggregation
+    // below is the FIRST action over the snapshot, so its shuffle-map
+    // stage materializes every partition and local-checkpoint
+    // finalization backfills any skipped ones — one scheduled job per
+    // operator call instead of a dedicated eager materialization pass
+    // followed by a re-read. The freeze contract is unchanged: ONE RDD
+    // instance backs both consumers, so RangePartitioner boundaries are
+    // sampled exactly once.
+    val ranged = graft.Checkpoints.checkpointLazy(
       df.repartitionByRange(parts, order: _*)
         .withColumn("__pid", spark_partition_id()))
     val partAgg = ranged.groupBy(col("__pid"))

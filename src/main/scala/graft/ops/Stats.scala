@@ -923,7 +923,7 @@ object Stats {
       // the ONE corpus-sized pass, frozen (q78's posture) so the four
       // consumers below derive from the O(sources × buckets) relation
       // instead of four re-scans of the corpus
-      val sb = graft.Checkpoints.checkpoint(
+      val sb = graft.Checkpoints.checkpointLazy(
         Tables(s, d, "documents")
           .select(col("source"), expr("n_chars DIV 50").as("bucket"))
           .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("n_sb")))
@@ -1145,7 +1145,7 @@ object Stats {
     // sparse key spaces make them). Gap i pairs end-rank i with
     // start-rank i+1 — one keyed join on the rank. All-integer output.
     QueryDef.sql("q174_sequence_gaps") { (s, d) =>
-      val keys = graft.Checkpoints.checkpoint(
+      val keys = graft.Checkpoints.checkpointLazy(
         Tables(s, d, "lineitem").select(col("l_orderkey").as("k")).distinct())
       // island end: k present, k+1 absent  <=>  k not in (keys - 1)
       val ends = keys.join(keys.select((col("k") - 1).as("k")), Seq("k"), "left_anti")

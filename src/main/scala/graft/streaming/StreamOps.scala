@@ -2562,7 +2562,7 @@ object StreamOps {
     // below (day list, nation list, the join-back) — the freeze runs the
     // delta scan ONCE and gives the analyzer a cloneable leaf for the
     // self-joins (q338's frozen-relation posture)
-    val daily = graft.Checkpoints.checkpoint(
+    val daily = graft.Checkpoints.checkpointLazy(
       deltas.groupBy(col("day"), col("nation"))
         .agg(
           sum(when(col("in_a"), col("dn")).otherwise(0L)).as("dna"),
@@ -2729,7 +2729,7 @@ object StreamOps {
   def valueDriftMonitorOf(cells: DataFrame,
       boundary: String = "2024-01-16"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = graft.Checkpoints.checkpoint(
+    val daily = graft.Checkpoints.checkpointLazy(
       cells.groupBy(col("day"), col("event_type"), col("b"))
         .agg(sum(col("n")).as("n"))
         .withColumn("pre", col("day") < lit(boundary).cast("timestamp")))
@@ -2805,7 +2805,7 @@ object StreamOps {
     */
   def burstinessMonitorOf(cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = graft.Checkpoints.checkpoint(
+    val daily = graft.Checkpoints.checkpointLazy(
       cells.groupBy(col("mi"), col("event_type"))
         .agg(sum(col("c")).as("c"))
         .withColumn("day", date_trunc("day", col("mi"))))

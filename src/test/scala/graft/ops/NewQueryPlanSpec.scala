@@ -167,6 +167,11 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("q117's trigram branch materializes tokens behind the doc_id barrier") {
+    // round 16 tested removing this barrier (q41's precedent) and the
+    // pin's premise held HERE: the two-branch shared docs projection
+    // re-split per element_at reference (split(text) x8) — the barrier
+    // is load-bearing for q117, unlike the single-consumer fan-outs
+    // (q41/q76/q114/q333) where it was removed
     val p = plan("q117_source_ngram_diversity")
     assert(p.contains("hashpartitioning(doc_id"),
       s"the trigram transform must read frozen token arrays (q41/q86's " +
