@@ -9,6 +9,7 @@ otherwise every oracle entry must have a Spark dump present.
 booleans plus a status string) — used for the committed sf1 gate.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -36,6 +37,18 @@ def dtype_family(dt) -> str:
 
 def main(sf_dir: str, out_dir: str, only=None, json_out=None) -> int:
     con = duckdb.connect()
+    # Resource pragmas for LARGE fixture dirs (the sf1 gate): DuckDB's
+    # default unbounded memory + cwd-relative temp dir OOM'd / filled the
+    # filesystem on the kcore/modularity edge self-join replays at 10x.
+    # A memory limit makes DuckDB spill instead of die; the temp dir puts
+    # that spill somewhere with room. Both opt-in via env so the fast
+    # sf0.01 path is unchanged.
+    for pragma, env in (("memory_limit", "DUCKDB_MEMORY_LIMIT"),
+                        ("temp_directory", "DUCKDB_TEMP_DIR"),
+                        ("threads", "DUCKDB_THREADS")):
+        val = os.environ.get(env)
+        if val:
+            con.execute(f"SET {pragma} = '{val}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
