@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's stdout must reach the driver UNPREFIXED: sbt's default
+// LoggedOutput for forked runs prepends "[info] " to every program line,
+// and the driver's bench parser matched nothing in 16 rounds — BENCH_r01's
+// saved tail holds the COMPLETE 45-query JSON line (no truncation), still
+// parsed:null, because no line ever STARTED with '{'. StdoutOutput passes
+// the forked JVM's stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,7 +48,9 @@ def main(sf_dir: str, out_dir: str, only=None, json_out=None) -> int:
                         ("threads", "DUCKDB_THREADS")):
         val = os.environ.get(env)
         if val:
-            con.execute(f"SET {pragma} = '{val}'")
+            # parameter binding, not interpolation: a value containing a
+            # quote must not break the statement (round-16 ADVICE)
+            con.execute(f"SET {pragma} = ?", [val])
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

@@ -73,9 +73,19 @@ object Bench {
       // codegen kernel (no I/O, no shuffle, SF-independent, fixed task
       // count) makes that drift machine-readable for the next
       // adjudication.
+      // Round-17 fix: the round-15 kernel summed RAW xxhash64 values —
+      // 64M uniform int64 addends overflow a long partial sum with
+      // near-certainty, and under ANSI mode (Spark 4 default) sum()
+      // THROWS, so with the exception swallowed below the "cpu probe"
+      // measured job-ABORT latency (~15 ms, 288 ARITHMETIC_OVERFLOW
+      // stacks per bench log) for two rounds, not compute speed.
+      // shiftright(·, 32) bounds each addend to ±2^31 (|sum| ≤ 2^57 —
+      // 64x inside int64) while the per-row cost stays hash-dominated.
+      // probe_cpu_kind tags the artifact so cross-round cpu-probe
+      // comparisons refuse to mix the broken constant with this one.
       val t1 = System.nanoTime()
       try spark.range(0L, 64000000L, 1L, 8)
-        .selectExpr("sum(xxhash64(id))").collect()
+        .selectExpr("sum(shiftright(xxhash64(id), 32))").collect()
       catch { case _: Throwable => () }
       probesCpu += (System.nanoTime() - t1) / 1e9
     }
@@ -251,22 +261,31 @@ object Bench {
     val pairBoot =
       if (bootId.isEmpty || pairBootId.isEmpty) "unknown"
       else if (bootId == pairBootId) "same" else "cross"
-    // the long per-query line is "total_detail", NOT "total": a consumer
-    // matching "metric":"total" in the log tail must find exactly ONE
-    // line — the short, never-truncated summary below
+    // the journal/file line is "total_detail", NOT "total": a consumer
+    // matching "metric":"total" in the program output must find exactly
+    // ONE line — the full contract line printed LAST below
     // probe_cal_kind versions the calibration semantics (round 14 moved
     // from an untagged 3-sample cold-start min to the full-series min);
     // scaling_report refuses to cross-correct artifacts of different kinds
     val line =
-      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","probe_cpu_cal":${f3(probeCpuCal)},"pair_boot":"$pairBoot","queries":$qs,"insuite":$ins,"errors":$es,"probe_series":$ps,"probe_cpu_series":$psCpu,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"ts":${System.currentTimeMillis()},"boot_id":"$bootId","uptime_sec":$uptimeSec,"probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","probe_cpu_cal":${f3(probeCpuCal)},"probe_cpu_kind":"xxsum_shift32","pair_boot":"$pairBoot","queries":$qs,"insuite":$ins,"errors":$es,"probe_series":$ps,"probe_cpu_series":$psCpu,"probe_offsets":$po,"suspect":$su,"isolated":$iso,"sf":"$sfDir"}"""
     println(line)
-    // Short summary line AFTER the big one: the driver keeps only a log
-    // TAIL, and the tail keeps line ENDS — a 267-query line overflows the
-    // capture and loses its "metric":"total" HEAD (BENCH_r07/r08 recorded
-    // parsed:null). This line is <300 bytes and always survives the tail,
-    // and is the ONLY line carrying "metric":"total".
+    // Round 17 — the driver-contract emit, root-caused from the artifacts:
+    // PERF_r16 compared zero queries because NO round's BENCH artifact ever
+    // parsed, including round 1 whose saved tail holds the COMPLETE
+    // 45-query line — intact but "[info] "-PREFIXED by sbt's forked-run
+    // logger, so a parser scanning for lines that START with '{' matched
+    // nothing in 16 rounds. build.sbt now forks with StdoutOutput
+    // (verbatim stdout), and the LAST program line below is the full
+    // contract object {"metric":"total",...,"queries":{...},"sf":...} —
+    // the ONLY line carrying "metric":"total", so first-match, last-match
+    // and queries-seeking parsers all land on the complete per-query map.
+    // The small diagnostic summary keeps its fields under "total_brief".
+    // Timed region, adjudication, env-var semantics: unchanged.
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"boot_id":"$bootId","probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","probe_cpu_cal":${f3(probeCpuCal)},"pair_boot":"$pairBoot","probe_series":$ps,"sf":"$sfDir"}""")
+      s"""{"metric":"total_brief","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"n_suspect":${suspects.size},"n_isolated":${isolated.size},"boot_id":"$bootId","probe_cal":${f3(probeCal)},"probe_cal_kind":"series_min","probe_cpu_cal":${f3(probeCpuCal)},"probe_cpu_kind":"xxsum_shift32","pair_boot":"$pairBoot","probe_series":$ps,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","timing":"min_of_reps","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"boot_id":"$bootId","probe_cal":${f3(probeCal)},"probe_cpu_cal":${f3(probeCpuCal)},"probe_cpu_kind":"xxsum_shift32","pair_boot":"$pairBoot","queries":$qs,"insuite":$ins,"errors":$es,"isolated":$iso,"sf":"$sfDir"}""")
     // also persist the line as a file artifact: the driver keeps only a
     // log TAIL, which has truncated past benches (r3 lost the total and
     // 11 per-query entries) — the file survives regardless of log size.

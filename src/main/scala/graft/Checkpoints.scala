@@ -22,6 +22,32 @@ object Checkpoints {
   /** RDD ids of checkpoints this library created and has not yet freed. */
   private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
+  /** Plan-dump escape hatch (round 17): with SPARK_GRAFT_NO_FREEZE=1 both
+    * checkpoint flavors return their input unchanged, so `graft.Explain`
+    * can print the FULL upstream plan that normally hides behind a frozen
+    * `Scan ExistingRDD` leaf (the q114 barrier-removal evidence gap —
+    * r16's committed plan pair started AT the freeze). Plan inspection
+    * only: freezes are correctness-bearing for the two-pass operators
+    * (RangePartitioner boundary pinning), so benches and verification
+    * must never set it.
+    */
+  private def noFreeze: Boolean =
+    sys.env.get("SPARK_GRAFT_NO_FREEZE").contains("1")
+
+  /** Deferred mid-loop releases (round 17): snapshots freed only when
+    * their OWNER's checkpoint leaf is released. Loop operators (q144's
+    * rank sweeps, q196's relaxations) previously kept EAGER per-sweep
+    * checkpoints solely so they could release the predecessor as soon as
+    * the successor materialized; with LAZY sweep freezes nothing has
+    * materialized mid-loop, so predecessors are instead registered here
+    * against the loop's FINAL frozen frame and drained by the caller's
+    * normal end-of-query [[release]]. Keyed per owner (not a global
+    * drain) so concurrent queries on one session cannot free each
+    * other's pending snapshots.
+    */
+  private val dependents = new java.util.concurrent.ConcurrentHashMap[
+    Int, List[org.apache.spark.rdd.RDD[_]]]()
+
   /** RDD ids of SHARED checkpoints (memoized build-once relations — the
     * LPA label assignment, the composed ANN index) that a consumer-level
     * [[release]] must not tear down: the first consumer's release would
@@ -62,7 +88,7 @@ object Checkpoints {
     * through here.
     */
   def checkpoint[T](ds: Dataset[T]): Dataset[T] =
-    register(ds.localCheckpoint(true))
+    if (noFreeze) ds else register(ds.localCheckpoint(true))
 
   /** LAZY `localCheckpoint` (graft-owned like [[checkpoint]]): the
     * snapshot materializes during the FIRST job that computes it
@@ -77,7 +103,30 @@ object Checkpoints {
     * other consumers before their first action.
     */
   def checkpointLazy[T](ds: Dataset[T]): Dataset[T] =
-    register(ds.localCheckpoint(false))
+    if (noFreeze) ds else register(ds.localCheckpoint(false))
+
+  /** Tie `victims`' graft-owned snapshots to `owner`'s: when [[release]]
+    * frees one of `owner`'s checkpoint leaves, the victims are freed in
+    * the same sweep. Used by loop operators whose per-sweep freezes are
+    * lazy — the predecessor snapshots must outlive the loop (nothing is
+    * materialized until the first consumer job) but die with the final
+    * frame. Returns `owner` for chaining; a no-op when `owner` carries no
+    * graft-owned leaf (e.g. under SPARK_GRAFT_NO_FREEZE).
+    */
+  def releaseWith[T](owner: Dataset[T], victims: Seq[Dataset[_]]): Dataset[T] = {
+    val vRdds = victims.flatMap(_.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD
+        if owned.contains(r.rdd.id) => r.rdd
+    }).toList
+    if (vRdds.nonEmpty) {
+      val oid = owner.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD
+          if owned.contains(r.rdd.id) => r.rdd.id
+      }.headOption
+      oid.foreach(id => dependents.merge(id, vRdds, (a, b) => a ++ b))
+    }
+    owner
+  }
 
   private def register[T](ck: Dataset[T]): Dataset[T] = {
     ck.queryExecution.analyzed.foreach {
@@ -99,6 +148,18 @@ object Checkpoints {
       case r: org.apache.spark.sql.execution.LogicalRDD
         if !pinned.contains(r.rdd.id) && owned.remove(r.rdd.id) =>
         r.rdd.unpersist(false)
+        drainDependents(r.rdd.id)
       case _ => ()
     }
+
+  /** Free the deferred victims registered against a just-released owner
+    * (transitively — a victim may itself own deferred victims).
+    */
+  private def drainDependents(id: Int): Unit =
+    Option(dependents.remove(id)).foreach(_.foreach { rdd =>
+      if (!pinned.contains(rdd.id) && owned.remove(rdd.id)) {
+        rdd.unpersist(false)
+        drainDependents(rdd.id)
+      }
+    })
 }

@@ -916,6 +916,19 @@ object Dedup {
             |  x -> x.da < x.db)""".stripMargin)).as("p"))
         .select(col("p.da").as("da"), col("p.db").as("db"),
           (col("p.pa") - col("p.pb")).as("diag"), col("p.pa").as("pa"))
+        // round 17 (guide §2.4 — share one exchange): partitioning by
+        // (da, db) satisfies EVERY downstream clustered distribution by
+        // the partition-keys-⊆-required-keys rule — the distinct's
+        // (da,db,diag,pa), the diagonal window's (da,db,diag), the span
+        // aggregation's (da,db,diag,grp) and the final per-pair rollup's
+        // (da,db) — so ONE exchange replaces the three the planner
+        // otherwise inserts (distinct + window + final agg). The distinct
+        // itself stays: it is the oracle-shared dedup of multi-occurrence
+        // shingle matches. Map-side partial dedup is lost, but a
+        // (da,db,diag,pa) row is unique per (occurrence-a, occurrence-b)
+        // pair by construction, so the partial pass was shrinking
+        // nothing.
+        .repartition(col("da"), col("db"))
         .distinct()
       val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
       pairs
@@ -1188,16 +1201,24 @@ object Dedup {
     val und = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .persist()
     try {
-      var labels = graft.Checkpoints.checkpoint(
+      // round 17: LAZY label checkpoints throughout this loop — the
+      // convergence probe (labelSum, an action) runs on every checkpoint
+      // right after it is taken, so the snapshot materializes inside the
+      // probe's job instead of a dedicated eager pass (one job saved per
+      // round), and the existing materialize-then-release ordering is
+      // preserved by the probe itself.
+      var labels = graft.Checkpoints.checkpointLazy(
         und.select(col("u").as("id")).distinct()
           .withColumn("label", col("id")))
-      // the initial-labels job above materialized (and cached) und, so the
-      // raw edge checkpoint is no longer referenced — free it now rather
-      // than pinning it for the whole loop
-      graft.Checkpoints.release(e)
       def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
         Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
       var prevSum = labelSum(labels)
+      // the probe above materialized labels (and cached und), so the raw
+      // edge checkpoint is no longer referenced — free it now rather than
+      // pinning it for the whole loop. (Must stay AFTER the first probe:
+      // und's lineage reads e, and a lazy labels snapshot would otherwise
+      // be computed from a severed checkpoint.)
+      graft.Checkpoints.release(e)
       var converged = prevSum.isEmpty // no edges → no nodes → nothing to do
       var i = 0
       while (!converged) {
@@ -1217,13 +1238,14 @@ object Dedup {
             least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         // pointer jumping: follow my label's label — halves path lengths
         val byId = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-        val next = graft.Checkpoints.checkpoint(
+        val next = graft.Checkpoints.checkpointLazy(
           stepped.join(byId, stepped("label") === byId("pid"), "left")
             .select(stepped("id"),
               least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label")))
         val nextSum = labelSum(next)
-        // the new checkpoint is materialized; the previous round's copy is
-        // dead — release it so the loop holds one labels copy, not O(rounds)
+        // the convergence probe materialized the new (lazy) checkpoint;
+        // the previous round's copy is dead — release it so the loop
+        // holds one labels copy, not O(rounds)
         graft.Checkpoints.release(labels)
         labels = next
         converged = nextSum == prevSum

@@ -160,7 +160,12 @@ object Gates {
       // sorted once per doc, and J ≥ 0.5 ⟺ 3·i ≥ na+nb, so the integer
       // minRequired = ceil((na+nb)/3) decides the pair with no float
       // compare; truth set identical (exact count when kept, -1 when
-      // provably below threshold).
+      // provably below threshold). One caveat (round-16 ADVICE): the
+      // kernel counts equal runs pairwise where array_intersect deduped —
+      // identical HERE because array_distinct above makes each doc's
+      // hashed shingle array duplicate-free unless two distinct shingles
+      // of one doc collide in the 60-bit hash (P ≈ 5e-9 per pair, and the
+      // old path was equally collision-exposed through n = size(sh)).
       val docs = Tables(s, d, "documents")
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -1568,7 +1568,17 @@ object TextAnalysis {
         // below empties the stream for n > size — a blanket size ≥ 4
         // filter would silently drop short docs from the n=2/3 stats
         .filter(size(col("toks")) >= 2)
-        // round 16: no barrier (see q41)
+        // barrier RESTORED (round 17): unlike q41's pure fan-out barrier,
+        // this repartition is LOAD-BEARING — hashpartitioning(doc_id)
+        // satisfies BOTH downstream clustered distributions (the
+        // (doc,lang,n_chars,n,g) gram aggregation's and the (doc,n)
+        // window's, by the partition-keys-⊆-required-keys rule), so with
+        // it the plan has ONE post-scan exchange carrying compact doc
+        // rows; without it EACH operator inserts its own gram-row
+        // exchange (r16 measured 3→4 exchanges, +12-19% wall — the one
+        // barrier removal of the four that made the plan worse).
+        // Plan-pinned in NewQueryPlanSpec.
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"), explode(expr(
           """flatten(transform(array(2, 3, 4), n ->
             |  if(size(toks) >= n,

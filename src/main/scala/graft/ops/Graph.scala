@@ -235,7 +235,12 @@ object Graph {
     // one anti join; top-20 is a distributed partial top-k
     // (TakeOrderedAndProject), never a global sort.
     QueryDef.sql("q279_link_prediction") { (s, d) =>
-      val e = edges(s, d)
+      // round 17 (guide §2.4): freeze the edge relation — it feeds THREE
+      // consumers below (the wedge expansion, the existing-edge anti
+      // join, and the degree relation joined twice), each of which
+      // otherwise re-derives the full basket → half-pair → symmetrize
+      // pipeline from the scan
+      val e = Checkpoints.checkpointLazy(edges(s, d))
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       val cand = e
         .groupBy(col("src").as("c"))
@@ -302,15 +307,19 @@ object Graph {
       var ranks = nodes.crossJoin(nRel)
         .select(col("node"), col("deg"), col("n"),
           (lit(1.0) / col("n").cast("double")).as("pr"))
-      // each sweep reads ONLY the previous sweep's frozen ranks, so the
-      // prior freeze is released as soon as its successor materializes;
-      // the LAST freeze (and the edge checkpoint) back the returned lazy
-      // frame — the caller releases them after consuming (q78's posture)
-      var prev: Option[DataFrame] = None
+      // round 17 (guide §1.2 — job economics): LAZY sweep freezes. The
+      // eager per-sweep checkpoint bought one dedicated materialization
+      // job per sweep solely so the predecessor could be released
+      // mid-loop; with lazy freezes nothing materializes until the
+      // consumer's single job computes the whole 3-sweep chain stage by
+      // stage, and the predecessor snapshots are registered on the final
+      // frame (Checkpoints.releaseWith) so the caller's normal
+      // end-of-query release frees them. Storage high-water: Iters
+      // node-sized rank snapshots held to query end (previously one).
+      val sweeps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (_ <- 1 to Iters) {
-        val frozen = Checkpoints.checkpoint(ranks)
-        prev.foreach(Checkpoints.release)
-        prev = Some(frozen)
+        val frozen = Checkpoints.checkpointLazy(ranks)
+        sweeps += frozen
         val contrib = e.join(frozen, e("src") === frozen("node"))
           .groupBy(col("dst"))
           .agg(sum(round(col("pr") / col("deg").cast("double") * Grid)
@@ -323,8 +332,10 @@ object Graph {
             (lit(0.25) / col("n").cast("double") +
               lit(0.75) * (col("sgrid").cast("double") / Grid)).as("pr"))
       }
-      ranks.select(col("node"), col("deg"), col("pr"))
-        .orderBy("node")
+      Checkpoints.releaseWith(
+        ranks.select(col("node"), col("deg"), col("pr"))
+          .orderBy("node"),
+        sweeps.dropRight(1).toSeq)
     } {
       s"""WITH $EdgeSql,
          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
@@ -816,38 +827,54 @@ object Graph {
         .crossJoin(tot)
         .select(col("c"), col("indeg"),
           (col("indeg").cast("double") / col("m").cast("double")).as("a"))
+      // Round 17 (guide §3.3 — very large plans; VERDICT #5): each
+      // normalization step references its grouped relation TWICE (the
+      // broadcast total AND the per-node division), so unfrozen, every
+      // sweep re-embedded its whole upstream tree twice over — a
+      // 2,091-line plan with 40 SortMergeJoins by h2. LAZY freezes on the
+      // three grouped sweep relations (h1g/a2g/h2g — each node-sized)
+      // truncate the re-embedding: the broadcast-total job materializes
+      // each freeze as it streams through, and every later reference
+      // reads the snapshot. Identical relational content, plan ~5x
+      // smaller; the harness release frees the snapshots through the
+      // returned frame's leaves.
       // h1: hub = sum of its customers' authorities, L1-normalized on
       // the exact grid total
-      val h1g = e.join(a1, "c")
+      val h1g = Checkpoints.checkpointLazy(e.join(a1, "c")
         .groupBy(col("s"))
-        .agg(sum(round(col("a") * Grid).cast("long")).as("hg"))
+        .agg(sum(round(col("a") * Grid).cast("long")).as("hg")))
       val h1t = broadcast(h1g.agg(sum(col("hg")).as("ht")))
       val h1 = h1g.crossJoin(h1t)
         .select(col("s"), col("hg"),
           (col("hg").cast("double") / col("ht").cast("double")).as("h"))
       // a2: authority = sum of its suppliers' hub scores, normalized
-      val a2g = e.join(h1, "s")
+      val a2g = Checkpoints.checkpointLazy(e.join(h1, "s")
         .groupBy(col("c"))
         .agg(count(lit(1)).as("indeg"),
-          sum(round(col("h") * Grid).cast("long")).as("ag"))
+          sum(round(col("h") * Grid).cast("long")).as("ag")))
       val a2t = broadcast(a2g.agg(sum(col("ag")).as("atot")))
       val a2 = a2g.crossJoin(a2t)
         .select(col("c"), col("indeg"),
           (col("ag").cast("double") / col("atot").cast("double")).as("a"))
       // h2: final hub sweep against the refreshed authorities
-      val h2g = e.join(a2.select(col("c"), col("a")), "c")
+      val h2g = Checkpoints.checkpointLazy(e.join(a2.select(col("c"), col("a")), "c")
         .groupBy(col("s"))
         .agg(count(lit(1)).as("outdeg"),
-          sum(round(col("a") * Grid).cast("long")).as("hg"))
+          sum(round(col("a") * Grid).cast("long")).as("hg")))
       val h2t = broadcast(h2g.agg(sum(col("hg")).as("ht")))
       val h2 = h2g.crossJoin(h2t)
         .select(col("s"), col("outdeg"),
           (col("hg").cast("double") / col("ht").cast("double")).as("h"))
-      h2.select(lit("hub").as("role"), col("s").as("id"),
-          col("outdeg").as("degree"), col("h").as("score"))
-        .unionAll(a2.select(lit("authority").as("role"), col("c").as("id"),
-          col("indeg").as("degree"), col("a").as("score")))
-        .orderBy("role", "id")
+      // e and h1g are reachable only through FROZEN lineages (truncated
+      // at materialization), so they are not leaves of the returned plan
+      // — register them on it for the caller's end-of-query release
+      Checkpoints.releaseWith(
+        h2.select(lit("hub").as("role"), col("s").as("id"),
+            col("outdeg").as("degree"), col("h").as("score"))
+          .unionAll(a2.select(lit("authority").as("role"), col("c").as("id"),
+            col("indeg").as("degree"), col("a").as("score")))
+          .orderBy("role", "id"),
+        Seq(h1g, e))
     } {
       """WITH e AS (
         |  SELECT l.l_suppkey AS s, o.o_custkey AS c
@@ -907,11 +934,13 @@ object Graph {
           greatest(lit(1L), expr("CAST(1000 DIV w AS BIGINT)")).as("ecost")))
       var dist = s.range(1)
         .select(lit(0L).as("node"), lit(0L).as("cost"))
-      var prev: Option[DataFrame] = None
+      // round 17: lazy sweep freezes + deferred release (the q144
+      // posture — one consumer job materializes the whole relaxation
+      // chain; predecessors die with the final frame)
+      val sweeps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (_ <- 1 to 3) {
-        val frozen = Checkpoints.checkpoint(dist)
-        prev.foreach(Checkpoints.release)
-        prev = Some(frozen)
+        val frozen = Checkpoints.checkpointLazy(dist)
+        sweeps += frozen
         val relaxed = e.join(frozen, e("src") === frozen("node"))
           .select(col("dst").as("node"),
             (col("ecost") + frozen("cost")).as("cost"))
@@ -919,7 +948,7 @@ object Graph {
           .unionAll(relaxed)
           .groupBy(col("node")).agg(min(col("cost")).as("cost"))
       }
-      dist.orderBy("node")
+      Checkpoints.releaseWith(dist.orderBy("node"), sweeps.dropRight(1).toSeq)
     } {
       s"""WITH $EdgeSql,
          |ec AS (
@@ -1033,7 +1062,11 @@ object Graph {
     // per endpoint (the same shape as one propagation sweep), one
     // 1-row shrink.
     QueryDef.sql("q235_degree_assortativity") { (s, d) =>
-      val e = edges(s, d).select(col("src"), col("dst"))
+      // round 17 (guide §2.4): freeze — the edge relation feeds the edge
+      // stream AND both endpoint-degree joins (three otherwise-repeated
+      // derivations of the basket pipeline)
+      val e = Checkpoints.checkpointLazy(
+        edges(s, d).select(col("src"), col("dst")))
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val de = e
         .join(deg.select(col("src"), col("deg").as("dx")), "src")
@@ -1109,9 +1142,19 @@ object Graph {
     // either way, so the BFS answer cannot differ.
     val e = graft.Checkpoints.checkpointLazy(
       edges(s, d).select(col("src"), col("dst")))
-    e.createOrReplaceTempView("graft_q162_edges")
-    s.sql(ReachabilitySql(depth, "graft_q162_edges"))
+    // per-call unique view name, dropped once analysis has resolved it
+    // (round-16 ADVICE): a fixed session-global name could race between
+    // concurrent callers on one session, and a leftover view would
+    // dangle on an unpersisted RDD after Checkpoints.release. Dataset
+    // creation analyzes eagerly, so the catalog entry is not needed
+    // after s.sql returns.
+    val view = s"graft_q162_edges_${reachabilityViewSeq.incrementAndGet()}"
+    e.createOrReplaceTempView(view)
+    try s.sql(ReachabilitySql(depth, view))
+    finally s.catalog.dropTempView(view)
   }
+
+  private val reachabilityViewSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** q162's dialect-shared text: the recursive BFS parses and evaluates
     * identically on Spark SQL and DuckDB; `edgeRel` names the edge

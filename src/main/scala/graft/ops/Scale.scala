@@ -278,10 +278,12 @@ object Scale {
     * Freeze rationale: RangePartitioner's sample seed derives from the
     * RDD id, so re-executing the lineage in a second job can pick
     * DIFFERENT boundaries — pass-1 offsets would then misalign with
-    * pass-2 partitions (observed as overlapping ranks). The eager
-    * localCheckpoint pins partition membership; both passes read the
-    * same frozen partitions, and a lost block fails loudly instead of
-    * silently recomputing new boundaries.
+    * pass-2 partitions (observed as overlapping ranks). The LAZY
+    * localCheckpoint pins partition membership at the first action (the
+    * pass-1 partition-aggregate collect materializes the snapshot as it
+    * streams through); both passes read the same frozen partitions, and
+    * a lost block fails loudly instead of silently recomputing new
+    * boundaries.
     *
     * Contracts: `valueCol` must be EXACT-typed (integral/decimal — a
     * double's running sum is order-of-addition-dependent and not

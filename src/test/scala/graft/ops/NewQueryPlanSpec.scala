@@ -783,6 +783,16 @@ class NewQueryPlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("WindowGroupLimit"),
       s"the top-1 rank filter must prune per-partition before the shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), s"q333 planned a cartesian:\n$p")
+    // round 17: the doc_id barrier is load-bearing — it satisfies both the
+    // gram aggregation's and the window's clustered distributions, so the
+    // plan must carry exactly TWO hash exchanges (the doc_id barrier and
+    // the final per-lang rollup); removing the barrier adds one gram-row
+    // exchange per operator (r16's measured regression)
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the pre-explode doc_id barrier must anchor the gram pipeline:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 2,
+      s"q333 must have exactly 2 hash exchanges (doc barrier + lang rollup), got $hashEx:\n$p")
   }
 
   test("q334 is one scan; cluster stats ride digest-keyed windows") {
